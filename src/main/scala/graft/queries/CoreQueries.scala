@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational query surface: the ClickHouse-style filter / group-by /
+  * sum / order-by operations the reference exposes over its flow table
+  * (SURVEY.md §2.5 A1-A7, §2.7 O1-O3, §2.3 P3/P5/P8/P10), exercised over
+  * the driver's TPC-H-ish tables so each is DuckDB-oracle-checkable.
+  *
+  * Determinism rules (oracle hash-parity):
+  *  - money sums are computed as exact integer cents
+  *    (`sum(cast(round(x*100) as long))`) so result bits don't depend on
+  *    float summation order — Spark and DuckDB sum in different orders;
+  *  - every query ends in a total ORDER BY over non-null keys;
+  *  - counts / row_numbers are cast so both engines agree on the type.
+  *
+  * Scale notes (100 TB): all queries below are single shuffle-stage
+  * hash-aggregations or broadcast-able joins; Catalyst emits partial
+  * (map-side) aggregation before the exchange, so the shuffle carries
+  * only group keys × partial sums, not raw rows. The big fact tables
+  * (lineitem/orders/events) are only ever scanned with column pruning
+  * and pushed filters.
+  */
+object CoreQueries {
+
+  /** exact integer cents for a 2-decimal double — float-order-immune sum. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A3: the SummingMergeTree-style groupBy-sum (ref README.md:180-184)
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1-style enrichment join + aggregation: revenue per nation.
+    // nation/region are tiny dims -> broadcast hash join, no shuffle of facts.
+    "q2_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_price_cents"))
+        .orderBy("n_name")
+    }),
+
+    // O1: ORDER BY sum DESC + LIMIT k (TakeOrderedAndProject — no full sort)
+    "q3_topk" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("o_custkey"))
+        .limit(10)
+    }),
+
+    // A6-style dedup-by-ranking: top-3 orders per customer via row_number
+    "q4_window_rank" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // W1/P8/A2: minute-grain tumbling aggregation over the event stream
+    "q5_minute_agg" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(date_trunc("minute", col("ts")).as("minute_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy("minute_start", "event_type")
+    }),
+
+    // F6/J2: anti-join (customers with no high-value order)
+    "q6_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // semi-join (customers with at least one open order)
+    "q7_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // A7: distinct scan
+    "q8_distinct" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select("lang", "source").distinct()
+        .orderBy("lang", "source")
+    }),
+
+    // O3: directional fan-out — one row becomes direction='out'/'in' rows
+    // via an explode(array(struct..)) Generator (ref worker.go:143-222)
+    "q9_fanout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          explode(array(
+            struct(lit("out").as("direction"),
+              col("l_quantity").cast("long").as("qty")),
+            struct(lit("in").as("direction"),
+              (col("l_quantity") * 2).cast("long").as("qty")))).as("dd"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("dd.direction").as("direction"), col("dd.qty").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "direction")
+    }),
+
+    // P3: enum mapping via CASE WHEN (proto number -> name analog)
+    "q10_case_when" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.select(
+          when(col("event_type").isin("click", "view"), "read")
+            .when(col("event_type").isin("purchase", "signup"), "write")
+            .otherwise("other").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+        .orderBy("kind")
+    }),
+
+    // P5-analog: map/JSON extraction with typed cast + aggregation
+    "q11_json_extract" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("user_id")
+        .agg(sum(col("k")).cast("long").as("k_sum"),
+          max(col("k")).as("k_max"))
+        .orderBy("user_id")
+    }),
+
+    // P10: string normalization (lowercase + strip spaces)
+    "q12_string_norm" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          lower(regexp_replace(col("p_name"), " ", "")).as("norm_name"),
+          lower(col("p_type")).as("norm_type"))
+        .orderBy("p_partkey")
+    }),
+
+    // P8: date truncation + calendar parts
+    "q13_date_parts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("yr", "mo")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue_cents DESC, o_custkey LIMIT 10""".stripMargin,
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q5_minute_agg" ->
+      """SELECT date_trunc('minute', ts) AS minute_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_distinct" ->
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+    "q9_fanout" ->
+      """SELECT l_orderkey, l_linenumber, direction, qty FROM (
+        |  SELECT l_orderkey, l_linenumber, 'out' AS direction,
+        |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'in' AS direction,
+        |    CAST(l_quantity*2 AS BIGINT) AS qty FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, direction""".stripMargin,
+    "q10_case_when" ->
+      """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN event_type IN ('click','view') THEN 'read'
+        |    WHEN event_type IN ('purchase','signup') THEN 'write'
+        |    ELSE 'other' END AS kind FROM events) t
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q11_json_extract" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q12_string_norm" ->
+      """SELECT p_partkey, LOWER(REPLACE(p_name, ' ', '')) AS norm_name,
+        |  LOWER(p_type) AS norm_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Runs graft.Verify output (parquet per query) against the oracle SQL in
+DuckDB over the same testdata dir, compares row-by-row after sorting
+columns by name (mirroring the driver's compare).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_bad += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        g_cols, e_cols = sorted(got.columns), sorted(exp.columns)
+        if g_cols != e_cols:
+            print(f"FAIL {name}: columns differ spark={g_cols} oracle={e_cols}")
+            n_bad += 1
+            continue
+        got = got[g_cols]
+        exp = exp[e_cols]
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_bad += 1
+            continue
+        grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+        erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(grows, erows)) if a != b]
+        if mism:
+            i, a, b = mism[0]
+            print(f"FAIL {name}: {len(mism)}/{len(grows)} rows differ; "
+                  f"first at {i}:\n  spark : {a}\n  oracle: {b}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(grows)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
