@@ -1,0 +1,200 @@
+package graft.flow
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ipfns._
+
+/** Deployment constants (ref pkg/inserter/inserter.go:20-25). */
+case class FlowConfig(
+    localCloud: String = "aws",
+    localRegion: String = "region-1",
+    localCluster: String = "cluster-a",
+    environment: String = "production",
+    ignoreUDP: Boolean = true)
+
+/** The kubenetmon labeling + aggregation pipeline, re-expressed as
+  * composable Catalyst-friendly `DataFrame => DataFrame` stages
+  * (SURVEY.md §3.2: source → filters → broadcast joins → case/when
+  * direction → LPM classify → explode fan-out → windowed summing agg).
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - dimension joins (pods/nodes/prefixes) are explicit `broadcast()`
+  *    joins — dims are informer-cache-sized (≤ millions of rows), facts
+  *    are the 100 TB side; no fact shuffle before aggregation;
+  *  - the only shuffle in the whole pipeline is the final groupBy over
+  *    the dimension key, which Catalyst executes as partial (map-side)
+  *    aggregation → exchange → final aggregation, so the exchange
+  *    carries pre-summed (key × 2 longs) rows, not raw flows;
+  *  - longest-prefix-match is a broadcast range-join + per-flow top-1
+  *    (max prefix length). With a broadcast build side the probe is a
+  *    nested-loop over ~44k prefixes per partition; `LpmJoin.viaTrie`
+  *    offers the O(32)-per-probe binary-trie variant for hot paths;
+  *  - every filter is a pushable Catalyst predicate; no UDFs in the
+  *    filter path.
+  */
+object FlowPipeline {
+
+  // ---- F1-F3: agent-side junk filters (collector.go:227-247) ----
+  def filterJunk(flows: DataFrame): DataFrame =
+    flows
+      .filter(col("orig_bytes") > 0 || col("orig_pkts") > 0 ||
+        col("reply_bytes") > 0 || col("reply_pkts") > 0)
+      .filter(col("proto").isin(6, 17))
+      .filter(!col("orig_src_ip").isin(SyntheticFlows.LOCALHOST) &&
+        !col("orig_dst_ip").isin(SyntheticFlows.LOCALHOST) &&
+        !col("reply_src_ip").isin(SyntheticFlows.LOCALHOST) &&
+        !col("reply_dst_ip").isin(SyntheticFlows.LOCALHOST))
+
+  // ---- F4: configurable UDP drop (labeler.go:183-188) ----
+  def dropUdp(cfg: FlowConfig)(flows: DataFrame): DataFrame =
+    if (cfg.ignoreUDP) flows.filter(col("proto") =!= 17) else flows
+
+  // ---- F6/J2: node-flow anti-join (labeler.go:407-427) ----
+  def dropNodeFlows(nodes: DataFrame)(flows: DataFrame): DataFrame = {
+    val ips = broadcast(nodes.select(col("node_internal_ip").as("nip")))
+    flows
+      .join(ips, col("orig_src_ip") === col("nip"), "left_anti")
+      .join(ips, col("reply_src_ip") === col("nip"), "left_anti")
+  }
+
+  // ---- J1×2 + J3 + P4: pod enrichment and direction resolution ----
+  /** Broadcast-joins src/dst endpoints against the pod snapshot, resolves
+    * which endpoint is the local pod (on the observing node), swaps
+    * orig/reply counters into out/in accordingly (labeler.go:271-331),
+    * and attaches pod/node dims (P5/P6, labeler.go:334-373).
+    * Unattributable flows get direction NULL and are dropped by F7.
+    */
+  def resolveDirection(pods: DataFrame, nodes: DataFrame)(flows: DataFrame): DataFrame = {
+    val src = pods.toDF(pods.columns.map("src_" + _): _*)
+    val dst = pods.toDF(pods.columns.map("dst_" + _): _*)
+    val withPods = flows
+      .join(broadcast(src), col("orig_src_ip") === col("src_pod_ip"), "left_outer")
+      .join(broadcast(dst), col("orig_dst_ip") === col("dst_pod_ip"), "left_outer")
+    val srcLocal = col("src_pod_name").isNotNull && col("src_pod_node") === col("node_name")
+    val dstLocal = col("dst_pod_name").isNotNull && col("dst_pod_node") === col("node_name")
+    val resolved = withPods.select(
+      col("flow_id"), col("ts"), col("node_name"), col("proto"),
+      when(srcLocal, lit("fromPod"))
+        .when(dstLocal, lit("toPod"))
+        .otherwise(lit(null).cast("string")).as("flow_type"),
+      when(srcLocal, col("src_pod_name")).when(dstLocal, col("dst_pod_name")).as("local_pod"),
+      when(srcLocal, col("src_pod_namespace")).when(dstLocal, col("dst_pod_namespace")).as("local_namespace"),
+      when(srcLocal, col("src_pod_app")).when(dstLocal, col("dst_pod_app")).as("local_app"),
+      when(srcLocal, col("src_pod_instance")).when(dstLocal, col("dst_pod_instance")).as("local_instance"),
+      when(srcLocal, col("orig_src_ip")).when(dstLocal, col("orig_dst_ip")).as("local_ip"),
+      when(srcLocal, col("orig_src_port")).when(dstLocal, col("orig_dst_port")).as("local_port"),
+      when(srcLocal, col("orig_dst_ip")).when(dstLocal, col("orig_src_ip")).as("remote_ip"),
+      when(srcLocal, col("orig_dst_port")).when(dstLocal, col("orig_src_port")).as("remote_port"),
+      // remote pod enrichment (other endpoint may also be a pod)
+      when(srcLocal, col("dst_pod_app")).when(dstLocal, col("src_pod_app")).as("remote_app_raw"),
+      // counter swap: out = traffic leaving the local pod
+      when(srcLocal, col("orig_bytes")).otherwise(col("reply_bytes")).as("bytes_out"),
+      when(srcLocal, col("orig_pkts")).otherwise(col("reply_pkts")).as("pkts_out"),
+      when(srcLocal, col("reply_bytes")).otherwise(col("orig_bytes")).as("bytes_in"),
+      when(srcLocal, col("reply_pkts")).otherwise(col("orig_pkts")).as("pkts_in"))
+    // J3: local node zone (topology.kubernetes.io/zone)
+    resolved.join(broadcast(nodes.select(col("node_id"), col("node_zone"))),
+      col("node_name") === col("node_id"), "left_outer")
+      .drop("node_id")
+      // unknown node -> empty zone, like the reference's missing label
+      .withColumn("local_zone", coalesce(col("node_zone"), lit("")))
+      .drop("node_zone")
+  }
+
+  // ---- F7: drop unlabelable flows (labeler.go:319-331,493-498) ----
+  def dropUnlabeled(flows: DataFrame): DataFrame =
+    flows.filter(col("flow_type").isNotNull)
+
+  // ---- J5: longest-prefix-match classification + P3 proto naming ----
+  /** Range-join variant: broadcast the interval table, keep the longest
+    * matching prefix per flow (window top-1), classify per
+    * remote.go:131-175 / remote_test.go:76-220 truth table.
+    */
+  def classify(prefixes: DataFrame, cfg: FlowConfig)(flows: DataFrame): DataFrame = {
+    val matched = LpmJoin.viaRangeJoin(flows, prefixes, col("remote_ip"))
+    matched.select(
+      flows.columns.map(col) ++ Seq(
+        when(ip_is_private(col("remote_ip")), lit("INTRA_VPC"))
+          .when(col("p_cloud").isNull, lit("PUBLIC_INTERNET"))
+          .when(col("p_cloud") === cfg.localCloud &&
+            (col("p_region") === cfg.localRegion || col("p_region") === "global"),
+            lit("INTRA_REGION"))
+          .when(col("p_cloud") === cfg.localCloud, lit("INTER_REGION"))
+          .otherwise(lit("PUBLIC_INTERNET")).as("connection_class"),
+        when(ip_is_private(col("remote_ip")), lit(cfg.localCloud))
+          .otherwise(coalesce(col("p_cloud"), lit(""))).as("remote_cloud"),
+        when(ip_is_private(col("remote_ip")), lit(cfg.localRegion))
+          .otherwise(coalesce(col("p_region"), lit(""))).as("remote_region"),
+        when(ip_is_private(col("remote_ip")), lit(""))
+          .otherwise(coalesce(col("p_service"), lit(""))).as("remote_service"),
+        when(col("proto") === 6, "tcp").otherwise("udp").as("proto_name"),
+        coalesce(col("remote_app_raw"), lit("")).as("remote_app"),
+        col("p_len")): _*)
+  }
+
+  // ---- O3: directional fan-out (worker.go:143-222) ----
+  def fanOut(flows: DataFrame): DataFrame = {
+    val keep = flows.columns
+      .filterNot(Set("bytes_out", "pkts_out", "bytes_in", "pkts_in"))
+      .map(col)
+    flows.select(keep :+ explode(array(
+      struct(lit("out").as("direction"), col("bytes_out").as("bytes"),
+        col("pkts_out").as("packets")),
+      struct(lit("in").as("direction"), col("bytes_in").as("bytes"),
+        col("pkts_in").as("packets")))).as("dd"): _*)
+      .select(keep ++ Seq(col("dd.direction").as("direction"),
+        col("dd.bytes").as("bytes"), col("dd.packets").as("packets")): _*)
+  }
+
+  /** Dimension key of the summing table (DDL test/network_flows_0.sql:42
+    * analog; localCell/remoteCell intentionally absent — never populated
+    * by the reference either, SURVEY.md §1.3).
+    */
+  val dimensionKey: Seq[String] = Seq(
+    "date", "interval_start", "interval_seconds", "direction", "proto_name",
+    "connection_class", "node_name", "local_zone", "local_namespace",
+    "local_pod", "local_app", "local_instance",
+    "remote_cloud", "remote_region", "remote_service", "remote_app")
+
+  // ---- P8 + W1 + A1: minute truncation + summing aggregation ----
+  def summarize(flows: DataFrame): DataFrame =
+    flows
+      .withColumn("date", to_date(col("ts")))
+      .withColumn("interval_start", date_trunc("minute", col("ts")))
+      .withColumn("interval_seconds", lit(60))
+      .groupBy(dimensionKey.map(col): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        count(lit(1)).as("n_obs"))
+
+  /** Full batch pipeline: raw flow observations → summing table rows. */
+  def run(flows: DataFrame, pods: DataFrame, nodes: DataFrame,
+      prefixes: DataFrame, cfg: FlowConfig = FlowConfig()): DataFrame = {
+    val labeled = flows
+      .transform(filterJunk)
+      .transform(dropUdp(cfg))
+      .transform(dropNodeFlows(nodes))
+      .transform(resolveDirection(pods, nodes))
+      .transform(dropUnlabeled)
+      .transform(classify(prefixes, cfg))
+    summarize(fanOut(labeled))
+  }
+}
+
+/** Longest-prefix-match join strategies (SURVEY.md §2.4 J5). */
+object LpmJoin {
+  /** Broadcast range join + top-1 by prefix length. Pure Catalyst ops:
+    * BroadcastNestedLoopJoin on the interval predicate, then a window
+    * top-1 per flow keyed by the longest p_len. Null-extends when no
+    * prefix matches (public-internet default, remote.go:177-186).
+    */
+  def viaRangeJoin(flows: DataFrame, prefixes: DataFrame, ip: Column): DataFrame = {
+    val joined = flows.join(broadcast(prefixes),
+      ip >= col("p_start") && ip <= col("p_end"), "left_outer")
+    val w = Window.partitionBy(col("flow_id"))
+      .orderBy(col("p_len").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "p_start", "p_end")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic derivation of kubenetmon-shaped inputs from the driver's
+  * testdata tables (TESTDATA.md). The same arithmetic is mirrored 1:1 in
+  * [[FlowSql]] as DuckDB CTEs so every pipeline stage is oracle-checkable.
+  *
+  * Shapes follow FIXTURES.md / the reference proto
+  * (/root/reference/pkg/grpc/flow_handler.proto:24-68):
+  *  - flows: one conntrack delta observation per `events` row, with the
+  *    NAT asymmetry encoded (even flow_id = Azure shape reply-dst=podIP,
+  *    odd = AWS/GCP shape reply-dst=nodeIP; labeler_test.go:326-328,450-452)
+  *  - pods (from customer), nodes (from supplier): informer cache snapshots
+  *  - prefixes (from part): cloud-provider IP ranges incl. a coarse tier so
+  *    longest-prefix-match is non-trivial
+  */
+object SyntheticFlows {
+  val B10: Long = 167772160L        // 10.0.0.0 — pod CIDR base
+  val PRIV: Long = B10 + 4194304L   // 10.64.0.0 — non-pod private space
+  val NB: Long = 2886729728L        // 172.16.0.0 — node internal IPs
+  val LOCALHOST: Long = 2130706433L // 127.0.0.1
+  val PUB: Long = 16777216L         // 1.0.0.0 — public space under prefixes
+
+  /** Raw flow observations: proto, orig/reply tuples, counters. */
+  def flows(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id").as("e"), col("user_id").as("u"), col("ts"))
+    // local pod lives on the observing node (offset % 20 == node id), as
+    // conntrack on a node only sees that node's pods
+    val podIp = lit(B10) + ((col("e") % 100) * 20 + (col("u") % 20))
+    val nodeIp = lit(NB) + (col("u") % 20)
+    val remoteIp = when(col("e") % 5 < 2, lit(PUB) + ((col("e") * 2654435761L) % 4194304))
+      .when(col("e") % 5 < 4, lit(PRIV) + (col("e") % 100000))
+      .otherwise(lit(B10) + ((col("e") * 13) % 100) * 20 + (col("u") % 20))
+    val inbound = (col("e") % 19) === 0
+    val origSrc = when(col("e") % 23 === 0, nodeIp)
+      .when(col("e") % 17 === 0, lit(LOCALHOST))
+      .when(inbound, remoteIp)
+      .otherwise(podIp)
+    val zero = col("e") % 29 === 0
+    e.select(
+      col("e").as("flow_id"),
+      col("ts"),
+      concat(lit("node-"), (col("u") % 20).cast("string")).as("node_name"),
+      when(col("e") % 11 === 0, 1)
+        .when(col("e") % 3 === 0, 17).otherwise(6).as("proto"),
+      origSrc.as("orig_src_ip"),
+      when(inbound, podIp).otherwise(remoteIp).as("orig_dst_ip"),
+      (lit(1024) + (col("e") % 60000)).cast("int").as("orig_src_port"),
+      (lit(1) + (col("e") % 65000)).cast("int").as("orig_dst_port"),
+      when(inbound, podIp).otherwise(remoteIp).as("reply_src_ip"),
+      when(inbound, remoteIp)
+        .when(col("e") % 2 === 0, origSrc)
+        .otherwise(nodeIp).as("reply_dst_ip"),
+      when(zero, 0L).otherwise((col("e") * 3) % 1000).as("orig_pkts"),
+      when(zero, 0L).otherwise((col("e") * 131) % 100000).as("orig_bytes"),
+      when(zero, 0L).otherwise((col("e") * 7) % 1000).as("reply_pkts"),
+      when(zero, 0L).otherwise((col("e") * 173) % 100000).as("reply_bytes"))
+  }
+
+  /** Pod informer snapshot (ref pkg/watcher/watcher.go:65-76). */
+  def pods(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      concat(lit("pod-"), col("c_custkey").cast("string")).as("pod_name"),
+      concat(lit("ns-"), (col("c_custkey") % 20).cast("string")).as("pod_namespace"),
+      (lit(B10) + col("c_custkey")).as("pod_ip"),
+      concat(lit("node-"), (col("c_custkey") % 20).cast("string")).as("pod_node"),
+      lower(col("c_mktsegment")).as("pod_app"),
+      concat(lit("inst-"), (col("c_custkey") % 5).cast("string")).as("pod_instance"))
+
+  /** Node informer snapshot (watcher.go:79-92). */
+  def nodes(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      concat(lit("node-"), col("s_suppkey").cast("string")).as("node_id"),
+      (lit(NB) + col("s_suppkey")).as("node_internal_ip"),
+      concat(lit("az-"), (col("s_suppkey") % 3).cast("string")).as("node_zone"))
+
+  /** Cloud-provider prefix table as [start,end] intervals + prefix length
+    * (the range-join form of remote.go's trie; SURVEY.md J5 option b).
+    * Fine /21-style tier for every part row plus a coarse /19-style tier
+    * every 40th row so LPM has overlapping candidates.
+    */
+  def prefixes(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val cloud = when(col("p_partkey") % 3 === 0, "aws")
+      .when(col("p_partkey") % 3 === 1, "gcp").otherwise("azure")
+    val fine = p.select(
+      (lit(PUB) + col("p_partkey") * 2048).as("p_start"),
+      (lit(PUB) + col("p_partkey") * 2048 + 2047).as("p_end"),
+      lit(21).as("p_len"),
+      cloud.as("p_cloud"),
+      when(col("p_partkey") % 7 === 0, "global")
+        .otherwise(concat(lit("region-"), (col("p_partkey") % 7).cast("string")))
+        .as("p_region"),
+      concat(lit("svc-"), (col("p_partkey") % 11).cast("string")).as("p_service"))
+    val coarse = p.filter(col("p_partkey") % 40 === 0).select(
+      (lit(PUB) + (col("p_partkey") - col("p_partkey") % 4) * 2048).as("p_start"),
+      (lit(PUB) + (col("p_partkey") - col("p_partkey") % 4) * 2048 + 8191).as("p_end"),
+      lit(19).as("p_len"),
+      cloud.as("p_cloud"),
+      lit("region-9").as("p_region"),
+      lit("svc-coarse").as("p_service"))
+    fine.unionByName(coarse)
+  }
+
+  /** Prefix feed with duplicate entries + source priority, for the A6
+    * dedup-by-ranking operator (public_ranges.go:163-168,256-306 —
+    * s3-beats-amazon-beats-ec2 style). Every 13th prefix appears twice.
+    */
+  def prefixFeedWithDups(s: SparkSession, dir: String): DataFrame = {
+    val base = prefixes(s, dir).withColumn("p_priority", lit(1))
+    val dups = prefixes(s, dir)
+      .filter(col("p_len") === 21 && (col("p_start") - lit(PUB)) % (2048 * 13) === 0)
+      .withColumn("p_service", lit("svc-dup"))
+      .withColumn("p_priority", lit(2))
+    base.unionByName(dups)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the scalar surface the reference needs
+  * beyond Spark built-ins (SURVEY.md §2.9): IP packing/classification and
+  * ClickHouse's formatReadableSize. All generate inline Java calls into
+  * [[IpOps]] so they participate in whole-stage codegen (no UDF
+  * serialization, no interpreted fallback in the hot path).
+  */
+case class LongToIp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    IpOps.longToIp(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpOps.longToIp($c)")
+  override protected def withNewChildInternal(c: Expression): LongToIp = copy(c)
+  override def prettyName: String = "long_to_ip"
+}
+
+/** Invalid addresses yield NULL (routed to the error stream by F8, not
+  * thrown — ref pkg/labeler/labeler.go:501-521 ErrInvalidIP). */
+case class IpToLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val r = IpOps.ipToLong(v.asInstanceOf[UTF8String])
+    if (r < 0) null else java.lang.Long.valueOf(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |long r = graft.functions.IpOps.ipToLong($c);
+         |if (r < 0) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): IpToLong = copy(c)
+  override def prettyName: String = "ip_to_long"
+}
+
+case class IpIsPrivate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(v: Any): Any =
+    IpOps.ipIsPrivate(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpOps.ipIsPrivate($c)")
+  override protected def withNewChildInternal(c: Expression): IpIsPrivate = copy(c)
+  override def prettyName: String = "ip_is_private"
+}
+
+case class FormatReadableSize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    IpOps.formatReadableSize(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpOps.formatReadableSize($c)")
+  override protected def withNewChildInternal(c: Expression): FormatReadableSize =
+    copy(c)
+  override def prettyName: String = "format_readable_size"
+}
+
+/** Column-API entry points (`import graft.functions.ipfns._`). */
+object ipfns {
+  def long_to_ip(c: Column): Column = column(LongToIp(expression(c)))
+  def ip_to_long(c: Column): Column = column(IpToLong(expression(c)))
+  def ip_is_private(c: Column): Column = column(IpIsPrivate(expression(c)))
+  // unconditional Cast: the child may still be unresolved here (no
+  // dataType yet); Catalyst elides the cast when it's already double.
+  def format_readable_size(c: Column): Column =
+    column(FormatReadableSize(
+      org.apache.spark.sql.catalyst.expressions.Cast(expression(c), DoubleType)))
+
+  /** Register all as SQL functions on a session. Inputs are cast
+    * explicitly (private[sql] AbstractDataType blocks ExpectsInputTypes
+    * from outside Spark, so SQL literals like `1536.0` would otherwise
+    * arrive as Decimal).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("long_to_ip",
+      e => LongToIp(Cast(e.head, LongType)), "scala_udf")
+    reg.createOrReplaceTempFunction("ip_to_long",
+      e => IpToLong(Cast(e.head, StringType)), "scala_udf")
+    reg.createOrReplaceTempFunction("ip_is_private",
+      e => IpIsPrivate(Cast(e.head, LongType)), "scala_udf")
+    reg.createOrReplaceTempFunction("format_readable_size",
+      e => FormatReadableSize(Cast(e.head, DoubleType)), "scala_udf")
+  }
+}

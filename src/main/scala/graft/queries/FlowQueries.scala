@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows, FlowSql}
+import graft.functions.ipfns._
+
+/** The kubenetmon flow-pipeline operator surface (SURVEY.md §2), one
+  * oracle-checked query per stage plus the full end-to-end summing table.
+  * Inputs are derived deterministically from the testdata (SyntheticFlows)
+  * so the DuckDB oracle (FlowSql) reproduces them bit-for-bit.
+  */
+object FlowQueries {
+  private val cfg = FlowConfig()
+
+  private def stages(s: SparkSession, d: String) = {
+    val f = SyntheticFlows.flows(s, d)
+    val p = SyntheticFlows.pods(s, d)
+    val n = SyntheticFlows.nodes(s, d)
+    val px = SyntheticFlows.prefixes(s, d)
+    (f, p, n, px)
+  }
+
+  /** DuckDB dotted-quad + RFC1918/loopback/link-local mirrors. */
+  private def sqlIpStr(c: String) =
+    s"CAST($c // 16777216 AS VARCHAR) || '.' || CAST(($c // 65536) % 256 AS VARCHAR)" +
+      s" || '.' || CAST(($c // 256) % 256 AS VARCHAR) || '.' || CAST($c % 256 AS VARCHAR)"
+  private def sqlIsPrivate(c: String) =
+    s"(($c >= 167772160 AND $c <= 184549375) OR ($c >= 2886729728 AND $c <= 2887778303)" +
+      s" OR ($c >= 3232235520 AND $c <= 3232301055) OR ($c >= 2130706432 AND $c <= 2147483647)" +
+      s" OR ($c >= 2851995648 AND $c <= 2852061183))"
+  private def sqlReadable(c: String) =
+    s"""CASE WHEN $c >= 1099511627776 THEN printf('%.2f TiB', $c/1099511627776.0)
+       |  WHEN $c >= 1073741824 THEN printf('%.2f GiB', $c/1073741824.0)
+       |  WHEN $c >= 1048576 THEN printf('%.2f MiB', $c/1048576.0)
+       |  WHEN $c >= 1024 THEN printf('%.2f KiB', $c/1024.0)
+       |  ELSE printf('%.2f B', CAST($c AS DOUBLE)) END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1-F3: junk filters, surviving traffic by proto
+    "qf_filters" -> ((s, d) => {
+      val (f, _, _, _) = stages(s, d)
+      FlowPipeline.filterJunk(f)
+        .groupBy("proto")
+        .agg(count(lit(1)).as("n"), sum("orig_bytes").as("orig_bytes_sum"))
+        .orderBy("proto")
+    }),
+
+    // F4+F6: UDP drop + node-flow anti-join, per observing node
+    "qf_node_anti" -> ((s, d) => {
+      val (f, _, n, _) = stages(s, d)
+      f.transform(FlowPipeline.filterJunk)
+        .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropNodeFlows(n))
+        .groupBy("node_name").agg(count(lit(1)).as("n"))
+        .orderBy("node_name")
+    }),
+
+    // J1/J3/P4-P6: enrichment + direction resolution, per-flow record
+    "qf_direction" -> ((s, d) => {
+      val (f, p, n, _) = stages(s, d)
+      f.transform(FlowPipeline.filterJunk)
+        .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropNodeFlows(n))
+        .transform(FlowPipeline.resolveDirection(p, n))
+        .transform(FlowPipeline.dropUnlabeled)
+        .select(col("flow_id"), col("flow_type"), col("local_pod"),
+          col("local_namespace"), col("local_app"), col("local_zone"),
+          col("local_port"), col("remote_port"),
+          long_to_ip(col("remote_ip")).as("remote_ip_str"),
+          col("bytes_out"), col("pkts_out"), col("bytes_in"), col("pkts_in"))
+        .orderBy("flow_id")
+    }),
+
+    // J5: longest-prefix-match over public remotes
+    "qf_lpm" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      f.transform(FlowPipeline.filterJunk)
+        .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropNodeFlows(n))
+        .transform(FlowPipeline.resolveDirection(p, n))
+        .transform(FlowPipeline.dropUnlabeled)
+        .transform(FlowPipeline.classify(px, cfg))
+        .filter(!ip_is_private(col("remote_ip")))
+        .select(col("flow_id"), col("remote_cloud"), col("remote_region"),
+          col("remote_service"), coalesce(col("p_len"), lit(0)).as("prefix_len"))
+        .orderBy("flow_id")
+    }),
+
+    // classification truth table rollup
+    "qf_classify" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      f.transform(FlowPipeline.filterJunk)
+        .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropNodeFlows(n))
+        .transform(FlowPipeline.resolveDirection(p, n))
+        .transform(FlowPipeline.dropUnlabeled)
+        .transform(FlowPipeline.classify(px, cfg))
+        .groupBy("connection_class")
+        .agg(count(lit(1)).as("n"), sum("bytes_out").as("bytes_out_sum"))
+        .orderBy("connection_class")
+    }),
+
+    // full pipeline: the minute-grain summing table (network_flows_0 analog)
+    "qf_pipeline" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      FlowPipeline.run(f, p, n, px, cfg)
+        .orderBy(FlowPipeline.dimensionKey.map(col): _*)
+    }),
+
+    // README.md:180-184 showcase: top talkers with formatReadableSize
+    "qf_showcase" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      FlowPipeline.run(f, p, n, px, cfg)
+        .filter(col("direction") === "out")
+        .groupBy("local_pod", "connection_class")
+        .agg(sum("bytes").as("total_bytes"))
+        .withColumn("readable", format_readable_size(col("total_bytes")))
+        .orderBy(desc("total_bytes"), asc("local_pod"), asc("connection_class"))
+        .limit(20)
+    }),
+
+    // A6: duplicate-prefix dedup by source priority
+    "qa6_prefix_dedup" -> ((s, d) => {
+      val feed = SyntheticFlows.prefixFeedWithDups(s, d)
+      val w = Window.partitionBy("p_start", "p_end")
+        .orderBy("p_priority", "p_service")
+      feed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service")
+        .orderBy("p_start", "p_end")
+    }),
+
+    // P1/P2/P12: IP + formatting scalar expressions over raw flows
+    "qip_funcs" -> ((s, d) => {
+      val (f, _, _, _) = stages(s, d)
+      f.select(col("flow_id"),
+          long_to_ip(col("orig_src_ip")).as("src_ip"),
+          long_to_ip(col("orig_dst_ip")).as("dst_ip"),
+          ip_is_private(col("orig_dst_ip")).as("dst_private"),
+          format_readable_size(col("orig_bytes")).as("size_str"))
+        .orderBy("flow_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qf_filters" ->
+      s"""${FlowSql.base}
+         |SELECT proto, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
+         |FROM flows WHERE ${FlowSql.junkFilter}
+         |GROUP BY proto ORDER BY proto""".stripMargin,
+    "qf_node_anti" ->
+      s"""${FlowSql.labeledCte}
+         |SELECT node_name, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM nofnode GROUP BY node_name ORDER BY node_name""".stripMargin,
+    "qf_direction" ->
+      s"""${FlowSql.labeledCte}
+         |SELECT flow_id, flow_type, local_pod, local_namespace, local_app,
+         |  local_zone, local_port, remote_port,
+         |  ${sqlIpStr("remote_ip")} AS remote_ip_str,
+         |  bytes_out, pkts_out, bytes_in, pkts_in
+         |FROM labeled ORDER BY flow_id""".stripMargin,
+    "qf_lpm" ->
+      s"""${FlowSql.classifiedCte}
+         |SELECT flow_id, remote_cloud, remote_region, remote_service,
+         |  COALESCE(p_len, 0) AS prefix_len
+         |FROM classified WHERE NOT ${sqlIsPrivate("remote_ip")}
+         |ORDER BY flow_id""".stripMargin,
+    "qf_classify" ->
+      s"""${FlowSql.classifiedCte}
+         |SELECT connection_class, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(bytes_out) AS BIGINT) AS bytes_out_sum
+         |FROM classified GROUP BY connection_class
+         |ORDER BY connection_class""".stripMargin,
+    "qf_pipeline" ->
+      s"""${FlowSql.summedCte}
+         |SELECT * FROM summed
+         |ORDER BY date, interval_start, interval_seconds, direction,
+         |  proto_name, connection_class, node_name, local_zone,
+         |  local_namespace, local_pod, local_app, local_instance,
+         |  remote_cloud, remote_region, remote_service, remote_app""".stripMargin,
+    "qf_showcase" ->
+      s"""${FlowSql.summedCte}
+         |SELECT local_pod, connection_class, total_bytes,
+         |  ${sqlReadable("total_bytes")} AS readable
+         |FROM (
+         |  SELECT local_pod, connection_class,
+         |    CAST(SUM(bytes) AS BIGINT) AS total_bytes
+         |  FROM summed WHERE direction = 'out'
+         |  GROUP BY local_pod, connection_class) t
+         |ORDER BY total_bytes DESC, local_pod, connection_class
+         |LIMIT 20""".stripMargin,
+    "qa6_prefix_dedup" ->
+      s"""${FlowSql.base}, feed AS (
+         |  SELECT *, 1 AS p_priority FROM prefixes
+         |  UNION ALL
+         |  SELECT p_start, p_end, p_len, p_cloud, p_region, 'svc-dup', 2
+         |  FROM prefixes WHERE p_len = 21 AND (p_start - 16777216) % 26624 = 0
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_start, p_end
+         |    ORDER BY p_priority, p_service) AS rn
+         |  FROM feed)
+         |SELECT p_start, p_end, p_len, p_cloud, p_region, p_service
+         |FROM ranked WHERE rn = 1 ORDER BY p_start, p_end""".stripMargin,
+    "qip_funcs" ->
+      s"""${FlowSql.base}
+         |SELECT flow_id,
+         |  ${sqlIpStr("orig_src_ip")} AS src_ip,
+         |  ${sqlIpStr("orig_dst_ip")} AS dst_ip,
+         |  ${sqlIsPrivate("orig_dst_ip")} AS dst_private,
+         |  ${sqlReadable("orig_bytes")} AS size_str
+         |FROM flows ORDER BY flow_id""".stripMargin
+  )
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the Column <-> Expression conversions that Spark 4 moved
+  * behind `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils)
+  * during the Spark Connect Column refactor. This is the one place the
+  * library reaches into Spark's package-private API; everything else
+  * uses public surfaces.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
