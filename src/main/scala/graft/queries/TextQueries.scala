@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data text pipeline operators over the `documents` table:
+  * exact dedup, MinHash+LSH and n-gram-Jaccard near-dup, SimHash,
+  * bag fingerprinting, language-ID, quality scoring, token counting.
+  *
+  * Determinism: similarity scores are kept as exact integers
+  * (intersection / union sizes, not ratios) and all hashing is md5
+  * (identical in the JVM and DuckDB), so every query hash-matches the
+  * oracle bit-for-bit.
+  *
+  * Scale design (100 TB corpus):
+  *  - dedup keys (md5 / minhash bands / fingerprints) are groupBy
+  *    shuffles over short fixed-width keys — partial aggregation keeps
+  *    the exchange narrow;
+  *  - shingling/minhashing is a pure per-row flatMap (no shuffle, stays
+  *    in whole-stage codegen via explode/transform);
+  *  - LSH banding turns the quadratic all-pairs problem into an
+  *    equi-join on (band, band_hash) — the classic shuffle-join-safe
+  *    near-dup plan; the shingle-blocking Jaccard variant exists for
+  *    verification, its join key (shingle) is far more skewed and it is
+  *    the one to avoid at full scale.
+  */
+object TextQueries {
+
+  /** Re-crawl corpus: every 7th doc duplicated exactly, every 10th
+    * near-duplicated (suffix appended). Gives the dedup operators real
+    * positives while staying DuckDB-reproducible.
+    */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" the data")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' the data' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens). */
+  private def shingles(c: DataFrame): DataFrame =
+    c.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2)," +
+          " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
+        .as("s"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM words WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** Per-lang mini-lexicon for the n-gram/stopword language heuristic. */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "es" -> "el", "es" -> "la", "es" -> "y",
+    "fr" -> "le", "fr" -> "et", "fr" -> "un",
+    "de" -> "der", "de" -> "und", "de" -> "das")
+  private val lexiconSql: String =
+    "lexicon(lex_lang, lex_word) AS (VALUES " +
+      lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy, keep lowest doc_id per content hash
+    "qt_exact_dedup" -> ((s, d) => {
+      corpus(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keeper")
+    }),
+
+    // MinHash + LSH banding: near-dup candidate pairs via band-bucket join
+    "qt_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(corpus(s, d))
+      val banded = sh
+        .select(col("doc_id"), col("s"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .groupBy("doc_id", "band")
+        .agg(md5(concat(
+          min(md5(concat(lit("a"), col("band").cast("string"), lit("|"), col("s")))),
+          min(md5(concat(lit("b"), col("band").cast("string"), lit("|"), col("s"))))))
+          .as("bh"))
+      val a = banded.toDF("a_id", "band", "bh")
+      val b = banded.toDF("b_id", "band2", "bh2")
+      a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash (32-bit, md5-derived bit weights), one signature per doc
+    "qt_simhash" -> ((s, d) => {
+      val toks = corpus(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("h", md5(col("t")))
+      val bits = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(7))).as("p"),
+          col("h"))
+        .withColumn("dv",
+          expr("locate(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
+        .select(col("doc_id"), col("p"),
+          explode(sequence(lit(0), lit(3))).as("b"), col("dv"))
+        .withColumn("w",
+          expr("CASE WHEN (dv div CAST(pow(2, b) AS INT)) % 2 = 1 THEN 1 ELSE -1 END"))
+      bits.groupBy("doc_id", "p", "b")
+        .agg(sum("w").as("sw"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sw") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), p * 4 + b)")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup via shingle blocking; exact integer scores
+    "qt_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(corpus(s, d))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("a_id", "s")
+      val b = sh.toDF("b_id", "s2")
+      val inter = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .withColumn("union_n", col("na") + col("nb") - col("inter"))
+        // jaccard >= 0.5 without float math
+        .filter(col("inter") * 2 >= col("union_n"))
+        .select("a_id", "b_id", "inter", "union_n")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // document fingerprinting: bag-of-words fingerprint groups
+    "qt_fingerprint" -> ((s, d) => {
+      corpus(s, d)
+        .withColumn("fp", md5(array_join(
+          array_sort(array_distinct(split(col("text"), " "))), " ")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("min_doc"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("min_doc")
+    }),
+
+    // language-ID: stopword-lexicon scoring with deterministic argmax
+    "qt_langid" -> ((s, d) => {
+      import s.implicits._
+      val lex = lexicon.toDF("lex_lang", "lex_word")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val scores = toks.join(broadcast(lex), col("t") === col("lex_word"))
+        .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("hits"), asc("lex_lang"))
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lex_lang").as("pred_lang"), col("hits"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: integer-exact length/diversity/stopword metrics
+    "qt_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_q"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          expr("size(filter(w, t -> t IN ('the', 'a', 'of', 'and')))").as("stop_hits"))
+        .withColumn("quality",
+          when(col("n_tokens").between(20, 80) &&
+            col("n_uniq") * 2 >= col("n_tokens"), "good").otherwise("bad"))
+        .orderBy("doc_id")
+    }),
+
+    // token counting: whitespace + alpha-run + char accounting
+    "qt_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("alpha_tokens"),
+          length(col("text")).as("n_chars_q"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qt_exact_dedup" ->
+      s"""WITH $corpusSql
+         |SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+    "qt_minhash_lsh" ->
+      s"""WITH $corpusSql, $shinglesSql, banded AS (
+         |  SELECT doc_id, band,
+         |    md5(MIN(md5('a' || CAST(band AS VARCHAR) || '|' || s))
+         |      || MIN(md5('b' || CAST(band AS VARCHAR) || '|' || s))) AS bh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+         |  GROUP BY doc_id, band)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "qt_simhash" ->
+      s"""WITH $corpusSql, toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
+         |), hashed AS (
+         |  SELECT doc_id, md5(t) AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, p, b,
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, p + 1, 1)) - 1)
+         |      // CAST(pow(2, b) AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |  FROM hashed
+         |  CROSS JOIN (SELECT unnest(range(8)) AS p) ps
+         |  CROSS JOIN (SELECT unnest(range(4)) AS b) bs
+         |), sums AS (
+         |  SELECT doc_id, p, b, SUM(w) AS sw FROM bits GROUP BY doc_id, p, b)
+         |SELECT doc_id, CAST(SUM(CASE WHEN sw > 0
+         |    THEN CAST(1 AS BIGINT) << (p * 4 + b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qt_ngram_jaccard" ->
+      s"""WITH $corpusSql, $shinglesSql, sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+         |), ij AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST(i_n AS BIGINT) AS inter,
+         |  CAST(na.n + nb.n - i_n AS BIGINT) AS union_n
+         |FROM ij
+         |JOIN sizes na ON ij.a_id = na.doc_id
+         |JOIN sizes nb ON ij.b_id = nb.doc_id
+         |WHERE i_n * 2 >= na.n + nb.n - i_n
+         |ORDER BY a_id, b_id""".stripMargin,
+    "qt_fingerprint" ->
+      s"""WITH $corpusSql
+         |SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY min_doc""".stripMargin,
+    "qt_langid" ->
+      s"""WITH $lexiconSql, toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), scores AS (
+         |  SELECT doc_id, lex_lang, COUNT(*) AS hits
+         |  FROM toks JOIN lexicon ON t = lex_word
+         |  GROUP BY doc_id, lex_lang
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY hits DESC, lex_lang) AS rn FROM scores)
+         |SELECT doc_id, lex_lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "qt_quality" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_q,
+        |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        |  CAST(LEN(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and'))) AS INTEGER) AS stop_hits,
+        |  CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 80
+        |    AND LEN(list_distinct(string_split(text, ' '))) * 2 >= LEN(string_split(text, ' '))
+        |    THEN 'good' ELSE 'bad' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_q,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_spaces
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the dedup/text-analysis operators: the injected
+  * re-crawl duplicates (exact copy at doc_id+20000 for every 7th doc,
+  * near-dup at doc_id+10000 for every 10th) must actually be found.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("exact dedup finds exactly the injected exact copies") {
+    val rows = q("qt_exact_dedup").collect()
+    // every 7th doc of 500 -> 72 dup groups, each with 2 copies
+    assert(rows.length == 72)
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2))
+    assert(rows.forall(_.getAs[Long]("keeper") % 7 == 0))
+  }
+
+  test("minhash LSH recalls every exact duplicate pair") {
+    val pairs = q("qt_minhash_lsh")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val exactDups = (0 until 500 by 7).map(i => (i.toLong, i + 20000L))
+    // an exact copy shares every band -> guaranteed candidate
+    exactDups.foreach(p => assert(pairs.contains(p), s"missing $p"))
+    // and most appended-suffix near-dups should still collide on >=1 band
+    val nearDups = (0 until 500 by 10).map(i => (i.toLong, i + 10000L))
+    val recalled = nearDups.count(pairs.contains)
+    assert(recalled > nearDups.size / 2, s"near-dup recall $recalled/${nearDups.size}")
+  }
+
+  test("simhash is identical for exact copies, close for near-dups") {
+    val sig = q("qt_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    (0 until 500 by 7).foreach { i =>
+      assert(sig(i.toLong) == sig(i + 20000L), s"doc $i")
+    }
+    val dists = (0 until 500 by 10).map { i =>
+      java.lang.Long.bitCount(sig(i.toLong) ^ sig(i + 10000L))
+    }
+    // appended 2 tokens out of >=10: signatures stay within a few bits
+    assert(dists.count(_ <= 8) > dists.size * 3 / 4, dists.mkString(","))
+  }
+
+  test("ngram jaccard >= 0.5 pairs include the exact copies") {
+    val rows = q("qt_ngram_jaccard").collect()
+    val byPair = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+      (r.getAs[Long]("inter"), r.getAs[Long]("union_n"))).toMap
+    (0 until 500 by 7).foreach { i =>
+      val k = (i.toLong, i + 20000L)
+      assert(byPair.contains(k), s"missing $k")
+      val (inter, union) = byPair(k)
+      assert(inter == union, s"exact copy must have jaccard 1.0: $k")
+    }
+  }
+
+  test("quality + tokens: counts consistent with documents table") {
+    val docs = Tables.documents(spark, sf).count()
+    assert(q("qt_quality").count() == docs)
+    val t = q("qt_tokens").collect()
+    assert(t.forall(r => r.getAs[Int]("alpha_tokens") == r.getAs[Int]("ws_tokens")),
+      "space-separated lowercase corpus: alpha runs == ws tokens")
+  }
+}
