@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] x 64):
+  * brute-force cosine top-k as the correctness baseline, sign-bit LSH
+  * bucketing as the approximate scale path, and a kNN label classifier
+  * on top of the exact top-k.
+  *
+  * Determinism: components are quantized to integers (round(x*10000))
+  * so dot products and norms are exact integer sums — immune to float
+  * summation order. The cosine double is then derived from identical
+  * integers with identical IEEE ops on both engines.
+  *
+  * Scale design (billions of vectors):
+  *  - brute-force is a broadcast nested-loop (queries broadcast, corpus
+  *    scanned once; per-partition top-k via the rank window collapses
+  *    before the final shuffle) — right up to ~10^7 corpus rows;
+  *  - the LSH variant buckets the corpus once (pure projection, no
+  *    shuffle) and turns kNN into an equi-join on bucket id — the
+  *    IVF-style path where only 1/2^bits of the corpus is probed;
+  *  - both avoid UDFs: zip_with/aggregate stay in codegen.
+  */
+object VectorQueries {
+
+  /** quantized embedding + exact integer self-norm */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"),
+      col("embedding"))
+      .withColumn("nrm",
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+
+  private val quantizedSql: String =
+    """quant AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), qn AS (
+      |  SELECT vec_id, label, q,
+      |    (SELECT SUM(q[i.i] * q[i.i])
+      |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS nrm
+      |  FROM quant
+      |)""".stripMargin
+
+  /** exact cosine top-k pairs for query vectors (vec_id < 10), k = 5 */
+  private def topk(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d)
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("qn"))
+    val ns = base.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("q").as("na"), col("nrm").as("nn"))
+    val pairs = broadcast(qs).join(ns, col("q_id") =!= col("n_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cos", col("dot") /
+        sqrt(col("qn").cast("double") * col("nn").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
+
+  private val topkSql: String =
+    s"""$quantizedSql, pairs AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+      |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+      |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+      |    a.nrm AS qn, b.nrm AS nn
+      |  FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |), scored AS (
+      |  SELECT q_id, n_id, n_label,
+      |    dot / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+      |  FROM pairs
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+      |  FROM scored)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-5 per query vector
+    "qv_cosine_topk" -> ((s, d) => {
+      topk(s, d)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // kNN majority-label classification from the exact top-5
+    "qv_knn_label" -> ((s, d) => {
+      val votes = topk(s, d).groupBy("q_id", "n_label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q_id").orderBy(desc("votes"), asc("n_label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+        .orderBy("q_id")
+    }),
+
+    // sign-bit LSH bucketing + within-bucket top-3 (the IVF-style path)
+    "qv_lsh_ann" -> ((s, d) => {
+      val base = quantized(s, d).withColumn("bucket",
+        expr("CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 17) > 0 THEN 4 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 33) > 0 THEN 2 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qa"),
+          col("nrm").as("qn"), col("bucket"))
+      val ns = base.select(col("vec_id").as("n_id"), col("q").as("na"),
+        col("nrm").as("nn"), col("bucket").as("bucket2"))
+      val pairs = broadcast(qs)
+        .join(ns, col("bucket") === col("bucket2") && col("q_id") =!= col("n_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("bucket"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // per-label exact centroid norms (integer): IVF cell statistics
+    "qv_label_stats" -> ((s, d) => {
+      quantized(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("nrm").as("sum_sq_norm"),
+          max("nrm").as("max_sq_norm"))
+        .orderBy("label")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qv_cosine_topk" ->
+      s"""WITH $topkSql
+         |SELECT q_id, n_id, rank, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_bp
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "qv_knn_label" ->
+      s"""WITH $topkSql, votes AS (
+         |  SELECT q_id, n_label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= 5 GROUP BY q_id, n_label
+         |), vr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY votes DESC, n_label) AS rn FROM votes)
+         |SELECT q_id, n_label AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM vr WHERE rn = 1 ORDER BY q_id""".stripMargin,
+    "qv_lsh_ann" ->
+      s"""WITH $quantizedSql, bucketed AS (
+         |  SELECT e.vec_id, qn.q, qn.nrm,
+         |    CAST(CASE WHEN e.embedding[1] > 0 THEN 8 ELSE 0 END
+         |      + CASE WHEN e.embedding[17] > 0 THEN 4 ELSE 0 END
+         |      + CASE WHEN e.embedding[33] > 0 THEN 2 ELSE 0 END
+         |      + CASE WHEN e.embedding[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS n_id,
+         |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    a.nrm AS qn2, b.nrm AS nn2
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.vec_id < 10 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), scored AS (
+         |  SELECT q_id, bucket, n_id,
+         |    dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) AS cos
+         |  FROM pairs
+         |), ranked2 AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
+         |SELECT q_id, bucket, n_id, rank
+         |FROM ranked2 WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "qv_label_stats" ->
+      s"""WITH $quantizedSql
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(nrm) AS BIGINT) AS sum_sq_norm,
+         |  CAST(MAX(nrm) AS BIGINT) AS max_sq_norm
+         |FROM qn GROUP BY label ORDER BY label""".stripMargin
+  )
+}
