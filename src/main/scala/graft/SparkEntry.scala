@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.FlowQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.FlowQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.VectorQueries.oracle
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.MiscQueries.oracle
 }

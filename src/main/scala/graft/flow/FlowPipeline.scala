@@ -11,7 +11,10 @@ case class FlowConfig(
     localRegion: String = "region-1",
     localCluster: String = "cluster-a",
     environment: String = "production",
-    ignoreUDP: Boolean = true)
+    ignoreUDP: Boolean = true,
+    /** LPM strategy: broadcast binary trie (O(32)/probe, streaming-safe)
+      * vs broadcast range-join + window top-1 (pure Catalyst ops). */
+    lpmViaTrie: Boolean = false)
 
 /** The kubenetmon labeling + aggregation pipeline, re-expressed as
   * composable Catalyst-friendly `DataFrame => DataFrame` stages
@@ -112,7 +115,9 @@ object FlowPipeline {
     * remote.go:131-175 / remote_test.go:76-220 truth table.
     */
   def classify(prefixes: DataFrame, cfg: FlowConfig)(flows: DataFrame): DataFrame = {
-    val matched = LpmJoin.viaRangeJoin(flows, prefixes, col("remote_ip"))
+    val matched =
+      if (cfg.lpmViaTrie) LpmJoin.viaTrie(flows, prefixes, col("remote_ip"))
+      else LpmJoin.viaRangeJoin(flows, prefixes, col("remote_ip"))
     matched.select(
       flows.columns.map(col) ++ Seq(
         when(ip_is_private(col("remote_ip")), lit("INTRA_VPC"))
@@ -196,5 +201,36 @@ object LpmJoin {
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "p_start", "p_end")
+  }
+
+  /** Broadcast-trie variant: collect the (small) prefix dim on the driver,
+    * build an [[Ipv4Trie]], broadcast it, probe with a UDF returning the
+    * payload index, then broadcast-hash-join the payload columns back on.
+    * O(32) per probe, no shuffle, no window — THE strategy for 100 TB
+    * facts and the only one usable under Structured Streaming (window
+    * over flow_id is unsupported on streams). Mirrors the reference's
+    * in-memory patricia trie under RWMutex (remote.go:22-26).
+    */
+  def viaTrie(flows: DataFrame, prefixes: DataFrame, ip: Column): DataFrame = {
+    val spark = flows.sparkSession
+    import spark.implicits._
+    val rows = prefixes
+      .select(col("p_start"), col("p_len"), col("p_cloud"), col("p_region"),
+        col("p_service"))
+      .collect()
+    val trie = Ipv4Trie.build(rows.zipWithIndex.map { case (r, i) =>
+      (r.getLong(0), r.getInt(1), i)
+    })
+    val bc = spark.sparkContext.broadcast(trie)
+    val lpmIdx = udf((ip: Long) => {
+      val r = bc.value.lookup(ip)
+      if (r < 0) None else Some(r)
+    })
+    val payload = rows.zipWithIndex.map { case (r, i) =>
+      (i, r.getInt(1), r.getString(2), r.getString(3), r.getString(4))
+    }.toSeq.toDF("__pidx", "p_len", "p_cloud", "p_region", "p_service")
+    flows.withColumn("__p", lpmIdx(ip))
+      .join(broadcast(payload), col("__p") === col("__pidx"), "left_outer")
+      .drop("__p", "__pidx")
   }
 }

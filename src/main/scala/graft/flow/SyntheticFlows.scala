@@ -25,8 +25,15 @@ object SyntheticFlows {
   val PUB: Long = 16777216L         // 1.0.0.0 — public space under prefixes
 
   /** Raw flow observations: proto, orig/reply tuples, counters. */
-  def flows(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+  def flows(s: SparkSession, dir: String): DataFrame =
+    flowsFromEvents(Tables.events(s, dir))
+
+  /** Same derivation over any (event_id, user_id, ts) DataFrame — shared
+    * by the batch path and the Structured Streaming source (the
+    * projections are identical Catalyst expressions either way).
+    */
+  def flowsFromEvents(events: DataFrame): DataFrame = {
+    val e = events
       .select(col("event_id").as("e"), col("user_id").as("u"), col("ts"))
     // local pod lives on the observing node (offset % 20 == node id), as
     // conntrack on a node only sees that node's pods

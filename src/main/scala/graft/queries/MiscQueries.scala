@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
+import graft.multimodal.MediaOps
+import graft.sink.NetworkFlowTable
+import graft.streaming.StreamingFlows
+
+/** Streaming, multimodal and sink operator surface. The two qs_*
+  * queries run the REAL Structured Streaming path (memory sink,
+  * complete mode, processAllAvailable) and must match the same DuckDB
+  * oracles as their batch twins — streaming/batch parity is part of the
+  * correctness gate.
+  */
+object MiscQueries {
+
+  private val mediaMetaSql =
+    """media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'video'
+      |         WHEN doc_id % 5 = 1 THEN 'audio' ELSE 'image' END AS kind,
+      |    md5(text) AS h, LENGTH(text) AS payload_len
+      |  FROM documents
+      |), decoded AS (
+      |  SELECT media_id, kind, CAST(payload_len AS INTEGER) AS payload_len,
+      |    CASE WHEN kind = 'image' THEN
+      |           (CASE WHEN media_id % 3 = 0 THEN 'png' ELSE 'jpeg' END)
+      |         WHEN kind = 'video' THEN 'mp4' ELSE 'wav' END AS format,
+      |    CAST(16 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 4 AS INTEGER) AS width,
+      |    CAST(16 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 4 AS INTEGER) AS height,
+      |    CAST(CASE WHEN kind = 'video'
+      |      THEN 1 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) % 8
+      |      ELSE 1 END AS INTEGER) AS n_frames
+      |  FROM media
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Structured Streaming minute aggregation == batch q5 oracle
+    "qs_minute_agg" -> ((s, d) => {
+      StreamingFlows.minuteAgg(s, d)
+        .orderBy("minute_start", "event_type")
+    }),
+
+    // the full flow pipeline as a streaming job == batch qf_pipeline oracle
+    "qs_flow_pipeline" -> ((s, d) => {
+      StreamingFlows.flowPipeline(s, d)
+        .orderBy(FlowPipeline.dimensionKey.map(col): _*)
+    }),
+
+    // binary media columns -> typed metadata via partition-batched decode
+    "qm_media_meta" -> ((s, d) => {
+      MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF()
+        .select("media_id", "kind", "payload_len", "format", "width",
+          "height", "n_frames")
+        .orderBy("media_id")
+    }),
+
+    // frame sampling generator over video rows
+    "qm_frame_sample" -> ((s, d) => {
+      MediaOps.sampleFrames(MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF())
+        .select("media_id", "frame_idx", "frame_hash")
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // write the summing table (partitioned+sorted zstd parquet), read it
+    // back, and aggregate — exercises the full sink + scan path
+    "qsink_roundtrip" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = FlowPipeline.run(f, p, n, px, FlowConfig())
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_sink_${math.abs(d.hashCode)}"
+      NetworkFlowTable.write(summed, path)
+      NetworkFlowTable.read(s, path)
+        .groupBy("direction")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("direction")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "qs_minute_agg" -> CoreQueries.oracle("q5_minute_agg"),
+    "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
+    "qm_media_meta" ->
+      s"""WITH $mediaMetaSql
+         |SELECT media_id, kind, payload_len, format, width, height, n_frames
+         |FROM decoded ORDER BY media_id""".stripMargin,
+    "qm_frame_sample" ->
+      s"""WITH $mediaMetaSql
+         |SELECT media_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+         |  md5(CAST(media_id AS VARCHAR) || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_hash
+         |FROM decoded, unnest(range(0, n_frames)) AS f(frame_idx)
+         |WHERE kind = 'video'
+         |ORDER BY media_id, frame_idx""".stripMargin,
+    "qsink_roundtrip" ->
+      s"""${graft.flow.FlowSql.summedCte}
+         |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(SUM(packets) AS BIGINT) AS packets,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM summed GROUP BY direction ORDER BY direction""".stripMargin
+  )
+}

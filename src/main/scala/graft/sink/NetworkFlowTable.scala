@@ -1,0 +1,60 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The columnar analytics table (SURVEY.md S6/O2/W7): the Spark-native
+  * replacement for ClickHouse's `network_flows_0` SummingMergeTree DDL
+  * (/root/reference/test/network_flows_0.sql:1-44).
+  *
+  *  - PARTITION BY date        -> parquet `partitionBy("date")` dirs
+  *  - ORDER BY (33-dim key)    -> `sortWithinPartitions` on the key
+  *    prefix at write time (clusters data for row-group min/max pruning,
+  *    the analog of the sparse primary index)
+  *  - LowCardinality/codecs    -> parquet dictionary + ZSTD
+  *  - SummingMergeTree merges  -> aggregation is done eagerly by
+  *    FlowPipeline.summarize before the write, so reads never need a
+  *    final-merge sum
+  *  - TTL 90 day / drop parts  -> `retentionDelete` drops whole date=
+  *    partition directories
+  */
+object NetworkFlowTable {
+  /** Sort prefix mirroring the reference ORDER BY head (date implicit in
+    * partitioning; intervalStartTime, direction, then locality dims).
+    */
+  val sortKey: Seq[String] = Seq(
+    "interval_start", "direction", "connection_class", "node_name",
+    "local_namespace", "local_pod")
+
+  def write(summed: DataFrame, path: String): Unit =
+    summed
+      .repartition(col("date"))
+      .sortWithinPartitions(sortKey.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** W7 TTL: drop whole expired `date=` partitions (ttl_only_drop_parts=1
+    * semantics — never rewrites files inside a live partition).
+    */
+  def retentionDelete(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate): Seq[String] = {
+    val root = new java.io.File(path)
+    val expired = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .filter { f =>
+        val d = f.getName.stripPrefix("date=")
+        try java.time.LocalDate.parse(d).isBefore(cutoff)
+        catch { case _: Exception => false }
+      }
+    expired.foreach { dir =>
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    expired.map(_.getName).toSeq
+  }
+}

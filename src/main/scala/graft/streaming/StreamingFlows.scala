@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
+
+/** Structured Streaming surface (SURVEY.md §2.1 S1-S3, §2.6 W1-W4):
+  * the reference's 5s-conntrack-dump → gRPC stream → batch-insert chain
+  * becomes one streaming DataFrame plan: file/rate source → the exact
+  * same filter/join/classify/fan-out transformations (they are plain
+  * Catalyst projections, shared verbatim with the batch path) → windowed
+  * summing aggregation → sink.
+  *
+  * Production shape: `readStream` with `Trigger.ProcessingTime("5 seconds")`,
+  * watermarked update-mode aggregation, `foreachBatch` idempotent sink
+  * (checkpoint + batchId = the reference's insert_deduplication_token,
+  * worker.go:248). The test/verify path below runs the same plan
+  * synchronously into a memory sink in complete mode so results are
+  * byte-comparable with the batch oracle.
+  */
+object StreamingFlows {
+  private val nameCounter = new AtomicInteger(0)
+
+  /** The file streaming source requires a directory to watch; stage one
+    * containing a symlink to the events file (in production this IS the
+    * landing directory the agents drop snapshots into).
+    */
+  private def eventsDir(dir: String): String = {
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(d)
+    val link = d.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    d.toString
+  }
+
+  /** events.parquet as a streaming source (ts arrives as raw nanos). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Run a streaming aggregation to completion on the currently available
+    * input and return the materialized result (memory sink, complete
+    * mode — the synchronous harness shape; production uses foreachBatch).
+    */
+  def runToMemory(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming minute-grain event aggregation (W1/A2 over the raw
+    * events stream) — semantically identical to the batch q5_minute_agg.
+    */
+  def minuteAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    runToMemory(spark, agg)
+  }
+
+  /** The full kubenetmon pipeline as a streaming job: stream-static
+    * broadcast joins against the dim snapshots, trie-based LPM (the
+    * range-join + window variant is unsupported on streams), explode
+    * fan-out, summing aggregation.
+    */
+  def flowPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flows = SyntheticFlows.flowsFromEvents(
+      eventsStream(spark, dir).select(
+        col("event_id"), col("user_id"), col("ts")))
+    val pods = SyntheticFlows.pods(spark, dir)
+    val nodes = SyntheticFlows.nodes(spark, dir)
+    val prefixes = SyntheticFlows.prefixes(spark, dir)
+    val cfg = FlowConfig(lpmViaTrie = true)
+    val summed = FlowPipeline.run(flows, pods, nodes, prefixes, cfg)
+    runToMemory(spark, summed)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.flow.{FlowConfig, FlowPipeline, Ipv4Trie, LpmJoin, SyntheticFlows}
+import graft.multimodal.MediaOps
+import graft.sink.NetworkFlowTable
+
+class MiscOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Ipv4Trie: longest-prefix-match semantics") {
+    // 1.0.0.0/8 -> 0, 1.2.0.0/16 -> 1, 1.2.3.0/24 -> 2
+    val trie = Ipv4Trie.build(Seq(
+      (16777216L, 8, 0), (16908288L, 16, 1), (16909056L, 24, 2)))
+    assert(trie.lookup(16909060L) == 2)   // 1.2.3.4 -> /24
+    assert(trie.lookup(16908289L) == 1)   // 1.2.0.1 -> /16
+    assert(trie.lookup(16777217L) == 0)   // 1.0.0.1 -> /8
+    assert(trie.lookup(33554432L) == -1)  // 2.0.0.0 -> miss
+  }
+
+  test("LPM via trie == LPM via range join on the synthetic corpus") {
+    val cfgRange = FlowConfig(lpmViaTrie = false)
+    val cfgTrie = FlowConfig(lpmViaTrie = true)
+    def run(cfg: FlowConfig) = {
+      val summed = FlowPipeline.run(
+        SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+        SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf), cfg)
+      summed.orderBy(FlowPipeline.dimensionKey.map(col): _*).collect().toSeq
+    }
+    assert(run(cfgRange) == run(cfgTrie))
+  }
+
+  test("sink: partitioned write, sorted clustering, TTL partition drop") {
+    val summed = FlowPipeline.run(
+      SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+      SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink_spec").toString
+    NetworkFlowTable.write(summed, path)
+    val dates = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).sorted
+    assert(dates.nonEmpty, "partitioned by date")
+    val back = NetworkFlowTable.read(spark, path)
+    assert(back.count() == summed.count())
+    // TTL: drop everything before the last date
+    val lastDate = dates.last.stripPrefix("date=")
+    val dropped = NetworkFlowTable.retentionDelete(spark, path,
+      java.time.LocalDate.parse(lastDate))
+    assert(dropped.size == dates.length - 1)
+    assert(NetworkFlowTable.read(spark, path)
+      .select("date").distinct().count() == 1)
+  }
+
+  test("media decode: binary payload -> typed metadata, deterministic") {
+    val decoded = MediaOps.decodeMeta(MediaOps.mediaCorpus(spark, sf))
+    val rows = decoded.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.width >= 16 && r.width <= 16 + 255 * 4))
+    assert(rows.forall(r => r.kind != "video" || r.n_frames >= 1))
+    // decoding twice yields identical results (pure function of payload)
+    val again = MediaOps.decodeMeta(MediaOps.mediaCorpus(spark, sf)).collect()
+    assert(rows.sortBy(_.media_id).sameElements(again.sortBy(_.media_id)))
+  }
+
+  test("frame sampling fans out n_frames rows per video") {
+    val decoded = MediaOps.decodeMeta(MediaOps.mediaCorpus(spark, sf)).toDF()
+    val frames = MediaOps.sampleFrames(decoded)
+    val expected = decoded.filter(col("kind") === "video")
+      .agg(sum("n_frames")).collect().head.getLong(0)
+    assert(frames.count() == expected)
+  }
+}
