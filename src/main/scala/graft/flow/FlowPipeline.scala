@@ -53,6 +53,15 @@ object FlowPipeline {
   def dropUdp(cfg: FlowConfig)(flows: DataFrame): DataFrame =
     if (cfg.ignoreUDP) flows.filter(col("proto") =!= 17) else flows
 
+  // ---- F5: IPv6 drop (labeler.go:243-247,379-405) ----
+  /** The numeric-IP schema is v4 by construction; sources that carry v6
+    * endpoints mark rows with an `is_ipv6` flag (the proto oneof's bytes
+    * branch) and they are dropped here.
+    */
+  def dropIpv6(flows: DataFrame): DataFrame =
+    if (flows.columns.contains("is_ipv6")) flows.filter(!col("is_ipv6"))
+    else flows
+
   // ---- F6/J2: node-flow anti-join (labeler.go:407-427) ----
   def dropNodeFlows(nodes: DataFrame)(flows: DataFrame): DataFrame = {
     val ips = broadcast(nodes.select(col("node_internal_ip").as("nip")))
@@ -152,15 +161,17 @@ object FlowPipeline {
         col("dd.bytes").as("bytes"), col("dd.packets").as("packets")): _*)
   }
 
-  /** Dimension key of the summing table (DDL test/network_flows_0.sql:42
-    * analog; localCell/remoteCell intentionally absent — never populated
-    * by the reference either, SURVEY.md §1.3).
+  /** Dimension key of the summing table — the full ORDER BY tuple of the
+    * reference DDL (test/network_flows_0.sql:42) incl. endpoint IPs and
+    * ports; localCell/remoteCell are intentionally absent (never
+    * populated by the reference either, SURVEY.md §1.3).
     */
   val dimensionKey: Seq[String] = Seq(
     "date", "interval_start", "interval_seconds", "direction", "proto_name",
     "connection_class", "node_name", "local_zone", "local_namespace",
-    "local_pod", "local_app", "local_instance",
-    "remote_cloud", "remote_region", "remote_service", "remote_app")
+    "local_pod", "local_app", "local_instance", "local_ip", "local_port",
+    "remote_cloud", "remote_region", "remote_service", "remote_app",
+    "remote_ip", "remote_port")
 
   // ---- P8 + W1 + A1: minute truncation + summing aggregation ----
   def summarize(flows: DataFrame): DataFrame =
@@ -172,17 +183,66 @@ object FlowPipeline {
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
         count(lit(1)).as("n_obs"))
 
+  // ---- P7: per-deployment constant annotation (inserter.go:20-25,
+  //      worker.go:147-158; remoteCluster always "UNKNOWN", cells "") ----
+  def annotateConstants(cfg: FlowConfig)(summed: DataFrame): DataFrame =
+    summed
+      .withColumn("local_cloud", lit(cfg.localCloud))
+      .withColumn("local_region", lit(cfg.localRegion))
+      .withColumn("local_cluster", lit(cfg.localCluster))
+      .withColumn("environment", lit(cfg.environment))
+      .withColumn("remote_cluster", lit("UNKNOWN"))
+      .withColumn("local_cell", lit(""))
+      .withColumn("remote_cell", lit(""))
+
   /** Full batch pipeline: raw flow observations → summing table rows. */
   def run(flows: DataFrame, pods: DataFrame, nodes: DataFrame,
       prefixes: DataFrame, cfg: FlowConfig = FlowConfig()): DataFrame = {
     val labeled = flows
       .transform(filterJunk)
       .transform(dropUdp(cfg))
+      .transform(dropIpv6)
       .transform(dropNodeFlows(nodes))
       .transform(resolveDirection(pods, nodes))
       .transform(dropUnlabeled)
       .transform(classify(prefixes, cfg))
-    summarize(fanOut(labeled))
+    annotateConstants(cfg)(summarize(fanOut(labeled)))
+  }
+
+  // ---- F8: error routing — the good/bad outcome taxonomy as data
+  //      (server.go:100-117, labeler.go:21-44), not exceptions ----
+  /** Classifies EVERY raw observation into the reference's outcome
+    * taxonomy instead of silently dropping, so operational metrics
+    * (`count by outcome`) fall out of the same plan. Precedence follows
+    * the reference's check order.
+    */
+  def routeOutcomes(pods: DataFrame, nodes: DataFrame, cfg: FlowConfig)(
+      flows: DataFrame): DataFrame = {
+    val nodeIps = broadcast(nodes.select(col("node_internal_ip")))
+    val src = broadcast(pods.select(col("pod_ip").as("src_pod_ip"),
+      col("pod_node").as("src_pod_node")))
+    val dst = broadcast(pods.select(col("pod_ip").as("dst_pod_ip"),
+      col("pod_node").as("dst_pod_node")))
+    val withDims = flows
+      .join(nodeIps.toDF("n1"), col("orig_src_ip") === col("n1"), "left_outer")
+      .join(nodeIps.toDF("n2"), col("reply_src_ip") === col("n2"), "left_outer")
+      .join(src, col("orig_src_ip") === col("src_pod_ip"), "left_outer")
+      .join(dst, col("orig_dst_ip") === col("dst_pod_ip"), "left_outer")
+    val localhost = lit(SyntheticFlows.LOCALHOST)
+    val srcLocal = col("src_pod_ip").isNotNull && col("src_pod_node") === col("node_name")
+    val dstLocal = col("dst_pod_ip").isNotNull && col("dst_pod_node") === col("node_name")
+    withDims.withColumn("outcome",
+      when(!(col("orig_bytes") > 0 || col("orig_pkts") > 0 ||
+        col("reply_bytes") > 0 || col("reply_pkts") > 0), "ignored_zero")
+        .when(!col("proto").isin(6, 17), "ignored_proto")
+        .when(col("orig_src_ip") === localhost || col("orig_dst_ip") === localhost ||
+          col("reply_src_ip") === localhost || col("reply_dst_ip") === localhost,
+          "ignored_localhost")
+        .when(lit(cfg.ignoreUDP) && col("proto") === 17, "ignored_udp")
+        .when(col("n1").isNotNull || col("n2").isNotNull, "ignored_node_flow")
+        .when(!(srcLocal || dstLocal), "unknown_direction")
+        .otherwise("labeled"))
+      .select(flows.columns.map(col) :+ col("outcome"): _*)
   }
 }
 

@@ -156,10 +156,15 @@ object FlowSql {
       |  SELECT CAST(ts AS DATE) AS date, date_trunc('minute', ts) AS interval_start,
       |    60 AS interval_seconds, direction, proto_name, connection_class,
       |    node_name, local_zone, local_namespace, local_pod, local_app,
-      |    local_instance, remote_cloud, remote_region, remote_service, remote_app,
+      |    local_instance, local_ip, local_port,
+      |    remote_cloud, remote_region, remote_service, remote_app,
+      |    remote_ip, remote_port,
       |    CAST(SUM(bytes) AS BIGINT) AS bytes,
       |    CAST(SUM(packets) AS BIGINT) AS packets,
-      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |    'aws' AS local_cloud, 'region-1' AS local_region,
+      |    'cluster-a' AS local_cluster, 'production' AS environment,
+      |    'UNKNOWN' AS remote_cluster, '' AS local_cell, '' AS remote_cell
       |  FROM fanned
       |  GROUP BY ALL
       |)""".stripMargin

@@ -85,6 +85,21 @@ object SyntheticFlows {
       (lit(NB) + col("s_suppkey")).as("node_internal_ip"),
       concat(lit("az-"), (col("s_suppkey") % 3).cast("string")).as("node_zone"))
 
+  /** Service informer snapshot (watcher.go:94-102; indexed but never
+    * invoked by the reference pipeline — kept as queryable API surface,
+    * SURVEY.md J4). clusterIPs live in the 10.96.0.0/12 service CIDR.
+    */
+  def services(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      concat(lit("svc-"), col("n_nationkey").cast("string")).as("service_name"),
+      concat(lit("ns-"), (col("n_nationkey") % 20).cast("string")).as("service_namespace"),
+      (lit(174063616L) + col("n_nationkey")).as("cluster_ip"))
+
+  /** J4 point lookup: GetServiceByClusterIP analog (watcher.go:189-208). */
+  def serviceByClusterIp(services: DataFrame, ips: DataFrame): DataFrame =
+    ips.join(org.apache.spark.sql.functions.broadcast(services),
+      ips("ip") === services("cluster_ip"), "left_outer")
+
   /** Cloud-provider prefix table as [start,end] intervals + prefix length
     * (the range-join form of remote.go's trie; SURVEY.md J5 option b).
     * Fine /21-style tier for every part row plus a coarse /19-style tier

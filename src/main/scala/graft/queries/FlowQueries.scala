@@ -121,6 +121,15 @@ object FlowQueries {
         .limit(20)
     }),
 
+    // F8: good/bad outcome taxonomy as data (count by outcome)
+    "qf_outcomes" -> ((s, d) => {
+      val (f, p, n, _) = stages(s, d)
+      FlowPipeline.routeOutcomes(p, n, cfg)(f)
+        .groupBy("outcome")
+        .agg(count(lit(1)).as("n"), sum("orig_bytes").as("orig_bytes_sum"))
+        .orderBy("outcome")
+    }),
+
     // A6: duplicate-prefix dedup by source priority
     "qa6_prefix_dedup" -> ((s, d) => {
       val feed = SyntheticFlows.prefixFeedWithDups(s, d)
@@ -180,7 +189,8 @@ object FlowQueries {
          |ORDER BY date, interval_start, interval_seconds, direction,
          |  proto_name, connection_class, node_name, local_zone,
          |  local_namespace, local_pod, local_app, local_instance,
-         |  remote_cloud, remote_region, remote_service, remote_app""".stripMargin,
+         |  local_ip, local_port, remote_cloud, remote_region,
+         |  remote_service, remote_app, remote_ip, remote_port""".stripMargin,
     "qf_showcase" ->
       s"""${FlowSql.summedCte}
          |SELECT local_pod, connection_class, total_bytes,
@@ -192,6 +202,30 @@ object FlowQueries {
          |  GROUP BY local_pod, connection_class) t
          |ORDER BY total_bytes DESC, local_pod, connection_class
          |LIMIT 20""".stripMargin,
+    "qf_outcomes" ->
+      s"""${FlowSql.base}
+         |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
+         |FROM (
+         |  SELECT f.orig_bytes, CASE
+         |    WHEN NOT (f.orig_bytes > 0 OR f.orig_pkts > 0
+         |      OR f.reply_bytes > 0 OR f.reply_pkts > 0) THEN 'ignored_zero'
+         |    WHEN f.proto NOT IN (6, 17) THEN 'ignored_proto'
+         |    WHEN f.orig_src_ip = 2130706433 OR f.orig_dst_ip = 2130706433
+         |      OR f.reply_src_ip = 2130706433 OR f.reply_dst_ip = 2130706433
+         |      THEN 'ignored_localhost'
+         |    WHEN f.proto = 17 THEN 'ignored_udp'
+         |    WHEN EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip)
+         |      OR EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip)
+         |      THEN 'ignored_node_flow'
+         |    WHEN NOT ((sp.pod_ip IS NOT NULL AND sp.pod_node = f.node_name)
+         |      OR (dp.pod_ip IS NOT NULL AND dp.pod_node = f.node_name))
+         |      THEN 'unknown_direction'
+         |    ELSE 'labeled' END AS outcome
+         |  FROM flows f
+         |  LEFT JOIN pods sp ON f.orig_src_ip = sp.pod_ip
+         |  LEFT JOIN pods dp ON f.orig_dst_ip = dp.pod_ip) t
+         |GROUP BY outcome ORDER BY outcome""".stripMargin,
     "qa6_prefix_dedup" ->
       s"""${FlowSql.base}, feed AS (
          |  SELECT *, 1 AS p_priority FROM prefixes

@@ -76,6 +76,37 @@ object StreamingFlows {
     runToMemory(spark, agg)
   }
 
+  /** W8: idempotent foreachBatch sink — the Structured Streaming
+    * checkpoint + batchId play the role of the reference's
+    * `insert_deduplication_token` (worker.go:248): a retried batch
+    * overwrites its own `batch=<id>` directory instead of duplicating
+    * rows. Production target would be a Delta MERGE; plain parquet keeps
+    * the zero-dependency build.
+    */
+  def startIdempotentSink(agg: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
+  /** A5: accepted-record accounting, the ObservationSummary analog
+    * (server.go:62-76) — numInputRows per progress event.
+    */
+  final class RecordCountListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+      rows.addAndGet(e.progress.numInputRows)
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
   /** The full kubenetmon pipeline as a streaming job: stream-static
     * broadcast joins against the dim snapshots, trie-based LPM (the
     * range-join + window variant is unsupported on streams), explode

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dims.CloudRanges
+import graft.flow.SyntheticFlows
+import graft.streaming.StreamingFlows
+
+class DimsAndSinkSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def res(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+
+  test("S7/A6: AWS range feed parse, normalize, priority dedup") {
+    val df = CloudRanges.fromAwsJson(spark, res("aws_ip_ranges.json"))
+    val rows = df.collect()
+    // 6 distinct prefixes from 10 feed entries
+    assert(rows.length == 6)
+    val byCidr = rows.map(r => r.getAs[Long]("p_start") -> r).toMap
+    // 3.5.140.0/22 listed as AMAZON+S3+EC2 -> s3 wins
+    val s3 = byCidr(SyntheticFlowsSpecHelpers.ipToLong("3.5.140.0"))
+    assert(s3.getAs[String]("p_service") == "s3")
+    // 13.34.37.64/27 AMAZON+EC2 -> amazon (1) beats ec2 (2)
+    val amz = byCidr(SyntheticFlowsSpecHelpers.ipToLong("13.34.37.64"))
+    assert(amz.getAs[String]("p_service") == "amazon")
+    // 52.94.76.0/22 AMAZON+DYNAMODB -> dynamodb (0) beats amazon (1)
+    val ddb = byCidr(SyntheticFlowsSpecHelpers.ipToLong("52.94.76.0"))
+    assert(ddb.getAs[String]("p_service") == "dynamodb")
+    // P10: GLOBAL -> global (lowercased)
+    assert(rows.exists(_.getAs[String]("p_region") == "global"))
+    // A7 sanity
+    CloudRanges.assertRegionPresent(df, "us-east-1")
+    intercept[IllegalArgumentException] {
+      CloudRanges.assertRegionPresent(df, "mars-central-1")
+    }
+  }
+
+  test("S7: Azure service tags parse — storage beats bare cloud, v6 dropped") {
+    val df = CloudRanges.fromAzureJson(spark, res("azure_service_tags.json"))
+    val rows = df.collect()
+    assert(rows.length == 3) // 4 v4 prefixes, one dup resolved; v6 dropped
+    val storage = rows.find(_.getAs[Long]("p_start") ==
+      SyntheticFlowsSpecHelpers.ipToLong("20.33.0.0")).get
+    assert(storage.getAs[String]("p_service") == "azurestorage")
+    assert(storage.getAs[String]("p_region") == "eastus")
+  }
+
+  test("J4: service-by-clusterIP lookup (dead API surface, kept queryable)") {
+    val services = SyntheticFlows.services(spark, sf)
+    val probe = Seq(174063616L, 174063617L, 999L).toDF("ip")
+    val got = SyntheticFlows.serviceByClusterIp(services, probe)
+      .orderBy("ip").collect()
+    assert(got.length == 3)
+    assert(got(1).getAs[String]("service_name") == "svc-0")
+    assert(got(2).getAs[String]("service_name") == "svc-1")
+    assert(got(0).isNullAt(got(0).fieldIndex("service_name")))
+  }
+
+  test("W8: idempotent foreachBatch sink writes per-batch dirs; A5 counts") {
+    val listener = new StreamingFlows.RecordCountListener
+    spark.streams.addListener(listener)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_w8").toString
+      val agg = StreamingFlows.eventsStream(spark, sf)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val q = StreamingFlows.startIdempotentSink(
+        agg, s"$tmp/out", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val written = spark.read.parquet(s"$tmp/out/batch=0")
+      val batch = Tables.events(spark, sf)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(written.orderBy("event_type").collect()
+        .sameElements(batch.orderBy("event_type").collect()))
+      // A5: every input record accounted for
+      assert(listener.rows.get() == Tables.events(spark, sf).count())
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("F5: rows flagged ipv6 are dropped when the column is present") {
+    val flows = Seq((1L, false), (2L, true), (3L, false))
+      .toDF("flow_id", "is_ipv6")
+    val kept = graft.flow.FlowPipeline.dropIpv6(flows)
+      .select("flow_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+}
+
+object SyntheticFlowsSpecHelpers {
+  def ipToLong(ip: String): Long =
+    ip.split('.').foldLeft(0L)((acc, p) => (acc << 8) | p.toLong)
+}
