@@ -248,19 +248,28 @@ object FlowPipeline {
 
 /** Longest-prefix-match join strategies (SURVEY.md §2.4 J5). */
 object LpmJoin {
-  /** Broadcast range join + top-1 by prefix length. Pure Catalyst ops:
-    * BroadcastNestedLoopJoin on the interval predicate, then a window
-    * top-1 per flow keyed by the longest p_len. Null-extends when no
-    * prefix matches (public-internet default, remote.go:177-186).
+  /** Bucketed broadcast range join + top-1 by prefix length, pure
+    * Catalyst ops. A naive interval join is a BroadcastNestedLoopJoin —
+    * O(|flows| x |prefixes|) probe work (measured 20x slowdown at
+    * sf0.1). Instead each prefix is exploded into the /16 buckets it
+    * covers, turning the join into a broadcast HASH join on bucket
+    * equality with the range predicate as a residual filter: probe cost
+    * drops to |flows| x (prefixes per /16). The per-flow top-1 (longest
+    * p_len) runs as a window that Spark collapses via WindowGroupLimit
+    * before the exchange. Null-extends when no prefix matches
+    * (public-internet default, remote.go:177-186).
     */
   def viaRangeJoin(flows: DataFrame, prefixes: DataFrame, ip: Column): DataFrame = {
-    val joined = flows.join(broadcast(prefixes),
-      ip >= col("p_start") && ip <= col("p_end"), "left_outer")
+    val bucketed = prefixes.withColumn("__bkt",
+      explode(expr("sequence(shiftright(p_start, 16), shiftright(p_end, 16))")))
+    val joined = flows.join(broadcast(bucketed),
+      shiftright(ip, 16) === col("__bkt") &&
+        ip >= col("p_start") && ip <= col("p_end"), "left_outer")
     val w = Window.partitionBy(col("flow_id"))
       .orderBy(col("p_len").desc_nulls_last)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "p_start", "p_end")
+      .drop("__rn", "__bkt", "p_start", "p_end")
   }
 
   /** Broadcast-trie variant: collect the (small) prefix dim on the driver,
