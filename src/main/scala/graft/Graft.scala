@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a session wired for this engine (UTC, AQE,
+  * right-sized shuffle) with the custom scalar functions registered for
+  * both the Column API and SQL.
+  *
+  * {{{
+  * val spark = Graft.session()
+  * Graft.registerTables(spark, "/data/lake")
+  * spark.sql("SELECT format_readable_size(sum(bytes)) FROM network_flows")
+  * }}}
+  */
+object Graft {
+  def session(
+      master: String = "local[*]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .getOrCreate()
+    functions.ipfns.register(spark)
+    spark
+  }
+
+  /** Register every testdata table plus the library's SQL functions. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    functions.ipfns.register(spark)
+    Tables.registerAll(spark, dir)
+  }
+}

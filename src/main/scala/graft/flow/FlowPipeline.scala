@@ -185,6 +185,11 @@ object FlowPipeline {
 
   // ---- P7: per-deployment constant annotation (inserter.go:20-25,
   //      worker.go:147-158; remoteCluster always "UNKNOWN", cells "") ----
+  /** Also carries P9's serialized connection-flags map (labeler.go:74-77):
+    * the map is JSON-serialized so it can sit in the grouping key (Spark
+    * cannot group by MapType); the synthetic source carries no conntrack
+    * flags, so it is the empty map here.
+    */
   def annotateConstants(cfg: FlowConfig)(summed: DataFrame): DataFrame =
     summed
       .withColumn("local_cloud", lit(cfg.localCloud))
@@ -194,6 +199,7 @@ object FlowPipeline {
       .withColumn("remote_cluster", lit("UNKNOWN"))
       .withColumn("local_cell", lit(""))
       .withColumn("remote_cell", lit(""))
+      .withColumn("connection_flags", to_json(map()))
 
   /** Full batch pipeline: raw flow observations → summing table rows. */
   def run(flows: DataFrame, pods: DataFrame, nodes: DataFrame,

@@ -164,7 +164,8 @@ object FlowSql {
       |    CAST(COUNT(*) AS BIGINT) AS n_obs,
       |    'aws' AS local_cloud, 'region-1' AS local_region,
       |    'cluster-a' AS local_cluster, 'production' AS environment,
-      |    'UNKNOWN' AS remote_cluster, '' AS local_cell, '' AS remote_cell
+      |    'UNKNOWN' AS remote_cluster, '' AS local_cell, '' AS remote_cell,
+      |    '{}' AS connection_flags
       |  FROM fanned
       |  GROUP BY ALL
       |)""".stripMargin

@@ -78,6 +78,15 @@ class DimsAndSinkSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("J6: multi-watcher chain — first snapshot in priority order wins") {
+    val w1 = Seq((1L, "pod-a-w1"), (2L, "pod-b-w1")).toDF("pod_ip", "pod_name")
+    val w2 = Seq((2L, "pod-b-w2"), (3L, "pod-c-w2")).toDF("pod_ip", "pod_name")
+    val merged = graft.dims.Dims.firstMatchByPriority(Seq(w1, w2), "pod_ip")
+      .orderBy("pod_ip").collect()
+    assert(merged.map(_.getString(1)).toSeq ==
+      Seq("pod-a-w1", "pod-b-w1", "pod-c-w2"))
+  }
+
   test("F5: rows flagged ipv6 are dropped when the column is present") {
     val flows = Seq((1L, false), (2L, true), (3L, false))
       .toDF("flow_id", "is_ipv6")

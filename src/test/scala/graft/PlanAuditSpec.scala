@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries scale
+  * (filter pushdown to parquet, column pruning, broadcast joins, no
+  * nested-loop joins, whole-stage codegen) are asserted here so a plan
+  * regression fails CI, not a 100 TB run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val full = df.queryExecution.executedPlan.toString
+    // AQE toString appends the pre-adaptive "Initial Plan" — audit only
+    // what actually ran
+    val cut = full.indexOf("== Initial Plan ==")
+    if (cut >= 0) full.substring(0, cut) else full
+  }
+
+  test("q1_agg: column pruning — scan reads only the 4 needed columns") {
+    val p = plan("q1_agg")
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").map(_.split(":").head.trim)
+    assert(cols.toSet == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice"), s"read: ${cols.mkString(",")}")
+  }
+
+  test("q6_anti_join: o_totalprice predicate pushed to the orders scan") {
+    val p = plan("q6_anti_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,400000.0)]") ||
+      p.contains("GreaterThan(o_totalprice"), p.take(2000))
+  }
+
+  test("q2_join_agg: dims join as broadcast hash joins, facts never shuffle pre-agg") {
+    val p = plan("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // exactly one exchange: the final aggregation shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("qf_pipeline: no nested-loop join anywhere; all dim joins broadcast") {
+    val p = plan("qf_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LPM must be hash-joined")
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q3_topk: ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q5_minute_agg: partial aggregation before the exchange") {
+    val p = plan("q5_minute_agg")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0 && exchangeIdx > 0 && partialIdx > exchangeIdx,
+      "map-side combine must run below the shuffle\n" + p.take(2000))
+  }
+
+  test("whole-stage codegen covers the custom expressions (qip_funcs)") {
+    val p = plan("qip_funcs")
+    assert(p.contains("*("), "custom IP expressions must not break codegen")
+  }
+}
