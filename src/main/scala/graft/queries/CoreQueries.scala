@@ -165,6 +165,37 @@ object CoreQueries {
           month(col("o_orderdate")).as("mo"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("yr", "mo")
+    }),
+
+    // fact-fact shuffle join: lineitem x orders are both "big" sides, so
+    // this is forced onto the sort-merge path (the plan shape fact-fact
+    // joins take at 100 TB, where neither side broadcasts); AQE picks
+    // partition counts at runtime
+    "q14_bigjoin" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      li.hint("merge")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // self-join against a per-key aggregate: orders matching their
+    // customer's maximum price (exact double equality of the same stored
+    // value — deterministic on both engines)
+    "q15_self_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mx = o.groupBy(col("o_custkey").as("ck"))
+        .agg(max("o_totalprice").as("max_price"))
+      o.join(mx, o("o_custkey") === mx("ck") &&
+          o("o_totalprice") === mx("max_price"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_at_max"),
+          sum(cents(col("o_totalprice"))).as("max_price_cents"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -239,6 +270,21 @@ object CoreQueries {
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_bigjoin" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q15_self_join" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_at_max,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS max_price_cents
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS ck, MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1) m
+        |ON o.o_custkey = m.ck AND o.o_totalprice = m.max_price
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

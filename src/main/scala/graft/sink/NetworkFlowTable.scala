@@ -26,17 +26,42 @@ object NetworkFlowTable {
     "interval_start", "direction", "connection_class", "node_name",
     "local_namespace", "local_pod")
 
-  def write(summed: DataFrame, path: String): Unit =
+  def write(summed: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     summed
       .repartition(col("date"))
       .sortWithinPartitions(sortKey.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .option("compression", "zstd")
       .partitionBy("date")
       .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The background-merge analog (SummingMergeTree, DDL :39): rows
+    * appended by late micro-batches that share the dimension key are
+    * collapsed by re-summing. Run periodically (or from foreachBatch on
+    * a cadence); reads stay correct either way because readers also
+    * aggregate — compaction only reclaims space and restores clustering.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val df = read(spark, path)
+    val measures = Set("bytes", "packets", "n_obs")
+    val dims = df.columns.filterNot(measures)
+    val compacted = df.groupBy(dims.map(col): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        sum("n_obs").as("n_obs"))
+    val tmp = path + "_compacting"
+    write(compacted, tmp)
+    val root = new java.io.File(path)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete()
+    }
+    rmRf(root)
+    require(new java.io.File(tmp).renameTo(root), s"rename $tmp -> $path")
+  }
 
   /** W7 TTL: drop whole expired `date=` partitions (ttl_only_drop_parts=1
     * semantics — never rewrites files inside a live partition).

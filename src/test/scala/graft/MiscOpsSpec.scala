@@ -52,6 +52,37 @@ class MiscOpsSpec extends AnyFunSuite {
       .select("date").distinct().count() == 1)
   }
 
+  test("typed surface: summing table rows bind to Dataset[NetworkFlowRow]") {
+    import spark.implicits._
+    val summed = FlowPipeline.run(
+      SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+      SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf))
+    val ds = summed.as[graft.flow.NetworkFlowRow]
+    val r = ds.head()
+    assert(r.interval_seconds == 60 && r.remote_cluster == "UNKNOWN" &&
+      r.connection_flags == "{}" && (r.direction == "out" || r.direction == "in"))
+    assert(ds.filter(_.bytes < 0).isEmpty)
+  }
+
+  test("compaction re-sums appended rows sharing the dimension key") {
+    val summed = FlowPipeline.run(
+      SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+      SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString + "/t"
+    NetworkFlowTable.write(summed, path)
+    NetworkFlowTable.write(summed, path,
+      org.apache.spark.sql.SaveMode.Append)
+    val n = summed.count()
+    val bytes = summed.agg(sum("bytes")).collect().head.getLong(0)
+    assert(NetworkFlowTable.read(spark, path).count() == 2 * n)
+    NetworkFlowTable.compact(spark, path)
+    val after = NetworkFlowTable.read(spark, path)
+    assert(after.count() == n, "duplicate keys collapsed")
+    assert(after.agg(sum("bytes")).collect().head.getLong(0) == 2 * bytes,
+      "sums preserved (doubled input)")
+  }
+
   test("media decode: binary payload -> typed metadata, deterministic") {
     val decoded = MediaOps.decodeMeta(MediaOps.mediaCorpus(spark, sf))
     val rows = decoded.collect()

@@ -52,6 +52,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q14_bigjoin: fact-fact join takes the sort-merge path") {
+    val p = plan("q14_bigjoin")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q3_topk: ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort)") {
     val p = plan("q3_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
