@@ -98,20 +98,35 @@ object FlowPipeline {
       when(srcLocal, col("orig_src_port")).when(dstLocal, col("orig_dst_port")).as("local_port"),
       when(srcLocal, col("orig_dst_ip")).when(dstLocal, col("orig_src_ip")).as("remote_ip"),
       when(srcLocal, col("orig_dst_port")).when(dstLocal, col("orig_src_port")).as("remote_port"),
-      // remote pod enrichment (other endpoint may also be a pod)
+      // remote pod enrichment (other endpoint may also be a known pod,
+      // possibly on another node — labeler.go:352-373)
       when(srcLocal, col("dst_pod_app")).when(dstLocal, col("src_pod_app")).as("remote_app_raw"),
+      coalesce(when(srcLocal, col("dst_pod_name"))
+        .when(dstLocal, col("src_pod_name")), lit("")).as("remote_pod"),
+      coalesce(when(srcLocal, col("dst_pod_namespace"))
+        .when(dstLocal, col("src_pod_namespace")), lit("")).as("remote_namespace"),
+      coalesce(when(srcLocal, col("dst_pod_instance"))
+        .when(dstLocal, col("src_pod_instance")), lit("")).as("remote_instance"),
+      coalesce(when(srcLocal, col("dst_pod_node"))
+        .when(dstLocal, col("src_pod_node")), lit("")).as("remote_node"),
       // counter swap: out = traffic leaving the local pod
       when(srcLocal, col("orig_bytes")).otherwise(col("reply_bytes")).as("bytes_out"),
       when(srcLocal, col("orig_pkts")).otherwise(col("reply_pkts")).as("pkts_out"),
       when(srcLocal, col("reply_bytes")).otherwise(col("orig_bytes")).as("bytes_in"),
       when(srcLocal, col("reply_pkts")).otherwise(col("orig_pkts")).as("pkts_in"))
-    // J3: local node zone (topology.kubernetes.io/zone)
-    resolved.join(broadcast(nodes.select(col("node_id"), col("node_zone"))),
-      col("node_name") === col("node_id"), "left_outer")
+    // J3: local + remote node zones (topology.kubernetes.io/zone)
+    val zones = nodes.select(col("node_id"), col("node_zone"))
+    resolved
+      .join(broadcast(zones), col("node_name") === col("node_id"), "left_outer")
       .drop("node_id")
       // unknown node -> empty zone, like the reference's missing label
       .withColumn("local_zone", coalesce(col("node_zone"), lit("")))
       .drop("node_zone")
+      .join(broadcast(zones.toDF("r_node_id", "r_node_zone")),
+        col("remote_node") === col("r_node_id"), "left_outer")
+      .drop("r_node_id")
+      .withColumn("remote_zone", coalesce(col("r_node_zone"), lit("")))
+      .drop("r_node_zone")
   }
 
   // ---- F7: drop unlabelable flows (labeler.go:319-331,493-498) ----
@@ -171,7 +186,8 @@ object FlowPipeline {
     "connection_class", "node_name", "local_zone", "local_namespace",
     "local_pod", "local_app", "local_instance", "local_ip", "local_port",
     "remote_cloud", "remote_region", "remote_service", "remote_app",
-    "remote_ip", "remote_port")
+    "remote_pod", "remote_namespace", "remote_instance", "remote_node",
+    "remote_zone", "remote_ip", "remote_port")
 
   // ---- P8 + W1 + A1: minute truncation + summing aggregation ----
   def summarize(flows: DataFrame): DataFrame =

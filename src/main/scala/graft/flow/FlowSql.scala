@@ -101,6 +101,10 @@ object FlowSql {
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_dst_ip ELSE f.orig_src_ip END AS remote_ip,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_dst_port ELSE f.orig_src_port END AS remote_port,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_app ELSE sp.pod_app END AS remote_app_raw,
+      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_name ELSE sp.pod_name END, '') AS remote_pod,
+      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_namespace ELSE sp.pod_namespace END, '') AS remote_namespace,
+      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_instance ELSE sp.pod_instance END, '') AS remote_instance,
+      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_node ELSE sp.pod_node END, '') AS remote_node,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_bytes ELSE f.reply_bytes END AS bytes_out,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_pkts ELSE f.reply_pkts END AS pkts_out,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.reply_bytes ELSE f.orig_bytes END AS bytes_in,
@@ -109,8 +113,11 @@ object FlowSql {
       |  LEFT JOIN pods sp ON f.orig_src_ip = sp.pod_ip
       |  LEFT JOIN pods dp ON f.orig_dst_ip = dp.pod_ip
       |), labeled AS (
-      |  SELECT d.*, COALESCE(n.node_zone, '') AS local_zone FROM directed d
+      |  SELECT d.*, COALESCE(n.node_zone, '') AS local_zone,
+      |    COALESCE(rn.node_zone, '') AS remote_zone
+      |  FROM directed d
       |  LEFT JOIN nodes n ON d.node_name = n.node_id
+      |  LEFT JOIN nodes rn ON d.remote_node = rn.node_id
       |  WHERE d.flow_type IS NOT NULL
       |)""".stripMargin
 
@@ -158,7 +165,8 @@ object FlowSql {
       |    node_name, local_zone, local_namespace, local_pod, local_app,
       |    local_instance, local_ip, local_port,
       |    remote_cloud, remote_region, remote_service, remote_app,
-      |    remote_ip, remote_port,
+      |    remote_pod, remote_namespace, remote_instance, remote_node,
+      |    remote_zone, remote_ip, remote_port,
       |    CAST(SUM(bytes) AS BIGINT) AS bytes,
       |    CAST(SUM(packets) AS BIGINT) AS packets,
       |    CAST(COUNT(*) AS BIGINT) AS n_obs,

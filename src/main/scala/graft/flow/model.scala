@@ -43,6 +43,11 @@ case class NetworkFlowRow(
     remote_region: String,
     remote_service: String,
     remote_app: String,
+    remote_pod: String,
+    remote_namespace: String,
+    remote_instance: String,
+    remote_node: String,
+    remote_zone: String,
     remote_ip: Long,
     remote_port: Int,
     bytes: Long,

@@ -54,15 +54,20 @@ case class IpIsPrivate(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ip_is_private"
 }
 
-case class FormatReadableSize(child: Expression) extends UnaryExpression {
+/** `name` controls the rendered function name so the ClickHouse-compat
+  * surface can expose the identical `formatReadableSize(...)` output
+  * column names the reference's queries produce.
+  */
+case class FormatReadableSize(child: Expression,
+    name: String = "format_readable_size") extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     IpOps.formatReadableSize(v.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.IpOps.formatReadableSize($c)")
   override protected def withNewChildInternal(c: Expression): FormatReadableSize =
-    copy(c)
-  override def prettyName: String = "format_readable_size"
+    copy(child = c)
+  override def prettyName: String = name
 }
 
 /** Column-API entry points (`import graft.functions.ipfns._`). */

@@ -190,7 +190,9 @@ object FlowQueries {
          |  proto_name, connection_class, node_name, local_zone,
          |  local_namespace, local_pod, local_app, local_instance,
          |  local_ip, local_port, remote_cloud, remote_region,
-         |  remote_service, remote_app, remote_ip, remote_port""".stripMargin,
+         |  remote_service, remote_app, remote_pod, remote_namespace,
+         |  remote_instance, remote_node, remote_zone,
+         |  remote_ip, remote_port""".stripMargin,
     "qf_showcase" ->
       s"""${FlowSql.summedCte}
          |SELECT local_pod, connection_class, total_bytes,

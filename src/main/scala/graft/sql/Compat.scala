@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CurrentDate}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.FormatReadableSize
+import graft.functions.ipfns.long_to_ip
+
+/** ClickHouse-compatibility SQL surface: a reference user's literal
+  * queries against `network_flows_0` (README.md:180-184) run unchanged.
+  *
+  *  - [[compatView]] projects the summing table into the exact 35-column
+  *    camelCase shape of the reference DDL (test/network_flows_0.sql:1-44),
+  *    IPv4 columns rendered dotted-quad. The one divergence:
+  *    `connectionFlags` is the JSON-serialized map (Spark cannot group
+  *    by MapType), noted here rather than hidden.
+  *  - [[registerClickHouseFunctions]] adds the ClickHouse builtins those
+  *    queries use: `formatReadableSize` and `today()`.
+  */
+object Compat {
+
+  def registerClickHouseFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("formatReadableSize",
+      e => FormatReadableSize(Cast(e.head, DoubleType),
+        name = "formatReadableSize"), "scala_udf")
+    reg.createOrReplaceTempFunction("today",
+      _ => CurrentDate(), "scala_udf")
+  }
+
+  /** summing-table rows -> the reference's column names and shapes. */
+  def compatView(summed: DataFrame): DataFrame =
+    summed.select(
+      col("date"),
+      col("interval_start").as("intervalStartTime"),
+      col("interval_seconds").as("intervalSeconds"),
+      col("environment"),
+      col("proto_name").as("proto"),
+      col("connection_class").as("connectionClass"),
+      col("connection_flags").as("connectionFlags"),
+      col("direction"),
+      col("local_cloud").as("localCloud"),
+      col("local_region").as("localRegion"),
+      col("local_cluster").as("localCluster"),
+      col("local_cell").as("localCell"),
+      col("local_zone").as("localAvailabilityZone"),
+      col("node_name").as("localNode"),
+      col("local_instance").as("localInstanceID"),
+      col("local_namespace").as("localNamespace"),
+      col("local_pod").as("localPod"),
+      long_to_ip(col("local_ip")).as("localIPv4"),
+      col("local_port").as("localPort"),
+      col("local_app").as("localApp"),
+      col("remote_cloud").as("remoteCloud"),
+      col("remote_region").as("remoteRegion"),
+      col("remote_cluster").as("remoteCluster"),
+      col("remote_cell").as("remoteCell"),
+      col("remote_zone").as("remoteAvailabilityZone"),
+      col("remote_node").as("remoteNode"),
+      col("remote_instance").as("remoteInstanceID"),
+      col("remote_namespace").as("remoteNamespace"),
+      col("remote_pod").as("remotePod"),
+      long_to_ip(col("remote_ip")).as("remoteIPv4"),
+      col("remote_port").as("remotePort"),
+      col("remote_app").as("remoteApp"),
+      col("remote_service").as("remoteCloudService"),
+      col("bytes"),
+      col("packets"))
+
+  /** Register the compat view as `default.network_flows_0` (a real
+    * catalog table so the db-qualified name in the reference's queries
+    * resolves) and wire the functions. Returns the table name.
+    */
+  def publish(spark: SparkSession, summed: DataFrame,
+      table: String = "default.network_flows_0"): String = {
+    registerClickHouseFunctions(spark)
+    compatView(summed).write.mode("overwrite").saveAsTable(table)
+    table
+  }
+}

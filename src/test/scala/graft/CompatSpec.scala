@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.flow.{FlowConfig, FlowPipeline}
+import graft.sql.Compat
+
+/** A reference user's literal showcase query (README.md:180-184) must run
+  * unchanged against the published compat table — same column names,
+  * same functions (`formatReadableSize`, `today()`), same db-qualified
+  * table name.
+  */
+class CompatSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("verbatim ClickHouse showcase query runs and returns live traffic") {
+    // fixture traffic stamped 'now' so the query's today()/10-minute
+    // window actually selects it
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val flows = Seq(
+      (1L, now, "node-1", 6, 167772165L, 16777316L, 1, 2, 16777316L,
+        2886729729L, 10L, 11L, 12L, 13L),
+      (2L, now, "node-1", 6, 167772165L, 167772166L, 3, 4, 167772166L,
+        167772165L, 20L, 2100L, 22L, 2300L))
+      .toDF("flow_id", "ts", "node_name", "proto", "orig_src_ip",
+        "orig_dst_ip", "orig_src_port", "orig_dst_port", "reply_src_ip",
+        "reply_dst_ip", "orig_pkts", "orig_bytes", "reply_pkts", "reply_bytes")
+    val pods = Seq(
+      ("pod-a", "ns-a", 167772165L, "node-1", "appa", "inst-0"),
+      ("pod-b", "ns-b", 167772166L, "node-1", "appb", "inst-1"))
+      .toDF("pod_name", "pod_namespace", "pod_ip", "pod_node", "pod_app",
+        "pod_instance")
+    val nodes = Seq(("node-1", 2886729729L, "az-1"))
+      .toDF("node_id", "node_internal_ip", "node_zone")
+    val prefixes = Seq((16777216L, 16779263L, 21, "aws", "region-2", "svc-a"))
+      .toDF("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service")
+
+    val summed = FlowPipeline.run(flows, pods, nodes, prefixes, FlowConfig())
+    Compat.publish(spark, summed)
+
+    val result = spark.sql(
+      """SELECT localPod, remotePod, connectionClass, formatReadableSize(sum(bytes))
+        |FROM default.network_flows_0
+        |WHERE date = today() AND intervalStartTime > NOW() - INTERVAL 10 MINUTES AND direction = 'out'
+        |GROUP BY localPod, remotePod, connectionClass
+        |ORDER BY sum(bytes) DESC""".stripMargin)
+    val rows = result.collect()
+    assert(result.columns.toSeq == Seq("localPod", "remotePod",
+      "connectionClass", "formatReadableSize(sum(bytes))"))
+    assert(rows.length == 2)
+    // pod-a -> pod-b intra-vpc is the top out-talker (2100 B)
+    assert(rows.head.getString(0) == "pod-a")
+    assert(rows.head.getString(1) == "pod-b")
+    assert(rows.head.getString(2) == "INTRA_VPC")
+    assert(rows.head.getString(3) == "2.05 KiB")
+    // the INTER_REGION classified flow is present too
+    assert(rows.exists(_.getString(2) == "INTER_REGION"))
+    // full 35-column DDL shape
+    assert(spark.table("default.network_flows_0").columns.length == 35)
+  }
+}
