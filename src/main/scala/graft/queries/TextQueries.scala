@@ -200,6 +200,9 @@ object TextQueries {
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("alpha_tokens"),
+          // BPE-ish: greedy fixed-width subword chunks as a cheap proxy
+          // for a learned merge table (deterministic, engine-portable)
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("bpe_ish_tokens"),
           length(col("text")).as("n_chars_q"),
           (length(col("text")) -
             length(regexp_replace(col("text"), " ", ""))).as("n_spaces"))
@@ -287,6 +290,7 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS bpe_ish_tokens,
         |  CAST(LENGTH(text) AS INTEGER) AS n_chars_q,
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_spaces
         |FROM documents ORDER BY doc_id""".stripMargin

@@ -122,6 +122,27 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // embedding-cosine near-dup dedup: label-blocked pair scan over a
+    // re-ingested corpus (every 10th vector duplicated), cos >= 0.99
+    "qv_cosine_dedup" -> ((s, d) => {
+      val base = quantized(s, d)
+      val corpus = base.select("vec_id", "label", "q", "nrm")
+        .unionByName(base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("label"),
+            col("q"), col("nrm")))
+      val a = corpus.toDF("a_id", "label", "qa", "qn")
+      val b = corpus.toDF("b_id", "label2", "na", "nn")
+      a.join(b, col("label") === col("label2") && col("a_id") < col("b_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos_bp", round(col("dot") * 10000 /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")), 0)
+          .cast("long"))
+        .filter(col("cos_bp") >= 9900)
+        .select(col("a_id").as("keeper"), col("b_id").as("dup"), col("cos_bp"))
+        .orderBy("keeper", "dup")
+    }),
+
     // per-label exact centroid norms (integer): IVF cell statistics
     "qv_label_stats" -> ((s, d) => {
       quantized(s, d)
@@ -171,6 +192,23 @@ object VectorQueries {
          |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
          |SELECT q_id, bucket, n_id, rank
          |FROM ranked2 WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "qv_cosine_dedup" ->
+      s"""WITH $quantizedSql, corpus AS (
+         |  SELECT vec_id, label, q, nrm FROM qn
+         |  UNION ALL
+         |  SELECT vec_id + 10000, label, q, nrm FROM qn WHERE vec_id % 10 = 0
+         |), pairs AS (
+         |  SELECT a.vec_id AS keeper, b.vec_id AS dup,
+         |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    a.nrm AS qn2, b.nrm AS nn2
+         |  FROM corpus a JOIN corpus b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT keeper, dup,
+         |  CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) AS cos_bp
+         |FROM pairs
+         |WHERE CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) >= 9900
+         |ORDER BY keeper, dup""".stripMargin,
     "qv_label_stats" ->
       s"""WITH $quantizedSql
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,

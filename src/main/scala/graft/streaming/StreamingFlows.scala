@@ -76,6 +76,19 @@ object StreamingFlows {
     runToMemory(spark, agg)
   }
 
+  /** W3: the production aggregation shape — watermarked tumbling window
+    * in append mode. The reference accepts arbitrarily-late rows into the
+    * right partition (ClickHouse, lateness bound = 90-day TTL); a
+    * streaming engine must bound state, so rows later than `lateness`
+    * are dropped here and belong to the batch backfill path instead
+    * (append to NetworkFlowTable + compact).
+    */
+  def watermarkedMinuteAgg(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "60 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** W8: idempotent foreachBatch sink — the Structured Streaming
     * checkpoint + batchId play the role of the reference's
     * `insert_deduplication_token` (worker.go:248): a retried batch

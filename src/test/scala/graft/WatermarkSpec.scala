@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingFlows
+
+/** W3 semantics: watermarked append-mode windows emit once closed and
+  * drop data later than the lateness bound (labeler/worker carry no
+  * watermark — ClickHouse absorbs late rows; in Spark the bound is
+  * explicit and late rows route to the batch backfill path).
+  */
+class WatermarkSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 10:$minute%02d:30")
+
+  test("append-mode windows close at the watermark; late rows are dropped") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val agg = StreamingFlows.watermarkedMinuteAgg(
+      ms.toDF().toDF("ts", "event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("w3_sink").start()
+    try {
+      // two events in the 10:00 window, one in 10:01
+      ms.addData((ts(0), "click"), (ts(0), "click"), (ts(1), "view"))
+      q.processAllAvailable()
+      // advance event time far past the 10-minute watermark -> both
+      // earlier windows close and emit
+      ms.addData((ts(30), "click"))
+      q.processAllAvailable()
+      val emitted = spark.table("w3_sink")
+        .select($"w.start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(emitted.contains(("2024-03-01 10:00:00", "click", 2L)))
+      assert(emitted.contains(("2024-03-01 10:01:00", "view", 1L)))
+      // a row for the long-closed 10:00 window arrives late -> dropped
+      ms.addData((ts(0), "click"))
+      ms.addData((ts(31), "click")) // nudge another batch through
+      q.processAllAvailable()
+      val after = spark.table("w3_sink")
+        .filter($"w.start" === "2024-03-01 10:00:00")
+        .agg(org.apache.spark.sql.functions.sum("n"))
+        .as[Long].collect().head
+      assert(after == 2L, "late row must not reopen the closed window")
+    } finally q.stop()
+  }
+}
