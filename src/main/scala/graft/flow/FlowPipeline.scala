@@ -241,10 +241,14 @@ object FlowPipeline {
   def routeOutcomes(pods: DataFrame, nodes: DataFrame, cfg: FlowConfig)(
       flows: DataFrame): DataFrame = {
     val nodeIps = broadcast(nodes.select(col("node_internal_ip")))
-    val src = broadcast(pods.select(col("pod_ip").as("src_pod_ip"),
-      col("pod_node").as("src_pod_node")))
-    val dst = broadcast(pods.select(col("pod_ip").as("dst_pod_ip"),
-      col("pod_node").as("dst_pod_node")))
+    // >1 pod claiming one IP is a labeling ERROR ROW, not an exception
+    // (labeler.go:449-469, server.go:100-117) — the stream must survive
+    val podsByIp = pods.groupBy(col("pod_ip"))
+      .agg(count(lit(1)).as("pod_ip_n"), max(col("pod_node")).as("one_node"))
+    val src = broadcast(podsByIp.select(col("pod_ip").as("src_pod_ip"),
+      col("one_node").as("src_pod_node"), col("pod_ip_n").as("src_n")))
+    val dst = broadcast(podsByIp.select(col("pod_ip").as("dst_pod_ip"),
+      col("one_node").as("dst_pod_node"), col("pod_ip_n").as("dst_n")))
     val withDims = flows
       .join(nodeIps.toDF("n1"), col("orig_src_ip") === col("n1"), "left_outer")
       .join(nodeIps.toDF("n2"), col("reply_src_ip") === col("n2"), "left_outer")
@@ -262,6 +266,7 @@ object FlowPipeline {
           "ignored_localhost")
         .when(lit(cfg.ignoreUDP) && col("proto") === 17, "ignored_udp")
         .when(col("n1").isNotNull || col("n2").isNotNull, "ignored_node_flow")
+        .when(col("src_n") > 1 || col("dst_n") > 1, "error_ambiguous_pod_ip")
         .when(!(srcLocal || dstLocal), "unknown_direction")
         .otherwise("labeled"))
       .select(flows.columns.map(col) :+ col("outcome"): _*)

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregate (`Aggregator[IN, BUF, OUT]`): bounded top-k
+  * heavy-talkers sketch — a space-saving-style summary that keeps at
+  * most `cap` keys per partial buffer, so driver/exchange memory is
+  * bounded regardless of key cardinality. The scale-out extension slot
+  * SURVEY.md §2.9 reserves (heavy-hitter talkers without a full
+  * groupBy over every (pod, remote) pair).
+  *
+  * Exact when the true key cardinality <= cap (the spec case);
+  * approximate with bounded error beyond it, like the classic
+  * space-saving sketch.
+  */
+class TopKTalkers(k: Int, cap: Int = 1024)
+    extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], in: (String, Long)): Map[String, Long] =
+    shrink(buf.updated(in._1, buf.getOrElse(in._1, 0L) + in._2))
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    shrink(b.foldLeft(a) { case (acc, (key, v)) =>
+      acc.updated(key, acc.getOrElse(key, 0L) + v)
+    })
+
+  private def shrink(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= cap) m
+    else m.toSeq.sortBy { case (key, v) => (-v, key) }.take(cap).toMap
+
+  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (key, v) => (-v, key) }.take(k)
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    Encoders.kryo[Seq[(String, Long)]]
+}

@@ -220,13 +220,16 @@ object FlowQueries {
          |    WHEN EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip)
          |      OR EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip)
          |      THEN 'ignored_node_flow'
+         |    WHEN sp.pod_ip_n > 1 OR dp.pod_ip_n > 1 THEN 'error_ambiguous_pod_ip'
          |    WHEN NOT ((sp.pod_ip IS NOT NULL AND sp.pod_node = f.node_name)
          |      OR (dp.pod_ip IS NOT NULL AND dp.pod_node = f.node_name))
          |      THEN 'unknown_direction'
          |    ELSE 'labeled' END AS outcome
          |  FROM flows f
-         |  LEFT JOIN pods sp ON f.orig_src_ip = sp.pod_ip
-         |  LEFT JOIN pods dp ON f.orig_dst_ip = dp.pod_ip) t
+         |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
+         |             FROM pods GROUP BY 1) sp ON f.orig_src_ip = sp.pod_ip
+         |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
+         |             FROM pods GROUP BY 1) dp ON f.orig_dst_ip = dp.pod_ip) t
          |GROUP BY outcome ORDER BY outcome""".stripMargin,
     "qa6_prefix_dedup" ->
       s"""${FlowSql.base}, feed AS (

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.flow.{FlowConfig, FlowPipeline, Ipv4Trie, LpmJoin, SyntheticFlows}
+import graft.flow.{FlowConfig, FlowPipeline, Ipv4Trie, SyntheticFlows}
+import graft.functions.TopKTalkers
 import graft.multimodal.MediaOps
 import graft.sink.NetworkFlowTable
 
@@ -81,6 +82,44 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(after.count() == n, "duplicate keys collapsed")
     assert(after.agg(sum("bytes")).collect().head.getLong(0) == 2 * bytes,
       "sums preserved (doubled input)")
+  }
+
+  test("F8 ambiguity: >1 pod per IP becomes an error outcome row") {
+    import spark.implicits._
+    val dupPods = Seq(
+      ("pod-a", "ns", 167772165L, "node-1", "app", "i0"),
+      ("pod-a2", "ns", 167772165L, "node-1", "app", "i1"), // same IP!
+      ("pod-b", "ns", 167772166L, "node-1", "app", "i2"))
+      .toDF("pod_name", "pod_namespace", "pod_ip", "pod_node", "pod_app",
+        "pod_instance")
+    val nodes = Seq(("node-1", 2886729729L, "az-1"))
+      .toDF("node_id", "node_internal_ip", "node_zone")
+    val flows = Seq(
+      (1L, new java.sql.Timestamp(0L), "node-1", 6, 167772165L, 16777316L,
+        1, 2, 16777316L, 2886729729L, 10L, 11L, 12L, 13L),
+      (2L, new java.sql.Timestamp(0L), "node-1", 6, 167772166L, 16777316L,
+        1, 2, 16777316L, 2886729729L, 10L, 11L, 12L, 13L))
+      .toDF("flow_id", "ts", "node_name", "proto", "orig_src_ip",
+        "orig_dst_ip", "orig_src_port", "orig_dst_port", "reply_src_ip",
+        "reply_dst_ip", "orig_pkts", "orig_bytes", "reply_pkts", "reply_bytes")
+    val out = FlowPipeline.routeOutcomes(dupPods, nodes,
+      graft.flow.FlowConfig())(flows)
+      .select("flow_id", "outcome").as[(Long, String)].collect().toMap
+    assert(out(1L) == "error_ambiguous_pod_ip")
+    assert(out(2L) == "labeled")
+  }
+
+  test("typed Aggregator: bounded top-k talkers sketch is exact under cap") {
+    import spark.implicits._
+    val talkers = (1L to 300L).flatMap { i =>
+      Seq.fill((i % 7 + 1).toInt)((s"pod-${i % 20}", i))
+    }.toDS()
+    val agg = new TopKTalkers(3).toColumn
+    val got = talkers.select(agg).collect().head
+    val expected = talkers.collect().groupBy(_._1)
+      .map { case (key, vs) => key -> vs.map(_._2).sum }
+      .toSeq.sortBy { case (key, v) => (-v, key) }.take(3)
+    assert(got == expected)
   }
 
   test("media decode: binary payload -> typed metadata, deterministic") {
