@@ -120,6 +120,28 @@ object StreamingFlows {
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
+  /** W5/W6: dimension refresh without restarting the query. The
+    * reference swaps its informer caches / cloud-range trie under a
+    * RWMutex on a 10min/24h cadence (watcher.go:55, remote.go:98-126);
+    * in Spark the same effect is `foreachBatch` re-resolving the dim
+    * snapshots per micro-batch — broadcast is per-plan, so each batch
+    * builds and broadcasts the current snapshot.
+    */
+  def startWithRefreshingDims(
+      rawFlows: DataFrame,
+      loadDims: () => (DataFrame, DataFrame, DataFrame),
+      cfg: FlowConfig,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rawFlows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (pods, nodes, prefixes) = loadDims()
+        val summed = FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
+        summed.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
   /** The full kubenetmon pipeline as a streaming job: stream-static
     * broadcast joins against the dim snapshots, trie-based LPM (the
     * range-join + window variant is unsupported on streams), explode

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.flow.{FlowConfig, RawFlow}
+import graft.streaming.StreamingFlows
+
+/** W5/W6: a rolled dimension snapshot must be picked up by the next
+  * micro-batch without restarting the streaming query.
+  */
+class DimRefreshSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val POD = 167772165L
+  private val PUB = 16777316L
+  private val NODE = 2886729729L
+
+  private def flow(id: Long): RawFlow =
+    RawFlow(id, new Timestamp(1700000000000L), "node-1", 6,
+      POD, PUB, 1, 2, PUB, NODE, 10L, 11L, 12L, 13L)
+
+  @volatile private var podApp = "app-v1"
+  private def dims(): (DataFrame, DataFrame, DataFrame) = (
+    Seq(("pod-a", "ns-a", POD, "node-1", podApp, "inst-0"))
+      .toDF("pod_name", "pod_namespace", "pod_ip", "pod_node", "pod_app",
+        "pod_instance"),
+    Seq(("node-1", NODE, "az-1"))
+      .toDF("node_id", "node_internal_ip", "node_zone"),
+    Seq((16777216L, 16779263L, 21, "aws", "region-1", "svc-a"))
+      .toDF("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service"))
+
+  test("foreachBatch re-resolves dims: batch 2 sees the rolled snapshot") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[RawFlow]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dimref").toString
+    val q = StreamingFlows.startWithRefreshingDims(
+      ms.toDF(), dims _, FlowConfig(), s"$tmp/out", s"$tmp/ckpt")
+    try {
+      ms.addData(flow(1))
+      q.processAllAvailable()
+      podApp = "app-v2" // the informer cache rolls
+      ms.addData(flow(2))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$tmp/out/batch=0")
+        .select("local_app").distinct().as[String].collect().toSet
+      val b1 = spark.read.parquet(s"$tmp/out/batch=1")
+        .select("local_app").distinct().as[String].collect().toSet
+      assert(b0 == Set("app-v1"))
+      assert(b1 == Set("app-v2"), "second batch must see the new snapshot")
+    } finally q.stop()
+  }
+}
