@@ -20,6 +20,7 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
