@@ -78,6 +78,34 @@ class DimsAndSinkSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("W8: checkpoint recovery — restarted query resumes, no reprocessing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$tmp/in"
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("v", "k").write.parquet(s"$in/$name")
+    addFile("f1", Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def agg = spark.readStream.schema(schema).parquet(s"$in/*")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val q1 = StreamingFlows.startIdempotentSink(agg, s"$tmp/out", s"$tmp/ck")
+    try q1.processAllAvailable() finally q1.stop()
+    addFile("f2", Seq((4L, "a")))
+    // a NEW query over the same checkpoint picks up where the first left off
+    val q2 = StreamingFlows.startIdempotentSink(agg, s"$tmp/out", s"$tmp/ck")
+    try q2.processAllAvailable() finally q2.stop()
+    val b0 = spark.read.parquet(s"$tmp/out/batch=0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = spark.read.parquet(s"$tmp/out/batch=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b0 == Map("a" -> 2L, "b" -> 1L))
+    // update mode after recovery: only 'a' changed, state carried over
+    assert(b1 == Map("a" -> 3L))
+  }
+
   test("J6: multi-watcher chain — first snapshot in priority order wins") {
     val w1 = Seq((1L, "pod-a-w1"), (2L, "pod-b-w1")).toDF("pod_ip", "pod_name")
     val w2 = Seq((2L, "pod-b-w2"), (3L, "pod-c-w2")).toDF("pod_ip", "pod_name")
