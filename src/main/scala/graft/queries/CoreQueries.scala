@@ -183,6 +183,33 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // sliding event-time window (2 min wide, 1 min slide) — beyond the
+    // reference's tumbling-only surface; each event lands in 2 windows
+    "q16_sliding_window" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // set ops: segments buying in both halves of the order history
+    "q17_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val oc = o.join(c, o("o_custkey") === c("c_custkey"))
+      val early = oc.filter(year(col("o_orderdate")) <= 1997)
+        .select("c_mktsegment")
+      val late = oc.filter(year(col("o_orderdate")) >= 1998)
+        .select("c_mktsegment")
+      early.intersect(late).withColumn("set_op", lit("both"))
+        .unionByName(early.except(late).withColumn("set_op", lit("early_only")))
+        .unionByName(late.except(early).withColumn("set_op", lit("late_only")))
+        .withColumnRenamed("c_mktsegment", "segment")
+        .orderBy("set_op", "segment")
+    }),
+
     // self-join against a per-key aggregate: orders matching their
     // customer's maximum price (exact double equality of the same stored
     // value — deterministic on both engines)
@@ -271,6 +298,29 @@ object CoreQueries {
         |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_sliding_window" ->
+      """SELECT w_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT date_trunc('minute', ts) AS w_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE, event_type
+        |  FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q17_set_ops" ->
+      """WITH oc AS (
+        |  SELECT c_mktsegment, EXTRACT(year FROM o_orderdate) AS yr
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), early AS (SELECT DISTINCT c_mktsegment FROM oc WHERE yr <= 1997),
+        |late AS (SELECT DISTINCT c_mktsegment FROM oc WHERE yr >= 1998)
+        |SELECT c_mktsegment AS segment, set_op FROM (
+        |  SELECT c_mktsegment, 'both' AS set_op
+        |  FROM (SELECT * FROM early INTERSECT SELECT * FROM late) a
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'early_only'
+        |  FROM (SELECT * FROM early EXCEPT SELECT * FROM late) b
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'late_only'
+        |  FROM (SELECT * FROM late EXCEPT SELECT * FROM early) c) t
+        |ORDER BY set_op, segment""".stripMargin,
     "q14_bigjoin" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
