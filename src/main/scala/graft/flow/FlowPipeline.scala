@@ -12,9 +12,12 @@ case class FlowConfig(
     localCluster: String = "cluster-a",
     environment: String = "production",
     ignoreUDP: Boolean = true,
-    /** LPM strategy: broadcast binary trie (O(32)/probe, streaming-safe)
-      * vs broadcast range-join + window top-1 (pure Catalyst ops). */
-    lpmViaTrie: Boolean = false)
+    /** LPM strategy: broadcast binary trie (O(32)/probe, zero shuffle,
+      * streaming-safe — the default, mirroring the reference's patricia
+      * trie, remote.go:177-186) vs broadcast range-join + window top-1
+      * (pure Catalyst ops, kept as the cross-check: the window
+      * partitionBy(flow_id) costs a full fact shuffle). */
+    lpmViaTrie: Boolean = true)
 
 /** The kubenetmon labeling + aggregation pipeline, re-expressed as
   * composable Catalyst-friendly `DataFrame => DataFrame` stages

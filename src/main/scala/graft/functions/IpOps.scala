@@ -23,29 +23,39 @@ object IpOps {
     UTF8String.fromString(s"$a.$b.$c.$d")
   }
 
-  /** dotted quad -> u32 as long; -1 on invalid (callers null it out). */
+  /** dotted quad -> u32 as long; -1 on invalid (callers null it out).
+    * Strict per Go `netip.ParseAddr` (the reference's parser): exactly
+    * 4 octets, no trailing dot (`"1.2.3.4."` invalid), no leading zeros
+    * (`"010.1.1.1"` invalid — ambiguous octal). Parsed with a manual
+    * char walk: `String.split` silently drops trailing empty fields.
+    */
   def ipToLong(s: UTF8String): Long = {
     if (s == null) return -1L
     val str = s.toString
-    val parts = str.split('.')
-    if (parts.length != 4) return -1L
+    val n = str.length
     var acc = 0L
+    var octets = 0
     var i = 0
-    while (i < 4) {
-      val p = parts(i)
-      if (p.isEmpty || p.length > 3) return -1L
-      var j = 0
+    while (i < n) {
       var v = 0
-      while (j < p.length) {
-        val ch = p.charAt(j)
-        if (ch < '0' || ch > '9') return -1L
-        v = v * 10 + (ch - '0')
-        j += 1
+      var digits = 0
+      val start = i
+      while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') {
+        v = v * 10 + (str.charAt(i) - '0')
+        digits += 1
+        i += 1
       }
-      if (v > 255) return -1L
+      if (digits == 0 || digits > 3 || v > 255) return -1L
+      if (digits > 1 && str.charAt(start) == '0') return -1L // leading zero
       acc = (acc << 8) | v
-      i += 1
+      octets += 1
+      if (i < n) {
+        if (str.charAt(i) != '.' || octets == 4) return -1L
+        i += 1
+        if (i == n) return -1L // trailing dot
+      }
     }
+    if (octets != 4) return -1L
     acc
   }
 

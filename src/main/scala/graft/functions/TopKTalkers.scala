@@ -34,8 +34,10 @@ class TopKTalkers(k: Int, cap: Int = 1024)
   override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (key, v) => (-v, key) }.take(k)
 
+  // ExpressionEncoders (not kryo): the buffer stays a Tungsten map/array
+  // struct — visible to the planner and off the opaque-binary path
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
-    Encoders.kryo[Seq[(String, Long)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }

@@ -26,11 +26,21 @@ object NetworkFlowTable {
     "interval_start", "direction", "connection_class", "node_name",
     "local_namespace", "local_pod")
 
+  /** Write layout: RANGE-partition on (date, sortKey…) — not
+    * `repartition(date)`, which maps each calendar day to ONE shuffle
+    * partition and so one write task (at ~TB/day that task is the whole
+    * job). Range partitioning splits every day across many tasks along
+    * the sort-key order, keeping output clustered for min/max pruning
+    * while parallelizing the write. Exposed for the plan audit.
+    */
+  def prepared(summed: DataFrame): DataFrame =
+    summed
+      .repartitionByRange((col("date") +: sortKey.map(col)): _*)
+      .sortWithinPartitions(sortKey.map(col): _*)
+
   def write(summed: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
-    summed
-      .repartition(col("date"))
-      .sortWithinPartitions(sortKey.map(col): _*)
+    prepared(summed)
       .write.mode(mode)
       .option("compression", "zstd")
       .partitionBy("date")

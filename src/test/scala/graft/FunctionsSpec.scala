@@ -22,9 +22,15 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("ip_to_long rejects invalid addresses as NULL (F8 routing)") {
-    val bad = Seq("256.1.1.1", "1.2.3", "a.b.c.d", "", "1.2.3.4.5")
+    val bad = Seq("256.1.1.1", "1.2.3", "a.b.c.d", "", "1.2.3.4.5",
+      // Go netip strictness (remote.go parser semantics): trailing dot
+      // and leading-zero octets are invalid, not silently accepted
+      "1.2.3.4.", ".1.2.3.4", "010.1.1.1", "1.2.3.04", "1..2.3", "1.2.3.4x")
       .toDF("ip").select(ip_to_long(col("ip")).as("v")).collect()
     assert(bad.forall(_.isNullAt(0)))
+    val good = Seq("0.0.0.0", "10.0.0.1", "255.255.255.255")
+      .toDF("ip").select(ip_to_long(col("ip")).as("v")).collect()
+    assert(good.forall(!_.isNullAt(0)))
   }
 
   test("ip_is_private matches RFC1918 + loopback + link-local") {

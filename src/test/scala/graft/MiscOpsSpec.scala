@@ -115,6 +115,10 @@ class MiscOpsSpec extends AnyFunSuite {
       Seq.fill((i % 7 + 1).toInt)((s"pod-${i % 20}", i))
     }.toDS()
     val agg = new TopKTalkers(3).toColumn
+    // ExpressionEncoder buffer: a real map struct the planner can see,
+    // not a kryo binary blob
+    assert(new TopKTalkers(3).bufferEncoder.schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
     val got = talkers.select(agg).collect().head
     val expected = talkers.collect().groupBy(_._1)
       .map { case (key, vs) => key -> vs.map(_._2).sum }

@@ -52,6 +52,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("qf_pipeline: trie LPM introduces no exchange — one hash shuffle total") {
+    // the only hashpartitioning exchange is the final summing groupBy;
+    // the range-join LPM variant would add a second (window over flow_id)
+    val p = plan("qf_pipeline")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("sink write plan range-partitions on (date, sortKey…), not date alone") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val summed = Seq(
+      ("2024-01-01", "2024-01-01 00:01:00", "out", "INTRA_VPC", "n1", "ns", "p1"),
+      ("2024-01-02", "2024-01-02 00:01:00", "in", "PUBLIC_INTERNET", "n2", "ns", "p2"))
+      .toDF("date", "interval_start", "direction", "connection_class",
+        "node_name", "local_namespace", "local_pod")
+      .withColumn("date", col("date").cast("date"))
+      .withColumn("interval_start", col("interval_start").cast("timestamp"))
+      .withColumn("bytes", lit(1L))
+    val p = graft.sink.NetworkFlowTable.prepared(summed)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(date"), p.take(2000))
+    assert(!p.contains("hashpartitioning(date"), p.take(2000))
+  }
+
   test("q14_bigjoin: fact-fact join takes the sort-merge path") {
     val p = plan("q14_bigjoin")
     assert(p.contains("SortMergeJoin"), p.take(2000))
