@@ -74,50 +74,94 @@ object FlowPipeline {
   }
 
   // ---- J1×2 + J3 + P4: pod enrichment and direction resolution ----
-  /** Broadcast-joins src/dst endpoints against the pod snapshot, resolves
-    * which endpoint is the local pod (on the observing node), swaps
-    * orig/reply counters into out/in accordingly (labeler.go:271-331),
-    * and attaches pod/node dims (P5/P6, labeler.go:334-373).
-    * Unattributable flows get direction NULL and are dropped by F7.
+  /** NAT-aware endpoint derivation (labeler.go getEndpointsForFlow): the
+    * src endpoint is the ORIGINAL tuple's source, the dst endpoint is the
+    * REPLY tuple's source — under DNAT (k8s service VIPs) orig_dst holds
+    * the pre-NAT VIP while reply_src is the real backend, so all dst
+    * identity (pod lookup, remote IP for LPM, ports) flows from reply_src.
+    *
+    * Direction (getFlowType, labeler.go:475-499) with the assume-local
+    * fallbacks: an unknown IP talking to a pod known to live on a node is
+    * assumed to be the local side. Flows where either endpoint IP maps to
+    * more than one pod are labeling ERRORS (getEndpointsForFlow) — they
+    * are excluded here and surface as `error_ambiguous_pod_ip` outcome
+    * rows in [[routeOutcomes]]. Remaining unattributable flows get
+    * direction NULL and are dropped by F7.
     */
-  def resolveDirection(pods: DataFrame, nodes: DataFrame)(flows: DataFrame): DataFrame = {
+  /** Sources that don't carry reply-tuple ports or flags get the non-NAT
+    * conntrack defaults (reply_src_port = orig_dst_port etc.). */
+  private def withFlowDefaults(flows: DataFrame): DataFrame = {
+    var df = flows
+    if (!df.columns.contains("reply_src_port"))
+      df = df.withColumn("reply_src_port", col("orig_dst_port"))
+    if (!df.columns.contains("reply_dst_port"))
+      df = df.withColumn("reply_dst_port", col("orig_src_port"))
+    if (!df.columns.contains("connection_flags"))
+      df = df.withColumn("connection_flags", typedLit(Map.empty[String, Boolean]))
+    df
+  }
+
+  def resolveDirection(pods: DataFrame, nodes: DataFrame)(flows0: DataFrame): DataFrame = {
+    val flows = withFlowDefaults(flows0)
+    val ambIps = broadcast(pods.groupBy(col("pod_ip"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col("pod_ip").as("amb_ip")))
     val src = pods.toDF(pods.columns.map("src_" + _): _*)
     val dst = pods.toDF(pods.columns.map("dst_" + _): _*)
     val withPods = flows
+      .join(ambIps, col("orig_src_ip") === col("amb_ip"), "left_anti")
+      .join(ambIps.toDF("amb_ip2"), col("reply_src_ip") === col("amb_ip2"), "left_anti")
       .join(broadcast(src), col("orig_src_ip") === col("src_pod_ip"), "left_outer")
-      .join(broadcast(dst), col("orig_dst_ip") === col("dst_pod_ip"), "left_outer")
+      .join(broadcast(dst), col("reply_src_ip") === col("dst_pod_ip"), "left_outer")
     val srcLocal = col("src_pod_name").isNotNull && col("src_pod_node") === col("node_name")
     val dstLocal = col("dst_pod_name").isNotNull && col("dst_pod_node") === col("node_name")
-    val resolved = withPods.select(
-      col("flow_id"), col("ts"), col("node_name"), col("proto"),
+    // assume-local fallbacks: unknown src + dst pod on some node -> the
+    // src must be local (and vice versa); local pod fields stay empty
+    val srcAssumed = col("src_pod_name").isNull &&
+      col("dst_pod_name").isNotNull && col("dst_pod_node") =!= ""
+    val dstAssumed = col("src_pod_name").isNotNull &&
+      col("src_pod_node") =!= "" && col("dst_pod_name").isNull
+    val typed = withPods.withColumn("flow_type",
       when(srcLocal, lit("fromPod"))
         .when(dstLocal, lit("toPod"))
-        .otherwise(lit(null).cast("string")).as("flow_type"),
-      when(srcLocal, col("src_pod_name")).when(dstLocal, col("dst_pod_name")).as("local_pod"),
-      when(srcLocal, col("src_pod_namespace")).when(dstLocal, col("dst_pod_namespace")).as("local_namespace"),
-      when(srcLocal, col("src_pod_app")).when(dstLocal, col("dst_pod_app")).as("local_app"),
-      when(srcLocal, col("src_pod_instance")).when(dstLocal, col("dst_pod_instance")).as("local_instance"),
-      when(srcLocal, col("orig_src_ip")).when(dstLocal, col("orig_dst_ip")).as("local_ip"),
-      when(srcLocal, col("orig_src_port")).when(dstLocal, col("orig_dst_port")).as("local_port"),
-      when(srcLocal, col("orig_dst_ip")).when(dstLocal, col("orig_src_ip")).as("remote_ip"),
-      when(srcLocal, col("orig_dst_port")).when(dstLocal, col("orig_src_port")).as("remote_port"),
+        .when(srcAssumed, lit("fromPod"))
+        .when(dstAssumed, lit("toPod"))
+        .otherwise(lit(null).cast("string")))
+    val isFrom = col("flow_type") === "fromPod"
+    // Go zero-value strings for missing pod identity, like the reference
+    def localF(f: String) =
+      coalesce(when(isFrom, col("src_" + f)).otherwise(col("dst_" + f)), lit(""))
+    def remoteF(f: String) =
+      coalesce(when(isFrom, col("dst_" + f)).otherwise(col("src_" + f)), lit(""))
+    val resolved = typed.select(
+      col("flow_id"), col("ts"), col("proto"), col("connection_flags"),
+      col("flow_type"),
+      // the inserted node is the LOCAL POD's node (FlowData.LocalNode,
+      // labeler.go:337-345) — empty when the local side is an
+      // assumed-local unknown IP, even though the observing node is known
+      localF("pod_node").as("node_name"),
+      localF("pod_name").as("local_pod"),
+      localF("pod_namespace").as("local_namespace"),
+      localF("pod_app").as("local_app"),
+      localF("pod_instance").as("local_instance"),
+      when(isFrom, col("orig_src_ip")).otherwise(col("reply_src_ip")).as("local_ip"),
+      when(isFrom, col("orig_src_port")).otherwise(col("reply_src_port")).as("local_port"),
+      when(isFrom, col("reply_src_ip")).otherwise(col("orig_src_ip")).as("remote_ip"),
+      when(isFrom, col("reply_src_port")).otherwise(col("orig_src_port")).as("remote_port"),
       // remote pod enrichment (other endpoint may also be a known pod,
       // possibly on another node — labeler.go:352-373)
-      when(srcLocal, col("dst_pod_app")).when(dstLocal, col("src_pod_app")).as("remote_app_raw"),
-      coalesce(when(srcLocal, col("dst_pod_name"))
-        .when(dstLocal, col("src_pod_name")), lit("")).as("remote_pod"),
-      coalesce(when(srcLocal, col("dst_pod_namespace"))
-        .when(dstLocal, col("src_pod_namespace")), lit("")).as("remote_namespace"),
-      coalesce(when(srcLocal, col("dst_pod_instance"))
-        .when(dstLocal, col("src_pod_instance")), lit("")).as("remote_instance"),
-      coalesce(when(srcLocal, col("dst_pod_node"))
-        .when(dstLocal, col("src_pod_node")), lit("")).as("remote_node"),
+      when(isFrom, col("dst_pod_app")).otherwise(col("src_pod_app")).as("remote_app_raw"),
+      remoteF("pod_name").as("remote_pod"),
+      remoteF("pod_namespace").as("remote_namespace"),
+      remoteF("pod_instance").as("remote_instance"),
+      remoteF("pod_node").as("remote_node"),
       // counter swap: out = traffic leaving the local pod
-      when(srcLocal, col("orig_bytes")).otherwise(col("reply_bytes")).as("bytes_out"),
-      when(srcLocal, col("orig_pkts")).otherwise(col("reply_pkts")).as("pkts_out"),
-      when(srcLocal, col("reply_bytes")).otherwise(col("orig_bytes")).as("bytes_in"),
-      when(srcLocal, col("reply_pkts")).otherwise(col("orig_pkts")).as("pkts_in"))
-    // J3: local + remote node zones (topology.kubernetes.io/zone)
+      when(isFrom, col("orig_bytes")).otherwise(col("reply_bytes")).as("bytes_out"),
+      when(isFrom, col("orig_pkts")).otherwise(col("reply_pkts")).as("pkts_out"),
+      when(isFrom, col("reply_bytes")).otherwise(col("orig_bytes")).as("bytes_in"),
+      when(isFrom, col("reply_pkts")).otherwise(col("orig_pkts")).as("pkts_in"))
+    // J3: local + remote node zones (topology.kubernetes.io/zone), both
+    // resolved via the POD's node (node_name is now the local pod's node)
     val zones = nodes.select(col("node_id"), col("node_zone"))
     resolved
       .join(broadcast(zones), col("node_name") === col("node_id"), "left_outer")
@@ -149,6 +193,10 @@ object FlowPipeline {
       flows.columns.map(col) ++ Seq(
         when(ip_is_private(col("remote_ip")), lit("INTRA_VPC"))
           .when(col("p_cloud").isNull, lit("PUBLIC_INTERNET"))
+          // same-cloud match with an undetermined region is a labeling
+          // ERROR, not INTER_REGION (remote.go:151-155); run() drops it
+          .when(col("p_cloud") === cfg.localCloud && col("p_region") === "",
+            lit("ERROR_INTRA_CLOUD_EMPTY_REGION"))
           .when(col("p_cloud") === cfg.localCloud &&
             (col("p_region") === cfg.localRegion || col("p_region") === "global"),
             lit("INTRA_REGION"))
@@ -190,25 +238,25 @@ object FlowPipeline {
     "local_pod", "local_app", "local_instance", "local_ip", "local_port",
     "remote_cloud", "remote_region", "remote_service", "remote_app",
     "remote_pod", "remote_namespace", "remote_instance", "remote_node",
-    "remote_zone", "remote_ip", "remote_port")
+    "remote_zone", "remote_ip", "remote_port", "connection_flags")
 
   // ---- P8 + W1 + A1: minute truncation + summing aggregation ----
+  /** Also serializes P9's connection-flags map (labeler.go:69-77) to JSON
+    * right before the groupBy — Spark cannot group by MapType, and the
+    * reference's ClickHouse client serializes the map the same way.
+    */
   def summarize(flows: DataFrame): DataFrame =
     flows
       .withColumn("date", to_date(col("ts")))
       .withColumn("interval_start", date_trunc("minute", col("ts")))
       .withColumn("interval_seconds", lit(60))
+      .withColumn("connection_flags", to_json(col("connection_flags")))
       .groupBy(dimensionKey.map(col): _*)
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
         count(lit(1)).as("n_obs"))
 
   // ---- P7: per-deployment constant annotation (inserter.go:20-25,
   //      worker.go:147-158; remoteCluster always "UNKNOWN", cells "") ----
-  /** Also carries P9's serialized connection-flags map (labeler.go:74-77):
-    * the map is JSON-serialized so it can sit in the grouping key (Spark
-    * cannot group by MapType); the synthetic source carries no conntrack
-    * flags, so it is the empty map here.
-    */
   def annotateConstants(cfg: FlowConfig)(summed: DataFrame): DataFrame =
     summed
       .withColumn("local_cloud", lit(cfg.localCloud))
@@ -218,7 +266,14 @@ object FlowPipeline {
       .withColumn("remote_cluster", lit("UNKNOWN"))
       .withColumn("local_cell", lit(""))
       .withColumn("remote_cell", lit(""))
-      .withColumn("connection_flags", to_json(map()))
+
+  /** Same-cloud LPM match with empty region is a labeling ERROR
+    * (remote.go:151-155): the reference refuses to insert the flow and
+    * bumps `intra_cloud_empty_region`; here the row is excluded from the
+    * summing table and surfaces via [[routeOutcomes]].
+    */
+  def dropClassifyErrors(flows: DataFrame): DataFrame =
+    flows.filter(!col("connection_class").startsWith("ERROR_"))
 
   /** Full batch pipeline: raw flow observations → summing table rows. */
   def run(flows: DataFrame, pods: DataFrame, nodes: DataFrame,
@@ -231,6 +286,7 @@ object FlowPipeline {
       .transform(resolveDirection(pods, nodes))
       .transform(dropUnlabeled)
       .transform(classify(prefixes, cfg))
+      .transform(dropClassifyErrors)
     annotateConstants(cfg)(summarize(fanOut(labeled)))
   }
 
@@ -241,8 +297,8 @@ object FlowPipeline {
     * (`count by outcome`) fall out of the same plan. Precedence follows
     * the reference's check order.
     */
-  def routeOutcomes(pods: DataFrame, nodes: DataFrame, cfg: FlowConfig)(
-      flows: DataFrame): DataFrame = {
+  def routeOutcomes(pods: DataFrame, nodes: DataFrame, prefixes: DataFrame,
+      cfg: FlowConfig)(flows: DataFrame): DataFrame = {
     val nodeIps = broadcast(nodes.select(col("node_internal_ip")))
     // >1 pod claiming one IP is a labeling ERROR ROW, not an exception
     // (labeler.go:449-469, server.go:100-117) — the stream must survive
@@ -256,11 +312,23 @@ object FlowPipeline {
       .join(nodeIps.toDF("n1"), col("orig_src_ip") === col("n1"), "left_outer")
       .join(nodeIps.toDF("n2"), col("reply_src_ip") === col("n2"), "left_outer")
       .join(src, col("orig_src_ip") === col("src_pod_ip"), "left_outer")
-      .join(dst, col("orig_dst_ip") === col("dst_pod_ip"), "left_outer")
+      // dst endpoint = reply tuple's source (NAT-aware, like resolveDirection)
+      .join(dst, col("reply_src_ip") === col("dst_pod_ip"), "left_outer")
     val localhost = lit(SyntheticFlows.LOCALHOST)
     val srcLocal = col("src_pod_ip").isNotNull && col("src_pod_node") === col("node_name")
     val dstLocal = col("dst_pod_ip").isNotNull && col("dst_pod_node") === col("node_name")
-    withDims.withColumn("outcome",
+    val srcAssumed = col("src_pod_ip").isNull &&
+      col("dst_pod_ip").isNotNull && col("dst_pod_node") =!= ""
+    val dstAssumed = col("src_pod_ip").isNotNull &&
+      col("src_pod_node") =!= "" && col("dst_pod_ip").isNull
+    val directed = srcLocal || dstLocal || srcAssumed || dstAssumed
+    val isFrom = srcLocal || (!dstLocal && srcAssumed)
+    // LPM over the resolved remote so the same-cloud-empty-region error
+    // (remote.go:151-155) lands in the taxonomy, not in the summing table
+    val withRemote = withDims.withColumn("__remote_ip",
+      when(isFrom, col("reply_src_ip")).otherwise(col("orig_src_ip")))
+    val lpm = LpmJoin.viaTrie(withRemote, prefixes, col("__remote_ip"))
+    lpm.withColumn("outcome",
       when(!(col("orig_bytes") > 0 || col("orig_pkts") > 0 ||
         col("reply_bytes") > 0 || col("reply_pkts") > 0), "ignored_zero")
         .when(!col("proto").isin(6, 17), "ignored_proto")
@@ -270,7 +338,10 @@ object FlowPipeline {
         .when(lit(cfg.ignoreUDP) && col("proto") === 17, "ignored_udp")
         .when(col("n1").isNotNull || col("n2").isNotNull, "ignored_node_flow")
         .when(col("src_n") > 1 || col("dst_n") > 1, "error_ambiguous_pod_ip")
-        .when(!(srcLocal || dstLocal), "unknown_direction")
+        .when(!directed, "unknown_direction")
+        .when(!ip_is_private(col("__remote_ip")) &&
+          col("p_cloud") === cfg.localCloud && col("p_region") === "",
+          "error_intra_cloud_empty_region")
         .otherwise("labeled"))
       .select(flows.columns.map(col) :+ col("outcome"): _*)
   }

@@ -16,7 +16,9 @@ object FlowSql {
       |    2886729728 + (user_id % 20) AS node_ip,
       |    CASE WHEN event_id % 5 < 2 THEN 16777216 + ((event_id * 2654435761) % 4194304)
       |         WHEN event_id % 5 < 4 THEN 171966464 + (event_id % 100000)
-      |         ELSE 167772160 + ((event_id * 13) % 100) * 20 + (user_id % 20) END AS remote_ip0,
+      |         ELSE 167772160 + ((event_id * 13) % 100) * 20 +
+      |           (CASE WHEN event_id % 31 = 0 THEN (user_id + 1) % 20
+      |                 ELSE user_id % 20 END) END AS remote_ip0,
       |    (event_id % 19) = 0 AS inbound,
       |    (event_id % 29) = 0 AS zero
       |  FROM events
@@ -24,7 +26,9 @@ object FlowSql {
       |  SELECT e AS flow_id, ts, node_name, proto,
       |    CASE WHEN e % 23 = 0 THEN node_ip WHEN e % 17 = 0 THEN 2130706433
       |         WHEN inbound THEN remote_ip0 ELSE pod_ip END AS orig_src_ip,
-      |    CASE WHEN inbound THEN pod_ip ELSE remote_ip0 END AS orig_dst_ip,
+      |    CASE WHEN inbound THEN pod_ip
+      |         WHEN e % 13 = 0 THEN 174063616 + (e % 25)
+      |         ELSE remote_ip0 END AS orig_dst_ip,
       |    CAST(1024 + (e % 60000) AS INTEGER) AS orig_src_port,
       |    CAST(1 + (e % 65000) AS INTEGER) AS orig_dst_port,
       |    CASE WHEN inbound THEN pod_ip ELSE remote_ip0 END AS reply_src_ip,
@@ -32,6 +36,11 @@ object FlowSql {
       |         WHEN e % 2 = 0 THEN (CASE WHEN e % 23 = 0 THEN node_ip
       |           WHEN e % 17 = 0 THEN 2130706433 ELSE pod_ip END)
       |         ELSE node_ip END AS reply_dst_ip,
+      |    CAST(CASE WHEN NOT inbound AND e % 13 = 0 THEN 8080 + (e % 1000)
+      |         ELSE 1 + (e % 65000) END AS INTEGER) AS reply_src_port,
+      |    CAST(1024 + (e % 60000) AS INTEGER) AS reply_dst_port,
+      |    CASE WHEN e % 37 = 0 THEN '{"TEST_FLAG":true}' ELSE '{}' END
+      |      AS connection_flags,
       |    CASE WHEN zero THEN 0 ELSE (e * 3) % 1000 END AS orig_pkts,
       |    CASE WHEN zero THEN 0 ELSE (e * 131) % 100000 END AS orig_bytes,
       |    CASE WHEN zero THEN 0 ELSE (e * 7) % 1000 END AS reply_pkts,
@@ -55,7 +64,8 @@ object FlowSql {
       |    16777216 + p_partkey * 2048 + 2047 AS p_end,
       |    21 AS p_len,
       |    CASE p_partkey % 3 WHEN 0 THEN 'aws' WHEN 1 THEN 'gcp' ELSE 'azure' END AS p_cloud,
-      |    CASE WHEN p_partkey % 7 = 0 THEN 'global'
+      |    CASE WHEN p_partkey % 53 = 0 THEN ''
+      |         WHEN p_partkey % 7 = 0 THEN 'global'
       |         ELSE 'region-' || CAST(p_partkey % 7 AS VARCHAR) END AS p_region,
       |    'svc-' || CAST(p_partkey % 11 AS VARCHAR) AS p_service
       |  FROM part
@@ -87,31 +97,41 @@ object FlowSql {
       |  SELECT f.* FROM filtered f
       |  WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip)
       |    AND NOT EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip)
-      |), directed AS (
-      |  SELECT f.flow_id, f.ts, f.node_name, f.proto,
+      |), d0 AS (
+      |  SELECT f.*,
+      |    sp.pod_name AS sp_name, sp.pod_namespace AS sp_ns,
+      |    sp.pod_app AS sp_app, sp.pod_instance AS sp_inst, sp.pod_node AS sp_node,
+      |    dp.pod_name AS dp_name, dp.pod_namespace AS dp_ns,
+      |    dp.pod_app AS dp_app, dp.pod_instance AS dp_inst, dp.pod_node AS dp_node,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN 'fromPod'
       |         WHEN dp.pod_name IS NOT NULL AND dp.pod_node = f.node_name THEN 'toPod'
-      |         END AS flow_type,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN sp.pod_name ELSE dp.pod_name END AS local_pod,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN sp.pod_namespace ELSE dp.pod_namespace END AS local_namespace,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN sp.pod_app ELSE dp.pod_app END AS local_app,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN sp.pod_instance ELSE dp.pod_instance END AS local_instance,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_src_ip ELSE f.orig_dst_ip END AS local_ip,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_src_port ELSE f.orig_dst_port END AS local_port,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_dst_ip ELSE f.orig_src_ip END AS remote_ip,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_dst_port ELSE f.orig_src_port END AS remote_port,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_app ELSE sp.pod_app END AS remote_app_raw,
-      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_name ELSE sp.pod_name END, '') AS remote_pod,
-      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_namespace ELSE sp.pod_namespace END, '') AS remote_namespace,
-      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_instance ELSE sp.pod_instance END, '') AS remote_instance,
-      |    COALESCE(CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN dp.pod_node ELSE sp.pod_node END, '') AS remote_node,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_bytes ELSE f.reply_bytes END AS bytes_out,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.orig_pkts ELSE f.reply_pkts END AS pkts_out,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.reply_bytes ELSE f.orig_bytes END AS bytes_in,
-      |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN f.reply_pkts ELSE f.orig_pkts END AS pkts_in
+      |         WHEN sp.pod_name IS NULL AND dp.pod_name IS NOT NULL AND dp.pod_node <> '' THEN 'fromPod'
+      |         WHEN sp.pod_name IS NOT NULL AND sp.pod_node <> '' AND dp.pod_name IS NULL THEN 'toPod'
+      |         END AS flow_type
       |  FROM nofnode f
       |  LEFT JOIN pods sp ON f.orig_src_ip = sp.pod_ip
-      |  LEFT JOIN pods dp ON f.orig_dst_ip = dp.pod_ip
+      |  LEFT JOIN pods dp ON f.reply_src_ip = dp.pod_ip
+      |), directed AS (
+      |  SELECT flow_id, ts, proto, connection_flags, flow_type,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN sp_node ELSE dp_node END, '') AS node_name,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN sp_name ELSE dp_name END, '') AS local_pod,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN sp_ns ELSE dp_ns END, '') AS local_namespace,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN sp_app ELSE dp_app END, '') AS local_app,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN sp_inst ELSE dp_inst END, '') AS local_instance,
+      |    CASE WHEN flow_type = 'fromPod' THEN orig_src_ip ELSE reply_src_ip END AS local_ip,
+      |    CASE WHEN flow_type = 'fromPod' THEN orig_src_port ELSE reply_src_port END AS local_port,
+      |    CASE WHEN flow_type = 'fromPod' THEN reply_src_ip ELSE orig_src_ip END AS remote_ip,
+      |    CASE WHEN flow_type = 'fromPod' THEN reply_src_port ELSE orig_src_port END AS remote_port,
+      |    CASE WHEN flow_type = 'fromPod' THEN dp_app ELSE sp_app END AS remote_app_raw,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN dp_name ELSE sp_name END, '') AS remote_pod,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN dp_ns ELSE sp_ns END, '') AS remote_namespace,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN dp_inst ELSE sp_inst END, '') AS remote_instance,
+      |    COALESCE(CASE WHEN flow_type = 'fromPod' THEN dp_node ELSE sp_node END, '') AS remote_node,
+      |    CASE WHEN flow_type = 'fromPod' THEN orig_bytes ELSE reply_bytes END AS bytes_out,
+      |    CASE WHEN flow_type = 'fromPod' THEN orig_pkts ELSE reply_pkts END AS pkts_out,
+      |    CASE WHEN flow_type = 'fromPod' THEN reply_bytes ELSE orig_bytes END AS bytes_in,
+      |    CASE WHEN flow_type = 'fromPod' THEN reply_pkts ELSE orig_pkts END AS pkts_in
+      |  FROM d0
       |), labeled AS (
       |  SELECT d.*, COALESCE(n.node_zone, '') AS local_zone,
       |    COALESCE(rn.node_zone, '') AS remote_zone
@@ -137,6 +157,7 @@ object FlowSql {
       |    (remote_ip >= 167772160 AND remote_ip < 184549376) AS is_priv,
       |    CASE WHEN remote_ip >= 167772160 AND remote_ip < 184549376 THEN 'INTRA_VPC'
       |         WHEN p_cloud IS NULL THEN 'PUBLIC_INTERNET'
+      |         WHEN p_cloud = 'aws' AND p_region = '' THEN 'ERROR_INTRA_CLOUD_EMPTY_REGION'
       |         WHEN p_cloud = 'aws' AND (p_region = 'region-1' OR p_region = 'global') THEN 'INTRA_REGION'
       |         WHEN p_cloud = 'aws' THEN 'INTER_REGION'
       |         ELSE 'PUBLIC_INTERNET' END AS connection_class,
@@ -155,10 +176,13 @@ object FlowSql {
     * (worker.go:132-222 + SummingMergeTree DDL).
     */
   val summedCte: String =
-    s"""$classifiedCte, fanned AS (
-      |  SELECT *, 'out' AS direction, bytes_out AS bytes, pkts_out AS packets FROM classified
+    s"""$classifiedCte, kept AS (
+      |  SELECT * FROM classified
+      |  WHERE connection_class NOT LIKE 'ERROR!_%' ESCAPE '!'
+      |), fanned AS (
+      |  SELECT *, 'out' AS direction, bytes_out AS bytes, pkts_out AS packets FROM kept
       |  UNION ALL
-      |  SELECT *, 'in' AS direction, bytes_in AS bytes, pkts_in AS packets FROM classified
+      |  SELECT *, 'in' AS direction, bytes_in AS bytes, pkts_in AS packets FROM kept
       |), summed AS (
       |  SELECT CAST(ts AS DATE) AS date, date_trunc('minute', ts) AS interval_start,
       |    60 AS interval_seconds, direction, proto_name, connection_class,
@@ -166,14 +190,13 @@ object FlowSql {
       |    local_instance, local_ip, local_port,
       |    remote_cloud, remote_region, remote_service, remote_app,
       |    remote_pod, remote_namespace, remote_instance, remote_node,
-      |    remote_zone, remote_ip, remote_port,
+      |    remote_zone, remote_ip, remote_port, connection_flags,
       |    CAST(SUM(bytes) AS BIGINT) AS bytes,
       |    CAST(SUM(packets) AS BIGINT) AS packets,
       |    CAST(COUNT(*) AS BIGINT) AS n_obs,
       |    'aws' AS local_cloud, 'region-1' AS local_region,
       |    'cluster-a' AS local_cluster, 'production' AS environment,
-      |    'UNKNOWN' AS remote_cluster, '' AS local_cell, '' AS remote_cell,
-      |    '{}' AS connection_flags
+      |    'UNKNOWN' AS remote_cluster, '' AS local_cell, '' AS remote_cell
       |  FROM fanned
       |  GROUP BY ALL
       |)""".stripMargin

@@ -32,6 +32,8 @@ object SyntheticFlows {
     * by the batch path and the Structured Streaming source (the
     * projections are identical Catalyst expressions either way).
     */
+  val SVC: Long = 174063616L // 10.96.0.0 — service VIP CIDR (DNAT)
+
   def flowsFromEvents(events: DataFrame): DataFrame = {
     val e = events
       .select(col("event_id").as("e"), col("user_id").as("u"), col("ts"))
@@ -39,10 +41,19 @@ object SyntheticFlows {
     // conntrack on a node only sees that node's pods
     val podIp = lit(B10) + ((col("e") % 100) * 20 + (col("u") % 20))
     val nodeIp = lit(NB) + (col("u") % 20)
+    // every 31st pod-remote lives on a NEIGHBOR node, so when the src
+    // side is an unknown IP the assume-local getFlowType fallback
+    // (labeler.go:487-495) is exercised by real data, not just specs
     val remoteIp = when(col("e") % 5 < 2, lit(PUB) + ((col("e") * 2654435761L) % 4194304))
       .when(col("e") % 5 < 4, lit(PRIV) + (col("e") % 100000))
-      .otherwise(lit(B10) + ((col("e") * 13) % 100) * 20 + (col("u") % 20))
+      .otherwise(lit(B10) + ((col("e") * 13) % 100) * 20 +
+        when(col("e") % 31 === 0, (col("u") + 1) % 20).otherwise(col("u") % 20))
     val inbound = (col("e") % 19) === 0
+    // DNAT shape (k8s service VIP): the original tuple's dst is the
+    // pre-NAT VIP while the reply tuple's src is the real backend —
+    // labeling must derive the dst endpoint from reply_src
+    // (labeler.go getEndpointsForFlow: flow.GetReply().GetSource())
+    val natted = !inbound && (col("e") % 13 === 0)
     val origSrc = when(col("e") % 23 === 0, nodeIp)
       .when(col("e") % 17 === 0, lit(LOCALHOST))
       .when(inbound, remoteIp)
@@ -55,13 +66,22 @@ object SyntheticFlows {
       when(col("e") % 11 === 0, 1)
         .when(col("e") % 3 === 0, 17).otherwise(6).as("proto"),
       origSrc.as("orig_src_ip"),
-      when(inbound, podIp).otherwise(remoteIp).as("orig_dst_ip"),
+      when(inbound, podIp)
+        .when(natted, lit(SVC) + (col("e") % 25))
+        .otherwise(remoteIp).as("orig_dst_ip"),
       (lit(1024) + (col("e") % 60000)).cast("int").as("orig_src_port"),
       (lit(1) + (col("e") % 65000)).cast("int").as("orig_dst_port"),
       when(inbound, podIp).otherwise(remoteIp).as("reply_src_ip"),
       when(inbound, remoteIp)
         .when(col("e") % 2 === 0, origSrc)
         .otherwise(nodeIp).as("reply_dst_ip"),
+      when(natted, lit(8080) + (col("e") % 1000))
+        .otherwise(lit(1) + (col("e") % 65000)).cast("int").as("reply_src_port"),
+      (lit(1024) + (col("e") % 60000)).cast("int").as("reply_dst_port"),
+      // P9: per-flow connection flags (labeler.go:69-77 ConnectionFlags
+      // map; TEST_FLAG is the reference's only defined flag)
+      when(col("e") % 37 === 0, map(lit("TEST_FLAG"), lit(true)))
+        .otherwise(typedLit(Map.empty[String, Boolean])).as("connection_flags"),
       when(zero, 0L).otherwise((col("e") * 3) % 1000).as("orig_pkts"),
       when(zero, 0L).otherwise((col("e") * 131) % 100000).as("orig_bytes"),
       when(zero, 0L).otherwise((col("e") * 7) % 1000).as("reply_pkts"),
@@ -114,7 +134,11 @@ object SyntheticFlows {
       (lit(PUB) + col("p_partkey") * 2048 + 2047).as("p_end"),
       lit(21).as("p_len"),
       cloud.as("p_cloud"),
-      when(col("p_partkey") % 7 === 0, "global")
+      // every 53rd prefix publishes an EMPTY region — a same-cloud match
+      // on one of these is the reference's intra_cloud_empty_region
+      // labeling error (remote.go:151-155)
+      when(col("p_partkey") % 53 === 0, "")
+        .when(col("p_partkey") % 7 === 0, "global")
         .otherwise(concat(lit("region-"), (col("p_partkey") % 7).cast("string")))
         .as("p_region"),
       concat(lit("svc-"), (col("p_partkey") % 11).cast("string")).as("p_service"))

@@ -18,7 +18,12 @@ case class RawFlow(
     orig_src_port: Int, orig_dst_port: Int,
     reply_src_ip: Long, reply_dst_ip: Long,
     orig_pkts: Long, orig_bytes: Long,
-    reply_pkts: Long, reply_bytes: Long)
+    reply_pkts: Long, reply_bytes: Long,
+    // reply-tuple ports (flow_handler.proto reply Tuple): under DNAT the
+    // reply source differs from the original destination
+    reply_src_port: Int = 0, reply_dst_port: Int = 0,
+    // P9 per-flow connection flags (labeler.go:69-77)
+    connection_flags: Map[String, Boolean] = Map.empty)
 
 /** One row of the summing table — the reference's 35-column
   * network_flows_0 shape (test/network_flows_0.sql:1-44), with the

@@ -123,8 +123,8 @@ object FlowQueries {
 
     // F8: good/bad outcome taxonomy as data (count by outcome)
     "qf_outcomes" -> ((s, d) => {
-      val (f, p, n, _) = stages(s, d)
-      FlowPipeline.routeOutcomes(p, n, cfg)(f)
+      val (f, p, n, px) = stages(s, d)
+      FlowPipeline.routeOutcomes(p, n, px, cfg)(f)
         .groupBy("outcome")
         .agg(count(lit(1)).as("n"), sum("orig_bytes").as("orig_bytes_sum"))
         .orderBy("outcome")
@@ -192,7 +192,7 @@ object FlowQueries {
          |  local_ip, local_port, remote_cloud, remote_region,
          |  remote_service, remote_app, remote_pod, remote_namespace,
          |  remote_instance, remote_node, remote_zone,
-         |  remote_ip, remote_port""".stripMargin,
+         |  remote_ip, remote_port, connection_flags""".stripMargin,
     "qf_showcase" ->
       s"""${FlowSql.summedCte}
          |SELECT local_pod, connection_class, total_bytes,
@@ -205,31 +205,54 @@ object FlowQueries {
          |ORDER BY total_bytes DESC, local_pod, connection_class
          |LIMIT 20""".stripMargin,
     "qf_outcomes" ->
-      s"""${FlowSql.base}
-         |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
-         |FROM (
-         |  SELECT f.orig_bytes, CASE
-         |    WHEN NOT (f.orig_bytes > 0 OR f.orig_pkts > 0
-         |      OR f.reply_bytes > 0 OR f.reply_pkts > 0) THEN 'ignored_zero'
-         |    WHEN f.proto NOT IN (6, 17) THEN 'ignored_proto'
-         |    WHEN f.orig_src_ip = 2130706433 OR f.orig_dst_ip = 2130706433
-         |      OR f.reply_src_ip = 2130706433 OR f.reply_dst_ip = 2130706433
-         |      THEN 'ignored_localhost'
-         |    WHEN f.proto = 17 THEN 'ignored_udp'
-         |    WHEN EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip)
-         |      OR EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip)
-         |      THEN 'ignored_node_flow'
-         |    WHEN sp.pod_ip_n > 1 OR dp.pod_ip_n > 1 THEN 'error_ambiguous_pod_ip'
-         |    WHEN NOT ((sp.pod_ip IS NOT NULL AND sp.pod_node = f.node_name)
-         |      OR (dp.pod_ip IS NOT NULL AND dp.pod_node = f.node_name))
-         |      THEN 'unknown_direction'
-         |    ELSE 'labeled' END AS outcome
+      s"""${FlowSql.base}, ob AS (
+         |  SELECT f.*,
+         |    sp.pod_ip AS sp_ip, sp.pod_node AS sp_node, sp.pod_ip_n AS src_n,
+         |    dp.pod_ip AS dp_ip, dp.pod_node AS dp_node, dp.pod_ip_n AS dst_n,
+         |    EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip) AS nf1,
+         |    EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip) AS nf2
          |  FROM flows f
          |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
          |             FROM pods GROUP BY 1) sp ON f.orig_src_ip = sp.pod_ip
          |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
-         |             FROM pods GROUP BY 1) dp ON f.orig_dst_ip = dp.pod_ip) t
+         |             FROM pods GROUP BY 1) dp ON f.reply_src_ip = dp.pod_ip
+         |), od AS (
+         |  SELECT *,
+         |    (sp_ip IS NOT NULL AND sp_node = node_name) AS src_local,
+         |    (dp_ip IS NOT NULL AND dp_node = node_name) AS dst_local,
+         |    (sp_ip IS NULL AND dp_ip IS NOT NULL AND dp_node <> '') AS src_asm,
+         |    (sp_ip IS NOT NULL AND sp_node <> '' AND dp_ip IS NULL) AS dst_asm
+         |  FROM ob
+         |), orm AS (
+         |  SELECT *, CASE WHEN src_local OR (NOT dst_local AND src_asm)
+         |    THEN reply_src_ip ELSE orig_src_ip END AS remote_ip2
+         |  FROM od
+         |), olpm AS (
+         |  SELECT o.*, p.p_cloud AS pc, p.p_region AS pr,
+         |    ROW_NUMBER() OVER (PARTITION BY o.flow_id
+         |      ORDER BY p.p_len DESC NULLS LAST) AS rn
+         |  FROM orm o
+         |  LEFT JOIN prefixes p ON o.remote_ip2 BETWEEN p.p_start AND p.p_end
+         |), oc AS (
+         |  SELECT orig_bytes, CASE
+         |    WHEN NOT (orig_bytes > 0 OR orig_pkts > 0
+         |      OR reply_bytes > 0 OR reply_pkts > 0) THEN 'ignored_zero'
+         |    WHEN proto NOT IN (6, 17) THEN 'ignored_proto'
+         |    WHEN orig_src_ip = 2130706433 OR orig_dst_ip = 2130706433
+         |      OR reply_src_ip = 2130706433 OR reply_dst_ip = 2130706433
+         |      THEN 'ignored_localhost'
+         |    WHEN proto = 17 THEN 'ignored_udp'
+         |    WHEN nf1 OR nf2 THEN 'ignored_node_flow'
+         |    WHEN src_n > 1 OR dst_n > 1 THEN 'error_ambiguous_pod_ip'
+         |    WHEN NOT (src_local OR dst_local OR src_asm OR dst_asm)
+         |      THEN 'unknown_direction'
+         |    WHEN NOT ${sqlIsPrivate("remote_ip2")} AND pc = 'aws' AND pr = ''
+         |      THEN 'error_intra_cloud_empty_region'
+         |    ELSE 'labeled' END AS outcome
+         |  FROM olpm WHERE rn = 1)
+         |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
+         |FROM oc
          |GROUP BY outcome ORDER BY outcome""".stripMargin,
     "qa6_prefix_dedup" ->
       s"""${FlowSql.base}, feed AS (

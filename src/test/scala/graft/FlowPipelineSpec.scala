@@ -58,8 +58,12 @@ class FlowPipelineSpec extends AnyFunSuite {
     (16777216L + 6144L, 16777216L + 8191L, 21, "gcp", "region-1", "svc-d"),
     // nested: /19-style coarse covering PUB_NESTED plus a /21 inside it
     (16777216L + 8192L, 16777216L + 16383L, 19, "azure", "region-3", "svc-coarse"),
-    (16777216L + 8192L, 16777216L + 10239L, 21, "azure", "region-4", "svc-fine"))
+    (16777216L + 8192L, 16777216L + 10239L, 21, "azure", "region-4", "svc-fine"),
+    // same-cloud prefix advertising NO region (remote.go:151-155 error)
+    (16777216L + 16384L, 16777216L + 18431L, 21, "aws", "", "svc-e"))
     .toDF("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service")
+
+  private val PUB_AWS_NOREGION = 16777216L + 16384L + 5L
 
   private def runPipeline(flows: DataFrame,
       cfg: FlowConfig = FlowConfig(localCloud = "aws", localRegion = "region-1")) =
@@ -151,13 +155,100 @@ class FlowPipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("connection_class") == "INTRA_VPC")
   }
 
-  test("F7: flow between endpoints not on observing node is dropped") {
+  test("F7 + assume-local fallbacks (labeler.go:475-499 getFlowType)") {
     val flows = flowDf(Seq(
-      // pod-c is on node-2, but flow observed on node-1
+      // src is pod-c on ANOTHER node, dst unknown -> assume dst is local
+      // (toPod); local pod fields stay empty, remote is pod-c
       mkFlow(1, "node-1", 6, OTHERPOD, PUB_UNMATCHED, PUB_UNMATCHED, NODE),
-      // no pod at all
-      mkFlow(2, "node-1", 6, PUB_UNMATCHED, PUB_AWS_R1, PUB_AWS_R1, NODE)))
-    assert(labelOne(flows).count() == 0)
+      // no pod on either side -> genuinely unknown, dropped
+      mkFlow(2, "node-1", 6, PUB_UNMATCHED, PUB_AWS_R1, PUB_AWS_R1, NODE),
+      // src unknown, dst (reply_src) is pod-c on another node -> assume
+      // src is local (fromPod)
+      mkFlow(3, "node-1", 6, PUB_UNMATCHED, OTHERPOD, OTHERPOD, NODE)))
+    val got = labelOne(flows).collect().map(r =>
+      r.getAs[Long]("flow_id") -> r).toMap
+    assert(got.keySet == Set(1L, 3L), "only the no-pod flow is dropped")
+    val r1 = got(1L)
+    assert(r1.getAs[String]("flow_type") == "toPod")
+    assert(r1.getAs[String]("local_pod") == "" &&
+      r1.getAs[String]("node_name") == "" &&
+      r1.getAs[String]("local_zone") == "")
+    assert(r1.getAs[String]("remote_pod") == "pod-c" &&
+      r1.getAs[String]("remote_zone") == "az-2")
+    assert(r1.getAs[Long]("remote_ip") == OTHERPOD)
+    // toPod counter swap: out = reply
+    assert(r1.getAs[Long]("bytes_out") == 13 && r1.getAs[Long]("bytes_in") == 11)
+    val r3 = got(3L)
+    assert(r3.getAs[String]("flow_type") == "fromPod")
+    assert(r3.getAs[String]("local_pod") == "" &&
+      r3.getAs[String]("remote_pod") == "pod-c")
+    assert(r3.getAs[Long]("bytes_out") == 11 && r3.getAs[Long]("bytes_in") == 13)
+  }
+
+  test("NAT/DNAT: dst identity follows reply_src, not the pre-NAT orig_dst") {
+    // pod-a -> service VIP; conntrack reply comes from pod-c (the real
+    // backend on node-2) on port 8080
+    val VIP = 174063616L + 7L
+    val flows = flowDf(Seq(
+      mkFlow(1, "node-1", 6, POD, VIP, OTHERPOD, NODE)))
+      .withColumn("reply_src_port", lit(8080))
+    val r = labelOne(flows).collect().head
+    assert(r.getAs[String]("flow_type") == "fromPod")
+    assert(r.getAs[String]("remote_pod") == "pod-c",
+      "remote pod resolved through the reply tuple")
+    assert(r.getAs[Long]("remote_ip") == OTHERPOD, "LPM sees the real backend")
+    assert(r.getAs[Int]("remote_port") == 8080, "backend port, not VIP port")
+    assert(r.getAs[String]("connection_class") == "INTRA_VPC")
+  }
+
+  test("ambiguous pod IP: flow is excluded from labeling (error routing)") {
+    val dupPods = pods.unionByName(Seq(
+      ("pod-a2", "ns-x", POD, "node-1", "appx", "inst-9"))
+      .toDF("pod_name", "pod_namespace", "pod_ip", "pod_node", "pod_app",
+        "pod_instance"))
+    val flows = flowDf(Seq(
+      mkFlow(1, "node-1", 6, POD, PUB_UNMATCHED, PUB_UNMATCHED, NODE),
+      mkFlow(2, "node-1", 6, POD2, PUB_UNMATCHED, PUB_UNMATCHED, NODE)))
+    val labeled = flows.transform(FlowPipeline.filterJunk)
+      .transform(FlowPipeline.dropNodeFlows(nodes))
+      .transform(FlowPipeline.resolveDirection(dupPods, nodes))
+      .transform(FlowPipeline.dropUnlabeled)
+    assert(labeled.select("flow_id").as[Long].collect().toSet == Set(2L),
+      "flow touching the duplicated IP never reaches the summing table")
+  }
+
+  test("intra-cloud empty region: classify errors, run() excludes the flow") {
+    val flows = flowDf(Seq(
+      mkFlow(1, "node-1", 6, POD, PUB_AWS_NOREGION, PUB_AWS_NOREGION, NODE),
+      mkFlow(2, "node-1", 6, POD, PUB_AWS_R1, PUB_AWS_R1, NODE)))
+    val classified = labelOne(flows)
+    val byId = classified.select("flow_id", "connection_class")
+      .as[(Long, String)].collect().toMap
+    assert(byId(1L) == "ERROR_INTRA_CLOUD_EMPTY_REGION")
+    assert(byId(2L) == "INTRA_REGION")
+    val summed = runPipeline(flows)
+    assert(summed.select("connection_class").distinct()
+      .as[String].collect().toSet == Set("INTRA_REGION"),
+      "error flows never inserted (remote.go:151-155)")
+    val outcomes = FlowPipeline.routeOutcomes(pods, nodes, prefixes,
+      FlowConfig(localCloud = "aws", localRegion = "region-1"))(flows)
+      .select("flow_id", "outcome").as[(Long, String)].collect().toMap
+    assert(outcomes(1L) == "error_intra_cloud_empty_region")
+    assert(outcomes(2L) == "labeled")
+  }
+
+  test("P9: connection flags ride the grouping key as serialized JSON") {
+    val flows = flowDf(Seq(
+      mkFlow(1, "node-1", 6, POD, PUB_AWS_R1, PUB_AWS_R1, NODE),
+      mkFlow(2, "node-1", 6, POD, PUB_AWS_R1, PUB_AWS_R1, NODE)))
+      .withColumn("connection_flags",
+        when(col("flow_id") === 1, typedLit(Map("TEST_FLAG" -> true)))
+          .otherwise(typedLit(Map.empty[String, Boolean])))
+    val summed = runPipeline(flows)
+    val flags = summed.select("connection_flags").distinct()
+      .as[String].collect().toSet
+    assert(flags == Set("{}", """{"TEST_FLAG":true}"""),
+      "distinct flag maps must not collapse into one summing row")
   }
 
   test("J5 classification truth table (remote_test.go:76-220)") {

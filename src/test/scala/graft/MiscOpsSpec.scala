@@ -61,7 +61,9 @@ class MiscOpsSpec extends AnyFunSuite {
     val ds = summed.as[graft.flow.NetworkFlowRow]
     val r = ds.head()
     assert(r.interval_seconds == 60 && r.remote_cluster == "UNKNOWN" &&
-      r.connection_flags == "{}" && (r.direction == "out" || r.direction == "in"))
+      (r.connection_flags == "{}" ||
+        r.connection_flags == """{"TEST_FLAG":true}""") &&
+      (r.direction == "out" || r.direction == "in"))
     assert(ds.filter(_.bytes < 0).isEmpty)
   }
 
@@ -102,7 +104,9 @@ class MiscOpsSpec extends AnyFunSuite {
       .toDF("flow_id", "ts", "node_name", "proto", "orig_src_ip",
         "orig_dst_ip", "orig_src_port", "orig_dst_port", "reply_src_ip",
         "reply_dst_ip", "orig_pkts", "orig_bytes", "reply_pkts", "reply_bytes")
-    val out = FlowPipeline.routeOutcomes(dupPods, nodes,
+    val prefixes = Seq((16777216L, 16779263L, 21, "aws", "region-1", "svc-a"))
+      .toDF("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service")
+    val out = FlowPipeline.routeOutcomes(dupPods, nodes, prefixes,
       graft.flow.FlowConfig())(flows)
       .select("flow_id", "outcome").as[(Long, String)].collect().toMap
     assert(out(1L) == "error_ambiguous_pod_ip")
