@@ -71,6 +71,49 @@ object TextQueries {
       |  FROM words WHERE len(w) >= 3
       |)""".stripMargin
 
+  /** MinHash-LSH parameters: `LSH_BANDS` bands × `LSH_ROWS` hashes per
+    * band. Detection probability for a pair at Jaccard j is
+    * 1 - (1 - j^r)^b — the S-curve threshold sits near (1/b)^(1/r)
+    * ≈ 0.59 for (8, 4): near-dups ≥0.7 are caught with p > 0.93 while
+    * unrelated pairs (j ≤ 0.3) collide with p < 0.07. See the
+    * lsh-detection property in PropertySpec.
+    */
+  val LSH_BANDS = 8
+  val LSH_ROWS = 4
+
+  /** Shingle document-frequency cap for the blocking Jaccard variant:
+    * boilerplate shingles ("the data ...") appearing in more than
+    * `MAX_SHINGLE_DF` docs would make the shingle-equi-join quadratic in
+    * the hottest key. Dropping them trades a little recall on pairs
+    * whose overlap is ONLY boilerplate — which are not near-dups anyway.
+    */
+  val MAX_SHINGLE_DF = 50
+
+  /** Per-band MinHash signature: for each of `bands` bands, the md5 of
+    * the concatenated `rows` per-salt minima over the doc's shingles.
+    * Pure per-row hashing + a narrow groupBy — no shuffle grows with
+    * corpus size beyond the (doc × band) signature table.
+    */
+  def minhashBanded(sh: DataFrame, bands: Int = LSH_BANDS,
+      rows: Int = LSH_ROWS): DataFrame =
+    sh.select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat((0 until rows).map(j =>
+        min(md5(concat(lit(s"h$j|"), col("band").cast("string"),
+          lit("|"), col("s"))))): _*)).as("bh"))
+
+  private def minhashBandedSql(bands: Int = LSH_BANDS,
+      rows: Int = LSH_ROWS): String = {
+    val mins = (0 until rows)
+      .map(j => s"MIN(md5('h$j|' || CAST(band AS VARCHAR) || '|' || s))")
+      .mkString(" || ")
+    s"""banded AS (
+       |  SELECT doc_id, band, md5($mins) AS bh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($bands)) AS band) bands
+       |  GROUP BY doc_id, band)""".stripMargin
+  }
+
   /** Per-lang mini-lexicon for the n-gram/stopword language heuristic. */
   private val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -93,15 +136,7 @@ object TextQueries {
 
     // MinHash + LSH banding: near-dup candidate pairs via band-bucket join
     "qt_minhash_lsh" -> ((s, d) => {
-      val sh = shingles(corpus(s, d))
-      val banded = sh
-        .select(col("doc_id"), col("s"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .groupBy("doc_id", "band")
-        .agg(md5(concat(
-          min(md5(concat(lit("a"), col("band").cast("string"), lit("|"), col("s")))),
-          min(md5(concat(lit("b"), col("band").cast("string"), lit("|"), col("s"))))))
-          .as("bh"))
+      val banded = minhashBanded(shingles(corpus(s, d)))
       val a = banded.toDF("a_id", "band", "bh")
       val b = banded.toDF("b_id", "band2", "bh2")
       a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -134,9 +169,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup via shingle blocking; exact integer scores
+    // n-gram Jaccard near-dup via shingle blocking; exact integer scores.
+    // High-document-frequency shingles are dropped BEFORE the pair join:
+    // the join key is the raw shingle, so one boilerplate phrase shared
+    // by k docs alone produces k² candidate rows — the df cap bounds the
+    // per-key blowup at MAX_SHINGLE_DF². Jaccard is then computed over
+    // the capped shingle universe on both sides (consistent sizes).
     "qt_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(corpus(s, d))
+      val all = shingles(corpus(s, d))
+      val rare = all.join(
+        all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
+        .select("doc_id", "s")
+      val sh = rare
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.toDF("a_id", "s")
       val b = sh.toDF("b_id", "s2")
@@ -217,12 +262,7 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_copies
          |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
     "qt_minhash_lsh" ->
-      s"""WITH $corpusSql, $shinglesSql, banded AS (
-         |  SELECT doc_id, band,
-         |    md5(MIN(md5('a' || CAST(band AS VARCHAR) || '|' || s))
-         |      || MIN(md5('b' || CAST(band AS VARCHAR) || '|' || s))) AS bh
-         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bands
-         |  GROUP BY doc_id, band)
+      s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()}
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -245,11 +285,16 @@ object TextQueries {
          |    THEN CAST(1 AS BIGINT) << (p * 4 + b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qt_ngram_jaccard" ->
-      s"""WITH $corpusSql, $shinglesSql, sizes AS (
-         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+      s"""WITH $corpusSql, $shinglesSql, dfreq AS (
+         |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id
          |), ij AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id, CAST(i_n AS BIGINT) AS inter,
          |  CAST(na.n + nb.n - i_n AS BIGINT) AS union_n

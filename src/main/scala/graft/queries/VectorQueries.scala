@@ -122,17 +122,29 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // embedding-cosine near-dup dedup: label-blocked pair scan over a
-    // re-ingested corpus (every 10th vector duplicated), cos >= 0.99
+    // embedding-cosine near-dup dedup over a re-ingested corpus (every
+    // 10th vector duplicated), cos >= 0.99. Blocking is (label × sign-bit
+    // LSH bucket): label alone leaves O(N²/|labels|) pairs — an all-pairs
+    // cartesian in disguise at 10⁹ vectors — while the 4-bit bucket cuts
+    // each block ~16× more and near-identical vectors (cos≥0.99) land in
+    // the same bucket with near-certainty. Approximation: a qualifying
+    // pair straddling a sign boundary is missed — the standard LSH
+    // recall trade-off, recoverable with multi-probe.
     "qv_cosine_dedup" -> ((s, d) => {
       val base = quantized(s, d)
+      val bucketExpr = "CAST(CASE WHEN element_at(q, 1) > 0 THEN 8 ELSE 0 END" +
+        " + CASE WHEN element_at(q, 17) > 0 THEN 4 ELSE 0 END" +
+        " + CASE WHEN element_at(q, 33) > 0 THEN 2 ELSE 0 END" +
+        " + CASE WHEN element_at(q, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"
       val corpus = base.select("vec_id", "label", "q", "nrm")
         .unionByName(base.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("label"),
             col("q"), col("nrm")))
-      val a = corpus.toDF("a_id", "label", "qa", "qn")
-      val b = corpus.toDF("b_id", "label2", "na", "nn")
-      a.join(b, col("label") === col("label2") && col("a_id") < col("b_id"))
+        .withColumn("bucket", expr(bucketExpr))
+      val a = corpus.toDF("a_id", "label", "qa", "qn", "bucket")
+      val b = corpus.toDF("b_id", "label2", "na", "nn", "bucket2")
+      a.join(b, col("label") === col("label2") &&
+          col("bucket") === col("bucket2") && col("a_id") < col("b_id"))
         .withColumn("dot",
           expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .withColumn("cos_bp", round(col("dot") * 10000 /
@@ -194,16 +206,23 @@ object VectorQueries {
          |FROM ranked2 WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "qv_cosine_dedup" ->
       s"""WITH $quantizedSql, corpus AS (
-         |  SELECT vec_id, label, q, nrm FROM qn
-         |  UNION ALL
-         |  SELECT vec_id + 10000, label, q, nrm FROM qn WHERE vec_id % 10 = 0
+         |  SELECT vec_id, label, q, nrm,
+         |    CAST(CASE WHEN q[1] > 0 THEN 8 ELSE 0 END
+         |      + CASE WHEN q[17] > 0 THEN 4 ELSE 0 END
+         |      + CASE WHEN q[33] > 0 THEN 2 ELSE 0 END
+         |      + CASE WHEN q[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |  FROM (
+         |    SELECT vec_id, label, q, nrm FROM qn
+         |    UNION ALL
+         |    SELECT vec_id + 10000, label, q, nrm FROM qn WHERE vec_id % 10 = 0)
          |), pairs AS (
          |  SELECT a.vec_id AS keeper, b.vec_id AS dup,
          |    (SELECT SUM(a.q[i.i] * b.q[i.i])
          |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
          |    a.nrm AS qn2, b.nrm AS nn2
          |  FROM corpus a JOIN corpus b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |    ON a.label = b.label AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id)
          |SELECT keeper, dup,
          |  CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) AS cos_bp
          |FROM pairs

@@ -33,6 +33,23 @@ object PropertySpec extends Properties("graft") {
         math.abs(back - b) <= 0.005 * math.pow(1024, factor) + 1e-6
     }
 
+  /** MinHash-LSH S-curve: p(j) = 1 - (1 - j^r)^b (bands b, rows r). */
+  private def lshDetectP(j: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+
+  property("LSH detection probability: monotone in j, sharp at the ends") =
+    forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (j1, j2) =>
+      val b = graft.queries.TextQueries.LSH_BANDS
+      val r = graft.queries.TextQueries.LSH_ROWS
+      val (lo, hi) = if (j1 <= j2) (j1, j2) else (j2, j1)
+      // monotone non-decreasing; identical docs always detected;
+      // disjoint docs never; near-dups (>=0.8) almost surely caught and
+      // unrelated pairs (<=0.3) almost surely not at the (8,4) defaults
+      lshDetectP(lo, b, r) <= lshDetectP(hi, b, r) + 1e-12 &&
+        lshDetectP(1.0, b, r) == 1.0 && lshDetectP(0.0, b, r) == 0.0 &&
+        lshDetectP(0.8, b, r) > 0.9 && lshDetectP(0.3, b, r) < 0.07
+    }
+
   private val genCidr: Gen[(Long, Int)] = for {
     len <- Gen.chooseNum(4, 30)
     raw <- genIp
