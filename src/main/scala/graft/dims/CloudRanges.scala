@@ -1,6 +1,6 @@
 package graft.dims
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ipfns._
@@ -29,10 +29,20 @@ object CloudRanges {
       .withColumn("p_end",
         col("p_start") + expr("shiftleft(CAST(1 AS BIGINT), 32 - p_len)") - 1)
 
+  /** AWS duplicate-prefix resolution: the same prefix is listed once per
+    * service; keep the highest-priority one (S3 beats AMAZON beats EC2
+    * beats the rest — public_ranges.go:163-168,185-210). Deterministic
+    * service-name tiebreak where the reference is feed-order-dependent.
+    */
+  def dedupAws(intervals: DataFrame): DataFrame =
+    dedupByPriority(intervals.withColumn("prio",
+      when(col("p_service") === "s3", -1)
+        .when(col("p_service") === "amazon", 1)
+        .when(col("p_service") === "ec2", 2)
+        .otherwise(0)))
+
   /** AWS ip-ranges.json: `{"prefixes":[{"ip_prefix":"a.b.c.d/n",
-    * "region":"...","service":"..."}]}`. Duplicate prefixes are listed
-    * once per service; keep the highest-priority one
-    * (S3 beats AMAZON beats EC2 beats the rest — public_ranges.go:163-168).
+    * "region":"...","service":"..."}]}`.
     */
   def fromAwsJson(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", true).json(path)
@@ -41,12 +51,64 @@ object CloudRanges {
         norm(col("p.region")).as("p_region"),
         norm(col("p.service")).as("p_service"))
       .withColumn("p_cloud", lit("aws"))
-    val prioritized = withInterval(flat).withColumn("prio",
-      when(col("p_service") === "s3", -1)
-        .when(col("p_service") === "amazon", 1)
-        .when(col("p_service") === "ec2", 2)
-        .otherwise(0))
-    dedupByPriority(prioritized)
+    dedupAws(withInterval(flat))
+  }
+
+  /** GCP cloud.json: `{"prefixes":[{"ipv4Prefix":"a.b.c.d/n",
+    * "service":"Google Cloud","scope":"us-east1"} | {"ipv6Prefix":...}]}`
+    * (public_ranges.go:104-117,213-231). v6 entries carry no ipv4Prefix
+    * and are skipped; scope is the region.
+    */
+  def fromGcpJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val flat = raw.select(explode(col("prefixes")).as("p"))
+      .filter(col("p.ipv4Prefix").isNotNull)
+      .select(col("p.ipv4Prefix").as("cidr"),
+        norm(coalesce(col("p.scope"), lit(""))).as("p_region"),
+        norm(coalesce(col("p.service"), lit(""))).as("p_service"))
+      .withColumn("p_cloud", lit("gcp"))
+    dedupByPriority(withInterval(flat).withColumn("prio", lit(0)))
+  }
+
+  /** Google goog.json: bare `{"prefixes":[{"ipv4Prefix":...}]}` — every
+    * range Google advertises, attributed to cloud `gcp`, service
+    * `googleservice`, region `global` (public_ranges.go:119-128,234-254:
+    * GoogleService / GoogleGlobalRegion constants).
+    */
+  def fromGoogleJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val flat = raw.select(explode(col("prefixes")).as("p"))
+      .filter(col("p.ipv4Prefix").isNotNull)
+      .select(col("p.ipv4Prefix").as("cidr"))
+      .withColumn("p_cloud", lit("gcp"))
+      .withColumn("p_region", lit("global"))
+      .withColumn("p_service", lit("googleservice"))
+    dedupByPriority(withInterval(flat).withColumn("prio", lit(0)))
+  }
+
+  /** Cross-feed merge for prefixes advertised by more than one feed,
+    * mirroring the net effect of refreshRemoteIPs's sequential map
+    * builds (public_ranges.go:159-311): the AWS map is built first, GCP
+    * overwrites it unconditionally, Google overwrites GCP/AWS
+    * unconditionally, and an Azure entry only displaces an existing
+    * non-Azure entry when it is AzureStorage (the `SystemService ==
+    * AzureStorageService` arm of the `:283` condition — the other arms
+    * cannot match a cross-cloud service name). As a rank:
+    * azurestorage(0) < google(1) < gcp(2) < aws(3) < azure-other(4).
+    * Feeds must already be internally deduped ([[dedupAws]] etc.).
+    */
+  def mergeFeeds(aws: DataFrame, gcp: DataFrame, google: DataFrame,
+      azure: DataFrame): DataFrame = {
+    val cols = Seq("p_start", "p_end", "p_len", "p_cloud", "p_region",
+      "p_service").map(col)
+    def ranked(df: DataFrame, prio: Column) =
+      df.select(cols: _*).withColumn("prio", prio)
+    dedupByPriority(
+      ranked(google, lit(1))
+        .unionByName(ranked(gcp, lit(2)))
+        .unionByName(ranked(aws, lit(3)))
+        .unionByName(ranked(azure,
+          when(col("p_service") === "azurestorage", 0).otherwise(4))))
   }
 
   /** Azure ServiceTags: `{"values":[{"properties":{"addressPrefixes":

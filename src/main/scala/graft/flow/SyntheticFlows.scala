@@ -152,6 +152,43 @@ object SyntheticFlows {
     fine.unionByName(coarse)
   }
 
+  /** Four cloud feeds shaped like the parsed AWS/GCP/Google/Azure range
+    * tables (post-JSON-parse, pre-merge), derived from `part` with exact
+    * cross-feed prefix collisions so [[graft.dims.CloudRanges.mergeFeeds]]
+    * precedence (azurestorage > google > gcp > aws > azure) is
+    * oracle-checkable. AWS includes duplicate same-prefix advertisements
+    * under a second service for the S3>AMAZON>EC2 internal dedup.
+    */
+  def cloudFeeds(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val p = Tables.part(s, dir)
+    val k = col("p_partkey")
+    val start = lit(PUB) + k * 2048
+    def feed(df: DataFrame, cloud: String, region: org.apache.spark.sql.Column,
+        service: org.apache.spark.sql.Column): DataFrame =
+      df.select(start.as("p_start"), (start + 2047).as("p_end"),
+        lit(21).as("p_len"), lit(cloud).as("p_cloud"),
+        region.as("p_region"), service.as("p_service"))
+    def awsSvc(kk: org.apache.spark.sql.Column) =
+      when(kk % 5 === 0, "s3").when(kk % 5 === 1, "amazon")
+        .when(kk % 5 === 2, "ec2").when(kk % 5 === 3, "cloudfront")
+        .otherwise("route53")
+    val aws = feed(p, "aws",
+      concat(lit("region-"), (k % 7).cast("string")), awsSvc(k))
+      .unionByName(feed(p.filter(k % 9 === 0), "aws",
+        concat(lit("region-"), (k % 7).cast("string")), awsSvc(k + 1)))
+    val gcp = feed(p.filter(k % 3 === 0), "gcp",
+      concat(lit("region-"), (k % 5).cast("string")), lit("googlecloud"))
+    val google = feed(p.filter(k % 6 === 0), "gcp",
+      lit("global"), lit("googleservice"))
+    val azure = feed(p.filter(k % 4 === 0), "azure",
+      when(k % 8 === 0, "global")
+        .otherwise(concat(lit("region-"), (k % 3).cast("string"))),
+      when(k % 12 === 0, "azurestorage").when(k % 20 === 0, "")
+        .otherwise("azurecloud"))
+    (aws, gcp, google, azure)
+  }
+
   /** Prefix feed with duplicate entries + source priority, for the A6
     * dedup-by-ranking operator (public_ranges.go:163-168,256-306 —
     * s3-beats-amazon-beats-ec2 style). Every 13th prefix appears twice.

@@ -141,6 +141,16 @@ object FlowQueries {
         .orderBy("p_start", "p_end")
     }),
 
+    // S7: 4-feed cloud-range merge with reference precedence
+    // (public_ranges.go:159-311): aws internal service dedup, then
+    // azurestorage > google > gcp > aws > azure-other per exact prefix
+    "q_cloudranges_merge" -> ((s, d) => {
+      val (aws, gcp, google, azure) = SyntheticFlows.cloudFeeds(s, d)
+      graft.dims.CloudRanges.mergeFeeds(
+        graft.dims.CloudRanges.dedupAws(aws), gcp, google, azure)
+        .orderBy("p_start", "p_end")
+    }),
+
     // P1/P2/P12: IP + formatting scalar expressions over raw flows
     "qip_funcs" -> ((s, d) => {
       val (f, _, _, _) = stages(s, d)
@@ -266,6 +276,64 @@ object FlowQueries {
          |  FROM feed)
          |SELECT p_start, p_end, p_len, p_cloud, p_region, p_service
          |FROM ranked WHERE rn = 1 ORDER BY p_start, p_end""".stripMargin,
+    "q_cloudranges_merge" ->
+      s"""WITH awsfeed AS (
+         |  SELECT 16777216 + p_partkey * 2048 AS p_start,
+         |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
+         |    'aws' AS p_cloud,
+         |    'region-' || CAST(p_partkey % 7 AS VARCHAR) AS p_region,
+         |    CASE p_partkey % 5 WHEN 0 THEN 's3' WHEN 1 THEN 'amazon'
+         |      WHEN 2 THEN 'ec2' WHEN 3 THEN 'cloudfront'
+         |      ELSE 'route53' END AS p_service
+         |  FROM part
+         |  UNION ALL
+         |  SELECT 16777216 + p_partkey * 2048,
+         |    16777216 + p_partkey * 2048 + 2047, 21, 'aws',
+         |    'region-' || CAST(p_partkey % 7 AS VARCHAR),
+         |    CASE (p_partkey + 1) % 5 WHEN 0 THEN 's3' WHEN 1 THEN 'amazon'
+         |      WHEN 2 THEN 'ec2' WHEN 3 THEN 'cloudfront' ELSE 'route53' END
+         |  FROM part WHERE p_partkey % 9 = 0
+         |), aws_d AS (
+         |  SELECT p_start, p_end, p_len, p_cloud, p_region, p_service FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY p_start, p_end
+         |      ORDER BY CASE p_service WHEN 's3' THEN -1 WHEN 'amazon' THEN 1
+         |        WHEN 'ec2' THEN 2 ELSE 0 END, p_service) AS rn
+         |    FROM awsfeed) t WHERE rn = 1
+         |), gcpfeed AS (
+         |  SELECT 16777216 + p_partkey * 2048 AS p_start,
+         |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
+         |    'gcp' AS p_cloud,
+         |    'region-' || CAST(p_partkey % 5 AS VARCHAR) AS p_region,
+         |    'googlecloud' AS p_service
+         |  FROM part WHERE p_partkey % 3 = 0
+         |), googlefeed AS (
+         |  SELECT 16777216 + p_partkey * 2048 AS p_start,
+         |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
+         |    'gcp' AS p_cloud, 'global' AS p_region,
+         |    'googleservice' AS p_service
+         |  FROM part WHERE p_partkey % 6 = 0
+         |), azurefeed AS (
+         |  SELECT 16777216 + p_partkey * 2048 AS p_start,
+         |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
+         |    'azure' AS p_cloud,
+         |    CASE WHEN p_partkey % 8 = 0 THEN 'global'
+         |      ELSE 'region-' || CAST(p_partkey % 3 AS VARCHAR) END AS p_region,
+         |    CASE WHEN p_partkey % 12 = 0 THEN 'azurestorage'
+         |      WHEN p_partkey % 20 = 0 THEN '' ELSE 'azurecloud' END AS p_service
+         |  FROM part WHERE p_partkey % 4 = 0
+         |), merged AS (
+         |  SELECT *, 1 AS prio FROM googlefeed
+         |  UNION ALL SELECT *, 2 FROM gcpfeed
+         |  UNION ALL SELECT *, 3 FROM aws_d
+         |  UNION ALL SELECT *, CASE WHEN p_service = 'azurestorage'
+         |    THEN 0 ELSE 4 END FROM azurefeed
+         |), rankedm AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_start, p_end
+         |    ORDER BY prio, p_service) AS rn
+         |  FROM merged)
+         |SELECT p_start, p_end, p_len, p_cloud, p_region, p_service
+         |FROM rankedm WHERE rn = 1 ORDER BY p_start, p_end""".stripMargin,
+
     "qip_funcs" ->
       s"""${FlowSql.base}
          |SELECT flow_id,

@@ -47,6 +47,37 @@ class DimsAndSinkSpec extends AnyFunSuite {
     assert(storage.getAs[String]("p_region") == "eastus")
   }
 
+  test("S7: GCP + Google feeds parse; merge precedence across all four") {
+    import SyntheticFlowsSpecHelpers.ipToLong
+    val gcp = CloudRanges.fromGcpJson(spark, res("gcp_cloud_ranges.json"))
+    assert(gcp.count() == 3, "v6-only entries dropped")
+    val gr = gcp.collect().map(r =>
+      r.getAs[Long]("p_start") -> r).toMap
+    assert(gr.values.forall(_.getAs[String]("p_cloud") == "gcp"))
+    assert(gr(ipToLong("34.80.0.0")).getAs[String]("p_region") == "asia-east1")
+    // P10 normalization on scope: "Asia East1" -> "asiaeast1"
+    assert(gr(ipToLong("35.185.128.0")).getAs[String]("p_region") == "asiaeast1")
+    assert(gr(ipToLong("34.80.0.0")).getAs[String]("p_service") == "googlecloud")
+    val goog = CloudRanges.fromGoogleJson(spark, res("google_ranges.json"))
+    assert(goog.count() == 3)
+    assert(goog.collect().forall(r =>
+      r.getAs[String]("p_service") == "googleservice" &&
+        r.getAs[String]("p_region") == "global" &&
+        r.getAs[String]("p_cloud") == "gcp"))
+    // 4-feed merge: 34.96.0.0/20 appears in cloud.json AND goog.json —
+    // the google loop runs last and overwrites (public_ranges.go:234-254)
+    val aws = CloudRanges.fromAwsJson(spark, res("aws_ip_ranges.json"))
+    val azure = CloudRanges.fromAzureJson(spark, res("azure_service_tags.json"))
+    val merged = CloudRanges.mergeFeeds(aws, gcp, goog, azure)
+    assert(merged.count() ==
+      aws.count() + gcp.count() + goog.count() + azure.count() - 1,
+      "exactly the one cross-feed duplicate prefix collapses")
+    val overlap = merged.filter(col("p_start") === ipToLong("34.96.0.0"))
+      .collect().head
+    assert(overlap.getAs[String]("p_service") == "googleservice" &&
+      overlap.getAs[String]("p_region") == "global")
+  }
+
   test("J4: service-by-clusterIP lookup (dead API surface, kept queryable)") {
     val services = SyntheticFlows.services(spark, sf)
     val probe = Seq(174063616L, 174063617L, 999L).toDF("ip")
