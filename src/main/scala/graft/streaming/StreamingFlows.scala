@@ -95,6 +95,12 @@ object StreamingFlows {
     * overwrites its own `batch=<id>` directory instead of duplicating
     * rows. Production target would be a Delta MERGE; plain parquet keeps
     * the zero-dependency build.
+    *
+    * READ CONTRACT: update-mode batches are cumulative per-key SNAPSHOTS,
+    * not additive deltas — batch N re-emits a key's full running value.
+    * Never union + re-sum the `batch=*` dirs (that double-counts); read
+    * through [[readLatestPerKey]], which keeps only each key's most
+    * recent batch.
     */
   def startIdempotentSink(agg: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -104,6 +110,21 @@ object StreamingFlows {
         df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+
+  /** The reader half of [[startIdempotentSink]]'s contract: resolves the
+    * upsert semantics by keeping, per key, the row from the highest
+    * batch id. `batch=<id>` dirs surface as a partition column, so the
+    * scan prunes and the per-key top-1 collapses via WindowGroupLimit.
+    */
+  def readLatestPerKey(spark: SparkSession, path: String,
+      keyCols: Seq[String]): DataFrame = {
+    val df = spark.read.option("basePath", path).parquet(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("batch").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch")
+  }
 
   /** A5: accepted-record accounting, the ObservationSummary analog
     * (server.go:62-76) — numInputRows per progress event.

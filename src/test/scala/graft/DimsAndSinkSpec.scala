@@ -135,6 +135,56 @@ class DimsAndSinkSpec extends AnyFunSuite {
     assert(b0 == Map("a" -> 2L, "b" -> 1L))
     // update mode after recovery: only 'a' changed, state carried over
     assert(b1 == Map("a" -> 3L))
+    // READ CONTRACT: batches are cumulative per-key snapshots. A naive
+    // union + re-sum would double-count 'a' (2 + 3); the latest-batch-
+    // per-key reader resolves the upsert correctly.
+    val naive = spark.read.option("basePath", s"$tmp/out")
+      .parquet(s"$tmp/out")
+      .groupBy("k").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(naive("a") == 5L, "demonstrates why union-readers are wrong")
+    val latest = StreamingFlows.readLatestPerKey(spark, s"$tmp/out", Seq("k"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("n")).toMap
+    assert(latest == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("W2: multi-file arrival — each drop becomes its own micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arrival").toString
+    val in = s"$tmp/in"
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("v", "k").coalesce(1).write.parquet(s"$in/$name")
+    addFile("f1", Seq((1L, "a"), (2L, "b")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    // 5s-dump cadence analog: one conntrack snapshot file per trigger
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val q = StreamingFlows.startIdempotentSink(agg, s"$tmp/out", s"$tmp/ck")
+    try {
+      q.processAllAvailable()
+      addFile("f2", Seq((3L, "a")))
+      q.processAllAvailable()
+      addFile("f3", Seq((4L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batches = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    // one micro-batch per file (a trailing empty finalizer batch may follow)
+    assert(batches.length >= 3, s"3 files -> >=3 micro-batches: ${batches.toSeq}")
+    val b0 = spark.read.parquet(s"$tmp/out/batch=0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = spark.read.parquet(s"$tmp/out/batch=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b0 == Map("a" -> 1L, "b" -> 1L), "batch 0 saw only the first file")
+    assert(b1 == Map("a" -> 2L), "batch 1 emitted only the key f2 changed")
+    val latest = StreamingFlows.readLatestPerKey(spark, s"$tmp/out", Seq("k"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("n")).toMap
+    assert(latest == Map("a" -> 2L, "b" -> 1L, "c" -> 1L),
+      "incremental processing accumulates across arrivals")
   }
 
   test("J6: multi-watcher chain — first snapshot in priority order wins") {
