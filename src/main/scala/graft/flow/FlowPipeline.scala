@@ -57,13 +57,23 @@ object FlowPipeline {
     if (cfg.ignoreUDP) flows.filter(col("proto") =!= 17) else flows
 
   // ---- F5: IPv6 drop (labeler.go:243-247,379-405) ----
-  /** The numeric-IP schema is v4 by construction; sources that carry v6
-    * endpoints mark rows with an `is_ipv6` flag (the proto oneof's bytes
-    * branch) and they are dropped here.
+  /** The proto carries each endpoint as a oneof `{u32 v4 | bytes v6}`
+    * (flow_handler.proto); sources surface the v6 branch as nullable
+    * BinaryType `*_ip6` columns. Any v6 endpoint drops the flow, like
+    * the reference's ErrIPv6Flow. A pre-computed `is_ipv6` flag column
+    * is honored too; pure-v4 schemas pass through untouched.
     */
-  def dropIpv6(flows: DataFrame): DataFrame =
-    if (flows.columns.contains("is_ipv6")) flows.filter(!col("is_ipv6"))
-    else flows
+  def dropIpv6(flows: DataFrame): DataFrame = {
+    val v6cols = Seq("orig_src_ip6", "orig_dst_ip6",
+      "reply_src_ip6", "reply_dst_ip6").filter(flows.columns.contains)
+    val checks =
+      v6cols.map(c => col(c).isNotNull) ++
+        (if (flows.columns.contains("is_ipv6")) Seq(col("is_ipv6")) else Nil)
+    checks.reduceOption(_ || _) match {
+      case Some(isV6) => flows.filter(!isV6)
+      case None => flows
+    }
+  }
 
   // ---- F6/J2: node-flow anti-join (labeler.go:407-427) ----
   def dropNodeFlows(nodes: DataFrame)(flows: DataFrame): DataFrame = {

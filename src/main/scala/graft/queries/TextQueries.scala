@@ -91,17 +91,24 @@ object TextQueries {
 
   /** Per-band MinHash signature: for each of `bands` bands, the md5 of
     * the concatenated `rows` per-salt minima over the doc's shingles.
-    * Pure per-row hashing + a narrow groupBy — no shuffle grows with
-    * corpus size beyond the (doc × band) signature table.
+    * All bands×rows minima are computed in ONE groupBy pass over the
+    * shingle table (b×r `min(md5(salt||s))` aggregates) — no band
+    * explode, so the shuffle carries |docs| rows of fixed-width hashes
+    * instead of bands×|shingles| rows; the (doc, band) form needed for
+    * the bucket join is then a cheap 8-way generator per doc.
     */
   def minhashBanded(sh: DataFrame, bands: Int = LSH_BANDS,
-      rows: Int = LSH_ROWS): DataFrame =
-    sh.select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat((0 until rows).map(j =>
-        min(md5(concat(lit(s"h$j|"), col("band").cast("string"),
-          lit("|"), col("s"))))): _*)).as("bh"))
+      rows: Int = LSH_ROWS): DataFrame = {
+    val mins = for { b <- 0 until bands; j <- 0 until rows } yield
+      min(md5(concat(lit(s"h$j|$b|"), col("s")))).as(s"m_${b}_$j")
+    val perDoc = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rows).map(j => col(s"m_${b}_$j")): _*)).as("bh"))
+    }
+    perDoc.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   private def minhashBandedSql(bands: Int = LSH_BANDS,
       rows: Int = LSH_ROWS): String = {
@@ -239,6 +246,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-wide heavy hitters: top-k tokens by frequency. Partial
+    // (map-side) counting keeps the exchange narrow; the final top-k is
+    // a TakeOrderedAndProject, never a full sort of the vocabulary
+    "qt_top_tokens" -> ((s, d) => {
+      corpus(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("t")).limit(20)
+    }),
+
     // token counting: whitespace + alpha-run + char accounting
     "qt_tokens" -> ((s, d) => {
       Tables.documents(s, d)
@@ -331,6 +348,11 @@ object TextQueries {
         |    AND LEN(list_distinct(string_split(text, ' '))) * 2 >= LEN(string_split(text, ' '))
         |    THEN 'good' ELSE 'bad' END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qt_top_tokens" ->
+      s"""WITH $corpusSql, toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus)
+         |SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
     "qt_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

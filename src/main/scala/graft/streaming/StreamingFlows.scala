@@ -126,6 +126,22 @@ object StreamingFlows {
       .drop("__rn", "batch")
   }
 
+  /** W10: uptime-gated source readiness (collector.go:185-223): a
+    * freshly-booted conntrack reports zero counters for a while, and
+    * serving from it would emit garbage deltas — poll until the probe
+    * yields a row, fail fast after `timeoutMs` rather than mid-stream.
+    */
+  def awaitSourceReady(probe: () => DataFrame, timeoutMs: Long = 30000,
+      pollMs: Long = 100): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ready = !probe().isEmpty
+    while (!ready && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMs)
+      ready = !probe().isEmpty
+    }
+    require(ready, s"source not ready after ${timeoutMs}ms (still empty)")
+  }
+
   /** A5: accepted-record accounting, the ObservationSummary analog
     * (server.go:62-76) — numInputRows per progress event.
     */

@@ -203,6 +203,30 @@ class DimsAndSinkSpec extends AnyFunSuite {
       .select("flow_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("F5: structural v6 — a bytes endpoint (proto oneof) drops the flow") {
+    val v6 = Array[Byte](0x20, 0x01, 0x0d, 0xb8.toByte) ++ Array.fill[Byte](12)(0)
+    val flows = Seq(
+      (1L, null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]]),
+      (2L, v6, null.asInstanceOf[Array[Byte]]),
+      (3L, null.asInstanceOf[Array[Byte]], v6))
+      .toDF("flow_id", "orig_src_ip6", "reply_src_ip6")
+    val kept = graft.flow.FlowPipeline.dropIpv6(flows)
+      .select("flow_id").as[Long].collect().toSet
+    assert(kept == Set(1L), "any v6 endpoint -> ErrIPv6Flow semantics")
+  }
+
+  test("W10: uptime-gated readiness probe waits for rows, then fails fast") {
+    @volatile var rows = Seq.empty[Long]
+    val t = new Thread(() => { Thread.sleep(300); rows = Seq(1L) })
+    t.start()
+    StreamingFlows.awaitSourceReady(() => rows.toDF("v"), timeoutMs = 5000)
+    t.join()
+    intercept[IllegalArgumentException] {
+      StreamingFlows.awaitSourceReady(
+        () => Seq.empty[Long].toDF("v"), timeoutMs = 300, pollMs = 50)
+    }
+  }
 }
 
 object SyntheticFlowsSpecHelpers {
