@@ -51,23 +51,26 @@ object TextQueries {
       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
-  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens). */
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens).
+    * Dedup happens per-row via `array_distinct` BEFORE the explode — a
+    * DataFrame-wide `.distinct()` would shuffle the entire exploded
+    * shingle table just to dedup within each doc.
+    */
   private def shingles(c: DataFrame): DataFrame =
     c.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(w) - 2)," +
-          " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
+          " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))")))
         .as("s"))
-      .distinct()
 
   private val shinglesSql: String =
     """words AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
       |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM words WHERE len(w) >= 3
       |)""".stripMargin
 
@@ -89,19 +92,23 @@ object TextQueries {
     */
   val MAX_SHINGLE_DF = 50
 
-  /** Per-band MinHash signature: for each of `bands` bands, the md5 of
-    * the concatenated `rows` per-salt minima over the doc's shingles.
-    * All bands×rows minima are computed in ONE groupBy pass over the
-    * shingle table (b×r `min(md5(salt||s))` aggregates) — no band
-    * explode, so the shuffle carries |docs| rows of fixed-width hashes
-    * instead of bands×|shingles| rows; the (doc, band) form needed for
-    * the bucket join is then a cheap 8-way generator per doc.
+  /** Per-band MinHash signature via the one-hash-many-pieces trick:
+    * ONE md5 per band per shingle (salt `g<band>|`), split into `rows`
+    * fixed-width hex substrings — each substring induces its own
+    * near-independent shingle ordering, so the `rows` per-band minima
+    * cost b md5 calls instead of b×r. Everything happens in a single
+    * groupBy pass over the shingle table (no band explode): the shuffle
+    * carries |docs| rows of fixed-width minima, and the (doc, band)
+    * form for the bucket join is a cheap 8-way generator per doc.
     */
   def minhashBanded(sh: DataFrame, bands: Int = LSH_BANDS,
       rows: Int = LSH_ROWS): DataFrame = {
+    val w = 32 / rows
+    val hashed = sh.select(col("doc_id") +: (0 until bands).map(b =>
+      md5(concat(lit(s"g$b|"), col("s"))).as(s"h$b")): _*)
     val mins = for { b <- 0 until bands; j <- 0 until rows } yield
-      min(md5(concat(lit(s"h$j|$b|"), col("s")))).as(s"m_${b}_$j")
-    val perDoc = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min(substring(col(s"h$b"), j * w + 1, w)).as(s"m_${b}_$j")
+    val perDoc = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until rows).map(j => col(s"m_${b}_$j")): _*)).as("bh"))
@@ -112,13 +119,21 @@ object TextQueries {
 
   private def minhashBandedSql(bands: Int = LSH_BANDS,
       rows: Int = LSH_ROWS): String = {
-    val mins = (0 until rows)
-      .map(j => s"MIN(md5('h$j|' || CAST(band AS VARCHAR) || '|' || s))")
-      .mkString(" || ")
-    s"""banded AS (
-       |  SELECT doc_id, band, md5($mins) AS bh
-       |  FROM sh CROSS JOIN (SELECT unnest(range($bands)) AS band) bands
-       |  GROUP BY doc_id, band)""".stripMargin
+    val w = 32 / rows
+    val hcols = (0 until bands)
+      .map(b => s"md5('g$b|' || s) AS h$b").mkString(", ")
+    val mins = (for { b <- 0 until bands; j <- 0 until rows } yield
+      s"MIN(substr(h$b, ${j * w + 1}, $w)) AS m_${b}_$j").mkString(", ")
+    val arms = (0 until bands).map { b =>
+      val cat = (0 until rows).map(j => s"m_${b}_$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM perdoc"
+    }.mkString("\n  UNION ALL ")
+    s"""hashed AS (
+       |  SELECT doc_id, $hcols FROM sh
+       |), perdoc AS (
+       |  SELECT doc_id, $mins FROM hashed GROUP BY doc_id
+       |), banded AS (
+       |  $arms)""".stripMargin
   }
 
   /** Per-lang mini-lexicon for the n-gram/stopword language heuristic. */
