@@ -65,6 +65,18 @@ object MiscQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // two-phase salted aggregation: identical result to a plain groupBy
+    // (the oracle IS the plain groupBy), with any single reducer's input
+    // bounded to ~1/factor of the hottest key — the skew tool AQE can't
+    // apply to partial-agg-defeating hot keys
+    "qskew_salted_agg" -> ((s, d) => {
+      val e = graft.Tables.events(s, d).select(
+        (col("user_id") % 7).as("k"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.ops.Salting.saltedSum(e, Seq("k"), Seq("cents"), factor = 8)
+        .orderBy("k")
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -83,6 +95,10 @@ object MiscQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "qskew_salted_agg" ->
+      """SELECT user_id % 7 AS k,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "qs_minute_agg" -> CoreQueries.oracle("q5_minute_agg"),
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
     "qm_media_meta" ->

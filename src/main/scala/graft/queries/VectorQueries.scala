@@ -155,6 +155,45 @@ object VectorQueries {
         .orderBy("keeper", "dup")
     }),
 
+    // IVF-style ANN with real cells: 16 seed vectors act as centroids,
+    // every vector is assigned to its nearest cell, queries probe only
+    // their own cell. Scale shape: the seed table broadcasts, the
+    // 16-way candidate fan-out collapses via a partial-aggregated
+    // min(struct(dist, cell)) argmin BEFORE the exchange (the shuffle
+    // carries one row per vector, not 16), and the probe is an
+    // equi-join on cell id — 1/|cells| of the corpus scanned per query.
+    "qv_ivf_ann" -> ((s, d) => {
+      val base = quantized(s, d).select("vec_id", "q", "nrm")
+      val seeds = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val dists = base.crossJoin(broadcast(seeds))
+        .withColumn("dot_s",
+          expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+      val assigned = dists.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+          first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+          col("q"), col("nrm"))
+      val qs = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("cell_id").as("cell"),
+          col("q").as("qa"), col("nrm").as("qn2"))
+      val ns = assigned
+        .select(col("vec_id").as("n_id"), col("cell_id").as("cell2"),
+          col("q").as("na"), col("nrm").as("nn2"))
+      val pairs = broadcast(qs)
+        .join(ns, col("cell") === col("cell2") && col("q_id") =!= col("n_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot") /
+          sqrt(col("qn2").cast("double") * col("nn2").cast("double")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("cell"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // per-label exact centroid norms (integer): IVF cell statistics
     "qv_label_stats" -> ((s, d) => {
       quantized(s, d)
@@ -228,6 +267,36 @@ object VectorQueries {
          |FROM pairs
          |WHERE CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) >= 9900
          |ORDER BY keeper, dup""".stripMargin,
+    "qv_ivf_ann" ->
+      s"""WITH $quantizedSql, seeds AS (
+         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+         |  FROM qn WHERE vec_id < 16
+         |), dists AS (
+         |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
+         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
+         |  FROM qn v CROSS JOIN seeds s
+         |), assigned AS (
+         |  SELECT vec_id, cell_id, q, nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell_id) AS rn FROM dists) t
+         |  WHERE rn = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS q_id, a.cell_id AS cell, b.vec_id AS n_id,
+         |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    a.nrm AS qn2, b.nrm AS nn2
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |), scored AS (
+         |  SELECT q_id, cell, n_id,
+         |    dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) AS cos
+         |  FROM pairs
+         |), rankedv AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
+         |SELECT q_id, cell, n_id, rank
+         |FROM rankedv WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "qv_label_stats" ->
       s"""WITH $quantizedSql
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
