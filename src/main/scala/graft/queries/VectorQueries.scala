@@ -155,6 +155,38 @@ object VectorQueries {
         .orderBy("keeper", "dup")
     }),
 
+    // multi-probe LSH: recall recovery for the bucketed ANN — each query
+    // probes its own bucket plus the 4 Hamming-distance-1 neighbors
+    // (one sign bit flipped), catching near neighbors that straddle a
+    // hyperplane. Probe fan-out is on the (tiny, broadcast) query side
+    // only; the corpus is still bucketed once and equi-joined, so cost
+    // is 5/2^bits of the corpus per query instead of 1/2^bits.
+    "qv_lsh_multiprobe" -> ((s, d) => {
+      val base = quantized(s, d).withColumn("bucket",
+        expr("CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 17) > 0 THEN 4 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 33) > 0 THEN 2 ELSE 0 END" +
+          " + CASE WHEN element_at(embedding, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qa"),
+          col("nrm").as("qn"),
+          explode(array(col("bucket"), col("bucket").bitwiseXOR(lit(1)),
+            col("bucket").bitwiseXOR(lit(2)), col("bucket").bitwiseXOR(lit(4)),
+            col("bucket").bitwiseXOR(lit(8)))).as("pb"))
+      val ns = base.select(col("vec_id").as("n_id"), col("q").as("na"),
+        col("nrm").as("nn"), col("bucket").as("bucket2"))
+      val pairs = broadcast(qs)
+        .join(ns, col("pb") === col("bucket2") && col("q_id") =!= col("n_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF-style ANN with real cells: 16 seed vectors act as centroids,
     // every vector is assigned to its nearest cell, queries probe only
     // their own cell. Scale shape: the seed table broadcasts, the
@@ -267,6 +299,35 @@ object VectorQueries {
          |FROM pairs
          |WHERE CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) >= 9900
          |ORDER BY keeper, dup""".stripMargin,
+    "qv_lsh_multiprobe" ->
+      s"""WITH $quantizedSql, bucketed AS (
+         |  SELECT e.vec_id, qn.q, qn.nrm,
+         |    CAST(CASE WHEN e.embedding[1] > 0 THEN 8 ELSE 0 END
+         |      + CASE WHEN e.embedding[17] > 0 THEN 4 ELSE 0 END
+         |      + CASE WHEN e.embedding[33] > 0 THEN 2 ELSE 0 END
+         |      + CASE WHEN e.embedding[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |), probes AS (
+         |  SELECT vec_id AS q_id, q AS qa, nrm AS qnrm,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |            xor(bucket, 4), xor(bucket, 8)]) AS pb
+         |  FROM bucketed WHERE vec_id < 10
+         |), pairs AS (
+         |  SELECT p.q_id, b.vec_id AS n_id,
+         |    (SELECT SUM(p.qa[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    p.qnrm AS qn2, b.nrm AS nn2
+         |  FROM probes p JOIN bucketed b
+         |    ON p.pb = b.bucket AND p.q_id <> b.vec_id
+         |), scored AS (
+         |  SELECT q_id, n_id,
+         |    dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) AS cos
+         |  FROM pairs
+         |), rankedp AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
+         |SELECT q_id, n_id, rank
+         |FROM rankedp WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "qv_ivf_ann" ->
       s"""WITH $quantizedSql, seeds AS (
          |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm

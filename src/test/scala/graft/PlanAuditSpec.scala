@@ -95,6 +95,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "map-side combine must run below the shuffle\n" + p.take(2000))
   }
 
+  test("qv_cosine_dedup: LSH-blocked pair scan is an equi-join, no cartesian") {
+    val p = plan("qv_cosine_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("qv_ivf_ann: cell assignment argmin is partial-aggregated below the exchange") {
+    val p = plan("qv_ivf_ann")
+    val partialIdx = p.indexOf("partial_min")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0 && exchangeIdx > 0 && partialIdx > exchangeIdx,
+      "the 16-way candidate fan-out must collapse map-side\n" + p.take(3000))
+  }
+
+  test("qt_minhash_lsh: banding join stays hash-based, no nested loop") {
+    val p = plan("qt_minhash_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the custom expressions (qip_funcs)") {
     val p = plan("qip_funcs")
     assert(p.contains("*("), "custom IP expressions must not break codegen")
