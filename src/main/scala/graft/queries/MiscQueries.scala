@@ -44,6 +44,18 @@ object MiscQueries {
         .orderBy("minute_start", "event_type")
     }),
 
+    // W3 as a gate, not just a spec: watermarked APPEND-mode windows —
+    // exactly the windows closed by the final watermark
+    // (max event time − 10 min) are emitted, no more, no fewer
+    "qs_watermarked_agg" -> ((s, d) => {
+      val agg = StreamingFlows.watermarkedMinuteAgg(
+        StreamingFlows.eventsStream(s, d))
+      StreamingFlows.runToMemoryAppend(s, agg)
+        .select(col("w.start").as("minute_start"), col("event_type"),
+          col("n"))
+        .orderBy("minute_start", "event_type")
+    }),
+
     // the full flow pipeline as a streaming job == batch qf_pipeline oracle
     "qs_flow_pipeline" -> ((s, d) => {
       StreamingFlows.flowPipeline(s, d)
@@ -100,6 +112,17 @@ object MiscQueries {
         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "qs_minute_agg" -> CoreQueries.oracle("q5_minute_agg"),
+    // Spark's watermark is floor-to-ms(max event time) − lateness; an
+    // append window emits once watermark >= its end (boundary included)
+    "qs_watermarked_agg" ->
+      """WITH mx AS (SELECT epoch_ms(MAX(ts)) AS maxms FROM events),
+        |m AS (SELECT date_trunc('minute', ts) AS minute_start, event_type
+        |      FROM events)
+        |SELECT minute_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m, mx
+        |WHERE epoch_ms(minute_start) + 60000 <= maxms - 600000
+        |GROUP BY minute_start, event_type
+        |ORDER BY minute_start, event_type""".stripMargin,
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
     "qm_media_meta" ->
       s"""WITH $mediaMetaSql

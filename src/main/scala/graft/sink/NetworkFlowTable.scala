@@ -54,23 +54,38 @@ object NetworkFlowTable {
     * collapsed by re-summing. Run periodically (or from foreachBatch on
     * a cadence); reads stay correct either way because readers also
     * aggregate — compaction only reclaims space and restores clustering.
+    *
+    * Like the reference's per-part merges, compaction is PER DATE
+    * PARTITION: pass `dates` to rewrite only the partitions that
+    * received late appends (at ~TB/day, a whole-table rewrite is not an
+    * option); default rewrites every partition.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val df = read(spark, path)
-    val measures = Set("bytes", "packets", "n_obs")
-    val dims = df.columns.filterNot(measures)
-    val compacted = df.groupBy(dims.map(col): _*)
-      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
-        sum("n_obs").as("n_obs"))
-    val tmp = path + "_compacting"
-    write(compacted, tmp)
+  def compact(spark: SparkSession, path: String,
+      dates: Option[Seq[String]] = None): Unit = {
     val root = new java.io.File(path)
+    val all = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .map(_.getName.stripPrefix("date="))
+    val targets = dates.map(ds => all.filter(ds.contains(_))).getOrElse(all)
     def rmRf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
       f.delete()
     }
-    rmRf(root)
-    require(new java.io.File(tmp).renameTo(root), s"rename $tmp -> $path")
+    val measures = Set("bytes", "packets", "n_obs")
+    targets.foreach { d =>
+      val part = s"$path/date=$d"
+      val df = spark.read.parquet(part)
+      val dims = df.columns.filterNot(measures)
+      val compacted = df.groupBy(dims.map(col): _*)
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"))
+        .sortWithinPartitions(sortKey.map(col): _*)
+      val tmp = new java.io.File(part + "_compacting")
+      compacted.write.option("compression", "zstd").parquet(tmp.getPath)
+      val live = new java.io.File(part)
+      rmRf(live)
+      require(tmp.renameTo(live), s"rename $tmp -> $part")
+    }
   }
 
   /** W7 TTL: drop whole expired `date=` partitions (ttl_only_drop_parts=1

@@ -64,6 +64,19 @@ object StreamingFlows {
     spark.table(name)
   }
 
+  /** Append-mode twin of [[runToMemory]] for watermarked aggregations:
+    * only windows the final watermark has closed are emitted (the
+    * trailing no-data micro-batch advances the watermark to
+    * max-event-time − lateness and flushes them).
+    */
+  def runToMemoryAppend(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming minute-grain event aggregation (W1/A2 over the raw
     * events stream) — semantically identical to the batch q5_minute_agg.
     */

@@ -84,6 +84,21 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(after.count() == n, "duplicate keys collapsed")
     assert(after.agg(sum("bytes")).collect().head.getLong(0) == 2 * bytes,
       "sums preserved (doubled input)")
+    // per-partition merges: append again, compact ONLY the first date —
+    // other partitions keep their duplicates (they were not rewritten)
+    val perDate = after.groupBy("date").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    NetworkFlowTable.write(summed, path, org.apache.spark.sql.SaveMode.Append)
+    val dates = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("date="))
+      .map(_.getName.stripPrefix("date=")).sorted
+    assert(dates.length > 1, "test needs multiple date partitions")
+    NetworkFlowTable.compact(spark, path, Some(Seq(dates.head)))
+    val byDate = NetworkFlowTable.read(spark, path).groupBy("date").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(byDate(dates.head) == perDate(dates.head), "scoped date collapsed")
+    assert(dates.tail.forall(d => byDate(d) == 2 * perDate(d)),
+      "unscoped dates left untouched")
   }
 
   test("F8 ambiguity: >1 pod per IP becomes an error outcome row") {
