@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   *    partition directories
   */
 object NetworkFlowTable {
-  /** Sort prefix mirroring the reference ORDER BY head (date implicit in
-    * partitioning; intervalStartTime, direction, then locality dims).
+  /** Sort prefix mirroring the reference ORDER BY head exactly
+    * (network_flows_0.sql:41-42; date is implicit in partitioning):
+    * intervalStartTime, direction, proto, localApp, remoteApp,
+    * localPod, remotePod.
     */
   val sortKey: Seq[String] = Seq(
-    "interval_start", "direction", "connection_class", "node_name",
-    "local_namespace", "local_pod")
+    "interval_start", "direction", "proto_name", "local_app",
+    "remote_app", "local_pod", "remote_pod")
 
   /** Write layout: RANGE-partition on (date, sortKey…) — not
     * `repartition(date)`, which maps each calendar day to ONE shuffle

@@ -63,10 +63,10 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val summed = Seq(
-      ("2024-01-01", "2024-01-01 00:01:00", "out", "INTRA_VPC", "n1", "ns", "p1"),
-      ("2024-01-02", "2024-01-02 00:01:00", "in", "PUBLIC_INTERNET", "n2", "ns", "p2"))
-      .toDF("date", "interval_start", "direction", "connection_class",
-        "node_name", "local_namespace", "local_pod")
+      ("2024-01-01", "2024-01-01 00:01:00", "out", "tcp", "a1", "a2", "p1", "p2"),
+      ("2024-01-02", "2024-01-02 00:01:00", "in", "tcp", "a3", "a4", "p3", "p4"))
+      .toDF("date", "interval_start", "direction", "proto_name",
+        "local_app", "remote_app", "local_pod", "remote_pod")
       .withColumn("date", col("date").cast("date"))
       .withColumn("interval_start", col("interval_start").cast("timestamp"))
       .withColumn("bytes", lit(1L))
