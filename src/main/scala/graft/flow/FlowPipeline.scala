@@ -111,6 +111,24 @@ object FlowPipeline {
     df
   }
 
+  /** The getFlowType truth table (labeler.go:475-499) as four predicates
+    * over (src/dst pod identity, pod node, observing node) — ONE source
+    * of truth shared by [[resolveDirection]] and [[routeOutcomes]], whose
+    * pod-join shapes differ but whose direction semantics must not.
+    * Returns (srcLocal, dstLocal, srcAssumedLocal, dstAssumedLocal);
+    * precedence is the when-cascade order.
+    */
+  private def directionPredicates(srcId: Column, srcNode: Column,
+      dstId: Column, dstNode: Column): (Column, Column, Column, Column) = {
+    val srcLocal = srcId.isNotNull && srcNode === col("node_name")
+    val dstLocal = dstId.isNotNull && dstNode === col("node_name")
+    // assume-local fallbacks: unknown IP talking to a pod known to live
+    // on a node -> the unknown side must be the local one
+    val srcAssumed = srcId.isNull && dstId.isNotNull && dstNode =!= ""
+    val dstAssumed = srcId.isNotNull && srcNode =!= "" && dstId.isNull
+    (srcLocal, dstLocal, srcAssumed, dstAssumed)
+  }
+
   def resolveDirection(pods: DataFrame, nodes: DataFrame)(flows0: DataFrame): DataFrame = {
     val flows = withFlowDefaults(flows0)
     val ambIps = broadcast(pods.groupBy(col("pod_ip"))
@@ -123,14 +141,9 @@ object FlowPipeline {
       .join(ambIps.toDF("amb_ip2"), col("reply_src_ip") === col("amb_ip2"), "left_anti")
       .join(broadcast(src), col("orig_src_ip") === col("src_pod_ip"), "left_outer")
       .join(broadcast(dst), col("reply_src_ip") === col("dst_pod_ip"), "left_outer")
-    val srcLocal = col("src_pod_name").isNotNull && col("src_pod_node") === col("node_name")
-    val dstLocal = col("dst_pod_name").isNotNull && col("dst_pod_node") === col("node_name")
-    // assume-local fallbacks: unknown src + dst pod on some node -> the
-    // src must be local (and vice versa); local pod fields stay empty
-    val srcAssumed = col("src_pod_name").isNull &&
-      col("dst_pod_name").isNotNull && col("dst_pod_node") =!= ""
-    val dstAssumed = col("src_pod_name").isNotNull &&
-      col("src_pod_node") =!= "" && col("dst_pod_name").isNull
+    val (srcLocal, dstLocal, srcAssumed, dstAssumed) = directionPredicates(
+      col("src_pod_name"), col("src_pod_node"),
+      col("dst_pod_name"), col("dst_pod_node"))
     val typed = withPods.withColumn("flow_type",
       when(srcLocal, lit("fromPod"))
         .when(dstLocal, lit("toPod"))
@@ -325,12 +338,9 @@ object FlowPipeline {
       // dst endpoint = reply tuple's source (NAT-aware, like resolveDirection)
       .join(dst, col("reply_src_ip") === col("dst_pod_ip"), "left_outer")
     val localhost = lit(SyntheticFlows.LOCALHOST)
-    val srcLocal = col("src_pod_ip").isNotNull && col("src_pod_node") === col("node_name")
-    val dstLocal = col("dst_pod_ip").isNotNull && col("dst_pod_node") === col("node_name")
-    val srcAssumed = col("src_pod_ip").isNull &&
-      col("dst_pod_ip").isNotNull && col("dst_pod_node") =!= ""
-    val dstAssumed = col("src_pod_ip").isNotNull &&
-      col("src_pod_node") =!= "" && col("dst_pod_ip").isNull
+    val (srcLocal, dstLocal, srcAssumed, dstAssumed) = directionPredicates(
+      col("src_pod_ip"), col("src_pod_node"),
+      col("dst_pod_ip"), col("dst_pod_node"))
     val directed = srcLocal || dstLocal || srcAssumed || dstAssumed
     val isFrom = srcLocal || (!dstLocal && srcAssumed)
     // LPM over the resolved remote so the same-cloud-empty-region error

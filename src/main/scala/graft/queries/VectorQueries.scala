@@ -47,6 +47,23 @@ object VectorQueries {
       |  FROM quant
       |)""".stripMargin
 
+  /** 4-bit sign-LSH bucket over 1-indexed array elements 1/17/33/49 —
+    * the ONE definition behind qv_lsh_ann / qv_lsh_multiprobe (raw
+    * `embedding`) and qv_cosine_dedup (quantized `q`, so the oracle
+    * reproduces it exactly; for components in (-0.00005, 0.00005] the
+    * two variants can differ by design, each mirrored consistently).
+    */
+  private def signBucket(arr: String): String =
+    s"CAST(CASE WHEN element_at($arr, 1) > 0 THEN 8 ELSE 0 END" +
+      s" + CASE WHEN element_at($arr, 17) > 0 THEN 4 ELSE 0 END" +
+      s" + CASE WHEN element_at($arr, 33) > 0 THEN 2 ELSE 0 END" +
+      s" + CASE WHEN element_at($arr, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"
+  private def signBucketSql(arr: String): String =
+    s"""CAST(CASE WHEN $arr[1] > 0 THEN 8 ELSE 0 END
+       |      + CASE WHEN $arr[17] > 0 THEN 4 ELSE 0 END
+       |      + CASE WHEN $arr[33] > 0 THEN 2 ELSE 0 END
+       |      + CASE WHEN $arr[49] > 0 THEN 1 ELSE 0 END AS INTEGER)""".stripMargin
+
   /** exact cosine top-k pairs for query vectors (vec_id < 10), k = 5 */
   private def topk(s: SparkSession, d: String): DataFrame = {
     val base = quantized(s, d)
@@ -101,10 +118,7 @@ object VectorQueries {
     // sign-bit LSH bucketing + within-bucket top-3 (the IVF-style path)
     "qv_lsh_ann" -> ((s, d) => {
       val base = quantized(s, d).withColumn("bucket",
-        expr("CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 17) > 0 THEN 4 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 33) > 0 THEN 2 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"))
+        expr(signBucket("embedding")))
       val qs = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("q").as("qa"),
           col("nrm").as("qn"), col("bucket"))
@@ -132,15 +146,11 @@ object VectorQueries {
     // recall trade-off, recoverable with multi-probe.
     "qv_cosine_dedup" -> ((s, d) => {
       val base = quantized(s, d)
-      val bucketExpr = "CAST(CASE WHEN element_at(q, 1) > 0 THEN 8 ELSE 0 END" +
-        " + CASE WHEN element_at(q, 17) > 0 THEN 4 ELSE 0 END" +
-        " + CASE WHEN element_at(q, 33) > 0 THEN 2 ELSE 0 END" +
-        " + CASE WHEN element_at(q, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"
       val corpus = base.select("vec_id", "label", "q", "nrm")
         .unionByName(base.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("label"),
             col("q"), col("nrm")))
-        .withColumn("bucket", expr(bucketExpr))
+        .withColumn("bucket", expr(signBucket("q")))
       val a = corpus.toDF("a_id", "label", "qa", "qn", "bucket")
       val b = corpus.toDF("b_id", "label2", "na", "nn", "bucket2")
       a.join(b, col("label") === col("label2") &&
@@ -163,10 +173,7 @@ object VectorQueries {
     // is 5/2^bits of the corpus per query instead of 1/2^bits.
     "qv_lsh_multiprobe" -> ((s, d) => {
       val base = quantized(s, d).withColumn("bucket",
-        expr("CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 17) > 0 THEN 4 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 33) > 0 THEN 2 ELSE 0 END" +
-          " + CASE WHEN element_at(embedding, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"))
+        expr(signBucket("embedding")))
       val qs = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("q").as("qa"),
           col("nrm").as("qn"),
@@ -254,10 +261,7 @@ object VectorQueries {
     "qv_lsh_ann" ->
       s"""WITH $quantizedSql, bucketed AS (
          |  SELECT e.vec_id, qn.q, qn.nrm,
-         |    CAST(CASE WHEN e.embedding[1] > 0 THEN 8 ELSE 0 END
-         |      + CASE WHEN e.embedding[17] > 0 THEN 4 ELSE 0 END
-         |      + CASE WHEN e.embedding[33] > 0 THEN 2 ELSE 0 END
-         |      + CASE WHEN e.embedding[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |    ${signBucketSql("e.embedding")} AS bucket
          |  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
          |), pairs AS (
          |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS n_id,
@@ -278,10 +282,7 @@ object VectorQueries {
     "qv_cosine_dedup" ->
       s"""WITH $quantizedSql, corpus AS (
          |  SELECT vec_id, label, q, nrm,
-         |    CAST(CASE WHEN q[1] > 0 THEN 8 ELSE 0 END
-         |      + CASE WHEN q[17] > 0 THEN 4 ELSE 0 END
-         |      + CASE WHEN q[33] > 0 THEN 2 ELSE 0 END
-         |      + CASE WHEN q[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |    ${signBucketSql("q")} AS bucket
          |  FROM (
          |    SELECT vec_id, label, q, nrm FROM qn
          |    UNION ALL
@@ -302,10 +303,7 @@ object VectorQueries {
     "qv_lsh_multiprobe" ->
       s"""WITH $quantizedSql, bucketed AS (
          |  SELECT e.vec_id, qn.q, qn.nrm,
-         |    CAST(CASE WHEN e.embedding[1] > 0 THEN 8 ELSE 0 END
-         |      + CASE WHEN e.embedding[17] > 0 THEN 4 ELSE 0 END
-         |      + CASE WHEN e.embedding[33] > 0 THEN 2 ELSE 0 END
-         |      + CASE WHEN e.embedding[49] > 0 THEN 1 ELSE 0 END AS INTEGER) AS bucket
+         |    ${signBucketSql("e.embedding")} AS bucket
          |  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
          |), probes AS (
          |  SELECT vec_id AS q_id, q AS qa, nrm AS qnrm,

@@ -81,9 +81,16 @@ object NetworkFlowTable {
       val compacted = df.groupBy(dims.map(col): _*)
         .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
           sum("n_obs").as("n_obs"))
+        // re-cluster like prepared(): the groupBy leaves arbitrary hash
+        // partitions; range-partition + sort restores min/max pruning
+        .repartitionByRange(sortKey.map(col): _*)
         .sortWithinPartitions(sortKey.map(col): _*)
-      val tmp = new java.io.File(part + "_compacting")
-      compacted.write.option("compression", "zstd").parquet(tmp.getPath)
+      // stage under a leading-underscore dir: invisible to partition
+      // discovery (like _temporary), and Overwrite makes a crashed
+      // compaction retryable instead of wedging on leftover state
+      val tmp = new java.io.File(s"$path/_compacting_$d")
+      compacted.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(tmp.getPath)
       val live = new java.io.File(part)
       rmRf(live)
       require(tmp.renameTo(live), s"rename $tmp -> $part")
