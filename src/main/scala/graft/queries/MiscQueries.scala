@@ -62,6 +62,16 @@ object MiscQueries {
         .orderBy(FlowPipeline.dimensionKey.map(col): _*)
     }),
 
+    // the PRODUCTION streaming shape: watermarked append-mode summing —
+    // emits exactly the summing rows whose window the final watermark
+    // closed, once each; oracle = batch summed table filtered to the
+    // same closed-window set
+    "qs_flow_watermarked" -> ((s, d) => {
+      val agg = StreamingFlows.watermarkedFlowPipeline(s, d)
+      StreamingFlows.runToMemoryAppend(s, agg)
+        .orderBy(FlowPipeline.dimensionKey.map(col): _*)
+    }),
+
     // binary media columns -> typed metadata via partition-batched decode
     "qm_media_meta" -> ((s, d) => {
       MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF()
@@ -124,6 +134,18 @@ object MiscQueries {
         |GROUP BY minute_start, event_type
         |ORDER BY minute_start, event_type""".stripMargin,
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
+    "qs_flow_watermarked" ->
+      s"""${graft.flow.FlowSql.summedCte},
+         |mx AS (SELECT epoch_ms(MAX(ts)) AS maxms FROM kept)
+         |SELECT s.* FROM summed s, mx
+         |WHERE epoch_ms(interval_start) + 60000 <= maxms - 600000
+         |ORDER BY date, interval_start, interval_seconds, direction,
+         |  proto_name, connection_class, node_name, local_zone,
+         |  local_namespace, local_pod, local_app, local_instance,
+         |  local_ip, local_port, remote_cloud, remote_region,
+         |  remote_service, remote_app, remote_pod, remote_namespace,
+         |  remote_instance, remote_node, remote_zone,
+         |  remote_ip, remote_port, connection_flags""".stripMargin,
     "qm_media_meta" ->
       s"""WITH $mediaMetaSql
          |SELECT media_id, kind, payload_len, format, width, height, n_frames

@@ -208,4 +208,55 @@ object StreamingFlows {
     val summed = FlowPipeline.run(flows, pods, nodes, prefixes, cfg)
     runToMemory(spark, summed)
   }
+
+  /** The PRODUCTION streaming shape of the pipeline: same label/classify
+    * stages, but the summing aggregation is a watermarked 60s window in
+    * APPEND mode — state is bounded by the lateness horizon and each
+    * summing row is emitted exactly once, when its window closes. Rows
+    * later than `lateness` belong to the batch backfill path
+    * (NetworkFlowTable append + compact). Returns the un-started
+    * aggregation; run with [[runToMemoryAppend]] or
+    * [[startIdempotentSink]].
+    */
+  def watermarkedFlowPipeline(spark: SparkSession, dir: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val flows = SyntheticFlows.flowsFromEvents(
+      eventsStream(spark, dir).select(
+        col("event_id"), col("user_id"), col("ts")))
+    val pods = SyntheticFlows.pods(spark, dir)
+    val nodes = SyntheticFlows.nodes(spark, dir)
+    val prefixes = SyntheticFlows.prefixes(spark, dir)
+    val cfg = FlowConfig(lpmViaTrie = true)
+    val labeled = flows
+      .transform(FlowPipeline.filterJunk)
+      .transform(FlowPipeline.dropUdp(cfg))
+      .transform(FlowPipeline.dropIpv6)
+      .transform(FlowPipeline.dropNodeFlows(nodes))
+      .transform(FlowPipeline.resolveDirection(pods, nodes))
+      .transform(FlowPipeline.dropUnlabeled)
+      .transform(FlowPipeline.classify(prefixes, cfg))
+      .transform(FlowPipeline.dropClassifyErrors)
+    val keyNoTime = FlowPipeline.dimensionKey
+      .filterNot(Set("date", "interval_start", "interval_seconds"))
+    // the watermark is declared HERE, after the label/filter stages, so
+    // its semantics are explicit and plan-independent: event time
+    // advances with the max ts among LABELED flows. (Declaring it at
+    // the source would not widen it: Catalyst deliberately pushes
+    // deterministic filters below EventTimeWatermark, so the stats are
+    // post-filter either way — this way the oracle can mirror the
+    // cutoff exactly.)
+    val summed = FlowPipeline.fanOut(labeled)
+      .withColumn("connection_flags", to_json(col("connection_flags")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "60 seconds").as("w") +:
+        keyNoTime.map(col): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        count(lit(1)).as("n_obs"))
+      .select(Seq(to_date(col("w.start")).as("date"),
+        col("w.start").as("interval_start"),
+        lit(60).as("interval_seconds")) ++
+        keyNoTime.map(col) ++
+        Seq(col("bytes"), col("packets"), col("n_obs")): _*)
+    FlowPipeline.annotateConstants(cfg)(summed)
+  }
 }
