@@ -90,4 +90,37 @@ object MediaOps {
       .withColumn("frame_hash",
         md5(concat(col("media_id").cast("string"), lit(":"),
           col("frame_idx").cast("string"))))
+
+  /** Aspect-preserving resize plan to a `target` bounding box (integer
+    * letterbox math — the metadata half of a resize stage; the pixel
+    * half lives behind the same decoder seam as [[FakeDecoder]]). Pure
+    * per-row projection: no shuffle, stays in codegen.
+    */
+  def resizePlan(decoded: DataFrame, target: Int = 224): DataFrame =
+    decoded
+      .withColumn("rs_w",
+        when(col("width") >= col("height"), lit(target))
+          .otherwise(greatest(lit(1),
+            expr(s"CAST(width AS BIGINT) * $target DIV height").cast("int"))))
+      .withColumn("rs_h",
+        when(col("width") >= col("height"),
+          greatest(lit(1),
+            expr(s"CAST(height AS BIGINT) * $target DIV width").cast("int")))
+          .otherwise(lit(target)))
+
+  /** Feature extraction: a deterministic 8-dim integer feature vector
+    * per media object (exploded to rows — engine-portable shape). The
+    * hash-derived values stand in for a real embedding model behind the
+    * decoder seam; the plumbing (per-row derivation, no shuffle, narrow
+    * output schema) is the production shape.
+    */
+  def extractFeatures(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("fh", md5(concat(col("media_id").cast("string"),
+        lit(":"), col("format"))))
+      .select(col("media_id"),
+        explode(expr("sequence(0, 7)")).as("feat_idx"), col("fh"))
+      .withColumn("feat_val",
+        expr("locate(substr(fh, feat_idx + 1, 1), '0123456789abcdef') - 1"))
+      .select("media_id", "feat_idx", "feat_val")
 }

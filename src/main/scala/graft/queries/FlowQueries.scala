@@ -141,6 +141,26 @@ object FlowQueries {
         .orderBy("p_start", "p_end")
     }),
 
+    // ClickHouse-compat surface as a GATE: the reference README's
+    // showcase SQL (camelCase columns, formatReadableSize) runs via
+    // spark.sql over the compat view and must hash-match the oracle
+    "q_compat_sql" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      val summed = FlowPipeline.run(f, p, n, px, cfg)
+      graft.sql.Compat.registerClickHouseFunctions(s)
+      graft.sql.Compat.compatView(summed)
+        .createOrReplaceTempView("network_flows_compat")
+      s.sql("""
+        SELECT localPod, connectionClass,
+          CAST(SUM(bytes) AS BIGINT) AS totalBytes,
+          formatReadableSize(SUM(bytes)) AS readable
+        FROM network_flows_compat
+        WHERE direction = 'out'
+        GROUP BY localPod, connectionClass
+        ORDER BY totalBytes DESC, localPod, connectionClass
+        LIMIT 20""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -276,6 +296,18 @@ object FlowQueries {
          |  FROM feed)
          |SELECT p_start, p_end, p_len, p_cloud, p_region, p_service
          |FROM ranked WHERE rn = 1 ORDER BY p_start, p_end""".stripMargin,
+    "q_compat_sql" ->
+      s"""${FlowSql.summedCte}
+         |SELECT local_pod AS "localPod", connection_class AS "connectionClass",
+         |  total_bytes AS "totalBytes", readable
+         |FROM (
+         |  SELECT local_pod, connection_class,
+         |    CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+         |    ${sqlReadable("CAST(SUM(bytes) AS BIGINT)")} AS readable
+         |  FROM summed WHERE direction = 'out'
+         |  GROUP BY local_pod, connection_class) t
+         |ORDER BY total_bytes DESC, local_pod, connection_class
+         |LIMIT 20""".stripMargin,
     "q_cloudranges_merge" ->
       s"""WITH awsfeed AS (
          |  SELECT 16777216 + p_partkey * 2048 AS p_start,

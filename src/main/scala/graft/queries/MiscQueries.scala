@@ -87,6 +87,20 @@ object MiscQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // aspect-preserving resize plan (integer letterbox math)
+    "qm_resize" -> ((s, d) => {
+      MediaOps.resizePlan(MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF())
+        .select("media_id", "width", "height", "rs_w", "rs_h")
+        .orderBy("media_id")
+    }),
+
+    // deterministic 8-dim feature extraction per media object
+    "qm_features" -> ((s, d) => {
+      MediaOps.extractFeatures(
+        MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF())
+        .orderBy("media_id", "feat_idx")
+    }),
+
     // two-phase salted aggregation: identical result to a plain groupBy
     // (the oracle IS the plain groupBy), with any single reducer's input
     // bounded to ~1/factor of the hottest key — the skew tool AQE can't
@@ -157,6 +171,26 @@ object MiscQueries {
          |FROM decoded, unnest(range(0, n_frames)) AS f(frame_idx)
          |WHERE kind = 'video'
          |ORDER BY media_id, frame_idx""".stripMargin,
+    "qm_resize" ->
+      s"""WITH $mediaMetaSql
+         |SELECT media_id, width, height,
+         |  CAST(CASE WHEN width >= height THEN 224
+         |    ELSE GREATEST(1, CAST(width AS BIGINT) * 224 // height)
+         |    END AS INTEGER) AS rs_w,
+         |  CAST(CASE WHEN width >= height
+         |    THEN GREATEST(1, CAST(height AS BIGINT) * 224 // width)
+         |    ELSE 224 END AS INTEGER) AS rs_h
+         |FROM decoded ORDER BY media_id""".stripMargin,
+    "qm_features" ->
+      s"""WITH $mediaMetaSql, fh AS (
+         |  SELECT media_id,
+         |    md5(CAST(media_id AS VARCHAR) || ':' || format) AS h
+         |  FROM decoded)
+         |SELECT media_id, CAST(f.feat_idx AS INTEGER) AS feat_idx,
+         |  CAST(strpos('0123456789abcdef', substr(h, f.feat_idx + 1, 1)) - 1
+         |    AS INTEGER) AS feat_val
+         |FROM fh, unnest(range(0, 8)) AS f(feat_idx)
+         |ORDER BY media_id, feat_idx""".stripMargin,
     "qsink_roundtrip" ->
       s"""${graft.flow.FlowSql.summedCte}
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,
