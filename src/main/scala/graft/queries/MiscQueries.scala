@@ -101,6 +101,21 @@ object MiscQueries {
         .orderBy("media_id", "feat_idx")
     }),
 
+    // §2.9 typed Aggregator as a gate: the bounded top-k talkers sketch
+    // (exact while distinct keys <= its cap) must equal the plain
+    // group-sum-order-limit oracle
+    "q_topk_talkers" -> ((s, d) => {
+      import s.implicits._
+      val ds = graft.Tables.events(s, d).select(
+        concat(lit("u"), (col("user_id") % 50).cast("string")).as("k"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+        .as[(String, Long)]
+      ds.select(new graft.functions.TopKTalkers(5).toColumn).toDF("t")
+        .select(explode(col("t")).as("kv"))
+        .select(col("kv._1").as("talker"), col("kv._2").as("cents"))
+        .orderBy(desc("cents"), asc("talker"))
+    }),
+
     // two-phase salted aggregation: identical result to a plain groupBy
     // (the oracle IS the plain groupBy), with any single reducer's input
     // bounded to ~1/factor of the hottest key — the skew tool AQE can't
@@ -131,6 +146,11 @@ object MiscQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_topk_talkers" ->
+      """SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS talker,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1
+        |ORDER BY cents DESC, talker LIMIT 5""".stripMargin,
     "qskew_salted_agg" ->
       """SELECT user_id % 7 AS k,
         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
