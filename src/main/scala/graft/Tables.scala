@@ -37,7 +37,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view for the SQL surface. */
+  /** Register every table as a temp view for the SQL surface. `events`
+    * must go through [[events]] (nanos-timestamp conversion) — a raw
+    * load either throws ILLEGAL_PARQUET_TYPE or exposes `ts` as a bare
+    * nanos LONG depending on session state.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

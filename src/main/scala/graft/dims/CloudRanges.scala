@@ -20,12 +20,18 @@ object CloudRanges {
   private def norm(c: org.apache.spark.sql.Column) =
     lower(regexp_replace(c, " ", ""))
 
-  /** cidr string -> [start,end] interval + prefix length. */
+  /** cidr string -> [start,end] interval + prefix length. The start is
+    * MASKED to the prefix boundary (Go netip / the reference trie only
+    * consume the top `len` bits): an unaligned feed entry "1.2.3.5/24"
+    * means the 1.2.3.0/24 block, not [1.2.3.5, 1.2.4.4].
+    */
   private def withInterval(df: DataFrame): DataFrame =
     df
       .withColumn("p_start", ip_to_long(split(col("cidr"), "/").getItem(0)))
       .withColumn("p_len", split(col("cidr"), "/").getItem(1).cast("int"))
       .filter(col("p_start").isNotNull && col("p_len").between(0, 32))
+      .withColumn("p_start", expr(
+        "p_start - pmod(p_start, shiftleft(CAST(1 AS BIGINT), 32 - p_len))"))
       .withColumn("p_end",
         col("p_start") + expr("shiftleft(CAST(1 AS BIGINT), 32 - p_len)") - 1)
 

@@ -63,17 +63,31 @@ object FlowPipeline {
     * the reference's ErrIPv6Flow. A pre-computed `is_ipv6` flag column
     * is honored too; pure-v4 schemas pass through untouched.
     */
-  def dropIpv6(flows: DataFrame): DataFrame = {
+  /** The v6-detection predicate over whatever v6 columns the schema
+    * carries, or literal false for pure-v4 schemas. A NULL `is_ipv6`
+    * flag means "not v6" (coalesced — a bare `!flag` filter would
+    * null-eliminate valid v4 rows).
+    */
+  /** The v6-detection predicate over whatever v6 columns the schema
+    * carries; None for pure-v4 schemas. A NULL `is_ipv6` flag means
+    * "not v6" (coalesced — a bare `!flag` filter would null-eliminate
+    * valid v4 rows).
+    */
+  private def isIpv6(flows: DataFrame): Option[Column] = {
     val v6cols = Seq("orig_src_ip6", "orig_dst_ip6",
       "reply_src_ip6", "reply_dst_ip6").filter(flows.columns.contains)
     val checks =
       v6cols.map(c => col(c).isNotNull) ++
-        (if (flows.columns.contains("is_ipv6")) Seq(col("is_ipv6")) else Nil)
-    checks.reduceOption(_ || _) match {
-      case Some(isV6) => flows.filter(!isV6)
+        (if (flows.columns.contains("is_ipv6"))
+          Seq(coalesce(col("is_ipv6"), lit(false))) else Nil)
+    checks.reduceOption(_ || _)
+  }
+
+  def dropIpv6(flows: DataFrame): DataFrame =
+    isIpv6(flows) match {
+      case Some(pred) => flows.filter(!pred)
       case None => flows
     }
-  }
 
   // ---- F6/J2: node-flow anti-join (labeler.go:407-427) ----
   def dropNodeFlows(nodes: DataFrame)(flows: DataFrame): DataFrame = {
@@ -322,7 +336,9 @@ object FlowPipeline {
     */
   def routeOutcomes(pods: DataFrame, nodes: DataFrame, prefixes: DataFrame,
       cfg: FlowConfig)(flows: DataFrame): DataFrame = {
-    val nodeIps = broadcast(nodes.select(col("node_internal_ip")))
+    // distinct: this is an existence check — duplicate node_internal_ip
+    // rows (informer churn) must not fan flow rows out through the join
+    val nodeIps = broadcast(nodes.select(col("node_internal_ip")).distinct())
     // >1 pod claiming one IP is a labeling ERROR ROW, not an exception
     // (labeler.go:449-469, server.go:100-117) — the stream must survive
     val podsByIp = pods.groupBy(col("pod_ip"))
@@ -356,6 +372,9 @@ object FlowPipeline {
           col("reply_src_ip") === localhost || col("reply_dst_ip") === localhost,
           "ignored_localhost")
         .when(lit(cfg.ignoreUDP) && col("proto") === 17, "ignored_udp")
+        // ErrIPv6Flow (labeler.go:243-247) — run() drops these via
+        // dropIpv6, so the taxonomy must account for them too
+        .when(isIpv6(flows).getOrElse(lit(false)), "ignored_ipv6")
         .when(col("n1").isNotNull || col("n2").isNotNull, "ignored_node_flow")
         .when(col("src_n") > 1 || col("dst_n") > 1, "error_ambiguous_pod_ip")
         .when(!directed, "unknown_direction")

@@ -21,6 +21,11 @@ object Salting {
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
       factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // right/full outer would emit each unmatched (replicated) dim row
+    // `factor` times — only fact-preserving join types keep the
+    // row-identical-to-plain-join contract
+    require(joinType == "inner" || joinType.startsWith("left"),
+      s"saltedJoin supports inner/left join types, not $joinType")
     // salt from the whole fact row: deterministic, uniform enough
     val factCols = facts.columns.map(col)
     val salted = facts.withColumn("__salt",

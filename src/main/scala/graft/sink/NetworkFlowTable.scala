@@ -110,10 +110,17 @@ object NetworkFlowTable {
         try java.time.LocalDate.parse(d).isBefore(cutoff)
         catch { case _: Exception => false }
       }
-    expired.foreach { dir =>
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete()
     }
+    // recursive + verified: a stray subdir (e.g. _temporary from a
+    // crashed write) must not leave a half-deleted partition that is
+    // still reported as dropped
+    expired.foreach(rmRf)
+    val leftover = expired.filter(_.exists())
+    require(leftover.isEmpty,
+      s"TTL delete incomplete for: ${leftover.map(_.getName).mkString(",")}")
     expired.map(_.getName).toSeq
   }
 }

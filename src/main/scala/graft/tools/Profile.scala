@@ -36,7 +36,9 @@ object Profile {
       .transform(FlowPipeline.resolveDirection(p, n))
       .transform(FlowPipeline.dropUnlabeled)
     t("labeled")(labeled.count())
-    val classified = labeled.transform(FlowPipeline.classify(px, cfg))
+    // trie is the default — the range variant must be asked for explicitly
+    val classified = labeled.transform(
+      FlowPipeline.classify(px, cfg.copy(lpmViaTrie = false)))
     t("classified(range)")(classified.count())
     val classifiedT = labeled.transform(
       FlowPipeline.classify(px, cfg.copy(lpmViaTrie = true)))

@@ -197,11 +197,34 @@ class DimsAndSinkSpec extends AnyFunSuite {
   }
 
   test("F5: rows flagged ipv6 are dropped when the column is present") {
-    val flows = Seq((1L, false), (2L, true), (3L, false))
+    // NULL flag = "not v6": must be kept, not null-eliminated
+    val flows = Seq((1L, Some(false)), (2L, Some(true)), (3L, None))
       .toDF("flow_id", "is_ipv6")
     val kept = graft.flow.FlowPipeline.dropIpv6(flows)
       .select("flow_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+  }
+
+  test("registerAll exposes a usable events view (nanos ts converted)") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      "SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n FROM events GROUP BY 1")
+    assert(r.schema("m").dataType.typeName == "timestamp")
+    assert(r.count() > 0)
+  }
+
+  test("unaligned CIDR start is masked to the prefix boundary") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cidr", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"prefixes":[{"ip_prefix":"1.2.3.5/24","region":"R1","service":"S"}]}""")
+    val df = CloudRanges.fromAwsJson(spark, tmp.toString).collect()
+    assert(df.length == 1)
+    // 1.2.3.5/24 means the 1.2.3.0/24 block (netip masked semantics),
+    // so trie and range-join agree
+    assert(df.head.getAs[Long]("p_start") ==
+      SyntheticFlowsSpecHelpers.ipToLong("1.2.3.0"))
+    assert(df.head.getAs[Long]("p_end") ==
+      SyntheticFlowsSpecHelpers.ipToLong("1.2.3.255"))
   }
 
   test("F5: structural v6 — a bytes endpoint (proto oneof) drops the flow") {

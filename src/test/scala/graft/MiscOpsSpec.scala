@@ -44,11 +44,17 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(dates.nonEmpty, "partitioned by date")
     val back = NetworkFlowTable.read(spark, path)
     assert(back.count() == summed.count())
+    // a stray subdir (crashed-write leftover) must not survive the drop
+    val stray = new java.io.File(
+      s"$path/${dates.head}/_temporary/task").toPath
+    java.nio.file.Files.createDirectories(stray)
     // TTL: drop everything before the last date
     val lastDate = dates.last.stripPrefix("date=")
     val dropped = NetworkFlowTable.retentionDelete(spark, path,
       java.time.LocalDate.parse(lastDate))
     assert(dropped.size == dates.length - 1)
+    assert(!new java.io.File(s"$path/${dates.head}").exists(),
+      "expired partition fully removed despite nested subdirs")
     assert(NetworkFlowTable.read(spark, path)
       .select("date").distinct().count() == 1)
   }
@@ -126,6 +132,16 @@ class MiscOpsSpec extends AnyFunSuite {
       .select("flow_id", "outcome").as[(Long, String)].collect().toMap
     assert(out(1L) == "error_ambiguous_pod_ip")
     assert(out(2L) == "labeled")
+    // v6 flows get their own ignored outcome (ErrIPv6Flow), mirroring
+    // what dropIpv6 excludes from the summing table; duplicate node-IP
+    // dim rows must not fan outcome rows out
+    val dupNodes = nodes.unionByName(nodes)
+    val v6flows = flows.withColumn("is_ipv6", col("flow_id") === 2L)
+    val out2 = FlowPipeline.routeOutcomes(dupPods, dupNodes, prefixes,
+      graft.flow.FlowConfig())(v6flows)
+      .select("flow_id", "outcome").as[(Long, String)].collect()
+    assert(out2.length == 2, "no row fan-out from duplicate node IPs")
+    assert(out2.toMap.apply(2L) == "ignored_ipv6")
   }
 
   test("typed Aggregator: bounded top-k talkers sketch is exact under cap") {
@@ -143,6 +159,14 @@ class MiscOpsSpec extends AnyFunSuite {
       .map { case (key, vs) => key -> vs.map(_._2).sum }
       .toSeq.sortBy { case (key, v) => (-v, key) }.take(3)
     assert(got == expected)
+    // over cap: space-saving eviction inherits the evicted minimum, so
+    // a true heavy hitter arriving late cannot be silently zeroed
+    val sk = new TopKTalkers(1, cap = 2)
+    var buf = sk.zero
+    Seq(("a", 1L), ("b", 1L), ("hot", 100L), ("hot", 100L))
+      .foreach(in => buf = sk.reduce(buf, in))
+    assert(sk.finish(buf).head._1 == "hot")
+    assert(sk.finish(buf).head._2 >= 200L, "count never undercuts true sum")
   }
 
   test("media decode: binary payload -> typed metadata, deterministic") {
