@@ -413,16 +413,19 @@ object LpmJoin {
   }
 
   /** Broadcast-trie variant: collect the (small) prefix dim on the driver,
-    * build an [[Ipv4Trie]], broadcast it, probe with a UDF returning the
-    * payload index, then broadcast-hash-join the payload columns back on.
-    * O(32) per probe, no shuffle, no window — THE strategy for 100 TB
-    * facts and the only one usable under Structured Streaming (window
-    * over flow_id is unsupported on streams). Mirrors the reference's
-    * in-memory patricia trie under RWMutex (remote.go:22-26).
+    * build an [[Ipv4Trie]], probe with the native codegen'd [[TrieLpm]]
+    * expression (the trie ships as a plan reference object — per-executor
+    * deserialization like a broadcast, zero UDF boxing), then
+    * broadcast-hash-join the payload columns back on. O(32) per probe,
+    * no shuffle, no window — THE strategy for 100 TB facts and the only
+    * one usable under Structured Streaming (window over flow_id is
+    * unsupported on streams). Mirrors the reference's in-memory patricia
+    * trie under RWMutex (remote.go:22-26).
     */
   def viaTrie(flows: DataFrame, prefixes: DataFrame, ip: Column): DataFrame = {
     val spark = flows.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     val rows = prefixes
       .select(col("p_start"), col("p_len"), col("p_cloud"), col("p_region"),
         col("p_service"))
@@ -430,15 +433,10 @@ object LpmJoin {
     val trie = Ipv4Trie.build(rows.zipWithIndex.map { case (r, i) =>
       (r.getLong(0), r.getInt(1), i)
     })
-    val bc = spark.sparkContext.broadcast(trie)
-    val lpmIdx = udf((ip: Long) => {
-      val r = bc.value.lookup(ip)
-      if (r < 0) None else Some(r)
-    })
     val payload = rows.zipWithIndex.map { case (r, i) =>
       (i, r.getInt(1), r.getString(2), r.getString(3), r.getString(4))
     }.toSeq.toDF("__pidx", "p_len", "p_cloud", "p_region", "p_service")
-    flows.withColumn("__p", lpmIdx(ip))
+    flows.withColumn("__p", column(TrieLpm(expression(ip), trie)))
       .join(broadcast(payload), col("__p") === col("__pidx"), "left_outer")
       .drop("__p", "__pidx")
   }

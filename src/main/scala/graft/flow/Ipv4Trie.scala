@@ -35,6 +35,38 @@ final class Ipv4Trie private (
   }
 }
 
+/** Native codegen'd LPM probe (SURVEY.md §2.9 preference order: a
+  * Catalyst `Expression` with `doGenCode` beats a Scala UDF): returns
+  * the payload index of the longest prefix containing the child IP,
+  * NULL when none matches. The trie rides the generated code as a
+  * reference object (`ctx.addReferenceObj`) — deserialized once per
+  * executor like a broadcast — and the probe call stays inside the
+  * WholeStageCodegen span instead of a boxed ScalaUDF invocation.
+  */
+case class TrieLpm(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    trie: Ipv4Trie)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = trie.lookup(v.asInstanceOf[Long])
+    if (r < 0) null else java.lang.Integer.valueOf(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trie", trie, classOf[Ipv4Trie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |int r = $ref.lookup($c);
+       |if (r < 0) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): TrieLpm =
+    copy(child = c)
+  override def prettyName: String = "trie_lpm"
+}
+
 object Ipv4Trie {
   /** Build from (prefixStart, prefixLen, payloadIdx) triples. Longer
     * prefixes naturally sit deeper, so lookup's last-seen payload is the

@@ -57,6 +57,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the range-join LPM variant would add a second (window over flow_id)
     val p = plan("qf_pipeline")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    // the LPM probe is a native codegen'd expression, not a boxed UDF
+    assert(!p.contains("UDF"), "no ScalaUDF anywhere in the headline plan")
+    assert(p.contains("trie_lpm"), p.take(3000))
   }
 
   test("sink write plan range-partitions on (date, sortKey…), not date alone") {
