@@ -136,6 +136,33 @@ object TextQueries {
        |  $arms)""".stripMargin
   }
 
+  /** Verified near-dup pairs (Jaccard >= 0.5, exact integer scores).
+    * High-document-frequency shingles are dropped BEFORE the pair join:
+    * the join key is the raw shingle, so one boilerplate phrase shared
+    * by k docs alone produces k² candidate rows — the df cap bounds the
+    * per-key blowup at MAX_SHINGLE_DF². Jaccard is then computed over
+    * the capped shingle universe on both sides (consistent sizes).
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val all = shingles(corpus(s, d))
+    val sh = all.join(
+      all.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
+      .select("doc_id", "s")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("a_id", "s")
+    val b = sh.toDF("b_id", "s2")
+    val inter = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      // jaccard >= 0.5 without float math
+      .filter(col("inter") * 2 >= col("union_n"))
+      .select("a_id", "b_id", "inter", "union_n")
+  }
+
   /** Per-lang mini-lexicon for the n-gram/stopword language heuristic. */
   private val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -192,31 +219,29 @@ object TextQueries {
     }),
 
     // n-gram Jaccard near-dup via shingle blocking; exact integer scores.
-    // High-document-frequency shingles are dropped BEFORE the pair join:
-    // the join key is the raw shingle, so one boilerplate phrase shared
-    // by k docs alone produces k² candidate rows — the df cap bounds the
-    // per-key blowup at MAX_SHINGLE_DF². Jaccard is then computed over
-    // the capped shingle universe on both sides (consistent sizes).
-    "qt_ngram_jaccard" -> ((s, d) => {
-      val all = shingles(corpus(s, d))
-      val rare = all.join(
-        all.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
-        .select("doc_id", "s")
-      val sh = rare
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("a_id", "s")
-      val b = sh.toDF("b_id", "s2")
-      val inter = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("a_id", "na"), "a_id")
-        .join(sizes.toDF("b_id", "nb"), "b_id")
-        .withColumn("union_n", col("na") + col("nb") - col("inter"))
-        // jaccard >= 0.5 without float math
-        .filter(col("inter") * 2 >= col("union_n"))
-        .select("a_id", "b_id", "inter", "union_n")
-        .orderBy("a_id", "b_id")
+    "qt_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy("a_id", "b_id")),
+
+    // the end-to-end corpus dedup DECISION: per doc, keep / drop-as-
+    // exact-copy / drop-as-near-dup — the keeper-selection workflow a
+    // training-data pipeline actually runs on top of the dedup
+    // primitives. Pairwise greedy-by-id policy (a doc drops if a
+    // smaller-id verified near-dup exists); exact beats near in the
+    // cascade so byte-identical copies are attributed precisely.
+    "qt_dedup_keep" -> ((s, d) => {
+      val c = corpus(s, d)
+      val hashes = c.select(col("doc_id"), md5(col("text")).as("h"))
+      val keepers = hashes.groupBy("h").agg(min("doc_id").as("keeper"))
+      val nearDrop = jaccardPairs(s, d)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      hashes.join(keepers, "h")
+        .join(nearDrop, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keeper"), "drop_exact")
+            .when(col("is_near"), "drop_near")
+            .otherwise("keep").as("decision"))
+        .orderBy("doc_id")
     }),
 
     // document fingerprinting: bag-of-words fingerprint groups
@@ -335,6 +360,33 @@ object TextQueries {
          |JOIN sizes nb ON ij.b_id = nb.doc_id
          |WHERE i_n * 2 >= na.n + nb.n - i_n
          |ORDER BY a_id, b_id""".stripMargin,
+    "qt_dedup_keep" ->
+      s"""WITH $corpusSql, $shinglesSql, dfreq AS (
+         |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id
+         |), ij AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), near AS (
+         |  SELECT DISTINCT b_id FROM ij
+         |  JOIN sizes na ON ij.a_id = na.doc_id
+         |  JOIN sizes nb ON ij.b_id = nb.doc_id
+         |  WHERE i_n * 2 >= na.n + nb.n - i_n
+         |), exacth AS (
+         |  SELECT doc_id, md5(text) AS h FROM corpus
+         |), keepers AS (
+         |  SELECT h, MIN(doc_id) AS keeper FROM exacth GROUP BY h)
+         |SELECT e.doc_id,
+         |  CASE WHEN e.doc_id <> k.keeper THEN 'drop_exact'
+         |       WHEN e.doc_id IN (SELECT b_id FROM near) THEN 'drop_near'
+         |       ELSE 'keep' END AS decision
+         |FROM exacth e JOIN keepers k ON e.h = k.h
+         |ORDER BY e.doc_id""".stripMargin,
     "qt_fingerprint" ->
       s"""WITH $corpusSql
          |SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
