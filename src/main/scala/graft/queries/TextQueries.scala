@@ -163,12 +163,21 @@ object TextQueries {
       .select("a_id", "b_id", "inter", "union_n")
   }
 
-  /** Per-lang mini-lexicon for the n-gram/stopword language heuristic. */
+  /** Per-lang stopword lexicon for the language-ID heuristic (the
+    * production analog swaps in a full per-language stopword list or
+    * character-n-gram model behind the same broadcast-join shape).
+    */
   private val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
-    "es" -> "el", "es" -> "la", "es" -> "y",
-    "fr" -> "le", "fr" -> "et", "fr" -> "un",
-    "de" -> "der", "de" -> "und", "de" -> "das")
+    "en" -> "is", "en" -> "to", "en" -> "in", "en" -> "that",
+    "es" -> "el", "es" -> "la", "es" -> "y", "es" -> "de",
+    "es" -> "que", "es" -> "los", "es" -> "un",
+    "fr" -> "le", "fr" -> "et", "fr" -> "un", "fr" -> "les",
+    "fr" -> "des", "fr" -> "est", "fr" -> "dans",
+    "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "die",
+    "de" -> "ist", "de" -> "nicht", "de" -> "ein",
+    "it" -> "il", "it" -> "che", "it" -> "di", "it" -> "non",
+    "pt" -> "o", "pt" -> "em", "pt" -> "uma", "pt" -> "com")
   private val lexiconSql: String =
     "lexicon(lex_lang, lex_word) AS (VALUES " +
       lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
@@ -194,14 +203,16 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash (32-bit, md5-derived bit weights), one signature per doc
+    // SimHash (60-bit: 15 md5 hex positions x 4 bits — wide enough for
+    // production Hamming-distance thresholds while staying clear of the
+    // int64 sign bit on both engines), one signature per doc
     "qt_simhash" -> ((s, d) => {
       val toks = corpus(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .withColumn("h", md5(col("t")))
       val bits = toks
         .select(col("doc_id"),
-          explode(sequence(lit(0), lit(7))).as("p"),
+          explode(sequence(lit(0), lit(14))).as("p"),
           col("h"))
         .withColumn("dv",
           expr("locate(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
@@ -334,7 +345,7 @@ object TextQueries {
          |    CASE WHEN ((strpos('0123456789abcdef', substr(h, p + 1, 1)) - 1)
          |      // CAST(pow(2, b) AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS w
          |  FROM hashed
-         |  CROSS JOIN (SELECT unnest(range(8)) AS p) ps
+         |  CROSS JOIN (SELECT unnest(range(15)) AS p) ps
          |  CROSS JOIN (SELECT unnest(range(4)) AS b) bs
          |), sums AS (
          |  SELECT doc_id, p, b, SUM(w) AS sw FROM bits GROUP BY doc_id, p, b)

