@@ -24,6 +24,10 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // scan task input ~256 MiB: large enough to amortize task setup at
+      // 100 TB (≈400k tasks), small enough to fit executor memory with
+      // zstd-decompressed batches; AQE handles shuffle-side sizing/skew
+      .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     functions.ipfns.register(spark)
