@@ -42,15 +42,20 @@ case class FlowConfig(
 object FlowPipeline {
 
   // ---- F1-F3: agent-side junk filters (collector.go:227-247) ----
+  /** The localhost check is null-safe (`<=>`): pure-v6 flows carry NULL
+    * v4 columns and must survive to [[dropIpv6]] — the stage that owns
+    * their drop, like the reference's labeler — not be silently
+    * null-eliminated here. EqualNullSafe remains a pushable predicate.
+    */
   def filterJunk(flows: DataFrame): DataFrame =
     flows
       .filter(col("orig_bytes") > 0 || col("orig_pkts") > 0 ||
         col("reply_bytes") > 0 || col("reply_pkts") > 0)
       .filter(col("proto").isin(6, 17))
-      .filter(!col("orig_src_ip").isin(SyntheticFlows.LOCALHOST) &&
-        !col("orig_dst_ip").isin(SyntheticFlows.LOCALHOST) &&
-        !col("reply_src_ip").isin(SyntheticFlows.LOCALHOST) &&
-        !col("reply_dst_ip").isin(SyntheticFlows.LOCALHOST))
+      .filter(!(col("orig_src_ip") <=> SyntheticFlows.LOCALHOST) &&
+        !(col("orig_dst_ip") <=> SyntheticFlows.LOCALHOST) &&
+        !(col("reply_src_ip") <=> SyntheticFlows.LOCALHOST) &&
+        !(col("reply_dst_ip") <=> SyntheticFlows.LOCALHOST))
 
   // ---- F4: configurable UDP drop (labeler.go:183-188) ----
   def dropUdp(cfg: FlowConfig)(flows: DataFrame): DataFrame =
@@ -58,20 +63,12 @@ object FlowPipeline {
 
   // ---- F5: IPv6 drop (labeler.go:243-247,379-405) ----
   /** The proto carries each endpoint as a oneof `{u32 v4 | bytes v6}`
-    * (flow_handler.proto); sources surface the v6 branch as nullable
-    * BinaryType `*_ip6` columns. Any v6 endpoint drops the flow, like
-    * the reference's ErrIPv6Flow. A pre-computed `is_ipv6` flag column
-    * is honored too; pure-v4 schemas pass through untouched.
-    */
-  /** The v6-detection predicate over whatever v6 columns the schema
-    * carries, or literal false for pure-v4 schemas. A NULL `is_ipv6`
-    * flag means "not v6" (coalesced — a bare `!flag` filter would
-    * null-eliminate valid v4 rows).
-    */
-  /** The v6-detection predicate over whatever v6 columns the schema
-    * carries; None for pure-v4 schemas. A NULL `is_ipv6` flag means
-    * "not v6" (coalesced — a bare `!flag` filter would null-eliminate
-    * valid v4 rows).
+    * (flow_handler.proto:30-41); sources surface the v6 branch as
+    * nullable BinaryType `*_ip6` columns. Any v6 endpoint drops the
+    * flow, like the reference's ErrIPv6Flow. Returns the v6-detection
+    * predicate over whatever v6 columns the schema carries; None for
+    * pure-v4 schemas. A NULL `is_ipv6` flag means "not v6" (coalesced —
+    * a bare `!flag` filter would null-eliminate valid v4 rows).
     */
   private def isIpv6(flows: DataFrame): Option[Column] = {
     val v6cols = Seq("orig_src_ip6", "orig_dst_ip6",

@@ -20,19 +20,24 @@ object FlowSql {
       |           (CASE WHEN event_id % 31 = 0 THEN (user_id + 1) % 20
       |                 ELSE user_id % 20 END) END AS remote_ip0,
       |    (event_id % 19) = 0 AS inbound,
-      |    (event_id % 29) = 0 AS zero
+      |    (event_id % 29) = 0 AS zero,
+      |    (event_id % 41) = 0 AS is6
       |  FROM events
       |), flows AS (
-      |  SELECT e AS flow_id, ts, node_name, proto,
-      |    CASE WHEN e % 23 = 0 THEN node_ip WHEN e % 17 = 0 THEN 2130706433
+      |  SELECT e AS flow_id, ts, node_name, proto, is6,
+      |    CASE WHEN is6 THEN NULL
+      |         WHEN e % 23 = 0 THEN node_ip WHEN e % 17 = 0 THEN 2130706433
       |         WHEN inbound THEN remote_ip0 ELSE pod_ip END AS orig_src_ip,
-      |    CASE WHEN inbound THEN pod_ip
+      |    CASE WHEN is6 THEN NULL
+      |         WHEN inbound THEN pod_ip
       |         WHEN e % 13 = 0 THEN 174063616 + (e % 25)
       |         ELSE remote_ip0 END AS orig_dst_ip,
       |    CAST(1024 + (e % 60000) AS INTEGER) AS orig_src_port,
       |    CAST(1 + (e % 65000) AS INTEGER) AS orig_dst_port,
-      |    CASE WHEN inbound THEN pod_ip ELSE remote_ip0 END AS reply_src_ip,
-      |    CASE WHEN inbound THEN remote_ip0
+      |    CASE WHEN is6 THEN NULL
+      |         WHEN inbound THEN pod_ip ELSE remote_ip0 END AS reply_src_ip,
+      |    CASE WHEN is6 THEN NULL
+      |         WHEN inbound THEN remote_ip0
       |         WHEN e % 2 = 0 THEN (CASE WHEN e % 23 = 0 THEN node_ip
       |           WHEN e % 17 = 0 THEN 2130706433 ELSE pod_ip END)
       |         ELSE node_ip END AS reply_dst_ip,
@@ -78,12 +83,17 @@ object FlowSql {
       |  FROM part WHERE p_partkey % 40 = 0
       |)""".stripMargin
 
-  /** F1-F3 junk filters (collector.go:227-247). */
+  /** F1-F3 junk filters (collector.go:227-247). IS DISTINCT FROM mirrors
+    * the Spark side's null-safe `<=>`: pure-v6 flows (NULL v4 columns)
+    * pass through to the IPv6 drop instead of being null-eliminated.
+    */
   val junkFilter: String =
     """(orig_bytes > 0 OR orig_pkts > 0 OR reply_bytes > 0 OR reply_pkts > 0)
       |  AND proto IN (6, 17)
-      |  AND orig_src_ip <> 2130706433 AND orig_dst_ip <> 2130706433
-      |  AND reply_src_ip <> 2130706433 AND reply_dst_ip <> 2130706433""".stripMargin
+      |  AND orig_src_ip IS DISTINCT FROM 2130706433
+      |  AND orig_dst_ip IS DISTINCT FROM 2130706433
+      |  AND reply_src_ip IS DISTINCT FROM 2130706433
+      |  AND reply_dst_ip IS DISTINCT FROM 2130706433""".stripMargin
 
   /** Stages F1-F6 + direction resolution + zone enrichment, up to the
     * labeled per-flow record (flow_type NULL = unlabelable, F7 pending).
@@ -93,6 +103,7 @@ object FlowSql {
       |  SELECT * FROM flows
       |  WHERE $junkFilter
       |    AND proto <> 17
+      |    AND NOT is6
       |), nofnode AS (
       |  SELECT f.* FROM filtered f
       |  WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip)

@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -59,22 +59,38 @@ object SyntheticFlows {
       .when(inbound, remoteIp)
       .otherwise(podIp)
     val zero = col("e") % 29 === 0
+    // F5: every 41st observation is a pure-v6 connection, carrying the
+    // proto's oneof {fixed32 v4 | bytes v6} endpoint shape
+    // (flow_handler.proto:30-41): its four v4 columns are NULL and four
+    // BinaryType *_ip6 columns hold 16-byte addresses (2001:db8::/32
+    // doc space). The labeler drops these (ErrIPv6Flow,
+    // labeler.go:243-247,379-405); they surface as `ignored_ipv6`
+    // outcome rows in FlowPipeline.routeOutcomes.
+    val is6 = col("e") % 41 === 0
+    def v4(c: Column): Column = when(is6, lit(null).cast("long")).otherwise(c)
+    def v6(k: Int): Column = when(is6,
+      unhex(concat(lit("20010db8"), lpad(hex(col("e") * 4 + k), 24, "0"))))
+      .otherwise(lit(null).cast("binary"))
     e.select(
       col("e").as("flow_id"),
       col("ts"),
       concat(lit("node-"), (col("u") % 20).cast("string")).as("node_name"),
       when(col("e") % 11 === 0, 1)
         .when(col("e") % 3 === 0, 17).otherwise(6).as("proto"),
-      origSrc.as("orig_src_ip"),
-      when(inbound, podIp)
+      v4(origSrc).as("orig_src_ip"),
+      v4(when(inbound, podIp)
         .when(natted, lit(SVC) + (col("e") % 25))
-        .otherwise(remoteIp).as("orig_dst_ip"),
+        .otherwise(remoteIp)).as("orig_dst_ip"),
+      v6(0).as("orig_src_ip6"),
+      v6(1).as("orig_dst_ip6"),
       (lit(1024) + (col("e") % 60000)).cast("int").as("orig_src_port"),
       (lit(1) + (col("e") % 65000)).cast("int").as("orig_dst_port"),
-      when(inbound, podIp).otherwise(remoteIp).as("reply_src_ip"),
-      when(inbound, remoteIp)
+      v4(when(inbound, podIp).otherwise(remoteIp)).as("reply_src_ip"),
+      v4(when(inbound, remoteIp)
         .when(col("e") % 2 === 0, origSrc)
-        .otherwise(nodeIp).as("reply_dst_ip"),
+        .otherwise(nodeIp)).as("reply_dst_ip"),
+      v6(2).as("reply_src_ip6"),
+      v6(3).as("reply_dst_ip6"),
       when(natted, lit(8080) + (col("e") % 1000))
         .otherwise(lit(1) + (col("e") % 65000)).cast("int").as("reply_src_port"),
       (lit(1024) + (col("e") % 60000)).cast("int").as("reply_dst_port"),

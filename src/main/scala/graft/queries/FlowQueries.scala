@@ -52,6 +52,7 @@ object FlowQueries {
       val (f, _, n, _) = stages(s, d)
       f.transform(FlowPipeline.filterJunk)
         .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropIpv6)
         .transform(FlowPipeline.dropNodeFlows(n))
         .groupBy("node_name").agg(count(lit(1)).as("n"))
         .orderBy("node_name")
@@ -62,6 +63,7 @@ object FlowQueries {
       val (f, p, n, _) = stages(s, d)
       f.transform(FlowPipeline.filterJunk)
         .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropIpv6)
         .transform(FlowPipeline.dropNodeFlows(n))
         .transform(FlowPipeline.resolveDirection(p, n))
         .transform(FlowPipeline.dropUnlabeled)
@@ -78,6 +80,7 @@ object FlowQueries {
       val (f, p, n, px) = stages(s, d)
       f.transform(FlowPipeline.filterJunk)
         .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropIpv6)
         .transform(FlowPipeline.dropNodeFlows(n))
         .transform(FlowPipeline.resolveDirection(p, n))
         .transform(FlowPipeline.dropUnlabeled)
@@ -93,6 +96,7 @@ object FlowQueries {
       val (f, p, n, px) = stages(s, d)
       f.transform(FlowPipeline.filterJunk)
         .transform(FlowPipeline.dropUdp(cfg))
+        .transform(FlowPipeline.dropIpv6)
         .transform(FlowPipeline.dropNodeFlows(n))
         .transform(FlowPipeline.resolveDirection(p, n))
         .transform(FlowPipeline.dropUnlabeled)
@@ -272,6 +276,7 @@ object FlowQueries {
          |      OR reply_src_ip = 2130706433 OR reply_dst_ip = 2130706433
          |      THEN 'ignored_localhost'
          |    WHEN proto = 17 THEN 'ignored_udp'
+         |    WHEN is6 THEN 'ignored_ipv6'
          |    WHEN nf1 OR nf2 THEN 'ignored_node_flow'
          |    WHEN src_n > 1 OR dst_n > 1 THEN 'error_ambiguous_pod_ip'
          |    WHEN NOT (src_local OR dst_local OR src_asm OR dst_asm)

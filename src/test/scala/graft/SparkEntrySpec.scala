@@ -41,4 +41,23 @@ class SparkEntrySpec extends AnyFunSuite {
     val fanned = SparkEntry.queries("q9_fanout")(spark, sf).count()
     assert(fanned == 2 * li)
   }
+
+  test("F5 end-to-end: the derived corpus carries pure-v6 flows that " +
+    "survive the junk filters and die exactly at dropIpv6") {
+    import org.apache.spark.sql.functions._
+    val flows = graft.flow.SyntheticFlows.flows(spark, sf)
+    // proto oneof shape: v4 and v6 branches are mutually exclusive
+    Seq("orig_src", "orig_dst", "reply_src", "reply_dst").foreach { p =>
+      assert(flows.schema(s"${p}_ip6").dataType.typeName == "binary")
+      assert(flows.filter(col(s"${p}_ip6").isNotNull &&
+        col(s"${p}_ip").isNotNull).isEmpty, s"$p: oneof violated")
+    }
+    val v6 = flows.filter(col("orig_src_ip6").isNotNull)
+    assert(v6.count() > 0, "the v6 slice must be non-empty")
+    // null-safe localhost filter lets v6 flows through to dropIpv6
+    val junked = graft.flow.FlowPipeline.filterJunk(flows)
+    assert(junked.filter(col("orig_src_ip6").isNotNull).count() > 0)
+    assert(graft.flow.FlowPipeline.dropIpv6(junked)
+      .filter(col("orig_src_ip6").isNotNull).isEmpty)
+  }
 }
