@@ -144,11 +144,19 @@ object TextQueries {
     * the capped shingle universe on both sides (consistent sizes).
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // The shingle lineage (scan → split → explode) feeds the df filter,
+    // both join sides, and the sizes agg; Spark only reuses identical
+    // exchanges opportunistically, so without a persist the corpus is
+    // re-shingled 3-4×. Both frames are persisted: Spark's CacheManager
+    // matches by canonicalized plan, so qt_ngram_jaccard and
+    // qt_dedup_keep (which each call this) share one materialization.
     val all = shingles(corpus(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = all.join(
       all.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
       .select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("a_id", "s")
     val b = sh.toDF("b_id", "s2")
@@ -205,27 +213,30 @@ object TextQueries {
 
     // SimHash (60-bit: 15 md5 hex positions x 4 bits — wide enough for
     // production Hamming-distance thresholds while staying clear of the
-    // int64 sign bit on both engines), one signature per doc
+    // int64 sign bit on both engines), one signature per doc. Single
+    // per-doc pass, integer-only: each token's first 15 md5 hex chars
+    // parse into ONE packed 60-bit long, the 60 bit-counts are plain
+    // shiftright/&1 sums partial-aggregated map-side (no position/bit
+    // row explode, no per-position string ops), and a bit sets when its
+    // ones outnumber zeros (2·ones > n_tokens ⟺ Σ±1 > 0). The exchange
+    // carries |docs| rows, not |tokens|×60.
     "qt_simhash" -> ((s, d) => {
       val toks = corpus(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", md5(col("t")))
-      val bits = toks
         .select(col("doc_id"),
-          explode(sequence(lit(0), lit(14))).as("p"),
-          col("h"))
-        .withColumn("dv",
-          expr("locate(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
-        .select(col("doc_id"), col("p"),
-          explode(sequence(lit(0), lit(3))).as("b"), col("dv"))
-        .withColumn("w",
-          expr("CASE WHEN (dv div CAST(pow(2, b) AS INT)) % 2 = 1 THEN 1 ELSE -1 END"))
-      bits.groupBy("doc_id", "p", "b")
-        .agg(sum("w").as("sw"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("sw") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), p * 4 + b)")).otherwise(0L))
-          .as("simhash"))
+          expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)").as("v"))
+      // hex char p (0-based) has numeric weight 16^(14-p) in v, so bit b
+      // of digit p sits at packed position (14-p)*4 + b; the signature
+      // re-packs it at p*4 + b (same layout as the oracle's explode)
+      val sums = (for { p <- 0 until 15; b <- 0 until 4 } yield
+        sum(expr(s"shiftright(v, ${(14 - p) * 4 + b}) & 1"))
+          .as(s"o_${p}_$b")) :+ count(lit(1)).as("nt")
+      val packed = (for { p <- 0 until 15; b <- 0 until 4 } yield
+        when(col(s"o_${p}_$b") * 2 > col("nt"), lit(1L << (p * 4 + b)))
+          .otherwise(0L))
+        .reduce(_ + _)
+      toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), packed.as("simhash"))
         .orderBy("doc_id")
     }),
 
