@@ -51,6 +51,71 @@ object NetworkFlowTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ---- maintenance (compaction + TTL) over the Hadoop FileSystem API:
+  //      the same code runs against file://, hdfs://, or any FS with a
+  //      Hadoop connector. (On S3-style object stores rename is not
+  //      atomic; the staged-swap protocol below stays safe there because
+  //      every step is idempotent and recoverMaintenance rolls an
+  //      interrupted swap forward — but a production deployment at that
+  //      scale should prefer a table format with a commit protocol,
+  //      Delta/Iceberg.)
+
+  private def fsFor(spark: SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def listDatePartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map(_.getPath.getName.stripPrefix("date="))
+
+  /** Crash recovery for [[compact]]'s staged swap. The swap sequence per
+    * date is: write `_compacting_<d>` → rename live `date=<d>` aside to
+    * `_old_<d>` → rename `_compacting_<d>` into place → delete
+    * `_old_<d>`. Each interruption point is distinguishable from the
+    * directories left behind, so this rolls every partition forward (or
+    * back) to a consistent state:
+    *  - `_old_` present, live present      → crash mid-cleanup: the swap
+    *    committed; delete `_old_`.
+    *  - `_old_` present, live absent, `_compacting_` present → crash
+    *    between the renames: the staged data is complete (the aside
+    *    rename only happens after the write returns), so promote it and
+    *    delete `_old_`.
+    *  - `_old_` present, live absent, no `_compacting_`     → defensive:
+    *    restore `_old_` to live (cannot happen under the protocol).
+    *  - `_compacting_` present, no `_old_` → crash before the aside
+    *    rename: the live partition is intact; delete the stale staging.
+    * Runs automatically at [[compact]] entry; idempotent.
+    */
+  def recoverMaintenance(spark: SparkSession, path: String): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+    def p(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    names.filter(_.startsWith("_old_")).foreach { oldName =>
+      val d = oldName.stripPrefix("_old_")
+      val live = p(s"date=$d")
+      val staged = p(s"_compacting_$d")
+      if (fs.exists(live)) fs.delete(p(oldName), true)
+      else if (fs.exists(staged)) {
+        require(fs.rename(staged, live), s"recover: promote $staged failed")
+        fs.delete(p(oldName), true)
+      } else require(fs.rename(p(oldName), live),
+        s"recover: restore $oldName failed")
+    }
+    names.filter(_.startsWith("_compacting_")).foreach { stName =>
+      val d = stName.stripPrefix("_compacting_")
+      if (!fs.exists(p(s"_old_$d")) && fs.exists(p(s"date=$d")) &&
+        fs.exists(p(stName)))
+        fs.delete(p(stName), true)
+    }
+  }
+
   /** The background-merge analog (SummingMergeTree, DDL :39): rows
     * appended by late micro-batches that share the dimension key are
     * collapsed by re-summing. Run periodically (or from foreachBatch on
@@ -61,22 +126,25 @@ object NetworkFlowTable {
     * PARTITION: pass `dates` to rewrite only the partitions that
     * received late appends (at ~TB/day, a whole-table rewrite is not an
     * option); default rewrites every partition.
+    *
+    * The live partition is never deleted before its replacement is in
+    * place: it is renamed aside to `_old_<d>` (leading underscore =
+    * invisible to partition discovery), the staged data promoted, and
+    * only then the aside copy dropped. A crash at any point is repaired
+    * by [[recoverMaintenance]] without data loss.
     */
   def compact(spark: SparkSession, path: String,
       dates: Option[Seq[String]] = None): Unit = {
-    val root = new java.io.File(path)
-    val all = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
-      .map(_.getName.stripPrefix("date="))
+    recoverMaintenance(spark, path)
+    val (fs, root) = fsFor(spark, path)
+    val all = listDatePartitions(fs, root)
     val targets = dates.map(ds => all.filter(ds.contains(_))).getOrElse(all)
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-      f.delete()
-    }
     val measures = Set("bytes", "packets", "n_obs")
     targets.foreach { d =>
-      val part = s"$path/date=$d"
-      val df = spark.read.parquet(part)
+      val live = new org.apache.hadoop.fs.Path(root, s"date=$d")
+      val staged = new org.apache.hadoop.fs.Path(root, s"_compacting_$d")
+      val aside = new org.apache.hadoop.fs.Path(root, s"_old_$d")
+      val df = spark.read.parquet(live.toString)
       val dims = df.columns.filterNot(measures)
       val compacted = df.groupBy(dims.map(col): _*)
         .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
@@ -85,15 +153,11 @@ object NetworkFlowTable {
         // partitions; range-partition + sort restores min/max pruning
         .repartitionByRange(sortKey.map(col): _*)
         .sortWithinPartitions(sortKey.map(col): _*)
-      // stage under a leading-underscore dir: invisible to partition
-      // discovery (like _temporary), and Overwrite makes a crashed
-      // compaction retryable instead of wedging on leftover state
-      val tmp = new java.io.File(s"$path/_compacting_$d")
       compacted.write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd").parquet(tmp.getPath)
-      val live = new java.io.File(part)
-      rmRf(live)
-      require(tmp.renameTo(live), s"rename $tmp -> $part")
+        .option("compression", "zstd").parquet(staged.toString)
+      require(fs.rename(live, aside), s"rename $live -> $aside")
+      require(fs.rename(staged, live), s"rename $staged -> $live")
+      fs.delete(aside, true)
     }
   }
 
@@ -102,25 +166,21 @@ object NetworkFlowTable {
     */
   def retentionDelete(spark: SparkSession, path: String,
       cutoff: java.time.LocalDate): Seq[String] = {
-    val root = new java.io.File(path)
-    val expired = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
-      .filter { f =>
-        val d = f.getName.stripPrefix("date=")
-        try java.time.LocalDate.parse(d).isBefore(cutoff)
-        catch { case _: Exception => false }
-      }
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-      f.delete()
+    val (fs, root) = fsFor(spark, path)
+    val expired = listDatePartitions(fs, root).filter { d =>
+      try java.time.LocalDate.parse(d).isBefore(cutoff)
+      catch { case _: Exception => false }
     }
     // recursive + verified: a stray subdir (e.g. _temporary from a
     // crashed write) must not leave a half-deleted partition that is
     // still reported as dropped
-    expired.foreach(rmRf)
-    val leftover = expired.filter(_.exists())
+    val leftover = expired.filter { d =>
+      val p = new org.apache.hadoop.fs.Path(root, s"date=$d")
+      fs.delete(p, true)
+      fs.exists(p)
+    }
     require(leftover.isEmpty,
-      s"TTL delete incomplete for: ${leftover.map(_.getName).mkString(",")}")
-    expired.map(_.getName).toSeq
+      s"TTL delete incomplete for: ${leftover.mkString(",")}")
+    expired.map("date=" + _)
   }
 }

@@ -107,6 +107,45 @@ class MiscOpsSpec extends AnyFunSuite {
       "unscoped dates left untouched")
   }
 
+  test("compaction crash windows roll forward without data loss") {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val summed = FlowPipeline.run(
+      SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+      SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf))
+    val path = Files.createTempDirectory("graft_crash_spec").toString + "/t"
+    NetworkFlowTable.write(summed, path)
+    val n = summed.count()
+    val dates = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).sorted
+    assert(dates.length >= 2)
+    def cpTree(src: Path, dst: Path): Unit = {
+      Files.walk(src).forEach { s =>
+        val d = dst.resolve(src.relativize(s))
+        if (Files.isDirectory(s)) Files.createDirectories(d)
+        else Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val d0 = dates(0).stripPrefix("date=")
+    val d1 = dates(1).stripPrefix("date=")
+    // crash BETWEEN the renames: live gone, _old_ + complete _compacting_
+    cpTree(Paths.get(path, s"date=$d0"), Paths.get(path, s"_compacting_$d0"))
+    Files.move(Paths.get(path, s"date=$d0"), Paths.get(path, s"_old_$d0"))
+    // crash BEFORE the aside rename: live intact, stale _compacting_
+    cpTree(Paths.get(path, s"date=$d1"), Paths.get(path, s"_compacting_$d1"))
+    NetworkFlowTable.recoverMaintenance(spark, path)
+    val names = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("_old_")), "aside dirs cleaned")
+    assert(!names.exists(_.startsWith("_compacting_")), "staging cleaned")
+    assert(names.contains(s"date=$d0") && names.contains(s"date=$d1"))
+    assert(NetworkFlowTable.read(spark, path).count() == n,
+      "no rows lost across either crash window")
+    // crash mid-cleanup: swap committed, only _old_ left behind
+    cpTree(Paths.get(path, s"date=$d0"), Paths.get(path, s"_old_$d0"))
+    NetworkFlowTable.recoverMaintenance(spark, path)
+    assert(!new java.io.File(path, s"_old_$d0").exists())
+    assert(NetworkFlowTable.read(spark, path).count() == n)
+  }
+
   test("F8 ambiguity: >1 pod per IP becomes an error outcome row") {
     import spark.implicits._
     val dupPods = Seq(
