@@ -96,12 +96,15 @@ object CloudRanges {
     * mirroring the net effect of refreshRemoteIPs's sequential map
     * builds (public_ranges.go:159-311): the AWS map is built first, GCP
     * overwrites it unconditionally, Google overwrites GCP/AWS
-    * unconditionally, and an Azure entry only displaces an existing
-    * non-Azure entry when it is AzureStorage (the `SystemService ==
-    * AzureStorageService` arm of the `:283` condition — the other arms
-    * cannot match a cross-cloud service name). As a rank:
-    * azurestorage(0) < google(1) < gcp(2) < aws(3) < azure-other(4).
-    * Feeds must already be internally deduped ([[dedupAws]] etc.).
+    * unconditionally; then the Azure pass (`:283`) displaces the
+    * standing entry when the Azure entry is AzureStorage OR when it has
+    * a non-empty SystemService and the standing entry's service is
+    * empty (fromGcpJson can emit `p_service = ''`, so that cross-feed
+    * arm is reachable). Two ranking stages: the pre-Azure winner is
+    * google(1) < gcp(2) < aws(3); the Azure pass then ranks
+    * azurestorage(0) < standing-nonempty(1) < azure-nonempty(1.5) <
+    * standing-empty(2) < azure-empty(3). Feeds must already be
+    * internally deduped ([[dedupAws]] etc.).
     */
   def mergeFeeds(aws: DataFrame, gcp: DataFrame, google: DataFrame,
       azure: DataFrame): DataFrame = {
@@ -109,12 +112,17 @@ object CloudRanges {
       "p_service").map(col)
     def ranked(df: DataFrame, prio: Column) =
       df.select(cols: _*).withColumn("prio", prio)
+    val standing = dedupByPriority(
+      ranked(google, lit(1.0))
+        .unionByName(ranked(gcp, lit(2.0)))
+        .unionByName(ranked(aws, lit(3.0))))
     dedupByPriority(
-      ranked(google, lit(1))
-        .unionByName(ranked(gcp, lit(2)))
-        .unionByName(ranked(aws, lit(3)))
+      ranked(standing,
+        when(col("p_service") === "", lit(2.0)).otherwise(lit(1.0)))
         .unionByName(ranked(azure,
-          when(col("p_service") === "azurestorage", 0).otherwise(4))))
+          when(col("p_service") === "azurestorage", lit(0.0))
+            .when(col("p_service") =!= "", lit(1.5))
+            .otherwise(lit(3.0)))))
   }
 
   /** Azure ServiceTags: `{"values":[{"properties":{"addressPrefixes":

@@ -45,7 +45,8 @@ final class Ipv4Trie private (
   */
 case class TrieLpm(child: org.apache.spark.sql.catalyst.expressions.Expression,
     trie: Ipv4Trie)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.ExpectsLongInput {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.IntegerType

@@ -193,14 +193,19 @@ object SyntheticFlows {
       concat(lit("region-"), (k % 7).cast("string")), awsSvc(k))
       .unionByName(feed(p.filter(k % 9 === 0), "aws",
         concat(lit("region-"), (k % 7).cast("string")), awsSvc(k + 1)))
+    // every 12th gcp entry publishes an EMPTY service (fromGcpJson can),
+    // google skips those prefixes, and azure advertises them with a
+    // non-empty service — exercising the public_ranges.go:283 arm where
+    // a non-storage Azure entry displaces a standing empty-service one
     val gcp = feed(p.filter(k % 3 === 0), "gcp",
-      concat(lit("region-"), (k % 5).cast("string")), lit("googlecloud"))
-    val google = feed(p.filter(k % 6 === 0), "gcp",
+      concat(lit("region-"), (k % 5).cast("string")),
+      when(k % 12 === 0, "").otherwise("googlecloud"))
+    val google = feed(p.filter(k % 6 === 0 && k % 12 =!= 0), "gcp",
       lit("global"), lit("googleservice"))
     val azure = feed(p.filter(k % 4 === 0), "azure",
       when(k % 8 === 0, "global")
         .otherwise(concat(lit("region-"), (k % 3).cast("string"))),
-      when(k % 12 === 0, "azurestorage").when(k % 20 === 0, "")
+      when(k % 8 === 0, "azurestorage").when(k % 20 === 0, "")
         .otherwise("azurecloud"))
     (aws, gcp, google, azure)
   }

@@ -37,12 +37,21 @@ class TopKTalkers(k: Int, cap: Int = 1024)
       acc.updated(key, acc.getOrElse(key, 0L) + v)
     })
 
-  /** Merging two summaries sums common keys then keeps the top `cap`
-    * (standard mergeable-summary compaction; error stays bounded by the
-    * dropped counts). */
+  /** Merging two summaries sums common keys then keeps the top `cap`,
+    * folding the LARGEST dropped count into the kept minimum. That
+    * preserves the space-saving overestimate invariant across merges
+    * (any dropped key's true count <= the kept minimum), so the "a true
+    * heavy hitter cannot be silently zeroed" guarantee holds in the
+    * over-cap regime too — plain truncation would break it exactly at
+    * partial-buffer merge boundaries. */
   private def shrink(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= cap) m
-    else m.toSeq.sortBy { case (key, v) => (-v, key) }.take(cap).toMap
+    else {
+      val sorted = m.toSeq.sortBy { case (key, v) => (-v, key) }
+      val kept = sorted.take(cap)
+      val (minKey, minV) = kept.last
+      (kept.init :+ (minKey -> (minV + sorted(cap)._2))).toMap
+    }
 
   override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (key, v) => (-v, key) }.take(k)

@@ -341,33 +341,42 @@ object FlowQueries {
          |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
          |    'gcp' AS p_cloud,
          |    'region-' || CAST(p_partkey % 5 AS VARCHAR) AS p_region,
-         |    'googlecloud' AS p_service
+         |    CASE WHEN p_partkey % 12 = 0 THEN ''
+         |      ELSE 'googlecloud' END AS p_service
          |  FROM part WHERE p_partkey % 3 = 0
          |), googlefeed AS (
          |  SELECT 16777216 + p_partkey * 2048 AS p_start,
          |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
          |    'gcp' AS p_cloud, 'global' AS p_region,
          |    'googleservice' AS p_service
-         |  FROM part WHERE p_partkey % 6 = 0
+         |  FROM part WHERE p_partkey % 6 = 0 AND p_partkey % 12 <> 0
          |), azurefeed AS (
          |  SELECT 16777216 + p_partkey * 2048 AS p_start,
          |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
          |    'azure' AS p_cloud,
          |    CASE WHEN p_partkey % 8 = 0 THEN 'global'
          |      ELSE 'region-' || CAST(p_partkey % 3 AS VARCHAR) END AS p_region,
-         |    CASE WHEN p_partkey % 12 = 0 THEN 'azurestorage'
+         |    CASE WHEN p_partkey % 8 = 0 THEN 'azurestorage'
          |      WHEN p_partkey % 20 = 0 THEN '' ELSE 'azurecloud' END AS p_service
          |  FROM part WHERE p_partkey % 4 = 0
-         |), merged AS (
+         |), standing0 AS (
          |  SELECT *, 1 AS prio FROM googlefeed
          |  UNION ALL SELECT *, 2 FROM gcpfeed
          |  UNION ALL SELECT *, 3 FROM aws_d
-         |  UNION ALL SELECT *, CASE WHEN p_service = 'azurestorage'
-         |    THEN 0 ELSE 4 END FROM azurefeed
+         |), standing AS (
+         |  SELECT p_start, p_end, p_len, p_cloud, p_region, p_service FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY p_start, p_end
+         |      ORDER BY prio, p_service) AS rn FROM standing0) t WHERE rn = 1
+         |), combined AS (
+         |  SELECT *, CASE WHEN p_service = '' THEN 2.0 ELSE 1.0 END AS prio
+         |  FROM standing
+         |  UNION ALL
+         |  SELECT *, CASE WHEN p_service = 'azurestorage' THEN 0.0
+         |    WHEN p_service <> '' THEN 1.5 ELSE 3.0 END FROM azurefeed
          |), rankedm AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_start, p_end
          |    ORDER BY prio, p_service) AS rn
-         |  FROM merged)
+         |  FROM combined)
          |SELECT p_start, p_end, p_len, p_cloud, p_region, p_service
          |FROM rankedm WHERE rn = 1 ORDER BY p_start, p_end""".stripMargin,
 

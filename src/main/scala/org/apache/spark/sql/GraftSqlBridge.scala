@@ -12,3 +12,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** `ExpectsInputTypes.inputTypes` returns `Seq[AbstractDataType]`, and
+  * `AbstractDataType` is `private[sql]` — so a custom expression outside
+  * Spark's namespace cannot declare its input types directly. This trait
+  * declares them from inside the namespace; extending it gives graft
+  * expressions analysis-time type checking + implicit input casts
+  * instead of runtime ClassCastExceptions.
+  */
+trait ExpectsLongInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+}

@@ -78,6 +78,26 @@ class DimsAndSinkSpec extends AnyFunSuite {
       overlap.getAs[String]("p_region") == "global")
   }
 
+  test("S7 merge: non-storage Azure displaces only standing entries " +
+    "with an EMPTY service (public_ranges.go:283 cross-feed arm)") {
+    def feedOf(rows: (Long, String, String)*) = rows.toSeq
+      .toDF("p_start", "p_region", "p_service")
+      .withColumn("p_end", col("p_start") + 255)
+      .withColumn("p_len", lit(24))
+      .withColumn("p_cloud", lit("x"))
+      .select("p_start", "p_end", "p_len", "p_cloud", "p_region", "p_service")
+    val empty = feedOf().limit(0)
+    // prefix A: gcp publishes service '' -> azurecloud displaces it
+    // prefix B: gcp publishes a service  -> gcp stands
+    val gcp = feedOf((1000L, "r1", ""), (2000L, "r1", "gcpsvc"))
+    val azure = feedOf((1000L, "az1", "azurecloud"), (2000L, "az1", "azurecloud"))
+    val merged = CloudRanges.mergeFeeds(empty, gcp, empty, azure)
+      .collect().map(r => r.getAs[Long]("p_start") ->
+        r.getAs[String]("p_service")).toMap
+    assert(merged(1000L) == "azurecloud", "empty-service entry displaced")
+    assert(merged(2000L) == "gcpsvc", "non-empty entry stands")
+  }
+
   test("J4: service-by-clusterIP lookup (dead API surface, kept queryable)") {
     val services = SyntheticFlows.services(spark, sf)
     val probe = Seq(174063616L, 174063617L, 999L).toDF("ip")

@@ -206,6 +206,13 @@ class MiscOpsSpec extends AnyFunSuite {
       .foreach(in => buf = sk.reduce(buf, in))
     assert(sk.finish(buf).head._1 == "hot")
     assert(sk.finish(buf).head._2 >= 200L, "count never undercuts true sum")
+    // over cap at MERGE time: the largest dropped count folds into the
+    // kept minimum, so the space-saving overestimate bound survives
+    // partial-buffer merges too (not just within-buffer reduces)
+    val m = sk.merge(Map("h" -> 100L, "x" -> 3L), Map("y" -> 2L, "z" -> 1L))
+    assert(m.size == 2 && m("h") == 100L)
+    assert(m.values.min >= 2L,
+      "dropped keys' true counts stay bounded by the kept minimum")
   }
 
   test("media decode: binary payload -> typed metadata, deterministic") {
