@@ -98,6 +98,52 @@ class DimsAndSinkSpec extends AnyFunSuite {
     assert(merged(2000L) == "gcpsvc", "non-empty entry stands")
   }
 
+  test("S7 refresh job: fetch->parse->validate->swap; a bad feed or a " +
+    "missing local region leaves the OLD table live") {
+    import graft.dims.RangeRefresh
+    def stream(name: String) = new java.io.FileInputStream(res(name))
+    var azureProbes = 0
+    // Azure URL date-probing: today and yesterday 404, two days ago hits
+    val probeDate = java.time.LocalDate.of(2026, 8, 12)
+    def transport(good: Boolean): String => java.io.InputStream = {
+      case RangeRefresh.AwsUrl => stream("aws_ip_ranges.json")
+      case RangeRefresh.GcpUrl =>
+        if (good) stream("gcp_cloud_ranges.json")
+        else new java.io.ByteArrayInputStream("{not json".getBytes)
+      case RangeRefresh.GoogleUrl => stream("google_ranges.json")
+      case u if u.startsWith("https://download.microsoft.com/") =>
+        azureProbes += 1
+        if (u == RangeRefresh.azureUrl(probeDate.minusDays(2)))
+          stream("azure_service_tags.json")
+        else throw new java.io.IOException(s"404: $u")
+      case u => throw new java.io.IOException(s"unexpected url $u")
+    }
+    val r = new RangeRefresh(spark, transport(good = true),
+      localRegion = "asia-east1", today = () => probeDate)
+    intercept[IllegalStateException](r.table) // never loaded -> no serving
+    assert(r.refresh(), "fixture-backed refresh must succeed")
+    assert(azureProbes == 3, "probed today, -1d, then hit -2d")
+    val live = r.table.collect().toSet
+    assert(live.nonEmpty)
+    // drive ONE holder through a good cycle then a corrupt-feed cycle:
+    // the old table survives the failed refresh (remote.go:104-115)
+    var good = true
+    val holder = new RangeRefresh(spark,
+      u => transport(good)(u), "asia-east1", () => probeDate)
+    assert(holder.refresh())
+    val before = holder.table.collect().toSet
+    good = false
+    assert(!holder.refresh(), "corrupt feed cycle reports failure")
+    assert(holder.refreshCounts == (1L, 1L))
+    assert(holder.table.collect().toSet == before, "old table still live")
+    // a feed set lacking the configured region also refuses the swap
+    good = true
+    val wrongRegion = new RangeRefresh(spark,
+      u => transport(good)(u), "region-that-does-not-exist", () => probeDate)
+    assert(!wrongRegion.refresh())
+    intercept[IllegalStateException](wrongRegion.table)
+  }
+
   test("J4: service-by-clusterIP lookup (dead API surface, kept queryable)") {
     val services = SyntheticFlows.services(spark, sf)
     val probe = Seq(174063616L, 174063617L, 999L).toDF("ip")
