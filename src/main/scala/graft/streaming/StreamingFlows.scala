@@ -192,6 +192,56 @@ object StreamingFlows {
       }
       .start()
 
+  /** Which reference Prometheus counter each outcome feeds
+    * (server.go:100-117 processedFlowsCounter/errorCounter arms;
+    * remote.go:151-155 intra_cloud_empty_region; the zero/proto/
+    * localhost rows never reach the server — they are the agent's own
+    * filters, collector.go:227-247 — so they get a collector family).
+    */
+  val outcomeFamily: org.apache.spark.sql.Column = {
+    val o = col("outcome")
+    when(o === "labeled", struct(lit("processed_flows").as("family"),
+      lit("enqueued").as("label")))
+      .when(o.isin("ignored_udp", "ignored_ipv6", "ignored_node_flow"),
+        struct(lit("processed_flows").as("family"), lit("ignored").as("label")))
+      .when(o.isin("unknown_direction", "error_ambiguous_pod_ip"),
+        struct(lit("errors").as("family"), lit("labeling_failed").as("label")))
+      .when(o === "error_intra_cloud_empty_region",
+        struct(lit("errors").as("family"),
+          lit("intra_cloud_empty_region").as("label")))
+      .otherwise(struct(lit("collector_filtered").as("family"), o.as("label")))
+  }
+
+  /** Operational metrics as DATA: alongside the summing-table write,
+    * each micro-batch overwrites its own `batch=<id>` dir in a metrics
+    * table with per-outcome counts tagged by the reference counter
+    * family — the Prometheus-scrape analog for a Spark deployment
+    * (query the table, or tail it with an exporter). Idempotent per
+    * batch like the data sink; counts come from the same routeOutcomes
+    * plan the oracle gates, so metrics and data cannot disagree.
+    */
+  def startWithMetrics(
+      rawFlows: DataFrame,
+      loadDims: () => (DataFrame, DataFrame, DataFrame),
+      cfg: FlowConfig,
+      path: String,
+      metricsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rawFlows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (pods, nodes, prefixes) = loadDims()
+        FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        FlowPipeline.routeOutcomes(pods, nodes, prefixes, cfg)(batch)
+          .groupBy("outcome").agg(count(lit(1)).as("n"))
+          .withColumn("fam", outcomeFamily)
+          .select(col("outcome"), col("n"),
+            col("fam.family").as("family"), col("fam.label").as("label"))
+          .write.mode("overwrite").parquet(s"$metricsPath/batch=$batchId")
+      }
+      .start()
+
   /** The full kubenetmon pipeline as a streaming job: stream-static
     * broadcast joins against the dim snapshots, trie-based LPM (the
     * range-join + window variant is unsupported on streams), explode

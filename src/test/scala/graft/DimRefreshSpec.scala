@@ -52,4 +52,37 @@ class DimRefreshSpec extends AnyFunSuite {
       assert(b1 == Set("app-v2"), "second batch must see the new snapshot")
     } finally q.stop()
   }
+
+  test("metrics sink: per-micro-batch outcome counters surface as data") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[RawFlow]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    val q = StreamingFlows.startWithMetrics(
+      ms.toDF(), dims _, FlowConfig(), s"$tmp/out", s"$tmp/metrics",
+      s"$tmp/ckpt")
+    try {
+      // batch 0: one labelable flow + one UDP flow
+      ms.addData(flow(1), flow(2).copy(proto = 17))
+      q.processAllAvailable()
+      // batch 1: a node flow (orig src = node internal IP)
+      ms.addData(flow(3).copy(orig_src_ip = NODE))
+      q.processAllAvailable()
+      val m0 = spark.read.parquet(s"$tmp/metrics/batch=0")
+        .collect().map(r => r.getAs[String]("outcome") ->
+          (r.getAs[Long]("n"), r.getAs[String]("family"),
+            r.getAs[String]("label"))).toMap
+      assert(m0("labeled") == ((1L, "processed_flows", "enqueued")))
+      assert(m0("ignored_udp") == ((1L, "processed_flows", "ignored")))
+      val m1 = spark.read.parquet(s"$tmp/metrics/batch=1")
+        .collect().map(r => r.getAs[String]("outcome") ->
+          r.getAs[Long]("n")).toMap
+      assert(m1 == Map("ignored_node_flow" -> 1L),
+        "each batch reports exactly its own outcomes")
+      // counters and data sink derive from one taxonomy: labeled rows
+      // in metrics == fan-out-source rows in the summing table
+      val sunk = spark.read.parquet(s"$tmp/out/batch=0")
+        .agg(org.apache.spark.sql.functions.sum("n_obs")).collect().head.getLong(0)
+      assert(sunk == 2 * m0("labeled")._1, "out+in fan-out of each labeled flow")
+    } finally q.stop()
+  }
 }
