@@ -47,22 +47,32 @@ object VectorQueries {
       |  FROM quant
       |)""".stripMargin
 
-  /** 4-bit sign-LSH bucket over 1-indexed array elements 1/17/33/49 —
-    * the ONE definition behind qv_lsh_ann / qv_lsh_multiprobe (raw
-    * `embedding`) and qv_cosine_dedup (quantized `q`, so the oracle
-    * reproduces it exactly; for components in (-0.00005, 0.00005] the
-    * two variants can differ by design, each mirrored consistently).
+  /** 4-bit sign-LSH bucket over 1-indexed array elements — the ONE
+    * definition behind qv_lsh_ann / qv_lsh_multiprobe / the multi-table
+    * variant (raw `embedding`) and qv_cosine_dedup (quantized `q`, so
+    * the oracle reproduces it exactly; for components in
+    * (-0.00005, 0.00005] the two variants can differ by design, each
+    * mirrored consistently). Default positions = hash table 0.
     */
-  private def signBucket(arr: String): String =
-    s"CAST(CASE WHEN element_at($arr, 1) > 0 THEN 8 ELSE 0 END" +
-      s" + CASE WHEN element_at($arr, 17) > 0 THEN 4 ELSE 0 END" +
-      s" + CASE WHEN element_at($arr, 33) > 0 THEN 2 ELSE 0 END" +
-      s" + CASE WHEN element_at($arr, 49) > 0 THEN 1 ELSE 0 END AS INTEGER)"
-  private def signBucketSql(arr: String): String =
-    s"""CAST(CASE WHEN $arr[1] > 0 THEN 8 ELSE 0 END
-       |      + CASE WHEN $arr[17] > 0 THEN 4 ELSE 0 END
-       |      + CASE WHEN $arr[33] > 0 THEN 2 ELSE 0 END
-       |      + CASE WHEN $arr[49] > 0 THEN 1 ELSE 0 END AS INTEGER)""".stripMargin
+  private def signBucket(arr: String,
+      pos: Seq[Int] = LSH_TABLES.head): String =
+    pos.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN element_at($arr, $p) > 0 THEN ${8 >> i} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS INTEGER)")
+  private def signBucketSql(arr: String,
+      pos: Seq[Int] = LSH_TABLES.head): String =
+    pos.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN $arr[$p] > 0 THEN ${8 >> i} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS INTEGER)")
+
+  /** L independent hash tables for the multi-table LSH variant: each
+    * table draws its 4 sign bits from disjoint components, so a near
+    * pair straddling one table's hyperplanes still collides in another
+    * (p_miss ≈ p_single^L for independent tables).
+    */
+  val LSH_TABLES: Seq[Seq[Int]] = Seq(
+    Seq(1, 17, 33, 49), Seq(5, 21, 37, 53),
+    Seq(9, 25, 41, 57), Seq(13, 29, 45, 61))
 
   /** exact cosine top-k pairs for query vectors (vec_id < 10), k = 5 */
   private def topk(s: SparkSession, d: String): DataFrame = {
@@ -188,6 +198,43 @@ object VectorQueries {
           expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .withColumn("cos", col("dot") /
           sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // multi-table LSH: L=4 independent hash tables (disjoint sign
+    // components). The corpus is bucketed L times via a generator (no
+    // shuffle — the join is broadcast-hash on (table, bucket)), the
+    // candidate pair set is deduped on (q_id, n_id) BEFORE scoring so a
+    // pair colliding in several tables is scored once, and the vectors
+    // are re-gathered for the dot product. A near pair must straddle a
+    // hyperplane in EVERY table to be missed (p_miss ~ p^L) — the
+    // recall-dominance property vs the single-table variant is asserted
+    // in PropertySpec.
+    "qv_lsh_multitable" -> ((s, d) => {
+      val base = quantized(s, d)
+      val bucketed = base.select(col("vec_id"),
+        explode(array(LSH_TABLES.zipWithIndex.map { case (ps, t) =>
+          struct(lit(t).as("t"), expr(signBucket("embedding", ps)).as("b"))
+        }: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      val cand = broadcast(bucketed.filter(col("vec_id") < 10)
+          .toDF("q_id", "t", "b"))
+        .join(bucketed.toDF("n_id", "t2", "b2"),
+          col("t") === col("t2") && col("b") === col("b2") &&
+            col("q_id") =!= col("n_id"))
+        .select("q_id", "n_id").distinct()
+      val qv = base.filter(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("qn2"))
+      val nv = base.select(col("vec_id").as("n_id"), col("q").as("na"),
+        col("nrm").as("nn2"))
+      val pairs = cand.join(broadcast(qv), "q_id").join(nv, "n_id")
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot") /
+          sqrt(col("qn2").cast("double") * col("nn2").cast("double")))
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
       pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
         .select(col("q_id"), col("n_id"), col("rank"))
@@ -326,6 +373,37 @@ object VectorQueries {
          |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
          |SELECT q_id, n_id, rank
          |FROM rankedp WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "qv_lsh_multitable" -> {
+      val bucketCase = LSH_TABLES.zipWithIndex.map { case (ps, t) =>
+        s"WHEN $t THEN ${signBucketSql("e.embedding", ps)}"
+      }.mkString(" ")
+      s"""WITH $quantizedSql, bucketed AS (
+         |  SELECT e.vec_id, t.t, CASE t.t $bucketCase END AS b
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT unnest(range(${LSH_TABLES.length})) AS t) t
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b2.vec_id AS n_id
+         |  FROM bucketed a JOIN bucketed b2
+         |    ON a.t = b2.t AND a.b = b2.b
+         |    AND a.vec_id < 10 AND a.vec_id <> b2.vec_id
+         |), pairs AS (
+         |  SELECT c.q_id, c.n_id,
+         |    (SELECT SUM(qa.q[i.i] * qb.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    qa.nrm AS qn2, qb.nrm AS nn2
+         |  FROM cand c
+         |  JOIN qn qa ON c.q_id = qa.vec_id
+         |  JOIN qn qb ON c.n_id = qb.vec_id
+         |), scored AS (
+         |  SELECT q_id, n_id,
+         |    dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) AS cos
+         |  FROM pairs
+         |), rankedt AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
+         |SELECT q_id, n_id, rank
+         |FROM rankedt WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
     "qv_ivf_ann" ->
       s"""WITH $quantizedSql, seeds AS (
          |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm

@@ -65,4 +65,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t.forall(r => r.getAs[Int]("alpha_tokens") == r.getAs[Int]("ws_tokens")),
       "space-separated lowercase corpus: alpha runs == ws tokens")
   }
+
+  test("multi-table LSH recall dominates single-table vs exact top-3") {
+    def results(name: String): Map[Long, Set[Long]] = q(name).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_id")).toSet }
+    val exact = results("qv_cosine_topk")
+    val single = results("qv_lsh_ann")
+    val multi = results("qv_lsh_multitable")
+    val qids = exact.keySet
+    def recall(m: Map[Long, Set[Long]]) = qids.toSeq.map(qid =>
+      (m.getOrElse(qid, Set.empty) & exact(qid)).size).sum
+    // table 0 IS one of the L tables, so the multi-table candidate set
+    // is a superset per query — recall can only improve
+    qids.foreach { qid =>
+      val s = (single.getOrElse(qid, Set.empty) & exact(qid)).size
+      val m = (multi.getOrElse(qid, Set.empty) & exact(qid)).size
+      assert(m >= s, s"q=$qid: multi-table recall $m < single-table $s")
+    }
+    assert(recall(multi) >= recall(single))
+    assert(recall(multi) > 0, "multi-table must recover some true neighbors")
+  }
 }
