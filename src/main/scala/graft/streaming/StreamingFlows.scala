@@ -23,23 +23,61 @@ import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
 object StreamingFlows {
   private val nameCounter = new AtomicInteger(0)
 
-  /** The file streaming source requires a directory to watch; stage one
-    * containing a symlink to the events file (in production this IS the
-    * landing directory the agents drop snapshots into).
-    */
-  private def eventsDir(dir: String): String = {
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_events_${math.abs(dir.hashCode)}")
-    java.nio.file.Files.createDirectories(d)
-    val link = d.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
-    d.toString
-  }
+  /** Snapshot files per staged landing directory (the agents' 5s
+    * conntrack dumps arriving as separate files). Two is the smallest
+    * count that makes the gated queries genuinely multi-batch (per-batch
+    * dim re-broadcast, watermark advancement between batches,
+    * incremental append emission) — each extra batch re-pays the
+    * stateful-streaming fixed cost, which the bench counts but a
+    * long-running production stream amortizes. */
+  val LandingFiles = 2
 
-  /** events.parquet as a streaming source (ts arrives as raw nanos). */
+  /** Stage a REAL landing directory: the events are split into
+    * [[LandingFiles]] time-range snapshot files named in arrival order
+    * (equalized mtimes → the file source's (mtime, path) ordering is
+    * deterministic), so with `maxFilesPerTrigger(1)` each snapshot is
+    * its own micro-batch — like the per-dump gRPC batches the reference
+    * ingests. Time-ranged splitting mirrors reality (a dump only
+    * contains newer deltas than the previous one) and is what makes the
+    * watermarked APPEND queries batch-count-invariant: every batch's
+    * rows are newer than the prior batch's watermark, so nothing is
+    * late-dropped and the final closed-window set equals the oracle's.
+    */
+  private def eventsDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_landing_${math.abs(dir.hashCode)}_$LandingFiles")
+      val ready = d.resolve("_READY")
+      if (java.nio.file.Files.exists(ready)) return d.toString
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val staging = java.nio.file.Paths.get(d.toString + "_staging")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(LandingFiles, col("ts"))
+        .write.mode("overwrite").parquet(staging.toString)
+      java.nio.file.Files.createDirectories(d)
+      val parts = java.nio.file.Files.list(staging).iterator()
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.startsWith("part-")) sorted += p
+      }
+      // part-0000N name order == ts range order for repartitionByRange
+      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+        case (p, i) =>
+          val dst = d.resolve(f"snapshot_$i%03d.parquet")
+          java.nio.file.Files.move(p, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      java.nio.file.Files.createFile(ready)
+      d.toString
+    }
+
+  /** events landing dir as a streaming source (ts arrives as raw nanos);
+    * one snapshot file per micro-batch. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = eventsDir(spark, dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -48,7 +86,9 @@ object StreamingFlows {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir(dir))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 

@@ -165,7 +165,11 @@ class DimsAndSinkSpec extends AnyFunSuite {
       val q = StreamingFlows.startIdempotentSink(
         agg, s"$tmp/out", s"$tmp/ckpt")
       try q.processAllAvailable() finally q.stop()
-      val written = spark.read.parquet(s"$tmp/out/batch=0")
+      // the landing dir arrives as one snapshot file per micro-batch;
+      // update-mode batches are cumulative per-key snapshots, so the
+      // reader contract (latest batch per key) reconstructs the totals
+      val written = StreamingFlows.readLatestPerKey(
+        spark, s"$tmp/out", Seq("event_type"))
       val batch = Tables.events(spark, sf)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
       assert(written.orderBy("event_type").collect()
