@@ -190,6 +190,15 @@ object TextQueries {
     "lexicon(lex_lang, lex_word) AS (VALUES " +
       lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"
 
+  /** Subword merge-list vocabulary for qt_bpe (space-free fragments,
+    * length >= 2; the production path swaps in a learned merge table
+    * behind the same greedy longest-match shape).
+    */
+  val BPE_VOCAB: Seq[String] = Seq(
+    "tion", "data", "ing", "the", "and", "ent", "for",
+    "er", "re", "an", "in", "on", "at", "es", "ed", "is",
+    "or", "st", "le", "ar")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
     "qt_exact_dedup" -> ((s, d) => {
@@ -318,6 +327,21 @@ object TextQueries {
         .orderBy(desc("n"), asc("t")).limit(20)
     }),
 
+    // REAL subword tokenization over a merge-list vocabulary: greedy
+    // longest-match (the deterministic WordPiece-style inference pass a
+    // learned BPE merge table collapses to), counted by a native
+    // codegen'd expression carrying the vocab as a reference object —
+    // the qt_tokens `bpe_ish` proxy upgraded to an actual vocabulary.
+    "qt_bpe" -> ((s, d) => {
+      import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+      val vocab = new graft.functions.BpeVocab(BPE_VOCAB)
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        column(graft.functions.BpeCount(expression(col("text")), vocab))
+          .as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // token counting: whitespace + alpha-run + char accounting
     "qt_tokens" -> ((s, d) => {
       Tables.documents(s, d)
@@ -442,6 +466,36 @@ object TextQueries {
          |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus)
          |SELECT t, CAST(COUNT(*) AS BIGINT) AS n
          |FROM toks GROUP BY t ORDER BY n DESC, t LIMIT 20""".stripMargin,
+    // greedy longest-match tokenization as a recursive CTE: each word
+    // walks position -> position + longest vocab match (else 1),
+    // terminal states carry the word's token count
+    "qt_bpe" -> {
+      val values = BPE_VOCAB
+        .map(f => s"('$f', ${f.length})").mkString(", ")
+      s"""WITH RECURSIVE vocab(v, l) AS (
+         |  VALUES $values
+         |), words AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER () AS wid, w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |), step(doc_id, wid, w, pos, cnt) AS (
+         |  SELECT doc_id, wid, w, 1, 0 FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wid, w,
+         |    pos + COALESCE((SELECT MAX(l) FROM vocab
+         |                    WHERE substr(w, pos, l) = v), 1),
+         |    cnt + 1
+         |  FROM step WHERE pos <= LEN(w)
+         |), fin AS (
+         |  SELECT doc_id, SUM(cnt) AS s
+         |  FROM step WHERE pos > LEN(w) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(LEN(string_split(d.text, ' ')) AS INTEGER) AS ws_tokens,
+         |  CAST(COALESCE(f.s, 0) AS INTEGER) AS bpe_tokens
+         |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "qt_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

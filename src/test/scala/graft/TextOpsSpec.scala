@@ -66,6 +66,23 @@ class TextOpsSpec extends AnyFunSuite {
       "space-separated lowercase corpus: alpha runs == ws tokens")
   }
 
+  test("BPE greedy tokenizer: longest match wins, spaces are boundaries") {
+    val v = new graft.functions.BpeVocab(Seq("tion", "the", "at", "on"))
+    assert(v.count("") == 0)
+    assert(v.count("the") == 1)
+    // "nation" -> "n" + "ation"? greedy at 'a': "at" (no "ation") -> n|at|i|on
+    assert(v.count("nation") == 4)
+    // longest beats shorter at the same position: "tion" not "t"+"i"+"on"
+    assert(v.count("tion") == 1)
+    assert(v.count("the the") == 2)
+    assert(v.count("  x ") == 1, "runs of spaces are skipped, not counted")
+    // query parity on the real corpus: bpe_tokens <= chars, >= ws tokens
+    val rows = q("qt_bpe").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("ws_tokens")))
+  }
+
   test("multi-table LSH recall dominates single-table vs exact top-3") {
     def results(name: String): Map[Long, Set[Long]] = q(name).collect()
       .filter(_.getAs[Int]("rank") <= 3)
