@@ -171,21 +171,46 @@ object TextQueries {
       .select("a_id", "b_id", "inter", "union_n")
   }
 
-  /** Per-lang stopword lexicon for the language-ID heuristic (the
-    * production analog swaps in a full per-language stopword list or
-    * character-n-gram model behind the same broadcast-join shape).
+  /** Per-lang stopword lexicon for the language-ID heuristic: 8
+    * languages × 14-16 high-frequency function words (shared words like
+    * es/pt "de" legitimately score for both). The production analog
+    * swaps in a full per-language stopword list or character-n-gram
+    * model behind the same broadcast-join shape — the lexicon is DATA,
+    * not code.
     */
   private val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
     "en" -> "is", "en" -> "to", "en" -> "in", "en" -> "that",
+    "en" -> "it", "en" -> "for", "en" -> "was", "en" -> "with",
+    "en" -> "as", "en" -> "on", "en" -> "at", "en" -> "by",
     "es" -> "el", "es" -> "la", "es" -> "y", "es" -> "de",
-    "es" -> "que", "es" -> "los", "es" -> "un",
+    "es" -> "que", "es" -> "los", "es" -> "un", "es" -> "en",
+    "es" -> "se", "es" -> "del", "es" -> "las", "es" -> "por",
+    "es" -> "con", "es" -> "una", "es" -> "su", "es" -> "para",
     "fr" -> "le", "fr" -> "et", "fr" -> "un", "fr" -> "les",
-    "fr" -> "des", "fr" -> "est", "fr" -> "dans",
+    "fr" -> "des", "fr" -> "est", "fr" -> "dans", "fr" -> "la",
+    "fr" -> "une", "fr" -> "du", "fr" -> "que", "fr" -> "pour",
+    "fr" -> "qui", "fr" -> "sur", "fr" -> "pas", "fr" -> "au",
     "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "die",
-    "de" -> "ist", "de" -> "nicht", "de" -> "ein",
+    "de" -> "ist", "de" -> "nicht", "de" -> "ein", "de" -> "zu",
+    "de" -> "den", "de" -> "mit", "de" -> "von", "de" -> "auf",
+    "de" -> "auch", "de" -> "sich", "de" -> "dem", "de" -> "eine",
     "it" -> "il", "it" -> "che", "it" -> "di", "it" -> "non",
-    "pt" -> "o", "pt" -> "em", "pt" -> "uma", "pt" -> "com")
+    "it" -> "la", "it" -> "per", "it" -> "una", "it" -> "sono",
+    "it" -> "le", "it" -> "si", "it" -> "con", "it" -> "del",
+    "it" -> "gli", "it" -> "nel",
+    "pt" -> "o", "pt" -> "em", "pt" -> "uma", "pt" -> "com",
+    "pt" -> "de", "pt" -> "que", "pt" -> "do", "pt" -> "da",
+    "pt" -> "os", "pt" -> "um", "pt" -> "para", "pt" -> "ao",
+    "pt" -> "das", "pt" -> "dos",
+    "nl" -> "de", "nl" -> "het", "nl" -> "een", "nl" -> "van",
+    "nl" -> "en", "nl" -> "is", "nl" -> "dat", "nl" -> "op",
+    "nl" -> "te", "nl" -> "met", "nl" -> "voor", "nl" -> "niet",
+    "nl" -> "zijn", "nl" -> "aan",
+    "sv" -> "och", "sv" -> "att", "sv" -> "det", "sv" -> "som",
+    "sv" -> "en", "sv" -> "av", "sv" -> "den", "sv" -> "till",
+    "sv" -> "med", "sv" -> "ett", "sv" -> "om", "sv" -> "han",
+    "sv" -> "inte", "sv" -> "har")
   private val lexiconSql: String =
     "lexicon(lex_lang, lex_word) AS (VALUES " +
       lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ") + ")"

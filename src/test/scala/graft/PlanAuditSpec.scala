@@ -122,4 +122,30 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("qip_funcs")
     assert(p.contains("*("), "custom IP expressions must not break codegen")
   }
+
+  test("qt_simhash: single exchange of |docs| rows — no position/bit explode") {
+    val p = plan("qt_simhash")
+    // one groupBy shuffle (plus AQE may show none for the tiny orderBy);
+    // the old plan had TWO hashpartitioning exchanges and a Generate
+    // between them
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx && exchangeIdx > 0,
+      "bit-count sums must partial-aggregate map-side\n" + p.take(3000))
+  }
+
+  test("qv_lsh_multitable: bucket join is broadcast-hash, no cartesian") {
+    val p = plan("qv_lsh_multitable")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("qt_bpe: vocab tokenizer runs inside codegen, no UDF, no join") {
+    val p = plan("qt_bpe")
+    assert(p.contains("bpe_count"), p.take(2000))
+    assert(!p.contains("UDF"), "greedy tokenizer must be a native expression")
+    assert(!p.contains("Join"), "vocab rides as a reference object, not a join")
+  }
 }
