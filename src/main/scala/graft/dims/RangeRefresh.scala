@@ -54,7 +54,8 @@ final class RangeRefresh(
     probes.flatMap(u => tryFetch(u)).nextOption()
       .orElse(tryFetch(AzureFallbackUrl))
       .getOrElse(throw new java.io.IOException(
-        s"Azure ranges unavailable after $AzureProbeDays probed dates + fallback"))
+        s"Azure ranges unavailable after ${AzureProbeDays + 1} probed dates" +
+          " + fallback"))
   }
 
   private def tryFetch(url: String): Option[InputStream] =
@@ -63,13 +64,22 @@ final class RangeRefresh(
   /** One refresh cycle. Every stage completes — including an EAGER
     * materialization and the A7 region sanity check — before the swap;
     * on any failure the old table stays live and `false` is returned.
+    * Serialized (`synchronized`) like the reference's mutex-guarded
+    * refresh loop, so overlapping cycles cannot interleave their swaps
+    * or lose counter updates. Staged feed files are deleted after the
+    * cycle (the localCheckpoint severed the lineage), and the replaced
+    * snapshot's checkpoint blocks are unpersisted — a long-lived daemon
+    * leaks neither tmp disk nor executor storage.
     */
-  def refresh(): Boolean =
+  def refresh(): Boolean = synchronized {
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     try {
-      val aws = CloudRanges.fromAwsJson(spark, stage(fetch(AwsUrl)))
-      val gcp = CloudRanges.fromGcpJson(spark, stage(fetch(GcpUrl)))
-      val google = CloudRanges.fromGoogleJson(spark, stage(fetch(GoogleUrl)))
-      val azure = CloudRanges.fromAzureJson(spark, stage(resolveAzureStream()))
+      val aws = CloudRanges.fromAwsJson(spark, stage(fetch(AwsUrl), staged))
+      val gcp = CloudRanges.fromGcpJson(spark, stage(fetch(GcpUrl), staged))
+      val google = CloudRanges.fromGoogleJson(
+        spark, stage(fetch(GoogleUrl), staged))
+      val azure = CloudRanges.fromAzureJson(
+        spark, stage(resolveAzureStream(), staged))
       // localCheckpoint = the reference's built-map moment: parse/merge
       // errors surface HERE (Spark is lazy), lineage to the staged temp
       // files is severed, and the swapped-in table is a materialized
@@ -78,20 +88,39 @@ final class RangeRefresh(
         .mergeFeeds(aws, gcp, google, azure).localCheckpoint(true)
       require(merged.count() > 0, "empty merged prefix table")
       CloudRanges.assertRegionPresent(merged, localRegion)
+      val old = current
       current = Some(merged)
+      old.foreach(freeCheckpoint)
       refreshes = (refreshes._1 + 1, refreshes._2)
       true
     } catch {
       case _: Exception =>
         refreshes = (refreshes._1, refreshes._2 + 1)
         false
+    } finally staged.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
+  /** Release a replaced snapshot's checkpoint blocks eagerly: a
+    * localCheckpoint's storage belongs to the underlying RDD (the
+    * frame-level unpersist is a no-op), so unpersist through the
+    * LogicalRDD plan node; any other shape falls back to the
+    * ContextCleaner's GC-driven cleanup.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
     }
 
-  /** Spool a feed stream to a staging file for the JSON readers. */
-  private def stage(in: InputStream): String = {
+  /** Spool a feed stream to a staging file for the JSON readers; the
+    * caller deletes it once the cycle's checkpoint is materialized. */
+  private def stage(in: InputStream,
+      tracked: scala.collection.mutable.ArrayBuffer[java.nio.file.Path]): String = {
     val f = Files.createTempFile("graft_ranges_", ".json")
+    tracked += f
     try Files.copy(in, f, StandardCopyOption.REPLACE_EXISTING) finally in.close()
-    f.toFile.deleteOnExit()
     f.toString
   }
 }

@@ -52,7 +52,7 @@ final class BpeVocab(val fragments: Seq[String]) extends Serializable {
   * explode of candidate merges.
   */
 case class BpeCount(child: Expression, vocab: BpeVocab)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.ExpectsStringInput {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(v: Any): Any =
     vocab.count(v.toString)

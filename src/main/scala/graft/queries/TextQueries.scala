@@ -150,6 +150,11 @@ object TextQueries {
     // re-shingled 3-4×. Both frames are persisted: Spark's CacheManager
     // matches by canonicalized plan, so qt_ngram_jaccard and
     // qt_dedup_keep (which each call this) share one materialization.
+    // Lifetime: deliberately session-scoped — an in-function unpersist
+    // would defeat exactly that cross-query reuse. MEMORY_AND_DISK caps
+    // the memory cost (blocks spill rather than evict execution
+    // memory); a pipeline embedding this permanently should unpersist
+    // after its dedup stage.
     val all = shingles(corpus(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = all.join(

@@ -212,7 +212,7 @@ object VectorQueries {
     // are re-gathered for the dot product. A near pair must straddle a
     // hyperplane in EVERY table to be missed (p_miss ~ p^L) — the
     // recall-dominance property vs the single-table variant is asserted
-    // in PropertySpec.
+    // in TextOpsSpec.
     "qv_lsh_multitable" -> ((s, d) => {
       val base = quantized(s, d)
       val bucketed = base.select(col("vec_id"),

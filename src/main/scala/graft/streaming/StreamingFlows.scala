@@ -45,32 +45,51 @@ object StreamingFlows {
     */
   private def eventsDir(spark: SparkSession, dir: String): String =
     synchronized {
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      // cache key includes the source's (size, mtime) fingerprint:
+      // regenerated testdata gets a fresh landing dir instead of stale
+      // snapshots, and the fingerprinted name makes the final rename
+      // below an idempotent publish
+      val fp = s"${java.nio.file.Files.size(src)}_" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_landing_${math.abs(dir.hashCode)}_$LandingFiles")
-      val ready = d.resolve("_READY")
-      if (java.nio.file.Files.exists(ready)) return d.toString
+        s"graft_landing_${math.abs(dir.hashCode)}_${LandingFiles}_$fp")
+      if (java.nio.file.Files.exists(d.resolve("_READY"))) return d.toString
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val staging = java.nio.file.Paths.get(d.toString + "_staging")
-      spark.read.parquet(s"$dir/events.parquet")
+      // build in a JVM-unique staging dir, publish via atomic rename:
+      // concurrent builders (e.g. driver + test JVM) each stage
+      // privately and the loser of the rename just discards its copy
+      val staging = java.nio.file.Files.createTempDirectory(
+        d.getParent, d.getFileName.toString + "_staging_")
+      val stagingOut = staging.resolve("out")
+      spark.read.parquet(src.toString)
         .repartitionByRange(LandingFiles, col("ts"))
-        .write.mode("overwrite").parquet(staging.toString)
-      java.nio.file.Files.createDirectories(d)
-      val parts = java.nio.file.Files.list(staging).iterator()
+        .write.mode("overwrite").parquet(stagingOut.toString)
+      val parts = java.nio.file.Files.list(stagingOut).iterator()
       val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       while (parts.hasNext) {
         val p = parts.next()
         if (p.getFileName.toString.startsWith("part-")) sorted += p
       }
-      // part-0000N name order == ts range order for repartitionByRange
+      val pub = staging.resolve("pub")
+      java.nio.file.Files.createDirectories(pub)
+      // part-0000N name order == ts range order for repartitionByRange;
+      // equalized mtimes make the file source's (mtime, path) order
+      // deterministic
       sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach {
         case (p, i) =>
-          val dst = d.resolve(f"snapshot_$i%03d.parquet")
-          java.nio.file.Files.move(p, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val dst = pub.resolve(f"snapshot_$i%03d.parquet")
+          java.nio.file.Files.move(p, dst)
           dst.toFile.setLastModified(1700000000000L)
       }
+      java.nio.file.Files.createFile(pub.resolve("_READY"))
+      try java.nio.file.Files.move(pub, d,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException => // another JVM won
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      java.nio.file.Files.createFile(ready)
       d.toString
     }
 
@@ -271,14 +290,19 @@ object StreamingFlows {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (pods, nodes, prefixes) = loadDims()
-        FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
-          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-        FlowPipeline.routeOutcomes(pods, nodes, prefixes, cfg)(batch)
-          .groupBy("outcome").agg(count(lit(1)).as("n"))
-          .withColumn("fam", outcomeFamily)
-          .select(col("outcome"), col("n"),
-            col("fam.family").as("family"), col("fam.label").as("label"))
-          .write.mode("overwrite").parquet(s"$metricsPath/batch=$batchId")
+        // two actions (data sink + metrics) read the batch: persist so
+        // the second is a cache scan, not a source re-read
+        batch.persist()
+        try {
+          FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
+            .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+          FlowPipeline.routeOutcomes(pods, nodes, prefixes, cfg)(batch)
+            .groupBy("outcome").agg(count(lit(1)).as("n"))
+            .withColumn("fam", outcomeFamily)
+            .select(col("outcome"), col("n"),
+              col("fam.family").as("family"), col("fam.label").as("label"))
+            .write.mode("overwrite").parquet(s"$metricsPath/batch=$batchId")
+        } finally batch.unpersist()
       }
       .start()
 

@@ -25,3 +25,10 @@ trait ExpectsLongInput
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.LongType)
 }
+
+/** String twin of [[ExpectsLongInput]]. */
+trait ExpectsStringInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}
