@@ -372,6 +372,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-level boilerplate span removal (the C4-style repeated-span
+    // scrub, reshaped for flat word streams): non-overlapping 5-word
+    // spans, a span recurring in >= 2 DISTINCT docs is boilerplate, and
+    // each doc reports its token count after dropping flagged spans.
+    // Scale shape: the span-frequency groupBy shuffles md5 keys (fixed
+    // width, partial-counted map-side), never raw span text.
+    "qt_boilerplate" -> ((s, d) => {
+      val c = corpus(s, d).withColumn("w", split(col("text"), " "))
+      val spans = c.filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, CAST(size(w) div 5 AS INT))," +
+            " i -> md5(concat_ws(' ', slice(w, (i-1)*5 + 1, 5))))")).as("sph"))
+      val boiler = spans
+        .groupBy("sph").agg(countDistinct(col("doc_id")).as("span_df"))
+        .filter(col("span_df") >= 2).select("sph")
+      val flagged = spans.join(boiler, "sph")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      c.select(col("doc_id"), size(col("w")).as("n_tokens"),
+          expr("CAST(size(w) div 5 AS INT)").as("n_spans"))
+        .join(flagged, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          coalesce(col("n_boiler"), lit(0L)).cast("int").as("n_boiler"),
+          (col("n_tokens") - lit(5) * coalesce(col("n_boiler"), lit(0L)))
+            .cast("int").as("n_tokens_clean"))
+        .orderBy("doc_id")
+    }),
+
     // token counting: whitespace + alpha-run + char accounting
     "qt_tokens" -> ((s, d) => {
       Tables.documents(s, d)
@@ -526,6 +553,29 @@ object TextQueries {
          |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    "qt_boilerplate" ->
+      s"""WITH $corpusSql, wd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+         |), spans AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, CAST(len(w) // 5 AS BIGINT) + 1),
+         |    i -> md5(array_to_string(w[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')))) AS sph
+         |  FROM wd WHERE len(w) >= 5
+         |), sdf AS (
+         |  SELECT sph FROM spans GROUP BY sph
+         |  HAVING COUNT(DISTINCT doc_id) >= 2
+         |), flagged AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_boiler
+         |  FROM spans s JOIN sdf ON s.sph = sdf.sph
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT c.doc_id, CAST(len(c.w) AS INTEGER) AS n_tokens,
+         |  CAST(len(c.w) // 5 AS INTEGER) AS n_spans,
+         |  CAST(COALESCE(f.n_boiler, 0) AS INTEGER) AS n_boiler,
+         |  CAST(len(c.w) - 5 * COALESCE(f.n_boiler, 0) AS INTEGER)
+         |    AS n_tokens_clean
+         |FROM wd c LEFT JOIN flagged f ON c.doc_id = f.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "qt_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

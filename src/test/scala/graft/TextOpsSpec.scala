@@ -83,6 +83,20 @@ class TextOpsSpec extends AnyFunSuite {
       r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("ws_tokens")))
   }
 
+  test("boilerplate scrub flags every span of the injected exact copies") {
+    val rows = q("qt_boilerplate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_spans"), r.getAs[Int]("n_boiler"),
+          r.getAs[Int]("n_tokens"), r.getAs[Int]("n_tokens_clean"))).toMap
+    (0 until 500 by 7).foreach { i =>
+      val (spans, boiler, toks, clean) = rows(i.toLong)
+      assert(boiler == spans, s"doc $i: all spans recur in its copy")
+      assert(rows(i + 20000L)._2 == spans, s"copy of $i equally flagged")
+      assert(clean == toks - 5 * boiler)
+    }
+    assert(rows.values.forall { case (s2, b, _, _) => b <= s2 })
+  }
+
   test("multi-table LSH recall dominates single-table vs exact top-3") {
     def results(name: String): Map[Long, Set[Long]] = q(name).collect()
       .filter(_.getAs[Int]("rank") <= 3)
