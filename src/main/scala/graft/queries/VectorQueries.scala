@@ -106,6 +106,28 @@ object VectorQueries {
       |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank
       |  FROM scored)""".stripMargin
 
+  /** Nearest-cell assignment against the 16 seed centroids (shared by
+    * qv_ivf_ann and the Lloyd-step centroid update): the 16-way
+    * candidate fan-out collapses via a partial-aggregated
+    * min(struct(d2, cell)) argmin BEFORE the exchange, so the shuffle
+    * carries one row per vector.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val base = quantized(s, d).select("vec_id", "q", "nrm")
+    val seeds = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+        col("nrm").as("snrm"))
+    val dists = base.crossJoin(broadcast(seeds))
+      .withColumn("dot_s",
+        expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+    dists.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+        col("q"), col("nrm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-5 per query vector
     "qv_cosine_topk" -> ((s, d) => {
@@ -249,19 +271,7 @@ object VectorQueries {
     // carries one row per vector, not 16), and the probe is an
     // equi-join on cell id — 1/|cells| of the corpus scanned per query.
     "qv_ivf_ann" -> ((s, d) => {
-      val base = quantized(s, d).select("vec_id", "q", "nrm")
-      val seeds = base.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
-          col("nrm").as("snrm"))
-      val dists = base.crossJoin(broadcast(seeds))
-        .withColumn("dot_s",
-          expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
-      val assigned = dists.groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
-          first(col("q")).as("q"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("m.cell_id").as("cell_id"),
-          col("q"), col("nrm"))
+      val assigned = ivfAssigned(s, d)
       val qs = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("cell_id").as("cell"),
           col("q").as("qa"), col("nrm").as("qn2"))
@@ -280,6 +290,22 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // one Lloyd iteration of k-means: per-cell centroid update from the
+    // IVF assignment, emitted as exact integer component sums + counts
+    // (centroid = csum/n, derived by the caller in whatever float
+    // precision it wants). Scale shape: posexplode widens each vector
+    // to 64 (pos, component) ints, and the (cell, pos) groupBy
+    // partial-aggregates map-side, so the exchange carries
+    // |cells| x 64 rows per partition — the minimal width of a dense
+    // centroid update, not |vectors| x 64.
+    "qv_kmeans_step" -> ((s, d) => {
+      ivfAssigned(s, d)
+        .select(col("cell_id"), posexplode(col("q")).as(Seq("pos", "c")))
+        .groupBy("cell_id", "pos")
+        .agg(sum("c").as("csum"), count(lit(1)).as("n"))
+        .orderBy("cell_id", "pos")
+    }),
+
     // per-label exact centroid norms (integer): IVF cell statistics
     "qv_label_stats" -> ((s, d) => {
       quantized(s, d)
@@ -291,7 +317,31 @@ object VectorQueries {
     })
   )
 
+  /** IVF seed/assignment CTEs shared by qv_ivf_ann and qv_kmeans_step. */
+  private val ivfAssignedSql: String =
+    s"""$quantizedSql, seeds AS (
+       |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+       |  FROM qn WHERE vec_id < 16
+       |), dists AS (
+       |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
+       |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+       |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
+       |  FROM qn v CROSS JOIN seeds s
+       |), assigned AS (
+       |  SELECT vec_id, cell_id, q, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cell_id) AS rn FROM dists) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "qv_kmeans_step" ->
+      s"""WITH $ivfAssignedSql
+         |SELECT cell_id, CAST(i.i - 1 AS INTEGER) AS pos,
+         |  CAST(SUM(q[i.i]) AS BIGINT) AS csum,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM assigned, (SELECT unnest(range(1, 65)) AS i) i
+         |GROUP BY cell_id, pos ORDER BY cell_id, pos""".stripMargin,
     "qv_cosine_topk" ->
       s"""WITH $topkSql
          |SELECT q_id, n_id, rank, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_bp
@@ -405,20 +455,7 @@ object VectorQueries {
          |FROM rankedt WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
     },
     "qv_ivf_ann" ->
-      s"""WITH $quantizedSql, seeds AS (
-         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
-         |  FROM qn WHERE vec_id < 16
-         |), dists AS (
-         |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
-         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
-         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
-         |  FROM qn v CROSS JOIN seeds s
-         |), assigned AS (
-         |  SELECT vec_id, cell_id, q, nrm FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY d2, cell_id) AS rn FROM dists) t
-         |  WHERE rn = 1
-         |), pairs AS (
+      s"""WITH $ivfAssignedSql, pairs AS (
          |  SELECT a.vec_id AS q_id, a.cell_id AS cell, b.vec_id AS n_id,
          |    (SELECT SUM(a.q[i.i] * b.q[i.i])
          |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,

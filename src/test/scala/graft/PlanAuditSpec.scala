@@ -142,6 +142,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("qv_kmeans_step: centroid update partial-aggregates below the exchange") {
+    val p = plan("qv_kmeans_step")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx && exchangeIdx > 0,
+      "the 64-wide (cell, pos) rollup must collapse map-side\n" + p.take(3000))
+  }
+
   test("qt_bpe: vocab tokenizer runs inside codegen, no UDF, no join") {
     val p = plan("qt_bpe")
     assert(p.contains("bpe_count"), p.take(2000))
