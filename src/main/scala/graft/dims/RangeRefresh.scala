@@ -67,9 +67,10 @@ final class RangeRefresh(
     * Serialized (`synchronized`) like the reference's mutex-guarded
     * refresh loop, so overlapping cycles cannot interleave their swaps
     * or lose counter updates. Staged feed files are deleted after the
-    * cycle (the localCheckpoint severed the lineage), and the replaced
-    * snapshot's checkpoint blocks are unpersisted — a long-lived daemon
-    * leaks neither tmp disk nor executor storage.
+    * cycle (the localCheckpoint severed the lineage); the replaced
+    * snapshot's blocks are reclaimed by the ContextCleaner once
+    * unreachable (see the swap comment) — a long-lived daemon leaks
+    * neither tmp disk nor executor storage.
     */
   def refresh(): Boolean = synchronized {
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -88,9 +89,13 @@ final class RangeRefresh(
         .mergeFeeds(aws, gcp, google, azure).localCheckpoint(true)
       require(merged.count() > 0, "empty merged prefix table")
       CloudRanges.assertRegionPresent(merged, localRegion)
-      val old = current
+      // the replaced snapshot is NOT eagerly unpersisted: an in-flight
+      // micro-batch may still be reading it, and a localCheckpoint's
+      // truncated lineage makes eagerly-freed blocks unrecoverable
+      // mid-job. Dropping the reference lets the ContextCleaner reclaim
+      // the blocks once no reader can reach them — the GC-paced analog
+      // of the reference's RWMutex read-side protection.
       current = Some(merged)
-      old.foreach(freeCheckpoint)
       refreshes = (refreshes._1 + 1, refreshes._2)
       true
     } catch {
@@ -100,19 +105,6 @@ final class RangeRefresh(
     } finally staged.foreach(p =>
       try Files.deleteIfExists(p) catch { case _: Exception => () })
   }
-
-  /** Release a replaced snapshot's checkpoint blocks eagerly: a
-    * localCheckpoint's storage belongs to the underlying RDD (the
-    * frame-level unpersist is a no-op), so unpersist through the
-    * LogicalRDD plan node; any other shape falls back to the
-    * ContextCleaner's GC-driven cleanup.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist()
-    }
 
   /** Spool a feed stream to a staging file for the JSON readers; the
     * caller deletes it once the cycle's checkpoint is materialized. */

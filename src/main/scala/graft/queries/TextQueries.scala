@@ -380,10 +380,14 @@ object TextQueries {
     // width, partial-counted map-side), never raw span text.
     "qt_boilerplate" -> ((s, d) => {
       val c = corpus(s, d).withColumn("w", split(col("text"), " "))
+      // spans feeds both the df aggregation and the flag join: persist
+      // so the corpus is split+hashed once (same shared-lineage pattern
+      // as jaccardPairs' shingle table)
       val spans = c.filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, CAST(size(w) div 5 AS INT))," +
             " i -> md5(concat_ws(' ', slice(w, (i-1)*5 + 1, 5))))")).as("sph"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val boiler = spans
         .groupBy("sph").agg(countDistinct(col("doc_id")).as("span_df"))
         .filter(col("span_df") >= 2).select("sph")

@@ -52,44 +52,59 @@ object StreamingFlows {
       // below an idempotent publish
       val fp = s"${java.nio.file.Files.size(src)}_" +
         s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_landing_${math.abs(dir.hashCode)}_${LandingFiles}_$fp")
+      val prefix = s"graft_landing_${math.abs(dir.hashCode)}_$LandingFiles"
+      val d = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"${prefix}_$fp")
       if (java.nio.file.Files.exists(d.resolve("_READY"))) return d.toString
+      // regenerated testdata changed the fingerprint: sweep this source's
+      // previous generations so /tmp holds at most one landing dir per
+      // (dir, LandingFiles)
+      val tmpRoot = d.getParent.toFile
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix + "_") && f.getName != d.getFileName.toString)
+        .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: java.io.IOException => () })
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // build in a JVM-unique staging dir, publish via atomic rename:
       // concurrent builders (e.g. driver + test JVM) each stage
       // privately and the loser of the rename just discards its copy
       val staging = java.nio.file.Files.createTempDirectory(
         d.getParent, d.getFileName.toString + "_staging_")
-      val stagingOut = staging.resolve("out")
-      spark.read.parquet(src.toString)
-        .repartitionByRange(LandingFiles, col("ts"))
-        .write.mode("overwrite").parquet(stagingOut.toString)
-      val parts = java.nio.file.Files.list(stagingOut).iterator()
-      val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.getFileName.toString.startsWith("part-")) sorted += p
-      }
-      val pub = staging.resolve("pub")
-      java.nio.file.Files.createDirectories(pub)
-      // part-0000N name order == ts range order for repartitionByRange;
-      // equalized mtimes make the file source's (mtime, path) order
-      // deterministic
-      sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach {
-        case (p, i) =>
-          val dst = pub.resolve(f"snapshot_$i%03d.parquet")
-          java.nio.file.Files.move(p, dst)
-          dst.toFile.setLastModified(1700000000000L)
-      }
-      java.nio.file.Files.createFile(pub.resolve("_READY"))
-      try java.nio.file.Files.move(pub, d,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.AccessDeniedException => // another JVM won
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      try {
+        val stagingOut = staging.resolve("out")
+        spark.read.parquet(src.toString)
+          .repartitionByRange(LandingFiles, col("ts"))
+          .write.mode("overwrite").parquet(stagingOut.toString)
+        val parts = java.nio.file.Files.list(stagingOut).iterator()
+        val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part-")) sorted += p
+        }
+        val pub = staging.resolve("pub")
+        java.nio.file.Files.createDirectories(pub)
+        // part-0000N name order == ts range order for repartitionByRange;
+        // equalized mtimes make the file source's (mtime, path) order
+        // deterministic
+        sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+          case (p, i) =>
+            val dst = pub.resolve(f"snapshot_$i%03d.parquet")
+            java.nio.file.Files.move(p, dst)
+            dst.toFile.setLastModified(1700000000000L)
+        }
+        java.nio.file.Files.createFile(pub.resolve("_READY"))
+        try java.nio.file.Files.move(pub, d,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // rename onto an existing non-empty dir surfaces differently
+          // per platform (ENOTEMPTY -> DirectoryNotEmptyException or a
+          // bare FileSystemException, EEXIST -> FileAlreadyExists...):
+          // treat ANY move failure as "another JVM won" iff the winner's
+          // _READY proves it, otherwise propagate
+          case e: java.io.IOException =>
+            if (!java.nio.file.Files.exists(d.resolve("_READY"))) throw e
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       d.toString
     }
 
