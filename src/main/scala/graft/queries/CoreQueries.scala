@@ -194,6 +194,25 @@ object CoreQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // event-time sessionization via Spark's NATIVE session_window
+    // (gap-merged variable-length windows — the operator behind
+    // "sessions" in any product analytics surface, and the batch twin
+    // of the stateful streaming gate qs_sessionize). 24h gap yields
+    // real multi-event sessions on the testdata's ~12h median
+    // inter-event spacing. Scale shape: one exchange on user_id,
+    // session merging runs inside the aggregation.
+    "q18_sessionize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.groupBy(col("user_id"),
+          session_window(col("ts"), "86400 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("value_cents"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // set ops: segments buying in both halves of the order history
     "q17_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -258,6 +277,31 @@ object CoreQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window merge rule: consecutive events merge iff
+    // diff <= gap (the window end is INCLUSIVE on merge — pinned by
+    // WatermarkSpec's boundary test), so the break condition is
+    // > gap; DuckDB reads the parquet ts at nanos, Spark at micros —
+    // CAST(ts AS TIMESTAMP) truncates to the same micros
+    "q18_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    CAST(ROUND(value*100,0) AS BIGINT) AS cents
+        |  FROM events
+        |), b AS (
+        |  SELECT *, CASE WHEN LAG(mts) OVER w IS NULL
+        |      OR epoch_us(mts) - epoch_us(LAG(mts) OVER w) > 86400000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)
+        |), s2 AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY mts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, MIN(mts) AS session_start,
+        |  MAX(mts) + INTERVAL 86400 SECOND AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS value_cents
+        |FROM s2 GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q6_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

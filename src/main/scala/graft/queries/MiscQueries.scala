@@ -56,6 +56,23 @@ object MiscQueries {
         .orderBy("minute_start", "event_type")
     }),
 
+    // STATEFUL session windows on a stream: gap-merged sessions whose
+    // state spans micro-batches (the landing dir delivers 2 batches),
+    // emitted in append mode exactly once when the watermark passes a
+    // session's end — oracle = the batch q18 sessionization filtered
+    // to sessions the final watermark closed
+    "qs_sessionize" -> ((s, d) => {
+      val agg = StreamingFlows.eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "86400 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamingFlows.runToMemoryAppend(s, agg)
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // the full flow pipeline as a streaming job == batch qf_pipeline oracle
     "qs_flow_pipeline" -> ((s, d) => {
       StreamingFlows.flowPipeline(s, d)
@@ -168,6 +185,29 @@ object MiscQueries {
         |GROUP BY minute_start, event_type
         |ORDER BY minute_start, event_type""".stripMargin,
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
+    "qs_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts
+        |  FROM events
+        |), b AS (
+        |  SELECT *, CASE WHEN LAG(mts) OVER w IS NULL
+        |      OR epoch_us(mts) - epoch_us(LAG(mts) OVER w) > 86400000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id)
+        |), s2 AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY mts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, MIN(mts) AS session_start,
+        |    MAX(mts) + INTERVAL 86400 SECOND AS session_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s2 GROUP BY user_id, sid
+        |), mx AS (SELECT epoch_ms(MAX(ts)) AS maxms FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess, mx
+        |WHERE epoch_ms(session_end) <= maxms - 600000
+        |ORDER BY user_id, session_start""".stripMargin,
     "qs_flow_watermarked" ->
       s"""${graft.flow.FlowSql.summedCte},
          |mx AS (SELECT epoch_ms(MAX(ts)) AS maxms FROM kept)

@@ -48,4 +48,24 @@ class WatermarkSpec extends AnyFunSuite {
       assert(after == 2L, "late row must not reopen the closed window")
     } finally q.stop()
   }
+
+  test("session_window boundary: a gap EXACTLY equal to the gap duration " +
+    "still MERGES (inclusive end — the oracle breaks only on > gap)") {
+    import org.apache.spark.sql.functions._
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val e = Seq((1L, t0), (1L, plus(60)), // merges: diff < gap
+      (1L, plus(60 + 120)), // exactly gap after the 2nd -> still merges
+      (1L, plus(60 + 120 + 121)), // gap + 1s -> NEW session
+      (2L, plus(0)), (2L, plus(119))) // diff = gap-1s -> merges
+      .toDF("user_id", "ts")
+    val sessions = e.groupBy(col("user_id"),
+        session_window(col("ts"), "120 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sessions == Seq((1L, 1L), (1L, 3L), (2L, 2L)),
+      s"got $sessions: user 1 = [3-event session incl. the exact-gap " +
+        "event, then a 1-event session past gap+1]")
+  }
 }
