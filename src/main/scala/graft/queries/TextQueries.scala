@@ -176,6 +176,52 @@ object TextQueries {
       .select("a_id", "b_id", "inter", "union_n")
   }
 
+  /** Dedup CLUSTER formation: connected components over the union of
+    * exact-duplicate edges (same md5) and verified near-dup edges
+    * (jaccardPairs), by min-label propagation to fixpoint. The result —
+    * each doc labeled with the smallest doc_id reachable through any
+    * chain of duplicates — is deterministic regardless of iteration
+    * schedule, and is what a training-data pipeline actually keys
+    * keeper selection on (pairwise decisions miss transitive chains:
+    * a~b, b~c puts a,b,c in ONE cluster even when a~c was never
+    * scored). Scale shape: each round is one join + one groupBy(min)
+    * over (id, comp) longs; rounds are bounded by the cluster graph's
+    * diameter (shallow for dedup — near-dup chains, not social graphs),
+    * and each round localCheckpoints so the plan doesn't deepen
+    * geometrically (the classic iterative-join pitfall).
+    */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val hashes = c.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactEdges = hashes
+      .join(hashes.groupBy("h").agg(min("doc_id").as("k")), "h")
+      .filter(col("doc_id") =!= col("k"))
+      .select(col("k").as("a"), col("doc_id").as("b"))
+    val nearEdges = jaccardPairs(s, d)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val edges = exactEdges.unionByName(nearEdges).distinct()
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = c.select(col("doc_id").as("id"))
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 50, "component propagation failed to converge")
+      val viaNbr = sym.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("comp"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Per-lang stopword lexicon for the language-ID heuristic: 8
     * languages × 14-16 high-frequency function words (shared words like
     * es/pt "de" legitimately score for both). The production analog
@@ -372,6 +418,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // dedup clusters: each doc labeled with its component's smallest
+    // doc_id over the exact+near duplicate graph (see dedupComponents)
+    "qt_dedup_cluster" -> ((s, d) =>
+      dedupComponents(s, d)
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")),
+
     // corpus-level boilerplate span removal (the C4-style repeated-span
     // scrub, reshaped for flat word streams): non-overlapping 5-word
     // spans, a span recurring in >= 2 DISTINCT docs is boilerplate, and
@@ -557,6 +610,43 @@ object TextQueries {
          |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    // transitive closure over the symmetric dup graph: reach(x, r) =
+    // "r reaches x"; MIN(r) per x is the component's smallest id
+    "qt_dedup_cluster" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, dfreq AS (
+         |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id
+         |), ij AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), near AS (
+         |  SELECT a_id AS a, b_id AS b FROM ij
+         |  JOIN sizes na ON ij.a_id = na.doc_id
+         |  JOIN sizes nb ON ij.b_id = nb.doc_id
+         |  WHERE i_n * 2 >= na.n + nb.n - i_n
+         |), exacth AS (
+         |  SELECT doc_id, md5(text) AS h FROM corpus
+         |), exact_e AS (
+         |  SELECT k.k AS a, e.doc_id AS b FROM exacth e
+         |  JOIN (SELECT h, MIN(doc_id) AS k FROM exacth GROUP BY h) k
+         |    ON e.h = k.h
+         |  WHERE e.doc_id <> k.k
+         |), edges AS (
+         |  SELECT a, b FROM exact_e UNION SELECT a, b FROM near
+         |), sym AS (
+         |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.id
+         |)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "qt_boilerplate" ->
       s"""WITH $corpusSql, wd AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus

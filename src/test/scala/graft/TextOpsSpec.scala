@@ -83,6 +83,24 @@ class TextOpsSpec extends AnyFunSuite {
       r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("ws_tokens")))
   }
 
+  test("dedup clusters: exact copies share a component; labels are " +
+    "component minima") {
+    val comp = q("qt_dedup_cluster").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(comp.forall { case (id, cl) => cl <= id }, "label <= member id")
+    (0 until 500 by 7).foreach { i =>
+      assert(comp(i + 20000L) == comp(i.toLong),
+        s"exact copy of $i must land in the same cluster")
+    }
+    (0 until 500 by 10).foreach { i =>
+      // near-dups (suffix append) are verified jaccard pairs -> clustered
+      assert(comp(i + 10000L) == comp(i.toLong), s"near-dup of $i clustered")
+    }
+    // label propagation reached a fixpoint: every cluster label is
+    // itself labeled with itself (a component representative)
+    comp.values.toSet.foreach((cl: Long) => assert(comp(cl) == cl))
+  }
+
   test("boilerplate scrub flags every span of the injected exact copies") {
     val rows = q("qt_boilerplate").collect()
       .map(r => r.getAs[Long]("doc_id") ->
