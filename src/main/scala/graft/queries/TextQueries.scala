@@ -205,9 +205,13 @@ object TextQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = c.select(col("doc_id").as("id"))
       .withColumn("comp", col("id")).localCheckpoint(true)
-    var changed = 1L
+    // convergence check: a round can only LOWER labels (the min includes
+    // the old value), so the label sum is strictly decreasing until the
+    // fixpoint — an O(1)-column agg per round instead of a change-join
+    var prevSum = Long.MinValue
+    var converged = false
     var rounds = 0
-    while (changed > 0) {
+    while (!converged) {
       rounds += 1
       require(rounds <= 50, "component propagation failed to converge")
       val viaNbr = sym.join(labels, col("a") === col("id"))
@@ -215,8 +219,9 @@ object TextQueries {
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val newSum = next.agg(sum("comp")).collect().head.getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = next
     }
     labels
