@@ -214,6 +214,30 @@ object CoreQueries {
     }),
 
     // set ops: segments buying in both halves of the order history
+    // exact grouped quantiles by RANK SELECTION (discrete lower-middle
+    // median, ceil-rank p90) — integer-only, so both engines agree
+    // bit-for-bit where interpolated percentile() would diverge in the
+    // last float ulp. Scale note: exact quantiles need a per-group sort
+    // (the window); at 100 TB one switches to a mergeable sketch
+    // (GK/KLL/t-digest) and accepts approximation — that variant is
+    // deliberately not oracle-gated because no two engines' sketches
+    // agree bit-for-bit.
+    "q19_quantiles" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      e.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("median_cents"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+            .as("p90_cents"))
+        .orderBy("event_type")
+    }),
+
     "q17_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -277,6 +301,22 @@ object CoreQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+        |    AS median_cents,
+        |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+        |    AS p90_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // session_window merge rule: consecutive events merge iff
     // diff <= gap (the window end is INCLUSIVE on merge — pinned by
     // WatermarkSpec's boundary test), so the break condition is
