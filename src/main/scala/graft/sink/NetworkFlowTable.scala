@@ -51,6 +51,25 @@ object NetworkFlowTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed variant for CO-LOCATED joins (SURVEY.md scale design:
+    * "bucketing for co-located joins"): two tables bucketed the same
+    * way on the join key shuffle NEITHER side at join time — the
+    * pre-sharding that turns a recurring fact-fact join from two 100 TB
+    * exchanges into zero. Bucket metadata lives in the catalog, so this
+    * writes through `saveAsTable` (a plain parquet path cannot carry
+    * it); `sortBy` additionally pre-sorts each bucket so the
+    * sort-merge join can skip its Sort when buckets are single-file.
+    * Plan-audited exchange-free in PlanAuditSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("compression", "zstd")
+      .format("parquet")
+      .saveAsTable(table)
+
   // ---- maintenance (compaction + TTL) over the Hadoop FileSystem API:
   //      the same code runs against file://, hdfs://, or any FS with a
   //      Hadoop connector. (On S3-style object stores rename is not

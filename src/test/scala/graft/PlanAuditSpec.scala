@@ -142,6 +142,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("sink reads prune date partitions: a date filter never scans other days") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString + "/t"
+    Seq(("2024-01-01", "out", 1L), ("2024-01-02", "out", 2L),
+      ("2024-01-03", "in", 3L))
+      .toDF("d", "direction", "bytes")
+      .withColumn("date", to_date(col("d"))).drop("d")
+      .withColumn("interval_start", col("date").cast("timestamp"))
+      .withColumn("proto_name", lit("tcp"))
+      .withColumn("local_app", lit("a")).withColumn("remote_app", lit("b"))
+      .withColumn("local_pod", lit("p")).withColumn("remote_pod", lit("q"))
+      .write.partitionBy("date").parquet(path)
+    val q = graft.sink.NetworkFlowTable.read(spark, path)
+      .filter(col("date") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(date"),
+      "date predicate must reach partition pruning\n" + plan.take(2000))
+    // pruning is real, not cosmetic: exactly one partition's files scanned
+    val files = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(files == Seq(1), s"expected 1 selected partition, got $files")
+  }
+
+  test("bucketed tables join co-located: zero exchange on either side") {
+    import spark.implicits._
+    val a = Seq(("p1", 1L), ("p2", 2L), ("p3", 3L)).toDF("local_pod", "bytes")
+    val b = Seq(("p1", "x"), ("p2", "y")).toDF("local_pod", "meta")
+    graft.sink.NetworkFlowTable.writeBucketed(a, "bkt_a", 4, Seq("local_pod"))
+    graft.sink.NetworkFlowTable.writeBucketed(b, "bkt_b", 4, Seq("local_pod"))
+    try {
+      // force the shuffle-join path a 100 TB fact-fact join takes —
+      // bucketing must satisfy both sides' distribution requirements
+      val j = spark.table("bkt_a").hint("merge")
+        .join(spark.table("bkt_b"), "local_pod")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        "bucketed join must not shuffle either side\n" + p.take(3000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("qv_kmeans_step: centroid update partial-aggregates below the exchange") {
     val p = plan("qv_kmeans_step")
     val partialIdx = p.indexOf("partial_sum")
