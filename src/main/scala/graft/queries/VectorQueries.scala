@@ -306,6 +306,31 @@ object VectorQueries {
         .orderBy("cell_id", "pos")
     }),
 
+    // asymmetric 8-bit scalar quantization of each embedding (the
+    // storage-compression pass an embedding lake runs before ANN):
+    // code = (q - min) * 255 div range over the quantized-integer
+    // components, all non-negative so floor division agrees across
+    // engines; emits per-vector codebook params + code checksums + the
+    // exact integer reconstruction-error sum. Pure per-row
+    // aggregate()/transform lambdas — no shuffle at all until the
+    // final orderBy.
+    "qv_quantize" -> ((s, d) => {
+      quantized(s, d)
+        .withColumn("lo", expr(
+          "aggregate(q, CAST(9223372036854775807 AS BIGINT), (a, v) -> least(a, v))"))
+        .withColumn("hi", expr(
+          "aggregate(q, CAST(-9223372036854775808 AS BIGINT), (a, v) -> greatest(a, v))"))
+        .withColumn("rng", expr("greatest(hi - lo, CAST(1 AS BIGINT))"))
+        .withColumn("codes", expr(
+          "transform(q, v -> ((v - lo) * 255) div rng)"))
+        .select(col("vec_id"), col("lo").as("zero_point"), col("rng").as("q_range"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)")
+            .as("code_sum"),
+          expr("aggregate(zip_with(q, codes, (v, c) -> abs(v - (lo + (c * rng) div 255))), CAST(0 AS BIGINT), (a, e) -> a + e)")
+            .as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
     // per-label exact centroid norms (integer): IVF cell statistics
     "qv_label_stats" -> ((s, d) => {
       quantized(s, d)
@@ -471,6 +496,20 @@ object VectorQueries {
          |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
          |SELECT q_id, cell, n_id, rank
          |FROM rankedv WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "qv_quantize" ->
+      s"""WITH $quantizedSql, p AS (
+         |  SELECT vec_id, q, CAST(list_min(q) AS BIGINT) AS lo,
+         |    CAST(GREATEST(list_max(q) - list_min(q), 1) AS BIGINT) AS rng
+         |  FROM qn)
+         |SELECT vec_id, lo AS zero_point, rng AS q_range,
+         |  CAST((SELECT SUM(((q[i.i] - lo) * 255) // rng)
+         |        FROM (SELECT unnest(range(1, 65)) AS i) i) AS BIGINT)
+         |    AS code_sum,
+         |  CAST((SELECT SUM(ABS(q[i.i] - (lo +
+         |          ((((q[i.i] - lo) * 255) // rng) * rng) // 255)))
+         |        FROM (SELECT unnest(range(1, 65)) AS i) i) AS BIGINT)
+         |    AS recon_err
+         |FROM p ORDER BY vec_id""".stripMargin,
     "qv_label_stats" ->
       s"""WITH $quantizedSql
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
