@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.FlowQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
+      graft.queries.PipelineQueries.queries ++
       graft.queries.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.FlowQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
+      graft.queries.PipelineQueries.oracle ++
       graft.queries.MiscQueries.oracle
 }

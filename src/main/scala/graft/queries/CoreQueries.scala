@@ -253,6 +253,63 @@ object CoreQueries {
         .orderBy("set_op", "segment")
     }),
 
+    // AS-OF JOIN, the single-shuffle way: for each purchase, the most
+    // recent view by the same user at-or-before the purchase. Instead of
+    // a range join (quadratic per hot user), both event kinds go through
+    // ONE window over (user, time): views sort before same-timestamp
+    // purchases, and `last(..., ignoreNulls)` over the preceding frame
+    // carries the latest view forward. One exchange on user_id, no join
+    // — the plan an as-of lookup should have at 100 TB
+    "q20_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("asof_view_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("asof_view_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        // no-prior-view -> explicit sentinels, not nulls
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_view_ts"),
+            to_timestamp(lit("1970-01-01 00:00:00"))).as("asof_view_ts"),
+          coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"))
+        .orderBy("event_id")
+    }),
+
+    // ROLLUP hierarchy totals with grouping_id — the subtotal/grand-
+    // total surface of a reporting layer; one pass, Catalyst expands to
+    // a single Expand + hash aggregate (no per-level re-scan)
+    "q21_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    }),
+
+    // PIVOT (long -> wide): order counts by priority column per status;
+    // Catalyst rewrites pivot into a single aggregate with conditional
+    // counters — exactly the SUM(CASE...) the oracle spells out
+    "q22_pivot" -> ((s, d) => {
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val p = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pris)
+        .agg(count(lit(1)))
+      p.select(col("o_orderstatus") +: pris.zipWithIndex.map { case (pr, i) =>
+          coalesce(p(s"`$pr`"), lit(0L)).as(s"p${i + 1}") }: _*)
+        .orderBy("o_orderstatus")
+    }),
+
     // self-join against a per-key aggregate: orders matching their
     // customer's maximum price (exact double equality of the same stored
     // value — deterministic on both engines)
@@ -412,6 +469,42 @@ object CoreQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // same deterministic total order as the Spark window: (ts, kind,
+    // event_id) — a view at the exact purchase timestamp counts as prior
+    "q20_asof" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN kind = 0 THEN mts END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY mts, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS av_ts,
+        |    LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY mts, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS av_id
+        |  FROM t)
+        |SELECT event_id, user_id, mts AS ts,
+        |  COALESCE(av_ts, TIMESTAMP '1970-01-01') AS asof_view_ts,
+        |  CAST(COALESCE(av_id, -1) AS BIGINT) AS asof_view_id
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q21_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q15_self_join" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_at_max,
         |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS max_price_cents

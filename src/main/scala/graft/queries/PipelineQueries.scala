@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data WORKFLOW operators — the steps between "deduped corpus"
+  * and "training shards" that every large-scale pipeline runs: dataset
+  * splitting, stratified sampling, context-window chunking, PII
+  * redaction, TF-IDF term scoring, and inverted-index construction.
+  *
+  * Determinism rules (same as TextQueries): all randomness is md5-keyed
+  * (identical hex in the JVM and DuckDB), similarity/importance scores
+  * are integer-quantized with integer division (`div`), and every query
+  * ends in a total ORDER BY — so each hash-matches the oracle
+  * bit-for-bit.
+  *
+  * Scale shapes (100 TB corpus):
+  *  - split/sample/redact/chunk are pure per-row projections or
+  *    generators — zero shuffles, fully whole-stage-codegen'd, and
+  *    embarrassingly parallel at any scale;
+  *  - hash-keyed splitting is the ONLY split that stays stable when the
+  *    corpus is re-partitioned, re-ordered, or incrementally extended —
+  *    row_number-based splits silently reshuffle membership on every
+  *    ingest, leaking val/test docs into train across runs;
+  *  - tf-idf / inverted index shuffle (doc_id, term) and term keys —
+  *    both partial-aggregate map-side so the exchanges carry counts,
+  *    not token instances; the df table is vocabulary-sized. The
+  *    posting-list query bounds df ≤ 20 BEFORE materializing lists, so
+  *    no reducer ever builds a stopword's corpus-length posting array
+  *    (the classic inverted-index OOM).
+  */
+object PipelineQueries {
+
+  /** Deterministic unit-interval draw from a salted doc_id: the first 2
+    * hex chars of md5 give 256 evenly-distributed buckets; comparing
+    * against a hex threshold keeps ALL the math in string space —
+    * identical bits in both engines, no int parsing.
+    */
+  private def hashBucket(salt: String) =
+    substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 2)
+
+  // train < 'cc' (204/256 ~ 80%) <= val < 'e6' (230/256 ~ 90%) <= test
+  private val TrainThr = "cc"
+  private val ValThr = "e6"
+
+  // per-stratum sampling thresholds: en is downsampled harder than the
+  // tail languages (128/256 = 50% vs 64/256 = 25%)
+  private val EnThr = "80"
+  private val OtherThr = "40"
+
+  // context-window chunking: 200-char windows, 50-char overlap
+  private val ChunkLen = 200
+  private val Stride = 150
+
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Corpus with deterministic PII injected into every 4th doc — gives
+    * the redaction operator real positives (the synthetic lorem text
+    * contains none) while staying DuckDB-reproducible.
+    */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
+  private val piiCorpusSql =
+    """pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |        '@example.com or call 555-123-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hash-keyed train/val/test assignment (~80/10/10): membership is a
+    // pure function of doc_id, so it survives repartitioning and
+    // incremental corpus growth — the property row_number splits lack
+    "qp_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), hashBucket("split|").as("hb"))
+        .select(col("doc_id"),
+          when(col("hb") < TrainThr, "train")
+            .when(col("hb") < ValThr, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // stratified Bernoulli sample with per-stratum rates (en 50%, tail
+    // languages 25%) — the domain-rebalancing step of a data mix; output
+    // is the sample itself
+    "qp_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), hashBucket("sample|").as("hb"),
+          when(col("lang") === "en", EnThr).otherwise(OtherThr).as("thr"))
+        .filter(col("hb") < col("thr"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // fixed-size context-window chunking with overlap: 200-char windows
+    // every 150 chars (50-char overlap), short docs yield one chunk.
+    // A generator explode per row — narrow, no shuffle
+    "qp_chunk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .withColumn("n_chunks", expr(
+          s"CAST(1 + (CAST(greatest(len - $ChunkLen, 0) AS BIGINT) + ${Stride - 1}) div $Stride AS INT)"))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("ci"))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+          (col("ci") * Stride + 1).cast("int").as("chunk_start"),
+          length(expr(s"substring(text, ci * $Stride + 1, $ChunkLen)"))
+            .as("chunk_len"),
+          md5(expr(s"substring(text, ci * $Stride + 1, $ChunkLen)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // PII redaction: count + scrub emails and phone numbers (simple
+    // portable character-class regexes — Java and RE2 agree on these).
+    // Redacted text is reported as md5 + length so the gate checks the
+    // FULL scrubbed string without shipping it
+    "qp_redact" -> ((s, d) => {
+      val red = regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")
+      piiCorpus(s, d)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '$PhoneRe', 0)")).as("n_phones"),
+          md5(red).as("redacted_md5"),
+          length(red).as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top-3 terms per doc. Importance is integer-quantized as
+    // tf * N * 10000 div df — monotone in tf·(N/df), exact in both
+    // engines (no log, no float division). tf/df aggregations are
+    // partial-aggregated; N is a 1-row broadcast
+    "qp_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score_q"), asc("t"))
+      tf.join(dfreq, "t").crossJoin(broadcast(n))
+        .withColumn("score_q", expr("tf * n_docs * 10000 div df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+          col("score_q"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // inverted index over mid-frequency BIGRAM phrases (2 <= df <= 20):
+    // sorted posting lists. Bigrams (not unigrams) because a posting
+    // list is only useful for selective terms — and the df bound is
+    // applied in the same aggregation that builds the list, so
+    // stopword-grade keys never materialize corpus-length arrays (the
+    // classic inverted-index reducer OOM). Per-doc dedup happens BEFORE
+    // the explode (array_distinct)
+    "qp_invindex" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1)))")))
+          .as("t"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .filter(col("df").between(2, 20))
+        .orderBy("t")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qp_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN hb < '$TrainThr' THEN 'train'
+         |       WHEN hb < '$ValThr' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "qp_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) AS hb,
+         |    CASE WHEN lang = 'en' THEN '$EnThr' ELSE '$OtherThr' END AS thr
+         |  FROM documents) t
+         |WHERE hb < thr ORDER BY doc_id""".stripMargin,
+    "qp_chunk" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    1 + (GREATEST(LENGTH(text) - $ChunkLen, 0) + ${Stride - 1}) // $Stride
+         |      AS n_chunks
+         |  FROM documents)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(ci * $Stride + 1 AS INTEGER) AS chunk_start,
+         |  CAST(LENGTH(substr(text, CAST(ci * $Stride + 1 AS INTEGER), $ChunkLen))
+         |    AS INTEGER) AS chunk_len,
+         |  md5(substr(text, CAST(ci * $Stride + 1 AS INTEGER), $ChunkLen)) AS chunk_md5
+         |FROM base, unnest(range(0, n_chunks)) AS u(ci)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "qp_redact" ->
+      s"""WITH $piiCorpusSql, red AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g') AS r
+         |  FROM pii)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  md5(r) AS redacted_md5,
+         |  CAST(LENGTH(r) AS INTEGER) AS redacted_len
+         |FROM red ORDER BY doc_id""".stripMargin,
+    "qp_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+        |    tf.tf * n.n_docs * 10000 // dfq.df AS score_q
+        |  FROM tf JOIN dfq ON tf.t = dfq.t, n
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_q DESC, t) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score_q AS BIGINT) AS score_q, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_invindex" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS t
+        |  FROM wd WHERE len(w) >= 2)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |  list_sort(list(doc_id)) AS postings
+        |FROM toks GROUP BY t
+        |HAVING COUNT(*) BETWEEN 2 AND 20
+        |ORDER BY t""".stripMargin
+  )
+}

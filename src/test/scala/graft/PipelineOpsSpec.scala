@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the training-data workflow operators
+  * (PipelineQueries) and the new relational surface (as-of join,
+  * rollup, pivot).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("qp_split: hash split is exhaustive, disjoint, and ~80/10/10") {
+    val rows = q("qp_split").collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs)
+    val frac = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, v) => k -> v.length.toDouble / rows.length }
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    assert(frac("val") > 0.04 && frac("val") < 0.18, frac)
+  }
+
+  test("qp_split: membership is a pure function of doc_id (stable)") {
+    val a = q("qp_split").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = q("qp_split").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("qp_sample: en stratum is sampled at about twice the tail rate") {
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("qp_sample").collect()
+      .groupBy(_.getAs[String]("lang")).map { case (k, v) => k -> v.length }
+    val enRate = kept.getOrElse("en", 0).toDouble / docs("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate")
+    val tail = (kept.keySet - "en")
+    tail.foreach { l =>
+      val r = kept(l).toDouble / docs(l)
+      assert(r > 0.1 && r < 0.4, s"$l rate $r")
+    }
+  }
+
+  test("qp_chunk: chunks tile every document with the declared overlap") {
+    val rows = q("qp_chunk").collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // first chunk starts at 1; consecutive starts differ by the stride
+      assert(sorted.head.getAs[Int]("chunk_start") == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("chunk_start") - a.getAs[Int]("chunk_start") == 150)
+        case _ => ()
+      }
+      // the last chunk reaches the end of the doc: start + len - 1 == doc len
+      val lastRow = sorted.last
+      assert(lastRow.getAs[Int]("chunk_start") + lastRow.getAs[Int]("chunk_len") - 1
+        == lens(id), s"doc $id")
+      // every non-final chunk is full width
+      sorted.init.foreach(c => assert(c.getAs[Int]("chunk_len") == 200))
+    }
+  }
+
+  test("qp_redact: injected PII is counted and fully scrubbed") {
+    val rows = q("qp_redact").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 4 == 0) {
+        assert(r.getAs[Int]("n_emails") >= 1, s"doc $id emails")
+        assert(r.getAs[Int]("n_phones") >= 1, s"doc $id phones")
+      } else {
+        assert(r.getAs[Int]("n_emails") == 0)
+        assert(r.getAs[Int]("n_phones") == 0)
+      }
+    }
+    // double-redaction is a fixpoint: scrubbing the scrubbed text again
+    // changes nothing (i.e. no residual matches survive the first pass)
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val red = Tables.documents(spark, sf).select(col("doc_id"),
+      regexp_replace(regexp_replace(
+        concat(col("text"), lit(" contact user1@example.com or call 555-123-0001")),
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>").as("r"))
+    val residual = red.filter(
+      size(expr(s"regexp_extract_all(r, '$emailRe', 0)")) > 0 ||
+      size(expr(s"regexp_extract_all(r, '$phoneRe', 0)")) > 0).count()
+    assert(residual == 0)
+  }
+
+  test("qp_tfidf: exactly top-3 per doc, scores non-increasing in rank") {
+    val rows = q("qp_tfidf").collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to byRank.length))
+      assert(byRank.length <= 3)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("score_q") >= b.getAs[Long]("score_q"), s"doc $id")
+        case _ => ()
+      }
+    }
+  }
+
+  test("qp_invindex: postings are sorted, distinct, and df-consistent") {
+    val rows = q("qp_invindex").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[scala.collection.Seq[Long]]("postings")
+      assert(p.length == r.getAs[Long]("df"))
+      assert(p.toSeq == p.distinct.sorted, r.getAs[String]("t"))
+      assert(p.length >= 2 && p.length <= 20)
+    }
+  }
+
+  test("q20_asof: golden truth on a hand-built frame") {
+    // u1: view@10, purchase@20 -> matches view 100
+    //     purchase@5 (before any view) -> sentinel
+    //     view@20 exists too: same-ts view counts as prior for purchase@20
+    val rows = Seq(
+      (100L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "view"),
+      (101L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), "purchase"),
+      (102L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), "view"),
+      (103L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), "purchase"),
+      (104L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    rows.createOrReplaceTempView("asof_spec_events")
+    import org.apache.spark.sql.expressions.Window
+    val e = rows.filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = e.withColumn("av",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), coalesce(col("av"), lit(-1L)).as("asof_view_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(101L -> -1L, 103L -> 102L))
+  }
+
+  test("q21_rollup: level sums reconcile (leaves == subtotals == total)") {
+    val rows = q("q21_rollup").collect()
+    def sumAt(g: Int) = rows.filter(_.getAs[Int]("gid") == g)
+      .map(_.getAs[Long]("sum_qty")).sum
+    assert(sumAt(0) == sumAt(1) && sumAt(1) == sumAt(3))
+    assert(rows.count(_.getAs[Int]("gid") == 3) == 1)
+  }
+
+  test("q22_pivot: wide counts reconcile with the long count") {
+    val rows = q("q22_pivot").collect()
+    val wide = rows.map(r =>
+      (1 to 5).map(i => r.getAs[Long](s"p$i")).sum).sum
+    assert(wide == Tables.orders(spark, sf).count())
+  }
+}

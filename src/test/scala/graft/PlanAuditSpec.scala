@@ -205,4 +205,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), "greedy tokenizer must be a native expression")
     assert(!p.contains("Join"), "vocab rides as a reference object, not a join")
   }
+
+  test("q20_asof: as-of join is ONE exchange and zero join operators") {
+    // the union-window formulation: both event kinds shuffle once on
+    // user_id for the window; a range-join formulation would instead
+    // explode quadratically per hot user
+    val p = plan("q20_asof")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), "as-of must not be a join\n" + p.take(2000))
+  }
+
+  test("qp_split/qp_chunk/qp_redact: per-row pipeline ops never hash-shuffle") {
+    // split/chunk/redact are projections (+ generator); the only
+    // exchange allowed is the final presentation sort's rangepartitioning
+    Seq("qp_split", "qp_chunk", "qp_redact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q\n" + p.take(2000))
+    }
+  }
+
+  test("qp_tfidf: tf and df aggregations partial-aggregate map-side") {
+    val p = plan("qp_tfidf")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("partial_count") > exchangeIdx && exchangeIdx > 0,
+      "token counts must collapse before the shuffle\n" + p.take(3000))
+  }
 }

@@ -19,6 +19,13 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
+    # list-valued columns (posting lists, quantized vectors) arrive as
+    # numpy arrays from parquet and as python lists from DuckDB —
+    # normalize both to plain tuples so row comparison stays total
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
