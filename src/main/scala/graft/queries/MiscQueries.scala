@@ -73,6 +73,49 @@ object MiscQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // STATEFUL streaming dedup: every event arrives twice (generator
+    // fan-out), dropDuplicatesWithinWatermark keeps the first and —
+    // unlike plain dropDuplicates — evicts each key's state once the
+    // watermark passes it, so state is bounded by the lateness horizon
+    // at any scale. Oracle = the distinct event set
+    "qs_dedup" -> ((s, d) => {
+      val st = StreamingFlows.eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("copy", explode(array(lit(0), lit(1))))
+        .drop("copy")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      StreamingFlows.runToMemoryAppend(s, st)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // STREAM-STREAM inner join with an event-time range bound: purchases
+    // match views by the same user within the preceding 24h. Both sides
+    // are watermarked so join state is evicted exactly when the time
+    // bound proves no future match is possible — the only formulation
+    // whose state stays bounded on unbounded streams. The time-ranged
+    // landing files guarantee no cross-batch match outruns eviction
+    // (a file-2 purchase can only match views newer than the eviction
+    // line), so the append-mode result equals the batch interval join
+    "qs_interval_join" -> ((s, d) => {
+      val views = StreamingFlows.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val purchases = StreamingFlows.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val j = purchases.join(views, expr(
+        "p_user = v_user AND v_ts <= p_ts AND p_ts <= v_ts + interval 24 hours"))
+      StreamingFlows.runToMemoryAppend(s, j)
+        .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+        .orderBy("p_id", "v_id")
+    }),
+
     // the full flow pipeline as a streaming job == batch qf_pipeline oracle
     "qs_flow_pipeline" -> ((s, d) => {
       StreamingFlows.flowPipeline(s, d)
@@ -185,6 +228,16 @@ object MiscQueries {
         |GROUP BY minute_start, event_type
         |ORDER BY minute_start, event_type""".stripMargin,
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
+    "qs_dedup" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id",
+    "qs_interval_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id
+        |  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 24 HOUR
+        |ORDER BY p_id, v_id""".stripMargin,
     "qs_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts
