@@ -82,7 +82,14 @@ object FlowPipeline {
 
   def dropIpv6(flows: DataFrame): DataFrame =
     isIpv6(flows) match {
-      case Some(pred) => flows.filter(!pred)
+      case Some(pred) =>
+        // every surviving row is pure-v4, so the v6 columns are all-NULL
+        // dead weight from here on — drop them NOW so 4 BinaryType
+        // columns (plus the flag) don't ride every downstream exchange
+        val dead = Seq("orig_src_ip6", "orig_dst_ip6",
+          "reply_src_ip6", "reply_dst_ip6", "is_ipv6")
+          .filter(flows.columns.contains)
+        flows.filter(!pred).drop(dead: _*)
       case None => flows
     }
 

@@ -179,7 +179,12 @@ object PipelineQueries {
           .as("t"))
         .groupBy("t")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          // serialized as a comma-joined string (not ARRAY) so the
+          // result stays hashable for row-level comparison tooling;
+          // numeric sort BEFORE stringify keeps order identical to the
+          // oracle's list_sort over BIGINTs (lexicographic would not be)
+          expr("concat_ws(',', transform(sort_array(collect_list(doc_id))," +
+            " x -> cast(x AS string)))").as("postings"))
         .filter(col("df").between(2, 20))
         .orderBy("t")
     })
@@ -255,7 +260,7 @@ object PipelineQueries {
         |    range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS t
         |  FROM wd WHERE len(w) >= 2)
         |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
-        |  list_sort(list(doc_id)) AS postings
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM toks GROUP BY t
         |HAVING COUNT(*) BETWEEN 2 AND 20
         |ORDER BY t""".stripMargin

@@ -153,15 +153,14 @@ object TextQueries {
     // Lifetime: deliberately session-scoped — an in-function unpersist
     // would defeat exactly that cross-query reuse. MEMORY_AND_DISK caps
     // the memory cost (blocks spill rather than evict execution
-    // memory); a pipeline embedding this permanently should unpersist
-    // after its dedup stage.
-    val all = shingles(corpus(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = all.join(
-      all.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
-      .select("doc_id", "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memory); the harness releases both via CacheRegistry.releaseAll()
+    // once the suite is done.
+    val all = graft.ops.CacheRegistry.track(shingles(corpus(s, d)))
+    val sh = graft.ops.CacheRegistry.track(
+      all.join(
+        all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
+        .select("doc_id", "s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("a_id", "s")
     val b = sh.toDF("b_id", "s2")
@@ -200,6 +199,8 @@ object TextQueries {
     val nearEdges = jaccardPairs(s, d)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     val edges = exactEdges.unionByName(nearEdges).distinct()
+    // sym is consumed only inside this loop — unpersisted on exit (the
+    // jaccard lineage underneath is suite-shared and registry-released)
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -220,10 +221,19 @@ object TextQueries {
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
       val newSum = next.agg(sum("comp")).collect().head.getLong(0)
+      // next is eagerly materialized, so the PREVIOUS round's checkpoint
+      // blocks are fully consumed — free them now instead of leaking one
+      // cached copy of the label table per round
+      graft.ops.CacheRegistry.freeCheckpoint(labels)
       converged = newSum == prevSum
       prevSum = newSum
       labels = next
     }
+    sym.unpersist(blocking = false)
+    // the FINAL checkpoint backs the returned frame until the caller
+    // consumes it — released with the rest of the suite's caches
+    graft.ops.CacheRegistry.checkpointRdd(labels)
+      .foreach(graft.ops.CacheRegistry.trackRdd)
     labels
   }
 
@@ -440,12 +450,12 @@ object TextQueries {
       val c = corpus(s, d).withColumn("w", split(col("text"), " "))
       // spans feeds both the df aggregation and the flag join: persist
       // so the corpus is split+hashed once (same shared-lineage pattern
-      // as jaccardPairs' shingle table)
-      val spans = c.filter(size(col("w")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, CAST(size(w) div 5 AS INT))," +
-            " i -> md5(concat_ws(' ', slice(w, (i-1)*5 + 1, 5))))")).as("sph"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // as jaccardPairs' shingle table), released at suite end
+      val spans = graft.ops.CacheRegistry.track(
+        c.filter(size(col("w")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, CAST(size(w) div 5 AS INT))," +
+              " i -> md5(concat_ws(' ', slice(w, (i-1)*5 + 1, 5))))")).as("sph")))
       val boiler = spans
         .groupBy("sph").agg(countDistinct(col("doc_id")).as("span_df"))
         .filter(col("span_df") >= 2).select("sph")

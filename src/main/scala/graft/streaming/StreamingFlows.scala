@@ -126,30 +126,50 @@ object StreamingFlows {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** State-store partition count for the synchronous harness runs. The
+    * suite's stateful queries hold thousands of keys, not millions; at
+    * 32 shuffle partitions every micro-batch pays 32 state-store
+    * snapshot/commit round-trips for ~100 keys each — pure fixed cost.
+    * 8 keeps the commit fan-out proportional to the actual state size
+    * while still exercising multi-partition state. Production sizing
+    * (100 TB, millions of keys) would keep the session default instead.
+    */
+  private val HarnessStateParts = "8"
+
+  /** Runs a streaming plan to completion on available input with
+    * harness-appropriate state sizing: shuffle/state partitions dialed
+    * to [[HarnessStateParts]] for the lifetime of the query (the count
+    * is pinned into the query's offset metadata at first batch, so
+    * restoring the session conf afterwards cannot affect it).
+    */
+  private def runStream(spark: SparkSession, agg: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, HarnessStateParts)
+    try {
+      val q = agg.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(partsKey, prevParts)
+    spark.table(name)
+  }
+
   /** Run a streaming aggregation to completion on the currently available
     * input and return the materialized result (memory sink, complete
     * mode — the synchronous harness shape; production uses foreachBatch).
     */
-  def runToMemory(spark: SparkSession, agg: DataFrame): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+  def runToMemory(spark: SparkSession, agg: DataFrame): DataFrame =
+    runStream(spark, agg, "complete")
 
   /** Append-mode twin of [[runToMemory]] for watermarked aggregations:
     * only windows the final watermark has closed are emitted (the
     * trailing no-data micro-batch advances the watermark to
     * max-event-time − lateness and flushes them).
     */
-  def runToMemoryAppend(spark: SparkSession, agg: DataFrame): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+  def runToMemoryAppend(spark: SparkSession, agg: DataFrame): DataFrame =
+    runStream(spark, agg, "append")
 
   /** Streaming minute-grain event aggregation (W1/A2 over the raw
     * events stream) — semantically identical to the batch q5_minute_agg.

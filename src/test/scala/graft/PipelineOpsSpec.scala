@@ -112,9 +112,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = q("qp_invindex").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val p = r.getAs[scala.collection.Seq[Long]]("postings")
+      // postings serialize as a comma-joined string (hashable for the
+      // row-level gate); parse back for the structural assertions
+      val p = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
       assert(p.length == r.getAs[Long]("df"))
-      assert(p.toSeq == p.distinct.sorted, r.getAs[String]("t"))
+      assert(p == p.distinct.sorted, r.getAs[String]("t"))
       assert(p.length >= 2 && p.length <= 20)
     }
   }

@@ -57,7 +57,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // null-safe localhost filter lets v6 flows through to dropIpv6
     val junked = graft.flow.FlowPipeline.filterJunk(flows)
     assert(junked.filter(col("orig_src_ip6").isNotNull).count() > 0)
-    assert(graft.flow.FlowPipeline.dropIpv6(junked)
-      .filter(col("orig_src_ip6").isNotNull).isEmpty)
+    // dropIpv6 both filters the v6 rows AND prunes the now-all-NULL v6
+    // columns so they stop riding downstream exchanges
+    val dropped = graft.flow.FlowPipeline.dropIpv6(junked)
+    assert(!dropped.columns.exists(_.endsWith("_ip6")),
+      "v6 columns must be pruned after the filter")
+    assert(dropped.count() < junked.count(), "v6 rows must be gone")
   }
 }

@@ -136,4 +136,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall(multi) >= recall(single))
     assert(recall(multi) > 0, "multi-table must recover some true neighbors")
   }
+
+  test("cache lifecycle: releaseAll returns storage memory to baseline") {
+    def liveCached: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    // exercise every suite-shared cache: the shingle lineage (jaccard +
+    // keeper), the boilerplate span table, and the iterative-CC
+    // checkpoints (whose per-round blocks must already be freed inline)
+    q("qt_ngram_jaccard").collect()
+    q("qt_dedup_keep").collect()
+    q("qt_dedup_cluster").collect()
+    q("qt_boilerplate").collect()
+    assert(liveCached > 0, "the shared intermediates should be cached")
+    graft.ops.CacheRegistry.releaseAll()
+    assert(liveCached == 0,
+      s"releaseAll must free every tracked block, $liveCached still live")
+  }
 }
