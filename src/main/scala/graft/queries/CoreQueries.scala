@@ -238,6 +238,55 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // the 100 TB quantile/distinct story q19's comment promises: a
+    // MERGEABLE KLL sketch (graft.functions.KllQuantiles) plus HLL
+    // distinct (approx_count_distinct), each VALIDATED against the
+    // exact answer inside the query itself. Sketches can't be
+    // hash-compared across engines (no two implementations agree
+    // bit-for-bit), so the gate checks the part that is portable: the
+    // error bound. Output is one boolean per guarantee — the oracle
+    // states all of them hold. Scale shape: the sketch rides the normal
+    // partial-agg path (one small ladder per group × partition crosses
+    // the exchange, never the data); the validation joins are
+    // broadcast-sized (|event_type| rows).
+    "q19_sketch_check" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), cents(col("value")).as("cents"))
+      val kll = udaf(new graft.functions.KllQuantiles(Seq(0.5, 0.9)),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val est = e.groupBy("event_type")
+        .agg(kll(col("cents")).as("qs"),
+          approx_count_distinct(col("user_id")).as("du_est"))
+        .select(col("event_type"), col("qs")(0).as("med_est"),
+          col("qs")(1).as("p90_est"), col("du_est"))
+      // tie-aware rank check: a repeated value occupies the whole rank
+      // interval [count(<v)+1, count(<=v)]; the estimate is in-bound
+      // when the target rank is within tolerance OF THE INTERVAL
+      def rankOk(lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column,
+          target: org.apache.spark.sql.Column) =
+        greatest(lo + 1 - target, target - hi, lit(0L)) <= col("n") * 0.02
+      e.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("cents") < col("med_est"), 1L).otherwise(0L)).as("med_lo"),
+          sum(when(col("cents") <= col("med_est"), 1L).otherwise(0L)).as("med_hi"),
+          sum(when(col("cents") < col("p90_est"), 1L).otherwise(0L)).as("p90_lo"),
+          sum(when(col("cents") <= col("p90_est"), 1L).otherwise(0L)).as("p90_hi"),
+          countDistinct(col("user_id")).as("du_exact"),
+          max(col("du_est")).as("du_est"),
+          count(lit(1)).as("n"))
+        // KLL rank tolerance 2% of n; HLL++ default rsd is 5%
+        .select(col("event_type"),
+          rankOk(col("med_lo"), col("med_hi"), (col("n") + 1) / 2)
+            .as("median_ok"),
+          rankOk(col("p90_lo"), col("p90_hi"),
+            expr("CAST(ceil(0.9 * n) AS BIGINT)")).as("p90_ok"),
+          (abs(col("du_est") - col("du_exact"))
+            <= col("du_exact") * 0.05 + 1).as("distinct_ok"))
+        .orderBy("event_type")
+    }),
+
     "q17_set_ops" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -373,6 +422,14 @@ object CoreQueries {
         |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
         |    AS p90_cents
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the sketch gate is the guarantee, not the estimate: the Spark side
+    // computes whether KLL/HLL landed inside their error bounds against
+    // the exact answers; the oracle states the bounds must hold
+    "q19_sketch_check" ->
+      """SELECT event_type, TRUE AS median_ok, TRUE AS p90_ok,
+        |  TRUE AS distinct_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // session_window merge rule: consecutive events merge iff
     // diff <= gap (the window end is INCLUSIVE on merge — pinned by

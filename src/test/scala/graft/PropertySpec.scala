@@ -69,4 +69,84 @@ object PropertySpec extends Properties("graft") {
         Prop(trie.lookup(ip) == linear) :| s"ip=$ip"
       }: _*)
     }
+
+  // ---- KllQuantiles: the mergeable-sketch guarantees (q19's 100 TB
+  //      path) hold under ANY partitioning / merge order ----
+
+  private def kllSketch(probes: Seq[Double]) =
+    new graft.functions.KllQuantiles(probes, k = 64)
+
+  /** Tie-aware rank error: a value with duplicates occupies the whole
+    * rank interval [count(<v)+1, count(<=v)]; the error is the distance
+    * from the target rank to that interval (0 when it intersects).
+    */
+  private def rankErr(sorted: Vector[Long], v: Long, target: Long): Long = {
+    val lo = sorted.count(_ < v).toLong + 1
+    val hi = sorted.count(_ <= v).toLong
+    if (target < lo) lo - target else if (target > hi) target - hi else 0L
+  }
+
+  private val genData: Gen[Vector[Long]] = for {
+    n <- Gen.chooseNum(1, 4000)
+    skewed <- Gen.oneOf(true, false)
+    xs <- Gen.listOfN(n,
+      if (skewed) Gen.chooseNum(0L, 20L) else Gen.chooseNum(-100000L, 100000L))
+  } yield xs.toVector
+
+  private val genCuts: Gen[(Double, Double)] =
+    for { a <- Gen.chooseNum(0.0, 1.0); b <- Gen.chooseNum(0.0, 1.0) }
+      yield (math.min(a, b), math.max(a, b))
+
+  property("KLL rank error bounded under any 3-way split + merge order") =
+    forAll(genData, genCuts) { case (xs, (c1, c2)) =>
+      val agg = kllSketch(Seq(0.1, 0.5, 0.9))
+      val (i, j) = ((xs.length * c1).toInt, (xs.length * c2).toInt)
+      val parts = Seq(xs.take(i), xs.slice(i, j), xs.drop(j))
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      // left-fold and right-fold merge trees — partial buffers arrive in
+      // arbitrary order on a real exchange, so the bound must not care
+      val lf = agg.finish(parts.reduceLeft(agg.merge))
+      val rf = agg.finish(parts.reduceRight(agg.merge))
+      val sorted = xs.sorted
+      val n = xs.length.toLong
+      // worst-case envelope for deterministic KLL at k=64 over n<=4000:
+      // 2 compacting levels x k/2 rank noise each, cushioned; observed
+      // error is far smaller — this guards against regressions, not ulp
+      val eps = math.max(2.0, 0.08 * n)
+      Prop.all(Seq(0.1, 0.5, 0.9).zipWithIndex.flatMap { case (p, qi) =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        Seq(lf, rf).map { est =>
+          val err = rankErr(sorted, est(qi), target)
+          Prop(err <= eps) :| s"p=$p err=$err n=$n"
+        }
+      }: _*)
+    }
+
+  property("KLL is exact while no compaction has fired (n < k)") =
+    forAll(Gen.listOfN(50, Gen.chooseNum(-1000L, 1000L))) { xs0 =>
+      val xs = xs0.toVector
+      val agg = kllSketch(Seq(0.5))
+      val est = agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).head
+      val sorted = xs.sorted
+      val target = math.max(1, math.ceil(0.5 * xs.length).toInt)
+      Prop(est == sorted(target - 1)) :| s"est=$est"
+    }
+
+  property("KLL is deterministic: identical fold -> identical output") =
+    forAll(genData) { xs =>
+      val agg = kllSketch(Seq(0.25, 0.75))
+      val run = () => agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      run() == run()
+    }
+
+  property("KLL buffer stays O(k log n): no level exceeds capacity") =
+    forAll(genData) { xs =>
+      val agg = kllSketch(Seq(0.5))
+      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      val depthBound = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, xs.length.toLong / 32)) + 2
+      Prop(buf.levels.forall(_.length <= 64) &&
+        buf.levels.length <= depthBound &&
+        buf.n == xs.length.toLong) :| s"levels=${buf.levels.map(_.length)}"
+    }
 }
