@@ -70,14 +70,37 @@ object NetworkFlowTable {
       .format("parquet")
       .saveAsTable(table)
 
+  // ---- transactional variant (object-store deployments) --------------
+  //      The directory layout above relies on rename, which S3-style
+  //      stores lack; `transactional = true` routes the same table
+  //      through [[TxTable]]'s commit-log protocol instead (immutable
+  //      files + one atomic log publish per change, Delta-shaped). The
+  //      parquet-directory path stays the default.
+
+  def writeTx(spark: SparkSession, summed: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Long =
+    if (mode == SaveMode.Append) TxTable.append(spark, summed, path)
+    else TxTable.overwrite(spark, summed, path)
+
+  def readTx(spark: SparkSession, path: String): DataFrame =
+    TxTable.read(spark, path)
+
+  def compactTx(spark: SparkSession, path: String,
+      dates: Option[Seq[String]] = None): Long =
+    TxTable.compact(spark, path, dates)
+
+  def retentionTx(spark: SparkSession, path: String,
+      cutoff: java.time.LocalDate): Seq[String] =
+    TxTable.retention(spark, path, cutoff)
+
   // ---- maintenance (compaction + TTL) over the Hadoop FileSystem API:
   //      the same code runs against file://, hdfs://, or any FS with a
   //      Hadoop connector. (On S3-style object stores rename is not
   //      atomic; the staged-swap protocol below stays safe there because
   //      every step is idempotent and recoverMaintenance rolls an
   //      interrupted swap forward — but a production deployment at that
-  //      scale should prefer a table format with a commit protocol,
-  //      Delta/Iceberg.)
+  //      scale should use the [[TxTable]] commit-log variant, whose only
+  //      publish primitive is put-if-absent.)
 
   private def fsFor(spark: SparkSession,
       path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {

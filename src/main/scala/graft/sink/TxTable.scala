@@ -1,0 +1,291 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal log-structured commit protocol for the summing table — the
+  * object-store-safe variant of [[NetworkFlowTable]] (whose
+  * rename-based maintenance is atomic on HDFS/local but not on
+  * S3-style stores; see the note at NetworkFlowTable.scala:73-80). The
+  * reference sidesteps the problem because ClickHouse owns its storage
+  * (/root/reference/test/network_flows_0.sql:39-44); a 100 TB Spark
+  * deployment needs what Delta/Iceberg provide: data files are
+  * immutable and unreferenced-until-committed, and the only mutation is
+  * an atomic publish of one small log file.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_txlog/00000000000000000007.txn   one commit per version
+  *   <table>/d-<uuid>/date=<d>/part-*.parquet  immutable data files
+  * }}}
+  *
+  * A commit file holds tab-separated action lines over table-relative
+  * paths — `A <date> <relpath>` adds a file (recording its date
+  * partition value so readers prune and TTL plans from log METADATA,
+  * never a 100 TB directory listing), `R <relpath>` removes one — and a
+  * terminal `C <n>` marker line whose count must match, so a truncated
+  * half-written commit is detected instead of silently replayed. Table
+  * state at version V = replay of all commits ≤ V.
+  *
+  * Writers stage parquet under a fresh `d-<uuid>` dir (invisible: no
+  * reader follows unreferenced paths), then publish with a SINGLE
+  * create-if-absent of the next version file. That create is the
+  * store's put-if-absent primitive: atomic on HDFS; on S3 it maps to a
+  * conditional PUT (If-None-Match) — this object is the one seam a
+  * store-specific LogStore would plug into, exactly Delta's split. A
+  * crash anywhere before the publish leaves only unreferenced files for
+  * [[vacuum]]; a crash after it changed nothing half-way.
+  *
+  * Concurrency is optimistic: the loser of a version-number race
+  * re-reads the log and retries. Blind appends always win eventually;
+  * read-modify-write commits ([[compact]], [[retention]],
+  * [[overwrite]]) re-validate on retry that every file they remove is
+  * still live and abort on true conflict rather than resurrecting or
+  * double-removing data.
+  */
+object TxTable {
+  private val LogDirName = "_txlog"
+  private val measures = Set("bytes", "packets", "n_obs")
+
+  private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def logDir(root: Path) = new Path(root, LogDirName)
+  private def versionFile(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.txn")
+
+  /** add = Some(date) for `A` lines, None for `R` lines. */
+  private case class Action(rel: String, date: Option[String])
+
+  /** Latest committed version, or -1 for an empty/new table. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    listVersions(fs, root).lastOption.getOrElse(-1L)
+  }
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val log = logDir(root)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txn")).map(_.stripSuffix(".txn").toLong).sorted
+  }
+
+  private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] = {
+    val in = fs.open(versionFile(root, v))
+    val raw = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = raw.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.last.startsWith("C\t") &&
+      lines.last.stripPrefix("C\t").toLong == lines.length - 1,
+      s"truncated or corrupt commit $v in $root/$LogDirName")
+    lines.init.map { l =>
+      l.split("\t", -1) match {
+        case Array("A", d, rel) => Action(rel, Some(d))
+        case Array("R", rel)    => Action(rel, None)
+        case _ => throw new IllegalStateException(s"bad action in commit $v: $l")
+      }
+    }
+  }
+
+  /** Live (relpath -> date) set at the latest version: the log replay. */
+  private def snapshotFiles(fs: FileSystem, root: Path): Map[String, String] =
+    listVersions(fs, root).foldLeft(Map.empty[String, String]) { (live, v) =>
+      readCommit(fs, root, v).foldLeft(live) { (m, a) =>
+        a.date match {
+          case Some(d) => m + (a.rel -> d)
+          case None    => m - a.rel
+        }
+      }
+    }
+
+  /** One attempt to claim version `v` with `payload`; false = lost the
+    * race. create(overwrite=false) is the atomic claim on HDFS-like
+    * stores; content becomes visible at close().
+    */
+  private def tryCommit(fs: FileSystem, root: Path, v: Long,
+      payload: Array[Byte]): Boolean = {
+    val f = versionFile(root, v)
+    if (fs.exists(f)) return false
+    try {
+      val out = fs.create(f, false)
+      try out.write(payload) finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(f)) false else throw e
+    }
+  }
+
+  private def render(adds: Seq[(String, String)], removes: Seq[String]): Array[Byte] = {
+    val lines = adds.map { case (rel, d) => s"A\t$d\t$rel" } ++
+      removes.map(r => s"R\t$r") :+ s"C\t${adds.length + removes.length}"
+    (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Publish a commit, retrying past lost version races. Commits that
+    * remove files re-validate their removals against the fresh snapshot
+    * each attempt and abort on conflict (the file was already removed —
+    * retrying would double-remove or resurrect).
+    */
+  private def commitRetry(fs: FileSystem, root: Path,
+      adds: Seq[(String, String)], removes: Seq[String]): Long = {
+    fs.mkdirs(logDir(root))
+    val payload = render(adds, removes)
+    var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
+    while (true) {
+      if (removes.nonEmpty) {
+        val live = snapshotFiles(fs, root)
+        val gone = removes.filterNot(live.contains)
+        require(gone.isEmpty,
+          s"commit conflict: concurrently removed ${gone.take(3).mkString(",")}")
+      }
+      if (tryCommit(fs, root, v, payload)) return v
+      v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Ops/test seam: publish a raw action commit (what a store-specific
+    * LogStore would wrap) and inspect the live file set.
+    */
+  private[graft] def commitActions(spark: SparkSession, table: String,
+      adds: Seq[(String, String)], removes: Seq[String]): Long = {
+    val (fs, root) = fsFor(spark, table)
+    commitRetry(fs, root, adds, removes)
+  }
+
+  private[graft] def liveFiles(spark: SparkSession,
+      table: String): Map[String, String] = {
+    val (fs, root) = fsFor(spark, table)
+    snapshotFiles(fs, root)
+  }
+
+  /** Stage `df` (which must carry a `date` column) as immutable parquet
+    * under a fresh uuid dir and return the (relpath, date) adds. Nothing
+    * is visible until these are committed.
+    */
+  private def stage(df: DataFrame, fs: FileSystem, root: Path): Seq[(String, String)] = {
+    val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.option("compression", "zstd")
+      .partitionBy("date").parquet(new Path(root, dataDir).toString)
+    val it = fs.listFiles(new Path(root, dataDir), true)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val date = f.getParent.getName.stripPrefix("date=")
+        adds += ((s"$dataDir/date=${date}/${f.getName}", date))
+      }
+    }
+    adds.toSeq
+  }
+
+  /** Transactional append: new files become visible in one commit. */
+  def append(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty)
+  }
+
+  /** Transactional full replace (one commit swaps the entire file set —
+    * the reader never observes the table half-old half-new).
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val adds = stage(prep(df), fs, root)
+    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq)
+  }
+
+  private def prep(df: DataFrame): DataFrame =
+    df.repartitionByRange((col("date") +: NetworkFlowTable.sortKey.map(col)): _*)
+      .sortWithinPartitions(NetworkFlowTable.sortKey.map(col): _*)
+
+  /** Snapshot read at the latest version. The file list (and its date
+    * pruning, via `dates`) comes from the log, not a directory listing;
+    * partitionBy dropped the `date` column from the files, so it is
+    * re-attached per date group from the log metadata.
+    */
+  def read(spark: SparkSession, table: String,
+      dates: Option[Seq[String]] = None): DataFrame = {
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root).toSeq
+      .filter { case (_, d) => dates.forall(_.contains(d)) }
+    require(live.nonEmpty, s"tx table $table has no live files" +
+      dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
+    val byDate = live.groupBy(_._2).toSeq.sortBy(_._1)
+    byDate.map { case (d, files) =>
+      val df = spark.read.parquet(
+        files.map { case (rel, _) => new Path(root, rel).toString }: _*)
+      df.select(to_date(lit(d)).as("date") +: df.columns.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** SummingMergeTree background-merge analog on the tx path: re-sum the
+    * target dates into fresh files and atomically swap them in. Old
+    * files stay on disk (time travel / reader isolation) until
+    * [[vacuum]]; a crash mid-compaction leaves the old version live.
+    */
+  def compact(spark: SparkSession, table: String,
+      dates: Option[Seq[String]] = None): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val targetDates = snapshotFiles(fs, root).values.toSet.toSeq.sorted
+      .filter(d => dates.forall(_.contains(d)))
+    val df = read(spark, table, Some(targetDates))
+    val dims = df.columns.filterNot(measures)
+    val compacted = df.groupBy(dims.map(col): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        sum("n_obs").as("n_obs"))
+    val adds = stage(prep(compacted), fs, root)
+    val removes = snapshotFiles(fs, root)
+      .collect { case (rel, d) if targetDates.contains(d) => rel }.toSeq
+    commitRetry(fs, root, adds, removes)
+  }
+
+  /** W7 TTL on the tx path: one metadata-only commit removes every file
+    * of every expired date — no data I/O at all at commit time; bytes
+    * are reclaimed later by [[vacuum]]. Returns the dropped dates.
+    */
+  def retention(spark: SparkSession, table: String,
+      cutoff: java.time.LocalDate): Seq[String] = {
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    val expired = live.filter { case (_, d) =>
+      try java.time.LocalDate.parse(d).isBefore(cutoff)
+      catch { case _: Exception => false }
+    }
+    if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq)
+    expired.values.toSet.toSeq.sorted
+  }
+
+  /** Delete data files no commit references (compacted-away, TTL'd, or
+    * orphaned by a crashed writer) and prune empty uuid dirs. `minAgeMs`
+    * protects a LIVE writer's not-yet-committed staging files — like
+    * Delta's retention check, never vacuum younger than the longest
+    * plausible write+commit window in production.
+    */
+  def vacuum(spark: SparkSession, table: String, minAgeMs: Long = 0L): Seq[String] = {
+    val (fs, root) = fsFor(spark, table)
+    val qroot = fs.makeQualified(root)
+    val live = snapshotFiles(fs, root).keySet
+    val now = System.currentTimeMillis()
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("d-")).foreach { dir =>
+      val it = fs.listFiles(dir.getPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = qroot.toUri.relativize(f.getPath.toUri).getPath
+        if (!live.contains(rel) && now - f.getModificationTime >= minAgeMs) {
+          fs.delete(f.getPath, false)
+          deleted += rel
+        }
+      }
+      if (fs.listFiles(dir.getPath, true).hasNext == false)
+        fs.delete(dir.getPath, true)
+    }
+    deleted.toSeq
+  }
+}

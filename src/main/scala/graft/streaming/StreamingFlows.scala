@@ -33,17 +33,22 @@ object StreamingFlows {
   val LandingFiles = 2
 
   /** Stage a REAL landing directory: the events are split into
-    * [[LandingFiles]] time-range snapshot files named in arrival order
-    * (equalized mtimes → the file source's (mtime, path) ordering is
-    * deterministic), so with `maxFilesPerTrigger(1)` each snapshot is
-    * its own micro-batch — like the per-dump gRPC batches the reference
-    * ingests. Time-ranged splitting mirrors reality (a dump only
-    * contains newer deltas than the previous one) and is what makes the
-    * watermarked APPEND queries batch-count-invariant: every batch's
-    * rows are newer than the prior batch's watermark, so nothing is
-    * late-dropped and the final closed-window set equals the oracle's.
+    * [[LandingFiles]] time-range snapshot files with STRICTLY INCREASING
+    * mtimes in ts-range order, so with `maxFilesPerTrigger(1)` each
+    * snapshot is its own micro-batch, processed oldest-first — like the
+    * per-dump gRPC batches the reference ingests. (The file source
+    * orders candidates by modification time; equal mtimes tie-break by
+    * listing order, which is NOT name order — WatermarkSpec's 4-file
+    * run caught snapshots arriving out of order and early data being
+    * late-dropped. Spaced mtimes make arrival order structural.)
+    * Time-ranged splitting mirrors reality (a dump only contains newer
+    * deltas than the previous one) and is what makes the watermarked
+    * APPEND queries batch-count-invariant: every batch's rows are newer
+    * than the prior batch's watermark, so nothing is late-dropped and
+    * the final closed-window set equals the oracle's.
     */
-  private def eventsDir(spark: SparkSession, dir: String): String =
+  private def eventsDir(spark: SparkSession, dir: String,
+      files: Int): String =
     synchronized {
       val src = java.nio.file.Paths.get(dir, "events.parquet")
       // cache key includes the source's (size, mtime) fingerprint:
@@ -52,7 +57,7 @@ object StreamingFlows {
       // below an idempotent publish
       val fp = s"${java.nio.file.Files.size(src)}_" +
         s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      val prefix = s"graft_landing_${math.abs(dir.hashCode)}_$LandingFiles"
+      val prefix = s"graft_landing2_${math.abs(dir.hashCode)}_$files"
       val d = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"${prefix}_$fp")
       if (java.nio.file.Files.exists(d.resolve("_READY"))) return d.toString
@@ -73,7 +78,7 @@ object StreamingFlows {
       try {
         val stagingOut = staging.resolve("out")
         spark.read.parquet(src.toString)
-          .repartitionByRange(LandingFiles, col("ts"))
+          .repartitionByRange(files, col("ts"))
           .write.mode("overwrite").parquet(stagingOut.toString)
         val parts = java.nio.file.Files.list(stagingOut).iterator()
         val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -84,13 +89,12 @@ object StreamingFlows {
         val pub = staging.resolve("pub")
         java.nio.file.Files.createDirectories(pub)
         // part-0000N name order == ts range order for repartitionByRange;
-        // equalized mtimes make the file source's (mtime, path) order
-        // deterministic
+        // spaced mtimes (not names) define the source's processing order
         sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach {
           case (p, i) =>
             val dst = pub.resolve(f"snapshot_$i%03d.parquet")
             java.nio.file.Files.move(p, dst)
-            dst.toFile.setLastModified(1700000000000L)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
         }
         java.nio.file.Files.createFile(pub.resolve("_READY"))
         try java.nio.file.Files.move(pub, d,
@@ -109,9 +113,13 @@ object StreamingFlows {
     }
 
   /** events landing dir as a streaming source (ts arrives as raw nanos);
-    * one snapshot file per micro-batch. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = eventsDir(spark, dir)
+    * one snapshot file per micro-batch. `files` controls how many
+    * snapshot dumps the landing dir is split into (= micro-batch count);
+    * WatermarkSpec proves the gated append queries are invariant to it.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      files: Int = LandingFiles): DataFrame = {
+    val path = eventsDir(spark, dir, files)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -125,6 +133,55 @@ object StreamingFlows {
       .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** The CSV shape of one flow record on the wire for
+    * [[socketFlowStream]]: the scalar RawFlow fields in declaration
+    * order (flow_handler.proto:24-68 flattened, like the parquet
+    * corpus; connection_flags ride separately in production transport
+    * and default empty here).
+    */
+  val flowWireSchema: StructType = StructType(Seq(
+    StructField("flow_id", LongType), StructField("ts", TimestampType),
+    StructField("node_name", StringType), StructField("proto", IntegerType),
+    StructField("orig_src_ip", LongType), StructField("orig_dst_ip", LongType),
+    StructField("orig_src_port", IntegerType),
+    StructField("orig_dst_port", IntegerType),
+    StructField("reply_src_ip", LongType), StructField("reply_dst_ip", LongType),
+    StructField("orig_pkts", LongType), StructField("orig_bytes", LongType),
+    StructField("reply_pkts", LongType), StructField("reply_bytes", LongType),
+    StructField("reply_src_port", IntegerType),
+    StructField("reply_dst_port", IntegerType)))
+
+  /** S1/S3 fidelity: the reference's agent→server NETWORK hop
+    * (client-streaming gRPC, flow_handler.proto:8-13,
+    * cmd/server/server.go:61-119) as a Spark ingest boundary —
+    * newline-delimited flow records over TCP, parsed and validated at
+    * the edge. The gRPC framing is a transport detail; the
+    * engine-visible contract this preserves is: records arrive over a
+    * socket one message at a time, are typed on entry, and flow into
+    * the same pipeline plan as every other source. (The socket source
+    * is not replayable, so a production deployment fronts it with a
+    * durable log — file landing dir or Kafka — exactly like the
+    * reference's inserter buffers before ClickHouse; the pipeline plan
+    * is identical either way.)
+    */
+  def socketFlowStream(spark: SparkSession, host: String,
+      port: Int): DataFrame =
+    parseFlowLines(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load())
+
+  /** Wire decode for [[socketFlowStream]], exposed for tests: CSV line →
+    * typed RawFlow columns. PERMISSIVE parsing: a malformed line yields
+    * NULL fields and dies in filterJunk's null-safe predicates instead
+    * of killing the long-running ingest query (the reference likewise
+    * drops bad observations, it does not crash the server).
+    */
+  def parseFlowLines(lines: DataFrame): DataFrame =
+    lines.select(from_csv(col("value"), flowWireSchema,
+        Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss")).as("r"))
+      .select(col("r.*"))
+      .withColumn("connection_flags",
+        typedLit(Map.empty[String, Boolean]))
 
   /** State-store partition count for the synchronous harness runs. The
     * suite's stateful queries hold thousands of keys, not millions; at
@@ -368,9 +425,10 @@ object StreamingFlows {
     * [[startIdempotentSink]].
     */
   def watermarkedFlowPipeline(spark: SparkSession, dir: String,
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes",
+      files: Int = LandingFiles): DataFrame = {
     val flows = SyntheticFlows.flowsFromEvents(
-      eventsStream(spark, dir).select(
+      eventsStream(spark, dir, files).select(
         col("event_id"), col("user_id"), col("ts")))
     val pods = SyntheticFlows.pods(spark, dir)
     val nodes = SyntheticFlows.nodes(spark, dir)

@@ -83,6 +83,48 @@ class DimRefreshSpec extends AnyFunSuite {
       val sunk = spark.read.parquet(s"$tmp/out/batch=0")
         .agg(org.apache.spark.sql.functions.sum("n_obs")).collect().head.getLong(0)
       assert(sunk == 2 * m0("labeled")._1, "out+in fan-out of each labeled flow")
+      // the exporter folds per-batch deltas into cumulative Prometheus
+      // counters (server.go:100-117 counter families)
+      val cum = graft.streaming.MetricsExporter.counters(spark, s"$tmp/metrics")
+        .collect().map(r => (r.getAs[String]("family"),
+          r.getAs[String]("label")) -> r.getAs[Long]("value")).toMap
+      assert(cum == Map(
+        ("processed_flows", "enqueued") -> 1L,
+        ("processed_flows", "ignored") -> 2L))
+      val text = graft.streaming.MetricsExporter.render(
+        graft.streaming.MetricsExporter.counters(spark, s"$tmp/metrics"))
+      assert(text.split("\n").toSeq == Seq(
+        """graft_processed_flows_total{label="enqueued"} 1""",
+        """graft_processed_flows_total{label="ignored"} 2"""))
     } finally q.stop()
+  }
+
+  test("metrics exporter: streamed cumulative counters reconcile exactly " +
+    "with the batch outcome taxonomy (qf_outcomes parity)") {
+    import org.apache.spark.sql.functions.col
+    import graft.flow.{FlowPipeline, SyntheticFlows}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mexp").toString
+    val dir = sf
+    val cfg = FlowConfig(lpmViaTrie = true)
+    val stream = SyntheticFlows.flowsFromEvents(
+      StreamingFlows.eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts")))
+    def loadDims() = (SyntheticFlows.pods(spark, dir),
+      SyntheticFlows.nodes(spark, dir), SyntheticFlows.prefixes(spark, dir))
+    val q = StreamingFlows.startWithMetrics(stream, loadDims _, cfg,
+      s"$tmp/out", s"$tmp/metrics", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.MetricsExporter
+      .countersByOutcome(spark, s"$tmp/metrics")
+      .collect().map(r => r.getAs[String]("outcome") ->
+        r.getAs[Long]("value")).toMap
+    val (p, n, px) = loadDims()
+    val want = FlowPipeline.routeOutcomes(p, n, px, cfg)(
+      SyntheticFlows.flows(spark, dir))
+      .groupBy("outcome").count()
+      .collect().map(r => r.getAs[String]("outcome") ->
+        r.getAs[Long]("count")).toMap
+    assert(got == want,
+      "cumulative streamed counters must equal the batch taxonomy")
   }
 }

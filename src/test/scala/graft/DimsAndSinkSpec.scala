@@ -309,6 +309,62 @@ class DimsAndSinkSpec extends AnyFunSuite {
     assert(kept == Set(1L), "any v6 endpoint -> ErrIPv6Flow semantics")
   }
 
+  test("S3: flows crossing a real TCP socket boundary parse into typed " +
+    "rows and run the pipeline filters") {
+    val POD = 167772165L; val PUB = 16777316L; val NODE = 2886729729L
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val lines = Seq(
+      // labelable TCP flow, a UDP flow, and line noise
+      s"1,2023-11-14 22:13:20,node-1,6,$POD,$PUB,1,2,$PUB,$NODE,10,11,12,13,2,1",
+      s"2,2023-11-14 22:13:21,node-1,17,$POD,$PUB,1,2,$PUB,$NODE,10,11,12,13,2,1",
+      "this is not a flow record")
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        // hold the connection open until the test is done reading
+        try Thread.sleep(60000)
+        catch { case _: InterruptedException => () }
+        sock.close()
+      } catch { case _: java.io.IOException => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = StreamingFlows.socketFlowStream(spark,
+        "localhost", server.getLocalPort)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("socket_flows").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_flows").count() < lines.length &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val batch = spark.table("socket_flows")
+      assert(batch.count() == lines.length)
+      // typed at the edge: the wire schema binds every RawFlow column
+      assert(graft.streaming.StreamingFlows.flowWireSchema.fieldNames
+        .forall(batch.columns.contains))
+      assert(batch.filter(col("flow_id") === 1L)
+        .select("orig_src_ip").as[Long].head() == POD)
+      // the malformed line became a NULL-field row and dies in
+      // filterJunk instead of killing the ingest query
+      val kept = graft.flow.FlowPipeline.filterJunk(batch)
+      assert(kept.count() == 2)
+      val tcpOnly = graft.flow.FlowPipeline
+        .dropUdp(graft.flow.FlowConfig())(kept)
+      assert(tcpOnly.select("flow_id").as[Long].collect().toSet == Set(1L))
+    } finally {
+      q.stop()
+      writer.interrupt()
+      server.close()
+    }
+  }
+
   test("W10: uptime-gated readiness probe waits for rows, then fails fast") {
     @volatile var rows = Seq.empty[Long]
     val t = new Thread(() => { Thread.sleep(300); rows = Seq(1L) })

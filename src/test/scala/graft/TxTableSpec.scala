@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.flow.{FlowPipeline, SyntheticFlows}
+import graft.sink.{NetworkFlowTable, TxTable}
+
+/** The object-store commit-log variant of the summing table (S6/W7 on
+  * stores without atomic rename): immutable data files + one atomic log
+  * publish per change; readers never observe a partial mutation.
+  */
+class TxTableSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def summed = FlowPipeline.run(
+    SyntheticFlows.flows(spark, sf), SyntheticFlows.pods(spark, sf),
+    SyntheticFlows.nodes(spark, sf), SyntheticFlows.prefixes(spark, sf))
+
+  test("tx table: append/read/compact/TTL with reader isolation + vacuum") {
+    val s = summed.cache()
+    try {
+      val n = s.count()
+      val bytes = s.agg(sum("bytes")).collect().head.getLong(0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tx").toString + "/t"
+      assert(NetworkFlowTable.writeTx(spark, s, path) == 0L)
+      val back = TxTable.read(spark, path)
+      assert(back.count() == n)
+      assert(back.columns.toSet == s.columns.toSet,
+        "date column re-attached from log metadata")
+      assert(back.schema("date").dataType.typeName == "date")
+      // append = one more commit, both file sets live
+      assert(NetworkFlowTable.writeTx(spark, s, path, SaveMode.Append) == 1L)
+      assert(TxTable.read(spark, path).count() == 2 * n)
+      // a crashed writer's staged-but-never-committed files are invisible
+      s.limit(5).write.partitionBy("date").parquet(s"$path/d-orphan000")
+      assert(TxTable.read(spark, path).count() == 2 * n,
+        "unreferenced data files must not surface")
+      // compaction: one commit swaps duplicates for the re-summed set
+      NetworkFlowTable.compactTx(spark, path)
+      val compacted = TxTable.read(spark, path)
+      assert(compacted.count() == n, "duplicate keys collapsed")
+      assert(compacted.agg(sum("bytes")).collect().head.getLong(0) == 2 * bytes,
+        "sums preserved (doubled input)")
+      // superseded + orphaned files reclaimed only at vacuum; the live
+      // snapshot is untouched by it
+      val removed = TxTable.vacuum(spark, path)
+      assert(removed.nonEmpty)
+      assert(removed.exists(_.startsWith("d-orphan000/")),
+        "vacuum sweeps crashed-writer orphans too")
+      assert(TxTable.read(spark, path).count() == n)
+      // TTL: metadata-only commit; data bytes survive until vacuum
+      val dates = compacted.select("date").distinct()
+        .collect().map(_.get(0).toString).sorted.toSeq
+      assert(dates.length >= 2, "test needs multiple date partitions")
+      val before = TxTable.vacuum(spark, path) // clean slate
+      assert(before.isEmpty)
+      val dropped = NetworkFlowTable.retentionTx(spark, path,
+        java.time.LocalDate.parse(dates.last))
+      assert(dropped == dates.init)
+      assert(TxTable.read(spark, path)
+        .select("date").distinct().count() == 1)
+      assert(TxTable.vacuum(spark, path).nonEmpty,
+        "TTL'd files reclaimed by the next vacuum")
+      // date-pruned read plans its file list from the log alone
+      assert(TxTable.read(spark, path, Some(Seq(dates.last))).count() ==
+        TxTable.read(spark, path).count())
+    } finally s.unpersist()
+  }
+
+  test("optimistic concurrency: lost races retry; conflicting removes " +
+    "abort; truncated commits are detected") {
+    val s = summed
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txcc").toString + "/t"
+    assert(TxTable.append(spark, s, path) == 0L)
+    // a concurrent writer claims version 1 (a valid no-op commit)
+    val log = java.nio.file.Paths.get(path, "_txlog")
+    java.nio.file.Files.write(log.resolve(f"${1L}%020d.txn"),
+      "C\t0\n".getBytes)
+    // the blind append loses the v1 race and lands on v2
+    assert(TxTable.append(spark, s, path) == 2L)
+    // read-modify-write conflict: removing an already-removed file must
+    // abort, not double-remove
+    val victim = TxTable.liveFiles(spark, path).keys.head
+    TxTable.commitActions(spark, path, Seq.empty, Seq(victim))
+    assert(!TxTable.liveFiles(spark, path).contains(victim))
+    intercept[IllegalArgumentException] {
+      TxTable.commitActions(spark, path, Seq.empty, Seq(victim))
+    }
+    // a torn half-written commit (no terminal marker) fails loudly
+    // instead of silently replaying a partial file set
+    val v = TxTable.currentVersion(spark, path) + 1
+    java.nio.file.Files.write(log.resolve(f"$v%020d.txn"),
+      "A\t2024-01-01\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
+    intercept[IllegalArgumentException] { TxTable.read(spark, path) }
+  }
+}

@@ -49,6 +49,35 @@ class WatermarkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W2 batch-count invariance: watermarked append results are " +
+    "identical with 1, 2, and 4 snapshot files") {
+    import org.apache.spark.sql.functions._
+    // the claim argued in StreamingFlows.eventsDir's doc (time-ranged
+    // snapshots -> nothing is late-dropped regardless of how the input
+    // is batched), proved for the two gated stateful shapes
+    def sessions(files: Int): Seq[String] = {
+      val agg = StreamingFlows.eventsStream(spark, sf, files)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "86400 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamingFlows.runToMemoryAppend(spark, agg)
+        .select(col("user_id"), col("w.start"), col("w.end"),
+          col("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def flowSummed(files: Int): Seq[String] =
+      StreamingFlows.runToMemoryAppend(spark,
+        StreamingFlows.watermarkedFlowPipeline(spark, sf, files = files))
+        .collect().map(_.toString).sorted.toSeq
+    val s = Seq(1, 2, 4).map(sessions)
+    assert(s(0).nonEmpty && s(1) == s(0) && s(2) == s(0),
+      "sessionization must be invariant to micro-batch count")
+    val f = Seq(1, 2, 4).map(flowSummed)
+    assert(f(0).nonEmpty && f(1) == f(0) && f(2) == f(0),
+      "watermarked flow summing must be invariant to micro-batch count")
+  }
+
   test("session_window boundary: a gap EXACTLY equal to the gap duration " +
     "still MERGES (inclusive end — the oracle breaks only on > gap)") {
     import org.apache.spark.sql.functions._
