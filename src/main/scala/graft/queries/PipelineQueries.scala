@@ -57,6 +57,11 @@ object PipelineQueries {
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  // sequence packing: token budget per training sequence
+  private val PackBudget = 512
+  // repetition filter: keep docs with < 15% duplicated 5-grams
+  private val RepThr = 1500
+
   /** Corpus with deterministic PII injected into every 4th doc — gives
     * the redaction operator real positives (the synthetic lorem text
     * contains none) while staying DuckDB-reproducible.
@@ -162,6 +167,75 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // sequence packing: the shard-building step that turns chunks into
+    // fixed-token-budget training sequences ("concatenate then cut").
+    // Docs are laid end-to-end in deterministic (shard, doc_id) order;
+    // each doc's sequence id / offset is a pure function of the running
+    // token count BEFORE it. The window partitions by a shard key, so
+    // the running sum parallelizes across shards (a single global
+    // cumsum would serialize 100 TB through one partition — per-shard
+    // packing is also what a real loader does, one pack stream per
+    // output shard)
+    "qp_pack" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr(s"(cum - n_tok) div $PackBudget").as("seq_id"),
+          expr(s"(cum - n_tok) % $PackBudget").as("seq_off"))
+        .orderBy("doc_id")
+    }),
+
+    // repetition filter (Gopher-style quality signal): the fraction of
+    // duplicated word 5-grams per document. Entirely higher-order array
+    // functions — per-row, zero shuffle, whole-stage codegen; at 100 TB
+    // this runs at scan speed, which is why repetition filters are the
+    // first pass of every corpus pipeline
+    "qp_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+        .withColumn("g", expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' '," +
+            " element_at(w,i), element_at(w,i+1), element_at(w,i+2)," +
+            " element_at(w,i+3), element_at(w,i+4)))"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          (size(col("g")) - size(array_distinct(col("g"))))
+            .cast("long").as("n_dup"))
+        .withColumn("dup_q", expr("n_dup * 10000 div n_grams"))
+        .withColumn("keep", col("dup_q") < RepThr)
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: training docs sharing any word 3-gram
+    // shingle with the held-out benchmark slice (doc_id % 97 — the eval
+    // set a real pipeline must scrub from train). Shingles are md5'd to
+    // fixed width before the join; the benchmark side is tiny by
+    // construction (|corpus|/97), so Spark broadcasts it and the train
+    // side never shuffles — decontamination at 100 TB is a broadcast
+    // join, not an exchange
+    "qp_decontam" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> md5(concat_ws(' '," +
+            " element_at(w,i), element_at(w,i+1), element_at(w,i+2))))")))
+          .as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("sh"), col("doc_id").as("bench_id")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct("sh").as("n_shared"),
+          countDistinct("bench_id").as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
     // inverted index over mid-frequency BIGRAM phrases (2 <= df <= 20):
     // sorted posting lists. Bigrams (not unigrams) because a posting
     // list is only useful for selective terms — and the df bound is
@@ -252,6 +326,51 @@ object PipelineQueries {
         |SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
         |  CAST(df AS BIGINT) AS df, CAST(score_q AS BIGINT) AS score_q, rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_pack" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM base)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tok) % $PackBudget AS BIGINT) AS seq_off
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "qp_repetition" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_transform(range(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |         w[i+3] || ' ' || w[i+4]) AS g
+         |  FROM wd WHERE len(w) >= 5)
+         |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dup,
+         |  CAST((len(g) - len(list_distinct(g))) * 10000 // len(g)
+         |    AS BIGINT) AS dup_q,
+         |  ((len(g) - len(list_distinct(g))) * 10000 // len(g)) < $RepThr
+         |    AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "qp_decontam" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM wd WHERE len(w) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT sh, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0
+        |), train AS (
+        |  SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM train t JOIN bench b ON t.sh = b.sh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "qp_invindex" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -121,6 +121,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qp_pack: sequences tile contiguously and survive repartitioning") {
+    val rows = q("qp_pack").collect()
+    assert(rows.nonEmpty)
+    // within a shard, each doc starts exactly where the previous ended
+    // (mod the budget): seq_id * 512 + seq_off is the running token sum
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_id") * 512 + r.getAs[Long]("seq_off") == cum,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}")
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+    // ingest-stability: the same packing regardless of input partitioning
+    // (the property row_number-based packers lack)
+    val again = q("qp_pack").repartition(7).orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("qp_repetition: hand-built docs score exact duplicate fractions") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // 4 5-grams, all distinct
+      (2L, "x y z w v x y z w v x y z w v")) // repeated span -> dups
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val g = docs.withColumn("w", split(col("text"), " "))
+      .withColumn("g", expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' '," +
+          " element_at(w,i), element_at(w,i+1), element_at(w,i+2)," +
+          " element_at(w,i+3), element_at(w,i+4)))"))
+      .select(col("doc_id"), size(col("g")).as("n"),
+        (size(col("g")) - size(array_distinct(col("g")))).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(g(1L) == ((4, 0)))
+    // doc 2: 11 5-grams over a period-5 string -> only 5 distinct
+    assert(g(2L) == ((11, 6)))
+    // and the declared query keeps the clean doc, flags nothing below
+    // threshold as dup-free
+    val out = q("qp_repetition").collect()
+    assert(out.forall(r => r.getAs[Long]("n_dup") <= r.getAs[Long]("n_grams")))
+    assert(out.exists(_.getAs[Boolean]("keep")))
+  }
+
+  test("qp_decontam: the benchmark side broadcasts (no shuffle on the " +
+    "train side) and flagged docs truly share a shingle") {
+    val plan = q("qp_decontam").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontam join must broadcast the bench side:\n$plan")
+    val rows = q("qp_decontam").collect()
+    assert(rows.nonEmpty, "gate must exercise non-trivial contamination")
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0),
+      "only train docs are reported")
+    assert(rows.forall(r => r.getAs[Long]("n_shared") >= 1 &&
+      r.getAs[Long]("n_bench_docs") >= 1))
+  }
+
   test("q20_asof: golden truth on a hand-built frame") {
     // u1: view@10, purchase@20 -> matches view 100
     //     purchase@5 (before any view) -> sentinel
