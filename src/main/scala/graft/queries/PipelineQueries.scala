@@ -167,6 +167,33 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // data-mixture rebalancing: downsample each language toward an
+    // equal per-language TOKEN budget (the "data mix" step that decides
+    // what a model trains on). Unlike qp_sample's fixed rates, the
+    // acceptance thresholds here are DATA-DERIVED: two partial-agg
+    // passes produce per-language token totals, the fair-share math
+    // happens on a broadcast vocabulary-sized frame, and membership is
+    // again a pure md5 function of doc_id — so the 100 TB corpus is
+    // filtered by one projection against a broadcast threshold map,
+    // with no shuffle of fact rows at all
+    "qp_mix" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val byLang = toks.groupBy("lang").agg(sum("n_tok").as("lang_tok"))
+      val tot = byLang.agg(sum("lang_tok").as("tot"),
+        count(lit(1)).as("nl"))
+      val thr = byLang.crossJoin(broadcast(tot))
+        .withColumn("acc256",
+          least(lit(256L), expr("tot div nl * 256 div lang_tok")))
+        .select(col("lang"), col("acc256"))
+      toks.join(broadcast(thr), "lang")
+        .withColumn("hb", hashBucket("mix|"))
+        .filter(col("acc256") === 256 ||
+          col("hb") < format_string("%02x", col("acc256")))
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: the shard-building step that turns chunks into
     // fixed-token-budget training sequences ("concatenate then cut").
     // Docs are laid end-to-end in deterministic (shard, doc_id) order;
@@ -326,6 +353,25 @@ object PipelineQueries {
         |SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
         |  CAST(df AS BIGINT) AS df, CAST(score_q AS BIGINT) AS score_q, rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "qp_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), bl AS (
+        |  SELECT lang, SUM(n_tok) AS lang_tok FROM toks GROUP BY lang
+        |), t AS (
+        |  SELECT SUM(lang_tok) AS tot, COUNT(*) AS nl FROM bl
+        |), thr AS (
+        |  SELECT lang,
+        |    CAST(LEAST(256, tot // nl * 256 // lang_tok) AS BIGINT) AS acc256
+        |  FROM bl, t)
+        |SELECT k.doc_id, k.lang, k.n_tok
+        |FROM toks k JOIN thr ON k.lang = thr.lang
+        |WHERE acc256 = 256 OR
+        |  substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    printf('%02x', CAST(acc256 AS INTEGER))
+        |ORDER BY doc_id""".stripMargin,
     "qp_pack" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,

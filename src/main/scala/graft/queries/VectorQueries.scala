@@ -290,6 +290,42 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // product quantization with asymmetric distance (ADC) — the
+    // compression scheme billion-vector indexes actually ship: each
+    // 64-dim vector becomes M=4 4-bit codes (one per 16-dim subspace,
+    // nearest of 16 seed centroids), a 16x storage cut; a query scores
+    // candidates by summing 4 precomputed subspace distances instead of
+    // a 64-dim dot product. Scale shape: encoding partial-aggregates
+    // the per-(vector, subspace) argmin map-side; the query-time join
+    // is against a broadcast 10x4x16-entry LUT, and the (q_id, n_id)
+    // ADC sum collapses its 4 subspace rows map-side before the
+    // exchange.
+    "qv_pq" -> ((s, d) => {
+      val sub = quantized(s, d).select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), m -> named_struct(" +
+          "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      val cent = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("cell"), col("sub").as("csub"))
+      val dists = sub.join(broadcast(cent), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      val assign = dists.groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cell"))).as("a"))
+        .select(col("vec_id"), col("m"), col("a.cell").as("cell"))
+      val lut = dists.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("m"), col("cell"), col("d2"))
+      val adc = assign.join(broadcast(lut), Seq("m", "cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d2").as("adc"))
+      val w = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+      adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("adc"))
+        .orderBy("q_id", "rank")
+    }),
+
     // one Lloyd iteration of k-means: per-cell centroid update from the
     // IVF assignment, emitted as exact integer component sums + counts
     // (centroid = csum/n, derived by the caller in whatever float
@@ -360,6 +396,35 @@ object VectorQueries {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qv_pq" ->
+      s"""WITH $quantizedSql, sub AS (
+         |  SELECT vec_id, mm.m AS m,
+         |    q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sub
+         |  FROM qn, (SELECT unnest(range(0, 4)) AS m) mm
+         |), cent AS (
+         |  SELECT m, vec_id AS cell, sub AS csub FROM sub WHERE vec_id < 16
+         |), d AS (
+         |  SELECT s.vec_id, s.m, c.cell,
+         |    (SELECT SUM((s.sub[i.i] - c.csub[i.i]) * (s.sub[i.i] - c.csub[i.i]))
+         |     FROM (SELECT unnest(range(1, 17)) AS i) i) AS d2
+         |  FROM sub s JOIN cent c ON s.m = c.m
+         |), assign AS (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, cell) AS rn FROM d) t
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, cell, d2 FROM d WHERE vec_id < 10
+         |), adc AS (
+         |  SELECT l.q_id, a.vec_id AS n_id, SUM(l.d2) AS adc
+         |  FROM assign a JOIN lut l ON a.m = l.m AND a.cell = l.cell
+         |  WHERE a.vec_id <> l.q_id
+         |  GROUP BY 1, 2
+         |), rankedq AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc, n_id) AS INTEGER) AS rank FROM adc)
+         |SELECT q_id, n_id, rank, CAST(adc AS BIGINT) AS adc
+         |FROM rankedq WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "qv_kmeans_step" ->
       s"""WITH $ivfAssignedSql
          |SELECT cell_id, CAST(i.i - 1 AS INTEGER) AS pos,

