@@ -254,9 +254,13 @@ object CoreQueries {
         .select(col("event_type"), col("user_id"), cents(col("value")).as("cents"))
       val kll = udaf(new graft.functions.KllQuantiles(Seq(0.5, 0.9)),
         org.apache.spark.sql.Encoders.scalaLong)
+      // HLL rsd 1%: the gate below allows 5% — rsd is a STANDARD
+      // DEVIATION, not a bound, so gating a 5%-rsd sketch at 5% is a
+      // 1-sigma coin flip (and indeed broke at sf0.1). At 1% rsd the
+      // 5% gate sits at 5 sigma and holds at every scale factor.
       val est = e.groupBy("event_type")
         .agg(kll(col("cents")).as("qs"),
-          approx_count_distinct(col("user_id")).as("du_est"))
+          approx_count_distinct(col("user_id"), 0.01).as("du_est"))
         .select(col("event_type"), col("qs")(0).as("med_est"),
           col("qs")(1).as("p90_est"), col("du_est"))
       // tie-aware rank check: a repeated value occupies the whole rank

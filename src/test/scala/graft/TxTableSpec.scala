@@ -63,9 +63,13 @@ class TxTableSpec extends AnyFunSuite {
         .select("date").distinct().count() == 1)
       assert(TxTable.vacuum(spark, path).nonEmpty,
         "TTL'd files reclaimed by the next vacuum")
-      // date-pruned read plans its file list from the log alone
-      assert(TxTable.read(spark, path, Some(Seq(dates.last))).count() ==
-        TxTable.read(spark, path).count())
+      // date-pruned read plans its file list from the log alone — and
+      // the resulting scan touches ONLY that date's files
+      val pruned = TxTable.read(spark, path, Some(Seq(dates.last)))
+      assert(pruned.count() == TxTable.read(spark, path).count())
+      assert(pruned.inputFiles.nonEmpty &&
+        pruned.inputFiles.forall(_.contains(s"date=${dates.last}")),
+        "log-metadata pruning must keep foreign-date files out of the scan")
     } finally s.unpersist()
   }
 
