@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * A commit file holds tab-separated action lines over table-relative
-  * paths — `A <date> <relpath>` adds a file (recording its date
-  * partition value so readers prune and TTL plans from log METADATA,
-  * never a 100 TB directory listing), `R <relpath>` removes one — and a
+  * paths — `A <date> <bytes> <relpath>` adds a file (recording its
+  * date partition value AND size, so readers plan pruning, splits, and
+  * TTL from log METADATA, never a 100 TB directory listing or a
+  * million getFileStatus calls), `R <relpath>` removes one — and a
   * terminal `C <n>` marker line whose count must match, so a truncated
   * half-written commit is detected instead of silently replayed. Table
   * state at version V = replay of all commits ≤ V.
@@ -58,8 +59,8 @@ object TxTable {
   private def versionFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.txn")
 
-  /** add = Some(date) for `A` lines, None for `R` lines. */
-  private case class Action(rel: String, date: Option[String])
+  /** add = Some((date, bytes)) for `A` lines, None for `R` lines. */
+  private case class Action(rel: String, add: Option[(String, Long)])
 
   /** Latest committed version, or -1 for an empty/new table. */
   def currentVersion(spark: SparkSession, table: String): Long = {
@@ -84,22 +85,24 @@ object TxTable {
       s"truncated or corrupt commit $v in $root/$LogDirName")
     lines.init.map { l =>
       l.split("\t", -1) match {
-        case Array("A", d, rel) => Action(rel, Some(d))
-        case Array("R", rel)    => Action(rel, None)
+        case Array("A", d, len, rel) => Action(rel, Some((d, len.toLong)))
+        case Array("R", rel)         => Action(rel, None)
         case _ => throw new IllegalStateException(s"bad action in commit $v: $l")
       }
     }
   }
 
-  /** Live (relpath -> date) set at the latest version: the log replay. */
-  private def snapshotFiles(fs: FileSystem, root: Path): Map[String, String] =
-    listVersions(fs, root).foldLeft(Map.empty[String, String]) { (live, v) =>
-      readCommit(fs, root, v).foldLeft(live) { (m, a) =>
-        a.date match {
-          case Some(d) => m + (a.rel -> d)
-          case None    => m - a.rel
+  /** Live relpath -> (date, bytes) at the latest version: the log replay. */
+  private[sink] def snapshotFiles(fs: FileSystem,
+      root: Path): Map[String, (String, Long)] =
+    listVersions(fs, root).foldLeft(Map.empty[String, (String, Long)]) {
+      (live, v) =>
+        readCommit(fs, root, v).foldLeft(live) { (m, a) =>
+          a.add match {
+            case Some(dl) => m + (a.rel -> dl)
+            case None     => m - a.rel
+          }
         }
-      }
     }
 
   /** One attempt to claim version `v` with `payload`; false = lost the
@@ -120,8 +123,9 @@ object TxTable {
     }
   }
 
-  private def render(adds: Seq[(String, String)], removes: Seq[String]): Array[Byte] = {
-    val lines = adds.map { case (rel, d) => s"A\t$d\t$rel" } ++
+  private def render(adds: Seq[(String, String, Long)],
+      removes: Seq[String]): Array[Byte] = {
+    val lines = adds.map { case (rel, d, len) => s"A\t$d\t$len\t$rel" } ++
       removes.map(r => s"R\t$r") :+ s"C\t${adds.length + removes.length}"
     (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
@@ -132,7 +136,7 @@ object TxTable {
     * retrying would double-remove or resurrect).
     */
   private def commitRetry(fs: FileSystem, root: Path,
-      adds: Seq[(String, String)], removes: Seq[String]): Long = {
+      adds: Seq[(String, String, Long)], removes: Seq[String]): Long = {
     fs.mkdirs(logDir(root))
     val payload = render(adds, removes)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -153,13 +157,13 @@ object TxTable {
     * LogStore would wrap) and inspect the live file set.
     */
   private[graft] def commitActions(spark: SparkSession, table: String,
-      adds: Seq[(String, String)], removes: Seq[String]): Long = {
+      adds: Seq[(String, String, Long)], removes: Seq[String]): Long = {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, adds, removes)
   }
 
   private[graft] def liveFiles(spark: SparkSession,
-      table: String): Map[String, String] = {
+      table: String): Map[String, (String, Long)] = {
     val (fs, root) = fsFor(spark, table)
     snapshotFiles(fs, root)
   }
@@ -168,17 +172,19 @@ object TxTable {
     * under a fresh uuid dir and return the (relpath, date) adds. Nothing
     * is visible until these are committed.
     */
-  private def stage(df: DataFrame, fs: FileSystem, root: Path): Seq[(String, String)] = {
+  private def stage(df: DataFrame, fs: FileSystem,
+      root: Path): Seq[(String, String, Long)] = {
     val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.option("compression", "zstd")
       .partitionBy("date").parquet(new Path(root, dataDir).toString)
     val it = fs.listFiles(new Path(root, dataDir), true)
-    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     while (it.hasNext) {
-      val f = it.next().getPath
+      val st = it.next()
+      val f = st.getPath
       if (f.getName.startsWith("part-")) {
         val date = f.getParent.getName.stripPrefix("date=")
-        adds += ((s"$dataDir/date=${date}/${f.getName}", date))
+        adds += ((s"$dataDir/date=${date}/${f.getName}", date, st.getLen))
       }
     }
     adds.toSeq
@@ -212,10 +218,10 @@ object TxTable {
       dates: Option[Seq[String]] = None): DataFrame = {
     val (fs, root) = fsFor(spark, table)
     val live = snapshotFiles(fs, root).toSeq
-      .filter { case (_, d) => dates.forall(_.contains(d)) }
+      .filter { case (_, (d, _)) => dates.forall(_.contains(d)) }
     require(live.nonEmpty, s"tx table $table has no live files" +
       dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
-    val byDate = live.groupBy(_._2).toSeq.sortBy(_._1)
+    val byDate = live.groupBy(_._2._1).toSeq.sortBy(_._1)
     byDate.map { case (d, files) =>
       val df = spark.read.parquet(
         files.map { case (rel, _) => new Path(root, rel).toString }: _*)
@@ -231,8 +237,8 @@ object TxTable {
   def compact(spark: SparkSession, table: String,
       dates: Option[Seq[String]] = None): Long = {
     val (fs, root) = fsFor(spark, table)
-    val targetDates = snapshotFiles(fs, root).values.toSet.toSeq.sorted
-      .filter(d => dates.forall(_.contains(d)))
+    val targetDates = snapshotFiles(fs, root).values.map(_._1).toSet.toSeq
+      .sorted.filter(d => dates.forall(_.contains(d)))
     val df = read(spark, table, Some(targetDates))
     val dims = df.columns.filterNot(measures)
     val compacted = df.groupBy(dims.map(col): _*)
@@ -240,7 +246,7 @@ object TxTable {
         sum("n_obs").as("n_obs"))
     val adds = stage(prep(compacted), fs, root)
     val removes = snapshotFiles(fs, root)
-      .collect { case (rel, d) if targetDates.contains(d) => rel }.toSeq
+      .collect { case (rel, (d, _)) if targetDates.contains(d) => rel }.toSeq
     commitRetry(fs, root, adds, removes)
   }
 
@@ -252,12 +258,12 @@ object TxTable {
       cutoff: java.time.LocalDate): Seq[String] = {
     val (fs, root) = fsFor(spark, table)
     val live = snapshotFiles(fs, root)
-    val expired = live.filter { case (_, d) =>
+    val expired = live.filter { case (_, (d, _)) =>
       try java.time.LocalDate.parse(d).isBefore(cutoff)
       catch { case _: Exception => false }
     }
     if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq)
-    expired.values.toSet.toSeq.sorted
+    expired.values.map(_._1).toSet.toSeq.sorted
   }
 
   /** Delete data files no commit references (compacted-away, TTL'd, or

@@ -73,6 +73,45 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("planner-integrated FileIndex: date predicates prune files inside " +
+    "FileSourceScanExec; data predicates still reach the parquet reader") {
+    import graft.sink.TxFileIndex
+    val s = summed.cache()
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txidx").toString + "/t"
+      TxTable.append(spark, s, path)
+      val df = TxFileIndex.readV2(spark, path)
+      assert(df.count() == s.count(), "full-snapshot row parity")
+      assert(df.schema("date").dataType.typeName == "date",
+        "date surfaces as a real partition column")
+      val dates = df.select("date").distinct()
+        .collect().map(_.get(0).toString).sorted.toSeq
+      assert(dates.length >= 2)
+      val pick = dates.last
+      val filtered = df.filter(col("date") === lit(pick))
+      assert(filtered.count() ==
+        TxTable.read(spark, path, Some(Seq(pick))).count())
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.metadata("PartitionFilters").contains("date"),
+        "the planner routed the date predicate to the index")
+      filtered.collect()
+      val expectedFiles = TxTable.liveFiles(spark, path)
+        .count { case (_, (d, _)) => d == pick }
+      assert(scan.metrics("numFiles").value == expectedFiles,
+        "scan touched exactly the picked date's files (from log metadata)")
+      // non-partition predicates keep their parquet pushdown
+      val dataFiltered = df.filter(col("bytes") > 100)
+      val scan2 = dataFiltered.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan2.metadata("PushedFilters").contains("GreaterThan(bytes"),
+        "data predicates push into the row-group reader")
+    } finally s.unpersist()
+  }
+
   test("optimistic concurrency: lost races retry; conflicting removes " +
     "abort; truncated commits are detected") {
     val s = summed
@@ -97,7 +136,7 @@ class TxTableSpec extends AnyFunSuite {
     // instead of silently replaying a partial file set
     val v = TxTable.currentVersion(spark, path) + 1
     java.nio.file.Files.write(log.resolve(f"$v%020d.txn"),
-      "A\t2024-01-01\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
+      "A\t2024-01-01\t123\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
 }
