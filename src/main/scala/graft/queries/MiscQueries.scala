@@ -116,6 +116,31 @@ object MiscQueries {
         .orderBy("p_id", "v_id")
     }),
 
+    // STREAM-STREAM LEFT OUTER with the same time bound: matches emit
+    // like the inner join; a purchase with NO view in its window emits
+    // a NULL-extended row only once the watermark PROVES no matching
+    // view can still arrive (state eviction) — purchases newer than
+    // the final watermark are never resolved and stay unemitted, which
+    // the oracle mirrors with the same cutoff
+    "qs_left_interval" -> ((s, d) => {
+      val views = StreamingFlows.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val purchases = StreamingFlows.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val j = purchases.join(views, expr(
+        "p_user = v_user AND v_ts <= p_ts AND p_ts <= v_ts + interval 24 hours"),
+        "leftOuter")
+      StreamingFlows.runToMemoryAppend(s, j)
+        .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+        .orderBy("p_id", "v_id")
+    }),
+
     // the full flow pipeline as a streaming job == batch qf_pipeline oracle
     "qs_flow_pipeline" -> ((s, d) => {
       StreamingFlows.flowPipeline(s, d)
@@ -237,6 +262,30 @@ object MiscQueries {
         |  AND p.user_id = v.user_id
         |  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 24 HOUR
+        |ORDER BY p_id, v_id""".stripMargin,
+    // the final watermark is the MIN across the two watermarked inputs
+    // (spark.sql.streaming.multipleWatermarkPolicy=min): each stream's
+    // own max event time - 10 min, combined with LEAST
+    "qs_left_interval" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+        |  FROM events WHERE event_type = 'view'
+        |), mx AS (
+        |  SELECT LEAST((SELECT epoch_ms(MAX(p_ts)) FROM p),
+        |               (SELECT epoch_ms(MAX(v_ts)) FROM v)) AS wmms
+        |), m AS (
+        |  SELECT p.p_id, v.v_id, p.user_id
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.v_ts <= p.p_ts AND p.p_ts <= v.v_ts + INTERVAL 24 HOUR)
+        |SELECT p_id, v_id, user_id FROM m
+        |UNION ALL
+        |SELECT p.p_id, CAST(NULL AS BIGINT) AS v_id, p.user_id
+        |FROM p, mx
+        |WHERE p.p_id NOT IN (SELECT p_id FROM m)
+        |  AND epoch_ms(p.p_ts) < wmms - 600000
         |ORDER BY p_id, v_id""".stripMargin,
     "qs_sessionize" ->
       """WITH m AS (

@@ -92,18 +92,20 @@ object TxTable {
     }
   }
 
-  /** Live relpath -> (date, bytes) at the latest version: the log replay. */
-  private[sink] def snapshotFiles(fs: FileSystem,
-      root: Path): Map[String, (String, Long)] =
-    listVersions(fs, root).foldLeft(Map.empty[String, (String, Long)]) {
-      (live, v) =>
+  /** Live relpath -> (date, bytes) at `asOf` (default: latest): the log
+    * replay, truncated for time travel. */
+  private[sink] def snapshotFiles(fs: FileSystem, root: Path,
+      asOf: Option[Long] = None): Map[String, (String, Long)] =
+    listVersions(fs, root)
+      .filter(v => asOf.forall(v <= _))
+      .foldLeft(Map.empty[String, (String, Long)]) { (live, v) =>
         readCommit(fs, root, v).foldLeft(live) { (m, a) =>
           a.add match {
             case Some(dl) => m + (a.rel -> dl)
             case None     => m - a.rel
           }
         }
-    }
+      }
 
   /** One attempt to claim version `v` with `payload`; false = lost the
     * race. create(overwrite=false) is the atomic claim on HDFS-like
@@ -209,15 +211,20 @@ object TxTable {
     df.repartitionByRange((col("date") +: NetworkFlowTable.sortKey.map(col)): _*)
       .sortWithinPartitions(NetworkFlowTable.sortKey.map(col): _*)
 
-  /** Snapshot read at the latest version. The file list (and its date
-    * pruning, via `dates`) comes from the log, not a directory listing;
-    * partitionBy dropped the `date` column from the files, so it is
-    * re-attached per date group from the log metadata.
+  /** Snapshot read at the latest version — or, with `asOfVersion`, TIME
+    * TRAVEL to any still-vacuum-retained historical version (immutable
+    * data files + the truncated log replay make this free; [[vacuum]]
+    * is what eventually invalidates old versions by reclaiming their
+    * superseded files — same contract as Delta's VACUUM). The file list
+    * (and its date pruning, via `dates`) comes from the log, not a
+    * directory listing; partitionBy dropped the `date` column from the
+    * files, so it is re-attached per date group from the log metadata.
     */
   def read(spark: SparkSession, table: String,
-      dates: Option[Seq[String]] = None): DataFrame = {
+      dates: Option[Seq[String]] = None,
+      asOfVersion: Option[Long] = None): DataFrame = {
     val (fs, root) = fsFor(spark, table)
-    val live = snapshotFiles(fs, root).toSeq
+    val live = snapshotFiles(fs, root, asOfVersion).toSeq
       .filter { case (_, (d, _)) => dates.forall(_.contains(d)) }
     require(live.nonEmpty, s"tx table $table has no live files" +
       dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))

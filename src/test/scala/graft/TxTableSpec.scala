@@ -43,6 +43,11 @@ class TxTableSpec extends AnyFunSuite {
       assert(compacted.count() == n, "duplicate keys collapsed")
       assert(compacted.agg(sum("bytes")).collect().head.getLong(0) == 2 * bytes,
         "sums preserved (doubled input)")
+      // time travel: historical versions replay from the truncated log
+      // while their files are still vacuum-retained
+      assert(TxTable.read(spark, path, asOfVersion = Some(0L)).count() == n)
+      assert(TxTable.read(spark, path, asOfVersion = Some(1L)).count() == 2 * n,
+        "version 1 still shows the pre-compaction duplicates")
       // superseded + orphaned files reclaimed only at vacuum; the live
       // snapshot is untouched by it
       val removed = TxTable.vacuum(spark, path)
