@@ -3,38 +3,46 @@ package graft.sink
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DateType, StructField, StructType}
+import org.apache.spark.sql.types.{DateType, DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** [[TxTable]] plugged into Spark's REAL scan planner — the
   * Delta/TahoeFileIndex integration pattern: a custom [[FileIndex]]
-  * whose file listing and partition values come from the COMMIT LOG
-  * (relpath, date, bytes per file — zero filesystem listing or
+  * whose file listing, partition values, AND per-file min/max column
+  * stats come from the COMMIT LOG (zero filesystem listing or
   * getFileStatus calls), handed to `HadoopFsRelation` + the stock
   * parquet `FileFormat`. Everything downstream is the normal
   * `FileSourceScanExec` machinery: `WHERE date = ...` becomes a
   * PartitionFilters entry evaluated here in [[listFiles]] (whole files
-  * skipped from log metadata), data predicates still push into the
-  * parquet row-group reader, column pruning and whole-stage codegen
-  * apply unchanged. This is what [[TxTable.read]]'s hand-built
-  * per-date union cannot give: one relation, planner-owned pruning.
+  * skipped from log metadata), data predicates both SKIP whole files
+  * via the log's footer stats (Delta-style data skipping — effective
+  * because the writer range-clusters on the sort key) and still push
+  * into the parquet row-group reader for the files that survive;
+  * column pruning and whole-stage codegen apply unchanged. This is
+  * what [[TxTable.read]]'s hand-built per-date union cannot give: one
+  * relation, planner-owned pruning.
   */
 class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
+  import TxTable.ColStats
+
   private val root = new Path(table)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
   private val qroot = fs.makeQualified(root)
 
-  /** (date string, files with log-recorded sizes), from one log replay. */
-  @volatile private var byDate: Seq[(String, Seq[FileStatus])] = load()
+  /** (date string, files with log-recorded sizes + stats), one log replay. */
+  @volatile private var byDate:
+      Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] = load()
 
-  private def load(): Seq[(String, Seq[FileStatus])] =
+  private def load(): Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] =
     TxTable.snapshotFiles(fs, root).toSeq
-      .groupBy(_._2._1).toSeq.sortBy(_._1)
+      .groupBy(_._2.date).toSeq.sortBy(_._1)
       .map { case (d, files) =>
-        d -> files.map { case (rel, (_, len)) =>
-          new FileStatus(len, false, 1, len, 0L, new Path(qroot, rel))
+        d -> files.map { case (rel, m) =>
+          (new FileStatus(m.bytes, false, 1, m.bytes, 0L, new Path(qroot, rel)),
+            m.stats)
         }
       }
 
@@ -46,17 +54,108 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
   override def refresh(): Unit = { byDate = load() }
 
   override def inputFiles: Array[String] =
-    byDate.flatMap(_._2.map(_.getPath.toString)).toArray
+    byDate.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
   override def sizeInBytes: Long =
-    byDate.flatMap(_._2.map(_.getLen)).sum
+    byDate.flatMap(_._2.map(_._1.getLen)).sum
 
   private def daysSinceEpoch(d: String): Int =
     java.time.LocalDate.parse(d).toEpochDay.toInt
 
-  /** Partition pruning: rebind the planner's `date` references to this
-    * index's single-column partition row and evaluate per date group —
-    * files of filtered-out dates never reach the scan.
+  // ---- data skipping over log stats ------------------------------------
+
+  /** A comparison literal reduced to the stats domain: Left = signed
+    * long (covers long/int/timestamp-micros/date-days), Right = string.
+    * None = a type we do not reason about → cannot skip.
+    */
+  private def statsValue(lit: Literal): Option[Either[Long, String]] =
+    (lit.dataType, lit.value) match {
+      case (_, null)              => None
+      case (LongType, v: Long)    => Some(Left(v))
+      case (IntegerType, v: Int)  => Some(Left(v.toLong))
+      case (TimestampType, v: Long) => Some(Left(v)) // epoch micros, matches INT64 footer stats
+      case (DateType, v: Int)     => Some(Left(v.toLong))
+      case (StringType, v: UTF8String) => Some(Right(v.toString))
+      case _ => None
+    }
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** True iff `st` PROVES the file holds no row satisfying `op` against
+    * `v` ('<' means col < v, etc.). Conservative everywhere: unknown
+    * shapes keep the file; string ranges are only trusted when pure
+    * ASCII (parquet orders unsigned bytes, Java orders UTF-16 units —
+    * they agree on ASCII). Rows where the column is NULL fail these
+    * comparison predicates anyway, so null-blind min/max stay sound.
+    */
+  private def provablyEmpty(st: ColStats, op: Char,
+      v: Either[Long, String]): Boolean = (st.typ, v) match {
+    case ('l', Left(x)) =>
+      val (mn, mx) = (st.min.toLong, st.max.toLong)
+      op match {
+        case '=' => x < mn || x > mx
+        case '>' => mx <= x
+        case 'G' => mx < x  // >=
+        case '<' => mn >= x
+        case 'L' => mn > x  // <=
+        case _   => false
+      }
+    case ('s', Right(x))
+        if isAscii(x) && isAscii(st.min) && isAscii(st.max) =>
+      op match {
+        case '=' => x < st.min || x > st.max
+        case '>' => st.max <= x
+        case 'G' => st.max < x
+        case '<' => st.min >= x
+        case 'L' => st.min > x
+        case _   => false
+      }
+    case _ => false
+  }
+
+  /** File-level predicate from one planner data filter: Some(fn) when
+    * the filter shape is skippable, None otherwise. fn(stats) = keep?
+    */
+  private def skipper(f: Expression):
+      Option[Map[String, ColStats] => Boolean] = {
+    def mk(name: String, op: Char, lit: Literal):
+        Option[Map[String, ColStats] => Boolean] =
+      statsValue(lit).map { v =>
+        stats => stats.get(name) match {
+          case Some(st) => !provablyEmpty(st, op, v)
+          case None     => true
+        }
+      }
+    def flip(op: Char): Char = op match {
+      case '>' => '<'; case '<' => '>'; case 'G' => 'L'; case 'L' => 'G'
+      case c => c
+    }
+    f match {
+      case EqualTo(a: AttributeReference, l: Literal) => mk(a.name, '=', l)
+      case EqualTo(l: Literal, a: AttributeReference) => mk(a.name, '=', l)
+      case GreaterThan(a: AttributeReference, l: Literal) => mk(a.name, '>', l)
+      case GreaterThan(l: Literal, a: AttributeReference) => mk(a.name, flip('>'), l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => mk(a.name, 'G', l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => mk(a.name, flip('G'), l)
+      case LessThan(a: AttributeReference, l: Literal) => mk(a.name, '<', l)
+      case LessThan(l: Literal, a: AttributeReference) => mk(a.name, flip('<'), l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => mk(a.name, 'L', l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => mk(a.name, flip('L'), l)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val fns = vs.map(v => mk(a.name, '=', v.asInstanceOf[Literal]))
+        if (fns.forall(_.isDefined))
+          // IN keeps the file iff ANY member might be present
+          Some(stats => fns.exists(_.get(stats)))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Partition pruning + data skipping: rebind the planner's `date`
+    * references to this index's single-column partition row and
+    * evaluate per date group, then drop files whose log stats prove the
+    * data filters unsatisfiable — neither class of skipped file ever
+    * reaches the scan.
     */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -71,8 +170,14 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
         pred.initialize(0)
         d => pred.eval(InternalRow(daysSinceEpoch(d)))
       }
+    val skippers = dataFilters.flatMap(skipper)
     byDate.collect { case (d, files) if keep(d) =>
-      PartitionDirectory(InternalRow(daysSinceEpoch(d)), files.toArray)
+      val surviving = files.collect {
+        case (st, stats) if skippers.forall(_(stats)) => st
+      }
+      (d, surviving)
+    }.collect { case (d, surviving) if surviving.nonEmpty =>
+      PartitionDirectory(InternalRow(daysSinceEpoch(d)), surviving.toArray)
     }
   }
 }

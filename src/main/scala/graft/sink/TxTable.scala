@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * A commit file holds tab-separated action lines over table-relative
-  * paths — `A <date> <bytes> <relpath>` adds a file (recording its
-  * date partition value AND size, so readers plan pruning, splits, and
-  * TTL from log METADATA, never a 100 TB directory listing or a
-  * million getFileStatus calls), `R <relpath>` removes one — and a
+  * paths — `A <date> <bytes> <relpath> [stats]` adds a file (recording
+  * its date partition value, size, AND per-file min/max column stats
+  * from the parquet footer, so readers plan pruning, splits, data
+  * skipping, and TTL from log METADATA, never a 100 TB directory
+  * listing or a million getFileStatus calls), `R <relpath>` removes
+  * one — and a
   * terminal `C <n>` marker line whose count must match, so a truncated
   * half-written commit is detected instead of silently replayed. Table
   * state at version V = replay of all commits ≤ V.
@@ -50,6 +52,26 @@ object TxTable {
   private val LogDirName = "_txlog"
   private val measures = Set("bytes", "packets", "n_obs")
 
+  /** Columns whose per-file min/max land in the commit log. The head of
+    * the table's sort key is the natural choice: [[prep]]'s
+    * repartitionByRange clusters files along it, so time-range
+    * predicates skip most files entirely (the ClickHouse primary-index
+    * analog — reference ORDER BY head intervalStartTime,
+    * test/network_flows_0.sql:41). The later keys are only locally
+    * clustered but equality predicates still benefit.
+    */
+  private[sink] val statsColumns: Seq[String] =
+    Seq("interval_start", "direction", "proto_name")
+
+  /** Per-file column stats: 'l' = signed long (INT32/INT64 physical,
+    * covers timestamps as epoch micros and dates as epoch days), 's' =
+    * UTF8 string. min/max are decimal or raw-string renderings.
+    */
+  private[sink] case class ColStats(typ: Char, min: String, max: String)
+
+  private[sink] case class FileMeta(date: String, bytes: Long,
+      stats: Map[String, ColStats])
+
   private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -59,8 +81,39 @@ object TxTable {
   private def versionFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.txn")
 
-  /** add = Some((date, bytes)) for `A` lines, None for `R` lines. */
-  private case class Action(rel: String, add: Option[(String, Long)])
+  /** add = Some(meta) for `A` lines, None for `R` lines. */
+  private case class Action(rel: String, add: Option[FileMeta])
+
+  // Stats ride the A line as a 5th tab field `col=t:min:max;...`.
+  // Values are percent-encoded so the tab/semicolon/colon framing can
+  // never be broken by data (a proto_name is trusted nowhere).
+  private def enc(s: String): String = s.flatMap {
+    case c if c == '%' || c == ';' || c == ':' || c == '=' ||
+      c == '\t' || c == '\n' || c == '\r' => f"%%${c.toInt}%02x"
+    case c => c.toString
+  }
+  private def dec(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+  private def renderStats(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.typ}:${enc(st.min)}:${enc(st.max)}"
+    }.mkString(";")
+  private def parseStats(s: String): Map[String, ColStats] =
+    if (s.isEmpty) Map.empty
+    else s.split(";", -1).map { item =>
+      val Array(c, tmm) = item.split("=", 2)
+      val Array(t, mn, mx) = tmm.split(":", 3)
+      dec(c) -> ColStats(t.head, dec(mn), dec(mx))
+    }.toMap
 
   /** Latest committed version, or -1 for an empty/new table. */
   def currentVersion(spark: SparkSession, table: String): Long = {
@@ -85,24 +138,27 @@ object TxTable {
       s"truncated or corrupt commit $v in $root/$LogDirName")
     lines.init.map { l =>
       l.split("\t", -1) match {
-        case Array("A", d, len, rel) => Action(rel, Some((d, len.toLong)))
+        case Array("A", d, len, rel) =>
+          Action(rel, Some(FileMeta(d, len.toLong, Map.empty)))
+        case Array("A", d, len, rel, st) =>
+          Action(rel, Some(FileMeta(d, len.toLong, parseStats(st))))
         case Array("R", rel)         => Action(rel, None)
         case _ => throw new IllegalStateException(s"bad action in commit $v: $l")
       }
     }
   }
 
-  /** Live relpath -> (date, bytes) at `asOf` (default: latest): the log
+  /** Live relpath -> FileMeta at `asOf` (default: latest): the log
     * replay, truncated for time travel. */
   private[sink] def snapshotFiles(fs: FileSystem, root: Path,
-      asOf: Option[Long] = None): Map[String, (String, Long)] =
+      asOf: Option[Long] = None): Map[String, FileMeta] =
     listVersions(fs, root)
       .filter(v => asOf.forall(v <= _))
-      .foldLeft(Map.empty[String, (String, Long)]) { (live, v) =>
+      .foldLeft(Map.empty[String, FileMeta]) { (live, v) =>
         readCommit(fs, root, v).foldLeft(live) { (m, a) =>
           a.add match {
-            case Some(dl) => m + (a.rel -> dl)
-            case None     => m - a.rel
+            case Some(meta) => m + (a.rel -> meta)
+            case None       => m - a.rel
           }
         }
       }
@@ -125,9 +181,12 @@ object TxTable {
     }
   }
 
-  private def render(adds: Seq[(String, String, Long)],
+  private def render(adds: Seq[(String, FileMeta)],
       removes: Seq[String]): Array[Byte] = {
-    val lines = adds.map { case (rel, d, len) => s"A\t$d\t$len\t$rel" } ++
+    val lines = adds.map { case (rel, m) =>
+      if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
+      else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
+    } ++
       removes.map(r => s"R\t$r") :+ s"C\t${adds.length + removes.length}"
     (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
@@ -138,7 +197,7 @@ object TxTable {
     * retrying would double-remove or resurrect).
     */
   private def commitRetry(fs: FileSystem, root: Path,
-      adds: Seq[(String, String, Long)], removes: Seq[String]): Long = {
+      adds: Seq[(String, FileMeta)], removes: Seq[String]): Long = {
     fs.mkdirs(logDir(root))
     val payload = render(adds, removes)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -161,32 +220,104 @@ object TxTable {
   private[graft] def commitActions(spark: SparkSession, table: String,
       adds: Seq[(String, String, Long)], removes: Seq[String]): Long = {
     val (fs, root) = fsFor(spark, table)
-    commitRetry(fs, root, adds, removes)
+    commitRetry(fs, root,
+      adds.map { case (rel, d, len) => rel -> FileMeta(d, len, Map.empty) },
+      removes)
   }
 
   private[graft] def liveFiles(spark: SparkSession,
       table: String): Map[String, (String, Long)] = {
     val (fs, root) = fsFor(spark, table)
+    snapshotFiles(fs, root).map { case (rel, m) => rel -> (m.date, m.bytes) }
+  }
+
+  private[graft] def liveStats(spark: SparkSession,
+      table: String): Map[String, FileMeta] = {
+    val (fs, root) = fsFor(spark, table)
     snapshotFiles(fs, root)
   }
 
+  /** Per-file min/max for [[statsColumns]], read from the parquet FOOTER
+    * (row-group metadata the writer already produced) — O(files)
+    * metadata reads, never a second pass over the data. A column whose
+    * stats are absent/empty in any row group is dropped for that file:
+    * absence of stats must read as "cannot skip", never as a range.
+    */
+  private def footerStats(fs: FileSystem, file: Path): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(file, fs.getConf)
+    val rdr = ParquetFileReader.open(in)
+    try {
+      val wanted = statsColumns.toSet
+      val acc = scala.collection.mutable.Map.empty[String, Option[ColStats]]
+      rdr.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          if (wanted(name)) {
+            val st = cc.getStatistics
+            val cur: Option[ColStats] =
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else cc.getPrimitiveType.getPrimitiveTypeName match {
+                case INT64 | INT32 => Some(ColStats('l',
+                  st.genericGetMin.asInstanceOf[Number].longValue.toString,
+                  st.genericGetMax.asInstanceOf[Number].longValue.toString))
+                case BINARY => Some(ColStats('s',
+                  st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+                case _ => None
+              }
+            acc.updateWith(name) {
+              case Some(Some(prev)) => Some(cur.map { c =>
+                if (c.typ == 'l') ColStats('l',
+                  math.min(prev.min.toLong, c.min.toLong).toString,
+                  math.max(prev.max.toLong, c.max.toLong).toString)
+                else ColStats('s',
+                  if (prev.min <= c.min) prev.min else c.min,
+                  if (prev.max >= c.max) prev.max else c.max)
+              })
+              case Some(None) => Some(None) // one statless block poisons
+              case None       => Some(cur)
+            }
+          }
+        }
+      }
+      acc.collect { case (c, Some(st)) => c -> st }.toMap
+    } finally rdr.close()
+  }
+
   /** Stage `df` (which must carry a `date` column) as immutable parquet
-    * under a fresh uuid dir and return the (relpath, date) adds. Nothing
-    * is visible until these are committed.
+    * under a fresh uuid dir and return the (relpath -> meta) adds,
+    * footer stats included. Nothing is visible until these are
+    * committed.
     */
   private def stage(df: DataFrame, fs: FileSystem,
-      root: Path): Seq[(String, String, Long)] = {
+      root: Path): Seq[(String, FileMeta)] = {
     val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.option("compression", "zstd")
+    // INT96 (Spark's compatibility default) carries no usable min/max
+    // stats in parquet — pin INT64 micros so interval_start skipping has
+    // footer stats to read. Session-conf scoped to the write.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val sess = df.sparkSession
+    val prevTs = sess.conf.getOption(tsKey)
+    sess.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.option("compression", "zstd")
       .partitionBy("date").parquet(new Path(root, dataDir).toString)
+    finally prevTs match {
+      case Some(v) => sess.conf.set(tsKey, v)
+      case None    => sess.conf.unset(tsKey)
+    }
     val it = fs.listFiles(new Path(root, dataDir), true)
-    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, FileMeta)]
     while (it.hasNext) {
       val st = it.next()
       val f = st.getPath
       if (f.getName.startsWith("part-")) {
         val date = f.getParent.getName.stripPrefix("date=")
-        adds += ((s"$dataDir/date=${date}/${f.getName}", date, st.getLen))
+        adds += ((s"$dataDir/date=${date}/${f.getName}",
+          FileMeta(date, st.getLen, footerStats(fs, f))))
       }
     }
     adds.toSeq
@@ -225,10 +356,10 @@ object TxTable {
       asOfVersion: Option[Long] = None): DataFrame = {
     val (fs, root) = fsFor(spark, table)
     val live = snapshotFiles(fs, root, asOfVersion).toSeq
-      .filter { case (_, (d, _)) => dates.forall(_.contains(d)) }
+      .filter { case (_, m) => dates.forall(_.contains(m.date)) }
     require(live.nonEmpty, s"tx table $table has no live files" +
       dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
-    val byDate = live.groupBy(_._2._1).toSeq.sortBy(_._1)
+    val byDate = live.groupBy(_._2.date).toSeq.sortBy(_._1)
     byDate.map { case (d, files) =>
       val df = spark.read.parquet(
         files.map { case (rel, _) => new Path(root, rel).toString }: _*)
@@ -244,7 +375,7 @@ object TxTable {
   def compact(spark: SparkSession, table: String,
       dates: Option[Seq[String]] = None): Long = {
     val (fs, root) = fsFor(spark, table)
-    val targetDates = snapshotFiles(fs, root).values.map(_._1).toSet.toSeq
+    val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
       .sorted.filter(d => dates.forall(_.contains(d)))
     val df = read(spark, table, Some(targetDates))
     val dims = df.columns.filterNot(measures)
@@ -253,7 +384,7 @@ object TxTable {
         sum("n_obs").as("n_obs"))
     val adds = stage(prep(compacted), fs, root)
     val removes = snapshotFiles(fs, root)
-      .collect { case (rel, (d, _)) if targetDates.contains(d) => rel }.toSeq
+      .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
     commitRetry(fs, root, adds, removes)
   }
 
@@ -265,12 +396,12 @@ object TxTable {
       cutoff: java.time.LocalDate): Seq[String] = {
     val (fs, root) = fsFor(spark, table)
     val live = snapshotFiles(fs, root)
-    val expired = live.filter { case (_, (d, _)) =>
-      try java.time.LocalDate.parse(d).isBefore(cutoff)
+    val expired = live.filter { case (_, m) =>
+      try java.time.LocalDate.parse(m.date).isBefore(cutoff)
       catch { case _: Exception => false }
     }
     if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq)
-    expired.values.map(_._1).toSet.toSeq.sorted
+    expired.values.map(_.date).toSet.toSeq.sorted
   }
 
   /** Delete data files no commit references (compacted-away, TTL'd, or

@@ -117,6 +117,69 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("data skipping: per-file footer stats ride the commit log and " +
+    "prove files out of the scan; statless files are never skipped") {
+    import graft.sink.TxFileIndex
+    val s = summed.cache()
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txskip").toString + "/t"
+      TxTable.append(spark, s, path)
+      val metas = TxTable.liveStats(spark, path)
+      assert(metas.nonEmpty &&
+        metas.values.forall(_.stats.contains("interval_start")),
+        "every staged file must log INT64 timestamp stats " +
+          "(INT96 would silently disable time skipping)")
+      // range clustering on the sort-key head makes a time predicate
+      // skip files: scan EXACTLY the files whose [min,max] intersects
+      val maxes = metas.values
+        .map(_.stats("interval_start").max.toLong).toSeq.sorted
+      val thrTs = new java.sql.Timestamp(maxes(maxes.size / 2) / 1000)
+      val thrMicros = thrTs.getTime * 1000
+      val df = TxFileIndex.readV2(spark, path)
+      val filtered = df.filter(col("interval_start") > lit(thrTs))
+      val n = filtered.collect().length.toLong // collect: metrics land on THIS plan
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val expected = metas.values
+        .count(_.stats("interval_start").max.toLong > thrMicros)
+      assert(expected < metas.size, "threshold must actually split the files")
+      assert(scan.metrics("numFiles").value == expected,
+        "scan touched exactly the stats-surviving files")
+      assert(n == TxTable.read(spark, path)
+        .filter(col("interval_start") > lit(thrTs)).count(),
+        "skipping must not change the answer")
+      // a string equality no file can satisfy prunes the whole scan
+      val none = df.filter(col("proto_name") === lit("zzz-no-such"))
+      assert(none.collect().isEmpty)
+      val scan2 = none.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan2.metrics("numFiles").value == 0,
+        "provably-empty equality skips every file from log stats alone")
+      // files added without stats (ops seam) are conservatively kept:
+      // even one proven out by stats would make the scan MISS data
+      val victim = metas.keys.head
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$victim"), fs,
+        new org.apache.hadoop.fs.Path(s"$path/$victim.copy"), false, conf)
+      TxTable.commitActions(spark, path,
+        Seq((victim + ".copy", metas(victim).date, metas(victim).bytes)),
+        Seq.empty)
+      val df2 = TxFileIndex.readV2(spark, path)
+      val all2 = df2.filter(col("interval_start") > lit(thrTs))
+      all2.collect()
+      val scan3 = all2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan3.metrics("numFiles").value == expected + 1,
+        "the statless copy must survive every stats proof")
+    } finally s.unpersist()
+  }
+
   test("optimistic concurrency: lost races retry; conflicting removes " +
     "abort; truncated commits are detected") {
     val s = summed
