@@ -57,6 +57,11 @@ object PipelineQueries {
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  // per-domain document cap (URL-dedup domain cap analog)
+  private val DomainCap = 15
+  // rarity filter: drop docs whose mean token rarity is extreme
+  private val RarityThr = 40L
+
   // sequence packing: token budget per training sequence
   private val PackBudget = 512
   // repetition filter: keep docs with < 15% duplicated 5-grams
@@ -263,6 +268,48 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // per-domain cap (the URL/domain-cap pass of a web-corpus pipeline:
+    // no single site may contribute more than K documents). Survivors
+    // are chosen by md5 order, NOT ingest order, so the kept set is a
+    // pure function of (doc_id, source) — stable under repartitioning
+    // and incremental crawls. One shuffle on the domain key; the window
+    // only ranks WITHIN a domain, so partitions stay balanced unless one
+    // domain dominates the corpus — exactly the skew case
+    // `graft.ops.Salting` exists for (cap-then-union per salt lane)
+    "qp_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(asc("pick"), asc("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("pick"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= DomainCap)
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy("doc_id")
+    }),
+
+    // unigram-rarity quality score — the integer-exact analog of a
+    // CCNet-style LM-perplexity filter: rare-token-heavy documents score
+    // high (gibberish/boilerplate outliers), common-token documents
+    // score low. rarity(t) = N div count(t) (corpus-trained unigram
+    // "surprisal" without the log), doc score = mean token rarity.
+    // The vocabulary frame is tiny → broadcast; the fact side then
+    // partial-aggregates (doc_id sums) below its single exchange, so at
+    // 100 TB the token instances never shuffle — same shape as qp_tfidf
+    "qp_rarity" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val cnt = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cnt.crossJoin(n)), "t")
+        .withColumn("rarity", expr("n_total div cnt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("rarity").as("rar_sum"))
+        .withColumn("score_q", expr("rar_sum div n_tok"))
+        .withColumn("keep", col("score_q") < RarityThr)
+        .orderBy("doc_id")
+    }),
+
     // inverted index over mid-frequency BIGRAM phrases (2 <= df <= 20):
     // sorted posting lists. Bigrams (not unigrams) because a posting
     // list is only useful for selective terms — and the df bound is
@@ -417,6 +464,29 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
         |FROM train t JOIN bench b ON t.sh = b.sh
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "qp_domain_cap" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS INTEGER) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, source, rnk FROM ranked
+         |WHERE rnk <= $DomainCap ORDER BY doc_id""".stripMargin,
+    "qp_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), cnt AS (
+         |  SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t
+         |), n AS (SELECT COUNT(*) AS n_total FROM toks),
+         |scored AS (
+         |  SELECT k.doc_id, n.n_total // c.cnt AS rarity
+         |  FROM toks k JOIN cnt c ON k.t = c.t, n)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(rarity) AS BIGINT) AS rar_sum,
+         |  CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS score_q,
+         |  (SUM(rarity) // COUNT(*)) < $RarityThr AS keep
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qp_invindex" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

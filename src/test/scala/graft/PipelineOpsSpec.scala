@@ -178,6 +178,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_bench_docs") >= 1))
   }
 
+  test("qp_domain_cap: no source exceeds the cap; the survivor set is a " +
+    "pure function of (doc_id, source), not ingest order") {
+    val rows = q("qp_domain_cap").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(bySrc.values.forall(_ <= 15), "cap violated")
+    assert(rows.map(_.getAs[Int]("rnk")).forall(r => r >= 1 && r <= 15))
+    // md5-order survivors must not depend on physical layout: recompute
+    // over a shuffled/repartitioned corpus and compare doc_id sets
+    val docs = Tables.documents(spark, sf).repartition(13)
+      .sortWithinPartitions(desc("n_chars"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(asc("pick"), asc("doc_id"))
+    val again = docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("pick"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("qp_rarity: common-token docs score below rare-token docs and the " +
+    "mean rarity is bounded by the per-token extremes") {
+    val rows = q("qp_rarity").collect()
+    assert(rows.forall(_.getAs[Long]("score_q") >= 1),
+      "rarity = N div cnt is at least 1 for every present token")
+    // a doc's mean cannot beat its own best token: score_q <= rar_sum
+    assert(rows.forall(r =>
+      r.getAs[Long]("score_q") <= r.getAs[Long]("rar_sum")))
+    // keep flag is exactly the threshold predicate
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("keep") == (r.getAs[Long]("score_q") < 40L)))
+  }
+
   test("q20_asof: golden truth on a hand-built frame") {
     // u1: view@10, purchase@20 -> matches view 100
     //     purchase@5 (before any view) -> sentinel
