@@ -136,16 +136,32 @@ object TxTable {
     require(lines.nonEmpty && lines.last.startsWith("C\t") &&
       lines.last.stripPrefix("C\t").toLong == lines.length - 1,
       s"truncated or corrupt commit $v in $root/$LogDirName")
-    lines.init.map { l =>
+    lines.init.flatMap { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
-          Action(rel, Some(FileMeta(d, len.toLong, Map.empty)))
+          Some(Action(rel, Some(FileMeta(d, len.toLong, Map.empty))))
         case Array("A", d, len, rel, st) =>
-          Action(rel, Some(FileMeta(d, len.toLong, parseStats(st))))
-        case Array("R", rel)         => Action(rel, None)
+          Some(Action(rel, Some(FileMeta(d, len.toLong, parseStats(st)))))
+        case Array("R", rel)         => Some(Action(rel, None))
+        case Array("T", _)           => None // txn marker; see committedTxns
         case _ => throw new IllegalStateException(s"bad action in commit $v: $l")
       }
     }
+  }
+
+  /** Every writer-transaction id ever committed (`T` lines) — the Delta
+    * `txn` action analog that makes [[appendTxn]] retry-idempotent.
+    */
+  private def committedTxns(fs: FileSystem, root: Path): Set[String] = {
+    val log = logDir(root)
+    if (!fs.exists(log)) return Set.empty
+    listVersions(fs, root).flatMap { v =>
+      val in = fs.open(versionFile(root, v))
+      val raw = try org.apache.commons.io.IOUtils
+        .toString(in, StandardCharsets.UTF_8) finally in.close()
+      raw.split("\n").toSeq.filter(_.startsWith("T\t"))
+        .map(l => dec(l.stripPrefix("T\t")))
+    }.toSet
   }
 
   /** Live relpath -> FileMeta at `asOf` (default: latest): the log
@@ -182,13 +198,15 @@ object TxTable {
   }
 
   private def render(adds: Seq[(String, FileMeta)],
-      removes: Seq[String]): Array[Byte] = {
+      removes: Seq[String], txn: Option[String] = None): Array[Byte] = {
     val lines = adds.map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
     } ++
-      removes.map(r => s"R\t$r") :+ s"C\t${adds.length + removes.length}"
-    (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+      removes.map(r => s"R\t$r") ++
+      txn.map(t => s"T\t${enc(t)}").toSeq
+    val all = lines :+ s"C\t${lines.length}"
+    (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
 
   /** Publish a commit, retrying past lost version races. Commits that
@@ -197,9 +215,10 @@ object TxTable {
     * retrying would double-remove or resurrect).
     */
   private def commitRetry(fs: FileSystem, root: Path,
-      adds: Seq[(String, FileMeta)], removes: Seq[String]): Long = {
+      adds: Seq[(String, FileMeta)], removes: Seq[String],
+      txn: Option[String] = None): Long = {
     fs.mkdirs(logDir(root))
-    val payload = render(adds, removes)
+    val payload = render(adds, removes, txn)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     while (true) {
       if (removes.nonEmpty) {
@@ -208,6 +227,10 @@ object TxTable {
         require(gone.isEmpty,
           s"commit conflict: concurrently removed ${gone.take(3).mkString(",")}")
       }
+      // a lost race may have been THIS transaction from a concurrent
+      // duplicate of the same writer (task retry, zombie executor):
+      // re-check under each attempt so a dup never lands twice
+      if (txn.exists(committedTxns(fs, root).contains)) return -1L
       if (tryCommit(fs, root, v, payload)) return v
       v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     }
@@ -327,6 +350,23 @@ object TxTable {
   def append(spark: SparkSession, df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty)
+  }
+
+  /** EXACTLY-ONCE append: the commit carries a writer-transaction id
+    * (Delta's `txn` action analog) and is skipped — returning -1 — if
+    * that id ever committed before. This is the streaming ingest seam:
+    * `foreachBatch((df, id) => appendTxn(spark, df, path, s"app-$id"))`
+    * survives micro-batch replays after checkpoint recovery, task
+    * retries, and zombie duplicate writers without double-counting —
+    * the reference's insert-dedup-token contract (S5/W8) carried onto
+    * the object-store table. A skipped duplicate's already-staged files
+    * stay unreferenced and fall to [[vacuum]].
+    */
+  def appendTxn(spark: SparkSession, df: DataFrame, table: String,
+      txnId: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    if (committedTxns(fs, root).contains(txnId)) return -1L // pre-stage check
+    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty, Some(txnId))
   }
 
   /** Transactional full replace (one commit swaps the entire file set —

@@ -180,6 +180,37 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("exactly-once appendTxn: a replayed transaction id never lands " +
+    "twice — sequentially or as a concurrent duplicate writer") {
+    val s = summed.cache()
+    try {
+      val n = s.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txonce").toString + "/t"
+      assert(TxTable.appendTxn(spark, s, path, "app-0") == 0L)
+      // micro-batch replay after checkpoint recovery = same txn id again
+      assert(TxTable.appendTxn(spark, s, path, "app-0") == -1L)
+      assert(TxTable.read(spark, path).count() == n, "no double-count")
+      // a different id is a different batch and must land
+      assert(TxTable.appendTxn(spark, s, path, "app-1") >= 1L)
+      assert(TxTable.read(spark, path).count() == 2 * n)
+      // zombie duplicate: two writers race the SAME id concurrently —
+      // exactly one wins; the loser's staged files are vacuum fodder
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence(Seq(
+        Future(TxTable.appendTxn(spark, s, path, "app-2")),
+        Future(TxTable.appendTxn(spark, s, path, "app-2")))), 120.seconds)
+      assert(results.count(_ >= 0) == 1 && results.count(_ == -1L) <= 1,
+        s"exactly one concurrent duplicate may commit, got $results")
+      assert(TxTable.read(spark, path).count() == 3 * n)
+      // skipped duplicates left only unreferenced files behind
+      TxTable.vacuum(spark, path)
+      assert(TxTable.read(spark, path).count() == 3 * n)
+    } finally s.unpersist()
+  }
+
   test("optimistic concurrency: lost races retry; conflicting removes " +
     "abort; truncated commits are detected") {
     val s = summed
