@@ -80,6 +80,16 @@ object TxTable {
   private def logDir(root: Path) = new Path(root, LogDirName)
   private def versionFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.txn")
+  private def checkpointFile(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.ckpt")
+
+  /** Write a checkpoint every N winning commits: a reader then replays
+    * ONE checkpoint + at most N-1 tail commits instead of the whole
+    * history — a year of 5s micro-batches is ~6M commits, and a full
+    * replay per read would make the log the bottleneck it exists to
+    * avoid (Delta's checkpoint.parquet plays exactly this role).
+    */
+  private val CheckpointEvery = 10L
 
   /** add = Some(meta) for `A` lines, None for `R` lines. */
   private case class Action(rel: String, add: Option[FileMeta])
@@ -121,63 +131,143 @@ object TxTable {
     listVersions(fs, root).lastOption.getOrElse(-1L)
   }
 
-  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+  private def listBySuffix(fs: FileSystem, root: Path,
+      suffix: String): Seq[Long] = {
     val log = logDir(root)
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".txn")).map(_.stripSuffix(".txn").toLong).sorted
+      .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix).toLong).sorted
   }
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] =
+    listBySuffix(fs, root, ".txn")
+  private def listCheckpoints(fs: FileSystem, root: Path): Seq[Long] =
+    listBySuffix(fs, root, ".ckpt")
 
-  private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] = {
-    val in = fs.open(versionFile(root, v))
+  /** Parse one log file (commit or checkpoint — same line format) into
+    * (file actions, txn ids). The terminal `C <n>` marker must count
+    * every action line or the file is rejected as torn.
+    */
+  private def parseLog(fs: FileSystem, p: Path,
+      what: String): (Seq[Action], Seq[String]) = {
+    val in = fs.open(p)
     val raw = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
       finally in.close()
     val lines = raw.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.last.startsWith("C\t") &&
       lines.last.stripPrefix("C\t").toLong == lines.length - 1,
-      s"truncated or corrupt commit $v in $root/$LogDirName")
-    lines.init.flatMap { l =>
+      s"truncated or corrupt $what at $p")
+    val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
+    val txns = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.init.foreach { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
-          Some(Action(rel, Some(FileMeta(d, len.toLong, Map.empty))))
+          acts += Action(rel, Some(FileMeta(d, len.toLong, Map.empty)))
         case Array("A", d, len, rel, st) =>
-          Some(Action(rel, Some(FileMeta(d, len.toLong, parseStats(st)))))
-        case Array("R", rel)         => Some(Action(rel, None))
-        case Array("T", _)           => None // txn marker; see committedTxns
-        case _ => throw new IllegalStateException(s"bad action in commit $v: $l")
+          acts += Action(rel, Some(FileMeta(d, len.toLong, parseStats(st))))
+        case Array("R", rel) => acts += Action(rel, None)
+        case Array("T", t)   => txns += dec(t)
+        case _ => throw new IllegalStateException(s"bad action in $what $p: $l")
       }
     }
+    (acts.toSeq, txns.toSeq)
   }
 
-  /** Every writer-transaction id ever committed (`T` lines) — the Delta
-    * `txn` action analog that makes [[appendTxn]] retry-idempotent.
+  private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
+    parseLog(fs, versionFile(root, v), s"commit $v")._1
+
+  /** Table state at `asOf` (default: latest): live files + every
+    * committed writer-transaction id. Replay starts from the newest
+    * checkpoint ≤ asOf (one file) and folds only the tail commits after
+    * it — O(CheckpointEvery) log reads regardless of table age. Time
+    * travel to versions older than the oldest retained commit requires
+    * a checkpoint at or before them (see [[expireLog]]).
     */
-  private def committedTxns(fs: FileSystem, root: Path): Set[String] = {
-    val log = logDir(root)
-    if (!fs.exists(log)) return Set.empty
-    listVersions(fs, root).flatMap { v =>
-      val in = fs.open(versionFile(root, v))
-      val raw = try org.apache.commons.io.IOUtils
-        .toString(in, StandardCharsets.UTF_8) finally in.close()
-      raw.split("\n").toSeq.filter(_.startsWith("T\t"))
-        .map(l => dec(l.stripPrefix("T\t")))
-    }.toSet
-  }
-
-  /** Live relpath -> FileMeta at `asOf` (default: latest): the log
-    * replay, truncated for time travel. */
-  private[sink] def snapshotFiles(fs: FileSystem, root: Path,
-      asOf: Option[Long] = None): Map[String, FileMeta] =
-    listVersions(fs, root)
-      .filter(v => asOf.forall(v <= _))
-      .foldLeft(Map.empty[String, FileMeta]) { (live, v) =>
-        readCommit(fs, root, v).foldLeft(live) { (m, a) =>
+  private def replayState(fs: FileSystem, root: Path,
+      asOf: Option[Long]): (Map[String, FileMeta], Set[String]) = {
+    val versions = listVersions(fs, root).filter(v => asOf.forall(v <= _))
+    val ckpt = listCheckpoints(fs, root)
+      .filter(c => asOf.forall(c <= _)).lastOption
+    val (base, baseTxns) = ckpt match {
+      case Some(c) =>
+        val (acts, txns) = parseLog(fs, checkpointFile(root, c), s"checkpoint $c")
+        (acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
+          txns.toSet)
+      case None => (Map.empty[String, FileMeta], Set.empty[String])
+    }
+    versions.filter(v => ckpt.forall(v > _))
+      .foldLeft((base, baseTxns)) { case ((live, txns), v) =>
+        val (acts, ts) = parseLog(fs, versionFile(root, v), s"commit $v")
+        val next = acts.foldLeft(live) { (m, a) =>
           a.add match {
             case Some(meta) => m + (a.rel -> meta)
             case None       => m - a.rel
           }
         }
+        (next, txns ++ ts)
       }
+  }
+
+  /** Every writer-transaction id ever committed (`T` lines) — the Delta
+    * `txn` action analog that makes [[appendTxn]] retry-idempotent.
+    */
+  private def committedTxns(fs: FileSystem, root: Path): Set[String] =
+    replayState(fs, root, None)._2
+
+  /** Live relpath -> FileMeta at `asOf` (default: latest). */
+  private[sink] def snapshotFiles(fs: FileSystem, root: Path,
+      asOf: Option[Long] = None): Map[String, FileMeta] =
+    replayState(fs, root, asOf)._1
+
+  /** Materialize the state at version `v` (default: latest) as a
+    * checkpoint file — idempotent (create-if-absent; every writer would
+    * render identical content for a fixed v). Called automatically every
+    * [[CheckpointEvery]] commits; callable explicitly for ops.
+    */
+  def checkpoint(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val v = version.getOrElse(listVersions(fs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no commits to checkpoint in $table")))
+    checkpointAt(fs, root, v)
+    v
+  }
+
+  private def checkpointAt(fs: FileSystem, root: Path, v: Long): Unit = {
+    val (files, txns) = replayState(fs, root, Some(v))
+    val lines = files.toSeq.sortBy(_._1).map { case (rel, m) =>
+      if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
+      else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
+    } ++ txns.toSeq.sorted.map(t => s"T\t${enc(t)}")
+    val payload = ((lines :+ s"C\t${lines.length}").mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val f = checkpointFile(root, v)
+    if (!fs.exists(f)) {
+      try {
+        val out = fs.create(f, false)
+        try out.write(payload) finally out.close()
+      } catch {
+        case e: java.io.IOException => if (!fs.exists(f)) throw e
+      }
+    }
+  }
+
+  /** Delete commit (and older checkpoint) files strictly below the
+    * newest checkpoint — the metadata-retention sweep that keeps the
+    * log dir bounded. Time travel to expired versions becomes
+    * unavailable (exactly Delta's logRetentionDuration contract); the
+    * newest checkpoint plus the tail commits reproduce every retained
+    * version.
+    */
+  def expireLog(spark: SparkSession, table: String): Seq[Long] = {
+    val (fs, root) = fsFor(spark, table)
+    listCheckpoints(fs, root).lastOption.toSeq.flatMap { c =>
+      val droppedCommits = listVersions(fs, root).filter(_ < c)
+      droppedCommits.foreach(v => fs.delete(versionFile(root, v), false))
+      listCheckpoints(fs, root).filter(_ < c)
+        .foreach(v => fs.delete(checkpointFile(root, v), false))
+      droppedCommits
+    }
+  }
 
   /** One attempt to claim version `v` with `payload`; false = lost the
     * race. create(overwrite=false) is the atomic claim on HDFS-like
@@ -231,7 +321,13 @@ object TxTable {
       // duplicate of the same writer (task retry, zombie executor):
       // re-check under each attempt so a dup never lands twice
       if (txn.exists(committedTxns(fs, root).contains)) return -1L
-      if (tryCommit(fs, root, v, payload)) return v
+      if (tryCommit(fs, root, v, payload)) {
+        // amortized reader cost: materialize a checkpoint every N
+        // commits. Best-effort — a crash here only defers the next one
+        if (v > 0 && v % CheckpointEvery == 0)
+          try checkpointAt(fs, root, v) catch { case _: Exception => () }
+        return v
+      }
       v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     }
     -1L // unreachable
@@ -361,6 +457,12 @@ object TxTable {
     * the reference's insert-dedup-token contract (S5/W8) carried onto
     * the object-store table. A skipped duplicate's already-staged files
     * stay unreferenced and fall to [[vacuum]].
+    *
+    * The committed-id SET rides every checkpoint, so dedup survives
+    * [[expireLog]] — but it grows with writer-batch count. At Delta's
+    * scale the fix is its (appId, version) model: one monotone
+    * high-water mark per writer app instead of one entry per batch;
+    * adopt that shape if batch cardinality ever dominates checkpoints.
     */
   def appendTxn(spark: SparkSession, df: DataFrame, table: String,
       txnId: String): Long = {

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -209,6 +210,41 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.vacuum(spark, path)
       assert(TxTable.read(spark, path).count() == 3 * n)
     } finally s.unpersist()
+  }
+
+  test("log checkpointing: reads replay one checkpoint + the tail, " +
+    "expired commits are unneeded, and txn dedup survives expiry") {
+    val small = summed.limit(40).cache()
+    try {
+      val n = small.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txckpt").toString + "/t"
+      (0 until 9).foreach(_ => TxTable.append(spark, small, path)) // v0..v8
+      assert(TxTable.appendTxn(spark, small, path, "ck-1") == 9L)
+      TxTable.append(spark, small, path) // v10 -> auto checkpoint
+      TxTable.append(spark, small, path) // v11
+      val log = java.nio.file.Paths.get(path, "_txlog")
+      assert(java.nio.file.Files.list(log).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".ckpt")),
+        "the 10th commit must have materialized a checkpoint")
+      assert(TxTable.read(spark, path).count() == 12 * n)
+      // metadata retention: drop everything below the checkpoint...
+      val dropped = TxTable.expireLog(spark, path)
+      assert(dropped == (0L to 9L),
+        s"commits below the checkpoint expire, got $dropped")
+      assert(!java.nio.file.Files.exists(log.resolve(f"${0L}%020d.txn")))
+      // ...and the table still reads in full: the checkpoint carries the
+      // state the expired commits used to provide
+      assert(TxTable.read(spark, path).count() == 12 * n)
+      // the exactly-once guarantee must not expire with the log
+      assert(TxTable.appendTxn(spark, small, path, "ck-1") == -1L)
+      // time travel: any version >= the checkpoint still replays...
+      assert(TxTable.read(spark, path, asOfVersion = Some(10L)).count() == 11 * n)
+      // ...but expired pre-checkpoint versions are gone, loudly
+      intercept[IllegalArgumentException] {
+        TxTable.read(spark, path, asOfVersion = Some(5L))
+      }
+    } finally small.unpersist()
   }
 
   test("optimistic concurrency: lost races retry; conflicting removes " +
