@@ -270,20 +270,38 @@ object TxTable {
   }
 
   /** One attempt to claim version `v` with `payload`; false = lost the
-    * race. create(overwrite=false) is the atomic claim on HDFS-like
-    * stores; content becomes visible at close().
+    * race. The claim must be ATOMIC put-if-absent per store:
+    *  - HDFS-like: `create(overwrite=false)` (namenode-atomic)
+    *  - local POSIX: link(2) of a fully-written temp file — EEXIST is
+    *    the lost race, and the commit appears with complete content.
+    *    (RawLocalFileSystem's create(false) is check-THEN-create: two
+    *    racing JVMs/threads can both pass the check and both "win",
+    *    which the exactly-once spec caught as a real double-commit.)
+    *  - S3: the seam a store-specific LogStore plugs conditional PUT
+    *    (If-None-Match) into, exactly Delta's split.
     */
   private def tryCommit(fs: FileSystem, root: Path, v: Long,
       payload: Array[Byte]): Boolean = {
     val f = versionFile(root, v)
     if (fs.exists(f)) return false
-    try {
-      val out = fs.create(f, false)
-      try out.write(payload) finally out.close()
-      true
-    } catch {
-      case e: java.io.IOException =>
-        if (fs.exists(f)) false else throw e
+    if (fs.getScheme == "file") {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      val target = Paths.get(fs.makeQualified(f).toUri.getPath)
+      val tmp = Files.createTempFile(target.getParent, s".claim$v-", ".tmp")
+      try {
+        Files.write(tmp, payload)
+        try { Files.createLink(target, tmp); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(f, false)
+        try out.write(payload) finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          if (fs.exists(f)) false else throw e
+      }
     }
   }
 
