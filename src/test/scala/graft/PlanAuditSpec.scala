@@ -230,4 +230,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.indexOf("partial_count") > exchangeIdx && exchangeIdx > 0,
       "token counts must collapse before the shuffle\n" + p.take(3000))
   }
+
+  test("qp_domain_cap: one hash exchange total (the per-domain window), " +
+    "no join of any kind") {
+    val p = plan("qp_domain_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(3000))
+    assert(!p.contains("Join"), "a cap is a window, not a join\n" + p.take(2000))
+  }
+
+  test("qp_rarity: vocabulary joins broadcast (token instances never " +
+    "shuffle); doc sums partial-aggregate below their exchange") {
+    val p = plan("qp_rarity")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the vocab join must never sort-merge the fact side\n" + p.take(3000))
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("partial_count") > exchangeIdx && exchangeIdx > 0,
+      "per-doc sums must collapse before the shuffle\n" + p.take(3000))
+  }
 }
