@@ -38,6 +38,35 @@ object Salting {
       .drop("__salt").drop(replicated(key))
   }
 
+  /** Two-phase per-key top-K cap — the skew arm for rank-based caps
+    * (e.g. the per-domain document cap when ONE domain dominates the
+    * corpus and a single window partition would serialize it). Phase 1
+    * ranks within (keys, salt) lanes and keeps each lane's best `k`,
+    * bounding any task's window input to ~1/factor of the hot key;
+    * phase 2 ranks only the ≤ factor×k lane survivors per key. The
+    * result — including the final rank column `rankCol` — is
+    * row-identical to the plain single-window cap (SaltingSpec):
+    * every global top-k row is its lane's top-≤k, so phase 1 never
+    * drops a survivor. `order` must be a total order within a key
+    * (include a tiebreaker column) or neither formulation is
+    * deterministic to begin with.
+    */
+  def saltedCap(df: DataFrame, keys: Seq[String], order: Seq[String],
+      k: Int, factor: Int, rankCol: String = "rnk"): DataFrame = {
+    require(factor > 0 && k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(factor)))
+    val w1 = Window.partitionBy((keys :+ "__salt").map(col): _*)
+      .orderBy(order.map(col): _*)
+    val lane = salted.withColumn("__lane_rnk", row_number().over(w1))
+      .filter(col("__lane_rnk") <= k).drop("__lane_rnk", "__salt")
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+    lane.withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Two-phase aggregation: first sum per (keys, salt), then collapse the
     * salts — bounds any single reducer's input to ~1/factor of the hot
     * key. `aggs` maps column -> "sum"/"count" style associative ops.

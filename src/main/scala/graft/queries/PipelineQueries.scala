@@ -27,9 +27,10 @@ import graft.Tables
   *  - tf-idf / inverted index shuffle (doc_id, term) and term keys —
   *    both partial-aggregate map-side so the exchanges carry counts,
   *    not token instances; the df table is vocabulary-sized. The
-  *    posting-list query bounds df ≤ 20 BEFORE materializing lists, so
-  *    no reducer ever builds a stopword's corpus-length posting array
-  *    (the classic inverted-index OOM).
+  *    posting-list query enforces df ≤ 20 with a count-only first pass
+  *    and a semi-join BELOW the list aggregation, so no reducer ever
+  *    builds a stopword's corpus-length posting array (the classic
+  *    inverted-index OOM) — plan-audited in PlanAuditSpec.
   */
 object PipelineQueries {
 
@@ -61,9 +62,26 @@ object PipelineQueries {
   private val DomainCap = 15
   // rarity filter: drop docs whose mean token rarity is extreme
   private val RarityThr = 40L
+  // rarity vocabulary cap: only the top-K tokens by corpus count ride
+  // the broadcast; everything in the long tail gets the saturated
+  // default rarity (count 1). A 100 TB web corpus has a billion-token
+  // long tail — broadcasting the full distinct-token table is a driver/
+  // executor OOM, and semantically the tail saturates the score anyway
+  // (a hapax and a 5-count typo both read "maximally rare"). Production
+  // K is ~64k-1M; 24 here so the tail arm is genuinely exercised by the
+  // gate at every SF (the synthetic corpus has 31 distinct tokens)
+  private val RarityVocabK = 24
 
   // sequence packing: token budget per training sequence
   private val PackBudget = 512
+  // sequence packing: target tokens per PACK SHARD (the partition-bytes
+  // knob, in token units — tokens are what packing actually allocates).
+  // The shard count DERIVES from corpus size: ceil(total_tokens / this),
+  // so a 100 TB corpus fans out to ~|corpus|/budget parallel pack
+  // streams instead of serializing through a fixed 16. 2048 keeps the
+  // test corpus multi-shard at every SF; production would be O(10^8+)
+  // (one output shard ≈ one training file)
+  private val PackShardTokens = 2048L
   // repetition filter: keep docs with < 15% duplicated 5-grams
   private val RepThr = 1500
 
@@ -207,13 +225,23 @@ object PipelineQueries {
     // the running sum parallelizes across shards (a single global
     // cumsum would serialize 100 TB through one partition — per-shard
     // packing is also what a real loader does, one pack stream per
-    // output shard)
+    // output shard). The shard COUNT is data-derived from total corpus
+    // tokens against [[PackShardTokens]] (a 1-row broadcast — no fact
+    // shuffle), so the fan-out scales with the corpus instead of
+    // pinning 100 TB onto 16 windows
     "qp_pack" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("shard"),
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ns = toks.agg(greatest(lit(1L), expr(
+        s"(sum(n_tok) + ${PackShardTokens - 1}) div $PackShardTokens"))
+        .as("n_shards"))
+      toks.crossJoin(broadcast(ns))
+        .select(col("doc_id"),
+          (col("doc_id") % col("n_shards")).cast("int").as("shard"),
+          col("n_tok"))
         .withColumn("cum", sum("n_tok").over(w))
         .select(col("doc_id"), col("shard"), col("n_tok"),
           expr(s"(cum - n_tok) div $PackBudget").as("seq_id"),
@@ -274,8 +302,9 @@ object PipelineQueries {
     // pure function of (doc_id, source) — stable under repartitioning
     // and incremental crawls. One shuffle on the domain key; the window
     // only ranks WITHIN a domain, so partitions stay balanced unless one
-    // domain dominates the corpus — exactly the skew case
-    // `graft.ops.Salting` exists for (cap-then-union per salt lane)
+    // domain dominates the corpus — the skew arm for that case is
+    // `graft.ops.Salting.saltedCap` (two-phase cap-then-union per salt
+    // lane), proven row-identical to this plain window in SaltingSpec
     "qp_domain_cap" -> ((s, d) => {
       val w = Window.partitionBy("source")
         .orderBy(asc("pick"), asc("doc_id"))
@@ -293,16 +322,21 @@ object PipelineQueries {
     // high (gibberish/boilerplate outliers), common-token documents
     // score low. rarity(t) = N div count(t) (corpus-trained unigram
     // "surprisal" without the log), doc score = mean token rarity.
-    // The vocabulary frame is tiny → broadcast; the fact side then
+    // The broadcast build side is the top-[[RarityVocabK]] tokens by
+    // count — BOUNDED at any corpus size (see the constant's comment);
+    // tail tokens fall out of the left-outer join and take the
+    // saturated default rarity N div 1. The fact side then
     // partial-aggregates (doc_id sums) below its single exchange, so at
     // 100 TB the token instances never shuffle — same shape as qp_tfidf
     "qp_rarity" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      val cnt = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val topk = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("t")).limit(RarityVocabK)
       val n = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(broadcast(cnt.crossJoin(n)), "t")
-        .withColumn("rarity", expr("n_total div cnt"))
+      toks.join(broadcast(topk), Seq("t"), "left_outer")
+        .crossJoin(broadcast(n))
+        .withColumn("rarity", expr("n_total div coalesce(cnt, 1)"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("rarity").as("rar_sum"))
         .withColumn("score_q", expr("rar_sum div n_tok"))
@@ -312,19 +346,29 @@ object PipelineQueries {
 
     // inverted index over mid-frequency BIGRAM phrases (2 <= df <= 20):
     // sorted posting lists. Bigrams (not unigrams) because a posting
-    // list is only useful for selective terms — and the df bound is
-    // applied in the same aggregation that builds the list, so
-    // stopword-grade keys never materialize corpus-length arrays (the
-    // classic inverted-index reducer OOM). Per-doc dedup happens BEFORE
-    // the explode (array_distinct)
+    // list is only useful for selective terms. TWO-PASS so the df bound
+    // is enforced BEFORE any posting array exists: pass 1 is a pure
+    // count aggregation (narrow shuffle of fixed-width counts), whose
+    // mid-df survivors semi-join the (doc, term) stream, and only the
+    // surviving rows reach collect_list — a stopword-grade bigram
+    // ("of the", df in the billions at 100 TB) is pruned at the join
+    // and never materializes a corpus-length array in any reducer
+    // buffer (the classic inverted-index OOM). Per-doc dedup happens
+    // BEFORE the explode (array_distinct), so post-join count(1) per
+    // term IS df. The bigram stream is recomputed for pass 2 rather
+    // than cached — scan+split+explode is narrow and runs at scan
+    // speed, which beats pinning a token-instance table at corpus scale
     "qp_invindex" -> ((s, d) => {
-      Tables.documents(s, d)
+      def bigrams = Tables.documents(s, d)
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(1, size(w) - 1)," +
             " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1)))")))
           .as("t"))
+      val midDf = bigrams.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20)).select("t")
+      bigrams.join(midDf, Seq("t"), "left_semi")
         .groupBy("t")
         .agg(count(lit(1)).as("df"),
           // serialized as a comma-joined string (not ARRAY) so the
@@ -333,7 +377,6 @@ object PipelineQueries {
           // oracle's list_sort over BIGINTs (lexicographic would not be)
           expr("concat_ws(',', transform(sort_array(collect_list(doc_id))," +
             " x -> cast(x AS string)))").as("postings"))
-        .filter(col("df").between(2, 20))
         .orderBy("t")
     })
   )
@@ -420,10 +463,17 @@ object PipelineQueries {
         |    printf('%02x', CAST(acc256 AS INTEGER))
         |ORDER BY doc_id""".stripMargin,
     "qp_pack" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+      s"""WITH toks AS (
+         |  SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
          |  FROM documents
+         |), ns AS (
+         |  SELECT GREATEST(1, (SUM(n_tok) + ${PackShardTokens - 1})
+         |    // $PackShardTokens) AS n_shards
+         |  FROM toks
+         |), base AS (
+         |  SELECT doc_id, CAST(doc_id % n_shards AS INTEGER) AS shard, n_tok
+         |  FROM toks, ns
          |), c AS (
          |  SELECT doc_id, shard, n_tok,
          |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -476,12 +526,13 @@ object PipelineQueries {
     "qp_rarity" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-         |), cnt AS (
+         |), topk AS (
          |  SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t
+         |  ORDER BY cnt DESC, t LIMIT $RarityVocabK
          |), n AS (SELECT COUNT(*) AS n_total FROM toks),
          |scored AS (
-         |  SELECT k.doc_id, n.n_total // c.cnt AS rarity
-         |  FROM toks k JOIN cnt c ON k.t = c.t, n)
+         |  SELECT k.doc_id, n.n_total // COALESCE(c.cnt, 1) AS rarity
+         |  FROM toks k LEFT JOIN topk c ON k.t = c.t, n)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(rarity) AS BIGINT) AS rar_sum,
          |  CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS score_q,

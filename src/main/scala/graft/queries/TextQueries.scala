@@ -302,7 +302,14 @@ object TextQueries {
 
     // MinHash + LSH banding: near-dup candidate pairs via band-bucket join
     "qt_minhash_lsh" -> ((s, d) => {
-      val banded = minhashBanded(shingles(corpus(s, d)))
+      // the banded frame feeds BOTH sides of the self-join; without a
+      // persist each side re-shingles and re-minhashes the corpus —
+      // cheap in a fresh session, but in a long suite run the recompute
+      // threads through a full block manager and BENCH_r04 measured it
+      // as a 7x in-session regression. Persisted session-scoped like the
+      // other shared text intermediates (released via CacheRegistry).
+      val banded = graft.ops.CacheRegistry.track(
+        minhashBanded(shingles(corpus(s, d))))
       val a = banded.toDF("a_id", "band", "bh")
       val b = banded.toDF("b_id", "band2", "bh2")
       a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&

@@ -249,4 +249,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.indexOf("partial_count") > exchangeIdx && exchangeIdx > 0,
       "per-doc sums must collapse before the shuffle\n" + p.take(3000))
   }
+
+  test("qp_rarity: the broadcast build side is the CAPPED top-K vocabulary " +
+    "(a top-k operator, never the full distinct-token table)") {
+    val p = plan("qp_rarity")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab must be bounded by a top-k before it broadcasts\n" + p.take(3000))
+  }
+
+  test("qp_invindex: the df 2..20 semi-join sits BELOW the posting-list " +
+    "aggregation — no stopword array ever materializes") {
+    val p = plan("qp_invindex")
+    val semiIdx = p.indexOf("LeftSemi")
+    val listIdx = p.indexOf("collect_list")
+    assert(semiIdx > 0, "df pruning must be a semi-join\n" + p.take(3000))
+    assert(listIdx > 0 && semiIdx > listIdx,
+      "collect_list must aggregate only semi-join survivors " +
+        "(plan prints top-down: the join belongs under the agg)\n" + p.take(3000))
+  }
 }

@@ -30,4 +30,26 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("salted per-key cap (qp_domain_cap's dominant-domain arm) is " +
+    "row-identical to the plain single-window cap — rank included") {
+    import org.apache.spark.sql.expressions.Window
+    // the qp_domain_cap shape on a skewed corpus: one domain holds 90%
+    // of the docs, survivors picked by (md5, doc_id) order
+    val docs = (1L to 3000L)
+      .map(i => (i, if (i % 10 == 0) s"site-${i % 7}" else "megadomain"))
+      .toDF("doc_id", "source")
+      .withColumn("pick",
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy("source").orderBy(asc("pick"), asc("doc_id"))
+    val plain = docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 15)
+      .select("doc_id", "source", "rnk")
+    val salted = Salting
+      .saltedCap(docs, Seq("source"), Seq("pick", "doc_id"), k = 15,
+        factor = 8)
+      .select("doc_id", "source", "rnk")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
