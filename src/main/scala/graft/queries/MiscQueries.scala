@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
 import graft.multimodal.MediaOps
-import graft.sink.NetworkFlowTable
+import graft.sink.{NetworkFlowTable, TxFileIndex, TxTable}
 import graft.streaming.StreamingFlows
 
 /** Streaming, multimodal and sink operator surface. The two qs_*
@@ -213,6 +213,54 @@ object MiscQueries {
         .orderBy("k")
     }),
 
+    // the EXACTLY-ONCE streaming sink end-to-end as a gate: each
+    // micro-batch of the flow pipeline lands in the transactional table
+    // via appendTxn with batchId as the writer version — and each batch
+    // is then deliberately REPLAYED (the checkpoint-recovery / zombie-
+    // writer scenario): the (appId, version) high-water mark must
+    // reject the duplicate or every sum doubles and the oracle
+    // mismatches. The read side aggregates through the
+    // planner-integrated TxFileIndex, so the gate spans
+    // foreachBatch → appendTxn → commit log → FileSourceScanExec as
+    // ONE flow. Per-batch summed rows are additive across batches
+    // (sums of sums), which is why the direction rollup equals the
+    // batch oracle
+    "qsink_tx_stream" -> ((s, d) => {
+      val pods = SyntheticFlows.pods(s, d)
+      val nodes = SyntheticFlows.nodes(s, d)
+      val prefixes = SyntheticFlows.prefixes(s, d)
+      val cfg = FlowConfig(lpmViaTrie = true)
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_txsink_${math.abs(d.hashCode)}"
+      // fresh table + stream checkpoint per run: the gate proves the
+      // write path, not artifact reuse
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val table = s"$base/t"
+      val flows = SyntheticFlows.flowsFromEvents(
+        StreamingFlows.eventsStream(s, d).select(
+          col("event_id"), col("user_id"), col("ts")))
+      val q = flows.writeStream
+        .option("checkpointLocation", s"$base/cp")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val summed = FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
+          summed.persist()
+          try {
+            require(TxTable.appendTxn(s, summed, table, "graft-stream", id) >= 0,
+              s"batch $id must land")
+            require(TxTable.appendTxn(s, summed, table, "graft-stream", id) == -1L,
+              s"replayed batch $id must be deduplicated")
+          } finally summed.unpersist()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      TxFileIndex.readV2(s, table)
+        .groupBy("direction")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"))
+        .orderBy("direction")
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -358,6 +406,15 @@ object MiscQueries {
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,
          |  CAST(SUM(packets) AS BIGINT) AS packets,
          |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM summed GROUP BY direction ORDER BY direction""".stripMargin,
+    // per-batch summing rows are additive: SUM over the appended batch
+    // outputs equals the batch pipeline's totals — any exactly-once
+    // violation (a replayed batch landing twice) doubles them
+    "qsink_tx_stream" ->
+      s"""${graft.flow.FlowSql.summedCte}
+         |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(SUM(packets) AS BIGINT) AS packets,
+         |  CAST(SUM(n_obs) AS BIGINT) AS n_obs
          |FROM summed GROUP BY direction ORDER BY direction""".stripMargin
   )
 }

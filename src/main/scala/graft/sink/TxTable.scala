@@ -144,11 +144,11 @@ object TxTable {
     listBySuffix(fs, root, ".ckpt")
 
   /** Parse one log file (commit or checkpoint — same line format) into
-    * (file actions, txn ids). The terminal `C <n>` marker must count
-    * every action line or the file is rejected as torn.
+    * (file actions, writer (appId, version) marks). The terminal `C <n>`
+    * marker must count every action line or the file is rejected as torn.
     */
   private def parseLog(fs: FileSystem, p: Path,
-      what: String): (Seq[Action], Seq[String]) = {
+      what: String): (Seq[Action], Seq[(String, Long)]) = {
     val in = fs.open(p)
     val raw = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
       finally in.close()
@@ -157,15 +157,15 @@ object TxTable {
       lines.last.stripPrefix("C\t").toLong == lines.length - 1,
       s"truncated or corrupt $what at $p")
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
-    val txns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val txns = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     lines.init.foreach { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
           acts += Action(rel, Some(FileMeta(d, len.toLong, Map.empty)))
         case Array("A", d, len, rel, st) =>
           acts += Action(rel, Some(FileMeta(d, len.toLong, parseStats(st))))
-        case Array("R", rel) => acts += Action(rel, None)
-        case Array("T", t)   => txns += dec(t)
+        case Array("R", rel)    => acts += Action(rel, None)
+        case Array("T", a, v)   => txns += (dec(a) -> v.toLong)
         case _ => throw new IllegalStateException(s"bad action in $what $p: $l")
       }
     }
@@ -175,24 +175,33 @@ object TxTable {
   private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
     parseLog(fs, versionFile(root, v), s"commit $v")._1
 
-  /** Table state at `asOf` (default: latest): live files + every
-    * committed writer-transaction id. Replay starts from the newest
+  /** Table state at `asOf` (default: latest): live files + the per-app
+    * writer high-water marks. Replay starts from the newest READABLE
     * checkpoint ≤ asOf (one file) and folds only the tail commits after
-    * it — O(CheckpointEvery) log reads regardless of table age. Time
-    * travel to versions older than the oldest retained commit requires
-    * a checkpoint at or before them (see [[expireLog]]).
+    * it — O(CheckpointEvery) log reads regardless of table age. A torn
+    * or corrupt checkpoint (e.g. a reader racing its non-atomic legacy
+    * publish, or bit rot) is SKIPPED in favor of the next-older one —
+    * checkpoints are pure derived state, so falling back to an older
+    * base (or full commit replay) is always correct, just slower;
+    * commits themselves still fail loudly on corruption. Time travel to
+    * versions older than the oldest retained commit requires a
+    * checkpoint at or before them (see [[expireLog]]).
     */
   private def replayState(fs: FileSystem, root: Path,
-      asOf: Option[Long]): (Map[String, FileMeta], Set[String]) = {
+      asOf: Option[Long]): (Map[String, FileMeta], Map[String, Long]) = {
     val versions = listVersions(fs, root).filter(v => asOf.forall(v <= _))
-    val ckpt = listCheckpoints(fs, root)
-      .filter(c => asOf.forall(c <= _)).lastOption
-    val (base, baseTxns) = ckpt match {
-      case Some(c) =>
-        val (acts, txns) = parseLog(fs, checkpointFile(root, c), s"checkpoint $c")
+    val candidates = listCheckpoints(fs, root)
+      .filter(c => asOf.forall(c <= _)).reverse
+    val parsed = candidates.iterator.map { c =>
+      try Some((c, parseLog(fs, checkpointFile(root, c), s"checkpoint $c")))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.collectFirst { case Some(x) => x }
+    val ckpt = parsed.map(_._1)
+    val (base, baseTxns) = parsed match {
+      case Some((_, (acts, txns))) =>
         (acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
-          txns.toSet)
-      case None => (Map.empty[String, FileMeta], Set.empty[String])
+          mergeMarks(Map.empty, txns))
+      case None => (Map.empty[String, FileMeta], Map.empty[String, Long])
     }
     versions.filter(v => ckpt.forall(v > _))
       .foldLeft((base, baseTxns)) { case ((live, txns), v) =>
@@ -203,14 +212,23 @@ object TxTable {
             case None       => m - a.rel
           }
         }
-        (next, txns ++ ts)
+        (next, mergeMarks(txns, ts))
       }
   }
 
-  /** Every writer-transaction id ever committed (`T` lines) — the Delta
-    * `txn` action analog that makes [[appendTxn]] retry-idempotent.
+  private def mergeMarks(acc: Map[String, Long],
+      ts: Seq[(String, Long)]): Map[String, Long] =
+    ts.foldLeft(acc) { case (m, (a, v)) =>
+      m + (a -> math.max(v, m.getOrElse(a, Long.MinValue)))
+    }
+
+  /** Per-writer-app monotone high-water marks (`T` lines) — Delta's
+    * (appId, version) txn action: ONE entry per writer app regardless of
+    * how many batches it ever committed, so checkpoints stay
+    * constant-size under unbounded batch counts, and [[appendTxn]] stays
+    * retry-idempotent because replayed batch versions are ≤ the mark.
     */
-  private def committedTxns(fs: FileSystem, root: Path): Set[String] =
+  private def txnHighWater(fs: FileSystem, root: Path): Map[String, Long] =
     replayState(fs, root, None)._2
 
   /** Live relpath -> FileMeta at `asOf` (default: latest). */
@@ -226,8 +244,16 @@ object TxTable {
   def checkpoint(spark: SparkSession, table: String,
       version: Option[Long] = None): Long = {
     val (fs, root) = fsFor(spark, table)
-    val v = version.getOrElse(listVersions(fs, root).lastOption.getOrElse(
+    val committed = listVersions(fs, root)
+    val v = version.getOrElse(committed.lastOption.getOrElse(
       throw new IllegalArgumentException(s"no commits to checkpoint in $table")))
+    // a checkpoint at a version that never committed would become the
+    // replay BASE and silently hide every commit between the real head
+    // and the phantom version from all subsequent reads — refuse
+    require(committed.contains(v),
+      s"cannot checkpoint $table at version $v: not a committed version " +
+        s"(log has ${committed.headOption.getOrElse(-1L)}.." +
+        s"${committed.lastOption.getOrElse(-1L)})")
     checkpointAt(fs, root, v)
     v
   }
@@ -237,18 +263,17 @@ object TxTable {
     val lines = files.toSeq.sortBy(_._1).map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
-    } ++ txns.toSeq.sorted.map(t => s"T\t${enc(t)}")
+    } ++ txns.toSeq.sortBy(_._1).map { case (a, ver) => s"T\t${enc(a)}\t$ver" }
     val payload = ((lines :+ s"C\t${lines.length}").mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
-    val f = checkpointFile(root, v)
-    if (!fs.exists(f)) {
-      try {
-        val out = fs.create(f, false)
-        try out.write(payload) finally out.close()
-      } catch {
-        case e: java.io.IOException => if (!fs.exists(f)) throw e
-      }
-    }
+    // atomic publish, same discipline as commits: a reader listing the
+    // newest .ckpt mid-write would otherwise see torn content and fail
+    // every read until the write finishes (replayState now also falls
+    // back, but the torn window shouldn't exist in the first place).
+    // Idempotent: every writer renders identical content for a fixed v,
+    // so losing the put-if-absent race needs no handling.
+    putIfAbsent(fs, checkpointFile(root, v), payload)
+    ()
   }
 
   /** Delete commit (and older checkpoint) files strictly below the
@@ -270,24 +295,31 @@ object TxTable {
   }
 
   /** One attempt to claim version `v` with `payload`; false = lost the
-    * race. The claim must be ATOMIC put-if-absent per store:
+    * race.
+    */
+  private def tryCommit(fs: FileSystem, root: Path, v: Long,
+      payload: Array[Byte]): Boolean =
+    putIfAbsent(fs, versionFile(root, v), payload)
+
+  /** ATOMIC put-if-absent of one complete log file (commit or
+    * checkpoint), per store:
     *  - HDFS-like: `create(overwrite=false)` (namenode-atomic)
     *  - local POSIX: link(2) of a fully-written temp file — EEXIST is
-    *    the lost race, and the commit appears with complete content.
+    *    the lost race, and the file appears with complete content.
     *    (RawLocalFileSystem's create(false) is check-THEN-create: two
     *    racing JVMs/threads can both pass the check and both "win",
     *    which the exactly-once spec caught as a real double-commit.)
     *  - S3: the seam a store-specific LogStore plugs conditional PUT
     *    (If-None-Match) into, exactly Delta's split.
     */
-  private def tryCommit(fs: FileSystem, root: Path, v: Long,
+  private def putIfAbsent(fs: FileSystem, f: Path,
       payload: Array[Byte]): Boolean = {
-    val f = versionFile(root, v)
     if (fs.exists(f)) return false
     if (fs.getScheme == "file") {
       import java.nio.file.{Files, Paths, FileAlreadyExistsException}
       val target = Paths.get(fs.makeQualified(f).toUri.getPath)
-      val tmp = Files.createTempFile(target.getParent, s".claim$v-", ".tmp")
+      val tmp = Files.createTempFile(target.getParent,
+        s".claim${f.getName.takeWhile(_ != '.')}-", ".tmp")
       try {
         Files.write(tmp, payload)
         try { Files.createLink(target, tmp); true }
@@ -306,13 +338,13 @@ object TxTable {
   }
 
   private def render(adds: Seq[(String, FileMeta)],
-      removes: Seq[String], txn: Option[String] = None): Array[Byte] = {
+      removes: Seq[String], txn: Option[(String, Long)] = None): Array[Byte] = {
     val lines = adds.map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
     } ++
       removes.map(r => s"R\t$r") ++
-      txn.map(t => s"T\t${enc(t)}").toSeq
+      txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq
     val all = lines :+ s"C\t${lines.length}"
     (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
@@ -324,7 +356,7 @@ object TxTable {
     */
   private def commitRetry(fs: FileSystem, root: Path,
       adds: Seq[(String, FileMeta)], removes: Seq[String],
-      txn: Option[String] = None): Long = {
+      txn: Option[(String, Long)] = None): Long = {
     fs.mkdirs(logDir(root))
     val payload = render(adds, removes, txn)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -335,10 +367,12 @@ object TxTable {
         require(gone.isEmpty,
           s"commit conflict: concurrently removed ${gone.take(3).mkString(",")}")
       }
-      // a lost race may have been THIS transaction from a concurrent
-      // duplicate of the same writer (task retry, zombie executor):
-      // re-check under each attempt so a dup never lands twice
-      if (txn.exists(committedTxns(fs, root).contains)) return -1L
+      // a lost race may have been THIS batch from a concurrent duplicate
+      // of the same writer (task retry, zombie executor): re-check the
+      // app's high-water mark under each attempt so a dup never lands
+      // twice
+      if (txn.exists { case (a, ver) =>
+        txnHighWater(fs, root).get(a).exists(_ >= ver) }) return -1L
       if (tryCommit(fs, root, v, payload)) {
         // amortized reader cost: materialize a checkpoint every N
         // commits. Best-effort — a crash here only defers the next one
@@ -430,21 +464,38 @@ object TxTable {
     * footer stats included. Nothing is visible until these are
     * committed.
     */
+  /** Serializes the set-conf → write → restore-conf window below: the
+    * parquet writer reads `outputTimestampType` from the SESSION conf at
+    * job-planning time (Spark 4.1 has no per-write option for it), so
+    * two concurrent [[stage]] calls in one session could otherwise
+    * unset/restore the key while the other's job is planned — producing
+    * INT96 files whose interval_start stats are unusable (data skipping
+    * silently lost) or leaking TIMESTAMP_MICROS into the session.
+    * Per-session granularity; cross-JVM writers each own their session
+    * conf, so only same-JVM concurrency (appendTxn duplicates, parallel
+    * compact) needs the lock — the commit race itself stays lock-free.
+    */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
   private def stage(df: DataFrame, fs: FileSystem,
       root: Path): Seq[(String, FileMeta)] = {
     val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     // INT96 (Spark's compatibility default) carries no usable min/max
     // stats in parquet — pin INT64 micros so interval_start skipping has
-    // footer stats to read. Session-conf scoped to the write.
+    // footer stats to read. Session-conf scoped to the write, under the
+    // per-session stage lock (see [[stageLocks]]).
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val sess = df.sparkSession
-    val prevTs = sess.conf.getOption(tsKey)
-    sess.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.option("compression", "zstd")
-      .partitionBy("date").parquet(new Path(root, dataDir).toString)
-    finally prevTs match {
-      case Some(v) => sess.conf.set(tsKey, v)
-      case None    => sess.conf.unset(tsKey)
+    stageLocks.computeIfAbsent(sess, _ => new Object).synchronized {
+      val prevTs = sess.conf.getOption(tsKey)
+      sess.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try df.write.option("compression", "zstd")
+        .partitionBy("date").parquet(new Path(root, dataDir).toString)
+      finally prevTs match {
+        case Some(v) => sess.conf.set(tsKey, v)
+        case None    => sess.conf.unset(tsKey)
+      }
     }
     val it = fs.listFiles(new Path(root, dataDir), true)
     val adds = scala.collection.mutable.ArrayBuffer.empty[(String, FileMeta)]
@@ -466,27 +517,43 @@ object TxTable {
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty)
   }
 
-  /** EXACTLY-ONCE append: the commit carries a writer-transaction id
-    * (Delta's `txn` action analog) and is skipped — returning -1 — if
-    * that id ever committed before. This is the streaming ingest seam:
-    * `foreachBatch((df, id) => appendTxn(spark, df, path, s"app-$id"))`
+  /** EXACTLY-ONCE append: the commit carries a writer (appId, version)
+    * mark (Delta's `txn` action) and is skipped — returning -1 — if the
+    * app's committed high-water mark already covers `version`. This is
+    * the streaming ingest seam:
+    * `foreachBatch((df, id) => appendTxn(spark, df, path, "my-app", id))`
     * survives micro-batch replays after checkpoint recovery, task
     * retries, and zombie duplicate writers without double-counting —
     * the reference's insert-dedup-token contract (S5/W8) carried onto
     * the object-store table. A skipped duplicate's already-staged files
     * stay unreferenced and fall to [[vacuum]].
     *
-    * The committed-id SET rides every checkpoint, so dedup survives
-    * [[expireLog]] — but it grows with writer-batch count. At Delta's
-    * scale the fix is its (appId, version) model: one monotone
-    * high-water mark per writer app instead of one entry per batch;
-    * adopt that shape if batch cardinality ever dominates checkpoints.
+    * The mark is ONE (appId, maxVersion) entry per writer app in any
+    * checkpoint — constant-size under unbounded batch counts (the
+    * committed-id SET it replaced grew with every batch and rode every
+    * checkpoint; TxTableSpec proves the constant-size property across
+    * 100 batches). The contract this buys REQUIRES the app's versions
+    * to be monotone — exactly what Structured Streaming's batchId is;
+    * dedup survives [[expireLog]] because checkpoints carry the marks.
     */
   def appendTxn(spark: SparkSession, df: DataFrame, table: String,
-      txnId: String): Long = {
+      appId: String, version: Long): Long = {
     val (fs, root) = fsFor(spark, table)
-    if (committedTxns(fs, root).contains(txnId)) return -1L // pre-stage check
-    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty, Some(txnId))
+    if (txnHighWater(fs, root).get(appId).exists(_ >= version))
+      return -1L // pre-stage check: don't even write the parquet
+    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty,
+      Some(appId -> version))
+  }
+
+  /** Ops/test seam: commit ONLY an (appId, version) mark — what a
+    * non-appending writer (e.g. a stream that produced an empty batch)
+    * records so its version still advances. Returns -1 if already
+    * covered.
+    */
+  private[graft] def commitTxnMark(spark: SparkSession, table: String,
+      appId: String, version: Long): Long = {
+    val (fs, root) = fsFor(spark, table)
+    commitRetry(fs, root, Seq.empty, Seq.empty, Some(appId -> version))
   }
 
   /** Transactional full replace (one commit swaps the entire file set —
@@ -564,13 +631,23 @@ object TxTable {
     expired.values.map(_.date).toSet.toSeq.sorted
   }
 
-  /** Delete data files no commit references (compacted-away, TTL'd, or
-    * orphaned by a crashed writer) and prune empty uuid dirs. `minAgeMs`
-    * protects a LIVE writer's not-yet-committed staging files — like
-    * Delta's retention check, never vacuum younger than the longest
-    * plausible write+commit window in production.
+  /** Default vacuum retention: 7 days, Delta's own default. Anything
+    * shorter risks (a) deleting a LIVE concurrent writer's staged but
+    * not-yet-committed files and (b) destroying every time-travel
+    * version the moment it is superseded.
     */
-  def vacuum(spark: SparkSession, table: String, minAgeMs: Long = 0L): Seq[String] = {
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Delete data files no commit references (compacted-away, TTL'd, or
+    * orphaned by a crashed writer) and prune empty uuid dirs, KEEPING
+    * anything younger than `minAgeMs`. The default (7 days) protects a
+    * LIVE writer's not-yet-committed staging files and the recent
+    * history time travel replays — like Delta, reclaiming younger files
+    * requires an explicit override (`minAgeMs = 0L`), which is only
+    * safe when no writer can be mid-stage and no reader needs history.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val (fs, root) = fsFor(spark, table)
     val qroot = fs.makeQualified(root)
     val live = snapshotFiles(fs, root).keySet

@@ -42,4 +42,35 @@ object MetricsExporter {
       val lab = r.getAs[String]("label")
       s"""graft_${fam}_total{label="$lab"} ${r.getAs[Long]("value")}"""
     }.mkString("\n")
+
+  /** Serve [[render]] over HTTP — the operational surface the reference
+    * exposes for Prometheus (cmd/server/server.go:100-117 registers its
+    * counters on an HTTP mux; promhttp serves /metrics). JDK built-in
+    * HttpServer, zero dependencies; `counters` re-resolves per scrape so
+    * the endpoint always reflects the batches written so far (the scrape
+    * IS one aggregation over the metrics table — see the object doc).
+    * `port` 0 binds an ephemeral port; read it back from the returned
+    * server's address. Caller owns the lifecycle (`stop(0)`).
+    */
+  def serve(counters: () => DataFrame,
+      port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/metrics",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val (status, body) =
+          try (200, (render(counters()) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          catch { case scala.util.control.NonFatal(e) =>
+            (500, s"scrape failed: ${e.getMessage}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(status, body.length)
+        try ex.getResponseBody.write(body) finally ex.close()
+      })
+    server.start()
+    server
+  }
 }

@@ -96,6 +96,30 @@ class DimRefreshSpec extends AnyFunSuite {
       assert(text.split("\n").toSeq == Seq(
         """graft_processed_flows_total{label="enqueued"} 1""",
         """graft_processed_flows_total{label="ignored"} 2"""))
+      // ...and the same payload over a REAL HTTP scrape (server.go's
+      // /metrics surface): fresh counters per request, text format
+      val srv = graft.streaming.MetricsExporter.serve(
+        () => graft.streaming.MetricsExporter.counters(spark, s"$tmp/metrics"))
+      try {
+        val port = srv.getAddress.getPort
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        assert(conn.getContentType.startsWith("text/plain"))
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(body == text + "\n", "the scrape serves exactly render()")
+        // a second scrape after one more batch reflects the new state
+        ms.addData(flow(4))
+        q.processAllAvailable()
+        val conn2 = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body2 = new String(conn2.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(body2.contains(
+          """graft_processed_flows_total{label="enqueued"} 2"""),
+          s"live scrape must fold the new batch in:\n$body2")
+      } finally srv.stop(0)
     } finally q.stop()
   }
 

@@ -49,9 +49,16 @@ class TxTableSpec extends AnyFunSuite {
       assert(TxTable.read(spark, path, asOfVersion = Some(0L)).count() == n)
       assert(TxTable.read(spark, path, asOfVersion = Some(1L)).count() == 2 * n,
         "version 1 still shows the pre-compaction duplicates")
-      // superseded + orphaned files reclaimed only at vacuum; the live
-      // snapshot is untouched by it
-      val removed = TxTable.vacuum(spark, path)
+      // superseded + orphaned files reclaimed only at vacuum — and only
+      // PAST the retention window: the default (7 days, Delta's own)
+      // refuses to touch just-written history, so time travel survives
+      assert(TxTable.vacuum(spark, path).isEmpty,
+        "default-retention vacuum must preserve recent versions")
+      assert(TxTable.read(spark, path, asOfVersion = Some(1L)).count() == 2 * n,
+        "time travel still works after a default vacuum")
+      // the explicit zero-retention override reclaims immediately; the
+      // live snapshot is untouched by it
+      val removed = TxTable.vacuum(spark, path, 0L)
       assert(removed.nonEmpty)
       assert(removed.exists(_.startsWith("d-orphan000/")),
         "vacuum sweeps crashed-writer orphans too")
@@ -60,15 +67,15 @@ class TxTableSpec extends AnyFunSuite {
       val dates = compacted.select("date").distinct()
         .collect().map(_.get(0).toString).sorted.toSeq
       assert(dates.length >= 2, "test needs multiple date partitions")
-      val before = TxTable.vacuum(spark, path) // clean slate
+      val before = TxTable.vacuum(spark, path, 0L) // clean slate
       assert(before.isEmpty)
       val dropped = NetworkFlowTable.retentionTx(spark, path,
         java.time.LocalDate.parse(dates.last))
       assert(dropped == dates.init)
       assert(TxTable.read(spark, path)
         .select("date").distinct().count() == 1)
-      assert(TxTable.vacuum(spark, path).nonEmpty,
-        "TTL'd files reclaimed by the next vacuum")
+      assert(TxTable.vacuum(spark, path, 0L).nonEmpty,
+        "TTL'd files reclaimed by the next zero-retention vacuum")
       // date-pruned read plans its file list from the log alone — and
       // the resulting scan touches ONLY that date's files
       val pruned = TxTable.read(spark, path, Some(Seq(dates.last)))
@@ -181,35 +188,96 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
-  test("exactly-once appendTxn: a replayed transaction id never lands " +
+  test("exactly-once appendTxn: a replayed (appId, version) never lands " +
     "twice — sequentially or as a concurrent duplicate writer") {
     val s = summed.cache()
     try {
       val n = s.count()
       val path = java.nio.file.Files
         .createTempDirectory("graft_txonce").toString + "/t"
-      assert(TxTable.appendTxn(spark, s, path, "app-0") == 0L)
-      // micro-batch replay after checkpoint recovery = same txn id again
-      assert(TxTable.appendTxn(spark, s, path, "app-0") == -1L)
+      assert(TxTable.appendTxn(spark, s, path, "app", 0L) == 0L)
+      // micro-batch replay after checkpoint recovery = same version again
+      assert(TxTable.appendTxn(spark, s, path, "app", 0L) == -1L)
       assert(TxTable.read(spark, path).count() == n, "no double-count")
-      // a different id is a different batch and must land
-      assert(TxTable.appendTxn(spark, s, path, "app-1") >= 1L)
+      // the next batch version must land
+      assert(TxTable.appendTxn(spark, s, path, "app", 1L) >= 1L)
       assert(TxTable.read(spark, path).count() == 2 * n)
-      // zombie duplicate: two writers race the SAME id concurrently —
-      // exactly one wins; the loser's staged files are vacuum fodder
+      // zombie duplicate: two writers race the SAME version concurrently
+      // — exactly one wins; the loser's staged files are vacuum fodder
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val results = Await.result(Future.sequence(Seq(
-        Future(TxTable.appendTxn(spark, s, path, "app-2")),
-        Future(TxTable.appendTxn(spark, s, path, "app-2")))), 120.seconds)
+        Future(TxTable.appendTxn(spark, s, path, "app", 2L)),
+        Future(TxTable.appendTxn(spark, s, path, "app", 2L)))), 120.seconds)
       assert(results.count(_ >= 0) == 1 && results.count(_ == -1L) <= 1,
         s"exactly one concurrent duplicate may commit, got $results")
       assert(TxTable.read(spark, path).count() == 3 * n)
+      // a DIFFERENT app is its own monotone sequence — version numbers
+      // never collide across apps
+      assert(TxTable.appendTxn(spark, s, path, "other-app", 0L) >= 0L)
+      assert(TxTable.read(spark, path).count() == 4 * n)
       // skipped duplicates left only unreferenced files behind
-      TxTable.vacuum(spark, path)
-      assert(TxTable.read(spark, path).count() == 3 * n)
+      TxTable.vacuum(spark, path, 0L)
+      assert(TxTable.read(spark, path).count() == 4 * n)
     } finally s.unpersist()
+  }
+
+  test("txn high-water mark: checkpoint size stays CONSTANT across 100 " +
+    "writer batches (one (appId, version) entry, not one per batch)") {
+    val small = summed.limit(5).cache()
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txhw").toString + "/t"
+      assert(TxTable.appendTxn(spark, small, path, "hw", 0L) == 0L)
+      // 100 more batches from the same writer app — marks only, the
+      // empty-batch shape, so the loop is metadata-speed
+      (1 to 100).foreach(i =>
+        assert(TxTable.commitTxnMark(spark, path, "hw", i.toLong) == i.toLong))
+      val log = java.nio.file.Paths.get(path, "_txlog")
+      def ckpt(v: Long) = log.resolve(f"$v%020d.ckpt")
+      def tLines(v: Long) = java.nio.file.Files.readAllLines(ckpt(v))
+        .asScala.count(_.startsWith("T\t"))
+      assert(java.nio.file.Files.exists(ckpt(10L)) &&
+        java.nio.file.Files.exists(ckpt(100L)),
+        "auto checkpoints at v10 and v100")
+      assert(tLines(10L) == 1 && tLines(100L) == 1,
+        "exactly ONE txn line per writer app at any batch count")
+      val growth = java.nio.file.Files.size(ckpt(100L)) -
+        java.nio.file.Files.size(ckpt(10L))
+      assert(growth.abs <= 4,
+        s"90 more batches must not grow the checkpoint (grew $growth bytes)")
+      // the mark still dedups: any replayed version <= 100 is rejected
+      // before staging a byte
+      assert(TxTable.appendTxn(spark, small, path, "hw", 50L) == -1L)
+      assert(TxTable.commitTxnMark(spark, path, "hw", 100L) == -1L)
+      assert(TxTable.read(spark, path).count() == small.count())
+    } finally small.unpersist()
+  }
+
+  test("torn checkpoints are skipped, not fatal: reads fall back to an " +
+    "older checkpoint or full commit replay") {
+    val small = summed.limit(20).cache()
+    try {
+      val n = small.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txtorn").toString + "/t"
+      TxTable.append(spark, small, path) // v0: real files
+      (1 to 11).foreach(i => TxTable.commitTxnMark(spark, path, "t", i.toLong))
+      val log = java.nio.file.Paths.get(path, "_txlog")
+      assert(java.nio.file.Files.exists(log.resolve(f"${10L}%020d.ckpt")))
+      // a TORN checkpoint at a newer committed version (no C marker):
+      // the legacy non-atomic publish could expose exactly this window
+      java.nio.file.Files.write(log.resolve(f"${11L}%020d.ckpt"),
+        "A\t2024-01-01\t123\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
+      assert(TxTable.read(spark, path).count() == n,
+        "reads must fall back to the v10 checkpoint")
+      // tear the v10 checkpoint too: full commit replay still serves
+      java.nio.file.Files.write(log.resolve(f"${10L}%020d.ckpt"),
+        "A\t2024-01-01\t123\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
+      assert(TxTable.read(spark, path).count() == n,
+        "with every checkpoint torn, full replay still serves reads")
+    } finally small.unpersist()
   }
 
   test("log checkpointing: reads replay one checkpoint + the tail, " +
@@ -220,7 +288,7 @@ class TxTableSpec extends AnyFunSuite {
       val path = java.nio.file.Files
         .createTempDirectory("graft_txckpt").toString + "/t"
       (0 until 9).foreach(_ => TxTable.append(spark, small, path)) // v0..v8
-      assert(TxTable.appendTxn(spark, small, path, "ck-1") == 9L)
+      assert(TxTable.appendTxn(spark, small, path, "ck", 1L) == 9L)
       TxTable.append(spark, small, path) // v10 -> auto checkpoint
       TxTable.append(spark, small, path) // v11
       val log = java.nio.file.Paths.get(path, "_txlog")
@@ -237,12 +305,17 @@ class TxTableSpec extends AnyFunSuite {
       // state the expired commits used to provide
       assert(TxTable.read(spark, path).count() == 12 * n)
       // the exactly-once guarantee must not expire with the log
-      assert(TxTable.appendTxn(spark, small, path, "ck-1") == -1L)
+      assert(TxTable.appendTxn(spark, small, path, "ck", 1L) == -1L)
       // time travel: any version >= the checkpoint still replays...
       assert(TxTable.read(spark, path, asOfVersion = Some(10L)).count() == 11 * n)
       // ...but expired pre-checkpoint versions are gone, loudly
       intercept[IllegalArgumentException] {
         TxTable.read(spark, path, asOfVersion = Some(5L))
+      }
+      // an explicit checkpoint at a NEVER-committed version would hide
+      // every commit between the real head and the phantom — refused
+      intercept[IllegalArgumentException] {
+        TxTable.checkpoint(spark, path, Some(999L))
       }
     } finally small.unpersist()
   }
