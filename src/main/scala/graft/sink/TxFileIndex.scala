@@ -184,15 +184,20 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
 
 object TxFileIndex {
   /** Snapshot read through the planner-integrated index. The data
-    * schema is taken from one live file's footer (all files share the
-    * write schema); `date` rides as the partition column exactly like
-    * a hive-layout parquet table.
+    * schema comes from the commit log's metadata action (so additive
+    * schema evolution works: pre-evolution files read the new columns
+    * as NULL), falling back to one live file's footer for
+    * pre-evolution logs; `date` rides as the partition column exactly
+    * like a hive-layout parquet table.
     */
   def readV2(spark: SparkSession, table: String): DataFrame = {
     val index = new TxFileIndex(spark, table)
-    val sample = index.inputFiles.headOption.getOrElse(
-      throw new IllegalArgumentException(s"tx table $table has no live files"))
-    val dataSchema = spark.read.parquet(sample).schema
+    require(index.inputFiles.nonEmpty,
+      s"tx table $table has no live files")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataSchema = TxTable.logSchema(fs, root).getOrElse(
+      spark.read.parquet(index.inputFiles.head).schema)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

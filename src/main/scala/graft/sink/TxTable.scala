@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal log-structured commit protocol for the summing table — the
   * object-store-safe variant of [[NetworkFlowTable]] (whose
@@ -94,6 +95,15 @@ object TxTable {
   /** add = Some(meta) for `A` lines, None for `R` lines. */
   private case class Action(rel: String, add: Option[FileMeta])
 
+  /** Replayed log state: live files, per-app writer high-water marks,
+    * and the latest table DATA schema (the Delta metadata-action
+    * analog — the schema files are WRITTEN with, `date` excluded since
+    * partitionBy strips it from the files). None only for pre-evolution
+    * logs, where readers fall back to sampling one live file's footer.
+    */
+  private case class LogState(files: Map[String, FileMeta],
+      txns: Map[String, Long], schema: Option[StructType])
+
   // Stats ride the A line as a 5th tab field `col=t:min:max;...`.
   // Values are percent-encoded so the tab/semicolon/colon framing can
   // never be broken by data (a proto_name is trusted nowhere).
@@ -144,11 +154,12 @@ object TxTable {
     listBySuffix(fs, root, ".ckpt")
 
   /** Parse one log file (commit or checkpoint — same line format) into
-    * (file actions, writer (appId, version) marks). The terminal `C <n>`
-    * marker must count every action line or the file is rejected as torn.
+    * (file actions, writer (appId, version) marks, schema metadata).
+    * The terminal `C <n>` marker must count every action line or the
+    * file is rejected as torn.
     */
   private def parseLog(fs: FileSystem, p: Path,
-      what: String): (Seq[Action], Seq[(String, Long)]) = {
+      what: String): (Seq[Action], Seq[(String, Long)], Option[StructType]) = {
     val in = fs.open(p)
     val raw = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
       finally in.close()
@@ -158,6 +169,7 @@ object TxTable {
       s"truncated or corrupt $what at $p")
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
     val txns = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var schema: Option[StructType] = None
     lines.init.foreach { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
@@ -166,10 +178,12 @@ object TxTable {
           acts += Action(rel, Some(FileMeta(d, len.toLong, parseStats(st))))
         case Array("R", rel)    => acts += Action(rel, None)
         case Array("T", a, v)   => txns += (dec(a) -> v.toLong)
+        case Array("M", sj)     =>
+          schema = Some(DataType.fromJson(dec(sj)).asInstanceOf[StructType])
         case _ => throw new IllegalStateException(s"bad action in $what $p: $l")
       }
     }
-    (acts.toSeq, txns.toSeq)
+    (acts.toSeq, txns.toSeq, schema)
   }
 
   private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
@@ -188,7 +202,7 @@ object TxTable {
     * checkpoint at or before them (see [[expireLog]]).
     */
   private def replayState(fs: FileSystem, root: Path,
-      asOf: Option[Long]): (Map[String, FileMeta], Map[String, Long]) = {
+      asOf: Option[Long]): LogState = {
     val versions = listVersions(fs, root).filter(v => asOf.forall(v <= _))
     val candidates = listCheckpoints(fs, root)
       .filter(c => asOf.forall(c <= _)).reverse
@@ -197,22 +211,22 @@ object TxTable {
       catch { case scala.util.control.NonFatal(_) => None }
     }.collectFirst { case Some(x) => x }
     val ckpt = parsed.map(_._1)
-    val (base, baseTxns) = parsed match {
-      case Some((_, (acts, txns))) =>
-        (acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
-          mergeMarks(Map.empty, txns))
-      case None => (Map.empty[String, FileMeta], Map.empty[String, Long])
+    val base = parsed match {
+      case Some((_, (acts, txns, sch))) =>
+        LogState(acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
+          mergeMarks(Map.empty, txns), sch)
+      case None => LogState(Map.empty, Map.empty, None)
     }
     versions.filter(v => ckpt.forall(v > _))
-      .foldLeft((base, baseTxns)) { case ((live, txns), v) =>
-        val (acts, ts) = parseLog(fs, versionFile(root, v), s"commit $v")
-        val next = acts.foldLeft(live) { (m, a) =>
+      .foldLeft(base) { case (st, v) =>
+        val (acts, ts, sch) = parseLog(fs, versionFile(root, v), s"commit $v")
+        val next = acts.foldLeft(st.files) { (m, a) =>
           a.add match {
             case Some(meta) => m + (a.rel -> meta)
             case None       => m - a.rel
           }
         }
-        (next, mergeMarks(txns, ts))
+        LogState(next, mergeMarks(st.txns, ts), sch.orElse(st.schema))
       }
   }
 
@@ -229,12 +243,19 @@ object TxTable {
     * retry-idempotent because replayed batch versions are ≤ the mark.
     */
   private def txnHighWater(fs: FileSystem, root: Path): Map[String, Long] =
-    replayState(fs, root, None)._2
+    replayState(fs, root, None).txns
 
   /** Live relpath -> FileMeta at `asOf` (default: latest). */
   private[sink] def snapshotFiles(fs: FileSystem, root: Path,
       asOf: Option[Long] = None): Map[String, FileMeta] =
-    replayState(fs, root, asOf)._1
+    replayState(fs, root, asOf).files
+
+  /** The logged table data schema at `asOf` (None on pre-evolution
+    * logs — callers fall back to sampling a live file's footer).
+    */
+  private[sink] def logSchema(fs: FileSystem, root: Path,
+      asOf: Option[Long] = None): Option[StructType] =
+    replayState(fs, root, asOf).schema
 
   /** Materialize the state at version `v` (default: latest) as a
     * checkpoint file — idempotent (create-if-absent; every writer would
@@ -259,11 +280,12 @@ object TxTable {
   }
 
   private def checkpointAt(fs: FileSystem, root: Path, v: Long): Unit = {
-    val (files, txns) = replayState(fs, root, Some(v))
-    val lines = files.toSeq.sortBy(_._1).map { case (rel, m) =>
+    val st = replayState(fs, root, Some(v))
+    val lines = st.files.toSeq.sortBy(_._1).map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
-    } ++ txns.toSeq.sortBy(_._1).map { case (a, ver) => s"T\t${enc(a)}\t$ver" }
+    } ++ st.txns.toSeq.sortBy(_._1).map { case (a, ver) => s"T\t${enc(a)}\t$ver" } ++
+      st.schema.map(s => s"M\t${enc(s.json)}").toSeq
     val payload = ((lines :+ s"C\t${lines.length}").mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     // atomic publish, same discipline as commits: a reader listing the
@@ -301,50 +323,42 @@ object TxTable {
       payload: Array[Byte]): Boolean =
     putIfAbsent(fs, versionFile(root, v), payload)
 
-  /** ATOMIC put-if-absent of one complete log file (commit or
-    * checkpoint), per store:
-    *  - HDFS-like: `create(overwrite=false)` (namenode-atomic)
-    *  - local POSIX: link(2) of a fully-written temp file — EEXIST is
-    *    the lost race, and the file appears with complete content.
-    *    (RawLocalFileSystem's create(false) is check-THEN-create: two
-    *    racing JVMs/threads can both pass the check and both "win",
-    *    which the exactly-once spec caught as a real double-commit.)
-    *  - S3: the seam a store-specific LogStore plugs conditional PUT
-    *    (If-None-Match) into, exactly Delta's split.
+  /** Store-specific [[LogStore]]s keyed by filesystem scheme;
+    * [[HadoopLogStore]] serves any scheme without a registration.
+    */
+  private val logStores =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+
+  /** Register the [[LogStore]] that owns atomic put-if-absent for a
+    * filesystem scheme — the deployment hook an object store needs
+    * (e.g. `registerLogStore("s3a", new S3ConditionalPutStore(...))`);
+    * without one, schemes fall back to [[HadoopLogStore]], which is
+    * only safe where `create(overwrite=false)` is atomic.
+    */
+  def registerLogStore(scheme: String, store: LogStore): Unit =
+    logStores.put(scheme, store)
+
+  private[graft] def unregisterLogStore(scheme: String): Unit =
+    logStores.remove(scheme)
+
+  /** Atomic put-if-absent of one complete log file (commit or
+    * checkpoint) through the scheme's registered [[LogStore]].
     */
   private def putIfAbsent(fs: FileSystem, f: Path,
-      payload: Array[Byte]): Boolean = {
-    if (fs.exists(f)) return false
-    if (fs.getScheme == "file") {
-      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
-      val target = Paths.get(fs.makeQualified(f).toUri.getPath)
-      val tmp = Files.createTempFile(target.getParent,
-        s".claim${f.getName.takeWhile(_ != '.')}-", ".tmp")
-      try {
-        Files.write(tmp, payload)
-        try { Files.createLink(target, tmp); true }
-        catch { case _: FileAlreadyExistsException => false }
-      } finally Files.deleteIfExists(tmp)
-    } else {
-      try {
-        val out = fs.create(f, false)
-        try out.write(payload) finally out.close()
-        true
-      } catch {
-        case e: java.io.IOException =>
-          if (fs.exists(f)) false else throw e
-      }
-    }
-  }
+      payload: Array[Byte]): Boolean =
+    Option(logStores.get(fs.getScheme)).getOrElse(HadoopLogStore)
+      .putIfAbsent(fs, f, payload)
 
   private def render(adds: Seq[(String, FileMeta)],
-      removes: Seq[String], txn: Option[(String, Long)] = None): Array[Byte] = {
+      removes: Seq[String], txn: Option[(String, Long)] = None,
+      schema: Option[StructType] = None): Array[Byte] = {
     val lines = adds.map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
     } ++
       removes.map(r => s"R\t$r") ++
-      txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq
+      txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq ++
+      schema.map(s => s"M\t${enc(s.json)}").toSeq
     val all = lines :+ s"C\t${lines.length}"
     (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
@@ -356,9 +370,10 @@ object TxTable {
     */
   private def commitRetry(fs: FileSystem, root: Path,
       adds: Seq[(String, FileMeta)], removes: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      schema: Option[StructType] = None): Long = {
     fs.mkdirs(logDir(root))
-    val payload = render(adds, removes, txn)
+    val payload = render(adds, removes, txn, schema)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     while (true) {
       if (removes.nonEmpty) {
@@ -511,10 +526,48 @@ object TxTable {
     adds.toSeq
   }
 
+  /** The data schema `df` will write (`partitionBy` strips `date` from
+    * the files, so the logged schema excludes it too). Logged with every
+    * field NULLABLE: an appended table's columns are nullable by nature
+    * (pre-evolution files hold NULL for later columns, and the
+    * vectorized parquet reader refuses to null-fill a missing column
+    * the requested schema declares non-null) — the same default Delta
+    * applies.
+    */
+  private def dataSchema(df: DataFrame): StructType =
+    StructType(df.schema.filterNot(_.name == "date")
+      .map(f => f.copy(nullable = true)))
+
+  /** Schema metadata to attach to a write commit: Some(schema) on the
+    * first commit or on ADDITIVE evolution — every existing column keeps
+    * its name and type, new columns append, and old files read the new
+    * columns as NULL (standard parquet missing-column semantics under an
+    * explicit read schema); None when unchanged. Dropping or retyping a
+    * column is REFUSED: old files would become unreadable under the new
+    * schema (Delta calls that a breaking change requiring `overwrite`,
+    * which replaces the file set and may change schema freely).
+    */
+  private def schemaUpdate(fs: FileSystem, root: Path,
+      df: DataFrame): Option[StructType] = {
+    val next = dataSchema(df)
+    logSchema(fs, root) match {
+      case None                     => Some(next)
+      case Some(cur) if cur == next => None
+      case Some(cur) =>
+        val nextTypes = next.map(f => f.name -> f.dataType).toMap
+        val broken = cur.filterNot(f => nextTypes.get(f.name).contains(f.dataType))
+        require(broken.isEmpty,
+          s"non-additive schema change (${broken.map(_.name).mkString(",")}): " +
+            "append may only ADD columns; use overwrite to replace the schema")
+        Some(next)
+    }
+  }
+
   /** Transactional append: new files become visible in one commit. */
   def append(spark: SparkSession, df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(spark, table)
-    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty)
+    commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty, None,
+      schemaUpdate(fs, root, df))
   }
 
   /** EXACTLY-ONCE append: the commit carries a writer (appId, version)
@@ -542,7 +595,7 @@ object TxTable {
     if (txnHighWater(fs, root).get(appId).exists(_ >= version))
       return -1L // pre-stage check: don't even write the parquet
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty,
-      Some(appId -> version))
+      Some(appId -> version), schemaUpdate(fs, root, df))
   }
 
   /** Ops/test seam: commit ONLY an (appId, version) mark — what a
@@ -562,7 +615,10 @@ object TxTable {
   def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(spark, table)
     val adds = stage(prep(df), fs, root)
-    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq)
+    // a full replace owns the whole file set, so the schema may change
+    // freely — no additive constraint (Delta's overwriteSchema)
+    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq, None,
+      Some(dataSchema(df)))
   }
 
   private def prep(df: DataFrame): DataFrame =
@@ -582,13 +638,20 @@ object TxTable {
       dates: Option[Seq[String]] = None,
       asOfVersion: Option[Long] = None): DataFrame = {
     val (fs, root) = fsFor(spark, table)
-    val live = snapshotFiles(fs, root, asOfVersion).toSeq
+    val state = replayState(fs, root, asOfVersion)
+    val live = state.files.toSeq
       .filter { case (_, m) => dates.forall(_.contains(m.date)) }
     require(live.nonEmpty, s"tx table $table has no live files" +
       dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
     val byDate = live.groupBy(_._2.date).toSeq.sortBy(_._1)
     byDate.map { case (d, files) =>
-      val df = spark.read.parquet(
+      // the LOGGED schema (as of the read version) governs the scan:
+      // files written before an additive evolution are missing the new
+      // columns and read them as NULL; time travel to a pre-evolution
+      // version reads with the schema of that era. Pre-evolution logs
+      // (no M action) keep the footer-sampled behavior.
+      val rdr = state.schema.map(spark.read.schema).getOrElse(spark.read)
+      val df = rdr.parquet(
         files.map { case (rel, _) => new Path(root, rel).toString }: _*)
       df.select(to_date(lit(d)).as("date") +: df.columns.map(col): _*)
     }.reduce(_ unionByName _)
@@ -612,7 +675,10 @@ object TxTable {
     val adds = stage(prep(compacted), fs, root)
     val removes = snapshotFiles(fs, root)
       .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
-    commitRetry(fs, root, adds, removes)
+    // normally a no-op; on a pre-evolution log this upgrades it with an
+    // M action for the (unchanged) schema
+    commitRetry(fs, root, adds, removes, None,
+      schemaUpdate(fs, root, compacted))
   }
 
   /** W7 TTL on the tx path: one metadata-only commit removes every file

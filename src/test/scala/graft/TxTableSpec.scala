@@ -255,6 +255,47 @@ class TxTableSpec extends AnyFunSuite {
     } finally small.unpersist()
   }
 
+  test("schema evolution: an added column reads as NULL from old files " +
+    "through both read paths; non-additive appends are refused; " +
+    "overwrite may replace the schema") {
+    val s = summed.limit(30).cache()
+    try {
+      val n = s.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txschema").toString + "/t"
+      TxTable.append(spark, s, path) // v0: base schema (M action logged)
+      // v1: ADDITIVE evolution — one new column, everything else intact
+      TxTable.append(spark, s.withColumn("quality", lit(7L)), path)
+      val back = TxTable.read(spark, path)
+      assert(back.columns.contains("quality"))
+      assert(back.count() == 2 * n)
+      assert(back.filter(col("quality").isNull).count() == n,
+        "v0 files must read the new column as NULL")
+      assert(back.filter(col("quality") === 7L).count() == n)
+      // the planner-integrated path reads the SAME logged schema
+      val v2 = graft.sink.TxFileIndex.readV2(spark, path)
+      assert(v2.schema.fieldNames.contains("quality"))
+      assert(v2.filter(col("quality") === 7L).count() == n)
+      assert(v2.filter(col("quality").isNull).count() == n)
+      // time travel to v0 reads with THAT era's schema
+      assert(!TxTable.read(spark, path, asOfVersion = Some(0L))
+        .columns.contains("quality"))
+      // dropping or retyping an existing column would strand old files —
+      // append refuses both
+      intercept[IllegalArgumentException] {
+        TxTable.append(spark, s.drop("bytes"), path)
+      }
+      intercept[IllegalArgumentException] {
+        TxTable.append(spark,
+          s.withColumn("bytes", col("bytes").cast("string")), path)
+      }
+      // overwrite replaces the whole file set, so any schema goes
+      TxTable.overwrite(spark, s.drop("packets"), path)
+      assert(!TxTable.read(spark, path).columns.contains("packets"))
+      assert(TxTable.read(spark, path).count() == n)
+    } finally s.unpersist()
+  }
+
   test("torn checkpoints are skipped, not fatal: reads fall back to an " +
     "older checkpoint or full commit replay") {
     val small = summed.limit(20).cache()
@@ -318,6 +359,39 @@ class TxTableSpec extends AnyFunSuite {
         TxTable.checkpoint(spark, path, Some(999L))
       }
     } finally small.unpersist()
+  }
+
+  test("LogStore seam: a registered store owns every atomic claim, and a " +
+    "lost conditional PUT (object-store If-None-Match) retries at the " +
+    "next version") {
+    val s = summed.limit(10).cache()
+    try {
+      val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var interposed = false
+      val store = new graft.sink.LogStore {
+        override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+            f: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean = {
+          puts.incrementAndGet()
+          if (!interposed && f.getName.endsWith(".txn")) {
+            interposed = true
+            // a concurrent writer wins this version: its (valid, empty)
+            // commit lands first, so OUR conditional PUT comes back
+            // "precondition failed" — the two-outcome contract's false
+            graft.sink.HadoopLogStore.putIfAbsent(fs, f, "C\t0\n".getBytes)
+            false
+          } else graft.sink.HadoopLogStore.putIfAbsent(fs, f, payload)
+        }
+      }
+      TxTable.registerLogStore("file", store)
+      try {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_txstore").toString + "/t"
+        assert(TxTable.append(spark, s, path) == 1L,
+          "v0 lost to the interposed writer; the commit must land at v1")
+        assert(puts.get() >= 2, "every claim must route through the store")
+        assert(TxTable.read(spark, path).count() == s.count())
+      } finally TxTable.unregisterLogStore("file")
+    } finally s.unpersist()
   }
 
   test("optimistic concurrency: lost races retry; conflicting removes " +
