@@ -197,6 +197,53 @@ object VectorQueries {
         .orderBy("keeper", "dup")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup by cluster-then-
+    // compare — k-means cells bound the pair search to within-cluster
+    // O(N²/k) instead of all-pairs, then cos >= 0.99 inside a cell
+    // drops every non-minimal member of a near-dup group. The cell
+    // assignment is the same broadcast-seeds argmin as qv_ivf_ann
+    // (partial-agg'd below its exchange); the pair scan is an equi-join
+    // on cell_id, so at a billion vectors each cluster is its own
+    // bounded join partition — no cartesian anywhere. Re-ingested
+    // corpus (every 10th vector duplicated) provides true positives;
+    // verdict per vector: its cell and whether it is dropped as a dup
+    "qv_semdedup" -> ((s, d) => {
+      val base = quantized(s, d)
+      val corpus = base.select("vec_id", "q", "nrm")
+        .unionByName(base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("q"),
+            col("nrm")))
+      val seeds = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val assigned = corpus.crossJoin(broadcast(seeds))
+        .withColumn("dot_s",
+          expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+          first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+          col("q"), col("nrm"))
+      val a = assigned.toDF("a_id", "cell", "qa", "qn")
+      val b = assigned.toDF("b_id", "cell2", "na", "nn")
+      val dropped = a.join(b,
+          col("cell") === col("cell2") && col("a_id") < col("b_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos_bp", round(col("dot") * 10000 /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")), 0)
+          .cast("long"))
+        .filter(col("cos_bp") >= 9900)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select("vec_id", "cell_id")
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cell_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // multi-probe LSH: recall recovery for the bucketed ANN — each query
     // probes its own bucket plus the 4 Hamming-distance-1 neighbors
     // (one sign bit flipped), catching near neighbors that straddle a
@@ -487,6 +534,39 @@ object VectorQueries {
          |FROM pairs
          |WHERE CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE))) AS BIGINT) >= 9900
          |ORDER BY keeper, dup""".stripMargin,
+    "qv_semdedup" ->
+      s"""WITH $quantizedSql, corpus AS (
+         |  SELECT vec_id, q, nrm FROM qn
+         |  UNION ALL
+         |  SELECT vec_id + 10000, q, nrm FROM qn WHERE vec_id % 10 = 0
+         |), seeds AS (
+         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+         |  FROM qn WHERE vec_id < 16
+         |), dists AS (
+         |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
+         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
+         |  FROM corpus v CROSS JOIN seeds s
+         |), assigned AS (
+         |  SELECT vec_id, cell_id, q, nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell_id) AS rn FROM dists) t
+         |  WHERE rn = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    a.nrm AS qn2, b.nrm AS nn2
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |), dropped AS (
+         |  SELECT DISTINCT b_id AS vec_id FROM pairs
+         |  WHERE CAST(ROUND(dot * 10000 / sqrt(CAST(qn2 AS DOUBLE)
+         |    * CAST(nn2 AS DOUBLE))) AS BIGINT) >= 9900)
+         |SELECT s.vec_id, CAST(s.cell_id AS BIGINT) AS cell_id,
+         |  (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "qv_lsh_multiprobe" ->
       s"""WITH $quantizedSql, bucketed AS (
          |  SELECT e.vec_id, qn.q, qn.nrm,

@@ -257,6 +257,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "the vocab must be bounded by a top-k before it broadcasts\n" + p.take(3000))
   }
 
+  test("qv_semdedup: the pair scan is a HASH equi-join on the cell — " +
+    "never an unbounded cartesian (the only nested-loop joins are the " +
+    "bounded 16-seed broadcast fan-outs); cell argmin partial-aggregates " +
+    "below its exchange") {
+    val p = plan("qv_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("Join \\[cell".r.findFirstIn(p).isDefined &&
+      p.contains("BroadcastHashJoin [cell"),
+      "the within-cluster pair scan must hash-join on cell_id\n" + p.take(3000))
+    // nested-loop joins may ONLY be the seed fan-outs (broadcast of the
+    // 16 centroids) — every one must be a BuildRight Cross against a
+    // broadcast, never a join of two fact-sized sides
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft"), p.take(3000))
+    val partialIdx = p.indexOf("partial_min")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx && exchangeIdx > 0,
+      "the 16-way seed fan-out must collapse map-side\n" + p.take(3000))
+  }
+
   test("qp_invindex: the df 2..20 semi-join sits BELOW the posting-list " +
     "aggregation — no stopword array ever materializes") {
     val p = plan("qp_invindex")
