@@ -318,6 +318,30 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // INCREMENTAL ingest dedup — the production shape of near-dup at
+    // 100 TB: a standing corpus keeps its banded MinHash index
+    // MATERIALIZED (here: the doc_id % 5 == 0 slice of the banded
+    // table), and each new crawl batch is banded and equi-joined
+    // against that index instead of re-clustering the whole corpus.
+    // Per new doc: how many distinct corpus docs it band-collides
+    // with and the smallest such id (the dedup attribution). The join
+    // is the same (band, bh) bucket join as qt_minhash_lsh — new-batch
+    // sized × index lookups, never corpus × corpus
+    "qt_incr_dedup" -> ((s, d) => {
+      val banded = graft.ops.CacheRegistry.track(
+        minhashBanded(shingles(corpus(s, d))))
+      val idx = banded.filter(col("doc_id") % 5 === 0)
+        .toDF("c_id", "band", "bh")
+      val fresh = banded.filter(col("doc_id") % 5 =!= 0)
+        .toDF("n_id", "band2", "bh2")
+      fresh.join(idx,
+          col("band2") === col("band") && col("bh2") === col("bh"))
+        .groupBy(col("n_id").as("doc_id"))
+        .agg(countDistinct("c_id").as("n_corpus_matches"),
+          min("c_id").as("first_match"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash (60-bit: 15 md5 hex positions x 4 bits — wide enough for
     // production Hamming-distance thresholds while staying clear of the
     // int64 sign bit on both engines), one signature per doc. Single
@@ -506,6 +530,15 @@ object TextQueries {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    "qt_incr_dedup" ->
+      s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()}
+         |SELECT n.doc_id AS doc_id,
+         |  CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_matches,
+         |  CAST(MIN(c.doc_id) AS BIGINT) AS first_match
+         |FROM banded n JOIN banded c
+         |  ON n.band = c.band AND n.bh = c.bh
+         |  AND n.doc_id % 5 <> 0 AND c.doc_id % 5 = 0
+         |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
     "qt_simhash" ->
       s"""WITH $corpusSql, toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
