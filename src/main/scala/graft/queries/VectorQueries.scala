@@ -203,10 +203,16 @@ object VectorQueries {
     // drops every non-minimal member of a near-dup group. The cell
     // assignment is the same broadcast-seeds argmin as qv_ivf_ann
     // (partial-agg'd below its exchange); the pair scan is an equi-join
-    // on cell_id, so at a billion vectors each cluster is its own
-    // bounded join partition — no cartesian anywhere. Re-ingested
-    // corpus (every 10th vector duplicated) provides true positives;
-    // verdict per vector: its cell and whether it is dropped as a dup
+    // on cell_id, so each cluster is its own bounded join partition —
+    // no cartesian anywhere. k = 16 here is the deterministic-oracle
+    // harness instantiation; O(N²/k) only stays bounded if k GROWS with
+    // the corpus (SemDeDup's paper setting is k ≈ O(√N), e.g. 50k
+    // clusters for 100M embeddings) — at scale the seeds come from
+    // iterating qv_kmeans_step's Lloyd pass, and the plan shape here is
+    // UNCHANGED by k (the broadcast carries k centroids; the pair join
+    // key is still cell_id). Re-ingested corpus (every 10th vector
+    // duplicated) provides true positives; verdict per vector: its
+    // cell and whether it is dropped as a dup
     "qv_semdedup" -> ((s, d) => {
       val base = quantized(s, d)
       val corpus = base.select("vec_id", "q", "nrm")
