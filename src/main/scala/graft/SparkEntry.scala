@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.EventsQueries.queries ++
       graft.queries.MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
+      graft.queries.EventsQueries.oracle ++
       graft.queries.MiscQueries.oracle
 }
