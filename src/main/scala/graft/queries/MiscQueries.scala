@@ -261,6 +261,56 @@ object MiscQueries {
         .orderBy("direction")
     }),
 
+    // MERGE INTO as a gate: append the summed table, then merge a
+    // correction feed — the latest third of the minutes RE-STATED with
+    // doubled counters (matched arm: replaces in place) plus the same
+    // slice shifted +30 days (not-matched arm: inserts as new keys,
+    // safely beyond the corpus span so no accidental collision). The
+    // merge key is the summing table's full dim tuple (its MergeTree
+    // ORDER BY); only files containing re-stated keys are rewritten —
+    // log-stats pruning + semi-join discovery inside TxTable.merge.
+    // The gate reads the WHOLE merged table back: any double-applied
+    // update, lost insert, or resurrected pre-merge row hash-mismatches.
+    "qtx_merge" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = FlowPipeline.run(f, p, n, px, FlowConfig()).persist()
+      try {
+        val base = sys.props("java.io.tmpdir") +
+          s"/graft_txmerge_${math.abs(d.hashCode)}"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        val table = s"$base/t"
+        TxTable.append(s, summed, table)
+        val b = summed.agg(
+          min(unix_micros(col("interval_start"))).as("lo"),
+          max(unix_micros(col("interval_start"))).as("hi")).collect().head
+        val cut = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+        val upd = summed
+          .filter(unix_micros(col("interval_start")) >= cut)
+          .withColumn("bytes", col("bytes") * 2)
+          .withColumn("packets", col("packets") * 2)
+        val ins = upd
+          .withColumn("interval_start",
+            col("interval_start") + expr("INTERVAL 30 DAYS"))
+          .withColumn("date", date_add(col("date"), 30))
+        val keys = summed.columns.toSeq
+          .filterNot(Set("bytes", "packets", "n_obs"))
+        TxTable.merge(s, upd.unionByName(ins), table, keys)
+        // explicit total order on the unique dim tuple, mirrored
+        // verbatim in the oracle's ORDER BY
+        val ord = Seq("date", "interval_start", "interval_seconds",
+          "direction", "proto_name", "connection_class", "node_name",
+          "local_zone", "local_namespace", "local_pod", "local_app",
+          "local_instance", "local_ip", "local_port", "remote_cloud",
+          "remote_region", "remote_service", "remote_app", "remote_pod",
+          "remote_namespace", "remote_instance", "remote_node",
+          "remote_zone", "remote_ip", "remote_port", "connection_flags")
+        TxTable.read(s, table)
+          .select(summed.columns.map(col): _*)
+          .orderBy(ord.map(col): _*)
+      } finally summed.unpersist()
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -401,6 +451,36 @@ object MiscQueries {
          |    AS INTEGER) AS feat_val
          |FROM fh, unnest(range(0, 8)) AS f(feat_idx)
          |ORDER BY media_id, feat_idx""".stripMargin,
+    // merged state = re-stated tail (doubled) ∪ shifted inserts ∪ the
+    // untouched head — DuckDB's * REPLACE keeps the column list in
+    // lockstep with the summing CTE
+    "qtx_merge" ->
+      s"""${graft.flow.FlowSql.summedCte},
+         |cut AS (SELECT MIN(epoch_us(interval_start))
+         |    + 2 * (MAX(epoch_us(interval_start))
+         |           - MIN(epoch_us(interval_start))) // 3 AS c
+         |  FROM summed)
+         |SELECT * FROM (
+         |  SELECT summed.* REPLACE (CAST(bytes * 2 AS BIGINT) AS bytes,
+         |      CAST(packets * 2 AS BIGINT) AS packets)
+         |  FROM summed, cut WHERE epoch_us(interval_start) >= c
+         |  UNION ALL
+         |  SELECT summed.* REPLACE (CAST(date + 30 AS DATE) AS date,
+         |      interval_start + INTERVAL 30 DAY AS interval_start,
+         |      CAST(bytes * 2 AS BIGINT) AS bytes,
+         |      CAST(packets * 2 AS BIGINT) AS packets)
+         |  FROM summed, cut WHERE epoch_us(interval_start) >= c
+         |  UNION ALL
+         |  SELECT summed.* FROM summed, cut
+         |  WHERE epoch_us(interval_start) < c
+         |)
+         |ORDER BY date, interval_start, interval_seconds, direction,
+         |  proto_name, connection_class, node_name, local_zone,
+         |  local_namespace, local_pod, local_app, local_instance,
+         |  local_ip, local_port, remote_cloud, remote_region,
+         |  remote_service, remote_app, remote_pod, remote_namespace,
+         |  remote_instance, remote_node, remote_zone, remote_ip,
+         |  remote_port, connection_flags""".stripMargin,
     "qsink_roundtrip" ->
       s"""${graft.flow.FlowSql.summedCte}
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,

@@ -394,6 +394,62 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("MERGE upsert is copy-on-write surgery: only files containing " +
+    "matched keys are rewritten, updates replace, inserts land, and an " +
+    "insert-only merge removes nothing") {
+    val s = summed.cache()
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txmerge").toString + "/t"
+      assert(TxTable.append(spark, s, path) == 0L)
+      val before = TxTable.liveFiles(spark, path)
+      assert(before.size >= 2, "test needs a multi-file table")
+      val keys = s.columns.toSeq.filterNot(Set("bytes", "packets", "n_obs"))
+      // correction feed: ONE date's rows re-stated with doubled bytes
+      val dates = before.values.map(_._1).toSet.toSeq.sorted
+      assert(dates.size >= 2, "test needs multiple date partitions")
+      val target = dates.last
+      val upd = s.filter(col("date") === lit(target))
+        .withColumn("bytes", col("bytes") * 2)
+      val updRows = upd.count()
+      assert(updRows > 0)
+      assert(TxTable.merge(spark, upd, path, keys) == 1L)
+      val after = TxTable.liveFiles(spark, path)
+      // files of every OTHER date were never candidates (date-set
+      // pruning from log metadata) and must survive verbatim
+      val untouched = before.filter { case (_, (d, _)) => d != target }
+      assert(untouched.nonEmpty)
+      untouched.keys.foreach { rel =>
+        assert(after.contains(rel), s"untouched file $rel must stay live")
+      }
+      // the target date's files were all rewritten
+      before.filter { case (_, (d, _)) => d == target }.keys.foreach { rel =>
+        assert(!after.contains(rel), s"matched file $rel must be replaced")
+      }
+      // values replaced, not duplicated: row count unchanged, bytes
+      // doubled exactly on the merged date
+      val back = TxTable.read(spark, path)
+      assert(back.count() == s.count(), "upsert must not change row count")
+      val origBytes = s.filter(col("date") === lit(target))
+        .agg(sum("bytes")).collect().head.getLong(0)
+      assert(back.filter(col("date") === lit(target))
+        .agg(sum("bytes")).collect().head.getLong(0) == 2 * origBytes)
+      // insert-only merge: keys shifted beyond the corpus never match —
+      // zero files removed, rows appended
+      val ins = upd.withColumn("date", date_add(col("date"), 365))
+        .withColumn("interval_start",
+          col("interval_start") + org.apache.spark.sql.functions
+            .expr("INTERVAL 365 DAYS"))
+      assert(TxTable.merge(spark, ins, path, keys) == 2L)
+      val after2 = TxTable.liveFiles(spark, path)
+      after.keys.foreach { rel =>
+        assert(after2.contains(rel),
+          s"insert-only merge must not rewrite $rel")
+      }
+      assert(TxTable.read(spark, path).count() == s.count() + updRows)
+    } finally s.unpersist()
+  }
+
   test("optimistic concurrency: lost races retry; conflicting removes " +
     "abort; truncated commits are detected") {
     val s = summed
