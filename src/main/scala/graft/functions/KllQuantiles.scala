@@ -111,3 +111,38 @@ class KllQuantiles(probes: Seq[Double], k: Int = 200)
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** The -State combinator over [[KllQuantiles]]: aggregates raw longs but
+  * FINISHES with the sketch buffer itself (Tungsten
+  * struct<levels:array<array<bigint>>,n:bigint,comps:bigint>), so a
+  * materialized view can store per-group partial sketches as a parquet
+  * column — ClickHouse's `quantileState` into an AggregatingMergeTree.
+  */
+class KllState(k: Int = 200) extends Aggregator[Long, KllBuffer, KllBuffer] {
+  private val inner = new KllQuantiles(Seq(0.5), k)
+  override def zero: KllBuffer = inner.zero
+  override def reduce(b: KllBuffer, v: Long): KllBuffer = inner.reduce(b, v)
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = inner.merge(a, b)
+  override def finish(b: KllBuffer): KllBuffer = b
+  override def bufferEncoder: Encoder[KllBuffer] = Encoders.product[KllBuffer]
+  override def outputEncoder: Encoder[KllBuffer] = Encoders.product[KllBuffer]
+}
+
+/** The -Merge combinator: folds stored [[KllBuffer]] states back into one
+  * sketch and emits the quantiles — `quantileMerge` at MV read time. The
+  * same ladder algebra as ingest-time aggregation, so incremental
+  * (state-per-batch, merged later) and one-shot aggregation share one
+  * error envelope.
+  */
+class KllMerge(probes: Seq[Double], k: Int = 200)
+    extends Aggregator[KllBuffer, KllBuffer, Seq[Long]] {
+  private val inner = new KllQuantiles(probes, k)
+  override def zero: KllBuffer = inner.zero
+  override def reduce(acc: KllBuffer, st: KllBuffer): KllBuffer =
+    inner.merge(acc, st)
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = inner.merge(a, b)
+  override def finish(b: KllBuffer): Seq[Long] = inner.finish(b)
+  override def bufferEncoder: Encoder[KllBuffer] = Encoders.product[KllBuffer]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
 import graft.multimodal.MediaOps
-import graft.sink.{NetworkFlowTable, TxFileIndex, TxTable}
+import graft.sink.{MaterializedView, NetworkFlowTable, TxFileIndex, TxTable}
 import graft.streaming.StreamingFlows
 
 /** Streaming, multimodal and sink operator surface. The two qs_*
@@ -311,6 +311,44 @@ object MiscQueries {
       } finally summed.unpersist()
     }),
 
+    // incremental materialized-view maintenance as a gate: the events
+    // fact stream lands in a base tx table in THREE separate appends
+    // (split by user hash); after each, MaterializedView.refresh folds
+    // ONLY that delta's files (commit-log diff, never a full rescan)
+    // into per-group partial states — sum / count / min / max and the
+    // mergeable (sum,cnt) avg pair. A fourth refresh must no-op (the
+    // (appId, baseVersion) high-water mark), the partials are then
+    // collapsed by a state-preserving compact, and the read-side -Merge
+    // finalization must equal DuckDB aggregating the WHOLE corpus in one
+    // pass — any double-applied delta, lost batch, or avg-of-avgs
+    // shortcut hash-mismatches.
+    "qmv_incremental" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"),
+        col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mv_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val (baseT, mvT) = (s"$base/base", s"$base/mv")
+      val mv = MaterializedView.MvDef(
+        Seq("date", "event_type"),
+        Seq(MaterializedView.SumState("cents", "cents"),
+          MaterializedView.CountState("n"),
+          MaterializedView.MinState("cents", "c_min"),
+          MaterializedView.MaxState("cents", "c_max"),
+          MaterializedView.AvgState("cents", "c_avg")))
+      (0 until 3).foreach { i =>
+        TxTable.append(s, ev.filter(col("user_id") % 3 === i), baseT)
+        require(MaterializedView.refresh(s, baseT, mvT, mv) >= 0,
+          s"refresh $i must apply its delta")
+      }
+      require(MaterializedView.refresh(s, baseT, mvT, mv) == -1L,
+        "up-to-date refresh must no-op")
+      MaterializedView.compact(s, mvT, mv)
+      MaterializedView.read(s, mvT, mv).orderBy("date", "event_type")
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -481,6 +519,21 @@ object MiscQueries {
          |  remote_service, remote_app, remote_pod, remote_namespace,
          |  remote_instance, remote_node, remote_zone, remote_ip,
          |  remote_port, connection_flags""".stripMargin,
+    // one-pass aggregation over the whole corpus: equals the MV's
+    // 3-delta incremental build iff every delta applied exactly once and
+    // avg merged as (sum,cnt) — avg is computed as the same explicit
+    // double division on both sides
+    "qmv_incremental" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT date, event_type,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(cents) AS BIGINT) AS c_min,
+        |  CAST(MAX(cents) AS BIGINT) AS c_max,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
+        |FROM e GROUP BY date, event_type
+        |ORDER BY date, event_type""".stripMargin,
     "qsink_roundtrip" ->
       s"""${graft.flow.FlowSql.summedCte}
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,

@@ -1,0 +1,205 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{KllBuffer, KllMerge, KllState}
+
+/** Incremental materialized-view maintenance over [[TxTable]] — the
+  * ClickHouse materialized-view contract (an MV's SELECT runs over each
+  * INSERTED block only, results append to an Aggregating/SummingMergeTree
+  * target whose partial states merge at read time; reference DDL:
+  * /root/reference/test/network_flows_0.sql:39-44 is itself a
+  * SummingMergeTree the reference inserts pre-aggregated minutes into)
+  * re-expressed on Spark + an object-store commit log:
+  *
+  *  - The BASE table's commit log is the change feed: [[refresh]] reads
+  *    only the files appended since the last applied base version
+  *    ([[TxTable.appendedIn]]) — never the whole table. Rewrite commits
+  *    (compaction / merge / retention) are skipped, exactly ClickHouse's
+  *    "merges do not re-trigger MVs".
+  *  - Each refresh appends one batch of PARTIAL per-group states to the
+  *    MV table via [[TxTable.appendTxn]] keyed by the base version — so
+  *    refresh is EXACTLY-ONCE and idempotent under replays, crashes, and
+  *    concurrent refreshers (the loser of the race no-ops with -1).
+  *  - Reads ([[read]]) fold the partials with each state's merge
+  *    combinator — ClickHouse's `-Merge` to ingest's `-State`.
+  *  - [[compact]] collapses accumulated partials state-preservingly (the
+  *    AggregatingMergeTree background merge), and is safe against a
+  *    concurrent refresh because states are ADDITIVE: a partial file
+  *    appended between compact's read and its commit simply stays live
+  *    next to the collapsed set.
+  *
+  * Scale shape: refresh I/O is O(delta), the MV table is O(groups), and
+  * a consumer lagging less than the base's vacuum retention always finds
+  * its delta files on disk (immutable files + retention window). The
+  * aggregation algebra is restricted to mergeable states — sum, count,
+  * min, max, avg as a (sum,cnt) pair, and KLL quantile sketches as
+  * Tungsten-encoded ladder structs — which is precisely the restriction
+  * ClickHouse's AggregateFunction columns impose.
+  */
+object MaterializedView {
+
+  /** Writer id the MV's (appId, version) high-water mark is recorded
+    * under in the MV table's log. One MV per target table, so a constant
+    * id is unambiguous; the VERSION in the mark is the BASE table's
+    * commit version the refresh covered up to.
+    */
+  val WriterApp = "graft-mv"
+
+  /** One mergeable aggregation state: how to build the partial over a
+    * delta batch, how to combine stored partials state-preservingly
+    * (compaction), and how to finalize them at read time.
+    */
+  sealed trait StateAgg {
+    def name: String
+    def partial: Seq[Column]
+    def combine: Seq[Column]
+    def finish: Seq[Column]
+  }
+
+  /** sumState/sumMerge: partial sums add. */
+  final case class SumState(src: String, name: String) extends StateAgg {
+    def partial = Seq(sum(col(src)).as(name))
+    def combine = Seq(sum(col(name)).as(name))
+    def finish = combine
+  }
+
+  /** countState: a partial count is a sum at merge time. */
+  final case class CountState(name: String) extends StateAgg {
+    def partial = Seq(count(lit(1)).as(name))
+    def combine = Seq(sum(col(name)).as(name))
+    def finish = combine
+  }
+
+  final case class MinState(src: String, name: String) extends StateAgg {
+    def partial = Seq(min(col(src)).as(name))
+    def combine = Seq(min(col(name)).as(name))
+    def finish = combine
+  }
+
+  final case class MaxState(src: String, name: String) extends StateAgg {
+    def partial = Seq(max(col(src)).as(name))
+    def combine = Seq(max(col(name)).as(name))
+    def finish = combine
+  }
+
+  /** avgState: the canonical non-trivially-mergeable aggregate — the
+    * partial carries the (sum, count) pair in two columns; only
+    * finalization divides. Averaging averages would be wrong the moment
+    * two batches differ in size.
+    */
+  final case class AvgState(src: String, name: String) extends StateAgg {
+    private val s = s"${name}_sum"
+    private val c = s"${name}_cnt"
+    def partial = Seq(sum(col(src)).as(s), count(col(src)).as(c))
+    def combine = Seq(sum(col(s)).as(s), sum(col(c)).as(c))
+    def finish =
+      Seq((sum(col(s)).cast("double") / sum(col(c))).as(name))
+  }
+
+  /** quantileState/quantileMerge over the [[graft.functions.KllQuantiles]]
+    * ladder: the partial is the sketch buffer itself (a parquet-storable
+    * struct), merged by ladder concatenation + re-compaction — so the MV
+    * answers quantiles over all history while each refresh only ever saw
+    * its own delta. Not SQL-expressible; gated by rank-error spec, not
+    * the DuckDB oracle.
+    */
+  final case class QuantileState(src: String, name: String,
+      probes: Seq[Double], k: Int = 200) extends StateAgg {
+    def partial =
+      Seq(udaf(new KllState(k), Encoders.scalaLong)
+        .apply(col(src).cast("long")).as(name))
+    // a case-class input encoder flattens to one udaf parameter per
+    // field — feed the stored struct's fields positionally
+    private def fields =
+      Seq(col(s"$name.levels"), col(s"$name.n"), col(s"$name.comps"))
+    def combine =
+      Seq(udaf(new KllCombine(k), Encoders.product[KllBuffer])
+        .apply(fields: _*).as(name))
+    def finish =
+      Seq(udaf(new KllMerge(probes, k), Encoders.product[KllBuffer])
+        .apply(fields: _*).as(name))
+  }
+
+  /** State-to-state sketch combine for [[compact]]: fold stored buffers
+    * into one buffer without finalizing.
+    */
+  private[sink] class KllCombine(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        KllBuffer, KllBuffer, KllBuffer] {
+    private val inner = new KllState(k)
+    def zero = inner.zero
+    def reduce(acc: KllBuffer, st: KllBuffer) = inner.merge(acc, st)
+    def merge(a: KllBuffer, b: KllBuffer) = inner.merge(a, b)
+    def finish(b: KllBuffer) = b
+    def bufferEncoder = Encoders.product[KllBuffer]
+    def outputEncoder = Encoders.product[KllBuffer]
+  }
+
+  /** The view definition: group keys (must include `date` — the MV
+    * target inherits the base's partition grain) + mergeable states.
+    */
+  final case class MvDef(groupKeys: Seq[String], states: Seq[StateAgg]) {
+    require(groupKeys.contains("date"),
+      "MV group keys must include the date partition column")
+    private val taken = scala.collection.mutable.Set(groupKeys: _*)
+    states.foreach(st => require(taken.add(st.name),
+      s"duplicate MV column ${st.name}"))
+
+    private def agg(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.groupBy(groupKeys.map(col): _*).agg(cols.head, cols.tail: _*)
+
+    /** Per-delta-batch partial aggregation (ingest `-State`). */
+    def partial(delta: DataFrame): DataFrame =
+      agg(delta, states.flatMap(_.partial))
+
+    /** State-preserving collapse of stored partials (background merge). */
+    def combine(partials: DataFrame): DataFrame =
+      agg(partials, states.flatMap(_.combine))
+
+    /** Read-time finalization (`-Merge`). */
+    def finish(partials: DataFrame): DataFrame =
+      agg(partials, states.flatMap(_.finish))
+  }
+
+  /** Base version the MV has applied through (-1: never refreshed). */
+  def lastApplied(spark: SparkSession, mvTable: String): Long = {
+    val (fs, root) = TxTable.fsFor(spark, mvTable)
+    TxTable.txnHighWater(fs, root).getOrElse(WriterApp, -1L)
+  }
+
+  /** Incrementally fold the base table's un-applied appends into the MV.
+    * Returns the MV commit version, or -1 when already up to date (or
+    * when a concurrent refresher won the race — either way the MV covers
+    * the versions this call saw). A base range containing only rewrite /
+    * mark commits advances the high-water mark with a data-less commit,
+    * so lag is measured against versions, not data.
+    */
+  def refresh(spark: SparkSession, baseTable: String, mvTable: String,
+      mv: MvDef): Long = {
+    val (bfs, broot) = TxTable.fsFor(spark, baseTable)
+    val cur = TxTable.currentVersion(spark, baseTable)
+    if (cur < 0) return -1L
+    val last = lastApplied(spark, mvTable)
+    if (cur <= last) return -1L
+    val delta = TxTable.appendedIn(bfs, broot, last, cur)
+    if (delta.isEmpty)
+      return TxTable.commitTxnMark(spark, mvTable, WriterApp, cur)
+    val rows = TxTable.readFileSet(spark, broot, delta,
+      TxTable.logSchema(bfs, broot, Some(cur)))
+    TxTable.appendTxn(spark, mv.partial(rows), mvTable, WriterApp, cur)
+  }
+
+  /** The finalized view: merge all stored partials. */
+  def read(spark: SparkSession, mvTable: String, mv: MvDef): DataFrame =
+    mv.finish(TxTable.read(spark, mvTable))
+
+  /** Collapse accumulated partial batches into one state row per group
+    * (one atomic overwrite commit; high-water marks replay from the log
+    * unaffected, so refresh keeps working after compaction).
+    */
+  def compact(spark: SparkSession, mvTable: String, mv: MvDef): Long =
+    TxTable.overwrite(spark, mv.combine(TxTable.read(spark, mvTable)),
+      mvTable)
+}

@@ -73,7 +73,7 @@ object TxTable {
   private[sink] case class FileMeta(date: String, bytes: Long,
       stats: Map[String, ColStats])
 
-  private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
+  private[sink] def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -242,8 +242,28 @@ object TxTable {
     * constant-size under unbounded batch counts, and [[appendTxn]] stays
     * retry-idempotent because replayed batch versions are ≤ the mark.
     */
-  private def txnHighWater(fs: FileSystem, root: Path): Map[String, Long] =
+  private[sink] def txnHighWater(fs: FileSystem, root: Path): Map[String, Long] =
     replayState(fs, root, None).txns
+
+  /** Files ADDED by pure-append commits in version range (from, to] —
+    * the incremental-consumption feed a materialized view refreshes
+    * from. Commits that also REMOVE files (compaction, merge, retention)
+    * are rewrites of already-consumed data, not new data, and are
+    * skipped — exactly ClickHouse's contract that background merges do
+    * not re-trigger materialized views (only INSERTed blocks do).
+    * Removed-but-unvacuumed files stay readable (immutable data +
+    * [[vacuum]]'s retention window), so a consumer lagging by less than
+    * the vacuum retention always finds its delta files on disk.
+    */
+  private[sink] def appendedIn(fs: FileSystem, root: Path,
+      fromExclusive: Long, toInclusive: Long): Seq[(String, FileMeta)] =
+    listVersions(fs, root)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .flatMap { v =>
+        val acts = readCommit(fs, root, v)
+        if (acts.exists(_.add.isEmpty)) Seq.empty
+        else acts.collect { case Action(rel, Some(m)) => rel -> m }
+      }
 
   /** Live relpath -> FileMeta at `asOf` (default: latest). */
   private[sink] def snapshotFiles(fs: FileSystem, root: Path,
@@ -729,9 +749,18 @@ object TxTable {
     } finally src.unpersist()
   }
 
-  private def prep(df: DataFrame): DataFrame =
-    df.repartitionByRange((col("date") +: NetworkFlowTable.sortKey.map(col)): _*)
-      .sortWithinPartitions(NetworkFlowTable.sortKey.map(col): _*)
+  /** Cluster a write along (date, table sort key): range partitioning
+    * gives each file a tight stats envelope for data skipping. Tables
+    * whose schema is not the flow summing schema (e.g. a materialized
+    * view's group-keys + partial-states rows) keep whatever sort-key
+    * columns they share — at minimum `date`, which every tx table
+    * carries as its partition column.
+    */
+  private def prep(df: DataFrame): DataFrame = {
+    val sk = NetworkFlowTable.sortKey.filter(df.columns.contains)
+    val parted = df.repartitionByRange(("date" +: sk).map(col): _*)
+    if (sk.isEmpty) parted else parted.sortWithinPartitions(sk.map(col): _*)
+  }
 
   /** Snapshot read at the latest version — or, with `asOfVersion`, TIME
     * TRAVEL to any still-vacuum-retained historical version (immutable
@@ -751,16 +780,25 @@ object TxTable {
       .filter { case (_, m) => dates.forall(_.contains(m.date)) }
     require(live.nonEmpty, s"tx table $table has no live files" +
       dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
-    val byDate = live.groupBy(_._2.date).toSeq.sortBy(_._1)
-    byDate.map { case (d, files) =>
-      // the LOGGED schema (as of the read version) governs the scan:
-      // files written before an additive evolution are missing the new
-      // columns and read them as NULL; time travel to a pre-evolution
-      // version reads with the schema of that era. Pre-evolution logs
-      // (no M action) keep the footer-sampled behavior.
-      val rdr = state.schema.map(spark.read.schema).getOrElse(spark.read)
+    readFileSet(spark, root, live, state.schema)
+  }
+
+  /** Scan an explicit file set of this table (live snapshot or a log
+    * delta), re-attaching the `date` partition column from log metadata.
+    * The LOGGED schema (as of the read version) governs the scan: files
+    * written before an additive evolution read the new columns as NULL;
+    * time travel to a pre-evolution version reads with that era's
+    * schema. Pre-evolution logs (no M action) keep the footer-sampled
+    * behavior.
+    */
+  private[sink] def readFileSet(spark: SparkSession, root: Path,
+      files: Seq[(String, FileMeta)],
+      schema: Option[StructType]): DataFrame = {
+    val byDate = files.groupBy(_._2.date).toSeq.sortBy(_._1)
+    byDate.map { case (d, fset) =>
+      val rdr = schema.map(spark.read.schema).getOrElse(spark.read)
       val df = rdr.parquet(
-        files.map { case (rel, _) => new Path(root, rel).toString }: _*)
+        fset.map { case (rel, _) => new Path(root, rel).toString }: _*)
       df.select(to_date(lit(d)).as("date") +: df.columns.map(col): _*)
     }.reduce(_ unionByName _)
   }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sink.{MaterializedView => MV, TxTable}
+
+/** Incremental MV maintenance: each base append folds into per-group
+  * partial states exactly once; rewrite commits never re-trigger; state
+  * compaction and read-time -Merge finalization preserve the answer.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+
+  /** Deterministic fact rows [lo, hi): 3 dates × 5 string keys, v = id. */
+  private def batch(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(
+      to_date(concat(lit("2024-01-0"), (col("id") % 3 + 1))).as("date"),
+      (col("id") % 5).cast("string").as("k"),
+      col("id").as("v"))
+
+  private val mvDef = MV.MvDef(
+    Seq("date", "k"),
+    Seq(MV.SumState("v", "v_sum"), MV.CountState("n"),
+      MV.MinState("v", "v_min"), MV.MaxState("v", "v_max"),
+      MV.AvgState("v", "v_avg")))
+
+  private def expected(rows: DataFrame): Seq[Row] =
+    rows.groupBy("date", "k").agg(
+      sum("v").as("v_sum"), count(lit(1)).as("n"),
+      min("v").as("v_min"), max("v").as("v_max"),
+      (sum("v").cast("double") / count(lit(1))).as("v_avg"))
+      .orderBy("date", "k").collect().toSeq
+
+  private def got(mvT: String): Seq[Row] =
+    MV.read(spark, mvT, mvDef).orderBy("date", "k").collect().toSeq
+
+  test("MV: three deltas fold incrementally to the one-pass answer; " +
+      "duplicate refresh and mark-only commits no-op") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    (0 until 3).foreach { i =>
+      TxTable.append(spark, batch(i * 400, (i + 1) * 400), baseT)
+      assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0,
+        s"refresh $i applies its delta")
+    }
+    assert(got(mvT) == expected(batch(0, 1200)))
+    assert(MV.lastApplied(spark, mvT) == TxTable.currentVersion(spark, baseT))
+    // up to date → no-op
+    assert(MV.refresh(spark, baseT, mvT, mvDef) == -1L)
+    // a data-less base commit (another writer's txn mark) advances the
+    // MV's high-water mark without touching MV data
+    val before = TxTable.liveFiles(spark, mvT).size
+    TxTable.commitTxnMark(spark, baseT, "other-writer", 7L)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0, "mark-only advance")
+    assert(TxTable.liveFiles(spark, mvT).size == before, "no data written")
+    assert(MV.refresh(spark, baseT, mvT, mvDef) == -1L)
+    assert(got(mvT) == expected(batch(0, 1200)))
+  }
+
+  test("MV: a base rewrite commit (merge re-statement) is not re-applied") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    TxTable.append(spark, batch(0, 300), baseT)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    // re-state 100 existing rows UNCHANGED via merge: a remove+add
+    // rewrite commit whose content is identical — ClickHouse mutations /
+    // background merges do not flow through MVs, and re-applying the
+    // rewritten files here would double-count them
+    TxTable.merge(spark, batch(100, 200), baseT, Seq("date", "k", "v"))
+    TxTable.append(spark, batch(300, 600), baseT)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    assert(got(mvT) == expected(batch(0, 600)),
+      "rewritten files skipped, appended files applied once")
+  }
+
+  test("MV: compact collapses partials state-preservingly; refresh and " +
+      "the answer survive it") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    (0 until 3).foreach { i =>
+      TxTable.append(spark, batch(i * 500, (i + 1) * 500), baseT)
+      MV.refresh(spark, baseT, mvT, mvDef)
+    }
+    val filesBefore = TxTable.liveFiles(spark, mvT).size
+    MV.compact(spark, mvT, mvDef)
+    assert(TxTable.liveFiles(spark, mvT).size < filesBefore,
+      "partial batches collapsed")
+    assert(got(mvT) == expected(batch(0, 1500)), "answer preserved")
+    // avg partial must be the (sum, cnt) pair, still mergeable
+    val cols = TxTable.read(spark, mvT).columns
+    assert(cols.contains("v_avg_sum") && cols.contains("v_avg_cnt"))
+    // the high-water mark rides the log across the overwrite
+    TxTable.append(spark, batch(1500, 1800), baseT)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    assert(got(mvT) == expected(batch(0, 1800)))
+  }
+
+  test("MV: KLL quantile states merge across deltas within the rank-" +
+      "error envelope") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    val n = 9000L
+    val probes = Seq(0.1, 0.5, 0.9)
+    val qDef = MV.MvDef(Seq("date"),
+      Seq(MV.QuantileState("v", "q", probes), MV.CountState("n")))
+    // v = 0..n-1 exactly once, split across 3 interleaved deltas, so
+    // true rank(v) = v + 1
+    (0 until 3).foreach { i =>
+      TxTable.append(spark,
+        spark.range(n).filter(col("id") % 3 === i).select(
+          to_date(lit("2024-02-01")).as("date"), col("id").as("v")),
+        baseT)
+      assert(MV.refresh(spark, baseT, mvT, qDef) >= 0)
+    }
+    MV.compact(spark, mvT, qDef) // state-to-state sketch combine
+    val row = MV.read(spark, mvT, qDef).collect().head
+    assert(row.getAs[Long]("n") == n)
+    val qs = row.getSeq[Long](row.fieldIndex("q"))
+    probes.zip(qs).foreach { case (p, v) =>
+      val err = math.abs((v + 1) - p * n)
+      assert(err <= 0.02 * n,
+        s"quantile p=$p estimated $v, rank error $err > ${0.02 * n}")
+    }
+  }
+}
