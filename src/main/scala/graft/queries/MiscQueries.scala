@@ -311,6 +311,31 @@ object MiscQueries {
       } finally summed.unpersist()
     }),
 
+    // OPTIMIZE ZORDER BY as a gate: the summed table is rewritten
+    // clustered on the space-filling curve over (direction, proto_name)
+    // — a layout-only commit — and the read back through the planner
+    // index, filtered on both dims and fully aggregated, must equal the
+    // plain pipeline oracle: any row lost, duplicated, or corrupted by
+    // the bucket/interleave/rewrite machinery mismatches. (The skipping
+    // win itself is scan-metrics-audited in TxTableSpec.)
+    "qtx_zorder" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = FlowPipeline.run(f, p, n, px, FlowConfig())
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_txz_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val table = s"$base/t"
+      TxTable.append(s, summed, table)
+      TxTable.zorder(s, table, Seq("direction", "proto_name"))
+      TxFileIndex.readV2(s, table)
+        .filter(col("proto_name") === "tcp")
+        .groupBy("direction", "proto_name")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"))
+        .orderBy("direction", "proto_name")
+    }),
+
     // incremental materialized-view maintenance as a gate: the events
     // fact stream lands in a base tx table in THREE separate appends
     // (split by user hash); after each, MaterializedView.refresh folds
@@ -519,6 +544,14 @@ object MiscQueries {
          |  remote_service, remote_app, remote_pod, remote_namespace,
          |  remote_instance, remote_node, remote_zone, remote_ip,
          |  remote_port, connection_flags""".stripMargin,
+    "qtx_zorder" ->
+      s"""${graft.flow.FlowSql.summedCte}
+         |SELECT direction, proto_name, CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(SUM(packets) AS BIGINT) AS packets,
+         |  CAST(SUM(n_obs) AS BIGINT) AS n_obs
+         |FROM summed WHERE proto_name = 'tcp'
+         |GROUP BY direction, proto_name
+         |ORDER BY direction, proto_name""".stripMargin,
     // one-pass aggregation over the whole corpus: equals the MV's
     // 3-delta incremental build iff every delta applied exactly once and
     // avg merged as (sum,cnt) — avg is computed as the same explicit

@@ -2,7 +2,7 @@ package graft.sink
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -825,6 +825,90 @@ object TxTable {
     // M action for the (unchanged) schema
     commitRetry(fs, root, adds, removes, None,
       schemaUpdate(fs, root, compacted))
+  }
+
+  /** Multi-column clustering rewrite — Delta's OPTIMIZE ZORDER BY. The
+    * default layout ([[prep]]) range-clusters on the sort-key HEAD, so a
+    * predicate on a later dim (direction, proto_name) intersects nearly
+    * every file's stats envelope and skips nothing. Z-ordering
+    * interleaves the bits of each column's RANK bucket into one
+    * space-filling-curve key and range-clusters on that, giving every
+    * clustered column a tight per-file min/max simultaneously — the
+    * multi-dimensional answer to a one-dimensional sort, served entirely
+    * through the existing log-stats skipping ([[TxFileIndex]] needs no
+    * change).
+    *
+    * Rank buckets, not linear scaling: numeric/time columns bucket by
+    * `approxQuantile` boundaries (equal-population — a skewed column
+    * still spreads across the curve; driver state is cols × `buckets`
+    * doubles), low-cardinality strings by their sorted distinct rank,
+    * and high-cardinality strings degrade to a hash bucket (grouping
+    * equal values together for equality skipping, though without range
+    * locality). The rewrite is layout-only — same rows, same schema —
+    * published as one atomic remove+add commit with the usual conflict
+    * re-validation; old files remain for time travel until [[vacuum]].
+    */
+  def zorder(spark: SparkSession, table: String, cols: Seq[String],
+      buckets: Int = 256, partitions: Option[Int] = None): Long = {
+    require(cols.size >= 2, "z-order needs at least two columns " +
+      "(one column is just a sort)")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val (fs, root) = fsFor(spark, table)
+    val df = read(spark, table)
+    cols.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    val bits = Integer.numberOfTrailingZeros(buckets)
+    val bucketCols = cols.map(c => zBucket(df, c, buckets))
+    val k = cols.size
+    val z = (0 until bits).flatMap { bit =>
+      bucketCols.zipWithIndex.map { case (bc, i) =>
+        shiftleft(shiftright(bc.cast("long"), bit).bitwiseAND(lit(1L)),
+          bit * k + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    // range-cluster on the curve key ALONE: the write's partitionBy(date)
+    // already splits every shuffle partition into per-date files, and
+    // leading with date would hand any date that falls inside one
+    // partition the full z span (no skipping at all at low partition
+    // counts). `partitions` sizes the clustering granularity — at scale,
+    // target bytes-per-file; defaults to the session's shuffle width.
+    val nParts = partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val adds = stage(clustered, fs, root)
+    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq, None,
+      schemaUpdate(fs, root, df))
+  }
+
+  /** Rank-bucket id in [0, buckets) for one z-order column. */
+  private def zBucket(df: DataFrame, c: String, buckets: Int): Column = {
+    val numeric: Option[Column] = df.schema(c).dataType.typeName match {
+      case "timestamp" => Some(unix_micros(col(c)).cast("double"))
+      case "date"      => Some(datediff(col(c), lit("1970-01-01")).cast("double"))
+      case "string"    => None
+      case _           => Some(col(c).cast("double"))
+    }
+    numeric match {
+      case Some(nc) =>
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val bs = df.select(nc.as("__zq")).na.drop()
+          .stat.approxQuantile("__zq", probs, 0.001).distinct.sorted
+        // codegen'd: count boundaries <= value; NULL sorts to bucket 0
+        coalesce(size(filter(lit(bs), b => b <= nc)), lit(0))
+      case None =>
+        val distinct = df.select(col(c)).na.drop().distinct()
+        val n = distinct.count()
+        if (n <= 4096) {
+          val vs = distinct.orderBy(col(c)).collect().map(_.getString(0))
+          // stride-sample to at most buckets-1 boundaries (rank quantiles)
+          val step = math.max(1, math.ceil(vs.length.toDouble / buckets).toInt)
+          val bs = vs.indices.collect { case i if i % step == step - 1 => vs(i) }
+          coalesce(size(filter(lit(bs.toArray), b => b <= col(c))), lit(0))
+        } else pmod(hash(col(c)), lit(buckets))
+    }
   }
 
   /** W7 TTL on the tx path: one metadata-only commit removes every file

@@ -188,6 +188,70 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("z-order: layout-only rewrite preserves content and makes a " +
+    "2-dim predicate skip files the time-led sort-key layout cannot") {
+    import graft.sink.TxFileIndex
+    // 32 (direction, proto) combos, uncorrelated with time: the default
+    // layout range-clusters on interval_start (the sort-key head), so
+    // every file spans every combo — the worst case z-order exists for
+    val n = 20000L
+    val facts = spark.range(n).select(
+      to_date(lit("2024-03-01")).as("date"),
+      timestamp_micros(lit(1709251200000000L) + col("id") * 1000000L)
+        .as("interval_start"),
+      concat(lit("d"), pmod(col("id"), lit(8)).cast("string"))
+        .as("direction"),
+      concat(lit("p"), pmod(col("id") * 7, lit(4)).cast("string"))
+        .as("proto_name"),
+      (col("id") * 3).as("bytes"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txz").toString + "/t"
+    // AQE would coalesce this deliberately-tiny corpus into one file,
+    // leaving nothing to demonstrate skipping against — pin the write
+    // fan-out the way a real-scale table would have it
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    TxTable.append(spark, facts, path)
+    def scanned(): (Long, Long, Long) = {
+      val q = TxFileIndex.readV2(spark, path)
+        .filter(col("direction") === "d3" && col("proto_name") === "p1")
+      val rows = q.collect() // metrics land on THIS executed plan
+      val files = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+      (files, rows.length.toLong, rows.map(_.getAs[Long]("bytes")).sum)
+    }
+    def checksum(): Seq[Any] = TxTable.read(spark, path)
+      .agg(count(lit(1)), sum("bytes"),
+        sum(hash(facts.columns.map(col): _*)).as("h"))
+      .collect().head.toSeq
+    val filesBefore = TxTable.liveFiles(spark, path).size
+    val (scanBefore, nBefore, bytesBefore) = scanned()
+    assert(scanBefore == filesBefore,
+      "time-led layout: a dim predicate cannot skip anything")
+    val sumBefore = checksum()
+    assert(TxTable.zorder(spark, path, Seq("direction", "proto_name"),
+      partitions = Some(16)) > 0)
+    val (scanAfter, nAfter, bytesAfter) = scanned()
+    assert((nAfter, bytesAfter) == ((nBefore, bytesBefore)),
+      "clustering must not change the answer")
+    assert(checksum() == sumBefore, "layout-only: same rows bit-for-bit")
+    val filesAfter = TxTable.liveFiles(spark, path).size
+    assert(scanAfter < scanBefore && scanAfter <= filesAfter / 4,
+      s"z-order must tighten per-file (direction, proto) envelopes: " +
+        s"scanned $scanAfter of $filesAfter files vs " +
+        s"$scanBefore of $filesBefore before")
+    // the rewrite is one atomic commit: time travel still sees the
+    // pre-zorder row set
+    assert(TxTable.read(spark, path, asOfVersion = Some(0L)).count() == n)
+    } finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None    => spark.conf.unset(coalesceKey)
+    }
+  }
+
   test("exactly-once appendTxn: a replayed (appId, version) never lands " +
     "twice — sequentially or as a concurrent duplicate writer") {
     val s = summed.cache()
