@@ -533,17 +533,30 @@ object TxTable {
       }
     }
     val it = fs.listFiles(new Path(root, dataDir), true)
-    val adds = scala.collection.mutable.ArrayBuffer.empty[(String, FileMeta)]
+    val files = scala.collection.mutable.ArrayBuffer.empty[(Path, String, Long)]
     while (it.hasNext) {
       val st = it.next()
       val f = st.getPath
       if (f.getName.startsWith("part-")) {
         val date = f.getParent.getName.stripPrefix("date=")
-        adds += ((s"$dataDir/date=${date}/${f.getName}",
-          FileMeta(date, st.getLen, footerStats(fs, f))))
+        files += ((f, date, st.getLen))
       }
     }
-    adds.toSeq
+    // footer reads are independent metadata fetches — do them on a
+    // bounded driver pool, not one-at-a-time (a 1000-file stage at
+    // ~10ms/footer is 10s sequential, <1s at 16-way; same move Delta
+    // makes for stats collection)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(Future.traverse(files.toSeq) { case (f, date, len) =>
+        Future((s"$dataDir/date=${date}/${f.getName}",
+          FileMeta(date, len, footerStats(fs, f))))
+      }, Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** The data schema `df` will write (`partitionBy` strips `date` from
@@ -677,12 +690,16 @@ object TxTable {
     val live = snapshotFiles(fs, root)
     if (live.isEmpty) return append(spark, source, table)
     val src = source.persist()
+    def tdbg[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_MERGE_DEBUG")) f
+      else { val t0 = System.nanoTime(); val r = f
+        println(f"[merge] $label%-22s ${(System.nanoTime()-t0)/1e9}%6.2f s"); r }
     try {
       // 1. metadata-only candidate pruning from the commit log
-      val dateSet: Option[Set[String]] =
+      val dateSet: Option[Set[String]] = tdbg("dateSet") {
         if (!keys.contains("date")) None
         else Some(src.select(date_format(col("date"), "yyyy-MM-dd"))
-          .distinct().collect().map(_.getString(0)).toSet)
+          .distinct().collect().map(_.getString(0)).toSet) }
       val statKeys = keys.filter(statsColumns.contains)
       val bounds: Map[String, (String, String)] =
         if (statKeys.isEmpty) Map.empty
@@ -696,7 +713,7 @@ object TxTable {
             }
             Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
           }
-          val r = src.agg(aggs.head, aggs.tail: _*).collect().head
+          val r = tdbg("bounds agg") { src.agg(aggs.head, aggs.tail: _*).collect().head }
           statKeys.zipWithIndex.map { case (k, i) =>
             k -> (r.getString(2 * i), r.getString(2 * i + 1))
           }.toMap
@@ -717,9 +734,16 @@ object TxTable {
         if (srcEmpty) Map.empty[String, FileMeta]
         else live.filter { case (_, m) => mayMatch(m) }
 
-      // 2. exact touched-file discovery: one semi-join over the
-      //    candidates, file identity captured at scan time
+      // 2. touched-file discovery: one semi-join over the candidates,
+      //    file identity captured at scan time. The join key is the
+      //    xxhash64 of the key tuple, not the ~30-column tuple itself:
+      //    a collision only admits a file into the touched SUPERSET
+      //    (it gets rewritten with zero matching rows — wasted work,
+      //    never wrong data; step 3's anti-join is exact). The hash
+      //    side is one long per distinct source key, so AQE broadcasts
+      //    it and the candidate scan never shuffles at all.
       val qroot = fs.makeQualified(root)
+      val keyHash = xxhash64(keys.map(col): _*).as("__kh")
       val srcKeys = src.select(keys.map(col): _*).distinct()
       val rdr = logSchema(fs, root).map(spark.read.schema)
         .getOrElse(spark.read)
@@ -728,16 +752,16 @@ object TxTable {
         .withColumn("__file", col("_metadata.file_path"))
         .withColumn("date",
           to_date(regexp_extract(col("__file"), "date=([^/]+)", 1)))
-      val touched: Seq[String] =
+      val touched: Seq[String] = tdbg("discovery") {
         if (candidates.isEmpty) Seq.empty
-        else scanFiles(candidates.keys.toSeq)
-          .join(srcKeys, keys, "left_semi")
+        else scanFiles(candidates.keys.toSeq).withColumn("__kh", keyHash)
+          .join(srcKeys.select(keyHash).distinct(), Seq("__kh"), "left_semi")
           .select("__file").distinct().collect()
           .map(r => qroot.toUri
-            .relativize(new Path(r.getString(0)).toUri).getPath).toSeq
+            .relativize(new Path(r.getString(0)).toUri).getPath).toSeq }
 
       // 3. copy-on-write rewrite of the touched files only
-      val adds =
+      val adds = tdbg("rewrite+stage") {
         if (touched.isEmpty) stage(prep(src), fs, root)
         else {
           val kept = scanFiles(touched).join(srcKeys, keys, "left_anti")
@@ -745,7 +769,8 @@ object TxTable {
           stage(prep(kept.unionByName(src.select(kept.columns.map(col): _*))),
             fs, root)
         }
-      commitRetry(fs, root, adds, touched, None, schemaUpdate(fs, root, src))
+      }
+      tdbg("commit") { commitRetry(fs, root, adds, touched, None, schemaUpdate(fs, root, src)) }
     } finally src.unpersist()
   }
 
@@ -794,13 +819,19 @@ object TxTable {
   private[sink] def readFileSet(spark: SparkSession, root: Path,
       files: Seq[(String, FileMeta)],
       schema: Option[StructType]): DataFrame = {
-    val byDate = files.groupBy(_._2.date).toSeq.sortBy(_._1)
-    byDate.map { case (d, fset) =>
-      val rdr = schema.map(spark.read.schema).getOrElse(spark.read)
-      val df = rdr.parquet(
-        fset.map { case (rel, _) => new Path(root, rel).toString }: _*)
-      df.select(to_date(lit(d)).as("date") +: df.columns.map(col): _*)
-    }.reduce(_ unionByName _)
+    // ONE scan relation for the whole snapshot — not a per-date union.
+    // A union of per-date reads costs a separate file listing + scan
+    // node per date at PLANNING time; a 5-year table is ~1800 relations
+    // in every job's plan (and megabyte task binaries). The partition
+    // column is re-derived from the staged path's `date=` segment, the
+    // same shuffle-safe `_metadata` route [[merge]]'s discovery scan
+    // uses; the date set was already pruned against log metadata.
+    val rdr = schema.map(spark.read.schema).getOrElse(spark.read)
+    val df = rdr.parquet(
+      files.map { case (rel, _) => new Path(root, rel).toString }: _*)
+    df.select(
+      to_date(regexp_extract(col("_metadata.file_path"),
+        "date=([^/]+)", 1)).as("date") +: df.columns.map(col): _*)
   }
 
   /** SummingMergeTree background-merge analog on the tx path: re-sum the
@@ -858,7 +889,7 @@ object TxTable {
     val df = read(spark, table)
     cols.foreach(c => require(df.columns.contains(c), s"no column $c"))
     val bits = Integer.numberOfTrailingZeros(buckets)
-    val bucketCols = cols.map(c => zBucket(df, c, buckets))
+    val bucketCols = zBuckets(df, cols, buckets)
     val k = cols.size
     val z = (0 until bits).flatMap { bit =>
       bucketCols.zipWithIndex.map { case (bc, i) =>
@@ -883,31 +914,64 @@ object TxTable {
       schemaUpdate(fs, root, df))
   }
 
-  /** Rank-bucket id in [0, buckets) for one z-order column. */
-  private def zBucket(df: DataFrame, c: String, buckets: Int): Column = {
-    val numeric: Option[Column] = df.schema(c).dataType.typeName match {
-      case "timestamp" => Some(unix_micros(col(c)).cast("double"))
-      case "date"      => Some(datediff(col(c), lit("1970-01-01")).cast("double"))
-      case "string"    => None
-      case _           => Some(col(c).cast("double"))
+  /** Rank-bucket ids in [0, buckets) for the z-order columns — TWO scans
+    * of the table total, however many columns are clustered (boundary
+    * discovery is the rewrite's only pre-pass, so its job count is what
+    * a 100 TB OPTIMIZE pays before the shuffle): one aggregation job
+    * computes every numeric column's equal-population quantile ladder
+    * (`percentile_approx`) AND every string column's approximate
+    * cardinality; one union-of-distincts job then collects the sorted
+    * value sets of just the low-cardinality strings. High-cardinality
+    * strings cost nothing further — they degrade to a hash bucket.
+    */
+  private def zBuckets(df: DataFrame, cols: Seq[String],
+      buckets: Int): Seq[Column] = {
+    val numExpr: Map[String, Option[Column]] = cols.map { c =>
+      c -> (df.schema(c).dataType.typeName match {
+        case "timestamp" => Some(unix_micros(col(c)).cast("double"))
+        case "date"      => Some(datediff(col(c), lit("1970-01-01")).cast("double"))
+        case "string"    => None
+        case _           => Some(col(c).cast("double"))
+      })
+    }.toMap
+    val strCols = cols.filter(numExpr(_).isEmpty)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = cols.flatMap { c =>
+      numExpr(c) match {
+        case Some(nc) => Some(percentile_approx(nc,
+          lit(probs.toArray), lit(10000)).as(s"__q_$c"))
+        case None => Some(approx_count_distinct(col(c)).as(s"__n_$c"))
+      }
     }
-    numeric match {
-      case Some(nc) =>
-        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-        val bs = df.select(nc.as("__zq")).na.drop()
-          .stat.approxQuantile("__zq", probs, 0.001).distinct.sorted
-        // codegen'd: count boundaries <= value; NULL sorts to bucket 0
-        coalesce(size(filter(lit(bs), b => b <= nc)), lit(0))
-      case None =>
-        val distinct = df.select(col(c)).na.drop().distinct()
-        val n = distinct.count()
-        if (n <= 4096) {
-          val vs = distinct.orderBy(col(c)).collect().map(_.getString(0))
-          // stride-sample to at most buckets-1 boundaries (rank quantiles)
-          val step = math.max(1, math.ceil(vs.length.toDouble / buckets).toInt)
-          val bs = vs.indices.collect { case i if i % step == step - 1 => vs(i) }
-          coalesce(size(filter(lit(bs.toArray), b => b <= col(c))), lit(0))
-        } else pmod(hash(col(c)), lit(buckets))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val lowCard = strCols.filter { c =>
+      row.getAs[Long](s"__n_$c") <= 4096 * 105 / 100 // rsd headroom
+    }
+    // ONE job for every low-cardinality string column's distinct set
+    val strVals: Map[String, Array[String]] =
+      if (lowCard.isEmpty) Map.empty
+      else lowCard.map(c => df.select(lit(c).as("__zc"), col(c).as("__zv"))
+          .na.drop())
+        .reduce(_ unionByName _).distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rs) => c -> rs.map(_.getString(1)).sorted }
+    cols.map { c =>
+      numExpr(c) match {
+        case Some(nc) =>
+          val qs = row.getAs[scala.collection.Seq[Double]](s"__q_$c")
+          val bs = Option(qs).map(_.toArray.distinct.sorted)
+            .getOrElse(Array.empty[Double])
+          // codegen'd: count boundaries <= value; NULL sorts to bucket 0
+          coalesce(size(filter(lit(bs), b => b <= nc)), lit(0))
+        case None => strVals.get(c) match {
+          case Some(vs) =>
+            // stride-sample to at most buckets-1 boundaries (rank quantiles)
+            val step = math.max(1, math.ceil(vs.length.toDouble / buckets).toInt)
+            val bs = vs.indices.collect { case i if i % step == step - 1 => vs(i) }
+            coalesce(size(filter(lit(bs.toArray), b => b <= col(c))), lit(0))
+          case None => pmod(hash(col(c)), lit(buckets))
+        }
+      }
     }
   }
 
