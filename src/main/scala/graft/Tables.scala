@@ -24,15 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as raw long (legacy conf) and
-    * convert to a micro-precision TimestampType with integer division
-    * (float division would lose precision above 2^53 ns).
+  /** The driver regenerates the parquet corpus between rounds and the
+    * PHYSICAL type of `events.ts` has already changed once
+    * (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, ntz)). Loaders must probe the
+    * footer schema and adapt, never assume — the reference treats every
+    * external feed the same way (k8s state is re-listed, watcher.go:52-120;
+    * range feeds are parsed defensively, public_ranges.go:311-361).
+    * Canonical in-engine type: micro-precision TimestampType, UTC session.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // legacy corpus: TIMESTAMP(NANOS) surfaced as a raw nanos long via
+      // spark.sql.legacy.parquet.nanosAsLong; integer division keeps
+      // precision above 2^53 ns
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // current corpus: TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ;
+      // the UTC session timezone makes this cast value-preserving and
+      // byte-identical to what DuckDB reads
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is already a timestamp; required for nanos corpora
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

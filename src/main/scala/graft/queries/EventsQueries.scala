@@ -156,6 +156,18 @@ object EventsQueries {
         .orderBy("user_id")
     }),
 
+    // time-sanity canary (hash-gated): the corpus's ts envelope. A
+    // loader that misreads the physical timestamp unit (the r5 failure:
+    // micros read as nanos → everything lands in 1970) shifts min/max
+    // and fails this gate loudly instead of corrupting downstream
+    // windows silently. TsCanarySpec asserts the same bounds in-repo.
+    "q_ts_bounds" -> ((s, d) => {
+      Tables.events(s, d).agg(
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        count(lit(1)).as("n"))
+    }),
+
     // argMin/argMax analog: the value carried by the earliest/latest
     // event per type (min_by/max_by — single partial-agg'd exchange).
     // Keyed on (ts, event_id) so the reduction is total even on ts ties.
@@ -245,6 +257,11 @@ object EventsQueries {
         |  regexp_matches(seq, 'eee') AS m_eee,
         |  CAST(len(regexp_extract_all(seq, 'vpe')) AS INTEGER) AS n_vpe
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "q_ts_bounds" ->
+      """SELECT MIN(CAST(ts AS TIMESTAMP)) AS ts_min,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS ts_max,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events""".stripMargin,
 
     "q_argmax" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -77,7 +77,11 @@ object StreamingFlows {
         d.getParent, d.getFileName.toString + "_staging_")
       try {
         val stagingOut = staging.resolve("out")
-        spark.read.parquet(src.toString)
+        // normalize ts to the canonical micro-precision TimestampType ONCE,
+        // at staging time — the physical type of the driver's events.ts has
+        // changed between rounds (nanos-long → micros-ntz) and the landing
+        // dir is where that variability is absorbed, not per query
+        graft.Tables.normalizeEventTs(spark.read.parquet(src.toString))
           .repartitionByRange(files, col("ts"))
           .write.mode("overwrite").parquet(stagingOut.toString)
         val parts = java.nio.file.Files.list(stagingOut).iterator()
@@ -112,18 +116,21 @@ object StreamingFlows {
       d.toString
     }
 
-  /** events landing dir as a streaming source (ts arrives as raw nanos);
-    * one snapshot file per micro-batch. `files` controls how many
-    * snapshot dumps the landing dir is split into (= micro-batch count);
-    * WatermarkSpec proves the gated append queries are invariant to it.
+  /** events landing dir as a streaming source; one snapshot file per
+    * micro-batch. The landing dir is staged with `ts` already normalized
+    * to the canonical micro-precision TimestampType (see [[eventsDir]] /
+    * `Tables.normalizeEventTs`), so the stream schema is fixed here no
+    * matter which physical type the driver's corpus used. `files`
+    * controls how many snapshot dumps the landing dir is split into
+    * (= micro-batch count); WatermarkSpec proves the gated append
+    * queries are invariant to it.
     */
   def eventsStream(spark: SparkSession, dir: String,
       files: Int = LandingFiles): DataFrame = {
     val path = eventsDir(spark, dir, files)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -131,7 +138,6 @@ object StreamingFlows {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** The CSV shape of one flow record on the wire for
