@@ -52,17 +52,45 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(load(s, d, "events"))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Cast any column whose loaded dtype drifted from the canonical one
+    * (same probe-don't-assume contract as [[normalizeEventTs]]; a cast
+    * to the already-correct type is simplified away by Catalyst, so the
+    * steady-state plan is unchanged).
+    */
+  private def normalize(df: DataFrame,
+      want: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    df.select(df.columns.map { c =>
+      want.collectFirst {
+        case (n, t) if n == c && df.schema(c).dataType != t =>
+          col(c).cast(t).as(c)
+      }.getOrElse(col(c))
+    }: _*)
 
-  /** Register every table as a temp view for the SQL surface. `events`
-    * must go through [[events]] (nanos-timestamp conversion) — a raw
-    * load either throws ILLEGAL_PARQUET_TYPE or exposes `ts` as a bare
-    * nanos LONG depending on session state.
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    normalize(load(s, d, "documents"),
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    normalize(load(s, d, "embeddings"),
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType)
+  }
+
+  /** Register every table as a temp view for the SQL surface, routing
+    * through the schema-normalizing loaders (`events` adapts the
+    * timestamp encoding; `documents`/`embeddings` pin canonical types).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      val df = n match {
+        case "events"     => events(spark, dir)
+        case "documents"  => documents(spark, dir)
+        case "embeddings" => embeddings(spark, dir)
+        case _            => load(spark, dir, n)
+      }
       df.createOrReplaceTempView(n)
     }
 }
