@@ -695,29 +695,37 @@ object TxTable {
       else { val t0 = System.nanoTime(); val r = f
         println(f"[merge] $label%-22s ${(System.nanoTime()-t0)/1e9}%6.2f s"); r }
     try {
-      // 1. metadata-only candidate pruning from the commit log
-      val dateSet: Option[Set[String]] = tdbg("dateSet") {
-        if (!keys.contains("date")) None
-        else Some(src.select(date_format(col("date"), "yyyy-MM-dd"))
-          .distinct().collect().map(_.getString(0)).toSet) }
+      // 1. metadata-only candidate pruning from the commit log. The
+      //    source's distinct-date set and per-stat-key bounds come from
+      //    ONE aggregation job (the date set is bounded by calendar
+      //    days, so collect_set stays driver-small even on a 100 TB
+      //    source).
       val statKeys = keys.filter(statsColumns.contains)
-      val bounds: Map[String, (String, String)] =
-        if (statKeys.isEmpty) Map.empty
-        else {
-          val aggs = statKeys.flatMap { k =>
-            val c = src.schema(k).dataType.typeName match {
-              case "timestamp" => unix_micros(col(k)).cast("string")
-              case "date" => datediff(col(k), lit("1970-01-01")).cast("string")
-              case "string" => col(k)
-              case _ => col(k).cast("long").cast("string")
-            }
-            Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
-          }
-          val r = tdbg("bounds agg") { src.agg(aggs.head, aggs.tail: _*).collect().head }
-          statKeys.zipWithIndex.map { case (k, i) =>
-            k -> (r.getString(2 * i), r.getString(2 * i + 1))
-          }.toMap
+      val dateAgg: Option[Column] =
+        if (!keys.contains("date")) None
+        else Some(collect_set(date_format(col("date"), "yyyy-MM-dd"))
+          .as("__dates"))
+      val boundAggs = statKeys.flatMap { k =>
+        val c = src.schema(k).dataType.typeName match {
+          case "timestamp" => unix_micros(col(k)).cast("string")
+          case "date" => datediff(col(k), lit("1970-01-01")).cast("string")
+          case "string" => col(k)
+          case _ => col(k).cast("long").cast("string")
         }
+        Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
+      }
+      val allAggs = dateAgg.toSeq ++ boundAggs
+      val row = if (allAggs.isEmpty) None
+        else Some(tdbg("prune agg") {
+          src.agg(allAggs.head, allAggs.tail: _*).collect().head })
+      val dateSet: Option[Set[String]] = dateAgg.flatMap(_ => row).map(
+        _.getAs[scala.collection.Seq[String]]("__dates").toSet)
+      val bounds: Map[String, (String, String)] = row match {
+        case None => Map.empty
+        case Some(r) => statKeys.map { k =>
+          k -> (r.getAs[String](s"mn_$k"), r.getAs[String](s"mx_$k"))
+        }.toMap
+      }
       val srcEmpty = bounds.values.exists(_._1 == null) ||
         dateSet.exists(_.isEmpty)
       def mayMatch(m: FileMeta): Boolean =
