@@ -357,6 +357,49 @@ object PipelineQueries {
     // BEFORE the explode (array_distinct), so post-join count(1) per
     // term IS df. The bigram stream is recomputed for pass 2 rather
     // than cached — scan+split+explode is narrow and runs at scan
+    // URL canonicalization + dedup — the CommonCrawl/C4 staple: crawl
+    // URLs arrive with mixed-case scheme/host, explicit default ports,
+    // tracking params (utm_*/fbclid), fragments, and trailing slashes;
+    // five deterministic rewrites produce the canonical form and dedup
+    // keeps the lowest doc_id per canonical URL. Raw URLs are
+    // synthesized per doc (the corpus's `source` isn't a URL), spread
+    // across 4 variants so every rewrite has real work. Scale shape:
+    // canonicalization is a pure codegen'd per-row projection; the
+    // dedup is ONE hash exchange on the canonical key with map-side
+    // partial aggregation — at 100 TB nothing else moves.
+    "qp_url_dedup" -> ((s, d) => {
+      val host = (col("doc_id") % 7).cast("string")
+      val pid = (col("doc_id") % 50).cast("string")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("https://Example"), host, lit(".COM:443/path/"), pid,
+            lit("?utm_source=x&id="), pid))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://example"), host, lit(".com/path/"), pid,
+            lit("?id="), pid, lit("#frag")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://example"), host, lit(".com/path/"), pid,
+            lit("/?id="), pid))
+        .otherwise(
+          concat(lit("http://example"), host, lit(".com:80/path/"), pid,
+            lit("?id="), pid, lit("&utm_campaign=y")))
+      val noFrag = regexp_replace(raw, "#.*", "")
+      val head = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+", 0)
+      val tail = noFrag.substr(length(head) + 1, length(noFrag))
+      val canonHead = regexp_replace(
+        regexp_replace(lower(head), "^https://(.*):443$", "https://$1"),
+        "^http://(.*):80$", "http://$1")
+      val canonTail = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(
+          regexp_replace(tail, "(utm_[a-z]+|fbclid)=[^&]*", ""),
+          "&&+", "&"), "\\?&", "?"), "[?&]+$", ""), "/\\?", "?"),
+        "/+$", "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(canonHead, canonTail).as("url"))
+        .groupBy("url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("url")
+    }),
+
     // speed, which beats pinning a token-instance table at corpus scale
     "qp_invindex" -> ((s, d) => {
       def bigrams = Tables.documents(s, d)
@@ -382,6 +425,46 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // mirrors the Spark canonicalization step-for-step; DuckDB
+    // regexp_replace needs the explicit 'g' flag where Java's default
+    // is replace-all, and \1 backreferences where Java uses $1
+    "qp_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://Example' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.COM:443/path/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '?utm_source=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://example' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com/path/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+        |      WHEN 2 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com/path/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '/?id=' || CAST(doc_id % 50 AS VARCHAR)
+        |      ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '.com:80/path/' || CAST(doc_id % 50 AS VARCHAR)
+        |        || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=y'
+        |    END AS u
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
+        |s2 AS (SELECT doc_id,
+        |  regexp_extract(u, '^[A-Za-z]+://[^/?#]+') AS head,
+        |  substr(u, length(regexp_extract(u, '^[A-Za-z]+://[^/?#]+')) + 1) AS tail
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(head),
+        |    '^https://(.*):443$', 'https://\1'),
+        |    '^http://(.*):80$', 'http://\1') AS head,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(tail,
+        |      '(utm_[a-z]+|fbclid)=[^&]*', '', 'g'),
+        |      '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+        |      '/\?', '?', 'g'), '/+$', '', 'g') AS tail
+        |  FROM s2)
+        |SELECT head || tail AS url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM s3 GROUP BY 1 ORDER BY url""".stripMargin,
+
     "qp_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN hb < '$TrainThr' THEN 'train'

@@ -253,4 +253,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1 to 5).map(i => r.getAs[Long](s"p$i")).sum).sum
     assert(wide == Tables.orders(spark, sf).count())
   }
+
+  test("qp_url_dedup: canonicalization collapses the https variants " +
+    "and keeps http distinct") {
+    val rows = q("qp_url_dedup").collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toMap
+    // every canonical https URL is fully scrubbed: lowercase, no :443,
+    // no fragment, no tracking params, no trailing slash
+    rows.keys.foreach { u =>
+      assert(u == u.toLowerCase && !u.contains(":443") &&
+        !u.contains("#") && !u.contains("utm_") && !u.contains("/?"),
+        s"uncanonical survivor: $u")
+    }
+    // docs 0 (variant 0: mixed case + :443 + utm) and 350 (variant 2:
+    // trailing slash) hash to the same host/path → one row, keeper 0
+    assert(rows("https://example0.com/path/0?id=0") == (0L, 2L))
+    // the http variant of the same host/path stays a distinct URL
+    assert(rows.contains("http://example3.com/path/3?id=3"))
+    // dedup conserves rows: sum of n_dups == corpus size
+    assert(rows.values.map(_._2).sum ==
+      Tables.documents(spark, sf).count())
+  }
 }
