@@ -291,6 +291,39 @@ object TextQueries {
     "or", "st", "le", "ar")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cross-doc duplicated-SPAN coverage — the exact-substring dedup
+    // decision (Lee et al. 2022, "Deduplicating Training Data"): every
+    // 8-word window of every doc is checked against the corpus; a
+    // window is duplicated when its exact text occurs in >= 2 DISTINCT
+    // docs (internal repetition is qp_repetition's dimension, not
+    // this). Per doc: window count, duplicated-window count, and the
+    // drop decision at >= 50% coverage. Scale shape: the span table is
+    // |tokens|-bounded (explode, no shuffle); the dup set is one
+    // partial-agg'd exchange; the membership probe is a shuffle
+    // equi-join on the span text (production would dictionary-encode
+    // the span to a 64-bit key or front a Bloom filter, trading exact
+    // equality for shuffle width — kept exact here to match the
+    // oracle bit-for-bit).
+    "qt_span_dedup" -> ((s, d) => {
+      val spans = corpus(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7)," +
+            " i -> array_join(slice(w, i, 8), ' '))")).as("s"))
+      val dup = spans.select("doc_id", "s").distinct()
+        .groupBy("s").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("s"), lit(1L).as("d"))
+      spans.join(dup, Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("d"), lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          when(col("n_dup") * 2 >= col("n_windows"), 1).otherwise(0)
+            .cast("int").as("drop_flag"))
+        .orderBy("doc_id")
+    }),
+
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
     "qt_exact_dedup" -> ((s, d) => {
       corpus(s, d)
@@ -519,6 +552,27 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "qt_span_dedup" ->
+      s"""WITH $corpusSql, words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+         |), spans AS (
+         |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS s
+         |  FROM words, unnest(range(1, len(w) - 6)) AS t(i)
+         |  WHERE len(w) >= 8
+         |), dup AS (
+         |  SELECT s FROM (
+         |    SELECT s, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY s)
+         |  WHERE nd >= 2
+         |), marked AS (
+         |  SELECT spans.doc_id,
+         |    CASE WHEN dup.s IS NULL THEN 0 ELSE 1 END AS d
+         |  FROM spans LEFT JOIN dup ON spans.s = dup.s)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(d) AS BIGINT) AS n_dup,
+         |  CAST(CASE WHEN 2 * SUM(d) >= COUNT(*) THEN 1 ELSE 0 END
+         |    AS INTEGER) AS drop_flag
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "qt_exact_dedup" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,

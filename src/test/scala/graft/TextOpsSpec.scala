@@ -203,4 +203,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(liveCached == 0,
       s"releaseAll must free every tracked block, $liveCached still live")
   }
+
+  test("qt_span_dedup: exact copies are fully covered and dropped; " +
+    "coverage is bounded and row-conserving") {
+    val rows = q("qt_span_dedup").collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"),
+          r.getAs[Int]("drop_flag"))).toMap
+    // every 7th doc has a byte-exact copy at +20000: both sides must
+    // show 100% duplicated windows and the drop decision
+    rows.keys.filter(id => id < 10000 && id % 7 == 0).foreach { id =>
+      val (nw, nd, drop) = rows(id)
+      assert(nd == nw && drop == 1, s"doc $id: exact copy not covered")
+      val (cnw, cnd, cdrop) = rows(id + 20000)
+      assert(cnw == nw && cnd == nd && cdrop == 1,
+        s"copy of $id must mirror its original")
+    }
+    // coverage is a fraction: 0 <= n_dup <= n_windows everywhere
+    rows.values.foreach { case (nw, nd, drop) =>
+      assert(nd >= 0 && nd <= nw)
+      assert((drop == 1) == (2 * nd >= nw))
+    }
+  }
 }
