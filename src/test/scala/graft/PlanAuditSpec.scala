@@ -276,6 +276,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 16-way seed fan-out must collapse map-side\n" + p.take(3000))
   }
 
+  test("qp_url_dedup: canonicalization is a pure projection — one hash " +
+    "exchange (the dedup groupBy), no join, partial-agg map-side") {
+    val p = plan("qp_url_dedup")
+    assert(!p.contains("Join"), "canonicalize+dedup must not join\n" + p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    val partialIdx = p.indexOf("partial_min")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx && exchangeIdx > 0,
+      "keeper-id min must collapse below the shuffle\n" + p.take(3000))
+  }
+
+  test("qt_span_dedup: membership probe is a hash equi-join on the span " +
+    "— no cartesian, no nested loop; window counts partial-aggregate") {
+    val p = plan("qt_span_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > exchangeIdx && exchangeIdx > 0, p.take(3000))
+  }
+
   test("qp_invindex: the df 2..20 semi-join sits BELOW the posting-list " +
     "aggregation — no stopword array ever materializes") {
     val p = plan("qp_invindex")
