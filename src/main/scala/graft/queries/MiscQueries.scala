@@ -99,11 +99,12 @@ object MiscQueries {
     * miss. Same fingerprint discipline as [[txStreamSink]].
     */
   private def txBaseCopy(s: SparkSession, d: String,
-      summed: => DataFrame, runTag: String): String = synchronized {
+      summed: => DataFrame, runTag: String,
+      kind: String = "flow"): String = synchronized {
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val fp = s"${java.nio.file.Files.size(src)}_" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    val prefix = s"graft_txbase_${math.abs(d.hashCode)}"
+    val prefix = s"graft_txbase_${kind}_${math.abs(d.hashCode)}"
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"${prefix}_$fp")
     if (!java.nio.file.Files.exists(base.resolve("_DONE"))) {
@@ -392,6 +393,36 @@ object MiscQueries {
         .orderBy("direction", "proto_name")
     }),
 
+    // W7 TTL as a DRIVER GATE (was spec-only): drop every date
+    // partition older than the (data-derived) cutoff with ONE
+    // metadata-only commit — zero data I/O at drop time, exactly
+    // ClickHouse's ttl_only_drop_parts=1 contract on the reference
+    // table (test/network_flows_0.sql:42-44) — then reclaim the
+    // dropped bytes with vacuum and read the survivors back through
+    // the commit log. The oracle recomputes the cutoff and the
+    // surviving aggregate from raw events; min(date) in the output
+    // hash-proves the old partitions are gone, and reading AFTER
+    // vacuum proves reclamation never touches live files.
+    "qtx_retention" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      def summed = ev.groupBy("date", "event_type")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+      val table = txBaseCopy(s, d, summed, "retention", kind = "events")
+      val b = summed.agg(min("date").as("lo"), max("date").as("hi"))
+        .select(col("lo"), datediff(col("hi"), col("lo")).as("span"))
+        .collect().head
+      val cutoff = b.getDate(0).toLocalDate.plusDays(b.getInt(1) / 2L)
+      TxTable.retention(s, table, cutoff)
+      TxTable.vacuum(s, table, minAgeMs = 0L)
+      TxTable.read(s, table)
+        .groupBy("event_type")
+        .agg(sum("cents").as("cents"), sum("n").as("n"),
+          min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // incremental materialized-view maintenance as a gate: the events
     // fact stream lands in a base tx table in THREE separate appends
     // (split by user hash); after each, MaterializedView.refresh folds
@@ -448,6 +479,21 @@ object MiscQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // recomputes the data-derived cutoff (min date + half the span) and
+    // the surviving per-type aggregate from raw events; first_date in
+    // the hashed output proves the pre-cutoff partitions were dropped
+    "qtx_retention" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM e),
+        |k AS (SELECT lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER)
+        |  AS cutoff FROM b)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
+        |FROM e, k WHERE date >= cutoff
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topk_talkers" ->
       """SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS talker,
         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
