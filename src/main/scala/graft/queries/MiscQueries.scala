@@ -393,6 +393,29 @@ object MiscQueries {
         .orderBy("direction", "proto_name")
     }),
 
+    // S6/A1 compaction as a DRIVER GATE: append the summed table a
+    // second time (every dim tuple now duplicated), then
+    // TxTable.compact re-sums each date into fresh files behind one
+    // atomic remove+add commit — the SummingMergeTree background-merge
+    // analog on the reference table (test/network_flows_0.sql:39-44).
+    // The read-back doubles every measure but must keep the ORIGINAL
+    // group count: n_groups hash-catches an uncompacted table (2x
+    // rows) just as the sums catch a lost or double-applied merge.
+    "qtx_compact" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = graft.ops.CacheRegistry.track(
+        FlowPipeline.run(f, p, n, px, FlowConfig()))
+      val table = txBaseCopy(s, d, summed, "compact")
+      TxTable.append(s, summed, table) // duplicate every key
+      TxTable.compact(s, table)
+      TxFileIndex.readV2(s, table)
+        .groupBy("direction", "proto_name", "connection_class")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"), count(lit(1)).as("n_groups"))
+        .orderBy("direction", "proto_name", "connection_class")
+    }),
+
     // W7 TTL as a DRIVER GATE (was spec-only): drop every date
     // partition older than the (data-derived) cutoff with ONE
     // metadata-only commit — zero data I/O at drop time, exactly
@@ -479,6 +502,17 @@ object MiscQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // the doubled-measures / original-group-count contract of a
+    // compacted twice-appended table, from the independent summed CTE
+    "qtx_compact" ->
+      s"""${graft.flow.FlowSql.summedCte}
+         |SELECT direction, proto_name, connection_class,
+         |  CAST(2 * SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(2 * SUM(packets) AS BIGINT) AS packets,
+         |  CAST(2 * SUM(n_obs) AS BIGINT) AS n_obs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups
+         |FROM summed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // recomputes the data-derived cutoff (min date + half the span) and
     // the surviving per-type aggregate from raw events; first_date in
     // the hashed output proves the pre-cutoff partitions were dropped
