@@ -38,6 +38,25 @@ object FlowQueries {
        |  ELSE printf('%.2f B', CAST($c AS DOUBLE)) END""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J6 multi-watcher priority chain as a DRIVER GATE (labeler.go:
+    // 198-232, first non-nil match wins): three overlapping informer
+    // snapshots of the pod dim — a partial high-priority watcher
+    // (every 3rd pod), a wider mid-priority one (every 2nd), and the
+    // full low-priority fallback — collapse through
+    // Dims.firstMatchByPriority into ONE broadcastable dim; the suffix
+    // on pod_app proves per key which watcher won.
+    "qf_dim_chain" -> ((s, d) => {
+      val pods = SyntheticFlows.pods(s, d)
+      def snap(m: Int, tag: String) =
+        pods.filter((col("pod_ip") % m) === 0)
+          .withColumn("pod_app", concat(col("pod_app"), lit(tag)))
+      val chain = Seq(snap(3, "-w0"), snap(2, "-w1"),
+        pods.withColumn("pod_app", concat(col("pod_app"), lit("-w2"))))
+      graft.dims.Dims.firstMatchByPriority(chain, "pod_ip")
+        .select("pod_ip", "pod_name", "pod_app")
+        .orderBy("pod_ip")
+    }),
+
     // F1-F3: junk filters, surviving traffic by proto
     "qf_filters" -> ((s, d) => {
       val (f, _, _, _) = stages(s, d)
@@ -188,6 +207,20 @@ object FlowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // first-match-wins over the three overlapping snapshots, expressed
+    // as the equivalent priority CASE per key
+    "qf_dim_chain" ->
+      """WITH p AS (
+        |  SELECT 167772160 + c_custkey AS pod_ip,
+        |    'pod-' || CAST(c_custkey AS VARCHAR) AS pod_name,
+        |    LOWER(c_mktsegment) AS app
+        |  FROM customer)
+        |SELECT pod_ip, pod_name,
+        |  CASE WHEN pod_ip % 3 = 0 THEN app || '-w0'
+        |       WHEN pod_ip % 2 = 0 THEN app || '-w1'
+        |       ELSE app || '-w2' END AS pod_app
+        |FROM p ORDER BY pod_ip""".stripMargin,
+
     "qf_filters" ->
       s"""${FlowSql.base}
          |SELECT proto, CAST(COUNT(*) AS BIGINT) AS n,
