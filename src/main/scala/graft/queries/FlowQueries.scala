@@ -37,7 +37,72 @@ object FlowQueries {
        |  WHEN $c >= 1024 THEN printf('%.2f KiB', $c/1024.0)
        |  ELSE printf('%.2f B', CAST($c AS DOUBLE)) END""".stripMargin
 
+  /** Per-flow outcome taxonomy CTE (`oc`), shared by the qf_outcomes
+    * and qf_metric_families oracles — the SQL mirror of
+    * `FlowPipeline.routeOutcomes`.
+    */
+  private lazy val outcomesCte: String =
+    s"""${FlowSql.base}, ob AS (
+       |  SELECT f.*,
+       |    sp.pod_ip AS sp_ip, sp.pod_node AS sp_node, sp.pod_ip_n AS src_n,
+       |    dp.pod_ip AS dp_ip, dp.pod_node AS dp_node, dp.pod_ip_n AS dst_n,
+       |    EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip) AS nf1,
+       |    EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip) AS nf2
+       |  FROM flows f
+       |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
+       |             FROM pods GROUP BY 1) sp ON f.orig_src_ip = sp.pod_ip
+       |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
+       |             FROM pods GROUP BY 1) dp ON f.reply_src_ip = dp.pod_ip
+       |), od AS (
+       |  SELECT *,
+       |    (sp_ip IS NOT NULL AND sp_node = node_name) AS src_local,
+       |    (dp_ip IS NOT NULL AND dp_node = node_name) AS dst_local,
+       |    (sp_ip IS NULL AND dp_ip IS NOT NULL AND dp_node <> '') AS src_asm,
+       |    (sp_ip IS NOT NULL AND sp_node <> '' AND dp_ip IS NULL) AS dst_asm
+       |  FROM ob
+       |), orm AS (
+       |  SELECT *, CASE WHEN src_local OR (NOT dst_local AND src_asm)
+       |    THEN reply_src_ip ELSE orig_src_ip END AS remote_ip2
+       |  FROM od
+       |), olpm AS (
+       |  SELECT o.*, p.p_cloud AS pc, p.p_region AS pr,
+       |    ROW_NUMBER() OVER (PARTITION BY o.flow_id
+       |      ORDER BY p.p_len DESC NULLS LAST) AS rn
+       |  FROM orm o
+       |  LEFT JOIN prefixes p ON o.remote_ip2 BETWEEN p.p_start AND p.p_end
+       |), oc AS (
+       |  SELECT orig_bytes, CASE
+       |    WHEN NOT (orig_bytes > 0 OR orig_pkts > 0
+       |      OR reply_bytes > 0 OR reply_pkts > 0) THEN 'ignored_zero'
+       |    WHEN proto NOT IN (6, 17) THEN 'ignored_proto'
+       |    WHEN orig_src_ip = 2130706433 OR orig_dst_ip = 2130706433
+       |      OR reply_src_ip = 2130706433 OR reply_dst_ip = 2130706433
+       |      THEN 'ignored_localhost'
+       |    WHEN proto = 17 THEN 'ignored_udp'
+       |    WHEN is6 THEN 'ignored_ipv6'
+       |    WHEN nf1 OR nf2 THEN 'ignored_node_flow'
+       |    WHEN src_n > 1 OR dst_n > 1 THEN 'error_ambiguous_pod_ip'
+       |    WHEN NOT (src_local OR dst_local OR src_asm OR dst_asm)
+       |      THEN 'unknown_direction'
+       |    WHEN NOT ${sqlIsPrivate("remote_ip2")} AND pc = 'aws' AND pr = ''
+       |      THEN 'error_intra_cloud_empty_region'
+       |    ELSE 'labeled' END AS outcome
+       |  FROM olpm WHERE rn = 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5's data side as a DRIVER GATE: the per-outcome counts tagged
+    // with the reference Prometheus counter family each outcome feeds
+    // — exactly what startWithMetrics lands per micro-batch, computed
+    // over the whole corpus so the oracle can replay it
+    "qf_metric_families" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      FlowPipeline.routeOutcomes(p, n, px, cfg)(f)
+        .groupBy("outcome").agg(count(lit(1)).as("n"))
+        .withColumn("fam", graft.streaming.StreamingFlows.outcomeFamily)
+        .select(col("fam.family").as("family"), col("fam.label").as("label"),
+          col("outcome"), col("n"))
+        .orderBy("family", "label", "outcome")
+    }),
     // J6 multi-watcher priority chain as a DRIVER GATE (labeler.go:
     // 198-232, first non-nil match wins): three overlapping informer
     // snapshots of the pod dim — a partial high-priority watcher
@@ -272,56 +337,36 @@ object FlowQueries {
          |ORDER BY total_bytes DESC, local_pod, connection_class
          |LIMIT 20""".stripMargin,
     "qf_outcomes" ->
-      s"""${FlowSql.base}, ob AS (
-         |  SELECT f.*,
-         |    sp.pod_ip AS sp_ip, sp.pod_node AS sp_node, sp.pod_ip_n AS src_n,
-         |    dp.pod_ip AS dp_ip, dp.pod_node AS dp_node, dp.pod_ip_n AS dst_n,
-         |    EXISTS (SELECT 1 FROM nodes n WHERE f.orig_src_ip = n.node_internal_ip) AS nf1,
-         |    EXISTS (SELECT 1 FROM nodes n WHERE f.reply_src_ip = n.node_internal_ip) AS nf2
-         |  FROM flows f
-         |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
-         |             FROM pods GROUP BY 1) sp ON f.orig_src_ip = sp.pod_ip
-         |  LEFT JOIN (SELECT pod_ip, COUNT(*) AS pod_ip_n, MAX(pod_node) AS pod_node
-         |             FROM pods GROUP BY 1) dp ON f.reply_src_ip = dp.pod_ip
-         |), od AS (
-         |  SELECT *,
-         |    (sp_ip IS NOT NULL AND sp_node = node_name) AS src_local,
-         |    (dp_ip IS NOT NULL AND dp_node = node_name) AS dst_local,
-         |    (sp_ip IS NULL AND dp_ip IS NOT NULL AND dp_node <> '') AS src_asm,
-         |    (sp_ip IS NOT NULL AND sp_node <> '' AND dp_ip IS NULL) AS dst_asm
-         |  FROM ob
-         |), orm AS (
-         |  SELECT *, CASE WHEN src_local OR (NOT dst_local AND src_asm)
-         |    THEN reply_src_ip ELSE orig_src_ip END AS remote_ip2
-         |  FROM od
-         |), olpm AS (
-         |  SELECT o.*, p.p_cloud AS pc, p.p_region AS pr,
-         |    ROW_NUMBER() OVER (PARTITION BY o.flow_id
-         |      ORDER BY p.p_len DESC NULLS LAST) AS rn
-         |  FROM orm o
-         |  LEFT JOIN prefixes p ON o.remote_ip2 BETWEEN p.p_start AND p.p_end
-         |), oc AS (
-         |  SELECT orig_bytes, CASE
-         |    WHEN NOT (orig_bytes > 0 OR orig_pkts > 0
-         |      OR reply_bytes > 0 OR reply_pkts > 0) THEN 'ignored_zero'
-         |    WHEN proto NOT IN (6, 17) THEN 'ignored_proto'
-         |    WHEN orig_src_ip = 2130706433 OR orig_dst_ip = 2130706433
-         |      OR reply_src_ip = 2130706433 OR reply_dst_ip = 2130706433
-         |      THEN 'ignored_localhost'
-         |    WHEN proto = 17 THEN 'ignored_udp'
-         |    WHEN is6 THEN 'ignored_ipv6'
-         |    WHEN nf1 OR nf2 THEN 'ignored_node_flow'
-         |    WHEN src_n > 1 OR dst_n > 1 THEN 'error_ambiguous_pod_ip'
-         |    WHEN NOT (src_local OR dst_local OR src_asm OR dst_asm)
-         |      THEN 'unknown_direction'
-         |    WHEN NOT ${sqlIsPrivate("remote_ip2")} AND pc = 'aws' AND pr = ''
-         |      THEN 'error_intra_cloud_empty_region'
-         |    ELSE 'labeled' END AS outcome
-         |  FROM olpm WHERE rn = 1)
+      s"""$outcomesCte
          |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
          |FROM oc
          |GROUP BY outcome ORDER BY outcome""".stripMargin,
+
+    // the per-outcome → Prometheus counter-family mapping, mirrored
+    // from StreamingFlows.outcomeFamily (server.go:100-117 counter
+    // arms, collector.go:227-247 agent-side filters)
+    "qf_metric_families" ->
+      s"""$outcomesCte, oa AS (
+         |  SELECT outcome, COUNT(*) AS n FROM oc GROUP BY outcome)
+         |SELECT
+         |  CASE WHEN outcome = 'labeled' THEN 'processed_flows'
+         |    WHEN outcome IN ('ignored_udp','ignored_ipv6','ignored_node_flow')
+         |      THEN 'processed_flows'
+         |    WHEN outcome IN ('unknown_direction','error_ambiguous_pod_ip')
+         |      THEN 'errors'
+         |    WHEN outcome = 'error_intra_cloud_empty_region' THEN 'errors'
+         |    ELSE 'collector_filtered' END AS family,
+         |  CASE WHEN outcome = 'labeled' THEN 'enqueued'
+         |    WHEN outcome IN ('ignored_udp','ignored_ipv6','ignored_node_flow')
+         |      THEN 'ignored'
+         |    WHEN outcome IN ('unknown_direction','error_ambiguous_pod_ip')
+         |      THEN 'labeling_failed'
+         |    WHEN outcome = 'error_intra_cloud_empty_region'
+         |      THEN 'intra_cloud_empty_region'
+         |    ELSE outcome END AS label,
+         |  outcome, CAST(n AS BIGINT) AS n
+         |FROM oa ORDER BY family, label, outcome""".stripMargin,
     "qa6_prefix_dedup" ->
       s"""${FlowSql.base}, feed AS (
          |  SELECT *, 1 AS p_priority FROM prefixes
