@@ -168,6 +168,40 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN quality EVALUATION — recall@3 of the single-table sign-LSH
+    // against exact brute force, per query vector: "measure, don't
+    // guess" applied to the index itself (production tunes
+    // bits/tables/probes against exactly this measurement, and an
+    // index regression shows up as a recall drop, not an anecdote).
+    // hits ∈ [0,3]; k rides along so the gate also pins the brute
+    // top-k's cardinality.
+    "qv_recall" -> ((s, d) => {
+      val brute = topk(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"))
+      val base = quantized(s, d).withColumn("bucket",
+        expr(signBucket("embedding")))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qa"),
+          col("nrm").as("qn"), col("bucket"))
+      val ns = base.select(col("vec_id").as("n_id"), col("q").as("na"),
+        col("nrm").as("nn"), col("bucket").as("bucket2"))
+      val pairs = broadcast(qs)
+        .join(ns, col("bucket") === col("bucket2") && col("q_id") =!= col("n_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      val lsh = pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("k"))
+        .orderBy("q_id")
+    }),
+
     // embedding-cosine near-dup dedup over a re-ingested corpus (every
     // 10th vector duplicated), cos >= 0.99. Blocking is (label × sign-bit
     // LSH bucket): label alone leaves O(N²/|labels|) pairs — an all-pairs
@@ -519,6 +553,34 @@ object VectorQueries {
          |    ORDER BY cos DESC, n_id) AS INTEGER) AS rank FROM scored)
          |SELECT q_id, bucket, n_id, rank
          |FROM ranked2 WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "qv_recall" ->
+      s"""WITH $topkSql, bucketed AS (
+         |  SELECT e.vec_id, qn.q, qn.nrm,
+         |    ${signBucketSql("e.embedding")} AS bucket
+         |  FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |), pairs2 AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    (SELECT SUM(a.q[i.i] * b.q[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
+         |    a.nrm AS qn2, b.nrm AS nn2
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.vec_id < 10 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |), scored2 AS (
+         |  SELECT q_id, n_id,
+         |    dot / sqrt(CAST(qn2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) AS cos
+         |  FROM pairs2
+         |), ranked2 AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM scored2
+         |), brute AS (SELECT q_id, n_id FROM ranked WHERE rank <= 3
+         |), lsh AS (SELECT q_id, n_id FROM ranked2 WHERE rank <= 3)
+         |SELECT b.q_id,
+         |  CAST(SUM(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(COUNT(*) AS BIGINT) AS k
+         |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.n_id = l.n_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+
     "qv_cosine_dedup" ->
       s"""WITH $quantizedSql, corpus AS (
          |  SELECT vec_id, label, q, nrm,
