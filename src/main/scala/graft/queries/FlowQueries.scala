@@ -122,6 +122,45 @@ object FlowQueries {
         .orderBy("pod_ip")
     }),
 
+    // S3's engine-visible ingest contract as a DRIVER GATE: records
+    // cross the network boundary one message at a time and are TYPED ON
+    // ENTRY, with malformed messages dying in the null-safe filters —
+    // never killing the long-running query (server.go:100-117 drops bad
+    // observations, it does not crash). The gate serializes every flow
+    // to the agent's CSV wire shape (null fields as empty — concat_ws
+    // alone would silently SHIFT the framing), mangles every 37th
+    // message, round-trips through parseFlowLines' PERMISSIVE from_csv
+    // (the same decode the socket source uses), and aggregates
+    // survivors + a malformed-count row. The oracle computes the
+    // expected post-roundtrip state directly from the flow CTE, so any
+    // framing drift, type coercion loss, or crash-on-garbage
+    // hash-mismatches.
+    "qf_wire_decode" -> ((s, d) => {
+      val f = SyntheticFlows.flows(s, d)
+      def fld(c: String) = coalesce(col(c).cast("string"), lit(""))
+      val line = concat_ws(",",
+        fld("flow_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        fld("node_name"), fld("proto"),
+        fld("orig_src_ip"), fld("orig_dst_ip"),
+        fld("orig_src_port"), fld("orig_dst_port"),
+        fld("reply_src_ip"), fld("reply_dst_ip"),
+        fld("orig_pkts"), fld("orig_bytes"),
+        fld("reply_pkts"), fld("reply_bytes"),
+        fld("reply_src_port"), fld("reply_dst_port"))
+      val wire = f.select(
+        when(col("flow_id") % 37 === 0, lit("garbage,not-a-time,x"))
+          .otherwise(line).as("value"))
+      val parsed = graft.streaming.StreamingFlows.parseFlowLines(wire)
+      val surv = FlowPipeline.filterJunk(parsed)
+        .groupBy("proto")
+        .agg(count(lit(1)).as("n"), sum("orig_bytes").as("orig_bytes_sum"))
+      val bad = parsed.filter(col("flow_id").isNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1).as("proto"), col("n"),
+          lit(0L).as("orig_bytes_sum"))
+      surv.unionByName(bad).orderBy("proto")
+    }),
+
     // F1-F3: junk filters, surviving traffic by proto
     "qf_filters" -> ((s, d) => {
       val (f, _, _, _) = stages(s, d)
@@ -285,6 +324,23 @@ object FlowQueries {
         |       WHEN pod_ip % 2 = 0 THEN app || '-w1'
         |       ELSE app || '-w2' END AS pod_app
         |FROM p ORDER BY pod_ip""".stripMargin,
+
+    // the expected post-roundtrip state, straight from the flow CTE:
+    // mod-37 messages are malformed (typed as all-null, counted in the
+    // proto = -1 row), the rest survive the junk filter or not exactly
+    // as the un-serialized flows do
+    "qf_wire_decode" ->
+      s"""${FlowSql.base}
+         |SELECT * FROM (
+         |  SELECT proto, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(orig_bytes) AS BIGINT) AS orig_bytes_sum
+         |  FROM flows WHERE flow_id % 37 <> 0 AND ${FlowSql.junkFilter}
+         |  GROUP BY proto
+         |  UNION ALL
+         |  SELECT CAST(-1 AS INTEGER) AS proto, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(0 AS BIGINT) AS orig_bytes_sum
+         |  FROM flows WHERE flow_id % 37 = 0
+         |) ORDER BY proto""".stripMargin,
 
     "qf_filters" ->
       s"""${FlowSql.base}
