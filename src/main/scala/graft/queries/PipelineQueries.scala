@@ -382,19 +382,9 @@ object PipelineQueries {
         .otherwise(
           concat(lit("http://example"), host, lit(".com:80/path/"), pid,
             lit("?id="), pid, lit("&utm_campaign=y")))
-      val noFrag = regexp_replace(raw, "#.*", "")
-      val head = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+", 0)
-      val tail = noFrag.substr(length(head) + 1, length(noFrag))
-      val canonHead = regexp_replace(
-        regexp_replace(lower(head), "^https://(.*):443$", "https://$1"),
-        "^http://(.*):80$", "http://$1")
-      val canonTail = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(
-          regexp_replace(tail, "(utm_[a-z]+|fbclid)=[^&]*", ""),
-          "&&+", "&"), "\\?&", "?"), "[?&]+$", ""), "/\\?", "?"),
-        "/+$", "")
       Tables.documents(s, d)
-        .select(col("doc_id"), concat(canonHead, canonTail).as("url"))
+        .select(col("doc_id"),
+          graft.ops.UrlOps.canonicalizeUrl(raw).as("url"))
         .groupBy("url")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("url")

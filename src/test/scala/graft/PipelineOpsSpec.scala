@@ -254,6 +254,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(wide == Tables.orders(spark, sf).count())
   }
 
+  test("UrlOps.canonicalizeUrl: adversarial goldens + fixpoint " +
+    "(canon(canon(u)) == canon(u))") {
+    val cases = Seq(
+      "https://Example.COM:443/a/b/?utm_source=x&id=1&utm_campaign=y#f" ->
+        "https://example.com/a/b?id=1",
+      "HTTP://HOST.org:80/#only-frag" -> "http://host.org",
+      "https://h.io/p?utm_a=1" -> "https://h.io/p",
+      "https://h.io/p/?fbclid=abc&x=2" -> "https://h.io/p?x=2",
+      "https://h.io:443/" -> "https://h.io",
+      "http://h.io/p?a=1&utm_b=2&c=3" -> "http://h.io/p?a=1&c=3",
+      // :443 is only default for https — http keeps it (and vice versa)
+      "http://h.io:443/p" -> "http://h.io:443/p")
+    val df = cases.map(_._1).toDF("u")
+    val once = df.select(graft.ops.UrlOps.canonicalizeUrl(col("u")).as("c"))
+    assert(once.as[String].collect().toSeq == cases.map(_._2))
+    val twice = once
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("c")).as("c"))
+    assert(twice.as[String].collect().toSeq == cases.map(_._2),
+      "canonicalization must be a fixpoint")
+  }
+
   test("qp_url_dedup: canonicalization collapses the https variants " +
     "and keeps http distinct") {
     val rows = q("qp_url_dedup").collect()
