@@ -34,6 +34,19 @@ import graft.Tables
   */
 object PipelineQueries {
 
+  /** Distinct 3-gram shingle hashes per doc — the shared contamination
+    * fingerprint for qp_decontam / qp_bloom_decontam. Pure per-row
+    * generator (zero shuffle until a consumer aggregates).
+    */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> md5(concat_ws(' '," +
+          " element_at(w,i), element_at(w,i+1), element_at(w,i+2))))")))
+        .as("sh"))
+
   /** Deterministic unit-interval draw from a salted doc_id: the first 2
     * hex chars of md5 give 256 evenly-distributed buckets; comparing
     * against a hex threshold keeps ALL the math in string space —
@@ -279,16 +292,47 @@ object PipelineQueries {
     // side never shuffles — decontamination at 100 TB is a broadcast
     // join, not an exchange
     "qp_decontam" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> md5(concat_ws(' '," +
-            " element_at(w,i), element_at(w,i+1), element_at(w,i+2))))")))
-          .as("sh"))
+      val sh = docShingles(s, d)
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select(col("sh"), col("doc_id").as("bench_id")).distinct()
       sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct("sh").as("n_shared"),
+          countDistinct("bench_id").as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination — the runtime-filter shape
+    // Spark's own InjectRuntimeFilter uses, made explicit as an
+    // operator: build a Bloom filter over the (small, fixed) benchmark
+    // shingle set once, prefilter the TRAIN side's shingles with a
+    // codegen-adjacent membership probe BEFORE any exchange, then
+    // exact-join only the survivors to eliminate false positives.
+    // Output is provably identical to qp_decontam (same oracle): the
+    // bloom admits every true member (no false negatives by
+    // construction) and the exact join removes the ~fpp of impostors.
+    // At 100 TB this is the difference between shuffling every train
+    // shingle into the join and shuffling ~0.1% of them: the bloom is
+    // built from the benchmark side (bounded — benchmark suites don't
+    // grow with the corpus), ships once per executor, and the fact-side
+    // scan stays a pure map stage until after 99%+ of rows are gone.
+    // PipelineOpsSpec asserts the no-false-negative property and the
+    // bloom-path ≡ exact-path equality on real data.
+    "qp_bloom_decontam" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val bench = graft.ops.CacheRegistry.track(
+        sh.filter(col("doc_id") % 97 === 0)
+          .select(col("sh"), col("doc_id").as("bench_id")).distinct())
+      // sizing action + bloom build are both benchmark-side jobs —
+      // metadata-scale, and served from the cached bench frame
+      val nBench = math.max(bench.count(), 1000L)
+      val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((x: String) => x != null && bloomBc.value.mightContainString(x))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain(col("sh")))
         .join(broadcast(bench), "sh")
         .groupBy("doc_id")
         .agg(countDistinct("sh").as("n_shared"),
@@ -572,6 +616,24 @@ object PipelineQueries {
          |    AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
     "qp_decontam" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS sh
+        |  FROM wd WHERE len(w) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT sh, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0
+        |), train AS (
+        |  SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM train t JOIN bench b ON t.sh = b.sh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // the bloom prefilter is output-invisible (exact join removes its
+    // false positives), so the oracle is qp_decontam's, verbatim
+    "qp_bloom_decontam" ->
       """WITH wd AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), sh AS (

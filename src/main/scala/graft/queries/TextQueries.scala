@@ -472,6 +472,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-diversity quality filter (lexical-diversity analog of the
+    // Gopher repetition rules), integer-exact so the oracle hash
+    // matches: Simpson effective vocabulary n²/Σc² and type-token
+    // ratio, both as integer divisions. ZERO shuffle: instead of the
+    // (doc,token) groupBy×2 formulation (which exchanges |tokens|
+    // rows), each doc's per-token counts come from one run-length pass
+    // over its SORTED token array (runs of a sorted array ≡ frequency
+    // table), folded by a codegen'd `aggregate` HOF — Σc² and the
+    // distinct count accumulate in a 5-slot struct per row. At 100 TB
+    // this is a pure map stage; the only exchange is the final sort.
+    "qt_diversity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", sort_array(split(col("text"), " ")))
+        .withColumn("st", aggregate(
+          col("w"),
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("s2"), lit(0L).as("u"), lit(0L).as("n")),
+          (acc, t) => struct(
+            t.as("prev"),
+            when(acc("prev").isNotNull && t === acc("prev"),
+              acc("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(acc("prev").isNotNull && t =!= acc("prev"),
+              acc("s2") + acc("run") * acc("run")).otherwise(acc("s2"))
+              .as("s2"),
+            when(acc("prev").isNull || t =!= acc("prev"), acc("u") + 1L)
+              .otherwise(acc("u")).as("u"),
+            (acc("n") + 1L).as("n")),
+          acc => struct((acc("s2") + acc("run") * acc("run")).as("s2"),
+            acc("u").as("u"), acc("n").as("n"))))
+        .select(col("doc_id"),
+          col("st.n").as("n_tok"), col("st.u").as("n_uniq"),
+          col("st.s2").as("s2"),
+          expr("st.n * st.n DIV st.s2").as("simpson_eff"),
+          expr("100 * st.u DIV st.n").as("ttr_pct"),
+          (expr("100 * st.u DIV st.n") >= 40).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide heavy hitters: top-k tokens by frequency. Partial
     // (map-side) counting keeps the exchange narrow; the final top-k is
     // a TakeOrderedAndProject, never a full sort of the vocabulary
@@ -684,6 +722,23 @@ object TextQueries {
         |    AND LEN(list_distinct(string_split(text, ' '))) * 2 >= LEN(string_split(text, ' '))
         |    THEN 'good' ELSE 'bad' END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frequency-table formulation — provably equal to the Spark side's
+    // run-length fold over the sorted token array (runs of a sorted
+    // array ARE the frequency table)
+    "qt_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+        |), agg AS (
+        |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_uniq,
+        |    SUM(c*c) AS s2 FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_uniq AS BIGINT) AS n_uniq, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(n_tok*n_tok // s2 AS BIGINT) AS simpson_eff,
+        |  CAST(100*n_uniq // n_tok AS BIGINT) AS ttr_pct,
+        |  (100*n_uniq // n_tok) >= 40 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "qt_top_tokens" ->
       s"""WITH $corpusSql, toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS t FROM corpus)

@@ -239,6 +239,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(101L -> -1L, 103L -> 102L))
   }
 
+  test("qp_bloom_decontam: bloom path ≡ exact path (FPs eliminated), " +
+      "and the bloom admits every true member") {
+    val exact = q("qp_decontam").collect().map(_.toSeq).toSeq
+    val bloom = q("qp_bloom_decontam").collect().map(_.toSeq).toSeq
+    assert(bloom == exact,
+      "bloom-prefiltered decontam must be output-identical to exact")
+    // no-false-negative property on the sketch itself: every inserted
+    // key must probe positive (this is what makes the prefilter safe
+    // to run BEFORE the exact join rather than instead of it)
+    val keys = (1 to 1000).map(i => s"member_$i")
+    val df = keys.toDF("k")
+    val bf = df.stat.bloomFilter("k", 1000, 0.01)
+    assert(keys.forall(bf.mightContainString),
+      "a Bloom filter may never reject a true member")
+    // and it actually filters: overwhelmingly negative on non-members
+    val fp = (1 to 1000).count(i => bf.mightContainString(s"other_$i"))
+    assert(fp < 100, s"bloom should reject most non-members, FPs=$fp")
+  }
+
   test("q21_rollup: level sums reconcile (leaves == subtotals == total)") {
     val rows = q("q21_rollup").collect()
     def sumAt(g: Int) = rows.filter(_.getAs[Int]("gid") == g)

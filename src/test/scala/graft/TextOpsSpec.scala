@@ -20,6 +20,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("keeper") % 7 == 0))
   }
 
+  test("qt_diversity: run-length fold over the sorted tokens equals the " +
+      "frequency-table definition on crafted docs") {
+    // crafted docs: all-same tokens, all-distinct, and a mixed doc with
+    // a known frequency table {a:3, b:2, c:1} → s2 = 9+4+1 = 14
+    val docs = Seq(
+      (1L, "x x x x"),           // n=4 u=1 s2=16 → simpson 16/16=1, ttr 25
+      (2L, "a b c d"),           // n=4 u=4 s2=4  → simpson 4,      ttr 100
+      (3L, "a b a c a b"))       // n=6 u=3 s2=14 → 36/14=2,        ttr 50
+      .toDF("doc_id", "text")
+    // run the SAME fold the gate uses, against the crafted frame
+    import org.apache.spark.sql.functions._
+    val folded = docs
+      .withColumn("w", sort_array(split(col("text"), " ")))
+      .select(col("doc_id"),
+        expr("""aggregate(w,
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS s2, 0L AS u, 0L AS n),
+          (acc, t) -> struct(
+            t AS prev,
+            IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1L, 1L) AS run,
+            IF(acc.prev IS NOT NULL AND t != acc.prev, acc.s2 + acc.run * acc.run, acc.s2) AS s2,
+            IF(acc.prev IS NULL OR t != acc.prev, acc.u + 1L, acc.u) AS u,
+            acc.n + 1L AS n),
+          acc -> struct(acc.s2 + acc.run * acc.run AS s2, acc.u AS u, acc.n AS n))""").as("st"))
+      .select(col("doc_id"), col("st.n"), col("st.u"), col("st.s2"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(folded == Map(1L -> ((4L, 1L, 16L)), 2L -> ((4L, 4L, 4L)),
+      3L -> ((6L, 3L, 14L))))
+    // and the real gate agrees with an independent brute-force count
+    // on the corpus: spot-check 5 docs
+    val gate = q("qt_diversity").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_uniq"), r.getAs[Long]("s2")))
+      .toMap
+    Tables.documents(spark, sf).limit(5).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("text").split(" ", -1)
+      val freq = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val want = (toks.length.toLong, freq.size.toLong,
+        freq.values.map(c => c * c).sum)
+      assert(gate(id) == want, s"doc $id")
+    }
+  }
+
   test("minhash LSH recalls every exact duplicate pair") {
     val pairs = q("qt_minhash_lsh")
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
