@@ -97,8 +97,14 @@ object FlowSql {
 
   /** Stages F1-F6 + direction resolution + zone enrichment, up to the
     * labeled per-flow record (flow_type NULL = unlabelable, F7 pending).
+    *
+    * `appSfx` is a SQL fragment appended to the joined `pod_app` (both
+    * sides) — "" for the static-dim surface; the qs_dim_refresh oracle
+    * passes a flow-time-conditional `|| CASE ... END` so the pods
+    * snapshot a flow sees depends on which micro-batch it belongs to
+    * (`NULL || x` stays NULL, so unmatched pods still fall back to '').
     */
-  val labeledCte: String =
+  private def labeledCteWith(appSfx: String): String =
     s"""$base, filtered AS (
       |  SELECT * FROM flows
       |  WHERE $junkFilter
@@ -111,9 +117,9 @@ object FlowSql {
       |), d0 AS (
       |  SELECT f.*,
       |    sp.pod_name AS sp_name, sp.pod_namespace AS sp_ns,
-      |    sp.pod_app AS sp_app, sp.pod_instance AS sp_inst, sp.pod_node AS sp_node,
+      |    sp.pod_app$appSfx AS sp_app, sp.pod_instance AS sp_inst, sp.pod_node AS sp_node,
       |    dp.pod_name AS dp_name, dp.pod_namespace AS dp_ns,
-      |    dp.pod_app AS dp_app, dp.pod_instance AS dp_inst, dp.pod_node AS dp_node,
+      |    dp.pod_app$appSfx AS dp_app, dp.pod_instance AS dp_inst, dp.pod_node AS dp_node,
       |    CASE WHEN sp.pod_name IS NOT NULL AND sp.pod_node = f.node_name THEN 'fromPod'
       |         WHEN dp.pod_name IS NOT NULL AND dp.pod_node = f.node_name THEN 'toPod'
       |         WHEN sp.pod_name IS NULL AND dp.pod_name IS NOT NULL AND dp.pod_node <> '' THEN 'fromPod'
@@ -152,12 +158,14 @@ object FlowSql {
       |  WHERE d.flow_type IS NOT NULL
       |)""".stripMargin
 
+  val labeledCte: String = labeledCteWith("")
+
   /** + J5 LPM classification (remote.go:131-186 truth table). 10/8 is the
     * only private space reachable as a remote in the derivation, so the
     * is-private predicate mirrors to a single range check.
     */
-  val classifiedCte: String =
-    s"""$labeledCte, lpm AS (
+  private def classifiedCteWith(appSfx: String): String =
+    s"""${labeledCteWith(appSfx)}, lpm AS (
       |  SELECT l.*, p.p_cloud, p.p_region, p.p_service, p.p_len,
       |    ROW_NUMBER() OVER (PARTITION BY l.flow_id
       |      ORDER BY p.p_len DESC NULLS LAST) AS rn
@@ -183,11 +191,13 @@ object FlowSql {
       |  FROM lpm WHERE rn = 1
       |)""".stripMargin
 
+  val classifiedCte: String = classifiedCteWith("")
+
   /** + O3 fan-out and P8/W1/A1 minute-grain summing aggregation
     * (worker.go:132-222 + SummingMergeTree DDL).
     */
-  val summedCte: String =
-    s"""$classifiedCte, kept AS (
+  def summedCteWith(appSfx: String): String =
+    s"""${classifiedCteWith(appSfx)}, kept AS (
       |  SELECT * FROM classified
       |  WHERE connection_class NOT LIKE 'ERROR!_%' ESCAPE '!'
       |), fanned AS (
@@ -211,4 +221,6 @@ object FlowSql {
       |  FROM fanned
       |  GROUP BY ALL
       |)""".stripMargin
+
+  val summedCte: String = summedCteWith("")
 }

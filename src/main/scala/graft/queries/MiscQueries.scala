@@ -233,6 +233,23 @@ object MiscQueries {
         .orderBy(FlowPipeline.dimensionKey.map(col): _*)
     }),
 
+    // W5/W6 dim refresh as a DRIVER GATE: the flow pipeline streamed
+    // over 2 micro-batches with the pods snapshot ROLLED between them
+    // (pod_app suffixed "-v2" from batch 1 on) — the reference's 24h
+    // range refresh / 10-min informer resync, observable in the data:
+    // every labeled row's app columns prove which snapshot its batch
+    // saw. The landing dir is cut at the corpus's exact timestamp
+    // midpoint so the oracle can replay the same per-flow snapshot
+    // choice as a CASE on flow time (see FlowSql.summedCteWith).
+    "qs_dim_refresh" -> ((s, d) => {
+      val b = graft.Tables.events(s, d).agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
+      StreamingFlows.dimRefreshRun(s, d, cut)
+        .orderBy(FlowPipeline.dimensionKey.map(col): _*)
+    }),
+
     // the PRODUCTION streaming shape: watermarked append-mode summing —
     // emits exactly the summing rows whose window the final watermark
     // closed, once each; oracle = batch summed table filtered to the
@@ -550,6 +567,24 @@ object MiscQueries {
         |GROUP BY minute_start, event_type
         |ORDER BY minute_start, event_type""".stripMargin,
     "qs_flow_pipeline" -> FlowQueries.oracle("qf_pipeline"),
+    // qf_pipeline's oracle with the dim-refresh CASE: a flow at-or-past
+    // the corpus timestamp midpoint was processed in batch 1 and saw
+    // the rolled pods snapshot, so its app labels carry the -v2 suffix
+    // (NULL || x stays NULL — unmatched pods still fall back to '')
+    "qs_dim_refresh" -> {
+      val sfx = " || CASE WHEN f.ts >= make_timestamp(" +
+        "(SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts)) + 1) // 2 " +
+        "FROM events)) THEN '-v2' ELSE '' END"
+      s"""${graft.flow.FlowSql.summedCteWith(sfx)}
+         |SELECT * FROM summed
+         |ORDER BY date, interval_start, interval_seconds, direction,
+         |  proto_name, connection_class, node_name, local_zone,
+         |  local_namespace, local_pod, local_app, local_instance,
+         |  local_ip, local_port, remote_cloud, remote_region,
+         |  remote_service, remote_app, remote_pod, remote_namespace,
+         |  remote_instance, remote_node, remote_zone,
+         |  remote_ip, remote_port, connection_flags""".stripMargin
+    },
     "qs_dedup" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id",
     "qs_interval_join" ->

@@ -140,6 +140,114 @@ object StreamingFlows {
       .parquet(path)
   }
 
+  /** A landing dir split at an EXPLICIT event-time cut (unlike
+    * [[eventsDir]]'s sampled range split): snapshot 0 = ts < cutUs,
+    * snapshot 1 = ts >= cutUs, spaced mtimes. The explicit boundary is
+    * what lets the qs_dim_refresh ORACLE know which dim snapshot each
+    * flow saw — a sampled boundary is reproducible in Spark but not
+    * expressible in SQL. Same fingerprint-cache + atomic-publish
+    * contract as [[eventsDir]].
+    */
+  private def eventsDirSplitAt(spark: SparkSession, dir: String,
+      cutUs: Long): String = synchronized {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}_$cutUs"
+    val prefix = s"graft_landingcut_${math.abs(dir.hashCode)}"
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"${prefix}_$fp")
+    if (java.nio.file.Files.exists(d.resolve("_READY"))) return d.toString
+    Option(d.getParent.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix + "_") &&
+        f.getName != d.getFileName.toString)
+      .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: java.io.IOException => () })
+    val staging = java.nio.file.Files.createTempDirectory(
+      d.getParent, d.getFileName.toString + "_staging_")
+    try {
+      val pub = staging.resolve("pub")
+      java.nio.file.Files.createDirectories(pub)
+      val ev = graft.Tables.events(spark, dir) // canonical micros ts
+      Seq(col("ts") < timestamp_micros(lit(cutUs)),
+        col("ts") >= timestamp_micros(lit(cutUs))).zipWithIndex
+        .foreach { case (pred, i) =>
+          val part = staging.resolve(s"f$i")
+          ev.filter(pred).coalesce(1)
+            .write.mode("overwrite").parquet(part.toString)
+          val file = Option(part.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file under $part"))
+          val dst = pub.resolve(f"snapshot_$i%03d.parquet")
+          java.nio.file.Files.move(file.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+      java.nio.file.Files.createFile(pub.resolve("_READY"))
+      try java.nio.file.Files.move(pub, d,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.io.IOException =>
+          if (!java.nio.file.Files.exists(d.resolve("_READY"))) throw e
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    d.toString
+  }
+
+  /** W5/W6 as a DRIVER GATE runner: the flow pipeline streamed over a
+    * 2-snapshot landing dir cut at `cutUs`, with the pods dim
+    * RE-RESOLVED per micro-batch (the reference's 24h range refresh /
+    * 10-min informer resync, remote.go:98-126 + watcher.go:55) — batch
+    * 0 labels against the v1 snapshot, every later batch against the
+    * rolled snapshot (`pod_app` suffixed "-v2"). Versioning is keyed on
+    * batchId, not a call counter, so batch RETRIES re-resolve the same
+    * snapshot (deterministic under recovery). The per-batch summing
+    * tables are re-aggregated on read ("sums of sums") so a minute
+    * window spanning the cut merges exactly like the oracle's GROUP BY.
+    */
+  def dimRefreshRun(spark: SparkSession, dir: String,
+      cutUs: Long): DataFrame = {
+    val path = eventsDirSplitAt(spark, dir, cutUs)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+    val flows = SyntheticFlows.flowsFromEvents(
+      src.select(col("event_id"), col("user_id"), col("ts")))
+    val podsV1 = SyntheticFlows.pods(spark, dir)
+    val nodes = SyntheticFlows.nodes(spark, dir)
+    val prefixes = SyntheticFlows.prefixes(spark, dir)
+    val cfg = FlowConfig(lpmViaTrie = true)
+    // fixed per-corpus scratch (same idiom as the tx-gate run dirs):
+    // wiped and rebuilt each run, so repeated bench/verify runs don't
+    // accumulate checkpoint dirs in /tmp
+    val run = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dimrefresh_${math.abs(dir.hashCode)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(run)
+    val out = s"$run/out"
+    val q = flows.writeStream
+      .option("checkpointLocation", s"$run/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pods =
+          if (batchId == 0) podsV1
+          else podsV1.withColumn("pod_app",
+            concat(col("pod_app"), lit("-v2")))
+        FlowPipeline.run(batch, pods, nodes, prefixes, cfg)
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val merged = spark.read.parquet(out).drop("batch")
+    val measures = Set("bytes", "packets", "n_obs")
+    merged.groupBy(merged.columns.filterNot(measures).map(col): _*)
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        sum("n_obs").as("n_obs"))
+  }
+
   /** The CSV shape of one flow record on the wire for
     * [[socketFlowStream]]: the scalar RawFlow fields in declaration
     * order (flow_handler.proto:24-68 flattened, like the parquet

@@ -53,6 +53,32 @@ class DimRefreshSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qs_dim_refresh gate: batch 0 labels v1, batch 1 labels v2, and " +
+      "the cut is the only thing separating them") {
+    import org.apache.spark.sql.functions._
+    val b = Tables.events(spark, sf).agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).collect().head
+    val cut = (b.getLong(0) + b.getLong(1) + 1L) / 2L
+    val rows = SparkEntry.queries("qs_dim_refresh")(spark, sf).collect()
+    val v2 = rows.count(_.getAs[String]("local_app").endsWith("-v2"))
+    val v1 = rows.count { r =>
+      val a = r.getAs[String]("local_app"); a.nonEmpty && !a.endsWith("-v2")
+    }
+    assert(v1 > 0 && v2 > 0, s"both snapshots must label rows ($v1/$v2)")
+    // a minute window that CLOSED before the cut can only hold batch-0
+    // flows → never suffixed; one that STARTS at/after the cut holds
+    // only batch-1 flows → every non-empty app label is suffixed
+    rows.foreach { r =>
+      val winStartUs = r.getAs[Timestamp]("interval_start").getTime * 1000L
+      val app = r.getAs[String]("local_app")
+      if (winStartUs + 60L * 1000000L <= cut)
+        assert(!app.endsWith("-v2"), s"pre-cut window labeled v2: $r")
+      else if (winStartUs >= cut && app.nonEmpty)
+        assert(app.endsWith("-v2"), s"post-cut window labeled v1: $r")
+    }
+  }
+
   test("metrics sink: per-micro-batch outcome counters surface as data") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[RawFlow]
