@@ -215,6 +215,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "as-of must not be a join\n" + p.take(2000))
   }
 
+  test("qt_diversity: zero hash exchange — the run-length fold stays a " +
+      "pure map stage") {
+    // the (doc,token) groupBy formulation would exchange |tokens| rows;
+    // the sorted-array fold keeps everything per-row, so the only
+    // exchange is the final presentation sort
+    val p = plan("qt_diversity")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Generate"), "no token explode expected\n" + p.take(2000))
+  }
+
+  test("qp_bloom_decontam: bloom prefilter sits BELOW the bench join, " +
+      "which broadcasts") {
+    val p = plan("qp_bloom_decontam")
+    // the probe must run in the scan-side filter, before any join —
+    // pushing 99% of shingles out of the plan while it's still a map
+    // stage — and the bench (build) side must broadcast, never shuffle
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val udfIdx = p.indexOf("UDF")
+    assert(joinIdx > 0, "bench join must be broadcast\n" + p.take(2000))
+    assert(udfIdx > joinIdx,
+      "bloom probe filter must appear below (after) the join node in " +
+        "the plan tree\n" + p.take(3000))
+  }
+
   test("qp_split/qp_chunk/qp_redact: per-row pipeline ops never hash-shuffle") {
     // split/chunk/redact are projections (+ generator); the only
     // exchange allowed is the final presentation sort's rangepartitioning
