@@ -288,6 +288,33 @@ object FlowQueries {
         LIMIT 20""")
     }),
 
+    // the WIDER ClickHouse dialect a reference user's dashboards speak:
+    // conditional aggregates (sumIf/countIf), exact cardinality
+    // (uniqExact), time rounding (toStartOfHour/toDate), and the IPv4
+    // codecs — all registered as native Catalyst expressions (no UDF
+    // boxing; sumIf/countIf stay inside partial-aggregating codegen),
+    // run via literal CH-style SQL over the compat view. argMax/argMin/
+    // uniq/toStartOfMinute are registered too and spec-checked in
+    // CompatSpec (uniq is approximate by CH contract, so it cannot sit
+    // behind a hash-matching oracle).
+    "q_compat_funcs" -> ((s, d) => {
+      val (f, p, n, px) = stages(s, d)
+      val summed = FlowPipeline.run(f, p, n, px, cfg)
+      graft.sql.Compat.registerClickHouseFunctions(s)
+      graft.sql.Compat.compatView(summed)
+        .createOrReplaceTempView("network_flows_compat")
+      s.sql("""
+        SELECT toDate(intervalStartTime) AS d,
+          toStartOfHour(intervalStartTime) AS h,
+          countIf(direction = 'out') AS n_out,
+          CAST(sumIf(bytes, direction = 'out') AS BIGINT) AS bytes_out,
+          CAST(uniqExact(localPod) AS BIGINT) AS n_pods,
+          IPv4NumToString(MIN(IPv4StringToNum(localIPv4))) AS min_ip
+        FROM network_flows_compat
+        GROUP BY toDate(intervalStartTime), toStartOfHour(intervalStartTime)
+        ORDER BY h""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -447,6 +474,20 @@ object FlowQueries {
          |  GROUP BY local_pod, connection_class) t
          |ORDER BY total_bytes DESC, local_pod, connection_class
          |LIMIT 20""".stripMargin,
+    "q_compat_funcs" ->
+      s"""${FlowSql.summedCte}, c AS (
+         |  SELECT CAST(interval_start AS DATE) AS d,
+         |    date_trunc('hour', interval_start) AS h,
+         |    direction, bytes, local_pod, local_ip
+         |  FROM summed)
+         |SELECT d, h,
+         |  CAST(COUNT(*) FILTER (WHERE direction = 'out') AS BIGINT) AS n_out,
+         |  CAST(SUM(bytes) FILTER (WHERE direction = 'out') AS BIGINT)
+         |    AS bytes_out,
+         |  CAST(COUNT(DISTINCT local_pod) AS BIGINT) AS n_pods,
+         |  ${sqlIpStr("MIN(local_ip)")} AS min_ip
+         |FROM c GROUP BY d, h ORDER BY h""".stripMargin,
+
     "q_cloudranges_merge" ->
       s"""WITH awsfeed AS (
          |  SELECT 16777216 + p_partkey * 2048 AS p_start,

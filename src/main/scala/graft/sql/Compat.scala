@@ -1,10 +1,14 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, CurrentDate}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CurrentDate, If,
+  Literal, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, CountIf,
+  HyperLogLogPlusPlus, MaxBy, MinBy, Sum}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
-import graft.functions.FormatReadableSize
+import org.apache.spark.sql.types.{DateType, DoubleType, NullType,
+  TimestampType}
+import graft.functions.{FormatReadableSize, IpToLong, LongToIp}
 import graft.functions.ipfns.long_to_ip
 
 /** ClickHouse-compatibility SQL surface: a reference user's literal
@@ -22,11 +26,36 @@ object Compat {
 
   def registerClickHouseFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("formatReadableSize",
-      e => FormatReadableSize(Cast(e.head, DoubleType),
-        name = "formatReadableSize"), "scala_udf")
-    reg.createOrReplaceTempFunction("today",
-      _ => CurrentDate(), "scala_udf")
+    def f(name: String)(
+        b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    f("formatReadableSize")(e => FormatReadableSize(Cast(e.head, DoubleType),
+      name = "formatReadableSize"))
+    f("today")(_ => CurrentDate())
+    // conditional aggregates (the dashboard staples): sumIf/countIf —
+    // CH's combinator syntax flattened to 2-arg functions; both stay
+    // inside Spark's native partial-aggregating codegen'd paths
+    f("sumIf")(e => Sum(If(e(1), e(0), Literal(null, NullType))))
+    f("countIf")(e => CountIf(e.head))
+    // cardinality: uniqExact = exact distinct; uniq = the HLL sketch
+    // (CH's uniq is approximate by contract, so is this one)
+    f("uniqExact")(e => Count(e).toAggregateExpression(isDistinct = true))
+    f("uniq")(e => HyperLogLogPlusPlus(e.head))
+    f("argMax")(e => MaxBy(e(0), e(1)))
+    f("argMin")(e => MinBy(e(0), e(1)))
+    // time rounding: CH's toStartOf* family = date_trunc with the unit
+    // baked into the name; toDate = the date cast
+    f("toStartOfMinute")(e =>
+      TruncTimestamp(Literal("minute"), Cast(e.head, TimestampType)))
+    f("toStartOfHour")(e =>
+      TruncTimestamp(Literal("hour"), Cast(e.head, TimestampType)))
+    f("toStartOfDay")(e =>
+      TruncTimestamp(Literal("day"), Cast(e.head, TimestampType)))
+    f("toDate")(e => Cast(e.head, DateType))
+    // IPv4 dotted-quad codecs over the compat view's string IPs
+    f("IPv4NumToString")(e => LongToIp(e.head))
+    f("IPv4StringToNum")(e => IpToLong(e.head))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

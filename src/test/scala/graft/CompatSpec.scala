@@ -59,4 +59,36 @@ class CompatSpec extends AnyFunSuite {
     // full 35-column DDL shape
     assert(spark.table("default.network_flows_0").columns.length == 35)
   }
+
+  test("dialect pack: argMax/argMin/uniq/toStartOfMinute behave like " +
+      "their ClickHouse counterparts") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq((1L, "a", 10L, "2024-03-01 10:02:31"),
+      (2L, "b", 30L, "2024-03-01 10:02:59"),
+      (3L, "c", 20L, "2024-03-01 10:03:01"))
+      .toDF("id", "k", "v", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .createOrReplaceTempView("compat_fn_spec")
+    val r = spark.sql("""
+      SELECT argMax(k, v) AS am, argMin(k, v) AS an,
+        uniq(k) AS u, uniqExact(k) AS ue,
+        MIN(toStartOfMinute(ts)) AS m0
+      FROM compat_fn_spec""").collect().head
+    assert(r.getAs[String]("am") == "b")
+    assert(r.getAs[String]("an") == "a")
+    assert(r.getAs[Long]("ue") == 3L)
+    // uniq is the HLL sketch — approximate by ClickHouse contract, but
+    // at 3 distinct values it must be exact
+    assert(r.getAs[Long]("u") == 3L)
+    assert(r.getAs[java.sql.Timestamp]("m0").toString
+      == "2024-03-01 10:02:00.0")
+    // sketch accuracy on real cardinalities: within 5% of exact over
+    // the corpus's user_id set
+    val e = spark.sql(
+      s"""SELECT uniq(user_id) AS u, uniqExact(user_id) AS ue FROM
+         |parquet.`$sf/events.parquet`""".stripMargin).collect().head
+    val (u, ue) = (e.getAs[Long]("u"), e.getAs[Long]("ue"))
+    assert(math.abs(u - ue) <= math.max(1L, ue / 20),
+      s"uniq=$u vs exact=$ue drifts >5%")
+  }
 }
