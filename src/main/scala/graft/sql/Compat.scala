@@ -56,6 +56,31 @@ object Compat {
     // IPv4 dotted-quad codecs over the compat view's string IPs
     f("IPv4NumToString")(e => LongToIp(e.head))
     f("IPv4StringToNum")(e => IpToLong(e.head))
+    // control flow + misc scalars the CH dialect spells differently:
+    // if(c,a,b) / multiIf(c1,v1,c2,v2,...,else), empty/notEmpty on
+    // strings, any/anyLast (first/last non-deterministic pick — same
+    // contract as ClickHouse's)
+    f("if")(e => If(e(0), e(1), e(2)))
+    f("multiIf") { e =>
+      val (pairs, els) = (e.dropRight(1).grouped(2).toSeq, e.last)
+      pairs.foldRight(els) { case (Seq(c, v), acc) => If(c, v, acc) }
+    }
+    f("empty")(e =>
+      org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.Length(
+          Cast(e.head, org.apache.spark.sql.types.StringType)),
+        Literal(0)))
+    f("notEmpty")(e =>
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(
+        org.apache.spark.sql.catalyst.expressions.Length(
+          Cast(e.head, org.apache.spark.sql.types.StringType)),
+        Literal(0)))
+    f("any")(e =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.First(
+        e.head, ignoreNulls = true))
+    f("anyLast")(e =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Last(
+        e.head, ignoreNulls = true))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

@@ -72,7 +72,13 @@ class CompatSpec extends AnyFunSuite {
     val r = spark.sql("""
       SELECT argMax(k, v) AS am, argMin(k, v) AS an,
         uniq(k) AS u, uniqExact(k) AS ue,
-        MIN(toStartOfMinute(ts)) AS m0
+        MIN(toStartOfMinute(ts)) AS m0,
+        sumIf(v, k = 'a') AS sa,
+        countIf(v > 15) AS c15,
+        MAX(if(v > 15, 'big', 'small')) AS mx,
+        MAX(multiIf(v > 25, 'hi', v > 15, 'mid', 'lo')) AS mi,
+        countIf(notEmpty(k)) AS ne,
+        any(k) AS a1, anyLast(k) AS a2
       FROM compat_fn_spec""").collect().head
     assert(r.getAs[String]("am") == "b")
     assert(r.getAs[String]("an") == "a")
@@ -82,6 +88,14 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getAs[Long]("u") == 3L)
     assert(r.getAs[java.sql.Timestamp]("m0").toString
       == "2024-03-01 10:02:00.0")
+    assert(r.getAs[Long]("sa") == 10L)
+    assert(r.getAs[Long]("c15") == 2L)
+    assert(r.getAs[String]("mx") == "small") // max('big','small') lexicographic
+    assert(r.getAs[String]("mi") == "mid")   // {lo, hi, mid} → max = mid
+    assert(r.getAs[Long]("ne") == 3L)
+    // any/anyLast: CH contract is "some value" — assert membership only
+    assert(Set("a", "b", "c")(r.getAs[String]("a1")))
+    assert(Set("a", "b", "c")(r.getAs[String]("a2")))
     // sketch accuracy on real cardinalities: within 5% of exact over
     // the corpus's user_id set
     val e = spark.sql(
