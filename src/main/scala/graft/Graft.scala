@@ -31,12 +31,17 @@ object Graft {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .getOrCreate()
     functions.ipfns.register(spark)
+    sql.Compat.registerClickHouseFunctions(spark)
     spark
   }
 
-  /** Register every testdata table plus the library's SQL functions. */
+  /** Register every testdata table plus the library's SQL functions
+    * (engine-native names AND the ClickHouse dialect pack, so a
+    * reference user's dashboards parse unchanged).
+    */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     functions.ipfns.register(spark)
+    sql.Compat.registerClickHouseFunctions(spark)
     Tables.registerAll(spark, dir)
   }
 }
