@@ -463,6 +463,36 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // ADDITIVE SCHEMA EVOLUTION as a gate: generation 1 lands without
+    // the `tag` column, generation 2 appends WITH it — the commit log's
+    // schema action then governs the scan, so gen-1 files read tag as
+    // NULL (no rewrite of old data: at 100 TB an evolution that
+    // rewrites history is an outage, not a migration). The read back
+    // covers both eras in ONE scan relation; any dropped row, leaked
+    // non-null, or schema-merge failure hash-mismatches. Non-additive
+    // changes are refused at append (TxTableSpec).
+    "qtx_evolution" -> ((s, d) => {
+      val cust = graft.Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("v"),
+        col("c_mktsegment").as("seg"))
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_txevo_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      val gen1 = cust.filter(col("id") % 2 === 0)
+        .select(lit(java.sql.Date.valueOf("2024-01-01")).as("date"),
+          col("id"), col("v"))
+      val gen2 = cust.filter(col("id") % 2 === 1)
+        .select(lit(java.sql.Date.valueOf("2024-01-02")).as("date"),
+          col("id"), col("v"), col("seg").as("tag"))
+      TxTable.append(s, gen1, table)
+      TxTable.append(s, gen2, table)
+      TxTable.read(s, table)
+        .select(col("date"), col("id"), col("v"), col("tag"))
+        .orderBy("id")
+    }),
+
     // incremental materialized-view maintenance as a gate: the events
     // fact stream lands in a base tx table in THREE separate appends
     // (split by user hash); after each, MaterializedView.refresh folds
@@ -545,6 +575,18 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // both generations replayed from customer: gen-1 rows read the
+    // post-evolution schema with tag NULL
+    "qtx_evolution" ->
+      """SELECT DATE '2024-01-01' AS date, CAST(c_custkey AS BIGINT) AS id,
+        |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v,
+        |  CAST(NULL AS VARCHAR) AS tag
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT DATE '2024-01-02', c_custkey,
+        |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY id""".stripMargin,
     "q_topk_talkers" ->
       """SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS talker,
         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
