@@ -493,6 +493,30 @@ object MiscQueries {
         .orderBy("id")
     }),
 
+    // TIME TRAVEL as a gate, including the era-schema contract: after
+    // the gen-2 append evolves the schema, a read AS OF the gen-1
+    // version must return exactly the gen-1 rows WITH the gen-1-era
+    // schema (no `tag` column at all — not a NULL-filled one): the
+    // commit log pins each version's schema action, so reproducing an
+    // old training snapshot sees precisely what that era's readers saw.
+    "qtx_timetravel" -> ((s, d) => {
+      val cust = graft.Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("v"),
+        col("c_mktsegment").as("seg"))
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_txtt_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      val v1 = TxTable.append(s, cust.filter(col("id") % 2 === 0)
+        .select(lit(java.sql.Date.valueOf("2024-01-01")).as("date"),
+          col("id"), col("v")), table)
+      TxTable.append(s, cust.filter(col("id") % 2 === 1)
+        .select(lit(java.sql.Date.valueOf("2024-01-02")).as("date"),
+          col("id"), col("v"), col("seg").as("tag")), table)
+      TxTable.read(s, table, asOfVersion = Some(v1)).orderBy("id")
+    }),
+
     // incremental materialized-view maintenance as a gate: the events
     // fact stream lands in a base tx table in THREE separate appends
     // (split by user hash); after each, MaterializedView.refresh folds
@@ -586,6 +610,12 @@ object MiscQueries {
         |SELECT DATE '2024-01-02', c_custkey,
         |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), c_mktsegment
         |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY id""".stripMargin,
+    // the gen-1 snapshot exactly, in the gen-1 era's 3-column schema
+    "qtx_timetravel" ->
+      """SELECT DATE '2024-01-01' AS date, CAST(c_custkey AS BIGINT) AS id,
+        |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+        |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY id""".stripMargin,
     "q_topk_talkers" ->
       """SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS talker,
