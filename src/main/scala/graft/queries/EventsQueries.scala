@@ -168,6 +168,35 @@ object EventsQueries {
         count(lit(1)).as("n"))
     }),
 
+    // Inter-arrival cadence profiling — the beaconing/regularity
+    // analysis a network-analytics stack runs on flow streams (periodic
+    // C2-style traffic has low gap jitter; organic traffic doesn't),
+    // here over the per-(user, event_type) event streams: consecutive
+    // gaps via ONE lag window, then integer gap stats and a spread
+    // ratio 100·(max−min)÷avg with a steadiness decision. One hash
+    // exchange on the group key; the lag window and the aggregation
+    // share the same partitioning so the sort is reused, and all math
+    // is integer seconds (oracle hash-parity).
+    "q_interarrival" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      e.withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("(us - prev) DIV 1000000").as("ds"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("sum(ds) DIV count(1)").as("avg_gap_s"),
+          min("ds").as("min_gap_s"), max("ds").as("max_gap_s"))
+        .filter(col("n_gaps") >= 4)
+        .withColumn("spread_pct",
+          expr("100 * (max_gap_s - min_gap_s) DIV avg_gap_s"))
+        .withColumn("steady", col("spread_pct") <= 250)
+        .orderBy("user_id", "event_type")
+    }),
+
     // argMin/argMax analog: the value carried by the earliest/latest
     // event per type (min_by/max_by — single partial-agg'd exchange).
     // Keyed on (ts, event_id) so the reduction is total even on ts ties.
@@ -262,6 +291,29 @@ object EventsQueries {
       """SELECT MIN(CAST(ts AS TIMESTAMP)) AS ts_min,
         |  MAX(CAST(ts AS TIMESTAMP)) AS ts_max,
         |  CAST(COUNT(*) AS BIGINT) AS n FROM events""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |d AS (SELECT user_id, event_type,
+        |  us - LAG(us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) AS du
+        |  FROM e),
+        |g AS (SELECT user_id, event_type, du // 1000000 AS ds
+        |  FROM d WHERE du IS NOT NULL),
+        |a AS (SELECT user_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  SUM(ds) // COUNT(*) AS avg_gap_s,
+        |  MIN(ds) AS min_gap_s, MAX(ds) AS max_gap_s
+        |  FROM g GROUP BY user_id, event_type HAVING COUNT(*) >= 4)
+        |SELECT user_id, event_type, n_gaps,
+        |  CAST(avg_gap_s AS BIGINT) AS avg_gap_s,
+        |  CAST(min_gap_s AS BIGINT) AS min_gap_s,
+        |  CAST(max_gap_s AS BIGINT) AS max_gap_s,
+        |  CAST(100 * (max_gap_s - min_gap_s) // avg_gap_s AS BIGINT)
+        |    AS spread_pct,
+        |  (100 * (max_gap_s - min_gap_s) // avg_gap_s) <= 250 AS steady
+        |FROM a ORDER BY user_id, event_type""".stripMargin,
 
     "q_argmax" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

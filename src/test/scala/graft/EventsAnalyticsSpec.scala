@@ -51,6 +51,23 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(folded == Map(1L -> 4, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0))
   }
 
+  test("q_interarrival: gap stats are internally consistent and the " +
+      "steadiness decision discriminates") {
+    val rows = q("q_interarrival").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Long]("min_gap_s"),
+        r.getAs[Long]("avg_gap_s"), r.getAs[Long]("max_gap_s"))
+      assert(mn <= av && av <= mx, s"gap stats out of order: $r")
+      assert(r.getAs[Long]("n_gaps") >= 4)
+      assert(r.getAs[Long]("spread_pct") == 100L * (mx - mn) / av)
+      assert(r.getAs[Boolean]("steady") == (r.getAs[Long]("spread_pct") <= 250))
+    }
+    val steady = rows.count(_.getAs[Boolean]("steady"))
+    assert(steady > 0 && steady < rows.length,
+      s"threshold must split, steady=$steady/${rows.length}")
+  }
+
   test("q_retention: day 0 is the full signup cohort; offsets bounded") {
     val rows = q("q_retention").collect()
     val d0 = rows.find(_.getAs[Int]("day_offset") == 0).get
