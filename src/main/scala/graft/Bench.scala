@@ -68,7 +68,18 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // throughput vs the reference's only numeric anchor (BASELINE.md:
+    // sink floor 500 rows/s/worker, 20 workers → 10k rows/s fleet):
+    // raw flow records fully labeled+classified+summed per second of
+    // end-to-end pipeline wall time (qf_pipeline = the whole DAG)
+    val pipelineRows =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Exception => -1L }
+    val pipelineSec = results.toMap.getOrElse("qf_pipeline", -1.0)
+    val rowsPerSec =
+      if (pipelineRows > 0 && pipelineSec > 0) pipelineRows / pipelineSec
+      else -1.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"pipeline_rows":$pipelineRows,"pipeline_rows_per_s":$rowsPerSec,"sf":"$sfDir"}"""
     println(line)
     // the artifact must not depend on stdout tail capture (BENCH_r04
     // lost its first 28 entries that way): persist the line to a file
