@@ -104,7 +104,10 @@ object MiscQueries {
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val fp = s"${java.nio.file.Files.size(src)}_" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    val prefix = s"graft_txbase_${kind}_${math.abs(d.hashCode)}"
+    // g2: layout generation — bump when the logged per-file metadata
+    // changes shape (g2 = bloom skip-index stats), so cached bases
+    // built by an older binary rebuild instead of serving stale logs
+    val prefix = s"graft_txbase_g2_${kind}_${math.abs(d.hashCode)}"
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"${prefix}_$fp")
     if (!java.nio.file.Files.exists(base.resolve("_DONE"))) {
@@ -410,6 +413,37 @@ object MiscQueries {
         .orderBy("direction", "proto_name")
     }),
 
+    // BLOOM SKIP INDEX as a gate: the summed table's commit log carries
+    // a per-file Bloom filter over local_pod (a high-cardinality column
+    // OUTSIDE the sort key — min/max can never skip on it), and a point
+    // lookup "all traffic for pod X" reads back through the planner
+    // index, where files whose filter proves the pod absent are dropped
+    // at PLANNING time. The gate's full-table read-back is exact: a
+    // false NEGATIVE (a file wrongly skipped) loses rows and
+    // hash-mismatches; false positives only cost scan time. The
+    // skip-rate itself is scan-metrics-audited in TxTableSpec.
+    "qtx_bloom" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = graft.ops.CacheRegistry.track(
+        FlowPipeline.run(f, p, n, px, FlowConfig()))
+      val table = txBaseCopy(s, d, summed, "bloom")
+      // deterministic probe key both sides can compute: the pod with
+      // the most summed rows (name-tie-broken)
+      val pod = summed.filter(col("local_pod").isNotNull)
+        .groupBy("local_pod").count()
+        .orderBy(col("count").desc, col("local_pod"))
+        .limit(1).collect().head.getString(0)
+      TxFileIndex.readV2(s, table)
+        .filter(col("local_pod") === lit(pod))
+        .groupBy("local_pod", "date", "direction", "proto_name",
+          "remote_ip")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"))
+        .orderBy("local_pod", "date", "direction", "proto_name",
+          "remote_ip")
+    }),
+
     // S6/A1 compaction as a DRIVER GATE: append the summed table a
     // second time (every dim tuple now duplicated), then
     // TxTable.compact re-sums each date into fresh files behind one
@@ -431,6 +465,31 @@ object MiscQueries {
         .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
           sum("n_obs").as("n_obs"), count(lit(1)).as("n_groups"))
         .orderBy("direction", "proto_name", "connection_class")
+    }),
+
+    // ReplacingMergeTree as a gate: generation 1 lands every event at
+    // ver=1; a correction feed re-states every third event at ver=2
+    // with doubled cents (duplicates deliberately spanning different
+    // files); compactReplacing keeps ONLY the max-version row per
+    // (date, event_id) behind one atomic swap. n catches surviving
+    // duplicates, ver_sum catches a wrong winner, cents catches both.
+    "qtx_replacing" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      def gen1 = ev.withColumn("ver", lit(1L))
+      val table = txBaseCopy(s, d, gen1, "replacing", kind = "events_repl")
+      val gen2 = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("cents", col("cents") * 2)
+        .withColumn("ver", lit(2L))
+      TxTable.append(s, gen2.select(
+        "date", "event_id", "event_type", "cents", "ver"), table)
+      TxTable.compactReplacing(s, table, Seq("event_id"), "ver")
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"),
+          sum("ver").as("ver_sum"))
+        .orderBy("event_type")
     }),
 
     // W7 TTL as a DRIVER GATE (was spec-only): drop every date
@@ -795,6 +854,36 @@ object MiscQueries {
          |FROM summed WHERE proto_name = 'tcp'
          |GROUP BY direction, proto_name
          |ORDER BY direction, proto_name""".stripMargin,
+    // the same deterministic probe key (max local_pod), the same point
+    // lookup — computed straight from the summing CTE, no index
+    "qtx_bloom" ->
+      s"""${graft.flow.FlowSql.summedCte},
+         |tgt AS (SELECT local_pod AS p FROM summed
+         |  WHERE local_pod IS NOT NULL GROUP BY local_pod
+         |  ORDER BY COUNT(*) DESC, local_pod LIMIT 1)
+         |SELECT local_pod, date, direction, proto_name, remote_ip,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(SUM(packets) AS BIGINT) AS packets,
+         |  CAST(SUM(n_obs) AS BIGINT) AS n_obs
+         |FROM summed, tgt WHERE local_pod = p
+         |GROUP BY local_pod, date, direction, proto_name, remote_ip
+         |ORDER BY local_pod, date, direction, proto_name, remote_ip""".stripMargin,
+    // keep-latest semantics computed directly: the re-stated third at
+    // ver=2/doubled cents, the rest at ver=1
+    "qtx_replacing" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |merged AS (
+        |  SELECT date, event_id, event_type, cents, 1 AS ver
+        |  FROM e WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT date, event_id, event_type, cents * 2 AS cents, 2 AS ver
+        |  FROM e WHERE event_id % 3 = 0)
+        |SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(ver) AS BIGINT) AS ver_sum
+        |FROM merged GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // one-pass aggregation over the whole corpus: equals the MV's
     // 3-delta incremental build iff every delta applied exactly once and
     // avg merged as (sum,cnt) — avg is computed as the same explicit

@@ -121,7 +121,17 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
     def mk(name: String, op: Char, lit: Literal):
         Option[Map[String, ColStats] => Boolean] =
       statsValue(lit).map { v =>
+        // equality predicates additionally probe a logged Bloom filter
+        // ('b' stats, see Bloom.scala). The literal is hashed by the
+        // SAME Catalyst expression the filter was built with
+        // (xxhash64, seed 42), so driver probe == executor build for
+        // every data type.
+        lazy val bloomHash: Long =
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(lit), 42L).eval(InternalRow.empty).asInstanceOf[Long]
         stats => stats.get(name) match {
+          case Some(st) if st.typ == 'b' =>
+            op != '=' || Bloom.mayContain(st.min, st.max, bloomHash)
           case Some(st) => !provablyEmpty(st, op, v)
           case None     => true
         }

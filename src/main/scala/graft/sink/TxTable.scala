@@ -64,6 +64,17 @@ object TxTable {
   private[sink] val statsColumns: Seq[String] =
     Seq("interval_start", "direction", "proto_name")
 
+  /** Columns that get a per-file BLOOM filter in the commit log (the
+    * ClickHouse `INDEX ... TYPE bloom_filter` skip-index analog, see
+    * [[Bloom]]): high-cardinality equality-lookup columns OUTSIDE the
+    * sort key, where min/max envelopes can never skip because every
+    * file spans most of the domain ("all flows for pod X / remote IP
+    * Y" — the reference's operator debugging query shape). Disjoint
+    * from [[statsColumns]] by construction: a column's single stats
+    * slot is either a range or a filter.
+    */
+  private[sink] val bloomColumns: Seq[String] = Seq("local_pod", "remote_ip")
+
   /** Per-file column stats: 'l' = signed long (INT32/INT64 physical,
     * covers timestamps as epoch micros and dates as epoch days), 's' =
     * UTF8 string. min/max are decimal or raw-string renderings.
@@ -542,6 +553,28 @@ object TxTable {
         files += ((f, date, st.getLen))
       }
     }
+    // per-file Bloom filters for the skip-index columns: ONE
+    // column-pruned distributed job over the just-staged files (the
+    // only pass that sees values; footers can't provide membership).
+    // Keyed by file NAME — part- names carry the write UUID, so they
+    // are unique across the staged tree.
+    val bloomCols = bloomColumns.filter(df.schema.fieldNames.contains)
+    val blooms: Map[String, Map[String, ColStats]] =
+      if (bloomCols.isEmpty || files.isEmpty) Map.empty
+      else {
+        val staged = sess.read.parquet(new Path(root, dataDir).toString)
+        val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c))
+        staged
+          .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("__name"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> bloomCols.map { c =>
+              c -> ColStats('b', Bloom.encode(r.getAs[Array[Byte]](c)),
+                s"${Bloom.M},${Bloom.K}")
+            }.toMap
+          }.toMap
+      }
     // footer reads are independent metadata fetches — do them on a
     // bounded driver pool, not one-at-a-time (a 1000-file stage at
     // ~10ms/footer is 10s sequential, <1s at 16-way; same move Delta
@@ -554,7 +587,8 @@ object TxTable {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       Await.result(Future.traverse(files.toSeq) { case (f, date, len) =>
         Future((s"$dataDir/date=${date}/${f.getName}",
-          FileMeta(date, len, footerStats(fs, f))))
+          FileMeta(date, len,
+            footerStats(fs, f) ++ blooms.getOrElse(f.getName, Map.empty))))
       }, Duration.Inf)
     } finally pool.shutdown()
   }
@@ -864,6 +898,53 @@ object TxTable {
     // M action for the (unchanged) schema
     commitRetry(fs, root, adds, removes, None,
       schemaUpdate(fs, root, compacted))
+  }
+
+  /** ReplacingMergeTree background-merge analog: per key tuple, keep
+    * ONLY the row with the greatest `versionCol` and atomically swap
+    * the re-written dates in — ClickHouse's upsert-by-merge table
+    * engine (the reference's summing engine is the sibling; Replacing
+    * is what ClickHouse users reach for when re-stated rows should
+    * REPLACE, not add). Semantics mirrored from ClickHouse:
+    * deduplication is scoped WITHIN a date partition (`date` joins the
+    * key implicitly — rows on different dates never collapse, exactly
+    * as parts of different partitions never merge), and ties on the
+    * version are broken deterministically by the lexicographic order
+    * of the remaining columns (ClickHouse keeps "the last in the
+    * selection", which is insertion-order-dependent; a distributed
+    * engine needs a stable rule).
+    *
+    * One hash exchange on the key; the winning row is selected with a
+    * version-led struct MAX, so the partial aggregate collapses
+    * map-side and the shuffle carries one candidate row per (file,
+    * key), never the duplicate multiplicity.
+    */
+  def compactReplacing(spark: SparkSession, table: String,
+      keys: Seq[String], versionCol: String,
+      dates: Option[Seq[String]] = None): Long = {
+    require(keys.nonEmpty, "replacing compact needs a key")
+    val (fs, root) = fsFor(spark, table)
+    val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
+      .sorted.filter(d => dates.forall(_.contains(d)))
+    val df = read(spark, table, Some(targetDates))
+    (keys :+ versionCol).foreach(c =>
+      require(df.columns.contains(c), s"no column $c"))
+    require(!keys.contains(versionCol), "version column cannot be a key")
+    val keyCols = ("date" +: keys.filterNot(_ == "date")).distinct
+    val payload = versionCol +: df.columns
+      .filterNot(c => keyCols.contains(c) || c == versionCol).toSeq
+    val latest = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__w"))
+    // restore the original column order
+    val restored = latest.select(df.columns.toSeq.map { c =>
+      if (keyCols.contains(c)) col(c) else col("__w").getField(c).as(c)
+    }: _*)
+    val adds = stage(prep(restored), fs, root)
+    val removes = snapshotFiles(fs, root)
+      .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
+    commitRetry(fs, root, adds, removes, None,
+      schemaUpdate(fs, root, restored))
   }
 
   /** Multi-column clustering rewrite — Delta's OPTIMIZE ZORDER BY. The

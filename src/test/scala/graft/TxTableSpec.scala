@@ -541,4 +541,114 @@ class TxTableSpec extends AnyFunSuite {
       "A\t2024-01-01\t123\td-x/date=2024-01-01/part-0.parquet\n".getBytes)
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
+
+  test("replacing compact: max-version row wins per (date, key), ties " +
+    "break on the payload order, and dates never collapse together") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txrepl").toString + "/t"
+    TxTable.append(spark, Seq(
+      (d("2024-03-01"), 1L, "a", 10L, 1L),
+      (d("2024-03-01"), 2L, "b", 20L, 1L),
+      // same key, OTHER date partition — must never merge away
+      (d("2024-03-02"), 1L, "a", 30L, 1L)
+    ).toDF("date", "k", "tag", "cents", "ver"), path)
+    TxTable.append(spark, Seq(
+      (d("2024-03-01"), 1L, "a", 99L, 2L), // higher version replaces
+      (d("2024-03-01"), 3L, "c", 7L, 1L),  // fresh key survives alone
+      // version TIE with (01, 2, "b", 20): payload order is
+      // (ver, tag, cents), so "z" > "b" decides — deterministically
+      (d("2024-03-01"), 2L, "z", 5L, 1L)
+    ).toDF("date", "k", "tag", "cents", "ver"), path)
+    val before = TxTable.liveFiles(spark, path).keys.toSet
+    TxTable.compactReplacing(spark, path, Seq("k"), "ver")
+    val got = TxTable.read(spark, path)
+      .select("date", "k", "tag", "cents", "ver")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("2024-03-01", 1L, "a", 99L, 2L),
+      ("2024-03-01", 2L, "z", 5L, 1L),
+      ("2024-03-01", 3L, "c", 7L, 1L),
+      ("2024-03-02", 1L, "a", 30L, 1L)))
+    assert(TxTable.liveFiles(spark, path).keys.toSet.intersect(before).isEmpty,
+      "the rewrite swapped every target file atomically")
+    // the pre-compact duplicates are still visible via time travel
+    val v1 = TxTable.read(spark, path,
+      asOfVersion = Some(TxTable.currentVersion(spark, path) - 1))
+    assert(v1.count() == 6)
+  }
+
+  test("bloom skip index: equality on a non-sort-key column skips files " +
+    "from log filters alone; never a false negative; ranges don't consult it") {
+    import graft.sink.{Bloom, TxFileIndex}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txbloom").toString + "/t"
+    // three appends with DISJOINT pod sets — each append stages its own
+    // file(s), so pod membership partitions the file set
+    val groups = Seq(
+      Seq("pod-a", "pod-b"), Seq("pod-c", "pod-d"), Seq("pod-e", "pod-f"))
+    groups.foreach { pods =>
+      val df = (1 to 200).map { i =>
+        (java.sql.Date.valueOf("2024-03-01"), pods(i % pods.size),
+          s"10.0.0.${i % 7}", i.toLong)
+      }.toDF("date", "local_pod", "remote_ip", "bytes")
+      TxTable.append(spark, df, path)
+    }
+    val metas = TxTable.liveStats(spark, path)
+    assert(metas.size >= groups.size, "each append stages its own files")
+    assert(metas.values.forall(m =>
+      m.stats.get("local_pod").exists(_.typ == 'b') &&
+        m.stats.get("remote_ip").exists(_.typ == 'b')),
+      "every staged file logs a bloom filter for both index columns")
+
+    def hashOf(v: String): Long =
+      new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+    // the exact file set the skipper should keep, straight from the log
+    def expectFiles(pod: String): Int = metas.values.count { m =>
+      val st = m.stats("local_pod")
+      Bloom.mayContain(st.min, st.max, hashOf(pod))
+    }
+    val df = TxFileIndex.readV2(spark, path)
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    // point lookup: planning-time skip to exactly the may-contain set
+    val hit = df.filter(col("local_pod") === "pod-a")
+    assert(scanned(hit) == expectFiles("pod-a"))
+    assert(expectFiles("pod-a") < metas.size,
+      "the disjoint layout must make the index skip at least one file")
+    assert(hit.count() == 200 / 2 * 1,
+      "no false negatives: every pod-a row survives the skip")
+    // IN list keeps the union of member may-contain sets
+    val inq = df.filter(col("local_pod").isin("pod-a", "pod-f"))
+    assert(scanned(inq) ==
+      metas.values.count { m =>
+        val st = m.stats("local_pod")
+        Seq("pod-a", "pod-f").exists(p =>
+          Bloom.mayContain(st.min, st.max, hashOf(p)))
+      })
+    // a value no file holds: with high probability every file skips
+    val none = df.filter(col("remote_ip") === "192.168.99.99")
+    assert(scanned(none) == metas.values.count { m =>
+      val st = m.stats("remote_ip")
+      Bloom.mayContain(st.min, st.max, hashOf("192.168.99.99"))
+    })
+    assert(none.count() == 0)
+    // non-equality ops never consult the filter — full keep
+    assert(scanned(df.filter(col("local_pod") > "pod-a")) == metas.size,
+      "range predicates must not consult the bloom filter")
+    // a mangled filter reads as cannot-skip, never as provably-empty
+    assert(Bloom.mayContain("%%%not-base64", s"${Bloom.M},${Bloom.K}", 7L))
+    assert(Bloom.mayContain("QUJD", "garbage", 7L))
+  }
 }
