@@ -315,6 +315,41 @@ object FlowQueries {
         ORDER BY h""")
     }),
 
+    // round-6 dialect widening, oracled over `events`: the -If
+    // combinator family, exact quantiles (median), dispersion
+    // spellings, the calendar family (toYYYYMM / toStartOfMonth /
+    // ISO toDayOfWeek / toUnixTimestamp), string position, intDiv,
+    // array aggregation (groupUniqArray / has / arrayStringConcat) —
+    // every one a native Catalyst expression under a CH spelling.
+    // (quantile/quantiles = GK sketch, uniq/uniqCombined = HLL,
+    // arrayJoin = explode, dateDiff: approximate or unit-semantics
+    // functions stay spec-checked in CompatSpec, not hash-oracled.)
+    "q_compat_funcs2" -> ((s, d) => {
+      graft.sql.Compat.registerClickHouseFunctions(s)
+      graft.Tables.events(s, d).createOrReplaceTempView("events_compat")
+      s.sql("""
+        SELECT event_type,
+          toYYYYMM(MIN(ts)) AS first_yyyymm,
+          toStartOfMonth(MIN(ts)) AS first_month,
+          toDayOfWeek(MIN(ts)) AS first_dow,
+          toHour(MIN(ts)) AS first_hour,
+          toUnixTimestamp(MIN(ts)) AS first_unix,
+          CAST(countIf(value > 0.5) AS BIGINT) AS n_hi,
+          avgIf(value, value > 0.5) AS avg_hi,
+          CAST(minIf(event_id, value > 0.5) AS BIGINT) AS min_hi_id,
+          CAST(maxIf(event_id, value > 0.5) AS BIGINT) AS max_hi_id,
+          CAST(median(toInt64(ROUND(value * 100, 0))) AS DOUBLE) AS med_cents,
+          stddevPop(value) AS sd,
+          position(event_type, 'i') AS pos_i,
+          intDiv(SUM(toInt64(ROUND(value * 100, 0))), 7) AS cents_div7,
+          arrayStringConcat(
+            array_sort(groupUniqArray(toString(user_id % 10))), ',')
+            AS dectets,
+          has(groupUniqArray(toInt32(user_id % 10)), 3) AS has3
+        FROM events_compat
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -487,6 +522,35 @@ object FlowQueries {
          |  CAST(COUNT(DISTINCT local_pod) AS BIGINT) AS n_pods,
          |  ${sqlIpStr("MIN(local_ip)")} AS min_ip
          |FROM c GROUP BY d, h ORDER BY h""".stripMargin,
+
+    // ANSI equivalents for every oracled CH spelling; isodow matches
+    // the Monday=1 contract, floor(epoch()) matches the long cast,
+    // median = quantile_cont(0.5) matches Percentile's interpolation
+    "q_compat_funcs2" ->
+      """SELECT event_type,
+        |  CAST(strftime(MIN(ts), '%Y%m') AS INTEGER) AS first_yyyymm,
+        |  CAST(date_trunc('month', MIN(ts)) AS DATE) AS first_month,
+        |  CAST(isodow(MIN(ts)) AS INTEGER) AS first_dow,
+        |  CAST(hour(MIN(ts)) AS INTEGER) AS first_hour,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_unix,
+        |  CAST(COUNT(*) FILTER (WHERE value > 0.5) AS BIGINT) AS n_hi,
+        |  AVG(value) FILTER (WHERE value > 0.5) AS avg_hi,
+        |  CAST(MIN(event_id) FILTER (WHERE value > 0.5) AS BIGINT)
+        |    AS min_hi_id,
+        |  CAST(MAX(event_id) FILTER (WHERE value > 0.5) AS BIGINT)
+        |    AS max_hi_id,
+        |  CAST(median(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    AS med_cents,
+        |  stddev_pop(value) AS sd,
+        |  CAST(strpos(event_type, 'i') AS INTEGER) AS pos_i,
+        |  (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) // 7)
+        |    AS cents_div7,
+        |  array_to_string(
+        |    list_sort(list(DISTINCT CAST(user_id % 10 AS VARCHAR))), ',')
+        |    AS dectets,
+        |  list_contains(list(DISTINCT CAST(user_id % 10 AS INTEGER)), 3)
+        |    AS has3
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_cloudranges_merge" ->
       s"""WITH awsfeed AS (

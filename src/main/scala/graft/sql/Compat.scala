@@ -81,6 +81,105 @@ object Compat {
     f("anyLast")(e =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Last(
         e.head, ignoreNulls = true))
+
+    // ---- round 6 widening: the rest of the everyday CH vocabulary ----
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains,
+      ArrayJoin, DateFormatClass, Explode, IntegralDivide, StringLocate,
+      TimestampDiff, TruncDate, WeekDay}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      ApproximatePercentile, Average, CollectList, CollectSet, Max, Min,
+      Percentile, StddevPop, StddevSamp, VariancePop, VarianceSamp}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // aggregate combinators: the -If family over the remaining staples
+    // (same null-absorbing rewrite as sumIf — stays codegen'd)
+    f("avgIf")(e => Average(If(e(1), e(0), Literal(null, NullType))))
+    f("minIf")(e => Min(If(e(1), e(0), Literal(null, NullType))))
+    f("maxIf")(e => Max(If(e(1), e(0), Literal(null, NullType))))
+    // array aggregation: groupArray collects in arrival order (same
+    // non-deterministic-order contract as ClickHouse across threads —
+    // wrap in array_sort for stable results), groupUniqArray dedups
+    f("groupArray")(e => CollectList(e.head))
+    f("groupUniqArray")(e => CollectSet(e.head))
+    // quantiles: quantile/quantiles are approximate BY CONTRACT in CH
+    // (reservoir there, GK sketch here); quantileExact/median are exact
+    f("quantile")(e => new ApproximatePercentile(e(1), e(0)))
+    f("quantiles")(e =>
+      new ApproximatePercentile(e.last,
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          e.dropRight(1))))
+    f("quantileExact")(e => new Percentile(e(1), e(0)))
+    f("median")(e => new Percentile(e.head, Literal(0.5)))
+    f("uniqCombined")(e => HyperLogLogPlusPlus(e.head))
+    // dispersion spellings
+    f("stddevPop")(e => StddevPop(e.head))
+    f("stddevSamp")(e => StddevSamp(e.head))
+    f("varPop")(e => VariancePop(e.head))
+    f("varSamp")(e => VarianceSamp(e.head))
+    // calendar: the toStartOf* date family (returns Date, like CH),
+    // numeric date parts (toDayOfWeek is ISO — Monday=1), toYYYYMM,
+    // epoch seconds
+    f("toStartOfMonth")(e =>
+      TruncDate(Cast(e.head, DateType), Literal("month")))
+    f("toStartOfWeek")(e =>
+      TruncDate(Cast(e.head, DateType), Literal("week")))
+    f("toStartOfQuarter")(e =>
+      TruncDate(Cast(e.head, DateType), Literal("quarter")))
+    f("toStartOfYear")(e =>
+      TruncDate(Cast(e.head, DateType), Literal("year")))
+    f("toHour")(e => org.apache.spark.sql.catalyst.expressions.Hour(
+      Cast(e.head, TimestampType)))
+    f("toMinute")(e => org.apache.spark.sql.catalyst.expressions.Minute(
+      Cast(e.head, TimestampType)))
+    f("toSecond")(e => org.apache.spark.sql.catalyst.expressions.Second(
+      Cast(e.head, TimestampType)))
+    f("toDayOfMonth")(e =>
+      org.apache.spark.sql.catalyst.expressions.DayOfMonth(
+        Cast(e.head, DateType)))
+    f("toDayOfWeek")(e =>
+      org.apache.spark.sql.catalyst.expressions.Add(
+        WeekDay(Cast(e.head, DateType)), Literal(1)))
+    f("toMonth")(e => org.apache.spark.sql.catalyst.expressions.Month(
+      Cast(e.head, DateType)))
+    f("toYear")(e => org.apache.spark.sql.catalyst.expressions.Year(
+      Cast(e.head, DateType)))
+    f("toYYYYMM")(e => Cast(
+      DateFormatClass(Cast(e.head, TimestampType), Literal("yyyyMM")),
+      IntegerType))
+    f("toUnixTimestamp")(e => Cast(Cast(e.head, TimestampType), LongType))
+    // NOT registered: dateDiff — Spark's parser special-cases the name
+    // before the function registry is consulted (3-arg calls parse as
+    // the builtin timestampdiff with an UNQUOTED unit), so the CH
+    // quoted-unit spelling cannot be intercepted here. Spark-native
+    // `dateDiff(DAY, a, b)` / `timestampdiff` covers the semantics.
+    // strings: CH position(haystack, needle) is 1-based, 0 when absent
+    // — exactly locate's contract with flipped args
+    f("position")(e => new StringLocate(e(1), e(0)))
+    f("startsWith")(e =>
+      org.apache.spark.sql.catalyst.expressions.StartsWith(e(0), e(1)))
+    f("endsWith")(e =>
+      org.apache.spark.sql.catalyst.expressions.EndsWith(e(0), e(1)))
+    // arrays: has = membership, arrayStringConcat(arr[, sep]),
+    // arrayJoin = CH's row-multiplying unnest (a generator in Spark)
+    f("has")(e => ArrayContains(e(0), e(1)))
+    f("arrayStringConcat")(e =>
+      ArrayJoin(e(0), if (e.size > 1) e(1) else Literal(""), None))
+    f("arrayJoin")(e => Explode(e.head))
+    // numerics + casts (CH typed-cast spellings)
+    f("intDiv")(e => IntegralDivide(e(0), e(1),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    f("toString")(e => Cast(e.head, StringType))
+    f("toInt32")(e => Cast(e.head, IntegerType))
+    f("toInt64")(e => Cast(e.head, LongType))
+    f("toUInt32")(e => Cast(e.head, LongType))
+    f("toUInt64")(e => Cast(e.head, LongType))
+    f("toFloat64")(e => Cast(e.head, DoubleType))
+    f("ifNull")(e => org.apache.spark.sql.catalyst.expressions.Coalesce(e))
+    f("nullIf")(e =>
+      new org.apache.spark.sql.catalyst.expressions.NullIf(e(0), e(1)))
+    f("now")(_ =>
+      org.apache.spark.sql.catalyst.expressions.CurrentTimestamp())
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

@@ -105,4 +105,77 @@ class CompatSpec extends AnyFunSuite {
     assert(math.abs(u - ue) <= math.max(1L, ue / 20),
       s"uniq=$u vs exact=$ue drifts >5%")
   }
+
+  test("round-6 dialect widening: quantile family, arrayJoin, dateDiff, " +
+      "string/array/cast spellings behave like ClickHouse") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq((1L, "alpha", 10.0, "2024-03-01 10:00:00"),
+      (2L, "beta", 20.0, "2024-03-02 11:30:00"),
+      (3L, "gamma", 30.0, "2024-03-04 10:00:01"),
+      (4L, "alpha", 40.0, "2024-03-05 23:59:59"))
+      .toDF("id", "k", "v", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .createOrReplaceTempView("compat_fn6")
+    val r = spark.sql("""
+      SELECT quantileExact(0.5, v) AS qe,
+        median(v) AS md,
+        quantile(0.5, v) AS qa,
+        quantiles(0.25, 0.75, v) AS qs,
+        stddevSamp(v) AS ss, varPop(v) AS vp,
+        avgIf(v, k = 'alpha') AS av,
+        minIf(v, k <> 'alpha') AS mn, maxIf(v, k <> 'alpha') AS mx,
+        groupUniqArray(k) AS gu,
+        arrayStringConcat(array_sort(groupArray(k)), '|') AS asc1,
+        has(groupUniqArray(k), 'beta') AS hb,
+        dateDiff(DAY, MIN(ts), MAX(ts)) AS dd,
+        dateDiff(HOUR, MIN(ts), MAX(ts)) AS dh,
+        MIN(toStartOfWeek(ts)) AS wk,
+        MIN(toYYYYMM(ts)) AS ym,
+        MIN(position(k, 'a')) AS pa,
+        countIf(startsWith(k, 'al')) AS sw,
+        countIf(endsWith(k, 'ta')) AS ew,
+        intDiv(CAST(SUM(v) AS BIGINT), 3) AS idv,
+        toString(MAX(id)) AS ts1, toInt32(MAX(v)) AS i32,
+        toFloat64(MAX(id)) AS f64,
+        ifNull(MAX(CAST(NULL AS STRING)), 'dflt') AS ifn,
+        MAX(nullIf(k, 'gamma')) AS nif
+      FROM compat_fn6""").collect().head
+    assert(r.getAs[Double]("qe") == 25.0) // interpolated exact median
+    assert(r.getAs[Double]("md") == 25.0)
+    // the GK sketch at 4 values must land on an actual value near p50
+    assert(Set(20.0, 30.0)(r.getAs[Double]("qa")))
+    assert(r.getAs[scala.collection.Seq[Double]]("qs").size == 2)
+    assert(math.abs(r.getAs[Double]("ss") - 12.909944487358056) < 1e-9)
+    assert(r.getAs[Double]("vp") == 125.0)
+    assert(r.getAs[Double]("av") == 25.0)
+    assert(r.getAs[Double]("mn") == 20.0 && r.getAs[Double]("mx") == 30.0)
+    assert(r.getAs[scala.collection.Seq[String]]("gu").toSet ==
+      Set("alpha", "beta", "gamma"))
+    assert(r.getAs[String]("asc1") == "alpha|alpha|beta|gamma")
+    assert(r.getAs[Boolean]("hb"))
+    // dateDiff is Spark's parser-owned builtin (unquoted unit — the CH
+    // quoted spelling can't be intercepted by the registry, see the
+    // Compat note): complete units between the endpoints —
+    // 4d13h59m59s apart → 4 full days, 109 full hours
+    assert(r.getAs[Long]("dd") == 4L)
+    assert(r.getAs[Long]("dh") == 109L)
+    assert(r.getAs[java.sql.Date]("wk").toString == "2024-02-26") // Monday
+    assert(r.getAs[Int]("ym") == 202403)
+    assert(r.getAs[Int]("pa") == 1) // 'a' in alpha at 1; min over keys
+    assert(r.getAs[Long]("sw") == 2L && r.getAs[Long]("ew") == 1L)
+    assert(r.getAs[Long]("idv") == 33L) // 100 div 3
+    assert(r.getAs[String]("ts1") == "4")
+    assert(r.getAs[Int]("i32") == 40)
+    assert(r.getAs[Double]("f64") == 4.0)
+    assert(r.getAs[String]("ifn") == "dflt")
+    assert(r.getAs[String]("nif") == "beta") // gamma nulled away
+    // arrayJoin is the row-multiplying unnest (CH semantics)
+    val n = spark.sql(
+      "SELECT arrayJoin(array(1, 2, 3)) AS x FROM (SELECT 1)").count()
+    assert(n == 3L)
+    // now() resolves (value asserted only to be recent-ish)
+    val t = spark.sql("SELECT now() AS t").collect().head
+      .getAs[java.sql.Timestamp]("t")
+    assert(math.abs(t.getTime - System.currentTimeMillis()) < 60000L)
+  }
 }
