@@ -38,5 +38,9 @@ object RewriteIpPredicates extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIpPredicates)
+    // ClickHouse-PROJECTION routing: aggregates over a registered tx
+    // base table are served from its materialized view when covered
+    // and current (see graft.plans.Projections)
+    e.injectOptimizerRule(_ => graft.plans.ProjectionRewrite)
   }
 }

@@ -614,6 +614,58 @@ object MiscQueries {
       MaterializedView.read(s, mvT, mv).orderBy("date", "event_type")
     }),
 
+    // ClickHouse PROJECTION as a gate: the MV is registered as a
+    // projection of its base table and the query is written AGAINST
+    // THE BASE — coarser grouping + a date filter — yet must be SERVED
+    // from the MV (the gate requires every scanned file to be an MV
+    // file before returning; the optimizer rule re-merges the partial
+    // states). Any divergence between the projection route and the
+    // true base aggregate hash-mismatches against the oracle, which
+    // computes straight from events.
+    "qtx_projection" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"),
+        col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_proj_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val (baseT, mvT) = (s"$base/base", s"$base/mv")
+      val mv = MaterializedView.MvDef(
+        Seq("date", "event_type"),
+        Seq(MaterializedView.SumState("cents", "cents"),
+          MaterializedView.CountState("n"),
+          MaterializedView.MinState("cents", "c_min"),
+          MaterializedView.MaxState("cents", "c_max"),
+          MaterializedView.AvgState("cents", "c_avg")))
+      TxTable.append(s, ev, baseT)
+      require(MaterializedView.refresh(s, baseT, mvT, mv) >= 0,
+        "projection refresh must apply")
+      graft.plans.Projections.register(s, baseT, mvT, mv)
+      val b = ev.agg(min("date").as("lo"), max("date").as("hi"))
+        .select(col("lo"), datediff(col("hi"), col("lo")).as("span"))
+        .collect().head
+      val cut = b.getDate(0).toLocalDate.plusDays(b.getInt(1) / 2L)
+      val q = TxFileIndex.readV2(s, baseT)
+        .filter(col("date") >= lit(java.sql.Date.valueOf(cut)))
+        .groupBy("event_type")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"),
+          min("cents").as("c_min"), max("cents").as("c_max"),
+          avg("cents").as("c_avg"))
+        .orderBy("event_type")
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains("/mv/")),
+        "the query against the base table must be served by the projection")
+      q
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -899,6 +951,21 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e GROUP BY date, event_type
         |ORDER BY date, event_type""".stripMargin,
+    // the projection route must equal the straight aggregate over the
+    // filtered fact rows — computed here with no MV in sight
+    "qtx_projection" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM e),
+        |k AS (SELECT lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER)
+        |  AS cut FROM b)
+        |SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(cents) AS BIGINT) AS c_min,
+        |  CAST(MAX(cents) AS BIGINT) AS c_max,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
+        |FROM e, k WHERE date >= cut
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "qsink_roundtrip" ->
       s"""${graft.flow.FlowSql.summedCte}
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,

@@ -164,6 +164,22 @@ object MaterializedView {
   }
 
   /** Base version the MV has applied through (-1: never refreshed). */
+  /** True iff the MV covers every data-adding commit of the base —
+    * rewrite commits (compact / merge / z-order / retention) beyond
+    * the high-water mark don't count, exactly as [[refresh]] skips
+    * them. The projection-routing rule ([[graft.plans.Projections]])
+    * refuses to serve a query from a stale MV: staleness degrades to
+    * the base scan, never to a wrong answer.
+    */
+  def isCurrent(spark: SparkSession, baseTable: String,
+      mvTable: String): Boolean = {
+    val applied = lastApplied(spark, mvTable)
+    val (fs, root) = TxTable.fsFor(spark, baseTable)
+    val cur = TxTable.currentVersion(spark, baseTable)
+    cur >= 0 &&
+      (cur == applied || TxTable.appendedIn(fs, root, applied, cur).isEmpty)
+  }
+
   def lastApplied(spark: SparkSession, mvTable: String): Long = {
     val (fs, root) = TxTable.fsFor(spark, mvTable)
     TxTable.txnHighWater(fs, root).getOrElse(WriterApp, -1L)

@@ -32,6 +32,10 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
   private val qroot = fs.makeQualified(root)
 
+  /** Canonical table root — how [[graft.plans.Projections]] recognizes
+    * a scan of a registered base table inside a logical plan. */
+  def tableRoot: Path = qroot
+
   /** (date string, files with log-recorded sizes + stats), one log replay. */
   @volatile private var byDate:
       Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] = load()
