@@ -927,19 +927,7 @@ object TxTable {
     val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
       .sorted.filter(d => dates.forall(_.contains(d)))
     val df = read(spark, table, Some(targetDates))
-    (keys :+ versionCol).foreach(c =>
-      require(df.columns.contains(c), s"no column $c"))
-    require(!keys.contains(versionCol), "version column cannot be a key")
-    val keyCols = ("date" +: keys.filterNot(_ == "date")).distinct
-    val payload = versionCol +: df.columns
-      .filterNot(c => keyCols.contains(c) || c == versionCol).toSeq
-    val latest = df
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(struct(payload.map(col): _*)).as("__w"))
-    // restore the original column order
-    val restored = latest.select(df.columns.toSeq.map { c =>
-      if (keyCols.contains(c)) col(c) else col("__w").getField(c).as(c)
-    }: _*)
+    val restored = latestPerKey(df, keys, versionCol)
     val adds = stage(prep(restored), fs, root)
     val removes = snapshotFiles(fs, root)
       .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
@@ -1062,6 +1050,65 @@ object TxTable {
         }
       }
     }
+  }
+
+  /** `system.parts` analog: the table's live file inventory as a
+    * DataFrame, straight from the commit log — ClickHouse operators
+    * live in `SELECT ... FROM system.parts WHERE table = ...` and this
+    * is that surface for the tx table (partition, path, bytes, and the
+    * logged skipping metadata per file). Zero data I/O and zero
+    * filesystem listing: it is a projection of replayed log state, so
+    * it also answers "how many files/bytes will query X touch" style
+    * capacity questions offline.
+    */
+  def parts(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val rows = liveStats(spark, table).toSeq.map { case (rel, m) =>
+      val (ranges, blooms) = m.stats.partition(_._2.typ != 'b')
+      (m.date, rel, m.bytes,
+        ranges.map { case (c, st) => (c, st.min, st.max) }.toSeq
+          .sortBy(_._1),
+        blooms.keys.toSeq.sorted)
+    }
+    rows.toDF("date", "path", "bytes", "column_ranges", "bloom_columns")
+      .select(to_date(col("date")).as("date"), col("path"), col("bytes"),
+        col("column_ranges").cast(
+          "array<struct<column:string,min:string,max:string>>"),
+        col("bloom_columns"))
+      .orderBy("date", "path")
+  }
+
+  /** ClickHouse `SELECT ... FINAL` on a Replacing-style table: the
+    * keep-latest-version collapse of [[compactReplacing]] applied at
+    * READ time, without rewriting anything — correct results over a
+    * table whose background merge hasn't caught up. Same key scoping
+    * (per date partition) and same deterministic version-led
+    * tie-break, so `readFinal` before a merge ≡ `read` after it.
+    */
+  def readFinal(spark: SparkSession, table: String, keys: Seq[String],
+      versionCol: String): DataFrame =
+    latestPerKey(read(spark, table), keys, versionCol)
+
+  /** The Replacing collapse shared by [[compactReplacing]] (write
+    * time) and [[readFinal]] (read time): max-version row per
+    * (date, keys), version-led struct MAX (one candidate per partial
+    * aggregate on the wire), deterministic payload tie-break, original
+    * column order restored.
+    */
+  private def latestPerKey(df: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keys.nonEmpty, "replacing collapse needs a key")
+    (keys :+ versionCol).foreach(c =>
+      require(df.columns.contains(c), s"no column $c"))
+    require(!keys.contains(versionCol), "version column cannot be a key")
+    val keyCols = ("date" +: keys.filterNot(_ == "date")).distinct
+    val payload = versionCol +: df.columns
+      .filterNot(c => keyCols.contains(c) || c == versionCol).toSeq
+    val latest = df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__w"))
+    latest.select(df.columns.toSeq.map { c =>
+      if (keyCols.contains(c)) col(c) else col("__w").getField(c).as(c)
+    }: _*)
   }
 
   /** W7 TTL on the tx path: one metadata-only commit removes every file

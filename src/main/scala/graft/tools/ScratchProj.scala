@@ -1,47 +1,32 @@
 package graft.tools
-// throwaway profiler/debugger for the projection route — not product code
+// throwaway profiler for the tx stage path — not product code
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.plans.Projections
-import graft.sink.{MaterializedView, TxFileIndex, TxTable}
-import graft.sink.MaterializedView._
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
+import graft.sink.TxTable
 
 object ScratchProj {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_projdbg").toString
-    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
-    val mv = MvDef(Seq("date", "event_type"),
-      Seq(SumState("cents", "cents"), CountState("n")))
-    def d(s: String) = java.sql.Date.valueOf(s)
-    TxTable.append(spark, Seq(
-      (d("2024-03-01"), "view", 10L), (d("2024-03-01"), "click", 7L)
-    ).toDF("date", "event_type", "cents"), baseT)
-    println("refresh=" + MaterializedView.refresh(spark, baseT, mvT, mv))
-    Projections.register(spark, baseT, mvT, mv)
-    println("isCurrent=" + MaterializedView.isCurrent(spark, baseT, mvT))
-    val q = TxFileIndex.readV2(spark, baseT).groupBy("event_type")
-      .agg(sum("cents").as("cents"))
-    println("=== analyzed ===\n" + q.queryExecution.analyzed)
-    println("=== optimized ===\n" + q.queryExecution.optimizedPlan)
-    q.collect().foreach(println)
-    val ep = q.queryExecution.executedPlan
-    println("=== executed class: " + ep.getClass.getSimpleName)
-    val fin = ep match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+    val d = "/root/testdata/sf0.1"
+    val summed = FlowPipeline.run(SyntheticFlows.flows(spark, d),
+      SyntheticFlows.pods(spark, d), SyntheticFlows.nodes(spark, d),
+      SyntheticFlows.prefixes(spark, d), FlowConfig()).cache()
+    println("rows=" + summed.count())
+    def t[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$l%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
-    println("=== final ===\n" + fin)
-    val scans = fin.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    println("scans=" + scans.size +
-      " files=" + scans.flatMap(_.relation.location.inputFiles).mkString(","))
+    (1 to 2).foreach { i =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stageprof").toString + "/t"
+      t(s"append#$i")(TxTable.append(spark, summed, dir))
+      t(s"zorder#$i")(TxTable.zorder(spark, dir,
+        Seq("direction", "proto_name")))
+    }
   }
 }

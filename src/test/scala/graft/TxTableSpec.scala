@@ -562,7 +562,21 @@ class TxTableSpec extends AnyFunSuite {
       (d("2024-03-01"), 2L, "z", 5L, 1L)
     ).toDF("date", "k", "tag", "cents", "ver"), path)
     val before = TxTable.liveFiles(spark, path).keys.toSet
+    // SELECT ... FINAL: the read-time collapse must equal what the
+    // background merge will produce, while the table still holds dups
+    val fin = TxTable.readFinal(spark, path, Seq("k"), "ver")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSet
     TxTable.compactReplacing(spark, path, Seq("k"), "ver")
+    assert(fin == TxTable.read(spark, path)
+      .select("date", "k", "tag", "cents", "ver")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(4))).toSet,
+      "readFinal before the merge == read after it")
+    // system.parts analog reflects the post-merge inventory
+    val parts = TxTable.parts(spark, path).collect()
+    assert(parts.length == TxTable.liveFiles(spark, path).size &&
+      parts.map(_.getAs[Long]("bytes")).forall(_ > 0))
     val got = TxTable.read(spark, path)
       .select("date", "k", "tag", "cents", "ver")
       .collect().map(r => (r.getDate(0).toString, r.getLong(1),
