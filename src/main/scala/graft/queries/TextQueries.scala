@@ -175,6 +175,29 @@ object TextQueries {
       .select("a_id", "b_id", "inter", "union_n")
   }
 
+  /** EVERY shingle-intersecting pair with exact (inter, union) counts
+    * over the df-capped universe — [[jaccardPairs]] without its ≥0.5
+    * cut. Feeds the LSH evaluation gate, which needs the low-Jaccard
+    * tail to show what the bands correctly DON'T catch.
+    */
+  private def jaccardAllPairs(s: SparkSession, d: String): DataFrame = {
+    val all = graft.ops.CacheRegistry.track(shingles(corpus(s, d)))
+    val sh = graft.ops.CacheRegistry.track(
+      all.join(
+        all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MAX_SHINGLE_DF).select("s"), "s")
+        .select("doc_id", "s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("a_id", "s")
+    val b = sh.toDF("b_id", "s2")
+    a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .select("a_id", "b_id", "inter", "union_n")
+  }
+
   /** Dedup CLUSTER formation: connected components over the union of
     * exact-duplicate edges (same md5) and verified near-dup edges
     * (jaccardPairs), by min-label propagation to fixpoint. The result —
@@ -349,6 +372,34 @@ object TextQueries {
           col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
         .orderBy("a_id", "b_id")
+    }),
+
+    // LSH QUALITY EVALUATION — the S-curve measured on real data, the
+    // text sibling of qv_recall: every shingle-intersecting pair is
+    // scored with its EXACT Jaccard decile, LEFT-joined against the
+    // banded candidate set, and the per-decile (pairs, caught) counts
+    // come back as integers. High deciles must be caught (recall of
+    // the 8×4 bands), low deciles mostly not (precision = candidate
+    // set stays subquadratic) — and because the counts are exact and
+    // deterministic, the whole curve sits behind the hash oracle, not
+    // a tolerance check.
+    "qt_lsh_eval" -> ((s, d) => {
+      val pairs = jaccardAllPairs(s, d)
+      val banded = graft.ops.CacheRegistry.track(
+        minhashBanded(shingles(corpus(s, d))))
+      val a = banded.toDF("a_id", "band", "bh")
+      val b = banded.toDF("b_id", "band2", "bh2")
+      val cands = a.join(b, col("band") === col("band2") &&
+          col("bh") === col("bh2") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .withColumn("caught", lit(1L))
+      pairs.join(cands, Seq("a_id", "b_id"), "left")
+        .withColumn("decile",
+          least(lit(9), expr("(inter * 10) div union_n").cast("int")))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+        .orderBy("decile")
     }),
 
     // INCREMENTAL ingest dedup — the production shape of near-dup at
@@ -622,6 +673,33 @@ object TextQueries {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    // exact per-decile detection curve: intersecting pairs over the
+    // df-capped shingle universe vs the banded candidate set
+    "qt_lsh_eval" ->
+      s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()},
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+         |shr AS (SELECT sh.doc_id, sh.s FROM sh
+         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+         |ij AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id, i_n, sa.n + sb.n - i_n AS u_n
+         |  FROM ij JOIN sizes sa ON a_id = sa.doc_id
+         |  JOIN sizes sb ON b_id = sb.doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT LEAST(9, CAST((i_n * 10) // u_n AS INTEGER)) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught
+         |FROM pairs LEFT JOIN cand
+         |  ON pairs.a_id = cand.a_id AND pairs.b_id = cand.b_id
+         |GROUP BY 1 ORDER BY decile""".stripMargin,
     "qt_incr_dedup" ->
       s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()}
          |SELECT n.doc_id AS doc_id,

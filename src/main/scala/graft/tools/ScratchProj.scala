@@ -1,5 +1,5 @@
 package graft.tools
-// throwaway profiler for the tx stage path — not product code
+// throwaway profiler for the tx merge path — not product code
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
@@ -23,10 +23,24 @@ object ScratchProj {
     }
     (1 to 2).foreach { i =>
       val dir = java.nio.file.Files
-        .createTempDirectory("graft_stageprof").toString + "/t"
+        .createTempDirectory("graft_mergeprof").toString + "/t"
       t(s"append#$i")(TxTable.append(spark, summed, dir))
-      t(s"zorder#$i")(TxTable.zorder(spark, dir,
-        Seq("direction", "proto_name")))
+      val b = summed.agg(
+        min(unix_micros(col("interval_start"))).as("lo"),
+        max(unix_micros(col("interval_start"))).as("hi")).collect().head
+      val cut = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+      val upd = summed
+        .filter(unix_micros(col("interval_start")) >= cut)
+        .withColumn("bytes", col("bytes") * 2)
+        .withColumn("packets", col("packets") * 2)
+      val ins = upd
+        .withColumn("interval_start",
+          col("interval_start") + expr("INTERVAL 30 DAYS"))
+        .withColumn("date", date_add(col("date"), 30))
+      val keys = summed.columns.toSeq
+        .filterNot(Set("bytes", "packets", "n_obs"))
+      t(s"merge#$i")(TxTable.merge(spark, upd.unionByName(ins), dir, keys))
+      t(s"readback#$i")(TxTable.read(spark, dir).count())
     }
   }
 }
