@@ -350,6 +350,24 @@ object FlowQueries {
         GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // CH PARAMETRIC SYNTAX end-to-end: literal ClickHouse text —
+    // quantileExact(p)(x) parametric calls, bare count(), a FORMAT
+    // clause — through Compat.chSql's paren-aware shim into Spark's
+    // parser, hash-matched against DuckDB's quantile_cont (Percentile
+    // interpolates identically; proven in q_compat_funcs2's median)
+    "q_compat_parametric" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("events_compat")
+      graft.sql.Compat.chSql(s, """
+        SELECT event_type,
+          quantileExact(0.5)(toInt64(ROUND(value * 100, 0))) AS med_cents,
+          quantileExact(0.9)(toInt64(ROUND(value * 100, 0))) AS p90_cents,
+          count() AS n
+        FROM events_compat
+        GROUP BY event_type
+        ORDER BY event_type
+        FORMAT TabSeparated""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -522,6 +540,15 @@ object FlowQueries {
          |  CAST(COUNT(DISTINCT local_pod) AS BIGINT) AS n_pods,
          |  ${sqlIpStr("MIN(local_ip)")} AS min_ip
          |FROM c GROUP BY d, h ORDER BY h""".stripMargin,
+
+    "q_compat_parametric" ->
+      """SELECT event_type,
+        |  CAST(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5)
+        |    AS DOUBLE) AS med_cents,
+        |  CAST(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.9)
+        |    AS DOUBLE) AS p90_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // ANSI equivalents for every oracled CH spelling; isodow matches
     // the Monday=1 contract, floor(epoch()) matches the long cast,

@@ -182,6 +182,90 @@ object Compat {
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp())
   }
 
+  /** ClickHouse SYNTAX shim: the dialect differences that are not a
+    * function registration but a parse-level spelling. A CH user's
+    * literal query text runs via [[chSql]] unchanged:
+    *
+    *  - parametric aggregate calls `name(params)(args)` flatten to the
+    *    registered `name(params, args)` form (`quantile(0.5)(x)` →
+    *    `quantile(0.5, x)`), with a paren- and string-aware scan — a
+    *    regex would mangle nested calls and quoted parens;
+    *  - bare `count()` becomes `count(*)`;
+    *  - a trailing `FORMAT <name>` clause (output formatting — the
+    *    attached client's job in Spark) is stripped.
+    *
+    * Deliberately NOT a SQL parser: everything else in the CH dialect
+    * either already parses (Spark accepts the shared SQL core) or is a
+    * registered function. Unknown parametric names pass through
+    * untouched and fail analysis with a clear message.
+    */
+  private val parametricNames = Set("quantile", "quantiles",
+    "quantileexact", "quantiletiming", "topk", "histogram", "uniqupto",
+    "windowfunnel", "sequencematch", "sequencecount", "retention")
+
+  def translateCh(sql: String): String = {
+    val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")
+    val n = noFormat.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = noFormat.charAt(i)
+      if (c == '\'') {
+        // string literal, '' escapes included, copied verbatim
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          sb.append(noFormat.charAt(i))
+          if (noFormat.charAt(i) == '\'') {
+            if (i + 1 < n && noFormat.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 1
+            } else open = false
+          }
+          i += 1
+        }
+      } else if (isIdent(c) && (i == 0 || !isIdent(noFormat.charAt(i - 1)))) {
+        val s0 = i
+        while (i < n && isIdent(noFormat.charAt(i))) i += 1
+        val ident = noFormat.substring(s0, i)
+        if (ident.equalsIgnoreCase("count") && i < n &&
+            noFormat.substring(i).matches("(?s)\\s*\\(\\s*\\).*")) {
+          sb.append(ident)
+          while (noFormat.charAt(i) != ')') { i += 1 }
+          sb.append("(*)"); i += 1
+        } else if (parametricNames(ident.toLowerCase) && i < n &&
+            noFormat.charAt(i) == '(') {
+          // find the matching ')' of the parameter group
+          var j = i; var depth = 0; var inStr = false; var closed = false
+          while (j < n && !closed) {
+            val ch = noFormat.charAt(j)
+            if (inStr) { if (ch == '\'') inStr = false }
+            else if (ch == '\'') inStr = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') { depth -= 1; if (depth == 0) closed = true }
+            j += 1
+          }
+          var k = j
+          while (k < n && noFormat.charAt(k).isWhitespace) k += 1
+          if (closed && k < n && noFormat.charAt(k) == '(') {
+            // name(params)(args) → name(params, args)
+            sb.append(ident)
+            sb.append(noFormat.substring(i, j - 1)).append(", ")
+            i = k + 1
+          } else sb.append(ident) // plain call — copy as-is from '('
+        } else sb.append(ident)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Run literal ClickHouse-dialect SQL: register the function pack,
+    * apply the syntax shim, hand the result to Spark's parser. */
+  def chSql(spark: SparkSession, sql: String): DataFrame = {
+    registerClickHouseFunctions(spark)
+    spark.sql(translateCh(sql))
+  }
+
   /** summing-table rows -> the reference's column names and shapes. */
   def compatView(summed: DataFrame): DataFrame =
     summed.select(

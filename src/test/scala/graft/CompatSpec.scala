@@ -178,4 +178,40 @@ class CompatSpec extends AnyFunSuite {
       .getAs[java.sql.Timestamp]("t")
     assert(math.abs(t.getTime - System.currentTimeMillis()) < 60000L)
   }
+
+  test("CH syntax shim: parametric calls flatten, count() and FORMAT " +
+      "normalize, strings and non-parametric groups survive verbatim") {
+    import Compat.translateCh
+    assert(translateCh("SELECT quantile(0.5)(v) FROM t")
+      == "SELECT quantile(0.5, v) FROM t")
+    assert(translateCh("SELECT quantiles(0.25, 0.75)(v + f(x)) FROM t")
+      == "SELECT quantiles(0.25, 0.75, v + f(x)) FROM t")
+    // nested parens inside the parameter group
+    assert(translateCh("SELECT quantileExact(least(0.5, p))(v) FROM t")
+      == "SELECT quantileExact(least(0.5, p), v) FROM t")
+    // parens inside a string parameter stay inert
+    assert(translateCh("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
+      == "SELECT sequenceMatch('(?1)(?2)', ts, a, b) FROM t")
+    assert(translateCh("SELECT count() FROM t") == "SELECT count(*) FROM t")
+    assert(translateCh("SELECT count(DISTINCT x) FROM t")
+      == "SELECT count(DISTINCT x) FROM t")
+    assert(translateCh("SELECT x FROM t FORMAT JSONEachRow")
+      == "SELECT x FROM t")
+    assert(translateCh("SELECT x FROM t FORMAT TabSeparated;")
+      == "SELECT x FROM t")
+    // a string mentioning FORMAT mid-query is not a clause
+    assert(translateCh("SELECT 'FORMAT JSON' AS s FROM t")
+      == "SELECT 'FORMAT JSON' AS s FROM t")
+    // non-parametric adjacency untouched (a lambda call, a cast chain)
+    assert(translateCh("SELECT (a)(b) FROM t") == "SELECT (a)(b) FROM t")
+    assert(translateCh("SELECT quantile(0.5) FROM t")
+      == "SELECT quantile(0.5) FROM t") // no second group → plain call
+    // end-to-end: literal CH text through chSql
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .createOrReplaceTempView("compat_param")
+    val r = Compat.chSql(spark, """
+      SELECT quantileExact(0.5)(v) AS med, count() AS n
+      FROM compat_param FORMAT Pretty""").collect().head
+    assert(r.getDouble(0) == 20.0 && r.getLong(1) == 3L)
+  }
 }
