@@ -522,6 +522,33 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // TTL GROUP BY rollup aging as a gate: the older half of the raw
+    // event table is re-aggregated per (date, event_type) — cents
+    // summed, user_id taking the deterministic per-group MIN — behind
+    // one atomic swap, while the recent half stays raw. The read-back
+    // splits by rolled/raw: n_rows proves old partitions collapsed and
+    // recent ones didn't, cents proves the sums aged losslessly, u_sum
+    // pins the deterministic any-value pick.
+    "qtx_rollup" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopy(s, d, ev, "rollup", kind = "events_raw")
+      val b = ev.agg(min("date").as("lo"), max("date").as("hi"))
+        .select(col("lo"), datediff(col("hi"), col("lo")).as("span"))
+        .collect().head
+      val cutoff = b.getDate(0).toLocalDate.plusDays(b.getInt(1) / 2L)
+      val rolledDates = TxTable.retentionRollup(s, table, cutoff,
+        Seq("event_type"), Seq("cents"))
+      require(rolledDates.nonEmpty, "the cutoff must roll some dates")
+      TxFileIndex.readV2(s, table)
+        .groupBy((col("date") < lit(java.sql.Date.valueOf(cutoff)))
+          .as("rolled"), col("event_type"))
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n_rows"),
+          sum("user_id").as("u_sum"))
+        .orderBy("rolled", "event_type")
+    }),
+
     // ADDITIVE SCHEMA EVOLUTION as a gate: generation 1 lands without
     // the `tag` column, generation 2 appends WITH it — the commit log's
     // schema action then governs the scan, so gen-1 files read tag as
@@ -710,6 +737,27 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rolled half re-aggregated per (date, event_type) with MIN user,
+    // raw half verbatim — then the same rolled/raw split readback
+    "qtx_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM e),
+        |k AS (SELECT lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER)
+        |  AS cutoff FROM b),
+        |merged AS (
+        |  SELECT date, event_type, MIN(user_id) AS user_id,
+        |    SUM(cents) AS cents
+        |  FROM e, k WHERE date < cutoff GROUP BY date, event_type
+        |  UNION ALL
+        |  SELECT date, event_type, user_id, cents
+        |  FROM e, k WHERE date >= cutoff)
+        |SELECT (m.date < k.cutoff) AS rolled, m.event_type,
+        |  CAST(SUM(m.cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(m.user_id) AS BIGINT) AS u_sum
+        |FROM merged m, k
+        |GROUP BY 1, 2 ORDER BY rolled, event_type""".stripMargin,
     // both generations replayed from customer: gen-1 rows read the
     // post-evolution schema with tag NULL
     "qtx_evolution" ->

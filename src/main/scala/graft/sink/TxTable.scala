@@ -1111,6 +1111,55 @@ object TxTable {
     }: _*)
   }
 
+  /** ClickHouse `TTL ... GROUP BY ... SET x = sum(x)` — rollup AGING:
+    * partitions older than `cutoff` are re-aggregated to a coarser
+    * grain instead of deleted, so old data keeps answering dashboard
+    * aggregates at a fraction of the bytes (the classic ops-metrics
+    * retention policy: raw minutes for a month, per-day rollups
+    * forever). Scoped per date partition like every other maintenance
+    * op: rows group by (date ∪ groupKeys), `sumCols` sum, and every
+    * remaining column takes its per-group MIN — ClickHouse keeps "any
+    * value" there, a distributed engine needs the deterministic pick.
+    * Schema is unchanged (sums must already be long/double — a rollup
+    * that retypes columns would break old readers), recent partitions
+    * are untouched, and the swap is one atomic remove+add commit; old
+    * files stay for time travel until [[vacuum]]. Returns the rolled
+    * dates.
+    */
+  def retentionRollup(spark: SparkSession, table: String,
+      cutoff: java.time.LocalDate, groupKeys: Seq[String],
+      sumCols: Seq[String]): Seq[String] = {
+    require(sumCols.nonEmpty, "rollup needs at least one SET x = sum(x)")
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    // ISO date strings order lexicographically
+    val expired = live.values.map(_.date).toSet.filter(_ < cutoff.toString)
+    if (expired.isEmpty) return Seq.empty
+    val df = read(spark, table, Some(expired.toSeq.sorted))
+    val keyCols = ("date" +: groupKeys.filterNot(_ == "date")).distinct
+    (groupKeys ++ sumCols).foreach(c =>
+      require(df.columns.contains(c), s"no column $c"))
+    sumCols.foreach { c =>
+      val t = df.schema(c).dataType.typeName
+      require(t == "long" || t == "double",
+        s"sum column $c must be long/double to keep the schema ($t)")
+      require(!keyCols.contains(c), s"sum column $c cannot be a key")
+    }
+    val others = df.columns
+      .filterNot(c => keyCols.contains(c) || sumCols.contains(c)).toSeq
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      others.map(c => min(col(c)).as(c))
+    val rolled = df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+    val adds = stage(prep(rolled), fs, root)
+    val removes = live.collect {
+      case (rel, m) if expired(m.date) => rel
+    }.toSeq
+    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, rolled))
+    expired.toSeq.sorted
+  }
+
   /** W7 TTL on the tx path: one metadata-only commit removes every file
     * of every expired date — no data I/O at all at commit time; bytes
     * are reclaimed later by [[vacuum]]. Returns the dropped dates.

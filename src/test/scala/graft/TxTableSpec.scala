@@ -594,6 +594,49 @@ class TxTableSpec extends AnyFunSuite {
     assert(v1.count() == 6)
   }
 
+  test("rollup aging: expired partitions collapse to the rollup grain " +
+    "behind one swap; recent partitions keep their exact files") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txroll").toString + "/t"
+    TxTable.append(spark, Seq(
+      (d("2024-03-01"), "view", 7L, 10L), (d("2024-03-01"), "view", 3L, 30L),
+      (d("2024-03-01"), "click", 9L, 5L), (d("2024-03-05"), "view", 1L, 100L),
+      (d("2024-03-05"), "click", 2L, 11L)
+    ).toDF("date", "event_type", "user_id", "cents"), path)
+    val recentBefore = TxTable.liveStats(spark, path)
+      .collect { case (rel, m) if m.date == "2024-03-05" => rel }.toSet
+    val rolled = TxTable.retentionRollup(spark, path,
+      java.time.LocalDate.parse("2024-03-03"), Seq("event_type"),
+      Seq("cents"))
+    assert(rolled == Seq("2024-03-01"))
+    val recentAfter = TxTable.liveStats(spark, path)
+      .collect { case (rel, m) if m.date == "2024-03-05" => rel }.toSet
+    assert(recentAfter == recentBefore,
+      "recent partitions must keep their exact files (no rewrite)")
+    val got = TxTable.read(spark, path)
+      .select("date", "event_type", "user_id", "cents")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("2024-03-01", "view", 3L, 40L),   // summed cents, MIN user
+      ("2024-03-01", "click", 9L, 5L),
+      ("2024-03-05", "view", 1L, 100L),  // raw
+      ("2024-03-05", "click", 2L, 11L)))
+    // a second rollup with the same cutoff is a no-op grain-wise
+    TxTable.retentionRollup(spark, path,
+      java.time.LocalDate.parse("2024-03-03"), Seq("event_type"),
+      Seq("cents"))
+    assert(TxTable.read(spark, path).count() == 4)
+    // retyping guard: a sum over a non-numeric column is refused
+    intercept[IllegalArgumentException] {
+      TxTable.retentionRollup(spark, path,
+        java.time.LocalDate.parse("2024-03-09"), Seq("event_type"),
+        Seq("event_type"))
+    }
+  }
+
   test("bloom skip index: equality on a non-sort-key column skips files " +
     "from log filters alone; never a false negative; ranges don't consult it") {
     import graft.sink.{Bloom, TxFileIndex}
