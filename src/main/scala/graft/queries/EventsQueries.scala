@@ -83,6 +83,22 @@ object EventsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fixed-bin histogram (the deterministic sibling of ClickHouse's
+    // adaptive histogram()): 10 equal-width bins over the corpus
+    // [min, max], per event type — bin edges computed once driver-side
+    // and re-derived identically in the oracle, bin membership by the
+    // same IEEE expression on both engines
+    "q_histogram" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d)
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+        .collect().head
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      ev.withColumn("bin", least(lit(9),
+          floor((col("value") - lit(lo)) / lit(hi - lo) * 10).cast("int")))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
     // windowFunnel analog — see [[funnelStages]]; the gate aggregates
     // stage depth over the whole population.
     "q_funnel" -> ((s, d) => {
@@ -212,6 +228,15 @@ object EventsQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // identical IEEE bin expression, edges re-derived from the corpus
+    "q_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        |SELECT event_type,
+        |  LEAST(9, CAST(FLOOR((value - lo) / (hi - lo) * 10) AS INTEGER))
+        |    AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events, b
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
     // chained-min formulation — provably equal to the stage-machine fold
     // when timestamps are strictly ordered per comparison (both sides
     // use strict `>` between stages, so equal-ts events can't satisfy

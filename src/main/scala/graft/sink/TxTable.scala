@@ -1078,6 +1078,36 @@ object TxTable {
       .orderBy("date", "path")
   }
 
+  /** DESCRIBE HISTORY analog (Delta's spelling of ClickHouse's
+    * `system.part_log`): one row per commit version with the operation
+    * class inferred from its action shape — `append` (adds only),
+    * `rewrite` (adds+removes: compact / merge / z-order / rollup /
+    * overwrite), `retention` (removes only), `mark` (txn high-water
+    * only) — plus add/remove/byte counts and the commit file's mtime.
+    * Versions already swept by [[expireLog]] are absent, exactly as
+    * their commits are. Pure log metadata; no data I/O.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, table)
+    val rows = listVersions(fs, root).sorted.map { v =>
+      val acts = readCommit(fs, root, v)
+      val adds = acts.count(_.add.isDefined)
+      val removes = acts.size - adds
+      val op =
+        if (adds > 0 && removes > 0) "rewrite"
+        else if (adds > 0) "append"
+        else if (removes > 0) "retention"
+        else "mark"
+      val bytes = acts.flatMap(_.add).map(_.bytes).sum
+      val ts = fs.getFileStatus(versionFile(root, v)).getModificationTime
+      (v, op, adds.toLong, removes.toLong, bytes,
+        new java.sql.Timestamp(ts))
+    }
+    rows.toDF("version", "operation", "n_added", "n_removed",
+      "bytes_added", "commit_time")
+  }
+
   /** ClickHouse `SELECT ... FINAL` on a Replacing-style table: the
     * keep-latest-version collapse of [[compactReplacing]] applied at
     * READ time, without rewriting anything — correct results over a

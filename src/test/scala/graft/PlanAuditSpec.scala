@@ -123,6 +123,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), "custom IP expressions must not break codegen")
   }
 
+  test("qt_lsh_eval: pair scoring and candidate probe are hash joins — " +
+    "no cartesian anywhere in the evaluation") {
+    val p = plan("qt_lsh_eval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_histogram: binning partial-aggregates below the exchange") {
+    val p = plan("q_histogram")
+    assert("partial_count".r.findFirstIn(p).isDefined ||
+      p.contains("partial"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("qt_simhash: single exchange of |docs| rows — no position/bit explode") {
     val p = plan("qt_simhash")
     // one groupBy shuffle (plus AQE may show none for the tiny orderBy);

@@ -635,6 +635,15 @@ class TxTableSpec extends AnyFunSuite {
         java.time.LocalDate.parse("2024-03-09"), Seq("event_type"),
         Seq("event_type"))
     }
+    // DESCRIBE HISTORY classifies the commits we just made
+    val hist = TxTable.history(spark, path)
+      .orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.take(3).toSeq ==
+      Seq((0L, "append"), (1L, "rewrite"), (2L, "rewrite")))
+    assert(TxTable.history(spark, path)
+      .filter(col("n_added") > 0)
+      .agg(sum("bytes_added")).collect().head.getLong(0) > 0)
   }
 
   test("bloom skip index: equality on a non-sort-key column skips files " +
