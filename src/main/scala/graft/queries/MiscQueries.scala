@@ -100,7 +100,15 @@ object MiscQueries {
     */
   private def txBaseCopy(s: SparkSession, d: String,
       summed: => DataFrame, runTag: String,
-      kind: String = "flow"): String = synchronized {
+      kind: String = "flow"): String =
+    txBaseCopyWith(s, d, runTag, kind)(t => TxTable.append(s, summed, t))
+
+  /** [[txBaseCopy]] with an arbitrary base BUILDER (e.g. many small
+    * appends for the OPTIMIZE gate) — same corpus-fingerprint cache,
+    * same per-run filesystem copy.
+    */
+  private def txBaseCopyWith(s: SparkSession, d: String, runTag: String,
+      kind: String)(build: String => Unit): String = synchronized {
     val src = java.nio.file.Paths.get(d, "events.parquet")
     val fp = s"${java.nio.file.Files.size(src)}_" +
       s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
@@ -115,7 +123,7 @@ object MiscQueries {
         .filter(_.getName.startsWith(prefix))
         .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () })
-      TxTable.append(s, summed, s"$base/t")
+      build(s"$base/t")
       java.nio.file.Files.createFile(base.resolve("_DONE"))
     }
     val run = new java.io.File(sys.props("java.io.tmpdir"),
@@ -522,6 +530,37 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // OPTIMIZE (bin-packing) as a gate: the base lands as 8 successive
+    // micro-batch-sized appends (the streaming small-file shape — each
+    // date fragmented across ~8 files), optimize repacks every needy
+    // date to its byte budget CONTENT-UNCHANGED, and the read-back
+    // aggregate must equal the straight-from-events oracle. The gate
+    // requires a real file-count collapse before returning, and the
+    // second optimize call must be a no-op (already-packed dates are
+    // never rewritten again).
+    "qtx_optimize" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopyWith(s, d, "optimize", "events_frag") { t =>
+        (0 until 8).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 8 === i), t))
+      }
+      val before = graft.sink.TxTable.liveStats(s, table).size
+      val rewritten = TxTable.optimize(s, table)
+      val after = graft.sink.TxTable.liveStats(s, table).size
+      require(rewritten.nonEmpty && after < before,
+        s"optimize must collapse the small files ($before -> $after)")
+      require(TxTable.optimize(s, table).isEmpty,
+        "a second optimize over packed dates must be a no-op")
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"),
+          countDistinct(col("date")).as("n_dates"),
+          sum("user_id").as("u_sum"))
+        .orderBy("event_type")
+    }),
+
     // TTL GROUP BY rollup aging as a gate: the older half of the raw
     // event table is re-aggregated per (date, event_type) — cents
     // summed, user_id taking the deterministic per-group MIN — behind
@@ -737,6 +776,16 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // layout-only: the packed table must aggregate exactly like raw
+    // events (any lost/duplicated row moves cents, n, or u_sum)
+    "qtx_optimize" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_dates,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // rolled half re-aggregated per (date, event_type) with MIN user,
     // raw half verbatim — then the same rolled/raw split readback
     "qtx_rollup" ->

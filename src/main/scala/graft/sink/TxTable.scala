@@ -935,6 +935,54 @@ object TxTable {
       schemaUpdate(fs, root, restored))
   }
 
+  /** Delta-style OPTIMIZE (bin-packing): rewrite the dates whose file
+    * count exceeds their byte budget into right-sized files, CONTENT
+    * UNCHANGED — the fix for the small-file problem every streaming
+    * ingest creates (a 5 s micro-batch cadence is ~17k files/day/date;
+    * scans then pay per-file open cost and the log grows per file).
+    * Unlike [[compact]] (SummingMergeTree semantics: re-aggregates
+    * duplicate keys) this is purely a layout operation, safe on ANY
+    * schema, including Replacing tables whose duplicates must survive
+    * until their versioned merge.
+    *
+    * A date is rewritten only when it holds more than
+    * `ceil(bytes / targetFileBytes) + slack` files — already-packed
+    * dates keep their exact files, so repeated OPTIMIZE runs are
+    * no-ops, not rewrite storms. One atomic commit swaps all rewritten
+    * dates; old files stay for time travel until [[vacuum]]. Returns
+    * the rewritten dates.
+    */
+  def optimize(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      slack: Int = 1): Seq[String] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    val byDate = live.groupBy(_._2.date)
+    val needy = byDate.filter { case (_, files) =>
+      val bytes = files.values.map(_.bytes).sum
+      val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      files.size > ideal + slack
+    }
+    if (needy.isEmpty) return Seq.empty
+    val dates = needy.keys.toSeq.sorted
+    val df = read(spark, table, Some(dates))
+    val bytes = needy.values.flatMap(_.values.map(_.bytes)).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // cluster on the sort key at the right width — packing also
+    // restores the stats envelopes micro-batch writes fragment
+    val sk = NetworkFlowTable.sortKey.filter(df.columns.contains)
+    val packed = df.repartitionByRange(nFiles,
+      ("date" +: sk).distinct.map(col): _*)
+    val sorted = if (sk.isEmpty) packed
+      else packed.sortWithinPartitions(sk.map(col): _*)
+    val adds = stage(sorted, fs, root)
+    val removes = needy.values.flatMap(_.keys).toSeq
+    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, df))
+    dates
+  }
+
   /** Multi-column clustering rewrite — Delta's OPTIMIZE ZORDER BY. The
     * default layout ([[prep]]) range-clusters on the sort-key HEAD, so a
     * predicate on a later dim (direction, proto_name) intersects nearly

@@ -61,6 +61,45 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got(mvT) == expected(batch(0, 1200)))
   }
 
+  test("MV populates on insert (the ClickHouse contract): streaming " +
+      "ingest pushes each micro-batch through appendTxn + refresh, the " +
+      "MV is current after EVERY batch, and replays stay no-ops") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows = mem.toDF().select(
+      to_date(concat(lit("2024-01-0"), (col("value") % 3 + 1))).as("date"),
+      (col("value") % 5).cast("string").as("k"),
+      col("value").as("v"))
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (TxTable.appendTxn(spark, b, baseT, "mv-stream", id) >= 0)
+          require(MV.refresh(spark, baseT, mvT, mvDef) >= 0,
+            s"on-insert refresh of batch $id must apply")
+        // the contract under test: after every landed batch the MV
+        // covers the base, so projection routing never lags the stream
+        require(MV.isCurrent(spark, baseT, mvT), s"MV lags after batch $id")
+        ()
+      }.start()
+    try {
+      mem.addData(0L until 400L: _*)
+      q.processAllAvailable()
+      mem.addData(400L until 800L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(mvT) == expected(batch(0, 800)))
+    // a zombie replay of batch 0: the txn mark swallows the append and
+    // the MV sees nothing new
+    assert(TxTable.appendTxn(spark, batch(0, 400), baseT, "mv-stream", 0L)
+      == -1L)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) == -1L)
+    assert(got(mvT) == expected(batch(0, 800)))
+  }
+
   test("MV: a base rewrite commit (merge re-statement) is not re-applied") {
     val dir = tmp()
     val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
