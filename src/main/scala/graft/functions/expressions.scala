@@ -70,6 +70,63 @@ case class FormatReadableSize(child: Expression,
   override def prettyName: String = name
 }
 
+/** Shared tokenization for [[HasToken]] and the tx table's token Bloom
+  * index — both sides MUST agree on what a token is (maximal run
+  * between single spaces, empties ignored) or the index could skip a
+  * file that matches. Zero-allocation byte scan over the UTF8String.
+  */
+object TokenOps {
+  // byte scan is UTF-8-safe: 0x20 never occurs inside a multi-byte
+  // sequence, so space boundaries and token bytes compare exactly
+  def hasToken(s: UTF8String, tok: UTF8String): Boolean = {
+    val tn = tok.numBytes
+    if (tn == 0) return false
+    val n = s.numBytes
+    var start = 0 // start of the current token
+    var i = 0
+    while (i <= n) {
+      val atSpace = i == n || s.getByte(i) == ' '.toByte
+      if (atSpace) {
+        if (i - start == tn && regionMatches(s, start, tok, tn)) return true
+        start = i + 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def regionMatches(s: UTF8String, off: Int, tok: UTF8String,
+      tn: Int): Boolean = {
+    var j = 0
+    while (j < tn) {
+      if (s.getByte(off + j) != tok.getByte(j)) return false
+      j += 1
+    }
+    true
+  }
+}
+
+/** ClickHouse `hasToken()` — exact whitespace-token membership, the
+  * query-side half of the tokenbf_v1 skip index: [[graft.sink.TxFileIndex]]
+  * recognizes this expression in a scan's data filters and probes the
+  * commit log's per-file TOKEN Bloom filter, skipping files that
+  * provably hold no row with the token. (A plain `contains`/LIKE can
+  * never use a token filter — substring matches cross token
+  * boundaries — which is exactly ClickHouse's rule too.)
+  */
+case class HasToken(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(s: Any, t: Any): Any =
+    TokenOps.hasToken(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenOps.hasToken($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HasToken = copy(l, r)
+  override def prettyName: String = "has_token"
+}
+
 /** Column-API entry points (`import graft.functions.ipfns._`). */
 object ipfns {
   def long_to_ip(c: Column): Column = column(LongToIp(expression(c)))
@@ -80,6 +137,8 @@ object ipfns {
   def format_readable_size(c: Column): Column =
     column(FormatReadableSize(
       org.apache.spark.sql.catalyst.expressions.Cast(expression(c), DoubleType)))
+  def has_token(c: Column, tok: Column): Column =
+    column(HasToken(expression(c), expression(tok)))
 
   /** Register all as SQL functions on a session. Inputs are cast
     * explicitly (private[sql] AbstractDataType blocks ExpectsInputTypes
@@ -97,5 +156,8 @@ object ipfns {
       e => IpIsPrivate(Cast(e.head, LongType)), "scala_udf")
     reg.createOrReplaceTempFunction("format_readable_size",
       e => FormatReadableSize(Cast(e.head, DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("has_token",
+      e => HasToken(Cast(e.head, StringType), Cast(e(1), StringType)),
+      "scala_udf")
   }
 }

@@ -530,6 +530,33 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // TOKEN BLOOM INDEX (tokenbf_v1) as a gate: the documents corpus
+    // lands as a tx table whose commit log carries a per-file TOKEN
+    // filter over `text`; the query probes has_token() for the RAREST
+    // token (deterministic: min df, tie lexicographic) through the
+    // planner index. A false negative (file wrongly skipped) loses the
+    // matching doc and hash-mismatches; skip-rate is spec-audited.
+    "qtx_tokenbloom" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d).select(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("doc_id") % 7).cast("int")).as("date"),
+        col("doc_id"), col("text"))
+      // corpus regeneration replaces every parquet together, so the
+      // events fingerprint inside txBaseCopyWith covers documents too
+      val table = txBaseCopyWith(s, d, "tokenbloom", "docs")(
+        t => TxTable.append(s, docs, t))
+      val tok = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("t").count()
+        .orderBy(col("count"), col("t")).limit(1)
+        .collect().head.getString(0)
+      TxFileIndex.readV2(s, table)
+        .filter(graft.functions.ipfns.has_token(col("text"), lit(tok)))
+        .agg(lit(tok).as("tok"), count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"))
+    }),
+
     // OPTIMIZE (bin-packing) as a gate: the base lands as 8 successive
     // micro-batch-sized appends (the streaming small-file shape — each
     // date fragmented across ~8 files), optimize repacks every needy
@@ -776,6 +803,20 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same rarest-token choice and the same single-space token
+    // semantics, straight over documents
+    "qtx_tokenbloom" ->
+      """WITH toks AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |tgt AS (SELECT t FROM toks GROUP BY t
+        |  ORDER BY COUNT(*), t LIMIT 1)
+        |SELECT tgt.t AS tok, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents, tgt
+        |WHERE list_contains(string_split(text, ' '), tgt.t)
+        |GROUP BY tgt.t""".stripMargin,
     // layout-only: the packed table must aggregate exactly like raw
     // events (any lost/duplicated row moves cents, n, or u_sum)
     "qtx_optimize" ->

@@ -61,8 +61,8 @@ object Bloom {
   /** Buffer words → bytes, bit i at byte i>>3 mask 1<<(i&7) — the
     * layout [[testBit]] reads back through the base64 framing.
     */
-  private def toBytes(words: Array[Long]): Array[Byte] = {
-    val out = new Array[Byte](M / 8)
+  private def toBytes(words: Array[Long], m: Int): Array[Byte] = {
+    val out = new Array[Byte](m / 8)
     var j = 0
     while (j < out.length) {
       out(j) = ((words(j >> 3) >>> ((j & 7) * 8)) & 0xff).toByte
@@ -124,29 +124,37 @@ object Bloom {
     positions(h, m, k).forall(p => testBit(b64, p))
   }
 
+  /** Bits for TOKEN filters (one entry per distinct token per file —
+    * far denser than a value filter, so 4× the bits; ~22 KB of log per
+    * (file, column) at base64).
+    */
+  val TokM: Int = 1 << 17
+
   /** Bitset-OR aggregator over pre-hashed values; partial-aggregates
     * map-side so the exchange carries one fixed-size word array per
-    * (file, column) group.
+    * (file, column) group. `m` must be a multiple of 64.
     */
-  class BloomAgg extends Aggregator[Long, Array[Long], Array[Byte]] {
-    override def zero: Array[Long] = new Array[Long](Words)
+  class BloomAgg(m: Int = M, k: Int = K)
+      extends Aggregator[Long, Array[Long], Array[Byte]] {
+    override def zero: Array[Long] = new Array[Long](m / 64)
     override def reduce(b: Array[Long], h: Long): Array[Long] = {
-      val ps = positions(h, M, K)
+      val ps = positions(h, m, k)
       var i = 0
       while (i < ps.length) { setBit(b, ps(i)); i += 1 }
       b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < Words) { a(i) |= b(i); i += 1 }
+      while (i < a.length) { a(i) |= b(i); i += 1 }
       a
     }
-    override def finish(b: Array[Long]): Array[Byte] = toBytes(b)
+    override def finish(b: Array[Long]): Array[Byte] = toBytes(b, m)
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** `bloom(xxhash64(col))` as an untyped aggregate column. */
-  def agg(c: Column): Column = udaf(new BloomAgg).apply(xxhash64(c))
+  def agg(c: Column, m: Int = M, k: Int = K): Column =
+    udaf(new BloomAgg(m, k)).apply(xxhash64(c))
 }

@@ -161,6 +161,17 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
           // IN keeps the file iff ANY member might be present
           Some(stats => fns.exists(_.get(stats)))
         else None
+      // hasToken probes the column's TOKEN filter ('<col>#tok',
+      // tokenbf_v1 analog) — substring predicates (Contains/LIKE)
+      // must NEVER consult it: matches cross token boundaries
+      case graft.functions.HasToken(a: AttributeReference, l: Literal)
+          if l.value != null && l.dataType == StringType =>
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(l), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+        Some(stats => stats.get(s"${a.name}#tok") match {
+          case Some(st) if st.typ == 'b' => Bloom.mayContain(st.min, st.max, h)
+          case _ => true
+        })
       case _ => None
     }
   }

@@ -75,6 +75,14 @@ object TxTable {
     */
   private[sink] val bloomColumns: Seq[String] = Seq("local_pod", "remote_ip")
 
+  /** String columns that get a per-file TOKEN Bloom filter (ClickHouse
+    * `tokenbf_v1`): indexed by whitespace token, probed by the
+    * [[graft.functions.HasToken]] predicate at planning time. Logged
+    * under the `<col>#tok` stats key so a value filter and a token
+    * filter on the same column can coexist.
+    */
+  private[sink] val tokenBloomColumns: Seq[String] = Seq("text")
+
   /** Per-file column stats: 'l' = signed long (INT32/INT64 physical,
     * covers timestamps as epoch micros and dates as epoch days), 's' =
     * UTF8 string. min/max are decimal or raw-string renderings.
@@ -559,14 +567,18 @@ object TxTable {
     // Keyed by file NAME — part- names carry the write UUID, so they
     // are unique across the staged tree.
     val bloomCols = bloomColumns.filter(df.schema.fieldNames.contains)
-    val blooms: Map[String, Map[String, ColStats]] =
+    val tokCols = tokenBloomColumns.filter(c =>
+      df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    def stagedByName = sess.read
+      .parquet(new Path(root, dataDir).toString)
+      .withColumn("__name",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+    val valueBlooms: Map[String, Map[String, ColStats]] =
       if (bloomCols.isEmpty || files.isEmpty) Map.empty
       else {
-        val staged = sess.read.parquet(new Path(root, dataDir).toString)
         val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c))
-        staged
-          .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-            .as("__name"))
+        stagedByName.groupBy("__name")
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             r.getString(0) -> bloomCols.map { c =>
@@ -575,6 +587,34 @@ object TxTable {
             }.toMap
           }.toMap
       }
+    // token filters: one pass per indexed text column — the explode
+    // repeats rows, which is harmless for a SET-semantics bitset
+    val tokenBlooms: Map[String, Map[String, ColStats]] =
+      tokCols.foldLeft(Map.empty[String, Map[String, ColStats]]) {
+        (acc, c) =>
+          if (files.isEmpty) acc
+          else {
+            val per = stagedByName
+              .select(col("__name"),
+                explode(split(col(c), " ")).as("__t"))
+              .filter(length(col("__t")) > 0)
+              .groupBy("__name")
+              .agg(Bloom.agg(col("__t"), Bloom.TokM).as("b"))
+              .collect().map { r =>
+                r.getString(0) -> Map(s"$c#tok" -> ColStats('b',
+                  Bloom.encode(r.getAs[Array[Byte]]("b")),
+                  s"${Bloom.TokM},${Bloom.K}"))
+              }.toMap
+            acc ++ per.map { case (f, m) =>
+              f -> (acc.getOrElse(f, Map.empty) ++ m)
+            }
+          }
+      }
+    val blooms: Map[String, Map[String, ColStats]] =
+      (valueBlooms.keySet ++ tokenBlooms.keySet).map { f =>
+        f -> (valueBlooms.getOrElse(f, Map.empty) ++
+          tokenBlooms.getOrElse(f, Map.empty))
+      }.toMap
     // footer reads are independent metadata fetches — do them on a
     // bounded driver pool, not one-at-a-time (a 1000-file stage at
     // ~10ms/footer is 10s sequential, <1s at 16-way; same move Delta

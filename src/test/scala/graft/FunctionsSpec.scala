@@ -53,6 +53,31 @@ class FunctionsSpec extends AnyFunSuite {
       "0.00 B", "1023.00 B", "1.00 KiB", "1.50 KiB", "1.00 MiB", "5.00 GiB")))
   }
 
+  test("has_token: exact whitespace-token membership (boundaries, " +
+      "multi-space, UTF-8, never substring)") {
+    val df = Seq(
+      ("a bb ccc", "bb", true),    // middle token
+      ("a bb ccc", "a", true),     // first
+      ("a bb ccc", "ccc", true),   // last
+      ("abb ccc", "bb", false),    // substring, not a token
+      ("a bbc", "bb", false),      // prefix of a token
+      ("a  bb", "bb", true),       // multi-space runs
+      ("héllo wörld", "wörld", true), // multi-byte UTF-8
+      ("héllo wörld", "örld", false),
+      ("single", "single", true),
+      ("", "x", false)
+    ).toDF("s", "t", "want")
+    val bad = df.filter(has_token(col("s"), col("t")) =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+    // SQL registration + null propagation
+    graft.functions.ipfns.register(spark)
+    val r = spark.sql(
+      "SELECT has_token('a b', 'b') AS y, has_token('a b', '') AS e, " +
+        "has_token(CAST(NULL AS STRING), 'b') AS nl").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.isNullAt(2))
+  }
+
   test("expressions are codegen'd (no fallback) and SQL-registered") {
     graft.functions.ipfns.register(spark)
     // constant-foldable: the optimizer must be able to eval these eagerly

@@ -542,6 +542,64 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
 
+  test("token bloom index (tokenbf_v1): has_token skips files from the " +
+    "log; substring predicates never consult it; no false negatives") {
+    import graft.sink.{Bloom, TxFileIndex}
+    import graft.functions.ipfns.has_token
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txtok").toString + "/t"
+    // disjoint vocabularies per append → token membership partitions
+    // the file set
+    Seq(Seq("alpha beta common", "beta alpha common"),
+      Seq("gamma delta common", "delta gamma common"),
+      Seq("epsilon zeta common", "zeta epsilon common"))
+      .zipWithIndex.foreach { case (texts, i) =>
+        val df = texts.zipWithIndex.map { case (t, j) =>
+          (java.sql.Date.valueOf("2024-03-01"), (i * 10 + j).toLong, t)
+        }.toDF("date", "doc_id", "text")
+        TxTable.append(spark, df, path)
+      }
+    val metas = TxTable.liveStats(spark, path)
+    assert(metas.size >= 3 &&
+      metas.values.forall(_.stats.get("text#tok").exists(_.typ == 'b')))
+    def hashOf(v: String): Long =
+      new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+    def expectFiles(tok: String): Int = metas.values.count { m =>
+      val st = m.stats("text#tok")
+      Bloom.mayContain(st.min, st.max, hashOf(tok))
+    }
+    val df = TxFileIndex.readV2(spark, path)
+    // filter-only plans have no exchange, so no AQE wrapper hides the
+    // scan (same probe as the value-bloom test below)
+    def scanned(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val hit = df.filter(has_token(col("text"), lit("gamma")))
+    assert(scanned(hit) == expectFiles("gamma"))
+    assert(expectFiles("gamma") < metas.size,
+      "the disjoint vocabularies must make the token index skip files")
+    assert(hit.count() == 2, "no false negatives")
+    // a token nowhere in the corpus: everything skips (w.h.p.)
+    val none = df.filter(has_token(col("text"), lit("nosuchtoken")))
+    assert(scanned(none) == expectFiles("nosuchtoken") && none.count() == 0)
+    // substring of a real token: has_token is FALSE (not a token) even
+    // though contains() matches — the exact reason LIKE never probes
+    // the token filter
+    assert(df.filter(has_token(col("text"), lit("gam"))).count() == 0)
+    val sub = df.filter(col("text").contains("gam"))
+    assert(scanned(sub) == metas.size,
+      "substring predicates must scan every file")
+    assert(sub.count() == 2)
+  }
+
   test("replacing compact: max-version row wins per (date, key), ties " +
     "break on the payload order, and dates never collapse together") {
     import spark.implicits._
