@@ -530,6 +530,36 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // DELETE WHERE as a gate: copy-on-write deletion of one event type
+    // (deterministically the MIN type) before the midpoint cutoff —
+    // candidate files pruned by the scan-planning machinery, only
+    // files with matching rows rewritten. The read-back's n/cents
+    // catch lost or resurrected rows, first_date pins the boundary,
+    // and an immediately repeated delete must be a -1 no-op (no log
+    // churn when nothing matches).
+    "qtx_delete" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopy(s, d, ev, "delete", kind = "events_raw")
+      val b = ev.agg(min("date").as("lo"), max("date").as("hi"),
+          min("event_type").as("t"))
+        .select(col("lo"), datediff(col("hi"), col("lo")).as("span"),
+          col("t")).collect().head
+      val cut = java.sql.Date.valueOf(
+        b.getDate(0).toLocalDate.plusDays(b.getInt(1) / 2L))
+      val tgt = b.getString(2)
+      val pred = col("event_type") === tgt && col("date") < lit(cut)
+      require(TxTable.delete(s, table, pred) >= 0, "delete must commit")
+      require(TxTable.delete(s, table, pred) == -1L,
+        "repeated delete must no-op without a commit")
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // TOKEN BLOOM INDEX (tokenbf_v1) as a gate: the documents corpus
     // lands as a tx table whose commit log carries a per-file TOKEN
     // filter over `text`; the query probes has_token() for the RAREST
@@ -803,6 +833,19 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // survivors of the same (min type, pre-cutoff) deletion
+    "qtx_delete" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi,
+        |  MIN(event_type) AS tgt FROM e),
+        |k AS (SELECT lo + CAST(datediff('day', lo, hi) // 2 AS INTEGER)
+        |  AS cutoff, tgt FROM b),
+        |kept AS (SELECT e.* FROM e, k
+        |  WHERE NOT (event_type = tgt AND date < cutoff))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same rarest-token choice and the same single-space token
     // semantics, straight over documents
     "qtx_tokenbloom" ->

@@ -975,6 +975,67 @@ object TxTable {
       schemaUpdate(fs, root, restored))
   }
 
+  /** DELETE WHERE — copy-on-write row deletion (Delta's DELETE): files
+    * that provably hold no matching row are pruned from consideration
+    * by the SAME planning-time machinery a query scan uses (partition
+    * pruning + min/max + Bloom/token filters, via [[TxFileIndex]]'s
+    * listing); the exact touched set is then discovered by one
+    * candidate scan, only those files are rewritten without their
+    * matching rows, and one atomic remove+add commit swaps them.
+    * SQL NULL semantics: rows where the predicate is NULL are KEPT
+    * (DELETE removes rows where the predicate is TRUE). Returns the
+    * commit version, or -1 when nothing matched (no commit at all —
+    * a no-op delete must not churn the log).
+    */
+  def delete(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    if (live.isEmpty) return -1L
+    val df = TxFileIndex.readV2(spark, table)
+    // resolve the predicate against the table schema, split conjuncts,
+    // and hand them to the index's listing — date conjuncts prune
+    // partitions, the rest probe per-file stats and Bloom filters
+    val cond = df.filter(predicate).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.head
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val (partF, dataF) = conjuncts(cond)
+      .partition(c => c.references.nonEmpty &&
+        c.references.forall(_.name == "date"))
+    val idx = new TxFileIndex(spark, table)
+    val qroot = fs.makeQualified(root)
+    val candidates = idx.listFiles(partF, dataF)
+      .flatMap(_.files.map(st => qroot.toUri
+        .relativize(st.getPath.toUri).getPath))
+    if (candidates.isEmpty) return -1L
+    val rdr = logSchema(fs, root).map(spark.read.schema)
+      .getOrElse(spark.read)
+    def scanFiles(rels: Seq[String]): DataFrame = {
+      val d = rdr.parquet(rels.map(rel => new Path(root, rel).toString): _*)
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("date",
+          to_date(regexp_extract(col("__file"), "date=([^/]+)", 1)))
+      d
+    }
+    val touched: Seq[String] = scanFiles(candidates)
+      .filter(predicate).select("__file").distinct().collect()
+      .map(r => qroot.toUri
+        .relativize(new Path(r.getString(0)).toUri).getPath).toSeq
+    if (touched.isEmpty) return -1L
+    val kept = scanFiles(touched)
+      .filter(!coalesce(predicate, lit(false)))
+      .drop("__file")
+    val adds = stage(prep(kept), fs, root)
+    commitRetry(fs, root, adds, touched, None, None)
+  }
+
   /** Delta-style OPTIMIZE (bin-packing): rewrite the dates whose file
     * count exceeds their byte budget into right-sized files, CONTENT
     * UNCHANGED — the fix for the small-file problem every streaming

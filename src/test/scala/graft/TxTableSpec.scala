@@ -542,6 +542,45 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
 
+  test("DELETE WHERE: bloom-pruned copy-on-write — untouched files keep " +
+    "their identity, NULL predicates keep rows, no-op deletes no-op") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txdel").toString + "/t"
+    // three appends with disjoint pod sets → per-file bloom filters
+    // partition the candidates
+    Seq(Seq("pod-a", "pod-b"), Seq("pod-c", "pod-d"), Seq("pod-e", null))
+      .zipWithIndex.foreach { case (pods, i) =>
+        val rows = pods.zipWithIndex.map { case (p, j) =>
+          (d("2024-03-01"), p, (i * 10 + j).toLong)
+        }
+        TxTable.append(spark,
+          rows.toDF("date", "local_pod", "bytes"), path)
+      }
+    val before = TxTable.liveFiles(spark, path).keys.toSet
+    val vDel = TxTable.delete(spark, path, col("local_pod") === "pod-c")
+    assert(vDel >= 0)
+    val after = TxTable.liveFiles(spark, path).keys.toSet
+    // only the file holding pod-c was replaced; both others untouched
+    assert((before -- after).size == 1 && (after -- before).size <= 1,
+      s"exactly one file rewritten: $before -> $after")
+    val got = TxTable.read(spark, path)
+      .select("local_pod", "bytes").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("pod-a", 0L), ("pod-b", 1L), ("pod-d", 11L),
+      ("pod-e", 20L), (null, 21L)),
+      "pod-c gone; the NULL-pod row (NULL predicate) survives")
+    // predicate matching nothing: -1 and the log doesn't move
+    val v0 = TxTable.currentVersion(spark, path)
+    assert(TxTable.delete(spark, path, col("local_pod") === "pod-zz") == -1L)
+    assert(TxTable.currentVersion(spark, path) == v0)
+    // delete everything in one file: the rewrite may stage zero files
+    assert(TxTable.delete(spark, path,
+      col("local_pod").isin("pod-a", "pod-b")) >= 0)
+    assert(TxTable.read(spark, path).count() == 3)
+  }
+
   test("token bloom index (tokenbf_v1): has_token skips files from the " +
     "log; substring predicates never consult it; no false negatives") {
     import graft.sink.{Bloom, TxFileIndex}
