@@ -154,6 +154,15 @@ object Bloom {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Driver-side filter construction from pre-hashed values — test
+    * fixtures and metadata-only writers. Same layout as [[BloomAgg]].
+    */
+  def ofHashes(hs: Iterable[Long], m: Int = M, k: Int = K): String = {
+    val words = new Array[Long](m / 64)
+    hs.foreach(h => positions(h, m, k).foreach(p => setBit(words, p)))
+    encode(toBytes(words, m))
+  }
+
   /** `bloom(xxhash64(col))` as an untyped aggregate column. */
   def agg(c: Column, m: Int = M, k: Int = K): Column =
     udaf(new BloomAgg(m, k)).apply(xxhash64(c))

@@ -87,9 +87,9 @@ object TxTable {
     * covers timestamps as epoch micros and dates as epoch days), 's' =
     * UTF8 string. min/max are decimal or raw-string renderings.
     */
-  private[sink] case class ColStats(typ: Char, min: String, max: String)
+  private[graft] case class ColStats(typ: Char, min: String, max: String)
 
-  private[sink] case class FileMeta(date: String, bytes: Long,
+  private[graft] case class FileMeta(date: String, bytes: Long,
       stats: Map[String, ColStats])
 
   private[sink] def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
@@ -757,6 +757,43 @@ object TxTable {
     * discovery join and the rewrite MUST see the same key set, even if
     * the source plan is nondeterministic.
     */
+  /** Source-side distinct-value ceiling for merge's bloom-key pruning:
+    * above this the per-value probe set is not worth shipping and the
+    * collect would be a driver hazard — min/max + discovery handle it.
+    */
+  private val BloomPruneMaxValues = 10000
+
+  /** Candidate-count observability for the last [[merge]] on this JVM
+    * (test/debug only — production introspection goes through
+    * [[history]]/[[parts]]).
+    */
+  @volatile private[graft] var lastMergeCandidates: Int = -1
+
+  /** Metadata-only candidate test for [[merge]]: date-partition set,
+    * per-key min/max bounds, and per-bloom-key source hash sets. A
+    * file missing any stat is conservatively kept.
+    */
+  private[graft] def mayMatchMeta(m: FileMeta, dateSet: Option[Set[String]],
+      bounds: Map[String, (String, String)],
+      bloomHashes: Map[String, Seq[Long]]): Boolean =
+    dateSet.forall(_.contains(m.date)) &&
+      bounds.forall { case (k, (lo, hi)) =>
+        // a file missing stats for k can never be skipped on k
+        m.stats.get(k).forall { st =>
+          if (st.typ == 'l')
+            !(hi.toLong < st.min.toLong || lo.toLong > st.max.toLong)
+          else if (st.typ == 'b') true // ranges never probe a filter
+          else !(hi < st.min || lo > st.max)
+        }
+      } &&
+      bloomHashes.forall { case (k, hs) =>
+        m.stats.get(k) match {
+          case Some(st) if st.typ == 'b' =>
+            hs.exists(h => Bloom.mayContain(st.min, st.max, h))
+          case _ => true
+        }
+      }
+
   def merge(spark: SparkSession, source: DataFrame, table: String,
       keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -802,19 +839,40 @@ object TxTable {
       }
       val srcEmpty = bounds.values.exists(_._1 == null) ||
         dateSet.exists(_.isEmpty)
-      def mayMatch(m: FileMeta): Boolean =
-        dateSet.forall(_.contains(m.date)) &&
-          bounds.forall { case (k, (lo, hi)) =>
-            // a file missing stats for k can never be skipped on k
-            m.stats.get(k).forall { st =>
-              if (st.typ == 'l')
-                !(hi.toLong < st.min.toLong || lo.toLong > st.max.toLong)
-              else !(hi < st.min || lo > st.max)
-            }
-          }
+      // bloom-key pruning: when a merge key carries a per-file Bloom
+      // filter AND the source's distinct key values are driver-small
+      // (cheap approx probe first — a 100 TB source with millions of
+      // pods skips this, unbounded collects are how drivers die), a
+      // candidate file whose filter rejects EVERY source value can
+      // hold no matching key. This is what shrinks the discovery scan
+      // for targeted corrections ("re-state pod X's day") from
+      // all-dates-overlapping to the handful of files that pod touches.
+      val bloomKeys = keys.filter(bloomColumns.contains)
+      val bloomHashes: Map[String, Seq[Long]] =
+        if (bloomKeys.isEmpty || srcEmpty) Map.empty
+        else tdbg("bloom prune") {
+          val adcs = src.agg(
+            bloomKeys.map(k =>
+              approx_count_distinct(col(k)).as(k)).head,
+            bloomKeys.map(k =>
+              approx_count_distinct(col(k)).as(k)).tail: _*)
+            .collect().head
+          bloomKeys.filter(k =>
+            adcs.getAs[Long](k) <= BloomPruneMaxValues).flatMap { k =>
+            val hs = src.select(xxhash64(col(k)).as("h"))
+              .filter(col(k).isNotNull).distinct()
+              .limit(BloomPruneMaxValues + 1)
+              .collect().map(_.getLong(0)).toSeq
+            // the approx estimate lied low → stay conservative
+            if (hs.size > BloomPruneMaxValues) None else Some(k -> hs)
+          }.toMap
+        }
       val candidates =
         if (srcEmpty) Map.empty[String, FileMeta]
-        else live.filter { case (_, m) => mayMatch(m) }
+        else live.filter { case (_, m) =>
+          mayMatchMeta(m, dateSet, bounds, bloomHashes)
+        }
+      lastMergeCandidates = candidates.size
 
       // 2. touched-file discovery: one semi-join over the candidates,
       //    file identity captured at scan time. The join key is the

@@ -542,6 +542,56 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
 
+  test("merge bloom pruning: a targeted correction's candidate set " +
+    "shrinks to the files whose key filter may contain a source value") {
+    import graft.sink.Bloom
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txmgb").toString + "/t"
+    Seq(Seq("pod-a", "pod-b"), Seq("pod-c", "pod-d"), Seq("pod-e", "pod-f"))
+      .zipWithIndex.foreach { case (pods, i) =>
+        TxTable.append(spark, pods.zipWithIndex.map { case (p, j) =>
+          (d("2024-03-01"), p, (i * 10 + j).toLong)
+        }.toDF("date", "local_pod", "bytes"), path)
+      }
+    val metas = TxTable.liveStats(spark, path)
+    def hashOf(v: String): Long =
+      new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+    val expected = metas.values.count { m =>
+      val st = m.stats("local_pod")
+      Bloom.mayContain(st.min, st.max, hashOf("pod-c"))
+    }
+    assert(expected < metas.size, "layout must make pruning possible")
+    val src = Seq((d("2024-03-01"), "pod-c", 999L))
+      .toDF("date", "local_pod", "bytes")
+    TxTable.merge(spark, src, path, Seq("date", "local_pod"))
+    assert(TxTable.lastMergeCandidates == expected,
+      "merge consulted the bloom filters, not just date/minmax")
+    val got = TxTable.read(spark, path)
+      .select("local_pod", "bytes").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("pod-a", 0L), ("pod-b", 1L), ("pod-c", 999L),
+      ("pod-d", 11L), ("pod-e", 20L), ("pod-f", 21L)))
+    // the pure candidate test, with constructed fixtures
+    import TxTable.{ColStats, FileMeta}
+    val bloom = ColStats('b', Bloom.ofHashes(Seq(1L, 2L)),
+      s"${Bloom.M},${Bloom.K}")
+    val meta = FileMeta("2024-03-01", 10L, Map("local_pod" -> bloom))
+    assert(TxTable.mayMatchMeta(meta, None, Map.empty,
+      Map("local_pod" -> Seq(2L, 99L))), "any matching hash keeps")
+    assert(!TxTable.mayMatchMeta(meta, None, Map.empty,
+      Map("local_pod" -> Seq(77L))),
+      "a file rejecting every source hash is pruned")
+    assert(TxTable.mayMatchMeta(
+      FileMeta("2024-03-01", 10L, Map.empty), None, Map.empty,
+      Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
+  }
+
   test("DELETE WHERE: bloom-pruned copy-on-write — untouched files keep " +
     "their identity, NULL predicates keep rows, no-op deletes no-op") {
     import spark.implicits._
