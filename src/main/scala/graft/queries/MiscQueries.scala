@@ -530,6 +530,25 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // REGISTERED DATA SOURCE as a gate: the tx table consumed through
+    // plain SQL DDL — CREATE TEMPORARY VIEW ... USING graft — with the
+    // same log-driven planner relation underneath; a user who only
+    // speaks SQL gets the full table (pruning, skipping, era schema)
+    // without one library call.
+    "qtx_datasource" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopy(s, d, ev, "datasource", kind = "events_raw")
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_ds_gate
+        USING graft OPTIONS (path '$table')""")
+      s.sql("""
+        SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+          COUNT(*) AS n, MIN(date) AS first_date, MAX(date) AS last_date
+        FROM graft_ds_gate
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // DELETE WHERE as a gate: copy-on-write deletion of one event type
     // (deterministically the MIN type) before the midpoint cutoff —
     // candidate files pruned by the scan-planning machinery, only
@@ -833,6 +852,13 @@ object MiscQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date
         |FROM e, k WHERE date >= cutoff
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qtx_datasource" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(date) AS first_date,
+        |  MAX(date) AS last_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // survivors of the same (min type, pre-cutoff) deletion
     "qtx_delete" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,

@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * what [[TxTable.read]]'s hand-built per-date union cannot give: one
   * relation, planner-owned pruning.
   */
-class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
+class TxFileIndex(spark: SparkSession, table: String,
+    asOf: Option[Long] = None) extends FileIndex {
   import TxTable.ColStats
 
   private val root = new Path(table)
@@ -41,7 +42,7 @@ class TxFileIndex(spark: SparkSession, table: String) extends FileIndex {
       Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] = load()
 
   private def load(): Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] =
-    TxTable.snapshotFiles(fs, root).toSeq
+    TxTable.snapshotFiles(fs, root, asOf).toSeq
       .groupBy(_._2.date).toSeq.sortBy(_._1)
       .map { case (d, files) =>
         d -> files.map { case (rel, m) =>
@@ -215,21 +216,28 @@ object TxFileIndex {
     * pre-evolution logs; `date` rides as the partition column exactly
     * like a hive-layout parquet table.
     */
-  def readV2(spark: SparkSession, table: String): DataFrame = {
-    val index = new TxFileIndex(spark, table)
+  def readV2(spark: SparkSession, table: String): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, table, None))
+
+  /** The planner relation behind [[readV2]] and the `graft` data
+    * source — log-driven file index + the era's logged schema.
+    */
+  def relation(spark: SparkSession, table: String,
+      asOf: Option[Long]): HadoopFsRelation = {
+    val index = new TxFileIndex(spark, table, asOf)
     require(index.inputFiles.nonEmpty,
-      s"tx table $table has no live files")
+      s"tx table $table has no live files" +
+        asOf.map(v => s" at version $v").getOrElse(""))
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataSchema = TxTable.logSchema(fs, root).getOrElse(
+    val dataSchema = TxTable.logSchema(fs, root, asOf).getOrElse(
       spark.read.parquet(index.inputFiles.head).schema)
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
   }
 }

@@ -542,6 +542,39 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TxTable.read(spark, path) }
   }
 
+  test("graft data source: format/SQL round trip, SaveMode semantics, " +
+    "versionAsOf time travel, and the date-column contract") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txds").toString + "/t"
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (d("2024-03-01"), i.toLong)).toDF("date", "v")
+    rows(0, 10).write.format("graft").save(path) // ErrorIfExists on fresh
+    rows(10, 30).write.format("graft").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).count() == 30)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(path).count() == 10, "time travel through the option")
+    intercept[IllegalStateException] {
+      rows(0, 1).write.format("graft").save(path) // default ErrorIfExists
+    }
+    rows(0, 1).write.format("graft").mode("ignore").save(path)
+    assert(spark.read.format("graft").load(path).count() == 30,
+      "Ignore on an existing table writes nothing")
+    rows(0, 5).write.format("graft").mode("overwrite").save(path)
+    assert(spark.read.format("graft").load(path).count() == 5)
+    intercept[IllegalArgumentException] {
+      Seq((1L, 2L)).toDF("a", "b").write.format("graft")
+        .mode("append").save(path)
+    }
+    // SQL DDL sees the same relation; planner pruning still applies
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_ds_spec
+      USING graft OPTIONS (path '$path')""")
+    assert(spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) FROM graft_ds_spec")
+      .collect().head.getLong(0) == 10L)
+  }
+
   test("merge bloom pruning: a targeted correction's candidate set " +
     "shrinks to the files whose key filter may contain a source value") {
     import graft.sink.Bloom
