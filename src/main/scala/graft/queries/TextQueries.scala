@@ -374,6 +374,31 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // C4-STYLE SENTENCE DEDUP: any sentence occurring more than once
+    // in the corpus keeps only its FIRST occurrence (min (doc_id,
+    // position)); documents are reassembled from their surviving
+    // sentences in order. One window over the sentence hash partition
+    // — no pair join at all, which is what makes this the cheapest
+    // dedup pass and why C4 runs it before everything else. Output is
+    // per-doc (survivor count, rebuilt-text md5) so the full rebuilt
+    // corpus sits behind the hash oracle without shipping megabytes.
+    "qt_sentence_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sent = corpus(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+        .filter(length(col("sent")) > 0)
+      val rn = row_number().over(
+        Window.partitionBy("sent").orderBy("doc_id", "pos"))
+      sent.withColumn("rn", rn).filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(". ", expr(
+            "transform(array_sort(collect_list(struct(pos, sent)))," +
+              " x -> x.sent)"))).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // LSH QUALITY EVALUATION — the S-curve measured on real data, the
     // text sibling of qv_recall: every shingle-intersecting pair is
     // scored with its EXACT Jaccard decile, LEFT-joined against the
@@ -673,6 +698,23 @@ object TextQueries {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
+    // keep-first per sentence, rebuild in order, md5 the result
+    "qt_sentence_dedup" ->
+      s"""WITH $corpusSql, sent AS (
+         |  SELECT doc_id, i - 1 AS pos, s FROM (
+         |    SELECT doc_id, generate_subscripts(parts, 1) AS i,
+         |      unnest(parts) AS s
+         |    FROM (SELECT doc_id, string_split(text, '. ') AS parts
+         |          FROM corpus))
+         |  WHERE len(s) > 0),
+         |kept AS (
+         |  SELECT doc_id, pos, s FROM (
+         |    SELECT doc_id, pos, s, ROW_NUMBER() OVER (
+         |      PARTITION BY s ORDER BY doc_id, pos) AS rn FROM sent)
+         |  WHERE rn = 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(s, '. ' ORDER BY pos)) AS text_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact per-decile detection curve: intersecting pairs over the
     // df-capped shingle universe vs the banded candidate set
     "qt_lsh_eval" ->

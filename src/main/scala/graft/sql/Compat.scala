@@ -203,7 +203,68 @@ object Compat {
     "quantileexact", "quantiletiming", "topk", "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention")
 
-  def translateCh(sql: String): String = {
+  /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
+    * ClickHouse PREWHERE is the same predicate with an execution hint
+    * (evaluate before reading the remaining columns), which is
+    * precisely what Spark's own filter pushdown does to a WHERE, so
+    * the semantics-preserving translation is a merge. Conservative by
+    * construction: multiple or nested PREWHEREs pass through untouched
+    * and fail in Spark's parser loudly rather than being rewritten
+    * wrongly.
+    */
+  private def mergePrewhere(sql: String): String = {
+    final case class Tok(word: String, start: Int, end: Int)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var depth = 0
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var open = true
+        while (i < n && open) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 1 else open = false
+          }
+          i += 1
+        }
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if ((c.isLetter || c == '_') &&
+          (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit ||
+            sql.charAt(i - 1) == '_'))) {
+        val s0 = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '_')) i += 1
+        if (depth == 0) toks += Tok(sql.substring(s0, i), s0, i)
+      } else i += 1
+    }
+    val clauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "UNION", "SETTINGS", "WINDOW", "QUALIFY")
+    val pres = toks.filter(_.word.equalsIgnoreCase("PREWHERE"))
+    if (pres.size != 1) return sql
+    val p = pres.head
+    val after = toks.filter(_.start > p.start)
+    val next = after.find(t => clauseKw(t.word.toUpperCase))
+    val clauseEnd = next.map(_.start).getOrElse(n)
+    val pClause = sql.substring(p.end, clauseEnd).trim
+    next match {
+      case Some(w) if w.word.equalsIgnoreCase("WHERE") =>
+        val wEnd = toks.filter(_.start > w.start)
+          .find(t => clauseKw(t.word.toUpperCase)).map(_.start).getOrElse(n)
+        val wClause = sql.substring(w.end, wEnd).trim
+        sql.substring(0, p.start) +
+          s"WHERE ($pClause) AND ($wClause) " + sql.substring(wEnd)
+      case _ =>
+        sql.substring(0, p.start) + s"WHERE $pClause " +
+          sql.substring(clauseEnd)
+    }
+  }
+
+  def translateCh(sql: String): String = mergePrewhere(translateCh0(sql))
+
+  private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")
     val n = noFormat.length
     val sb = new StringBuilder(n)

@@ -202,6 +202,19 @@ class CompatSpec extends AnyFunSuite {
     // a string mentioning FORMAT mid-query is not a clause
     assert(translateCh("SELECT 'FORMAT JSON' AS s FROM t")
       == "SELECT 'FORMAT JSON' AS s FROM t")
+    // PREWHERE folds into WHERE (alone, merged, nested-passthrough)
+    assert(translateCh("SELECT x FROM t PREWHERE a > 1 GROUP BY x")
+      == "SELECT x FROM t WHERE a > 1 GROUP BY x")
+    assert(translateCh("SELECT x FROM t PREWHERE a = 1 WHERE b < 2 ORDER BY x")
+      == "SELECT x FROM t WHERE (a = 1) AND (b < 2) ORDER BY x")
+    assert(translateCh("SELECT x FROM t PREWHERE a")
+      == "SELECT x FROM t WHERE a ")
+    // nested PREWHERE (inside parens) is not rewritten — it reaches
+    // Spark's parser and fails loudly instead of being mangled
+    assert(translateCh("SELECT x FROM (SELECT y FROM t PREWHERE a) s")
+      == "SELECT x FROM (SELECT y FROM t PREWHERE a) s")
+    assert(translateCh("SELECT 'PREWHERE x' AS s FROM t")
+      == "SELECT 'PREWHERE x' AS s FROM t")
     // non-parametric adjacency untouched (a lambda call, a cast chain)
     assert(translateCh("SELECT (a)(b) FROM t") == "SELECT (a)(b) FROM t")
     assert(translateCh("SELECT quantile(0.5) FROM t")
