@@ -262,7 +262,59 @@ object Compat {
     }
   }
 
-  def translateCh(sql: String): String = mergePrewhere(translateCh0(sql))
+  /** Drop ClickHouse's `GLOBAL` distribution modifier (`GLOBAL IN`,
+    * `GLOBAL LEFT JOIN`, ...) — it instructs CH to broadcast the right
+    * side to every shard, which is a planner decision Spark makes
+    * itself (AQE/broadcast thresholds). Only stripped when followed by
+    * a join/membership keyword, so a column actually named `global`
+    * survives.
+    */
+  private def stripGlobal(sql: String): String = {
+    val follow = Set("IN", "NOT", "JOIN", "ANY", "ALL", "LEFT", "RIGHT",
+      "INNER", "FULL", "CROSS", "SEMI", "ANTI")
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        out.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          out.append(sql.charAt(i))
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') {
+              out.append('\''); i += 1
+            } else open = false
+          }
+          i += 1
+        }
+      } else if ((c.isLetter || c == '_') &&
+          (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit ||
+            sql.charAt(i - 1) == '_'))) {
+        val s0 = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '_')) i += 1
+        val w = sql.substring(s0, i)
+        val isGlobal = w.equalsIgnoreCase("GLOBAL") && {
+          var j = i
+          while (j < n && sql.charAt(j).isWhitespace) j += 1
+          val k0 = j
+          while (j < n && (sql.charAt(j).isLetterOrDigit ||
+            sql.charAt(j) == '_')) j += 1
+          j > k0 && follow(sql.substring(k0, j).toUpperCase)
+        }
+        if (isGlobal) {
+          // swallow one following whitespace run with it
+          while (i < n && sql.charAt(i).isWhitespace) i += 1
+        } else out.append(w)
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  def translateCh(sql: String): String =
+    mergePrewhere(stripGlobal(translateCh0(sql)))
 
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")

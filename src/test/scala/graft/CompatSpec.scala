@@ -215,6 +215,13 @@ class CompatSpec extends AnyFunSuite {
       == "SELECT x FROM (SELECT y FROM t PREWHERE a) s")
     assert(translateCh("SELECT 'PREWHERE x' AS s FROM t")
       == "SELECT 'PREWHERE x' AS s FROM t")
+    // GLOBAL distribution modifiers drop; a `global` column survives
+    assert(translateCh("SELECT x FROM t WHERE y GLOBAL IN (SELECT z FROM u)")
+      == "SELECT x FROM t WHERE y IN (SELECT z FROM u)")
+    assert(translateCh("SELECT x FROM t GLOBAL LEFT JOIN u ON t.a = u.a")
+      == "SELECT x FROM t LEFT JOIN u ON t.a = u.a")
+    assert(translateCh("SELECT global FROM t WHERE global > 1")
+      == "SELECT global FROM t WHERE global > 1")
     // non-parametric adjacency untouched (a lambda call, a cast chain)
     assert(translateCh("SELECT (a)(b) FROM t") == "SELECT (a)(b) FROM t")
     assert(translateCh("SELECT quantile(0.5) FROM t")

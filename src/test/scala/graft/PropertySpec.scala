@@ -149,4 +149,49 @@ object PropertySpec extends Properties("graft") {
         buf.levels.length <= depthBound &&
         buf.n == xs.length.toLong) :| s"levels=${buf.levels.map(_.length)}"
     }
+
+  // ---- commit-log Bloom filters (the skip-index correctness core) ----
+  import graft.sink.Bloom
+
+  property("bloom: NO false negatives — every inserted hash is found, " +
+    "whatever the insert set or split/merge order") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.chooseNum(0, 10)) { (hs, cut) =>
+      // build via the aggregator in two merged partials, like a real
+      // map-side split
+      val agg = new Bloom.BloomAgg()
+      val (l, r) = hs.splitAt(math.min(cut, hs.size))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val b64 = Bloom.encode(agg.finish(merged))
+      Prop(hs.forall(h =>
+        Bloom.mayContain(b64, s"${Bloom.M},${Bloom.K}", h)))
+    }
+
+  property("bloom: block-decode testBit == whole-filter membership, and " +
+    "driver-side ofHashes == the aggregator's filter") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.listOfN(50, Gen.long)) {
+      (ins, probes) =>
+        val agg = new Bloom.BloomAgg()
+        val viaAgg = Bloom.encode(
+          agg.finish(ins.foldLeft(agg.zero)(agg.reduce)))
+        val viaDriver = Bloom.ofHashes(ins)
+        val params = s"${Bloom.M},${Bloom.K}"
+        Prop(viaAgg == viaDriver &&
+          probes.forall(p => Bloom.mayContain(viaAgg, params, p) ==
+            Bloom.mayContain(viaDriver, params, p)))
+    }
+
+  property("bloom: false-positive rate stays honest at value-filter " +
+    "density (≤10% at 4k inserts, m=32768)") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ins = Seq.fill(4000)(rnd.nextLong())
+      val b64 = Bloom.ofHashes(ins)
+      val params = s"${Bloom.M},${Bloom.K}"
+      val inSet = ins.toSet
+      val probes = Seq.fill(2000)(rnd.nextLong()).filterNot(inSet)
+      val fp = probes.count(Bloom.mayContain(b64, params, _))
+      Prop(fp <= probes.size / 10) :| s"fp=$fp/${probes.size}"
+    }
 }
