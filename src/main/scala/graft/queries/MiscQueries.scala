@@ -272,6 +272,39 @@ object MiscQueries {
     }),
 
     // binary media columns -> typed metadata via partition-batched decode
+    // PERCEPTUAL-HASH NEAR-DUP over media: every image/video carries a
+    // 60-bit pHash (behind the decoder seam: derived from the payload
+    // digest; a planted re-encode variant per 11th medium flips ONE
+    // bit — exactly what a real pHash does under light re-encoding,
+    // and what crypto hashes don't). Dedup is Hamming-LSH: 4 bands ×
+    // 15 bits, candidates share a band, verified by bit_count(xor) ≤ 2
+    // — never an all-pairs scan. Pairs come back exact: every variant
+    // must find its original at distance 1 through the band join.
+    "qm_phash_dedup" -> ((s, d) => {
+      val base = graft.Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("phash"))
+      val variants = base.filter(col("media_id") % 11 === 0)
+        .select((col("media_id") + lit(10000000L)).as("media_id"),
+          expr("phash ^ shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(media_id % 60 AS INT))").as("phash"))
+      val all = base.unionByName(variants)
+      val banded = all.select(col("media_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band", "bh")))
+      val a = banded.toDF("a_id", "a_phash", "band", "bh")
+      val b = banded.toDF("b_id", "b_phash", "band2", "bh2")
+      a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_phash").bitwiseXOR(col("b_phash"))).as("dist"))
+        .distinct()
+        .filter(col("dist") <= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     "qm_media_meta" -> ((s, d) => {
       MediaOps.decodeMeta(MediaOps.mediaCorpus(s, d)).toDF()
         .select("media_id", "kind", "payload_len", "format", "width",
@@ -1044,6 +1077,34 @@ object MiscQueries {
          |  remote_service, remote_app, remote_pod, remote_namespace,
          |  remote_instance, remote_node, remote_zone,
          |  remote_ip, remote_port, connection_flags""".stripMargin,
+    // identical pHash derivation (digit-shift hex → 60-bit int), the
+    // same planted variant, the same band join + Hamming verify
+    "qm_phash_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h
+        |  FROM documents),
+        |ph0 AS (
+        |  SELECT media_id,
+        |    SUM(CAST(strpos('0123456789abcdef', substr(h, p + 1, 1)) - 1
+        |      AS BIGINT) << ((14 - p) * 4)) AS phash
+        |  FROM m CROSS JOIN (SELECT unnest(range(15)) AS p) ps
+        |  GROUP BY media_id),
+        |allm AS (
+        |  SELECT media_id, phash FROM ph0
+        |  UNION ALL
+        |  SELECT media_id + 10000000,
+        |    xor(phash, CAST(1 AS BIGINT) << CAST(media_id % 60 AS INTEGER))
+        |  FROM ph0 WHERE media_id % 11 = 0),
+        |banded AS (
+        |  SELECT media_id, phash, b AS band,
+        |    (phash >> (b * 15)) & 32767 AS bh
+        |  FROM allm CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |pairs AS (
+        |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+        |    bit_count(xor(a.phash, b.phash)) AS dist
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.media_id < b.media_id)
+        |SELECT a_id, b_id, CAST(dist AS INTEGER) AS dist
+        |FROM pairs WHERE dist <= 2 ORDER BY a_id, b_id""".stripMargin,
     "qm_media_meta" ->
       s"""WITH $mediaMetaSql
          |SELECT media_id, kind, payload_len, format, width, height, n_frames
