@@ -83,6 +83,42 @@ object EventsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // INTERVAL-OVERLAP JOIN as a batch operator: per-(user-bucket, day)
+    // activity spans × busy hourly windows per event type, matched on
+    // overlap. The non-equi time predicate is decomposed into an HOUR-
+    // BUCKET equi-join (each span explodes into ≤24 covered hours; each
+    // 1h window IS its bucket, so no pair dedup is even needed) with
+    // the overlap inequality as a residual — a broadcastable hash join
+    // instead of the nested-loop every naive interval join plans, the
+    // same decomposition LpmJoin.viaRangeJoin uses for prefix ranges.
+    "qj_interval_overlap" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d)
+      val a = ev.groupBy((col("user_id") % 50).as("u"),
+          to_date(col("ts")).as("adate"))
+        .agg(min("ts").as("a_start"), max("ts").as("a_end"))
+      // busy = at least half the busiest hour's volume — scale-free,
+      // so the window set is non-empty at every sf
+      val b0 = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b_start"))
+        .agg(count(lit(1)).as("n"))
+      val b = b0
+        .withColumn("mx", max("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .filter(col("n") * 2 >= col("mx"))
+        .select(col("event_type"), col("b_start"),
+          (col("b_start") + expr("INTERVAL 1 HOUR")).as("b_end"))
+      val ab = a.withColumn("hb", explode(sequence(
+        date_trunc("hour", col("a_start")),
+        date_trunc("hour", col("a_end")), expr("INTERVAL 1 HOUR"))))
+      ab.join(b, col("hb") === col("b_start") &&
+          col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select(col("u"), col("adate"), col("event_type"), col("b_start"),
+          (unix_micros(least(col("a_end"), col("b_end"))) -
+            unix_micros(greatest(col("a_start"), col("b_start"))))
+            .as("overlap_us"))
+        .orderBy("u", "adate", "event_type", "b_start")
+    }),
+
     // fixed-bin histogram (the deterministic sibling of ClickHouse's
     // adaptive histogram()): 10 equal-width bins over the corpus
     // [min, max], per event type — bin edges computed once driver-side
@@ -228,6 +264,22 @@ object EventsQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the overlap join stated directly as the inequality it is —
+    // DuckDB's optimizer can afford the naive plan at oracle scale
+    "qj_interval_overlap" ->
+      """WITH e AS (SELECT ts, user_id % 50 AS u, CAST(ts AS DATE) AS adate,
+        |    event_type, date_trunc('hour', ts) AS h FROM events),
+        |a AS (SELECT u, adate, MIN(ts) AS a_start, MAX(ts) AS a_end
+        |  FROM e GROUP BY u, adate),
+        |c AS (SELECT event_type, h, COUNT(*) AS n FROM e
+        |      GROUP BY event_type, h),
+        |b AS (SELECT event_type, h AS b_start, h + INTERVAL 1 HOUR AS b_end
+        |  FROM c WHERE n * 2 >= (SELECT MAX(n) FROM c))
+        |SELECT u, adate, event_type, b_start,
+        |  epoch_us(least(a_end, b_end)) -
+        |    epoch_us(greatest(a_start, b_start)) AS overlap_us
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |ORDER BY u, adate, event_type, b_start""".stripMargin,
     // identical IEEE bin expression, edges re-derived from the corpus
     "q_histogram" ->
       """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)

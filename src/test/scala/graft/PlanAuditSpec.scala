@@ -130,6 +130,14 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("qj_interval_overlap: the hour-bucket decomposition turns the " +
+    "time-overlap predicate into a HASH join — no nested loop") {
+    val p = plan("qj_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashJoin"), "bucket equality must drive a hash join")
+  }
+
   test("q_histogram: binning partial-aggregates below the exchange") {
     val p = plan("q_histogram")
     assert("partial_count".r.findFirstIn(p).isDefined ||
