@@ -180,6 +180,40 @@ object Compat {
       new org.apache.spark.sql.catalyst.expressions.NullIf(e(0), e(1)))
     f("now")(_ =>
       org.apache.spark.sql.catalyst.expressions.CurrentTimestamp())
+    // array/string utility spellings (CH name → the Spark expression
+    // with identical semantics; 1-based array indexing on both sides)
+    import org.apache.spark.sql.catalyst.expressions.{ArrayPosition,
+      Concat, ElementAt, Length, Slice, StringSplit, StringTrim,
+      StringTrimLeft, StringTrimRight, Substring}
+    f("uniqExactIf")(e =>
+      Count(Seq(If(e(1), e(0), Literal(null, NullType))))
+        .toAggregateExpression(isDistinct = true))
+    f("arrayElement")(e => ElementAt(e(0), e(1)))
+    f("indexOf")(e => ArrayPosition(e(0), e(1)))
+    f("arraySlice")(e =>
+      if (e.size > 2) Slice(e(0), e(1), e(2))
+      else Slice(e(0), e(1), Literal(Int.MaxValue)))
+    f("arrayConcat")(e => Concat(e))
+    f("arrayPushBack")(e => Concat(Seq(e(0),
+      org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(e(1))))))
+    f("lengthUTF8")(e => Length(Cast(e.head, StringType)))
+    f("substringUTF8")(e => Substring(e(0), e(1), e(2)))
+    f("lowerUTF8")(e =>
+      org.apache.spark.sql.catalyst.expressions.Lower(e.head))
+    f("upperUTF8")(e =>
+      org.apache.spark.sql.catalyst.expressions.Upper(e.head))
+    f("trimBoth")(e => StringTrim(e.head))
+    f("trimLeft")(e => StringTrimLeft(e.head))
+    f("trimRight")(e => StringTrimRight(e.head))
+    f("splitByChar") { e =>
+      val sep = e.head match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"splitByChar separator must be a string literal, got $other")
+      }
+      StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)),
+        Literal(-1))
+    }
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a

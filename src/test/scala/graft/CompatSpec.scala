@@ -169,6 +169,32 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getAs[Double]("f64") == 4.0)
     assert(r.getAs[String]("ifn") == "dflt")
     assert(r.getAs[String]("nif") == "beta") // gamma nulled away
+    // array/string utility spellings
+    val r2 = spark.sql("""
+      SELECT arrayElement(array(10, 20, 30), 2) AS el,
+        indexOf(array('a', 'b', 'c'), 'b') AS ix,
+        arraySlice(array(1, 2, 3, 4), 2, 2) AS sl,
+        arrayConcat(array(1), array(2, 3)) AS ac,
+        arrayPushBack(array(1, 2), 9) AS pb,
+        lengthUTF8('héllo') AS lu,
+        substringUTF8('héllo', 2, 3) AS su,
+        lowerUTF8('ÄB') AS lo, upperUTF8('äb') AS up,
+        trimBoth('  x  ') AS tb, trimLeft('  x') AS tl,
+        trimRight('x  ') AS tr2,
+        splitByChar('.', 'a.b.c') AS sp,
+        uniqExactIf(v, v > 1) AS ue
+      FROM (SELECT explode(array(1, 2, 2, 3)) AS v)""").collect().head
+    assert(r2.getAs[Int]("el") == 20 && r2.getAs[Long]("ix") == 2L)
+    assert(r2.getAs[scala.collection.Seq[Int]]("sl") == Seq(2, 3))
+    assert(r2.getAs[scala.collection.Seq[Int]]("ac") == Seq(1, 2, 3))
+    assert(r2.getAs[scala.collection.Seq[Int]]("pb") == Seq(1, 2, 9))
+    assert(r2.getAs[Int]("lu") == 5)
+    assert(r2.getAs[String]("su") == "éll")
+    assert(r2.getAs[String]("lo") == "äb" && r2.getAs[String]("up") == "ÄB")
+    assert(r2.getAs[String]("tb") == "x" && r2.getAs[String]("tl") == "x"
+      && r2.getAs[String]("tr2") == "x")
+    assert(r2.getAs[scala.collection.Seq[String]]("sp") == Seq("a", "b", "c"))
+    assert(r2.getAs[Long]("ue") == 2L) // distinct of {2,2,3}
     // arrayJoin is the row-multiplying unnest (CH semantics)
     val n = spark.sql(
       "SELECT arrayJoin(array(1, 2, 3)) AS x FROM (SELECT 1)").count()
