@@ -32,6 +32,7 @@ object Graft {
       .getOrCreate()
     functions.ipfns.register(spark)
     sql.Compat.registerClickHouseFunctions(spark)
+    dims.Dictionaries.registerSql(spark)
     spark
   }
 
@@ -42,6 +43,7 @@ object Graft {
   def registerTables(spark: SparkSession, dir: String): Unit = {
     functions.ipfns.register(spark)
     sql.Compat.registerClickHouseFunctions(spark)
+    dims.Dictionaries.registerSql(spark)
     Tables.registerAll(spark, dir)
   }
 }

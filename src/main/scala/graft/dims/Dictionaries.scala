@@ -1,0 +1,131 @@
+package graft.dims
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse EXTERNAL DICTIONARIES (`dictGet('dict', 'attr', key)`):
+  * a registered dimension snapshot becomes an O(1) in-expression
+  * lookup instead of a join — exactly how the reference treats its
+  * informer caches (pkg/watcher holds pod/node maps in memory and the
+  * labeler does point lookups, watcher.go:52-120), and how ClickHouse
+  * users encode dimension access in SELECT lists where a join would be
+  * unwritable.
+  *
+  * The dictionary is collected ONCE at registration (dimensions are
+  * informer-cache-sized by definition — the same budget every
+  * broadcast dim join in this repo already assumes) into per-attribute
+  * hash maps of CATALYST-internal values, and [[DictGet]] ships the
+  * map into whole-stage codegen as a reference object — the TrieLpm
+  * pattern — so probes are a generated HashMap.get per row, no UDF
+  * boxing, no join, no shuffle. Missing keys yield NULL (ClickHouse's
+  * dictGetOrNull contract; its dictGet-with-default is `ifNull` away).
+  *
+  * Freshness follows the dim-refresh model (W5/W6): re-register on the
+  * refresh tick; queries planned after see the new snapshot.
+  */
+object Dictionaries {
+  private final case class Dict(attrs: Map[String,
+    (java.util.HashMap[Any, Any], DataType)])
+
+  private val regs = TrieMap.empty[String, Dict]
+
+  /** Snapshot `df` as dictionary `name` keyed by `keyCol`; every other
+    * column becomes a fetchable attribute. Last registration wins (the
+    * refresh path). Duplicate keys keep the last row seen —
+    * deterministic input is the caller's contract, as with any dim.
+    */
+  def register(spark: SparkSession, name: String, df: DataFrame,
+      keyCol: String): Unit = {
+    val schema = df.schema
+    require(schema.fieldNames.contains(keyCol), s"no key column $keyCol")
+    val keyIdx = schema.fieldIndex(keyCol)
+    val keyConv = CatalystTypeConverters
+      .createToCatalystConverter(schema(keyIdx).dataType)
+    val attrs = schema.fields.zipWithIndex
+      .filter(_._1.name != keyCol)
+      .map { case (f, i) =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+        val m = new java.util.HashMap[Any, Any]()
+        (f.name, i, conv, m)
+      }
+    df.collect().foreach { row =>
+      val k = keyConv(row.get(keyIdx))
+      if (k != null) attrs.foreach { case (_, i, conv, m) =>
+        val v = if (row.isNullAt(i)) null else conv(row.get(i))
+        if (v != null) m.put(k, v) else m.remove(k)
+      }
+    }
+    regs.put(name, Dict(attrs.map { case (n, i, _, m) =>
+      n -> (m, schema.fields(i).dataType)
+    }.toMap))
+  }
+
+  def deregister(name: String): Unit = regs.remove(name)
+
+  private def resolve(dict: String, attr: String):
+      (java.util.HashMap[Any, Any], DataType) =
+    regs.getOrElse(dict, throw new IllegalArgumentException(
+      s"no dictionary '$dict' registered")).attrs.getOrElse(attr,
+      throw new IllegalArgumentException(
+        s"dictionary '$dict' has no attribute '$attr'"))
+
+  /** Column-API lookup. */
+  def dict_get(dict: String, attr: String, key: Column): Column = {
+    val (m, dt) = resolve(dict, attr)
+    column(DictGet(dict, attr, expression(key), m, dt))
+  }
+
+  /** SQL spelling: `dictGet('dict', 'attr', key)` — dict and attr must
+    * be string literals (they select the map at PLAN time, which is
+    * the whole point).
+    */
+  def registerSql(spark: SparkSession): Unit = {
+    def lit(e: Expression, what: String): String = e match {
+      case Literal(u: UTF8String, StringType) => u.toString
+      case other => throw new IllegalArgumentException(
+        s"dictGet $what must be a string literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dictGet", { e =>
+        val (m, dt) = resolve(lit(e(0), "dictionary name"),
+          lit(e(1), "attribute name"))
+        DictGet(lit(e(0), "dictionary name"), lit(e(1), "attribute name"),
+          e(2), m, dt)
+      }, "scala_udf")
+  }
+}
+
+/** The generated probe: one HashMap.get against the registered
+  * dictionary per row, inside whole-stage codegen. `dict`/`attr` ride
+  * along only for plan rendering; the map reference IS the semantics.
+  */
+case class DictGet(dict: String, attr: String, child: Expression,
+    lookup: java.util.HashMap[Any, Any], resultType: DataType)
+    extends UnaryExpression {
+  override def dataType: DataType = resultType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(k: Any): Any = lookup.get(k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("graftDict", lookup, "java.util.HashMap")
+      s"""
+         |Object r = $m.get($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${CodeGenerator.boxedType(dataType)}) r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): DictGet =
+    copy(child = c)
+  override def prettyName: String = s"dictGet"
+  override def toString: String = s"dictGet($dict, $attr, $child)"
+}

@@ -350,6 +350,27 @@ object FlowQueries {
         GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // EXTERNAL DICTIONARY as a gate: the pods informer snapshot
+    // registered as a dictionary, then point-probed by dictGet for a
+    // probe set where half the keys intentionally miss — hits must
+    // return the pod attributes, misses NULL, exactly a LEFT JOIN's
+    // answer (the oracle states it as one). The probe is an O(1)
+    // codegen'd map lookup per row: no join, no shuffle, the
+    // ClickHouse dictionary contract on the watcher cache.
+    "qf_dictget" -> ((s, d) => {
+      graft.dims.Dictionaries.register(s, "pods",
+        SyntheticFlows.pods(s, d), "pod_ip")
+      graft.dims.Dictionaries.registerSql(s)
+      graft.Tables.customer(s, d)
+        .select((lit(167772160L) + col("c_custkey") * 2).as("ip"))
+        .createOrReplaceTempView("dict_probes")
+      s.sql("""
+        SELECT ip, dictGet('pods', 'pod_name', ip) AS pod_name,
+          dictGet('pods', 'pod_app', ip) AS pod_app,
+          dictGet('pods', 'pod_node', ip) AS pod_node
+        FROM dict_probes ORDER BY ip""")
+    }),
+
     // CH PARAMETRIC SYNTAX end-to-end: literal ClickHouse text —
     // quantileExact(p)(x) parametric calls, bare count(), a FORMAT
     // clause — through Compat.chSql's paren-aware shim into Spark's
@@ -541,6 +562,18 @@ object FlowQueries {
          |  ${sqlIpStr("MIN(local_ip)")} AS min_ip
          |FROM c GROUP BY d, h ORDER BY h""".stripMargin,
 
+    // the dictionary IS a left join, stated as one
+    "qf_dictget" ->
+      """WITH p AS (
+        |  SELECT 167772160 + c_custkey AS pod_ip,
+        |    'pod-' || CAST(c_custkey AS VARCHAR) AS pod_name,
+        |    LOWER(c_mktsegment) AS pod_app,
+        |    'node-' || CAST(c_custkey % 20 AS VARCHAR) AS pod_node
+        |  FROM customer),
+        |pr AS (SELECT 167772160 + c_custkey * 2 AS ip FROM customer)
+        |SELECT ip, p.pod_name, p.pod_app, p.pod_node
+        |FROM pr LEFT JOIN p ON pr.ip = p.pod_ip
+        |ORDER BY ip""".stripMargin,
     "q_compat_parametric" ->
       """SELECT event_type,
         |  CAST(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dims.Dictionaries
+
+/** ClickHouse external-dictionary semantics: point lookups without a
+  * join, NULL on miss, last-registration-wins refresh.
+  */
+class DictionarySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dictGet: hits fetch attributes, misses are NULL, re-register " +
+      "refreshes, bad names fail loudly, codegen carries the probe") {
+    val dim = Seq((10L, "a", 1), (20L, "b", 2), (30L, null, 3))
+      .toDF("k", "name", "rank")
+    Dictionaries.register(spark, "spec_dim", dim, "k")
+    Dictionaries.registerSql(spark)
+    val probes = Seq(10L, 20L, 30L, 99L).toDF("k")
+    // Column API
+    val got = probes.select(col("k"),
+        Dictionaries.dict_get("spec_dim", "name", col("k")).as("n"),
+        Dictionaries.dict_get("spec_dim", "rank", col("k")).as("r"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(got.toSeq == Seq((10L, "a", 1), (20L, "b", 2),
+      (30L, null, 3), (99L, null, -1)),
+      "hit attributes, NULL-valued attribute, and full miss")
+    // SQL spelling
+    probes.createOrReplaceTempView("dict_spec_probes")
+    val viaSql = spark.sql(
+      """SELECT k, dictGet('spec_dim', 'name', k) AS n
+        |FROM dict_spec_probes ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSql.toSeq == Seq((10L, "a"), (20L, "b"), (30L, null),
+      (99L, null)))
+    // the probe participates in whole-stage codegen (no UDF fallback) —
+    // proven over a real file scan (a local Seq constant-folds away)
+    val plan = Tables.customer(spark, sf)
+      .select(Dictionaries.dict_get("spec_dim", "rank",
+        col("c_custkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("dictGet"), plan)
+    // refresh: a re-registered snapshot serves new plans
+    Dictionaries.register(spark, "spec_dim",
+      Seq((10L, "A2", 9)).toDF("k", "name", "rank"), "k")
+    val refreshed = Seq(10L, 20L).toDF("k").select(
+      Dictionaries.dict_get("spec_dim", "name", col("k")))
+      .collect().map(r => r.getString(0))
+    assert(refreshed.toSeq == Seq("A2", null),
+      "last registration wins; dropped keys now miss")
+    // misuse fails at plan time with a clear message
+    intercept[IllegalArgumentException] {
+      Dictionaries.dict_get("no_such_dict", "x", col("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Dictionaries.dict_get("spec_dim", "no_such_attr", col("k"))
+    }
+    Dictionaries.deregister("spec_dim")
+  }
+}
