@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Dictionaries {
   private final case class Dict(attrs: Map[String,
-    (java.util.HashMap[Any, Any], DataType)])
+      (java.util.HashMap[Any, Any], DataType)],
+      trie: Option[graft.flow.Ipv4Trie] = None)
 
   private val regs = TrieMap.empty[String, Dict]
 
@@ -69,6 +70,36 @@ object Dictionaries {
     }.toMap))
   }
 
+  /** ClickHouse's `ip_trie` dictionary LAYOUT: the key is an IPv4
+    * ADDRESS and the lookup is longest-prefix-match over registered
+    * CIDR ranges — `dictGet('ranges', 'cloud', ip)` answers "which
+    * provider owns this address" without a range join. Composed from
+    * the machinery already proven in the LPM pipeline: the codegen'd
+    * [[graft.flow.TrieLpm]] probe resolves the O(32) prefix index,
+    * and [[DictGet]]'s map fetch resolves the attribute — both inside
+    * whole-stage codegen.
+    */
+  def registerIpTrie(spark: SparkSession, name: String, df: DataFrame,
+      startCol: String = "p_start", lenCol: String = "p_len"): Unit = {
+    val schema = df.schema
+    val si = schema.fieldIndex(startCol)
+    val li = schema.fieldIndex(lenCol)
+    val rows = df.collect()
+    val trie = graft.flow.Ipv4Trie.build(
+      rows.zipWithIndex.map { case (r, i) => (r.getLong(si), r.getInt(li), i) })
+    val attrs = schema.fields.zipWithIndex
+      .filter { case (f, _) => f.name != startCol && f.name != lenCol }
+      .map { case (f, i) =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+        val m = new java.util.HashMap[Any, Any]()
+        rows.zipWithIndex.foreach { case (r, idx) =>
+          if (!r.isNullAt(i)) m.put(Int.box(idx), conv(r.get(i)))
+        }
+        f.name -> (m, f.dataType)
+      }.toMap
+    regs.put(name, Dict(attrs, Some(trie)))
+  }
+
   def deregister(name: String): Unit = regs.remove(name)
 
   private def resolve(dict: String, attr: String):
@@ -78,10 +109,21 @@ object Dictionaries {
       throw new IllegalArgumentException(
         s"dictionary '$dict' has no attribute '$attr'"))
 
+  /** The probe for a dict: hash dicts probe the key itself; ip_trie
+    * dicts resolve the key ADDRESS to its longest-prefix index first.
+    */
+  private def probe(dict: String, key: Expression): Expression =
+    regs.get(dict).flatMap(_.trie) match {
+      case Some(t) => graft.flow.TrieLpm(
+        org.apache.spark.sql.catalyst.expressions.Cast(key,
+          org.apache.spark.sql.types.LongType), t)
+      case None => key
+    }
+
   /** Column-API lookup. */
   def dict_get(dict: String, attr: String, key: Column): Column = {
     val (m, dt) = resolve(dict, attr)
-    column(DictGet(dict, attr, expression(key), m, dt))
+    column(DictGet(dict, attr, probe(dict, expression(key)), m, dt))
   }
 
   /** SQL spelling: `dictGet('dict', 'attr', key)` — dict and attr must
@@ -96,10 +138,9 @@ object Dictionaries {
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dictGet", { e =>
-        val (m, dt) = resolve(lit(e(0), "dictionary name"),
-          lit(e(1), "attribute name"))
-        DictGet(lit(e(0), "dictionary name"), lit(e(1), "attribute name"),
-          e(2), m, dt)
+        val d = lit(e(0), "dictionary name")
+        val (m, dt) = resolve(d, lit(e(1), "attribute name"))
+        DictGet(d, lit(e(1), "attribute name"), probe(d, e(2)), m, dt)
       }, "scala_udf")
   }
 }

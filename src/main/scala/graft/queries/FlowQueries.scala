@@ -371,6 +371,28 @@ object FlowQueries {
         FROM dict_probes ORDER BY ip""")
     }),
 
+    // ip_trie DICTIONARY LAYOUT as a gate: the cloud-range table
+    // registered as an ip_trie dictionary; dictGet on an ADDRESS
+    // resolves longest-prefix-match + attribute fetch in one codegen'd
+    // probe (TrieLpm index → map get). Every 5th probe is pushed far
+    // outside the registered space and must come back NULL.
+    "qf_dictget_trie" -> ((s, d) => {
+      graft.dims.Dictionaries.registerIpTrie(s, "ranges",
+        SyntheticFlows.prefixes(s, d)
+          .select("p_start", "p_len", "p_cloud", "p_region", "p_service"))
+      graft.dims.Dictionaries.registerSql(s)
+      graft.Tables.customer(s, d)
+        .select((lit(16777216L) + col("c_custkey") * 512 +
+          when(col("c_custkey") % 5 === 0, 2000000000L).otherwise(0L))
+          .as("ip"))
+        .createOrReplaceTempView("trie_probes")
+      s.sql("""
+        SELECT ip, dictGet('ranges', 'p_cloud', ip) AS p_cloud,
+          dictGet('ranges', 'p_region', ip) AS p_region,
+          dictGet('ranges', 'p_service', ip) AS p_service
+        FROM trie_probes ORDER BY ip""")
+    }),
+
     // CH PARAMETRIC SYNTAX end-to-end: literal ClickHouse text —
     // quantileExact(p)(x) parametric calls, bare count(), a FORMAT
     // clause — through Compat.chSql's paren-aware shim into Spark's
@@ -562,6 +584,37 @@ object FlowQueries {
          |  ${sqlIpStr("MIN(local_ip)")} AS min_ip
          |FROM c GROUP BY d, h ORDER BY h""".stripMargin,
 
+    // LPM stated as the range join + longest-prefix window it is
+    "qf_dictget_trie" ->
+      """WITH prefixes AS (
+        |  SELECT 16777216 + p_partkey * 2048 AS p_start,
+        |    16777216 + p_partkey * 2048 + 2047 AS p_end, 21 AS p_len,
+        |    CASE p_partkey % 3 WHEN 0 THEN 'aws' WHEN 1 THEN 'gcp'
+        |      ELSE 'azure' END AS p_cloud,
+        |    CASE WHEN p_partkey % 53 = 0 THEN ''
+        |         WHEN p_partkey % 7 = 0 THEN 'global'
+        |         ELSE 'region-' || CAST(p_partkey % 7 AS VARCHAR)
+        |    END AS p_region,
+        |    'svc-' || CAST(p_partkey % 11 AS VARCHAR) AS p_service
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 16777216 + (p_partkey - (p_partkey % 4)) * 2048,
+        |    16777216 + (p_partkey - (p_partkey % 4)) * 2048 + 8191, 19,
+        |    CASE p_partkey % 3 WHEN 0 THEN 'aws' WHEN 1 THEN 'gcp'
+        |      ELSE 'azure' END,
+        |    'region-9', 'svc-coarse'
+        |  FROM part WHERE p_partkey % 40 = 0),
+        |pr AS (SELECT 16777216 + c_custkey * 512 +
+        |    CASE WHEN c_custkey % 5 = 0 THEN 2000000000 ELSE 0 END AS ip
+        |  FROM customer),
+        |m AS (
+        |  SELECT pr.ip, p.p_cloud, p.p_region, p.p_service,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.ip
+        |      ORDER BY p.p_len DESC NULLS LAST) AS rn
+        |  FROM pr LEFT JOIN prefixes p
+        |    ON pr.ip BETWEEN p.p_start AND p.p_end)
+        |SELECT ip, p_cloud, p_region, p_service
+        |FROM m WHERE rn = 1 ORDER BY ip""".stripMargin,
     // the dictionary IS a left join, stated as one
     "qf_dictget" ->
       """WITH p AS (

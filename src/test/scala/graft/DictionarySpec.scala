@@ -60,4 +60,23 @@ class DictionarySpec extends AnyFunSuite {
     }
     Dictionaries.deregister("spec_dim")
   }
+
+  test("ip_trie layout: dictGet on an address resolves longest-prefix " +
+      "attributes; uncovered addresses miss") {
+    // 10.0.0.0/8 coarse under 10.1.0.0/16 fine — LPM must pick fine
+    val ranges = Seq(
+      (167772160L, 8, "coarse"),  // 10.0.0.0/8
+      (167837696L, 16, "fine")    // 10.1.0.0/16
+    ).toDF("p_start", "p_len", "owner")
+    Dictionaries.registerIpTrie(spark, "spec_trie", ranges)
+    val got = Seq(
+      167772161L, // 10.0.0.1  -> coarse
+      167837697L, // 10.1.0.1  -> fine (longest)
+      3232235521L // 192.168.0.1 -> miss
+    ).toDF("ip").select(
+      Dictionaries.dict_get("spec_trie", "owner", col("ip")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("coarse", "fine", null))
+    Dictionaries.deregister("spec_trie")
+  }
 }
