@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object Dictionaries {
   private final case class Dict(attrs: Map[String,
       (java.util.HashMap[Any, Any], DataType)],
+      hasMap: java.util.HashMap[Any, Any],
       trie: Option[graft.flow.Ipv4Trie] = None)
 
   private val regs = TrieMap.empty[String, Dict]
@@ -58,16 +59,20 @@ object Dictionaries {
         val m = new java.util.HashMap[Any, Any]()
         (f.name, i, conv, m)
       }
+    val hasMap = new java.util.HashMap[Any, Any]()
     df.collect().foreach { row =>
       val k = keyConv(row.get(keyIdx))
-      if (k != null) attrs.foreach { case (_, i, conv, m) =>
-        val v = if (row.isNullAt(i)) null else conv(row.get(i))
-        if (v != null) m.put(k, v) else m.remove(k)
+      if (k != null) {
+        hasMap.put(k, java.lang.Boolean.TRUE)
+        attrs.foreach { case (_, i, conv, m) =>
+          val v = if (row.isNullAt(i)) null else conv(row.get(i))
+          if (v != null) m.put(k, v) else m.remove(k)
+        }
       }
     }
     regs.put(name, Dict(attrs.map { case (n, i, _, m) =>
       n -> (m, schema.fields(i).dataType)
-    }.toMap))
+    }.toMap, hasMap))
   }
 
   /** ClickHouse's `ip_trie` dictionary LAYOUT: the key is an IPv4
@@ -97,7 +102,9 @@ object Dictionaries {
         }
         f.name -> (m, f.dataType)
       }.toMap
-    regs.put(name, Dict(attrs, Some(trie)))
+    val hasMap = new java.util.HashMap[Any, Any]()
+    rows.indices.foreach(i => hasMap.put(Int.box(i), java.lang.Boolean.TRUE))
+    regs.put(name, Dict(attrs, hasMap, Some(trie)))
   }
 
   def deregister(name: String): Unit = regs.remove(name)
@@ -141,6 +148,26 @@ object Dictionaries {
         val d = lit(e(0), "dictionary name")
         val (m, dt) = resolve(d, lit(e(1), "attribute name"))
         DictGet(d, lit(e(1), "attribute name"), probe(d, e(2)), m, dt)
+      }, "scala_udf")
+    // dictGetOrDefault = the NULL-on-miss lookup coalesced with the
+    // caller's default; dictHas probes ANY attribute map's key set
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dictGetOrDefault", { e =>
+        val d = lit(e(0), "dictionary name")
+        val (m, dt) = resolve(d, lit(e(1), "attribute name"))
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          DictGet(d, lit(e(1), "attribute name"), probe(d, e(2)), m, dt),
+          e(3)))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dictHas", { e =>
+        val d = lit(e(0), "dictionary name")
+        val dict = regs.getOrElse(d, throw new IllegalArgumentException(
+          s"no dictionary '$d' registered"))
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          DictGet(d, "__has", probe(d, e(1)), dict.hasMap,
+            org.apache.spark.sql.types.BooleanType),
+          Literal(false)))
       }, "scala_udf")
   }
 }

@@ -51,6 +51,16 @@ class DictionarySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0))
     assert(refreshed.toSeq == Seq("A2", null),
       "last registration wins; dropped keys now miss")
+    // dictGetOrDefault / dictHas SQL spellings
+    Dictionaries.register(spark, "spec_dim", dim, "k")
+    val dh = spark.sql(
+      """SELECT k, dictGetOrDefault('spec_dim', 'name', k, 'dflt') AS n,
+        |  dictHas('spec_dim', k) AS h
+        |FROM dict_spec_probes ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(dh.toSeq == Seq((10L, "a", true), (20L, "b", true),
+      (30L, "dflt", true), (99L, "dflt", false)),
+      "default fills NULL-valued and missing; has is exact key presence")
     // misuse fails at plan time with a clear message
     intercept[IllegalArgumentException] {
       Dictionaries.dict_get("no_such_dict", "x", col("k"))
