@@ -138,6 +138,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), "bucket equality must drive a hash join")
   }
 
+  test("qf_dictget: the dictionary probe is joinless — no join operator " +
+    "of any kind in the plan") {
+    val p = plan("qf_dictget")
+    assert(p.contains("dictGet"), "probe must appear in the plan")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("qm_phash_dedup: Hamming-LSH band join is hash-based, no cartesian") {
+    val p = plan("qm_phash_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q_histogram: binning partial-aggregates below the exchange") {
     val p = plan("q_histogram")
     assert("partial_count".r.findFirstIn(p).isDefined ||
