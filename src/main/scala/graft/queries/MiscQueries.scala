@@ -627,16 +627,18 @@ object MiscQueries {
       // events fingerprint inside txBaseCopyWith covers documents too
       val table = txBaseCopyWith(s, d, "tokenbloom", "docs")(
         t => TxTable.append(s, docs, t))
-      val tok = docs
+      val toks = docs
         .select(explode(split(col("text"), " ")).as("t"))
         .filter(length(col("t")) > 0)
         .groupBy("t").count()
-        .orderBy(col("count"), col("t")).limit(1)
-        .collect().head.getString(0)
-      TxFileIndex.readV2(s, table)
-        .filter(graft.functions.ipfns.has_token(col("text"), lit(tok)))
-        .agg(lit(tok).as("tok"), count(lit(1)).as("n"),
-          sum("doc_id").as("id_sum"))
+        .orderBy(col("count"), col("t")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      toks.map { tok =>
+        TxFileIndex.readV2(s, table)
+          .filter(graft.functions.ipfns.has_token(col("text"), lit(tok)))
+          .agg(lit(tok).as("tok"), count(lit(1)).as("n"),
+            sum("doc_id").as("id_sum"))
+      }.reduce(_ unionByName _).orderBy("tok")
     }),
 
     // OPTIMIZE (bin-packing) as a gate: the base lands as 8 successive
@@ -913,12 +915,12 @@ object MiscQueries {
         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |  WHERE len(t) > 0),
         |tgt AS (SELECT t FROM toks GROUP BY t
-        |  ORDER BY COUNT(*), t LIMIT 1)
+        |  ORDER BY COUNT(*), t LIMIT 3)
         |SELECT tgt.t AS tok, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
-        |FROM documents, tgt
-        |WHERE list_contains(string_split(text, ' '), tgt.t)
-        |GROUP BY tgt.t""".stripMargin,
+        |FROM documents JOIN tgt
+        |  ON list_contains(string_split(text, ' '), tgt.t)
+        |GROUP BY tgt.t ORDER BY tgt.t""".stripMargin,
     // layout-only: the packed table must aggregate exactly like raw
     // events (any lost/duplicated row moves cents, n, or u_sum)
     "qtx_optimize" ->
