@@ -843,6 +843,39 @@ object MiscQueries {
       q
     }),
 
+    // O2 BUCKETED STORAGE as a gate (was spec-only): both join sides
+    // land bucketed+sorted on the join key, and the fact-dim join then
+    // plans with ZERO exchanges and ZERO sorts — the gate requires it
+    // before returning (at 100 TB this is the difference between a
+    // co-located merge join and re-shuffling both tables every query).
+    // The aggregate's hash-checked result proves the bucketed path
+    // loses and duplicates nothing.
+    "qsink_bucketed" -> ((s, d) => {
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_buck_${math.abs(d.hashCode)}"
+      graft.Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/o").format("parquet")
+        .saveAsTable("graft_buck_orders")
+      graft.Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/c").format("parquet")
+        .saveAsTable("graft_buck_customer")
+      // merge hint = the shuffle-join path a 100 TB fact-fact join
+      // takes (an unhinted small dim would broadcast — its own kind of
+      // exchange); bucketing must satisfy both sides' distribution
+      val j = s.table("graft_buck_orders").hint("merge")
+        .join(s.table("graft_buck_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val jplan = j.queryExecution.executedPlan.toString
+      require(!jplan.contains("Exchange"),
+        "bucketed join must not shuffle either side")
+      j.groupBy("c_mktsegment")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -1236,6 +1269,14 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e, k WHERE date >= cut
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bucketed round trip must aggregate exactly like the raw join
+    "qsink_bucketed" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "qsink_roundtrip" ->
       s"""${graft.flow.FlowSql.summedCte}
          |SELECT direction, CAST(SUM(bytes) AS BIGINT) AS bytes,
