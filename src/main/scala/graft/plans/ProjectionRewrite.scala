@@ -102,7 +102,10 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
       unwrap(child).map { case (fs, idx) => (cond +: fs, idx) }
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation => h.location match {
-        case idx: TxFileIndex => Some((Seq.empty, idx))
+        // a time-travel scan is pinned to a historical version; the MV
+        // only ever materializes the PRESENT — never rewrite it
+        case idx: TxFileIndex if idx.asOfVersion.isEmpty =>
+          Some((Seq.empty, idx))
         case _ => None
       }
       case _ => None

@@ -115,7 +115,9 @@ object MiscQueries {
     // g2: layout generation — bump when the logged per-file metadata
     // changes shape (g2 = bloom skip-index stats), so cached bases
     // built by an older binary rebuild instead of serving stale logs
-    val prefix = s"graft_txbase_g2_${kind}_${math.abs(d.hashCode)}"
+    // g3: commit logs carry operation tags (O lines) — caches built by
+    // the pre-tag binary would read as untagged destructive rewrites
+    val prefix = s"graft_txbase_g3_${kind}_${math.abs(d.hashCode)}"
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"${prefix}_$fp")
     if (!java.nio.file.Files.exists(base.resolve("_DONE"))) {
@@ -612,6 +614,49 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // RESTORE as a gate: the whole min event type is deleted, then the
+    // table is rewound to the pre-delete version with one metadata-only
+    // commit (files return BY REFERENCE — stats and Bloom filters
+    // included, zero data I/O). The read-back must equal the
+    // straight-from-events oracle, i.e. the delete is fully undone; a
+    // repeated restore must no-op, the post-delete era must stay
+    // time-travelable, and VACUUM DRY RUN must report the delete-era
+    // rewrite files as reclaimable WITHOUT deleting anything.
+    "qtx_restore" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopy(s, d, ev, "restore", kind = "events_raw")
+      val v0 = TxTable.currentVersion(s, table)
+      val tgt = ev.agg(min("event_type")).collect().head.getString(0)
+      require(TxTable.delete(s, table, col("event_type") === tgt) >= 0,
+        "destructive mutation must commit")
+      val vDel = TxTable.currentVersion(s, table)
+      require(TxTable.restore(s, table, v0) >= 0, "restore must commit")
+      require(TxTable.restore(s, table, v0) == -1L,
+        "restoring to the state we already equal must no-op")
+      require(TxFileIndex.readV2(s, table)
+        .filter(col("event_type") === tgt).limit(1).count() == 1,
+        "the deleted type is back")
+      require(TxTable.read(s, table, asOfVersion = Some(vDel))
+        .filter(col("event_type") === tgt).limit(1).count() == 0,
+        "the post-delete era stays travelable after restore")
+      val dry = TxTable.vacuumDryRun(s, table, 0L)
+      require(dry.exists(_._1.endsWith(".parquet")),
+        "dry run must report the orphaned delete-era rewrite files")
+      val root0 = new org.apache.hadoop.fs.Path(table)
+      val fs0 = root0.getFileSystem(s.sessionState.newHadoopConf())
+      dry.foreach { case (rel, _) =>
+        require(fs0.exists(new org.apache.hadoop.fs.Path(root0, rel)),
+          s"dry run must not delete $rel")
+      }
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // TOKEN BLOOM INDEX (tokenbf_v1) as a gate: the documents corpus
     // lands as a tx table whose commit log carries a per-file TOKEN
     // filter over `text`; the query probes has_token() for the RAREST
@@ -940,6 +985,16 @@ object MiscQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // restore undoes the delete completely: the oracle is the PLAIN
+    // full-events aggregate — any row the rewind lost or duplicated
+    // moves n/cents/u_sum
+    "qtx_restore" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same rarest-token choice and the same single-space token
     // semantics, straight over documents
     "qtx_tokenbloom" ->

@@ -163,21 +163,29 @@ object MaterializedView {
       agg(partials, states.flatMap(_.finish))
   }
 
-  /** Base version the MV has applied through (-1: never refreshed). */
-  /** True iff the MV covers every data-adding commit of the base —
-    * rewrite commits (compact / merge / z-order / retention) beyond
-    * the high-water mark don't count, exactly as [[refresh]] skips
-    * them. The projection-routing rule ([[graft.plans.Projections]])
-    * refuses to serve a query from a stale MV: staleness degrades to
-    * the base scan, never to a wrong answer.
+  /** True iff serving an aggregate from the MV equals serving it from
+    * the base: every base commit past the high-water mark is either a
+    * CONTENT-PRESERVING layout rewrite (its recorded operation tag is
+    * in [[TxTable.LayoutOps]] — optimize / z-order) or a data-less
+    * mark. A pure append means missing rows; a merge / delete /
+    * compact / retention / rollup / overwrite commit means the MV still
+    * contains rows the base no longer has (or pre-merge values) — both
+    * are staleness, and so is any range [[TxTable.expireLog]] already
+    * swept (unverifiable → assume the worst). The projection-routing
+    * rule ([[graft.plans.Projections]]) refuses to serve a query from a
+    * stale MV: staleness degrades to the base scan, never to a wrong
+    * answer.
     */
   def isCurrent(spark: SparkSession, baseTable: String,
       mvTable: String): Boolean = {
     val applied = lastApplied(spark, mvTable)
     val (fs, root) = TxTable.fsFor(spark, baseTable)
     val cur = TxTable.currentVersion(spark, baseTable)
-    cur >= 0 &&
-      (cur == applied || TxTable.appendedIn(fs, root, applied, cur).isEmpty)
+    cur >= 0 && (cur == applied || {
+      val (complete, newData, destructive) =
+        TxTable.rangeSummary(fs, root, applied, cur)
+      complete && !newData && !destructive
+    })
   }
 
   def lastApplied(spark: SparkSession, mvTable: String): Long = {
@@ -185,12 +193,18 @@ object MaterializedView {
     TxTable.txnHighWater(fs, root).getOrElse(WriterApp, -1L)
   }
 
-  /** Incrementally fold the base table's un-applied appends into the MV.
+  /** Fold the base table's un-applied commits into the MV. Pure-append
+    * ranges apply INCREMENTALLY (read only the delta files); a range
+    * containing only layout rewrites / marks advances the high-water
+    * mark with a data-less commit; a range containing a DESTRUCTIVE
+    * commit (merge / delete / compact / retention / rollup /
+    * overwrite — anything that removed files without a layout tag), or
+    * one partially swept by [[TxTable.expireLog]], cannot be applied
+    * incrementally and triggers a full [[rebuild]] — incremental
+    * maintenance under row removal would require retractable states.
     * Returns the MV commit version, or -1 when already up to date (or
-    * when a concurrent refresher won the race — either way the MV covers
-    * the versions this call saw). A base range containing only rewrite /
-    * mark commits advances the high-water mark with a data-less commit,
-    * so lag is measured against versions, not data.
+    * when a concurrent refresher won the race — either way the MV
+    * covers the versions this call saw).
     */
   def refresh(spark: SparkSession, baseTable: String, mvTable: String,
       mv: MvDef): Long = {
@@ -199,12 +213,49 @@ object MaterializedView {
     if (cur < 0) return -1L
     val last = lastApplied(spark, mvTable)
     if (cur <= last) return -1L
+    val (complete, _, destructive) =
+      TxTable.rangeSummary(bfs, broot, last, cur)
+    if (!complete || destructive)
+      return rebuild(spark, baseTable, mvTable, mv)
     val delta = TxTable.appendedIn(bfs, broot, last, cur)
     if (delta.isEmpty)
       return TxTable.commitTxnMark(spark, mvTable, WriterApp, cur)
     val rows = TxTable.readFileSet(spark, broot, delta,
       TxTable.logSchema(bfs, broot, Some(cur)))
     TxTable.appendTxn(spark, mv.partial(rows), mvTable, WriterApp, cur)
+  }
+
+  /** Full recompute: partial-aggregate the base's CURRENT snapshot and
+    * atomically replace the MV's whole file set, high-water mark
+    * included, in one commit ([[TxTable.overwriteTxn]]) — the recovery
+    * path for destructive base history, and also what a FIRST refresh
+    * over a base with past merges needs (the incremental feed skips
+    * rewrite commits, so their files would otherwise never be seen).
+    * Reads are pinned to one base version: a commit racing the rebuild
+    * is simply the next refresh's work. Scale shape: one full base
+    * scan — the same cost ClickHouse pays to POPULATE a view.
+    */
+  def rebuild(spark: SparkSession, baseTable: String, mvTable: String,
+      mv: MvDef): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DateType, StructField, StructType}
+    val (bfs, broot) = TxTable.fsFor(spark, baseTable)
+    val cur = TxTable.currentVersion(spark, baseTable)
+    if (cur < 0) return -1L
+    val live = TxTable.snapshotFiles(bfs, broot, Some(cur))
+    val rows =
+      if (live.nonEmpty)
+        TxTable.readFileSet(spark, broot, live.toSeq,
+          TxTable.logSchema(bfs, broot, Some(cur)))
+      else {
+        // base fully emptied: the MV's truth is zero groups
+        val sch = TxTable.logSchema(bfs, broot, Some(cur)).getOrElse(
+          throw new IllegalStateException(
+            s"cannot rebuild MV over empty pre-evolution base $baseTable"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(StructField("date", DateType, true) +: sch.fields.toSeq))
+      }
+    TxTable.overwriteTxn(spark, mv.partial(rows), mvTable, WriterApp, cur)
   }
 
   /** The finalized view: merge all stored partials. */

@@ -37,6 +37,13 @@ class TxFileIndex(spark: SparkSession, table: String,
     * a scan of a registered base table inside a logical plan. */
   def tableRoot: Path = qroot
 
+  /** Pinned time-travel version, if any. Exposed so the projection
+    * rewrite can refuse to route a HISTORICAL scan to the (current) MV
+    * — `versionAsOf` queries must read the era they name, never
+    * present-day partials.
+    */
+  def asOfVersion: Option[Long] = asOf
+
   /** (date string, files with log-recorded sizes + stats), one log replay. */
   @volatile private var byDate:
       Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] = load()

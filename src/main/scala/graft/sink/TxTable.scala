@@ -172,13 +172,18 @@ object TxTable {
   private def listCheckpoints(fs: FileSystem, root: Path): Seq[Long] =
     listBySuffix(fs, root, ".ckpt")
 
-  /** Parse one log file (commit or checkpoint — same line format) into
-    * (file actions, writer (appId, version) marks, schema metadata).
+  /** One parsed log file: file actions, writer (appId, version) marks,
+    * schema metadata, and the commit's operation tag (`O` line —
+    * absent on checkpoints and pre-tag logs).
+    */
+  private case class ParsedLog(acts: Seq[Action], txns: Seq[(String, Long)],
+      schema: Option[StructType], op: Option[String])
+
+  /** Parse one log file (commit or checkpoint — same line format).
     * The terminal `C <n>` marker must count every action line or the
     * file is rejected as torn.
     */
-  private def parseLog(fs: FileSystem, p: Path,
-      what: String): (Seq[Action], Seq[(String, Long)], Option[StructType]) = {
+  private def parseLog(fs: FileSystem, p: Path, what: String): ParsedLog = {
     val in = fs.open(p)
     val raw = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
       finally in.close()
@@ -189,6 +194,7 @@ object TxTable {
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
     val txns = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var schema: Option[StructType] = None
+    var op: Option[String] = None
     lines.init.foreach { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
@@ -199,14 +205,15 @@ object TxTable {
         case Array("T", a, v)   => txns += (dec(a) -> v.toLong)
         case Array("M", sj)     =>
           schema = Some(DataType.fromJson(dec(sj)).asInstanceOf[StructType])
+        case Array("O", o)      => op = Some(dec(o))
         case _ => throw new IllegalStateException(s"bad action in $what $p: $l")
       }
     }
-    (acts.toSeq, txns.toSeq, schema)
+    ParsedLog(acts.toSeq, txns.toSeq, schema, op)
   }
 
   private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
-    parseLog(fs, versionFile(root, v), s"commit $v")._1
+    parseLog(fs, versionFile(root, v), s"commit $v").acts
 
   /** Table state at `asOf` (default: latest): live files + the per-app
     * writer high-water marks. Replay starts from the newest READABLE
@@ -231,21 +238,21 @@ object TxTable {
     }.collectFirst { case Some(x) => x }
     val ckpt = parsed.map(_._1)
     val base = parsed match {
-      case Some((_, (acts, txns, sch))) =>
-        LogState(acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
-          mergeMarks(Map.empty, txns), sch)
+      case Some((_, pl)) =>
+        LogState(pl.acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
+          mergeMarks(Map.empty, pl.txns), pl.schema)
       case None => LogState(Map.empty, Map.empty, None)
     }
     versions.filter(v => ckpt.forall(v > _))
       .foldLeft(base) { case (st, v) =>
-        val (acts, ts, sch) = parseLog(fs, versionFile(root, v), s"commit $v")
-        val next = acts.foldLeft(st.files) { (m, a) =>
+        val pl = parseLog(fs, versionFile(root, v), s"commit $v")
+        val next = pl.acts.foldLeft(st.files) { (m, a) =>
           a.add match {
             case Some(meta) => m + (a.rel -> meta)
             case None       => m - a.rel
           }
         }
-        LogState(next, mergeMarks(st.txns, ts), sch.orElse(st.schema))
+        LogState(next, mergeMarks(st.txns, pl.txns), pl.schema.orElse(st.schema))
       }
   }
 
@@ -388,18 +395,54 @@ object TxTable {
     Option(logStores.get(fs.getScheme)).getOrElse(HadoopLogStore)
       .putIfAbsent(fs, f, payload)
 
+  /** Operation tags whose remove+add commits are CONTENT-PRESERVING
+    * layout rewrites (same rows in, same rows out): the only rewrite
+    * class a materialized view may ignore for freshness. Everything
+    * else that removes files (merge, delete, compact, retention,
+    * rollup, overwrite, restore) changes the table's row multiset, so
+    * an MV that predates it is stale until rebuilt.
+    */
+  private[sink] val LayoutOps: Set[String] = Set("optimize", "zorder")
+
   private def render(adds: Seq[(String, FileMeta)],
       removes: Seq[String], txn: Option[(String, Long)] = None,
-      schema: Option[StructType] = None): Array[Byte] = {
+      schema: Option[StructType] = None,
+      op: Option[String] = None): Array[Byte] = {
     val lines = adds.map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
     } ++
       removes.map(r => s"R\t$r") ++
       txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq ++
-      schema.map(s => s"M\t${enc(s.json)}").toSeq
+      schema.map(s => s"M\t${enc(s.json)}").toSeq ++
+      op.map(o => s"O\t${enc(o)}").toSeq
     val all = lines :+ s"C\t${lines.length}"
     (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Classify the commit range (from, to] for MV freshness and refresh
+    * routing: `complete` = every version in the range is still readable
+    * (false after [[expireLog]] swept part of it — callers must then
+    * assume the worst); `newData` = a pure-append commit added rows;
+    * `destructive` = a commit removed files WITHOUT a [[LayoutOps]] tag
+    * (merge/delete/compact/retention/... — or an untagged legacy
+    * rewrite, conservatively). Layout rewrites and marks set neither.
+    */
+  private[sink] def rangeSummary(fs: FileSystem, root: Path,
+      fromExclusive: Long, toInclusive: Long): (Boolean, Boolean, Boolean) = {
+    val vs = listVersions(fs, root)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+    val complete = vs.size == (toInclusive - fromExclusive)
+    var newData = false
+    var destructive = false
+    vs.foreach { v =>
+      val pl = parseLog(fs, versionFile(root, v), s"commit $v")
+      val hasRemoves = pl.acts.exists(_.add.isEmpty)
+      val hasAdds = pl.acts.exists(_.add.isDefined)
+      if (hasRemoves && !pl.op.exists(LayoutOps.contains)) destructive = true
+      else if (hasAdds && !hasRemoves) newData = true
+    }
+    (complete, newData, destructive)
   }
 
   /** Publish a commit, retrying past lost version races. Commits that
@@ -410,9 +453,10 @@ object TxTable {
   private def commitRetry(fs: FileSystem, root: Path,
       adds: Seq[(String, FileMeta)], removes: Seq[String],
       txn: Option[(String, Long)] = None,
-      schema: Option[StructType] = None): Long = {
+      schema: Option[StructType] = None,
+      op: Option[String] = None): Long = {
     fs.mkdirs(logDir(root))
-    val payload = render(adds, removes, txn, schema)
+    val payload = render(adds, removes, txn, schema, op)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     while (true) {
       if (removes.nonEmpty) {
@@ -564,16 +608,20 @@ object TxTable {
     // per-file Bloom filters for the skip-index columns: ONE
     // column-pruned distributed job over the just-staged files (the
     // only pass that sees values; footers can't provide membership).
-    // Keyed by file NAME — part- names carry the write UUID, so they
-    // are unique across the staged tree.
+    // Keyed by the last TWO path segments (`date=<d>/<name>`): dynamic
+    // partitionBy REUSES one part-XXXXX-<jobUUID> file name across the
+    // date dirs a single task writes, so the bare name alone would
+    // merge different partitions' filters (conservative but weaker
+    // skipping).
     val bloomCols = bloomColumns.filter(df.schema.fieldNames.contains)
     val tokCols = tokenBloomColumns.filter(c =>
       df.schema.fieldNames.contains(c) &&
         df.schema(c).dataType == org.apache.spark.sql.types.StringType)
     def stagedByName = sess.read
       .parquet(new Path(root, dataDir).toString)
-      .withColumn("__name",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__name", concat_ws("/",
+        element_at(split(col("_metadata.file_path"), "/"), -2),
+        element_at(split(col("_metadata.file_path"), "/"), -1)))
     val valueBlooms: Map[String, Map[String, ColStats]] =
       if (bloomCols.isEmpty || files.isEmpty) Map.empty
       else {
@@ -628,7 +676,8 @@ object TxTable {
       Await.result(Future.traverse(files.toSeq) { case (f, date, len) =>
         Future((s"$dataDir/date=${date}/${f.getName}",
           FileMeta(date, len,
-            footerStats(fs, f) ++ blooms.getOrElse(f.getName, Map.empty))))
+            footerStats(fs, f) ++
+              blooms.getOrElse(s"date=${date}/${f.getName}", Map.empty))))
       }, Duration.Inf)
     } finally pool.shutdown()
   }
@@ -674,7 +723,7 @@ object TxTable {
   def append(spark: SparkSession, df: DataFrame, table: String): Long = {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty, None,
-      schemaUpdate(fs, root, df))
+      schemaUpdate(fs, root, df), op = Some("append"))
   }
 
   /** EXACTLY-ONCE append: the commit carries a writer (appId, version)
@@ -702,7 +751,8 @@ object TxTable {
     if (txnHighWater(fs, root).get(appId).exists(_ >= version))
       return -1L // pre-stage check: don't even write the parquet
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty,
-      Some(appId -> version), schemaUpdate(fs, root, df))
+      Some(appId -> version), schemaUpdate(fs, root, df),
+      op = Some("append"))
   }
 
   /** Ops/test seam: commit ONLY an (appId, version) mark — what a
@@ -713,7 +763,24 @@ object TxTable {
   private[graft] def commitTxnMark(spark: SparkSession, table: String,
       appId: String, version: Long): Long = {
     val (fs, root) = fsFor(spark, table)
-    commitRetry(fs, root, Seq.empty, Seq.empty, Some(appId -> version))
+    commitRetry(fs, root, Seq.empty, Seq.empty, Some(appId -> version),
+      op = Some("mark"))
+  }
+
+  /** Full replace carrying a writer (appId, version) mark in the SAME
+    * commit — the materialized-view REBUILD primitive: the new file set
+    * and the "applied through base version V" high-water mark publish
+    * atomically, and a duplicate rebuild of an already-covered version
+    * no-ops with -1 exactly like [[appendTxn]].
+    */
+  private[graft] def overwriteTxn(spark: SparkSession, df: DataFrame,
+      table: String, appId: String, version: Long): Long = {
+    val (fs, root) = fsFor(spark, table)
+    if (txnHighWater(fs, root).get(appId).exists(_ >= version))
+      return -1L
+    val adds = stage(prep(df), fs, root)
+    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq,
+      Some(appId -> version), Some(dataSchema(df)), op = Some("overwrite"))
   }
 
   /** Transactional full replace (one commit swaps the entire file set —
@@ -725,7 +792,7 @@ object TxTable {
     // a full replace owns the whole file set, so the schema may change
     // freely — no additive constraint (Delta's overwriteSchema)
     commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq, None,
-      Some(dataSchema(df)))
+      Some(dataSchema(df)), op = Some("overwrite"))
   }
 
   /** MERGE (upsert): every source row REPLACES the target row sharing
@@ -910,7 +977,8 @@ object TxTable {
             fs, root)
         }
       }
-      tdbg("commit") { commitRetry(fs, root, adds, touched, None, schemaUpdate(fs, root, src)) }
+      tdbg("commit") { commitRetry(fs, root, adds, touched, None,
+        schemaUpdate(fs, root, src), op = Some("merge")) }
     } finally src.unpersist()
   }
 
@@ -995,7 +1063,7 @@ object TxTable {
     // normally a no-op; on a pre-evolution log this upgrades it with an
     // M action for the (unchanged) schema
     commitRetry(fs, root, adds, removes, None,
-      schemaUpdate(fs, root, compacted))
+      schemaUpdate(fs, root, compacted), op = Some("compact"))
   }
 
   /** ReplacingMergeTree background-merge analog: per key tuple, keep
@@ -1030,7 +1098,7 @@ object TxTable {
     val removes = snapshotFiles(fs, root)
       .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
     commitRetry(fs, root, adds, removes, None,
-      schemaUpdate(fs, root, restored))
+      schemaUpdate(fs, root, restored), op = Some("replacing"))
   }
 
   /** DELETE WHERE — copy-on-write row deletion (Delta's DELETE): files
@@ -1091,7 +1159,7 @@ object TxTable {
       .filter(!coalesce(predicate, lit(false)))
       .drop("__file")
     val adds = stage(prep(kept), fs, root)
-    commitRetry(fs, root, adds, touched, None, None)
+    commitRetry(fs, root, adds, touched, None, None, op = Some("delete"))
   }
 
   /** Delta-style OPTIMIZE (bin-packing): rewrite the dates whose file
@@ -1138,7 +1206,8 @@ object TxTable {
       else packed.sortWithinPartitions(sk.map(col): _*)
     val adds = stage(sorted, fs, root)
     val removes = needy.values.flatMap(_.keys).toSeq
-    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, df))
+    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, df),
+      op = Some("optimize"))
     dates
   }
 
@@ -1195,7 +1264,7 @@ object TxTable {
       .drop("__z")
     val adds = stage(clustered, fs, root)
     commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq, None,
-      schemaUpdate(fs, root, df))
+      schemaUpdate(fs, root, df), op = Some("zorder"))
   }
 
   /** Rank-bucket ids in [0, buckets) for the z-order columns — TWO scans
@@ -1298,14 +1367,18 @@ object TxTable {
     import spark.implicits._
     val (fs, root) = fsFor(spark, table)
     val rows = listVersions(fs, root).sorted.map { v =>
-      val acts = readCommit(fs, root, v)
+      val pl = parseLog(fs, versionFile(root, v), s"commit $v")
+      val acts = pl.acts
       val adds = acts.count(_.add.isDefined)
       val removes = acts.size - adds
-      val op =
+      // the RECORDED operation tag when present; shape inference only
+      // for pre-tag commits
+      val op = pl.op.getOrElse {
         if (adds > 0 && removes > 0) "rewrite"
         else if (adds > 0) "append"
         else if (removes > 0) "retention"
         else "mark"
+      }
       val bytes = acts.flatMap(_.add).map(_.bytes).sum
       val ts = fs.getFileStatus(versionFile(root, v)).getModificationTime
       (v, op, adds.toLong, removes.toLong, bytes,
@@ -1393,7 +1466,8 @@ object TxTable {
     val removes = live.collect {
       case (rel, m) if expired(m.date) => rel
     }.toSeq
-    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, rolled))
+    commitRetry(fs, root, adds, removes, None, schemaUpdate(fs, root, rolled),
+      op = Some("rollup"))
     expired.toSeq.sorted
   }
 
@@ -1409,9 +1483,56 @@ object TxTable {
       try java.time.LocalDate.parse(m.date).isBefore(cutoff)
       catch { case _: Exception => false }
     }
-    if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq)
+    if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq,
+      op = Some("retention"))
     expired.values.map(_.date).toSet.toSeq.sorted
   }
+
+  /** RESTORE TABLE ... TO VERSION AS OF — rewind the table's LIVE
+    * state to what version `v` saw, as a NEW commit (Delta's RESTORE):
+    * files the head dropped since `v` are re-added with their logged
+    * metadata (stats and Bloom filters included — no footer re-reads),
+    * files added since are removed, and the era's schema is re-logged.
+    * History is preserved — restore is one more commit, itself
+    * restorable — and the data I/O is ZERO: immutable files make
+    * rewind a pure metadata operation. Refused when any required file
+    * was already reclaimed by [[vacuum]] (the same boundary Delta
+    * draws: RESTORE reaches exactly as far back as VACUUM hasn't).
+    * Returns the new commit version, or -1 when the head already
+    * equals `v`'s state.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val committed = listVersions(fs, root)
+    require(committed.contains(version),
+      s"cannot restore $table to version $version: not a committed " +
+        s"version (log has ${committed.headOption.getOrElse(-1L)}.." +
+        s"${committed.lastOption.getOrElse(-1L)}; older versions may " +
+        "have been expired — see expireLog)")
+    val target = replayState(fs, root, Some(version))
+    val cur = replayState(fs, root, None)
+    val readds = (target.files -- cur.files.keySet).toSeq
+    val removes = (cur.files -- target.files.keySet).keys.toSeq
+    if (readds.isEmpty && removes.isEmpty) return -1L
+    val missing = readds.collect {
+      case (rel, _) if !fs.exists(new Path(root, rel)) => rel
+    }
+    require(missing.isEmpty,
+      s"cannot restore $table to version $version: " +
+        s"${missing.size} required data file(s) already vacuumed " +
+        s"(first: ${missing.headOption.getOrElse("")})")
+    commitRetry(fs, root, readds, removes, None,
+      target.schema.filter(s => !cur.schema.contains(s)),
+      op = Some("restore"))
+  }
+
+  /** VACUUM DRY RUN: the unreferenced files [[vacuum]] WOULD reclaim
+    * at this retention, with their sizes — the "how much space and
+    * which history am I about to destroy" report, with zero deletes.
+    */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      minAgeMs: Long = DefaultVacuumRetentionMs): Seq[(String, Long)] =
+    vacuumWalk(spark, table, minAgeMs, delete = false)
 
   /** Default vacuum retention: 7 days, Delta's own default. Anything
     * shorter risks (a) deleting a LIVE concurrent writer's staged but
@@ -1429,12 +1550,21 @@ object TxTable {
     * safe when no writer can be mid-stage and no reader needs history.
     */
   def vacuum(spark: SparkSession, table: String,
-      minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+      minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] =
+    vacuumWalk(spark, table, minAgeMs, delete = true).map(_._1)
+
+  /** The shared walk behind [[vacuum]] and [[vacuumDryRun]]: every
+    * data file under a `d-` staging dir that no commit references and
+    * that is older than `minAgeMs`. `delete = true` reclaims as it
+    * goes and prunes emptied dirs; `false` only reports.
+    */
+  private def vacuumWalk(spark: SparkSession, table: String,
+      minAgeMs: Long, delete: Boolean): Seq[(String, Long)] = {
     val (fs, root) = fsFor(spark, table)
     val qroot = fs.makeQualified(root)
     val live = snapshotFiles(fs, root).keySet
     val now = System.currentTimeMillis()
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("d-")).foreach { dir =>
       val it = fs.listFiles(dir.getPath, true)
@@ -1442,13 +1572,13 @@ object TxTable {
         val f = it.next()
         val rel = qroot.toUri.relativize(f.getPath.toUri).getPath
         if (!live.contains(rel) && now - f.getModificationTime >= minAgeMs) {
-          fs.delete(f.getPath, false)
-          deleted += rel
+          if (delete) fs.delete(f.getPath, false)
+          hits += ((rel, f.getLen))
         }
       }
-      if (fs.listFiles(dir.getPath, true).hasNext == false)
+      if (delete && fs.listFiles(dir.getPath, true).hasNext == false)
         fs.delete(dir.getPath, true)
     }
-    deleted.toSeq
+    hits.toSeq
   }
 }

@@ -84,8 +84,8 @@ object Compat {
 
     // ---- round 6 widening: the rest of the everyday CH vocabulary ----
     import org.apache.spark.sql.catalyst.expressions.{ArrayContains,
-      ArrayJoin, DateFormatClass, Explode, IntegralDivide, StringLocate,
-      TimestampDiff, TruncDate, WeekDay}
+      ArrayJoin, BitwiseAnd, DateFormatClass, Explode, IntegralDivide,
+      StringLocate, TimestampDiff, TruncDate, WeekDay}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
       ApproximatePercentile, Average, CollectList, CollectSet, Max, Min,
       Percentile, StddevPop, StddevSamp, VariancePop, VarianceSamp}
@@ -172,7 +172,14 @@ object Compat {
     f("toString")(e => Cast(e.head, StringType))
     f("toInt32")(e => Cast(e.head, IntegerType))
     f("toInt64")(e => Cast(e.head, LongType))
-    f("toUInt32")(e => Cast(e.head, LongType))
+    // CH toUInt32 wraps mod 2^32 (negatives and >32-bit inputs
+    // reinterpret) — mask the signed long to match. toUInt64 CANNOT be
+    // faithful on a signed-only engine: CH reinterprets negatives as
+    // huge unsigned values that exceed Long.MaxValue, so this mapping
+    // keeps the signed value for negatives (documented deviation; CH
+    // inputs in range [0, 2^63) agree exactly).
+    f("toUInt32")(e => BitwiseAnd(Cast(e.head, LongType),
+      Literal(0xFFFFFFFFL)))
     f("toUInt64")(e => Cast(e.head, LongType))
     f("toFloat64")(e => Cast(e.head, DoubleType))
     f("ifNull")(e => org.apache.spark.sql.catalyst.expressions.Coalesce(e))

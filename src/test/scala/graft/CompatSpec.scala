@@ -195,6 +195,16 @@ class CompatSpec extends AnyFunSuite {
       && r2.getAs[String]("tr2") == "x")
     assert(r2.getAs[scala.collection.Seq[String]]("sp") == Seq("a", "b", "c"))
     assert(r2.getAs[Long]("ue") == 2L) // distinct of {2,2,3}
+    // toUInt32 wraps mod 2^32, CH unsigned semantics (negatives
+    // reinterpret; >32-bit inputs truncate); toUInt64 keeps the signed
+    // value in [0, 2^63) and deviates (documented) on negatives
+    val r2b = spark.sql("""
+      SELECT toUInt32(-1) AS u32n, toUInt32(4294967296 + 7) AS u32w,
+        toUInt32(42) AS u32, toUInt64(42) AS u64
+      FROM (SELECT 1)""").collect().head
+    assert(r2b.getAs[Long]("u32n") == 4294967295L)
+    assert(r2b.getAs[Long]("u32w") == 7L)
+    assert(r2b.getAs[Long]("u32") == 42L && r2b.getAs[Long]("u64") == 42L)
     // arrayJoin is the row-multiplying unnest (CH semantics)
     val n = spark.sql(
       "SELECT arrayJoin(array(1, 2, 3)) AS x FROM (SELECT 1)").count()

@@ -138,6 +138,37 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got(mvT) == expected(batch(0, 1800)))
   }
 
+  test("MV: a destructive base commit triggers a full REBUILD — the MV " +
+      "serves post-delete truth, and a first refresh over a base with " +
+      "rewrite history covers the rewritten files") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    TxTable.append(spark, batch(0, 300), baseT)
+    // delete BEFORE the MV's first refresh: the incremental feed skips
+    // nothing-but-append ranges only — a naive appendedIn replay would
+    // re-read the ORIGINAL append's files (still on disk, unvacuumed)
+    // and resurrect the deleted rows
+    assert(TxTable.delete(spark, baseT, col("v") >= 150L) >= 0)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0,
+      "first refresh over destructive history rebuilds")
+    assert(got(mvT) == expected(batch(0, 150)),
+      "rebuilt MV excludes deleted rows")
+    assert(MV.isCurrent(spark, baseT, mvT))
+    assert(MV.refresh(spark, baseT, mvT, mvDef) == -1L, "rebuild no-ops")
+    // now go stale via a delete AFTER the MV exists
+    assert(TxTable.delete(spark, baseT, col("v") >= 100L) >= 0)
+    assert(!MV.isCurrent(spark, baseT, mvT),
+      "post-refresh delete must read as staleness")
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    assert(got(mvT) == expected(batch(0, 100)))
+    assert(MV.isCurrent(spark, baseT, mvT))
+    // incremental appends keep working after a rebuild
+    TxTable.append(spark, batch(300, 400), baseT)
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    assert(got(mvT) ==
+      expected(batch(0, 100).unionByName(batch(300, 400))))
+  }
+
   test("MV: KLL quantile states merge across deltas within the rank-" +
       "error envelope") {
     val dir = tmp()

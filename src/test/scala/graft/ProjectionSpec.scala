@@ -133,4 +133,55 @@ class ProjectionSpec extends AnyFunSuite {
     assert(scannedPaths(off).forall(_.contains("/base/")),
       "deregistering disarms the route")
   }
+
+  test("destructive base commits (DELETE) un-route the MV — fallback " +
+      "returns the post-delete truth, refresh rebuilds, routing resumes") {
+    val (baseT, mvT, mv) = fixture()
+    def baseDf = TxFileIndex.readV2(spark, baseT)
+    // routed and current before the mutation
+    assert(MaterializedView.isCurrent(spark, baseT, mvT))
+    // remove one row (the 03-01 click, cents=7): the MV still carries it
+    assert(TxTable.delete(spark, baseT, col("cents") === 7L) >= 0)
+    assert(!MaterializedView.isCurrent(spark, baseT, mvT),
+      "a delete commit MUST read as staleness")
+    val q = baseDf.groupBy("event_type").agg(sum("cents").as("cents"))
+    assert(scannedPaths(q).forall(_.contains("/base/")),
+      "stale-after-delete MV must not serve the query")
+    assert(q.collect().map(_.getLong(1)).sum == 160L - 7L)
+    // refresh cannot apply a delete incrementally → full rebuild
+    assert(MaterializedView.refresh(spark, baseT, mvT, mv) >= 0)
+    assert(MaterializedView.isCurrent(spark, baseT, mvT))
+    val q2 = baseDf.groupBy("event_type").agg(sum("cents").as("cents"))
+    assert(scannedPaths(q2).forall(_.contains("/mv/")),
+      "rebuild restores routing")
+    assert(q2.collect().map(_.getLong(1)).sum == 160L - 7L,
+      "rebuilt MV serves the post-delete truth")
+    Projections.deregister(spark, baseT)
+  }
+
+  test("a time-travel (versionAsOf) aggregate is NEVER routed to the " +
+      "MV — it reads its own era, not present-day partials") {
+    val (baseT, mvT, mv) = fixture()
+    val v = TxTable.currentVersion(spark, baseT)
+    // advance the base AND the MV so the MV is current at a later version
+    TxTable.append(spark, Seq(
+      (java.sql.Date.valueOf("2024-03-03"), "view", 1000L)
+    ).toDF("date", "event_type", "cents"), baseT)
+    require(MaterializedView.refresh(spark, baseT, mvT, mv) >= 0)
+    assert(MaterializedView.isCurrent(spark, baseT, mvT))
+    val hist = spark.read.format("graft").option("versionAsOf", v)
+      .load(baseT)
+      .groupBy("event_type").agg(sum("cents").as("cents"))
+    assert(scannedPaths(hist).nonEmpty &&
+      scannedPaths(hist).forall(_.contains("/base/")),
+      "historical scan must stay on the base files")
+    assert(hist.collect().map(_.getLong(1)).sum == 160L,
+      "versionAsOf answer excludes the later append")
+    // the present-day query still routes
+    val now = TxFileIndex.readV2(spark, baseT)
+      .groupBy("event_type").agg(sum("cents").as("cents"))
+    assert(scannedPaths(now).forall(_.contains("/mv/")))
+    assert(now.collect().map(_.getLong(1)).sum == 1160L)
+    Projections.deregister(spark, baseT)
+  }
 }

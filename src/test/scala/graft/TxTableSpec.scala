@@ -625,6 +625,68 @@ class TxTableSpec extends AnyFunSuite {
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
   }
 
+  test("RESTORE rewinds to a prior version as one metadata-only commit; " +
+    "VACUUM DRY RUN reports exactly what vacuum then reclaims; restore " +
+    "past a vacuum is refused") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txrestore").toString + "/t"
+    def rows = TxTable.read(spark, path).select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    TxTable.append(spark,
+      Seq((d("2024-03-01"), "a", 1L)).toDF("date", "k", "v"), path) // v0
+    TxTable.append(spark,
+      Seq((d("2024-03-02"), "b", 2L)).toDF("date", "k", "v"), path) // v1
+    val v1 = TxTable.currentVersion(spark, path)
+    assert(TxTable.delete(spark, path, col("k") === "a") >= 0)      // v2
+    TxTable.append(spark,
+      Seq((d("2024-03-03"), "c", 3L)).toDF("date", "k", "v"), path) // v3
+    val v3 = TxTable.currentVersion(spark, path)
+    assert(rows == Set(("b", 2L), ("c", 3L)))
+    // rewind: the deleted 'a' file returns by reference, 'c' leaves
+    val rv = TxTable.restore(spark, path, v1)
+    assert(rv == TxTable.currentVersion(spark, path) && rv > v3)
+    assert(rows == Set(("a", 1L), ("b", 2L)))
+    // pure metadata: the restored file set IS v1's file set (identity,
+    // not copies) — and its logged stats came along for free
+    assert(TxTable.liveFiles(spark, path).keySet ==
+      TxTable.liveStats(spark, path).keySet)
+    assert(TxTable.history(spark, path).orderBy(col("version").desc)
+      .select("operation").first().getString(0) == "restore")
+    // idempotent: restoring to the version we already equal no-ops
+    assert(TxTable.restore(spark, path, v1) == -1L)
+    // restore preserved history: the post-delete era is still travelable
+    assert(TxTable.read(spark, path, asOfVersion = Some(v3))
+      .select("k").collect().map(_.getString(0)).toSet == Set("b", "c"))
+    // dry run reports the now-unreferenced v3 file (and the v2 rewrite
+    // leftovers, if any) WITHOUT deleting anything
+    val dry = TxTable.vacuumDryRun(spark, path, 0L)
+    // the sweep also lists zero-byte _SUCCESS markers — data files
+    // must carry their real sizes
+    assert(dry.exists(_._1.endsWith(".parquet")) &&
+      dry.filter(_._1.endsWith(".parquet")).forall(_._2 > 0L),
+      "dry run lists reclaimable data files with sizes")
+    val (fs0, root0) = (new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path))
+    dry.foreach { case (rel, _) =>
+      assert(fs0.exists(new org.apache.hadoop.fs.Path(root0, rel)),
+        s"dry run must not delete $rel") }
+    val reclaimed = TxTable.vacuum(spark, path, 0L)
+    assert(reclaimed.toSet == dry.map(_._1).toSet,
+      "vacuum reclaims exactly the dry-run report")
+    assert(rows == Set(("a", 1L), ("b", 2L)), "live data untouched")
+    // v3's files are gone → restoring to v3 must refuse loudly
+    intercept[IllegalArgumentException] {
+      TxTable.restore(spark, path, v3)
+    }
+    // and a version the log never had is refused up front
+    intercept[IllegalArgumentException] {
+      TxTable.restore(spark, path, 999L)
+    }
+  }
+
   test("DELETE WHERE: bloom-pruned copy-on-write — untouched files keep " +
     "their identity, NULL predicates keep rows, no-op deletes no-op") {
     import spark.implicits._
@@ -815,12 +877,12 @@ class TxTableSpec extends AnyFunSuite {
         java.time.LocalDate.parse("2024-03-09"), Seq("event_type"),
         Seq("event_type"))
     }
-    // DESCRIBE HISTORY classifies the commits we just made
+    // DESCRIBE HISTORY reports the RECORDED operation tag per commit
     val hist = TxTable.history(spark, path)
       .orderBy("version")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(hist.take(3).toSeq ==
-      Seq((0L, "append"), (1L, "rewrite"), (2L, "rewrite")))
+      Seq((0L, "append"), (1L, "rollup"), (2L, "rollup")))
     assert(TxTable.history(spark, path)
       .filter(col("n_added") > 0)
       .agg(sum("bytes_added")).collect().head.getLong(0) > 0)
