@@ -3,11 +3,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark harness: times every declared query at the
-  * driver-provided scale factor, one JSON line to stdout.
+  * driver-provided scale factor, one JSON line to stdout AND the same
+  * line persisted to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  * bench_out.json) so the artifact never depends on stdout tail
+  * capture.
+  *
+  * Noise robustness (this host's sf0.1 timings swing ±30-50% run to
+  * run, which has produced phantom regressions two rounds straight):
+  *  - every query is timed N≥2 times; a third sample is taken when the
+  *    first two disagree by >50% (only noisy queries pay for it). The
+  *    headline per-query number is the MIN (best estimator of true
+  *    cost under transient contention); the FULL sample arrays ride in
+  *    `samples` so a reader can compute spread without a rerun;
+  *  - a fixed single-threaded CPU sentinel (pure arithmetic, no I/O,
+  *    no Spark) is timed at start, at every query-family boundary, and
+  *    at the end (`sentinel` map + `sentinel_spread`). If the sentinel
+  *    itself drifts, the host was loaded during that window and query
+  *    deltas there are not code regressions;
+  *  - JVM system load average is recorded at start/end.
   * An untimed warmup action first absorbs JVM/codegen startup so the
   * first timed query isn't penalized ~10x.
   */
 object Bench {
+  /** Fixed CPU-bound reference task (~5e7 mixing steps, one thread).
+    * Runs identically every time by construction — any variance in its
+    * wall time is HOST noise, not code.
+    */
+  private def sentinel(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 50000000L) {
+      acc ^= java.lang.Long.rotateLeft(
+        acc + i * 0x9E3779B97F4A7C15L, 31) * 0xC2B2AE3D27D4EB4FL
+      i += 1
+    }
+    if (acc == 42L) System.err.println("") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +64,12 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    val loadStart = loadAvg()
+    // sentinel warms its own JIT once, untimed, then baselines
+    sentinel()
+    val sentinels = scala.collection.mutable.LinkedHashMap(
+      "start" -> sentinel())
+
     // warmup: exercise scan + shuffle + codegen paths once, untimed
     try run(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
@@ -33,12 +77,6 @@ object Bench {
     // a failed query must not masquerade as a fast success: it reports
     // -1 in `queries`, is excluded from the total, and is listed in
     // `errors` so a breakage reads as a breakage, not a speedup.
-    // Each query is timed as the MIN of two back-to-back runs: a single
-    // sample conflates the query's cost with whatever else the machine
-    // was doing during that one window (and with first-run JIT/codegen
-    // compilation), and the min of two independent samples is a far
-    // better estimator of the query's true cost under transient
-    // contention. Both runs execute the identical plan end-to-end.
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -57,17 +95,41 @@ object Bench {
       val fam = name.takeWhile(_ != '_')
       if (fam != prevFamily) {
         graft.ops.CacheRegistry.releaseAll()
+        if (prevFamily.nonEmpty) sentinels(prevFamily) = sentinel()
         prevFamily = fam
       }
       val a = timeOnce(name, fn)
       val b = if (a >= 0) timeOnce(name, fn) else -1.0
-      (name, if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val two = Seq(a, b)
+      val samples =
+        if (a < 0 || b < 0) two.filter(_ >= 0)
+        else if (math.abs(a - b) / math.min(a, b) > 0.5) {
+          // the two windows disagree badly: one more sample decides
+          val c = timeOnce(name, fn)
+          if (c >= 0) two :+ c else two
+        } else two
+      val best = if (a < 0 || b < 0) -1.0 else samples.min
+      (name, best, samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    sentinels(prevFamily) = sentinel()
+    sentinels("end") = sentinel()
+    val loadEnd = loadAvg()
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val samplesJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val sentJson = sentinels.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val sentVals = sentinels.values.toSeq
+    val sentSpread =
+      if (sentVals.min > 0) (sentVals.max - sentVals.min) / sentVals.min
+      else -1.0
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     // throughput vs the reference's only numeric anchor (BASELINE.md:
     // sink floor 500 rows/s/worker, 20 workers → 10k rows/s fleet):
     // raw flow records fully labeled+classified+summed per second of
@@ -75,19 +137,26 @@ object Bench {
     val pipelineRows =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
       catch { case _: Exception => -1L }
-    val pipelineSec = results.toMap.getOrElse("qf_pipeline", -1.0)
+    val pipelineSec = results.collectFirst {
+      case ("qf_pipeline", v, _) => v }.getOrElse(-1.0)
     val rowsPerSec =
       if (pipelineRows > 0 && pipelineSec > 0) pipelineRows / pipelineSec
       else -1.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"pipeline_rows":$pipelineRows,"pipeline_rows_per_s":$rowsPerSec,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"samples":$samplesJson,"errors":$errors,""" +
+      s""""sentinel":$sentJson,"sentinel_spread":${fmt(sentSpread)},""" +
+      s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
+      s""""pipeline_rows":$pipelineRows,"pipeline_rows_per_s":${fmt(rowsPerSec)},""" +
+      s""""sf":"$sfDir"}"""
     println(line)
     // the artifact must not depend on stdout tail capture (BENCH_r04
     // lost its first 28 entries that way): persist the line to a file
-    // the driver can read in full
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // the driver (or anyone) can read in full
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench_out.json: $e") }
+      System.err.println(s"[bench] could not write $outPath: $e") }
     graft.ops.CacheRegistry.releaseAll()
     spark.stop()
   }

@@ -40,13 +40,37 @@ object Dictionaries {
 
   private val regs = TrieMap.empty[String, Dict]
 
+  /** Row ceiling for a registered dictionary. Dictionaries are the
+    * informer-cache tier — pods, nodes, CIDR ranges, proto tables —
+    * and live whole on the driver plus inside every task's codegen
+    * references; a fact-sized "dimension" here is a driver OOM waiting
+    * to happen. The guard collects AT MOST maxRows+1 rows (the limit
+    * rides the plan, so an oversized input never even transfers) and
+    * refuses loudly, pointing at the broadcast-join alternative that
+    * handles arbitrarily large dims.
+    */
+  val DefaultMaxRows: Int = 1 << 20
+
+  private def bounded(df: DataFrame, name: String, maxRows: Int):
+      Array[org.apache.spark.sql.Row] = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary '$name' exceeds $maxRows rows: dictionaries are " +
+        "informer-cache-sized point-lookup tables held on the driver " +
+        "and in every task. For a dimension this large, use a " +
+        "broadcast equi-join (df.join(broadcast(dim), ...)) — or " +
+        "raise maxRows explicitly if the budget is intentional")
+    rows
+  }
+
   /** Snapshot `df` as dictionary `name` keyed by `keyCol`; every other
     * column becomes a fetchable attribute. Last registration wins (the
     * refresh path). Duplicate keys keep the last row seen —
     * deterministic input is the caller's contract, as with any dim.
     */
   def register(spark: SparkSession, name: String, df: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String, maxRows: Int = DefaultMaxRows): Unit = {
     val schema = df.schema
     require(schema.fieldNames.contains(keyCol), s"no key column $keyCol")
     val keyIdx = schema.fieldIndex(keyCol)
@@ -60,7 +84,7 @@ object Dictionaries {
         (f.name, i, conv, m)
       }
     val hasMap = new java.util.HashMap[Any, Any]()
-    df.collect().foreach { row =>
+    bounded(df, name, maxRows).foreach { row =>
       val k = keyConv(row.get(keyIdx))
       if (k != null) {
         hasMap.put(k, java.lang.Boolean.TRUE)
@@ -85,11 +109,12 @@ object Dictionaries {
     * whole-stage codegen.
     */
   def registerIpTrie(spark: SparkSession, name: String, df: DataFrame,
-      startCol: String = "p_start", lenCol: String = "p_len"): Unit = {
+      startCol: String = "p_start", lenCol: String = "p_len",
+      maxRows: Int = DefaultMaxRows): Unit = {
     val schema = df.schema
     val si = schema.fieldIndex(startCol)
     val li = schema.fieldIndex(lenCol)
-    val rows = df.collect()
+    val rows = bounded(df, name, maxRows)
     val trie = graft.flow.Ipv4Trie.build(
       rows.zipWithIndex.map { case (r, i) => (r.getLong(si), r.getInt(li), i) })
     val attrs = schema.fields.zipWithIndex

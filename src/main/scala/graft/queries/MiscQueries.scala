@@ -143,6 +143,15 @@ object MiscQueries {
         .orderBy("minute_start", "event_type")
     }),
 
+    // W10 STARTUP PROBE as a gate: an empty landing dir times the probe
+    // out fast; the snapshot landing mid-poll unblocks it; only then
+    // does the stream start — result == the batch q5 oracle, and both
+    // probe arms are exercised inside the gate (see sourceProbeRun)
+    "qs_source_probe" -> ((s, d) => {
+      StreamingFlows.sourceProbeRun(s, d)
+        .orderBy("minute_start", "event_type")
+    }),
+
     // W3 as a gate, not just a spec: watermarked APPEND-mode windows —
     // exactly the windows closed by the final watermark
     // (max event time − 10 min) are emitted, no more, no fewer
@@ -1068,6 +1077,8 @@ object MiscQueries {
         |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "qs_minute_agg" -> CoreQueries.oracle("q5_minute_agg"),
+    // the probe delays but never changes the data: same q5 oracle
+    "qs_source_probe" -> CoreQueries.oracle("q5_minute_agg"),
     // Spark's watermark is floor-to-ms(max event time) − lateness; an
     // append window emits once watermark >= its end (boundary included)
     "qs_watermarked_agg" ->

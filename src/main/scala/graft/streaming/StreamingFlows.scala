@@ -116,6 +116,17 @@ object StreamingFlows {
       d.toString
     }
 
+  /** The canonical landing-file schema (post-normalization: micros
+    * TimestampType whatever the corpus encoding was).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** events landing dir as a streaming source; one snapshot file per
     * micro-batch. The landing dir is staged with `ts` already normalized
     * to the canonical micro-precision TimestampType (see [[eventsDir]] /
@@ -128,16 +139,57 @@ object StreamingFlows {
   def eventsStream(spark: SparkSession, dir: String,
       files: Int = LandingFiles): DataFrame = {
     val path = eventsDir(spark, dir, files)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", TimestampType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
+  }
+
+  /** W10 STARTUP PROBE as a gate runner (ref collector.go:185-223: a
+    * freshly-booted conntrack serves zero counters for a while, and the
+    * collector refuses to stream until the source proves itself). The
+    * landing dir starts EMPTY: the probe must fail fast on timeout (not
+    * hang, not pass); a background "agent" then delivers the first
+    * snapshot mid-poll and the probe unblocks; only then does the
+    * streaming query start — over the full corpus, so the result equals
+    * the batch minute-agg oracle. Both probe arms (timeout and
+    * eventual-ready) are exercised on every run.
+    */
+  def sourceProbeRun(spark: SparkSession, dir: String): DataFrame = {
+    val readyDir = eventsDir(spark, dir, files = 1) // full corpus, 1 file
+    val run = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_probe_${math.abs(dir.hashCode)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(run)
+    val landing = new java.io.File(run, "landing")
+    require(landing.mkdirs(), s"cannot stage $landing")
+    def probe() = spark.read.schema(eventsSchema)
+      .parquet(landing.toString)
+    // arm 1: an empty source must TIME OUT, loudly and promptly
+    val timedOut =
+      try { awaitSourceReady(probe, timeoutMs = 400, pollMs = 50); false }
+      catch { case _: IllegalArgumentException => true }
+    require(timedOut, "probe over an empty landing dir must time out")
+    // arm 2: the agent boots and the first snapshot lands mid-poll
+    val src = new java.io.File(readyDir, "snapshot_000.parquet")
+    require(src.isFile, s"missing staged snapshot $src")
+    val agent = new Thread(() => {
+      Thread.sleep(250)
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(landing, src.getName).toPath)
+      ()
+    })
+    agent.setDaemon(true)
+    agent.start()
+    awaitSourceReady(probe, timeoutMs = 30000, pollMs = 50)
+    agent.join()
+    // only a ready source starts the stream
+    val st = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+    val agg = st
+      .groupBy(date_trunc("minute", col("ts")).as("minute_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    runToMemory(spark, agg)
   }
 
   /** A landing dir split at an EXPLICIT event-time cut (unlike

@@ -89,4 +89,31 @@ class DictionarySpec extends AnyFunSuite {
     assert(got.toSeq == Seq("coarse", "fine", null))
     Dictionaries.deregister("spec_trie")
   }
+
+  test("size guard: an over-budget dictionary is refused loudly (with " +
+      "the broadcast-join pointer) and never registered; the explicit " +
+      "budget override still works") {
+    val big = spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Dictionaries.register(spark, "spec_big", big, "k", maxRows = 50)
+    }
+    assert(e.getMessage.contains("broadcast"),
+      "refusal must point at the broadcast-join alternative")
+    intercept[IllegalArgumentException] {
+      Dictionaries.dict_get("spec_big", "v", col("k"))
+    } // nothing half-registered
+    intercept[IllegalArgumentException] {
+      Dictionaries.registerIpTrie(spark, "spec_big_trie",
+        Seq((167772160L, 8, "x")).toDF("p_start", "p_len", "o"),
+        maxRows = 0)
+    }
+    // raising the budget explicitly admits the same input
+    Dictionaries.register(spark, "spec_big", big, "k", maxRows = 100)
+    val got = Seq(3L).toDF("k")
+      .select(Dictionaries.dict_get("spec_big", "v", col("k")))
+      .collect().head.getLong(0)
+    assert(got == 6L)
+    Dictionaries.deregister("spec_big")
+  }
 }
