@@ -1,0 +1,109 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import TxTable.ColStats
+
+/** Sidecar storage for per-file Bloom/token filters. Inlining ~27 KB
+  * of base64 per file into every commit `A` line made the log — and
+  * every checkpoint, rewritten each 10 commits, and every replay parse
+  * — grow with filter bytes at streaming-ingest file counts. Instead,
+  * [[TxTable.stage]] writes ONE `_filters.tsv` sidecar per staged data
+  * dir (immutable, like the data files) and the logged stats slot
+  * holds a POINTER (`@<dataDir>/_filters.tsv`); the A line stays
+  * ~100 bytes per indexed column. Delta draws the same line: stats in
+  * the log stay scalar-small, bulky structures (deletion vectors) go
+  * to referenced sidecar files.
+  *
+  * Consumers resolve pointers through [[resolveStats]]: sidecars load
+  * once into an LRU cache (they are immutable, so the path is the
+  * identity), and an unresolvable pointer DEGRADES TO NO FILTER —
+  * skipping weakens, correctness never depends on it. Inline payloads
+  * (pre-sidecar logs, test fixtures) pass through untouched, so both
+  * log generations read with the same code.
+  *
+  * Sidecar line format: `fileKey \t colKey \t m,k \t base64` where
+  * fileKey is the file's path relative to its data dir
+  * (`date=<d>/<name>` — the same key [[TxTable.stage]]'s bloom job
+  * groups by).
+  */
+object BloomStore {
+  /** Pointer marker in a 'b' stats slot's min field. */
+  val Ptr = '@'
+
+  private val MaxCached = 512
+  private val cache =
+    new java.util.LinkedHashMap[String, Map[(String, String), String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[(String, String), String]])
+          : Boolean = size() > MaxCached
+    }
+
+  private def load(fs: FileSystem, p: Path): Map[(String, String), String] = {
+    val key = fs.makeQualified(p).toString
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val parsed: Map[(String, String), String] =
+      try {
+        val in = fs.open(p)
+        val raw = try org.apache.commons.io.IOUtils.toString(in,
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        raw.split("\n").iterator.filter(_.nonEmpty).flatMap { l =>
+          l.split("\t", 4) match {
+            case Array(fileKey, colKey, _, payload) =>
+              Some((fileKey, colKey) -> payload)
+            case _ => None
+          }
+        }.toMap
+      } catch {
+        // a missing/torn sidecar must read as "no filter", never fail
+        // the scan
+        case scala.util.control.NonFatal(_) =>
+          Map.empty[(String, String), String]
+      }
+    cache.synchronized { cache.put(key, parsed) }
+    parsed
+  }
+
+  /** The file's key within its data dir's sidecar: strip the leading
+    * `d-<uuid>` segment of the table-relative path.
+    */
+  private def fileKey(rel: String): String = {
+    val i = rel.indexOf('/')
+    if (i < 0) rel else rel.substring(i + 1)
+  }
+
+  /** Resolve every pointer-form 'b' entry of one file's stats to its
+    * inline payload; unresolvable entries are DROPPED (conservative:
+    * no filter = cannot skip). Inline entries pass through.
+    */
+  def resolveStats(fs: FileSystem, root: Path, rel: String,
+      stats: Map[String, ColStats]): Map[String, ColStats] =
+    if (!stats.values.exists(st => st.typ == 'b' && isPtr(st.min))) stats
+    else stats.flatMap {
+      case (c, st) if st.typ == 'b' && isPtr(st.min) =>
+        load(fs, new Path(root, st.min.substring(1)))
+          .get((fileKey(rel), c))
+          .map(payload => c -> ColStats('b', payload, st.max))
+      case other => Some(other)
+    }
+
+  def isPtr(min: String): Boolean =
+    min.nonEmpty && min.charAt(0) == Ptr
+
+  /** Every sidecar path referenced by any of `stats`' pointer entries,
+    * table-relative — [[TxTable.vacuum]] must not reclaim these while
+    * their files are live.
+    */
+  def referencedSidecars(
+      files: Iterable[Map[String, ColStats]]): Set[String] =
+    files.iterator.flatMap(_.values).collect {
+      case st if st.typ == 'b' && isPtr(st.min) => st.min.substring(1)
+    }.toSet
+
+  private[graft] def clearCache(): Unit =
+    cache.synchronized { cache.clear() }
+}

@@ -54,7 +54,10 @@ class TxFileIndex(spark: SparkSession, table: String,
       .map { case (d, files) =>
         d -> files.map { case (rel, m) =>
           (new FileStatus(m.bytes, false, 1, m.bytes, 0L, new Path(qroot, rel)),
-            m.stats)
+            // pointer-form Bloom entries resolve from their sidecar
+            // once per index build (LRU-cached across builds); the
+            // skipper probes inline payloads exactly as before
+            BloomStore.resolveStats(fs, root, rel, m.stats))
         }
       }
 

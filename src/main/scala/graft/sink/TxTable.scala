@@ -506,6 +506,17 @@ object TxTable {
     snapshotFiles(fs, root)
   }
 
+  /** [[liveStats]] with pointer-form Bloom entries resolved to their
+    * sidecar payloads — the view a probe site sees (test/ops seam).
+    */
+  private[graft] def liveStatsResolved(spark: SparkSession,
+      table: String): Map[String, FileMeta] = {
+    val (fs, root) = fsFor(spark, table)
+    snapshotFiles(fs, root).map { case (rel, m) =>
+      rel -> m.copy(stats = BloomStore.resolveStats(fs, root, rel, m.stats))
+    }
+  }
+
   /** Per-file min/max for [[statsColumns]], read from the parquet FOOTER
     * (row-group metadata the writer already produced) — O(files)
     * metadata reads, never a second pass over the data. A column whose
@@ -658,11 +669,33 @@ object TxTable {
             }
           }
       }
-    val blooms: Map[String, Map[String, ColStats]] =
+    val bloomsInline: Map[String, Map[String, ColStats]] =
       (valueBlooms.keySet ++ tokenBlooms.keySet).map { f =>
         f -> (valueBlooms.getOrElse(f, Map.empty) ++
           tokenBlooms.getOrElse(f, Map.empty))
       }.toMap
+    // filters go to ONE immutable sidecar per staged dir; the log
+    // carries a pointer per (file, column) instead of ~27 KB of base64
+    // replicated into every checkpoint (see [[BloomStore]])
+    val blooms: Map[String, Map[String, ColStats]] =
+      if (bloomsInline.isEmpty) bloomsInline
+      else {
+        val sidecarRel = s"$dataDir/_filters.tsv"
+        val lines = bloomsInline.toSeq.sortBy(_._1).flatMap {
+          case (f, cols) => cols.toSeq.sortBy(_._1).map {
+            case (c, st) => s"$f\t$c\t${st.max}\t${st.min}"
+          }
+        }
+        val out = fs.create(new Path(root, sidecarRel), true)
+        try out.write((lines.mkString("\n") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        bloomsInline.map { case (f, cols) =>
+          f -> cols.map { case (c, st) =>
+            c -> ColStats('b', s"${BloomStore.Ptr}$sidecarRel", st.max)
+          }
+        }
+      }
     // footer reads are independent metadata fetches — do them on a
     // bounded driver pool, not one-at-a-time (a 1000-file stage at
     // ~10ms/footer is 10s sequential, <1s at 16-way; same move Delta
@@ -936,8 +969,13 @@ object TxTable {
         }
       val candidates =
         if (srcEmpty) Map.empty[String, FileMeta]
-        else live.filter { case (_, m) =>
-          mayMatchMeta(m, dateSet, bounds, bloomHashes)
+        else live.filter { case (rel, m) =>
+          // pointer-form filters resolve from their sidecar only when
+          // the prune actually probes them
+          val meta = if (bloomHashes.isEmpty) m
+            else m.copy(stats =
+              BloomStore.resolveStats(fs, root, rel, m.stats))
+          mayMatchMeta(meta, dateSet, bounds, bloomHashes)
         }
       lastMergeCandidates = candidates.size
 
@@ -1562,7 +1600,13 @@ object TxTable {
       minAgeMs: Long, delete: Boolean): Seq[(String, Long)] = {
     val (fs, root) = fsFor(spark, table)
     val qroot = fs.makeQualified(root)
-    val live = snapshotFiles(fs, root).keySet
+    val snapshot = snapshotFiles(fs, root)
+    val live = snapshot.keySet
+    // filter sidecars referenced by any LIVE file's pointer stats are
+    // part of the live state (they hold its skip indexes) even though
+    // no commit adds them as data files — never reclaim those
+    val liveSidecars =
+      BloomStore.referencedSidecars(snapshot.values.map(_.stats))
     val now = System.currentTimeMillis()
     val hits = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     fs.listStatus(root).filter(s => s.isDirectory &&
@@ -1571,7 +1615,8 @@ object TxTable {
       while (it.hasNext) {
         val f = it.next()
         val rel = qroot.toUri.relativize(f.getPath.toUri).getPath
-        if (!live.contains(rel) && now - f.getModificationTime >= minAgeMs) {
+        if (!live.contains(rel) && !liveSidecars.contains(rel) &&
+            now - f.getModificationTime >= minAgeMs) {
           if (delete) fs.delete(f.getPath, false)
           hits += ((rel, f.getLen))
         }

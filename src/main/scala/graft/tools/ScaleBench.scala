@@ -1,0 +1,246 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
+import graft.sink.{Bloom, BloomStore, TxFileIndex, TxTable}
+
+/** The empirical scale point behind SCALE.md: runs the flow pipeline,
+  * the tx-table append, the Bloom point-lookup, the targeted MERGE,
+  * and the token-Bloom probe at 1x and Nx (default 10x) of the given
+  * corpus, recording wall time, rows, shuffle read/write bytes, input
+  * bytes, file counts, and skip rates — so the "would this hold at
+  * 100 TB" claims rest on a measured scaling curve, not only on plan
+  * audits at sf0.1.
+  *
+  * The Nx corpus is N shifted copies of the base events (event_id
+  * offset per copy keeps IP/pod diversity; ts offset by i seconds
+  * keeps minute windows overlapping), built as a PLAN — facts scale,
+  * dims stay informer-sized, exactly the production shape. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.tools.ScaleBench" [factors...]
+  *
+  * Emits one JSON object per (factor, step) to stdout and the full
+  * array to SCALE_RESULTS.json.
+  */
+object ScaleBench {
+  /** Cluster-wide task-metric totals between [[reset]]s. */
+  private class Acc extends SparkListener {
+    val shufW = new AtomicLong
+    val shufR = new AtomicLong
+    val input = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def reset(): Unit = { shufW.set(0); shufR.set(0); input.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(factor: Int, step: String, sec: Double, rows: Long,
+        extra: (String, String)*): Unit = {
+      val base = Seq(
+        "factor" -> factor.toString, "step" -> ("\"" + step + "\""),
+        "sec" -> f"$sec%.3f", "rows" -> rows.toString,
+        "rows_per_s" -> (if (sec > 0) f"${rows / sec}%.0f" else "-1"),
+        "shuffle_write_mb" -> f"${acc.shufW.get / 1e6}%.1f",
+        "shuffle_read_mb" -> f"${acc.shufR.get / 1e6}%.1f",
+        "input_mb" -> f"${acc.input.get / 1e6}%.1f")
+      val j = (base ++ extra).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      println(s"[scale] $j")
+      out += j
+    }
+    def timed[A](f: => A): (A, Double) = {
+      acc.reset()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val baseEvents = graft.Tables.events(spark, sfDir)
+    val pods = SyntheticFlows.pods(spark, sfDir)
+    val nodes = SyntheticFlows.nodes(spark, sfDir)
+    val prefixes = SyntheticFlows.prefixes(spark, sfDir)
+    val docsBase = graft.Tables.documents(spark, sfDir)
+
+    // warmup: one full pipeline pass absorbs JVM/codegen startup
+    noop(FlowPipeline.run(SyntheticFlows.flowsFromEvents(baseEvents),
+      pods, nodes, prefixes, FlowConfig()))
+
+    factors.foreach { factor =>
+      val events =
+        if (factor == 1) baseEvents
+        // 10M shift: disjoint id spaces per copy, yet small enough that
+        // flowsFromEvents' id*2654435761 hash stays inside Long under
+        // ANSI arithmetic
+        else (0 until factor).map(i => baseEvents.select(
+          (col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
+          .reduce(_ unionByName _)
+      val nEvents = events.count()
+
+      // 1. the full flow pipeline (filter/label/direction/LPM/fan-out/
+      //    sum), facts scaled, dims fixed
+      val summed = FlowPipeline.run(SyntheticFlows.flowsFromEvents(events),
+        pods, nodes, prefixes, FlowConfig())
+      val (_, pipeSec) = timed(noop(summed))
+      record(factor, "pipeline", pipeSec, nEvents)
+
+      // 2. transactional append of the summed table (stage + footer
+      //    stats + bloom/token sidecars + commit)
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_${factor}x")
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      val table = s"$scratch/t"
+      val (groups, appendSec) = timed {
+        TxTable.append(spark, summed, table)
+        TxTable.read(spark, table).count()
+      }
+      val live = TxTable.liveFiles(spark, table)
+      val logBytes = {
+        val log = new java.io.File(s"$table/_txlog")
+        Option(log.listFiles()).getOrElse(Array.empty).map(_.length).sum
+      }
+      record(factor, "append", appendSec, groups,
+        "files" -> live.size.toString, "log_bytes" -> logBytes.toString)
+
+      // 3. Bloom point lookup on local_pod (outside the sort key:
+      //    min/max can never skip; only the filter can). Skip rate is
+      //    the skipper's own may-contain count over resolved log stats.
+      val pod = TxTable.read(spark, table)
+        .filter(col("local_pod").isNotNull)
+        .select("local_pod").orderBy("local_pod").limit(1)
+        .collect().head.getString(0)
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(pod),
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      val metas = TxTable.liveStatsResolved(spark, table)
+      val mayContain = metas.values.count(m =>
+        m.stats.get("local_pod") match {
+          case Some(st) if st.typ == 'b' =>
+            Bloom.mayContain(st.min, st.max, h)
+          case _ => true
+        })
+      val (podRows, lookupSec) = timed {
+        TxFileIndex.readV2(spark, table)
+          .filter(col("local_pod") === pod)
+          .agg(sum("bytes"), count(lit(1))).collect().head.getLong(1)
+      }
+      record(factor, "bloom_lookup", lookupSec, podRows,
+        "files_total" -> metas.size.toString,
+        "files_kept" -> mayContain.toString,
+        "skip_rate" -> f"${1.0 - mayContain.toDouble / metas.size}%.3f")
+
+      // 4. targeted MERGE: re-state ONE pod's rows (the operator
+      //    debugging correction) — candidate pruning via date/minmax/
+      //    bloom, semi-join discovery, copy-on-write of touched files
+      val keys = summed.columns.toSeq
+        .filterNot(Set("bytes", "packets", "n_obs"))
+      val src = TxTable.read(spark, table)
+        .filter(col("local_pod") === pod)
+        .withColumn("bytes", col("bytes") + 1)
+      val (_, mergeSec) = timed {
+        TxTable.merge(spark, src, table, keys)
+      }
+      val touched = {
+        import spark.implicits._
+        TxTable.history(spark, table)
+          .orderBy(col("version").desc).select("n_removed")
+          .as[Long].head()
+      }
+      record(factor, "merge_restate", mergeSec, podRows,
+        "candidates" -> TxTable.lastMergeCandidates.toString,
+        "files_total" -> metas.size.toString,
+        "files_rewritten" -> touched.toString)
+
+      // 5. token-Bloom probe over the scaled documents corpus
+      val docs =
+        if (factor == 1) docsBase
+        else (0 until factor).map(i => docsBase
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+          .reduce(_ unionByName _)
+      val dscratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_scale_docs_${factor}x")
+      org.apache.commons.io.FileUtils.deleteDirectory(dscratch)
+      val dtable = s"$dscratch/t"
+      val staged = docs.select(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("doc_id") % 7).cast("int")).as("date"),
+        col("doc_id"), col("text"))
+      val (_, dAppendSec) = timed(TxTable.append(spark, staged, dtable))
+      val nDocs = docs.count()
+      record(factor, "docs_append_tokenindex", dAppendSec, nDocs)
+      val tok = docsBase
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("t").count().orderBy(col("count"), col("t"))
+        .limit(1).collect().head.getString(0)
+      val th = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tok),
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      val dmetas = TxTable.liveStatsResolved(spark, dtable)
+      val dKeep = dmetas.values.count(m =>
+        m.stats.get("text#tok") match {
+          case Some(st) if st.typ == 'b' =>
+            Bloom.mayContain(st.min, st.max, th)
+          case _ => true
+        })
+      val (tokRows, tokSec) = timed {
+        TxFileIndex.readV2(spark, dtable)
+          .filter(graft.functions.ipfns.has_token(col("text"), lit(tok)))
+          .agg(count(lit(1))).collect().head.getLong(0)
+      }
+      record(factor, "token_bloom_probe", tokSec, tokRows,
+        "files_total" -> dmetas.size.toString,
+        "files_kept" -> dKeep.toString,
+        "skip_rate" -> f"${1.0 - dKeep.toDouble / dmetas.size}%.3f")
+
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      org.apache.commons.io.FileUtils.deleteDirectory(dscratch)
+      BloomStore.clearCache()
+    }
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_RESULTS.json"),
+      ("[" + out.mkString(",\n") + "]\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

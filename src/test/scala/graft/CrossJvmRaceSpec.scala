@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.TxTable
+
+/** The object-store multi-writer deployment, for real: two SEPARATE
+  * JVMs (forked java processes, each with its own SparkSession) race
+  * appends and merges into ONE tx table through the filesystem
+  * LogStore. Same-JVM concurrency specs can't falsify cross-process
+  * atomicity of the put-if-absent publish — this does. Asserts:
+  *
+  *  - versions SERIALIZE: every commit got a unique version and the
+  *    log is dense 0..N-1 (a lost race retried at the next number,
+  *    never overwrote);
+  *  - NO LOST COMMITS: each writer's every round landed exactly once
+  *    (10 rounds x 2 writers = 20 racing commits);
+  *  - read-modify-write survived interleaving: every appended row is
+  *    present exactly once AND carries its merge-updated value — a
+  *    torn merge that resurrected or double-removed files would break
+  *    row counts or values.
+  */
+class CrossJvmRaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("two separate JVMs racing append/merge commits serialize " +
+      "versions, lose no commits, and merge correctly (>=20 races)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xjvm").toString
+    val table = s"$dir/t"
+    val nWriters = 2
+    val nCommits = 10
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = (0 until nWriters).map { w =>
+      val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-XX:ActiveProcessorCount=8",
+        "-Dspark.ui.enabled=false",
+        "graft.tools.RaceWriter",
+        table, s"$dir/out_$w.txt", nWriters.toString, w.toString,
+        nCommits.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("CLASSPATH", cp)
+      pb.redirectOutput(new java.io.File(dir, s"log_$w.txt"))
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    procs.zipWithIndex.foreach { case (p, w) =>
+      assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), {
+        procs.foreach(_.destroyForcibly()); s"writer $w timed out"
+      })
+      assert(p.exitValue() == 0,
+        s"writer $w failed:\n" + scala.io.Source
+          .fromFile(s"$dir/log_$w.txt").getLines().toSeq
+          .takeRight(30).mkString("\n"))
+    }
+    // every round of every writer committed, each at a distinct version
+    val records = (0 until nWriters).flatMap { w =>
+      val lines = scala.io.Source.fromFile(s"$dir/out_$w.txt")
+        .getLines().toSeq
+      assert(lines.size == nCommits, s"writer $w lost a commit")
+      lines.map { l =>
+        val Array(wid, round, v) = l.split(" ")
+        (wid.toInt, round.toInt, v.toLong)
+      }
+    }
+    val versions = records.map(_._3)
+    assert(versions.distinct.size == versions.size,
+      "two commits claimed one version")
+    // the log is dense: N commits -> versions exactly 0..N-1
+    assert(versions.sorted == (0L until (nWriters.toLong * nCommits)),
+      s"non-dense version history: ${versions.sorted}")
+    // content survived the interleaving: 5 append rounds x 10 rows per
+    // writer, every row exactly once, every value merge-updated
+    val rows = TxTable.read(spark, table)
+      .select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows.size == nWriters * nCommits / 2 * 10,
+      "row count wrong after racing merges")
+    assert(rows.map(_._1).distinct.size == rows.size,
+      "a racing merge duplicated rows")
+    rows.foreach { case (k, v) =>
+      val m = "w(\\d+)_b(\\d+)_(\\d+)".r.findFirstMatchIn(k).get
+      val (b, j) = (m.group(2).toInt, m.group(3).toInt)
+      assert(v == b * 10 + j + 1000L,
+        s"$k lost its merge update (v=$v)")
+    }
+  }
+}

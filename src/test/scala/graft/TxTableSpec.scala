@@ -590,7 +590,7 @@ class TxTableSpec extends AnyFunSuite {
           (d("2024-03-01"), p, (i * 10 + j).toLong)
         }.toDF("date", "local_pod", "bytes"), path)
       }
-    val metas = TxTable.liveStats(spark, path)
+    val metas = TxTable.liveStatsResolved(spark, path)
     def hashOf(v: String): Long =
       new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
         .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
@@ -623,6 +623,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.mayMatchMeta(
       FileMeta("2024-03-01", 10L, Map.empty), None, Map.empty,
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
+  }
+
+  test("filter sidecars: the log carries pointers, a LIVE sidecar " +
+    "survives zero-retention vacuum, an orphaned one is reclaimed, and " +
+    "skipping still works afterwards") {
+    import graft.sink.Bloom
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txsidecar").toString + "/t"
+    def batch(tag: String) = (0 until 20).map(i =>
+      (d("2024-03-01"), s"$tag-${i % 4}", i.toLong))
+      .toDF("date", "local_pod", "bytes")
+    TxTable.append(spark, batch("old"), path)
+    val oldSidecars = TxTable.liveStats(spark, path).values
+      .map(_.stats("local_pod").min.stripPrefix("@")).toSet
+    assert(oldSidecars.nonEmpty && oldSidecars.forall(_.endsWith("_filters.tsv")))
+    // full replace orphans the old staged dir AND its sidecar
+    TxTable.overwrite(spark, batch("new"), path)
+    val newSidecars = TxTable.liveStats(spark, path).values
+      .map(_.stats("local_pod").min.stripPrefix("@")).toSet
+    assert(newSidecars.intersect(oldSidecars).isEmpty)
+    val reclaimed = TxTable.vacuum(spark, path, 0L).toSet
+    assert(oldSidecars.subsetOf(reclaimed),
+      "orphaned sidecars must be reclaimed with their data dir")
+    assert(newSidecars.intersect(reclaimed).isEmpty,
+      "a live file's sidecar must never be vacuumed")
+    // resolution + skipping still intact after the sweep
+    def hashOf(v: String): Long =
+      new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+    val metas = TxTable.liveStatsResolved(spark, path)
+    assert(metas.values.forall { m =>
+      val st = m.stats("local_pod")
+      !st.min.startsWith("@") &&
+        Bloom.mayContain(st.min, st.max, hashOf("new-1"))
+    }, "post-vacuum resolution must yield real payloads")
+    assert(graft.sink.TxFileIndex.readV2(spark, path)
+      .filter(col("local_pod") === "new-1").count() == 5)
   }
 
   test("RESTORE rewinds to a prior version as one metadata-only commit; " +
@@ -746,9 +788,15 @@ class TxTableSpec extends AnyFunSuite {
         }.toDF("date", "doc_id", "text")
         TxTable.append(spark, df, path)
       }
-    val metas = TxTable.liveStats(spark, path)
+    val metas = TxTable.liveStatsResolved(spark, path)
     assert(metas.size >= 3 &&
       metas.values.forall(_.stats.get("text#tok").exists(_.typ == 'b')))
+    // the LOGGED form is a sidecar pointer, not ~22 KB of base64 per
+    // file riding every checkpoint
+    assert(TxTable.liveStats(spark, path).values.forall { m =>
+      val st = m.stats("text#tok")
+      st.min.startsWith("@") && st.min.length < 200
+    }, "token filters must be sidecar pointers in the log")
     def hashOf(v: String): Long =
       new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
         .fromString(v), org.apache.spark.sql.types.StringType)), 42L)
@@ -907,12 +955,18 @@ class TxTableSpec extends AnyFunSuite {
       }.toDF("date", "local_pod", "remote_ip", "bytes")
       TxTable.append(spark, df, path)
     }
-    val metas = TxTable.liveStats(spark, path)
+    val metas = TxTable.liveStatsResolved(spark, path)
     assert(metas.size >= groups.size, "each append stages its own files")
     assert(metas.values.forall(m =>
       m.stats.get("local_pod").exists(_.typ == 'b') &&
         m.stats.get("remote_ip").exists(_.typ == 'b')),
       "every staged file logs a bloom filter for both index columns")
+    // log hygiene: the A line holds a pointer; the payload lives once
+    // per staged dir in _filters.tsv
+    assert(TxTable.liveStats(spark, path).values.forall(m =>
+      m.stats("local_pod").min.startsWith("@") &&
+        m.stats("local_pod").min.endsWith("_filters.tsv")),
+      "value filters must be sidecar pointers in the log")
 
     def hashOf(v: String): Long =
       new XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String
