@@ -218,11 +218,18 @@ object MaterializedView {
     if (!complete || destructive)
       return rebuild(spark, baseTable, mvTable, mv)
     val delta = TxTable.appendedIn(bfs, broot, last, cur)
+    // every advance is a COMPARE-AND-SET on the high-water mark: two
+    // refreshers that read the same `last` but different base heads
+    // compute OVERLAPPING deltas — without CAS the later-versioned one
+    // would land too and double-count the overlap; with it exactly one
+    // advance from a given mark wins and the loser no-ops
     if (delta.isEmpty)
-      return TxTable.commitTxnMark(spark, mvTable, WriterApp, cur)
+      return TxTable.commitTxnMark(spark, mvTable, WriterApp, cur,
+        expectMark = Some(last))
     val rows = TxTable.readFileSet(spark, broot, delta,
       TxTable.logSchema(bfs, broot, Some(cur)))
-    TxTable.appendTxn(spark, mv.partial(rows), mvTable, WriterApp, cur)
+    TxTable.appendTxn(spark, mv.partial(rows), mvTable, WriterApp, cur,
+      expectMark = Some(last))
   }
 
   /** Full recompute: partial-aggregate the base's CURRENT snapshot and
@@ -255,7 +262,8 @@ object MaterializedView {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(StructField("date", DateType, true) +: sch.fields.toSeq))
       }
-    TxTable.overwriteTxn(spark, mv.partial(rows), mvTable, WriterApp, cur)
+    TxTable.overwriteTxn(spark, mv.partial(rows), mvTable, WriterApp, cur,
+      expectMark = Some(lastApplied(spark, mvTable)))
   }
 
   /** The finalized view: merge all stored partials. */

@@ -449,12 +449,23 @@ object TxTable {
     * remove files re-validate their removals against the fresh snapshot
     * each attempt and abort on conflict (the file was already removed —
     * retrying would double-remove or resurrect).
+    *
+    * `expectMark` turns the txn-mark advance into a COMPARE-AND-SET:
+    * the commit only lands while the app's current high-water mark
+    * still equals the value the caller READ when it computed its work
+    * (-1 for "no mark yet"). Incremental consumers need this — two MV
+    * refreshers that both read mark=3 but observe base heads 5 and 6
+    * would otherwise BOTH apply deltas starting at 4 (the ≥-dup check
+    * alone admits the second, higher-version commit, double-counting
+    * the overlap). With CAS, exactly one advance from a given mark
+    * wins; the loser returns -1 and its staged files fall to vacuum.
     */
   private def commitRetry(fs: FileSystem, root: Path,
       adds: Seq[(String, FileMeta)], removes: Seq[String],
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      expectMark: Option[Long] = None): Long = {
     fs.mkdirs(logDir(root))
     val payload = render(adds, removes, txn, schema, op)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
@@ -471,6 +482,12 @@ object TxTable {
       // twice
       if (txn.exists { case (a, ver) =>
         txnHighWater(fs, root).get(a).exists(_ >= ver) }) return -1L
+      // CAS loser: someone advanced the mark since the caller read it —
+      // its delta basis is stale, committing would double-apply
+      if (expectMark.exists { expected =>
+        txn.exists { case (a, _) =>
+          txnHighWater(fs, root).getOrElse(a, -1L) != expected }
+      }) return -1L
       if (tryCommit(fs, root, v, payload)) {
         // amortized reader cost: materialize a checkpoint every N
         // commits. Best-effort — a crash here only defers the next one
@@ -779,13 +796,14 @@ object TxTable {
     * dedup survives [[expireLog]] because checkpoints carry the marks.
     */
   def appendTxn(spark: SparkSession, df: DataFrame, table: String,
-      appId: String, version: Long): Long = {
+      appId: String, version: Long,
+      expectMark: Option[Long] = None): Long = {
     val (fs, root) = fsFor(spark, table)
     if (txnHighWater(fs, root).get(appId).exists(_ >= version))
       return -1L // pre-stage check: don't even write the parquet
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty,
       Some(appId -> version), schemaUpdate(fs, root, df),
-      op = Some("append"))
+      op = Some("append"), expectMark = expectMark)
   }
 
   /** Ops/test seam: commit ONLY an (appId, version) mark — what a
@@ -794,10 +812,11 @@ object TxTable {
     * covered.
     */
   private[graft] def commitTxnMark(spark: SparkSession, table: String,
-      appId: String, version: Long): Long = {
+      appId: String, version: Long,
+      expectMark: Option[Long] = None): Long = {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, Seq.empty, Seq.empty, Some(appId -> version),
-      op = Some("mark"))
+      op = Some("mark"), expectMark = expectMark)
   }
 
   /** Full replace carrying a writer (appId, version) mark in the SAME
@@ -807,13 +826,15 @@ object TxTable {
     * no-ops with -1 exactly like [[appendTxn]].
     */
   private[graft] def overwriteTxn(spark: SparkSession, df: DataFrame,
-      table: String, appId: String, version: Long): Long = {
+      table: String, appId: String, version: Long,
+      expectMark: Option[Long] = None): Long = {
     val (fs, root) = fsFor(spark, table)
     if (txnHighWater(fs, root).get(appId).exists(_ >= version))
       return -1L
     val adds = stage(prep(df), fs, root)
     commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq,
-      Some(appId -> version), Some(dataSchema(df)), op = Some("overwrite"))
+      Some(appId -> version), Some(dataSchema(df)), op = Some("overwrite"),
+      expectMark = expectMark)
   }
 
   /** Transactional full replace (one commit swaps the entire file set —

@@ -83,7 +83,10 @@ object LeakScan {
       s"""{"timestamp":"${java.time.Instant.now()}",""" +
         s""""git_commit":"${git(root, "rev-parse", "HEAD")}",""" +
         s""""git_tree":"${git(root, "rev-parse", "HEAD^{tree}")}",""" +
-        s""""worktree_dirty":${git(root, "status", "--porcelain").nonEmpty},""" +
+        // dirty = SCANNED content diverges from the named commit
+        // (LEAKSCAN.json itself regenerating must not self-flag)
+        s""""worktree_dirty":${git(root, "status", "--porcelain", "--",
+          "src", "build.sbt", "SURVEY.md", "SCALE.md", "README.md").nonEmpty},""" +
         s""""files_scanned":$scanned,"hit_count":${hits.size},""" +
         s""""hits":$hitsJson}"""
     java.nio.file.Files.write(root.toPath.resolve("LEAKSCAN.json"),

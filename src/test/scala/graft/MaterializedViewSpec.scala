@@ -138,6 +138,32 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got(mvT) == expected(batch(0, 1800)))
   }
 
+  test("MV: mark advance is compare-and-set — a refresher whose delta " +
+      "basis went stale loses with -1 instead of double-applying the " +
+      "overlap") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    TxTable.append(spark, batch(0, 100), baseT)   // base v0
+    TxTable.append(spark, batch(100, 200), baseT) // base v1
+    // refresher A read mark=-1 and base head v0; its work: partial of
+    // v0's rows, CAS from -1
+    val partialA = mvDef.partial(batch(0, 100))
+    // refresher B ALSO read mark=-1 but base head v1; its overlapping
+    // work: partial of v0+v1's rows, CAS from -1
+    val partialB = mvDef.partial(batch(0, 200))
+    assert(TxTable.appendTxn(spark, partialA, mvT, MV.WriterApp, 0L,
+      expectMark = Some(-1L)) >= 0, "first advance from -1 wins")
+    // B's version (1) clears the >=-dup check — ONLY the CAS stops it
+    assert(TxTable.appendTxn(spark, partialB, mvT, MV.WriterApp, 1L,
+      expectMark = Some(-1L)) == -1L,
+      "stale-basis advance must lose the CAS")
+    assert(got(mvT) == expected(batch(0, 100)),
+      "no double-applied overlap")
+    // the losing refresher's NEXT cycle reads mark=0 and applies v1
+    assert(MV.refresh(spark, baseT, mvT, mvDef) >= 0)
+    assert(got(mvT) == expected(batch(0, 200)))
+  }
+
   test("MV: a destructive base commit triggers a full REBUILD — the MV " +
       "serves post-delete truth, and a first refresh over a base with " +
       "rewrite history covers the rewritten files") {
