@@ -623,6 +623,51 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING SOURCE over the tx table as a gate (Delta's streaming
+    // read): the table lands as 3 append commits, the stream tails the
+    // commit log with maxVersionsPerTrigger=1 (one commit per
+    // micro-batch — backfill rate limiting), a FOURTH append lands
+    // while the query is live and must arrive, and the union of all
+    // delivered micro-batches must equal the full events oracle — a
+    // lost commit, replayed batch, or rewrite re-delivery all
+    // hash-mismatch.
+    "qtx_stream_source" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopyWith(s, d, "streamsrc", "events_3append") { t =>
+        (0 until 3).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 4 === i), t))
+      }
+      val out = s"${table}_stream_out"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val nonEmpty = new java.util.concurrent.atomic.AtomicInteger
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(table)
+        .writeStream.option("checkpointLocation", s"$out/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            nonEmpty.incrementAndGet()
+            df.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+          }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        require(nonEmpty.get == 3,
+          s"rate-limited backfill must deliver one commit per batch " +
+            s"(got ${nonEmpty.get})")
+        TxTable.append(s, ev.filter(col("user_id") % 4 === 3), table)
+        q.processAllAvailable()
+        require(nonEmpty.get == 4, "live append must reach the stream")
+      } finally q.stop()
+      s.read.parquet(s"$out/data").drop("batch")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // RESTORE as a gate: the whole min event type is deleted, then the
     // table is rewound to the pre-delete version with one metadata-only
     // commit (files return BY REFERENCE — stats and Bloom filters
@@ -994,6 +1039,15 @@ object MiscQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streamed union covers all four commits exactly once: the
+    // plain full-events aggregate
+    "qtx_stream_source" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // restore undoes the delete completely: the oracle is the PLAIN
     // full-events aggregate — any row the rewind lost or duplicated
     // moves n/cents/u_sum

@@ -1,8 +1,10 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** [[TxTable]] as a REGISTERED Spark data source (`format("graft")`) —
   * the integration seam that makes the commit-log table a first-class
@@ -26,7 +28,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   * commit log's existence.
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -38,6 +41,21 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation =
     TxFileIndex.relation(sqlContext.sparkSession, path(parameters),
       parameters.get("versionAsOf").map(_.toLong))
+
+  // ---- streaming read: tail the commit log (see GraftStreamSource) --
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftStreamSource.schemaFor(sqlContext.sparkSession,
+        path(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, path(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {

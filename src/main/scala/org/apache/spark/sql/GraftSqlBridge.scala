@@ -11,6 +11,32 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-root a BATCH file-scan frame as a STREAMING one — the v1
+    * streaming `Source.getBatch` contract (what FileStreamSource does
+    * with `LogicalRelation(..., isStreaming = true)`): the engine
+    * asserts every leaf of a batch plan is streaming-flagged.
+    */
+  def toStreamingFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case l: execution.datasources.LogicalRelation if !l.isStreaming =>
+        l.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(spark, plan)
+  }
+
+  /** A zero-row streaming-flagged frame with the given schema (the
+    * empty micro-batch a source returns when a polled offset range
+    * added no data files).
+    */
+  def emptyStreamingFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }
 
 /** `ExpectsInputTypes.inputTypes` returns `Seq[AbstractDataType]`, and
