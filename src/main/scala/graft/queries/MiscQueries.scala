@@ -975,6 +975,42 @@ object MiscQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // NATIVE STREAMING SINK as a gate: the events stream lands in a tx
+    // table via writeStream.format("graft") — each micro-batch is one
+    // appendTxn commit marked (writerId, batchId), no hand-written
+    // foreachBatch. The gate requires one append commit per landing
+    // snapshot and a -1 no-op on a simulated zombie replay of batch 0,
+    // then reads the table back through the planner index against the
+    // full-events oracle.
+    "qsink_stream_native" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_natsink_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      val st = StreamingFlows.eventsStream(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val q = st.writeStream
+        .option("checkpointLocation", s"$run/ckpt")
+        .format("graft").option("path", table)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val appends = TxTable.history(s, table)
+        .filter(col("operation") === "append").count()
+      require(appends == StreamingFlows.LandingFiles,
+        s"one marked commit per micro-batch (got $appends)")
+      val wid = graft.sink.GraftStreamSink.writerIdFor(
+        Map("checkpointLocation" -> s"$run/ckpt"))
+      require(TxTable.appendTxn(s,
+        TxFileIndex.readV2(s, table).limit(5), table, wid, 0L) == -1L,
+        "zombie replay of batch 0 must be swallowed by the sink's mark")
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -1039,6 +1075,14 @@ object MiscQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the natively-sunk table holds every event exactly once
+    "qsink_stream_native" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streamed union covers all four commits exactly once: the
     // plain full-events aggregate
     "qtx_stream_source" ->

@@ -1,9 +1,11 @@
 package graft.sink
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSourceProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** [[TxTable]] as a REGISTERED Spark data source (`format("graft")`) —
@@ -29,7 +31,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -56,6 +58,19 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong))
+
+  // ---- streaming write: exactly-once micro-batch commits -----------
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode != OutputMode.Update(),
+      "graft streaming sink supports append (appendTxn) and complete " +
+        "(overwriteTxn per batch); keyed upserts go through " +
+        "foreachBatch + TxTable.merge")
+    new GraftStreamSink(sqlContext.sparkSession, path(parameters),
+      GraftStreamSink.writerIdFor(parameters), outputMode)
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {

@@ -26,6 +26,18 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(spark, plan)
   }
 
+  /** The BATCH incarnation of a micro-batch frame inside a v1
+    * `Sink.addBatch` — the engine hands a streaming-flagged Dataset,
+    * and `DataFrameWriter` refuses those; re-rooting the planned RDD
+    * as a batch frame (the standard custom-sink move) executes the
+    * micro-batch exactly once, on write.
+    */
+  def toBatchFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** A zero-row streaming-flagged frame with the given schema (the
     * empty micro-batch a source returns when a polled offset range
     * added no data files).
