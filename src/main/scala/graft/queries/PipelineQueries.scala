@@ -153,6 +153,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DETERMINISTIC EPOCH SHUFFLE + SHARDING — the training-loader
+    // contract: every epoch visits every doc exactly once in a
+    // pseudorandom order that is a pure function of (seed, doc_id), so
+    // any worker can recompute its shard's order with zero
+    // coordination, resume mid-epoch, and epoch 2 differs from epoch 1.
+    // Shard = hash mod nShards (embarrassingly parallel, no global
+    // sort); within-shard order = the hash (a range sort per shard).
+    // The order is PINNED by order_sig = Σ position·doc_id — any
+    // permutation difference moves it. Knuth multiplicative hashing
+    // keeps the oracle exact (pure BIGINT arithmetic on both engines).
+    "qp_epoch_shuffle" -> ((s, d) => {
+      val nShards = 8
+      val epochs = Seq(1, 2).map(e =>
+        Tables.documents(s, d).select(
+          lit(e).as("epoch"), col("doc_id"),
+          ((col("doc_id") * 2654435761L + e * 40503L) % 1000000007L)
+            .as("skey")))
+        .reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+      epochs
+        .withColumn("shard", pmod(col("skey"), lit(nShards)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("doc_sum"),
+          sum(col("pos") * col("doc_id")).as("order_sig"))
+        .orderBy("epoch", "shard")
+    }),
+
     // fixed-size context-window chunking with overlap: 200-char windows
     // every 150 chars (50-char overlap), short docs yield one chunk.
     // A generator explode per row — narrow, no shuffle
@@ -557,6 +586,23 @@ object PipelineQueries {
          |    CASE WHEN lang = 'en' THEN '$EnThr' ELSE '$OtherThr' END AS thr
          |  FROM documents) t
          |WHERE hb < thr ORDER BY doc_id""".stripMargin,
+    // same Knuth hash, shard, and within-shard (skey, doc_id) order —
+    // the position-weighted signature pins the exact permutation
+    "qp_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT epoch, doc_id,
+        |    (doc_id * 2654435761 + epoch * 40503) % 1000000007 AS skey
+        |  FROM documents, (SELECT unnest([1, 2]) AS epoch)),
+        |p AS (
+        |  SELECT epoch, doc_id, skey, skey % 8 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY epoch, skey % 8
+        |      ORDER BY skey, doc_id) AS pos
+        |  FROM e)
+        |SELECT epoch, CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+        |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_sig
+        |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
     "qp_chunk" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

@@ -40,9 +40,24 @@ class GraftDataSource extends RelationProvider
       "graft data source requires a path"))
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    TxFileIndex.relation(sqlContext.sparkSession, path(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = path(parameters)
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "set versionAsOf OR timestampAsOf, not both")
+    val asOf = parameters.get("versionAsOf").map(_.toLong).orElse(
+      parameters.get("timestampAsOf").map { s =>
+        // accept an instant or the SQL timestamp spelling, UTC
+        val inst =
+          try java.time.Instant.parse(s)
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC) }
+        TxTable.versionAt(spark, table, inst)
+      })
+    TxFileIndex.relation(spark, table, asOf)
+  }
 
   // ---- streaming read: tail the commit log (see GraftStreamSource) --
 

@@ -1547,6 +1547,32 @@ object TxTable {
     expired.values.map(_.date).toSet.toSeq.sorted
   }
 
+  /** TIMESTAMP AS OF resolution (Delta's second time-travel spelling):
+    * the newest version whose commit file was PUBLISHED at or before
+    * `ts` — commit mtime is the publish instant, the same clock
+    * [[history]] reports. Refused before the first commit's time (no
+    * table existed to read) and when every commit at or before `ts`
+    * has been swept by [[expireLog]] (the state is not reproducible).
+    * Callers compose: `read(spark, t, asOfVersion =
+    * Some(versionAt(spark, t, ts)))`, and the `graft` data source
+    * exposes it as `.option("timestampAsOf", "2024-03-05 12:00:00")`.
+    */
+  def versionAt(spark: SparkSession, table: String,
+      ts: java.time.Instant): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val versions = listVersions(fs, root)
+    require(versions.nonEmpty, s"tx table $table has no commits")
+    val at = versions.filter(v =>
+      fs.getFileStatus(versionFile(root, v)).getModificationTime <=
+        ts.toEpochMilli)
+    require(at.nonEmpty,
+      s"no committed version of $table at or before $ts " +
+        s"(earliest retained commit is " +
+        s"${new java.sql.Timestamp(fs.getFileStatus(
+          versionFile(root, versions.head)).getModificationTime)})")
+    at.max
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF — rewind the table's LIVE
     * state to what version `v` saw, as a NEW commit (Delta's RESTORE):
     * files the head dropped since `v` are re-added with their logged

@@ -625,6 +625,45 @@ class TxTableSpec extends AnyFunSuite {
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
   }
 
+  test("TIMESTAMP AS OF: a wall-clock instant resolves to the newest " +
+    "commit published at or before it; pre-table instants and " +
+    "version+timestamp together are refused") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txtsasof").toString + "/t"
+    TxTable.append(spark,
+      Seq((d("2024-03-01"), "a", 1L)).toDF("date", "k", "v"), path)
+    // the probe instant sits >=1s past v0 so the seconds-granular SQL
+    // spelling (truncation) still lands at-or-after v0's mtime
+    Thread.sleep(1100)
+    val afterV0 = java.time.Instant.now()
+    TxTable.append(spark,
+      Seq((d("2024-03-02"), "b", 2L)).toDF("date", "k", "v"), path)
+    assert(TxTable.versionAt(spark, path, afterV0) == 0L)
+    assert(TxTable.versionAt(spark, path, java.time.Instant.now()) == 1L)
+    intercept[IllegalArgumentException] {
+      TxTable.versionAt(spark, path,
+        java.time.Instant.ofEpochMilli(1000L))
+    }
+    // the data source spelling, both timestamp formats
+    val iso = afterV0.toString
+    assert(spark.read.format("graft").option("timestampAsOf", iso)
+      .load(path).select("k").collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+    val sqlTs = java.time.LocalDateTime
+      .ofInstant(afterV0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.read.format("graft").option("timestampAsOf", sqlTs)
+      .load(path).count() == 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("timestampAsOf", iso).option("versionAsOf", "1")
+        .load(path)
+    }
+  }
+
   test("filter sidecars: the log carries pointers, a LIVE sidecar " +
     "survives zero-retention vacuum, an orphaned one is reclaimed, and " +
     "skipping still works afterwards") {
