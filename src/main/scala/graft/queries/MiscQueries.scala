@@ -668,6 +668,39 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // CHECK CONSTRAINTS as a gate: a constraint the data satisfies is
+    // recorded; one existing data violates is refused up front; a
+    // violating append aborts INSIDE the write job, before any commit
+    // — version unchanged, no trace in the read-back, which must equal
+    // the plain full-events oracle.
+    "qtx_constraint" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopy(s, d, ev, "constraint", kind = "events_raw")
+      require(TxTable.addCheckConstraint(s, table, "has_type",
+        "event_type IS NOT NULL AND length(event_type) > 0") >= 0)
+      val badAdd =
+        try { TxTable.addCheckConstraint(s, table, "impossible",
+          "user_id < 0"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(badAdd, "a constraint existing rows violate must refuse")
+      val v0 = TxTable.currentVersion(s, table)
+      val refused =
+        try { TxTable.append(s,
+          ev.limit(10).withColumn("event_type", lit("")), table); false }
+        catch { case _: Throwable => true }
+      require(refused, "a violating append must abort")
+      require(TxTable.currentVersion(s, table) == v0,
+        "the aborted write must not commit")
+      require(TxTable.checkConstraints(s, table).keySet == Set("has_type"))
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // RESTORE as a gate: the whole min event type is deleted, then the
     // table is rewound to the pre-delete version with one metadata-only
     // commit (files return BY REFERENCE — stats and Bloom filters
@@ -1075,6 +1108,14 @@ object MiscQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the refused writes left no trace: plain full-events aggregate
+    "qtx_constraint" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the natively-sunk table holds every event exactly once
     "qsink_stream_native" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,

@@ -121,7 +121,8 @@ object TxTable {
     * logs, where readers fall back to sampling one live file's footer.
     */
   private case class LogState(files: Map[String, FileMeta],
-      txns: Map[String, Long], schema: Option[StructType])
+      txns: Map[String, Long], schema: Option[StructType],
+      props: Map[String, String])
 
   // Stats ride the A line as a 5th tab field `col=t:min:max;...`.
   // Values are percent-encoded so the tab/semicolon/colon framing can
@@ -177,7 +178,8 @@ object TxTable {
     * absent on checkpoints and pre-tag logs).
     */
   private case class ParsedLog(acts: Seq[Action], txns: Seq[(String, Long)],
-      schema: Option[StructType], op: Option[String])
+      schema: Option[StructType], op: Option[String],
+      propsSet: Seq[(String, String)], propsRemove: Seq[String])
 
   /** Parse one log file (commit or checkpoint — same line format).
     * The terminal `C <n>` marker must count every action line or the
@@ -195,6 +197,8 @@ object TxTable {
     val txns = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var schema: Option[StructType] = None
     var op: Option[String] = None
+    val pset = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val prem = scala.collection.mutable.ArrayBuffer.empty[String]
     lines.init.foreach { l =>
       l.split("\t", -1) match {
         case Array("A", d, len, rel) =>
@@ -206,10 +210,12 @@ object TxTable {
         case Array("M", sj)     =>
           schema = Some(DataType.fromJson(dec(sj)).asInstanceOf[StructType])
         case Array("O", o)      => op = Some(dec(o))
+        case Array("P", k, v)   => pset += (dec(k) -> dec(v))
+        case Array("P", k)      => prem += dec(k)
         case _ => throw new IllegalStateException(s"bad action in $what $p: $l")
       }
     }
-    ParsedLog(acts.toSeq, txns.toSeq, schema, op)
+    ParsedLog(acts.toSeq, txns.toSeq, schema, op, pset.toSeq, prem.toSeq)
   }
 
   private def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
@@ -240,8 +246,9 @@ object TxTable {
     val base = parsed match {
       case Some((_, pl)) =>
         LogState(pl.acts.collect { case Action(rel, Some(m)) => rel -> m }.toMap,
-          mergeMarks(Map.empty, pl.txns), pl.schema)
-      case None => LogState(Map.empty, Map.empty, None)
+          mergeMarks(Map.empty, pl.txns), pl.schema,
+          pl.propsSet.toMap -- pl.propsRemove)
+      case None => LogState(Map.empty, Map.empty, None, Map.empty)
     }
     versions.filter(v => ckpt.forall(v > _))
       .foldLeft(base) { case (st, v) =>
@@ -252,7 +259,9 @@ object TxTable {
             case None       => m - a.rel
           }
         }
-        LogState(next, mergeMarks(st.txns, pl.txns), pl.schema.orElse(st.schema))
+        LogState(next, mergeMarks(st.txns, pl.txns),
+          pl.schema.orElse(st.schema),
+          st.props ++ pl.propsSet -- pl.propsRemove)
       }
   }
 
@@ -331,7 +340,9 @@ object TxTable {
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
     } ++ st.txns.toSeq.sortBy(_._1).map { case (a, ver) => s"T\t${enc(a)}\t$ver" } ++
-      st.schema.map(s => s"M\t${enc(s.json)}").toSeq
+      st.schema.map(s => s"M\t${enc(s.json)}").toSeq ++
+      st.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"P\t${enc(k)}\t${enc(v)}" }
     val payload = ((lines :+ s"C\t${lines.length}").mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     // atomic publish, same discipline as commits: a reader listing the
@@ -407,7 +418,9 @@ object TxTable {
   private def render(adds: Seq[(String, FileMeta)],
       removes: Seq[String], txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
-      op: Option[String] = None): Array[Byte] = {
+      op: Option[String] = None,
+      propsSet: Seq[(String, String)] = Seq.empty,
+      propsRemove: Seq[String] = Seq.empty): Array[Byte] = {
     val lines = adds.map { case (rel, m) =>
       if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
       else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
@@ -415,7 +428,9 @@ object TxTable {
       removes.map(r => s"R\t$r") ++
       txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq ++
       schema.map(s => s"M\t${enc(s.json)}").toSeq ++
-      op.map(o => s"O\t${enc(o)}").toSeq
+      op.map(o => s"O\t${enc(o)}").toSeq ++
+      propsSet.map { case (k, v) => s"P\t${enc(k)}\t${enc(v)}" } ++
+      propsRemove.map(k => s"P\t${enc(k)}")
     val all = lines :+ s"C\t${lines.length}"
     (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
@@ -465,9 +480,12 @@ object TxTable {
       txn: Option[(String, Long)] = None,
       schema: Option[StructType] = None,
       op: Option[String] = None,
-      expectMark: Option[Long] = None): Long = {
+      expectMark: Option[Long] = None,
+      propsSet: Seq[(String, String)] = Seq.empty,
+      propsRemove: Seq[String] = Seq.empty): Long = {
     fs.mkdirs(logDir(root))
-    val payload = render(adds, removes, txn, schema, op)
+    val payload = render(adds, removes, txn, schema, op, propsSet,
+      propsRemove)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     while (true) {
       if (removes.nonEmpty) {
@@ -604,8 +622,11 @@ object TxTable {
   private val stageLocks =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
 
-  private def stage(df: DataFrame, fs: FileSystem,
+  private def stage(df0: DataFrame, fs: FileSystem,
       root: Path): Seq[(String, FileMeta)] = {
+    // every data write — append, merge rewrite, overwrite, maintenance
+    // — passes the table's CHECK constraints, enforced inside this job
+    val df = enforceConstraints(df0, fs, root)
     val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     // INT96 (Spark's compatibility default) carries no usable min/max
     // stats in parquet — pin INT64 micros so interval_start skipping has
@@ -1545,6 +1566,87 @@ object TxTable {
     if (expired.nonEmpty) commitRetry(fs, root, Seq.empty, expired.keys.toSeq,
       op = Some("retention"))
     expired.values.map(_.date).toSet.toSeq.sorted
+  }
+
+  /** Constraint property prefix in the table's log-carried properties
+    * (the Delta spelling is `delta.constraints.<name>`).
+    */
+  private val ConstraintPrefix = "constraint."
+
+  /** The table's log-carried properties (replayed like files/schema;
+    * checkpoints preserve them).
+    */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
+    val (fs, root) = fsFor(spark, table)
+    replayState(fs, root, None).props
+  }
+
+  /** The table's CHECK constraints: name -> boolean SQL expression. */
+  def checkConstraints(spark: SparkSession,
+      table: String): Map[String, String] =
+    tableProperties(spark, table).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr) — Delta's CHECK
+    * constraints on the log table: the expression is VALIDATED against
+    * all existing rows first (one scan — a constraint that is already
+    * false somewhere must not be recordable), then recorded as a
+    * `constraint.<name>` property in one metadata commit. From then on
+    * every write enforces it INSIDE the write pass (a codegen'd
+    * per-row assertion fused into the staging job — no second scan):
+    * a violating row aborts the job before anything commits. SQL CHECK
+    * semantics: NULL passes, only FALSE violates.
+    */
+  def addCheckConstraint(spark: SparkSession, table: String,
+      name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.contains('\t'), s"bad constraint name")
+    val (fs, root) = fsFor(spark, table)
+    // refuse to record a constraint existing data already violates
+    if (snapshotFiles(fs, root).nonEmpty) {
+      val violating = read(spark, table)
+        .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql),
+          lit(true)))
+        .limit(1).count()
+      require(violating == 0L,
+        s"cannot add CHECK constraint '$name' ($exprSql): existing rows " +
+          "violate it")
+    }
+    commitRetry(fs, root, Seq.empty, Seq.empty, None, None,
+      op = Some("constraint"),
+      propsSet = Seq(s"$ConstraintPrefix$name" -> exprSql))
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT — one metadata commit. */
+  def dropCheckConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    require(
+      replayState(fs, root, None).props.contains(s"$ConstraintPrefix$name"),
+      s"no CHECK constraint '$name' on $table")
+    commitRetry(fs, root, Seq.empty, Seq.empty, None, None,
+      op = Some("constraint"),
+      propsRemove = Seq(s"$ConstraintPrefix$name"))
+  }
+
+  /** Fuse the table's CHECK constraints into a write plan as per-row
+    * assertions: `assert_true` inside a filter condition cannot be
+    * pruned, evaluates during the staging job's own pass, and aborts
+    * the job on the first FALSE row — nothing half-commits and no
+    * extra scan is paid.
+    */
+  private def enforceConstraints(df: DataFrame, fs: FileSystem,
+      root: Path): DataFrame = {
+    val cons = replayState(fs, root, None).props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+    cons.foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(org.apache.spark.sql.functions.assert_true(
+        coalesce(org.apache.spark.sql.functions.expr(sql), lit(true)),
+        lit(s"CHECK constraint '$name' violated: $sql")).isNull)
+    }
   }
 
   /** TIMESTAMP AS OF resolution (Delta's second time-travel spelling):

@@ -625,6 +625,63 @@ class TxTableSpec extends AnyFunSuite {
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
   }
 
+  test("CHECK constraints: recorded in the log after validating existing " +
+    "rows, enforced inside every write pass (NULL passes, FALSE aborts " +
+    "pre-commit), survive checkpoints, and drop cleanly") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txck").toString + "/t"
+    TxTable.append(spark, Seq(
+      (d("2024-03-01"), "a", 10L), (d("2024-03-01"), "b", 20L)
+    ).toDF("date", "k", "v"), path)
+    // a constraint existing data violates is refused up front
+    intercept[IllegalArgumentException] {
+      TxTable.addCheckConstraint(spark, path, "v_small", "v < 15")
+    }
+    assert(TxTable.addCheckConstraint(spark, path, "v_pos", "v > 0") >= 0)
+    assert(TxTable.checkConstraints(spark, path) == Map("v_pos" -> "v > 0"))
+    val vBefore = TxTable.currentVersion(spark, path)
+    // a violating append aborts BEFORE anything commits
+    val e = intercept[Exception] {
+      TxTable.append(spark, Seq((d("2024-03-02"), "c", -1L))
+        .toDF("date", "k", "v"), path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("v_pos")), s"got: ${msgs(e)}")
+    assert(TxTable.currentVersion(spark, path) == vBefore,
+      "a refused write must not commit")
+    assert(TxTable.read(spark, path).count() == 2)
+    // NULL passes (SQL CHECK), valid rows land; merge enforces too
+    TxTable.append(spark, Seq(
+      (d("2024-03-02"), "c", Some(5L)),
+      (d("2024-03-02"), "d", Option.empty[Long])
+    ).toDF("date", "k", "v"), path)
+    assert(TxTable.read(spark, path).count() == 4)
+    intercept[Exception] {
+      TxTable.merge(spark,
+        Seq((d("2024-03-01"), "a", -5L)).toDF("date", "k", "v"),
+        path, Seq("date", "k"))
+    }
+    assert(TxTable.read(spark, path).filter(col("k") === "a")
+      .collect().head.getAs[Long]("v") == 10L, "failed merge left no trace")
+    // constraints ride checkpoints: force one, expire the tail, re-read
+    TxTable.checkpoint(spark, path)
+    TxTable.expireLog(spark, path)
+    assert(TxTable.checkConstraints(spark, path) == Map("v_pos" -> "v > 0"))
+    // drop: the next violating append is accepted
+    assert(TxTable.dropCheckConstraint(spark, path, "v_pos") >= 0)
+    assert(TxTable.checkConstraints(spark, path).isEmpty)
+    TxTable.append(spark, Seq((d("2024-03-03"), "e", -7L))
+      .toDF("date", "k", "v"), path)
+    assert(TxTable.read(spark, path).count() == 5)
+    intercept[IllegalArgumentException] {
+      TxTable.dropCheckConstraint(spark, path, "nope")
+    }
+  }
+
   test("TIMESTAMP AS OF: a wall-clock instant resolves to the newest " +
     "commit published at or before it; pre-table instants and " +
     "version+timestamp together are refused") {
