@@ -411,6 +411,20 @@ object FlowQueries {
         FORMAT TabSeparated""")
     }),
 
+    // CH WITH TOTALS through the shim: per-group rows plus the one
+    // all-groups totals row (GROUPING SETS under the hood; the totals
+    // row keys are NULL — ordered NULLS FIRST on both sides)
+    "q_compat_totals" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("events_compat")
+      graft.sql.Compat.chSql(s, """
+        SELECT event_type, count() AS n,
+          SUM(toInt64(ROUND(value * 100, 0))) AS cents
+        FROM events_compat
+        GROUP BY event_type WITH TOTALS
+        ORDER BY event_type
+        FORMAT TabSeparated""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -635,6 +649,15 @@ object FlowQueries {
         |    AS DOUBLE) AS p90_cents,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // per-type rows + the grouping-sets grand total (NULL key, ordered
+    // NULLS FIRST to match Spark's ascending default)
+    "q_compat_totals" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     // ANSI equivalents for every oracled CH spelling; isodow matches
     // the Monday=1 contract, floor(epoch()) matches the long cast,

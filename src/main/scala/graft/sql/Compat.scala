@@ -354,8 +354,18 @@ object Compat {
     out.toString
   }
 
+  /** `GROUP BY ... WITH TOTALS` → `GROUP BY GROUPING SETS ((...), ())`:
+    * the per-group rows plus ONE all-groups totals row, ClickHouse's
+    * WITH TOTALS. Documented deviation: the totals row carries NULL in
+    * the key columns (Spark's grouping-sets convention) where CH shows
+    * type defaults (0 / '').
+    */
+  private def rewriteTotals(sql: String): String =
+    sql.replaceAll("(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS",
+      "GROUP BY GROUPING SETS (($1), ())")
+
   def translateCh(sql: String): String =
-    mergePrewhere(stripGlobal(translateCh0(sql)))
+    mergePrewhere(stripGlobal(rewriteTotals(translateCh0(sql))))
 
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")

@@ -205,6 +205,15 @@ class CompatSpec extends AnyFunSuite {
     assert(r2b.getAs[Long]("u32n") == 4294967295L)
     assert(r2b.getAs[Long]("u32w") == 7L)
     assert(r2b.getAs[Long]("u32") == 42L && r2b.getAs[Long]("u64") == 42L)
+    // WITH TOTALS: per-group rows + ONE all-groups totals row (NULL
+    // keys — documented deviation from CH's type-default keys)
+    Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v")
+      .createOrReplaceTempView("compat_tot")
+    val tot = graft.sql.Compat.chSql(spark,
+      "SELECT k, count() AS n, SUM(v) AS s FROM compat_tot " +
+        "GROUP BY k WITH TOTALS ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tot.toSeq == Seq((null, 3L, 13L), ("a", 2L, 3L), ("b", 1L, 10L)))
     // arrayJoin is the row-multiplying unnest (CH semantics)
     val n = spark.sql(
       "SELECT arrayJoin(array(1, 2, 3)) AS x FROM (SELECT 1)").count()
