@@ -121,8 +121,15 @@ object MiscQueries {
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"${prefix}_$fp")
     if (!java.nio.file.Files.exists(base.resolve("_DONE"))) {
+      // sweep this kind's stale caches: prior fingerprints of the
+      // current generation AND all dirs of RETIRED generations (a
+      // generation bump would otherwise strand the old bases in /tmp
+      // forever)
+      val retired = (1 until 3).map(g =>
+        s"graft_txbase_g${g}_${kind}_${math.abs(d.hashCode)}")
       Option(base.getParent.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(prefix))
+        .filter(f => f.getName.startsWith(prefix) ||
+          retired.exists(f.getName.startsWith))
         .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () })
       build(s"$base/t")
