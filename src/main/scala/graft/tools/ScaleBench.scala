@@ -235,6 +235,97 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(scratch)
       org.apache.commons.io.FileUtils.deleteDirectory(dscratch)
       BloomStore.clearCache()
+
+      // 6-7. MinHash-LSH dedup at scale — the subquadratic claims of
+      //    TextQueries measured, not just plan-audited. Each corpus
+      //    copy is TOKEN-SALTED (every inter-word gap gains a copy
+      //    marker token) so copies do not cross-collide: dup density
+      //    per copy is unchanged and candidate pairs must grow
+      //    ~linearly with the corpus, never quadratically. Every 7th
+      //    doc per copy is duplicated so each copy carries real
+      //    positives.
+      val saltedDocs = (0 until factor).map { i =>
+        val txt = if (i == 0) col("text")
+          else regexp_replace(col("text"), " ", s" x$i ")
+        val one = docsBase.select(
+          (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+          txt.as("text"))
+        one.unionByName(one.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+      }.reduce(_ unionByName _)
+      val banded = graft.queries.TextQueries.minhashBanded(
+        graft.queries.TextQueries.shingles(saltedDocs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nBanded, idxSec) = timed(banded.count())
+      record(factor, "lsh_index_build", idxSec, nBanded)
+      // banded equi-join: the candidate-generation step whose shuffle
+      // carries |docs|x bands rows — pair count is the claim under test
+      val (lshPairs, lshSec) = timed {
+        val a = banded.toDF("a_id", "band", "bh")
+        val b = banded.toDF("b_id", "band2", "bh2")
+        a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+            col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct().count()
+      }
+      record(factor, "lsh_candidates", lshSec, lshPairs)
+      // incremental ingest dedup: new batch (80%) vs the MATERIALIZED
+      // index (20%) — new-batch x index lookups, never corpus x corpus
+      val (nMatched, incrSec) = timed {
+        val idx = banded.filter(col("doc_id") % 5 === 0)
+          .toDF("c_id", "band", "bh")
+        val fresh = banded.filter(col("doc_id") % 5 =!= 0)
+          .toDF("n_id", "band2", "bh2")
+        fresh.join(idx,
+            col("band2") === col("band") && col("bh2") === col("bh"))
+          .groupBy("n_id").agg(countDistinct("c_id")).count()
+      }
+      record(factor, "incr_dedup", incrSec, nMatched)
+      banded.unpersist(blocking = false)
+
+      // 8. SemDeDup at scale: cluster-then-compare with k GROWN with
+      //    the corpus (16 cells per copy — the documented requirement
+      //    that k ∝ N keeps per-cell pair work flat). Copies are
+      //    ROTATED component-wise (norm-preserving, cross-copy cosine
+      //    ~random) so the within-copy near-dup structure repeats per
+      //    copy and confirmed pairs must grow ~linearly.
+      val embBase = graft.Tables.embeddings(spark, sfDir)
+      val emb = (0 until factor).map { i =>
+        val v = if (i == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), " +
+            s"slice(embedding, 1, $i))")
+        embBase.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+          v.as("embedding"))
+      }.reduce(_ unionByName _)
+      val quant = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+        .withColumn("nrm",
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      val seeds = quant.filter(col("vec_id") % 100000000L < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val (semPairs, semSec) = timed {
+        val assigned = quant.crossJoin(broadcast(seeds))
+          .withColumn("dot_s",
+            expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+            first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("m.cell_id").as("cell"),
+            col("q"), col("nrm"))
+        val a = assigned.toDF("a_id", "cell", "qa", "qn")
+        val b = assigned.toDF("b_id", "cell2", "na", "nn")
+        a.join(b, col("cell") === col("cell2") && col("a_id") < col("b_id"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("cos_bp", round(col("dot") * 10000 /
+            sqrt(col("qn").cast("double") * col("nn").cast("double")), 0)
+            .cast("long"))
+          .filter(col("cos_bp") >= 9900)
+          .count()
+      }
+      record(factor, "semdedup_pairs", semSec, semPairs,
+        "cells" -> (16 * factor).toString)
     }
 
     java.nio.file.Files.write(
