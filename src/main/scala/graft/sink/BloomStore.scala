@@ -46,11 +46,11 @@ object BloomStore {
       val hit = cache.get(key)
       if (hit != null) return hit
     }
-    val parsed: Map[(String, String), String] =
-      try {
-        val in = fs.open(p)
-        val raw = try org.apache.commons.io.IOUtils.toString(in,
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    try {
+      val in = fs.open(p)
+      val raw = try org.apache.commons.io.IOUtils.toString(in,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val parsed: Map[(String, String), String] =
         raw.split("\n").iterator.filter(_.nonEmpty).flatMap { l =>
           l.split("\t", 4) match {
             case Array(fileKey, colKey, _, payload) =>
@@ -58,14 +58,18 @@ object BloomStore {
             case _ => None
           }
         }.toMap
-      } catch {
-        // a missing/torn sidecar must read as "no filter", never fail
-        // the scan
-        case scala.util.control.NonFatal(_) =>
-          Map.empty[(String, String), String]
-      }
-    cache.synchronized { cache.put(key, parsed) }
-    parsed
+      // only a SUCCESSFUL read is cached: sidecars are immutable so a
+      // parsed map is valid forever, but a transient read failure must
+      // not pin "no filter" until LRU eviction — fall through uncached
+      // and let the next probe retry
+      cache.synchronized { cache.put(key, parsed) }
+      parsed
+    } catch {
+      // a missing/torn sidecar must read as "no filter", never fail
+      // the scan
+      case scala.util.control.NonFatal(_) =>
+        Map.empty[(String, String), String]
+    }
   }
 
   /** The file's key within its data dir's sidecar: strip the leading

@@ -1708,6 +1708,32 @@ object TxTable {
       s"cannot restore $table to version $version: " +
         s"${missing.size} required data file(s) already vacuumed " +
         s"(first: ${missing.headOption.getOrElse("")})")
+    // CHECK constraints live in the HEAD's properties and are NOT
+    // rewound by restore — so a restore to a pre-constraint version
+    // could silently re-add rows that violate a still-recorded
+    // constraint, breaking addCheckConstraint's invariant that a
+    // recorded constraint holds over all live rows. Validate the
+    // re-added files (the only rows entering the live set) against
+    // every live constraint, with head-era read semantics (columns the
+    // old files lack read NULL, which passes — same as a normal read).
+    val liveCons = cur.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+    if (liveCons.nonEmpty && readds.nonEmpty) {
+      val readdDf =
+        readFileSet(spark, root, readds, cur.schema.orElse(target.schema))
+      liveCons.foreach { case (name, sql) =>
+        val violating = readdDf
+          .filter(!coalesce(org.apache.spark.sql.functions.expr(sql),
+            lit(true)))
+          .limit(1).count()
+        require(violating == 0L,
+          s"cannot restore $table to version $version: re-added rows " +
+            s"violate CHECK constraint '$name' ($sql); drop the " +
+            "constraint first or restore to a version satisfying it")
+      }
+    }
     commitRetry(fs, root, readds, removes, None,
       target.schema.filter(s => !cur.schema.contains(s)),
       op = Some("restore"))

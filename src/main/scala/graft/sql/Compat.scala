@@ -361,7 +361,12 @@ object Compat {
     * type defaults (0 / '').
     */
   private def rewriteTotals(sql: String): String =
-    sql.replaceAll("(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS",
+    // the captured key list must not span ANOTHER `GROUP BY` — a lazy
+    // `(.+?)` would anchor on the FIRST GROUP BY in the statement and
+    // swallow a subquery/CTE boundary when the WITH TOTALS belongs to an
+    // outer (later) GROUP BY, emitting invalid SQL
+    sql.replaceAll(
+      "(?is)GROUP\\s+BY\\s+((?:(?!\\bGROUP\\s+BY\\b).)+?)\\s+WITH\\s+TOTALS",
       "GROUP BY GROUPING SETS (($1), ())")
 
   def translateCh(sql: String): String =
