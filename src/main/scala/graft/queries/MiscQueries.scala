@@ -668,6 +668,29 @@ object MiscQueries {
         q.processAllAvailable()
         require(nonEmpty.get == 4, "live append must reach the stream")
       } finally q.stop()
+      // unhappy path (round 8): a destructive rewrite in the lagging
+      // consumer's next range must FAIL the stream loudly (Delta's
+      // posture) — silent under-delivery here is wrong output, not
+      // degraded performance. The already-delivered batches are
+      // untouched, so the oracle below is unchanged.
+      val someUser = ev.agg(min("user_id")).collect().head.getLong(0)
+      require(TxTable.delete(s, table, col("user_id") === someUser) >= 0,
+        "the destructive rewrite must commit")
+      val q2 = s.readStream.format("graft").load(table)
+        .writeStream.option("checkpointLocation", s"$out/ckpt")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      val failedLoudly =
+        try { q2.processAllAvailable(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            require(e.getCause.getMessage.contains("skipChangeCommits"),
+              s"rewrite error must name the remedy: ${e.getCause.getMessage}")
+            true
+        } finally q2.stop()
+      require(failedLoudly,
+        "a destructive rewrite must fail the lagging stream, not " +
+          "silently deliver nothing")
       s.read.parquet(s"$out/data").drop("batch")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"),

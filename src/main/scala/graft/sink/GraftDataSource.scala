@@ -72,7 +72,8 @@ class GraftDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
 
   // ---- streaming write: exactly-once micro-batch commits -----------
 

@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -11,6 +12,7 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   spark.readStream.format("graft")
   *     .option("maxVersionsPerTrigger", 10)   // optional rate limit
+  *     .option("skipChangeCommits", "true")   // tolerate rewrites
   *     .load("/lake/flows")
   * }}}
   *
@@ -18,21 +20,46 @@ import org.apache.spark.sql.types.StructType
   * metadata listing — no data I/O), and `getBatch(start, end]` returns
   * exactly the files added by PURE-APPEND commits in that version
   * range ([[TxTable.appendedIn]] — the same incremental feed the
-  * materialized view consumes). Rewrite commits (compact / merge /
-  * optimize / z-order / retention) deliver NOTHING: merges do not
-  * re-trigger consumers, the ClickHouse MV contract, matching Delta's
-  * `ignoreChanges` posture. Offsets live in the engine's checkpoint,
-  * and a replayed range re-reads the same immutable files — downstream
-  * `foreachBatch` + [[TxTable.appendTxn]] therefore composes into an
-  * exactly-once table-to-table pipeline.
+  * materialized view consumes). Offsets live in the engine's
+  * checkpoint, and a replayed range re-reads the same immutable files
+  * — downstream `foreachBatch` + [[TxTable.appendTxn]] therefore
+  * composes into an exactly-once table-to-table pipeline.
+  *
+  * DELIVERY CONTRACT (Delta's posture, enforced — not silently
+  * weakened — since round 8):
+  *
+  *  - A fresh stream (no checkpoint) whose history replays cleanly
+  *    (every commit retained, none destructive) backfills COMMIT BY
+  *    COMMIT, rate-limitable via `maxVersionsPerTrigger`. When part of
+  *    the history was swept by [[TxTable.expireLog]] or rewritten
+  *    (merge/compact/...), per-commit replay would silently lose those
+  *    rows — batch 0 is then the INITIAL SNAPSHOT of the table at the
+  *    stream-start head version instead, and the tail is consumed
+  *    incrementally from there (exactly Delta's initial-snapshot
+  *    semantics).
+  *  - A RUNNING stream that encounters a data-changing rewrite commit
+  *    (merge / delete / compact / retention / rollup / overwrite /
+  *    restore) in its next range FAILS with an actionable error unless
+  *    `skipChangeCommits=true` (Delta's option, same name, same
+  *    meaning: rewrite commits deliver nothing; layout-only rewrites —
+  *    optimize/z-order — are always transparent). The failure mode
+  *    matters: a silent skip here is wrong OUTPUT, not degraded
+  *    performance, because the rewrite changed rows the consumer
+  *    already has.
+  *  - A consumer lagging past [[TxTable.expireLog]] (its next range's
+  *    commits no longer exist) or past the vacuum retention (its next
+  *    range's files already reclaimed) fails loudly, naming the table,
+  *    the range, and the knob — never a silent partial batch.
   *
   * Scale shape: each poll is one log replay (checkpoint + tail) and
   * each batch plans only the delta's files through the normal
-  * FileSourceScan (column pruning + parquet pushdown intact); a
-  * consumer lagging less than the vacuum retention always finds its
-  * files on disk. `maxVersionsPerTrigger` bounds how many commits one
-  * micro-batch swallows on backfill — without it, a consumer starting
-  * against a year-old table would plan its entire history as batch 0.
+  * FileSourceScan (column pruning + parquet pushdown intact). The
+  * range-integrity check parses only the (start, end] commit files —
+  * metadata bounded by `maxVersionsPerTrigger` — and the vacuum guard
+  * is one existence probe per planned file, the same files the scan
+  * opens immediately after. The initial-snapshot branch skips the
+  * existence probe: snapshot files are LIVE by construction and
+  * [[TxTable.vacuum]] never reclaims live files.
   *
   * The read schema is FROZEN at stream start (the era's logged
   * schema): additive base evolution mid-stream keeps delivering the
@@ -40,7 +67,8 @@ import org.apache.spark.sql.types.StructType
   * contract that a streaming query's schema is fixed.
   */
 class GraftStreamSource(spark: SparkSession, table: String,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long],
+    skipChangeCommits: Boolean) extends Source {
   maxVersionsPerTrigger.foreach(n =>
     require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
 
@@ -70,8 +98,16 @@ class GraftStreamSource(spark: SparkSession, table: String,
     val cur = TxTable.currentVersion(spark, table)
     if (cur < 0) return None
     val next = maxVersionsPerTrigger match {
-      case Some(n) => math.min(cur, planned + n)
-      case None    => cur
+      case Some(n) if planned >= 0 => math.min(cur, planned + n)
+      case Some(n) =>
+        // FIRST offset of a fresh stream: per-commit backfill is only
+        // sound when the whole history replays cleanly — otherwise
+        // batch 0 must be the initial snapshot at the head, so the
+        // rate limit cannot carve the history into commit-sized steps
+        val (complete, _, destructive) =
+          TxTable.rangeSummary(fs, root, -1L, cur)
+        if (complete && !destructive) math.min(cur, planned + n) else cur
+      case None => cur
     }
     if (next <= planned) None
     else {
@@ -80,11 +116,68 @@ class GraftStreamSource(spark: SparkSession, table: String,
     }
   }
 
+  /** Actionable failure: every message names the table, the version
+    * range, and the knob that governs the loss.
+    */
+  private def fail(startV: Long, endV: Long, what: String,
+      remedy: String): Nothing =
+    throw new IllegalStateException(
+      s"graft stream source on $table: commit range ($startV, $endV] " +
+        s"$what — $remedy")
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(ver).getOrElse(-1L)
     val endV = ver(end)
     if (endV > planned) planned = endV // checkpoint recovery replay
-    val files = TxTable.appendedIn(fs, root, startV, endV)
+    val (files, checkExists) =
+      if (startV < 0) {
+        // deterministic under checkpoint-recovery replay: the decision
+        // depends only on the log's (−1, endV] state, and expiry /
+        // rewrites only ever push a clean history towards snapshot
+        // mode, where the delivered ROWS are identical for a history
+        // that was clean at plan time (append-union == snapshot)
+        val (complete, _, destructive) =
+          TxTable.rangeSummary(fs, root, -1L, endV)
+        if (complete && !destructive)
+          (TxTable.appendedIn(fs, root, -1L, endV), true)
+        else
+          // INITIAL SNAPSHOT: the table as of endV. Per-commit replay
+          // would silently drop appends swept by expireLog and rows
+          // whose append commits were since compacted/merged (rewrite
+          // commits deliver nothing).
+          (TxTable.snapshotFiles(fs, root, Some(endV)).toSeq, false)
+      } else {
+        val (complete, _, destructive) =
+          TxTable.rangeSummary(fs, root, startV, endV)
+        if (!complete) fail(startV, endV,
+          "is no longer fully present in the commit log (expireLog " +
+            "swept part of it): the consumer lagged past the log " +
+            "retention and those appends cannot be reproduced",
+          "restart the stream from a fresh checkpoint (batch 0 becomes " +
+            "the initial snapshot), or run TxTable.expireLog less " +
+            "aggressively so consumers can lag further")
+        if (destructive && !skipChangeCommits) fail(startV, endV,
+          "contains a data-changing rewrite commit (merge / delete / " +
+            "compact / retention / rollup / overwrite / restore): " +
+            "streaming reads deliver appends only, so rows changed by " +
+            "the rewrite would silently diverge downstream",
+          "set .option(\"skipChangeCommits\", \"true\") to skip rewrite " +
+            "commits (Delta's posture), or restart from a fresh " +
+            "checkpoint to pick up the rewritten state")
+        (TxTable.appendedIn(fs, root, startV, endV), true)
+      }
+    if (checkExists) {
+      val missing = files.collect {
+        case (rel, _) if !fs.exists(new Path(root, rel)) => rel
+      }
+      if (missing.nonEmpty) fail(startV, endV,
+        s"references ${missing.size} data file(s) already reclaimed " +
+          s"by vacuum (first: ${missing.head}): the consumer lagged " +
+          "past the vacuum retention",
+        "restart the stream from a fresh checkpoint to read the " +
+          "current state, or raise the retention (TxTable.vacuum " +
+          "minAgeMs, default 7 days) to cover the worst consumer lag")
+    }
     if (files.isEmpty)
       GraftSqlBridge.emptyStreamingFrame(spark, schema)
     else

@@ -82,6 +82,234 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(seen.toSet == tableRows)
   }
 
+  test("a data-changing rewrite mid-stream FAILS loudly (naming table, " +
+      "range, and skipChangeCommits); with skipChangeCommits=true the " +
+      "rewrite is skipped and later appends still arrive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamdest").toString
+    val table = s"$dir/t"
+    (0 until 2).foreach(i => TxTable.append(spark, batch(i), table))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start(skip: Boolean) = {
+      val rd = spark.readStream.format("graft")
+      (if (skip) rd.option("skipChangeCommits", "true") else rd)
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ks = df.select("k").collect().map(_.getString(0))
+          seen.synchronized { seen ++= ks }
+          ()
+        }.start()
+    }
+
+    val q = start(skip = false)
+    try { q.processAllAvailable(); assert(seen.size == 40) }
+    finally q.stop()
+
+    // while stopped: a delete (copy-on-write remove+add, DESTRUCTIVE)
+    // and a fresh append land; the restarted stream's next range must
+    // refuse the rewrite
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0)
+    TxTable.append(spark, batch(2), table)
+    val q1 = start(skip = false)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains(table), s"error must name the table: $msg")
+    assert(msg.contains("(1, 3]"), s"error must name the range: $msg")
+    assert(msg.contains("skipChangeCommits"),
+      s"error must name the remedy option: $msg")
+
+    // same checkpoint, rewrites tolerated: the failed batch replays,
+    // the delete commit delivers nothing, the append lands exactly once
+    val q2 = start(skip = true)
+    try {
+      q2.processAllAvailable()
+      assert(seen.size == 60 && seen.distinct.size == 60,
+        s"append past a skipped rewrite must arrive exactly once " +
+          s"(${seen.size})")
+      assert(seen.count(_.startsWith("b2_")) == 20)
+    } finally q2.stop()
+  }
+
+  test("a consumer lagging past expireLog fails actionably, and a FRESH " +
+      "stream on a swept/rewritten history gets an initial snapshot") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamexp").toString
+    val table = s"$dir/t"
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start(ckpt: String) = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getString(0))
+        seen.synchronized { seen ++= ks }
+        ()
+      }.start()
+
+    // consume to v2, stop — the consumer now lags
+    val q = start(s"$dir/ckpt")
+    try { q.processAllAvailable(); assert(seen.size == 60) }
+    finally q.stop()
+
+    // 9 more appends reach v11; the v10 commit wrote a log checkpoint,
+    // so expireLog sweeps commits 0..9 — the lagging consumer's next
+    // range (2, 11] is no longer reproducible
+    (3 until 12).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.expireLog(spark, table).nonEmpty,
+      "expireLog must sweep below the newest checkpoint")
+
+    // the restart fails during the engine's recovery replay of the last
+    // committed range — conservative (Delta draws the same boundary:
+    // the checkpointed offset's log entries must still exist), and the
+    // error still names the table, a swept commit range, and the knob
+    val q2 = start(s"$dir/ckpt")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains(table) && msg.contains("commit range (") &&
+      msg.contains("expireLog"),
+      s"lag-past-retention error must name table, range, and knob: $msg")
+
+    // a FRESH stream cannot replay the swept history commit-by-commit:
+    // batch 0 is the INITIAL SNAPSHOT at the head (all 240 rows), even
+    // under maxVersionsPerTrigger=1
+    seen.clear()
+    val q3 = start(s"$dir/ckpt_fresh")
+    try {
+      q3.processAllAvailable()
+      assert(seen.size == 240 && seen.distinct.size == 240,
+        s"fresh stream must snapshot the full table (${seen.size})")
+    } finally q3.stop()
+    val live = TxTable.read(spark, table).select("k").collect()
+      .map(_.getString(0)).toSet
+    assert(seen.toSet == live)
+  }
+
+  test("a consumer lagging past the vacuum retention fails actionably " +
+      "instead of planning reclaimed files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamvac").toString
+    val table = s"$dir/t"
+    TxTable.append(spark, batch(0), table)
+
+    val seen = new java.util.concurrent.atomic.AtomicInteger
+    def start() = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.addAndGet(df.count().toInt); ()
+      }.start()
+
+    val q = start()
+    try { q.processAllAvailable(); assert(seen.get == 20) }
+    finally q.stop()
+
+    // while the consumer is down: an append (v1), then a delete (v2)
+    // that rewrites v1's files, then an aggressive vacuum reclaiming
+    // them — the consumer's next range (0, 2] references files that no
+    // longer exist, and skipChangeCommits must NOT paper over that
+    TxTable.append(spark, batch(1), table)
+    assert(TxTable.delete(spark, table, col("k") === "b1_0") >= 0)
+    assert(TxTable.vacuum(spark, table, minAgeMs = 0L).nonEmpty,
+      "vacuum must reclaim the rewritten files")
+
+    val q2 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains(table) && msg.contains("vacuum") &&
+      msg.contains("retention"),
+      s"vacuumed-range error must name table and retention knob: $msg")
+  }
+
+  test("frozen schema mid-stream, evolution visible on restart, and " +
+      "NULL backfill for pre-evolution rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamevo").toString
+    val table = s"$dir/t"
+    TxTable.append(spark, batch(0), table)
+
+    def batch4(i: Int): DataFrame =
+      (0 until 20).map(j =>
+        (java.sql.Date.valueOf("2024-06-02"), s"e${i}_$j",
+          (i * 100 + j).toLong, s"tag$i"))
+        .toDF("date", "k", "v", "tag")
+
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def start() = spark.readStream.format("graft")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rs = df.collect()
+        schemas.synchronized {
+          if (rs.nonEmpty) { schemas += df.columns.toSeq; rows ++= rs }
+        }
+        ()
+      }.start()
+
+    // stream 1: sees the 3-column era; an ADDITIVE evolution lands
+    // mid-stream and its rows arrive in the FROZEN (3-column) shape
+    val q = start()
+    try {
+      q.processAllAvailable()
+      TxTable.append(spark, batch4(1), table) // evolves schema with tag
+      q.processAllAvailable()
+      assert(rows.size == 40)
+      assert(schemas.forall(_ == Seq("k", "v", "date")),
+        s"running stream must keep the frozen columns: $schemas")
+    } finally q.stop()
+
+    // restart from the same checkpoint: the new era's schema applies;
+    // a post-restart append delivers tag
+    schemas.clear(); rows.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      TxTable.append(spark, batch4(2), table)
+      q2.processAllAvailable()
+      assert(schemas.forall(_ == Seq("k", "v", "tag", "date")),
+        s"restart must surface the evolved schema: $schemas")
+      assert(rows.forall(_.getAs[String]("tag") == "tag2"))
+    } finally q2.stop()
+
+    // a FRESH stream replays the full history under the evolved
+    // schema: pre-evolution rows read tag as NULL
+    schemas.clear(); rows.clear()
+    val q3 = start()
+    val q3b = spark.readStream.format("graft").load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt_fresh")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rs = df.collect()
+        schemas.synchronized { rows ++= rs }
+        ()
+      }.start()
+    q3.stop() // only q3b (fresh checkpoint) matters here
+    try {
+      q3b.processAllAvailable()
+      assert(rows.size == 60, s"fresh stream must backfill all (${rows.size})")
+      val byTag = rows.groupBy(r => Option(r.getAs[String]("tag")))
+      assert(byTag.getOrElse(None, Seq.empty).size == 20,
+        "pre-evolution rows must read the new column as NULL")
+      assert(byTag.getOrElse(Some("tag1"), Seq.empty).size == 20)
+      assert(byTag.getOrElse(Some("tag2"), Seq.empty).size == 20)
+    } finally q3b.stop()
+  }
+
   test("schema is required up front and the source refuses a missing " +
       "table; batch frames from the source are streaming-flagged") {
     intercept[IllegalArgumentException] {
