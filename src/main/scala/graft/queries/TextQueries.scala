@@ -51,12 +51,59 @@ object TextQueries {
       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
       |)""".stripMargin
 
+  /** Seeded deterministic ~40% doc sample of the corpus (Knuth
+    * multiplicative hash — exact BIGINT math in both engines), the
+    * bench-scale population for [[lshEvalCurve]]: the exact all-pairs
+    * curve is quadratic-in-cluster-size BY DESIGN, so the timing
+    * harness measures it on a fixed sample while the full-corpus gate
+    * stays in the correctness suite.
+    */
+  private def corpusSample(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter((col("doc_id") * 2654435761L + 7) % 10 < 4)
+
+  private val corpusSampleSql: String =
+    corpusSql.replace("corpus AS (", "corpus_all AS (") +
+      """, corpus AS (
+        |  SELECT * FROM corpus_all
+        |  WHERE (doc_id * 2654435761 + 7) % 10 < 4
+        |)""".stripMargin
+
+  /** The per-decile S-curve oracle, parameterized by the corpus CTE —
+    * exact per-decile detection curve: intersecting pairs over the
+    * df-capped shingle universe vs the banded candidate set.
+    */
+  private def lshEvalOracle(corpusCte: String): String =
+    s"""WITH $corpusCte, $shinglesSql, ${minhashBandedSql()},
+       |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+       |shr AS (SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+       |ij AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id, i_n, sa.n + sb.n - i_n AS u_n
+       |  FROM ij JOIN sizes sa ON a_id = sa.doc_id
+       |  JOIN sizes sb ON b_id = sb.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT LEAST(9, CAST((i_n * 10) // u_n AS INTEGER)) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_caught
+       |FROM pairs LEFT JOIN cand
+       |  ON pairs.a_id = cand.a_id AND pairs.b_id = cand.b_id
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+
   /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens).
     * Dedup happens per-row via `array_distinct` BEFORE the explode — a
     * DataFrame-wide `.distinct()` would shuffle the entire exploded
     * shingle table just to dedup within each doc.
     */
-  private def shingles(c: DataFrame): DataFrame =
+  private[graft] def shingles(c: DataFrame): DataFrame =
     c.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -180,8 +227,8 @@ object TextQueries {
     * cut. Feeds the LSH evaluation gate, which needs the low-Jaccard
     * tail to show what the bands correctly DON'T catch.
     */
-  private def jaccardAllPairs(s: SparkSession, d: String): DataFrame = {
-    val all = graft.ops.CacheRegistry.track(shingles(corpus(s, d)))
+  private def jaccardAllPairs(c: DataFrame): DataFrame = {
+    val all = graft.ops.CacheRegistry.track(shingles(c))
     val sh = graft.ops.CacheRegistry.track(
       all.join(
         all.groupBy("s").agg(count(lit(1)).as("df"))
@@ -196,6 +243,32 @@ object TextQueries {
       .join(sizes.toDF("b_id", "nb"), "b_id")
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .select("a_id", "b_id", "inter", "union_n")
+  }
+
+  /** The LSH S-curve over one corpus population: every shingle-
+    * intersecting pair scored with its EXACT Jaccard decile, LEFT-
+    * joined against the banded candidate set — per-decile (pairs,
+    * caught) counts as integers. Parameterized by corpus so the exact
+    * full-corpus gate and the seeded-sample bench variant share one
+    * definition (and, for the full corpus, one cached shingle lineage
+    * with [[jaccardPairs]] via CacheManager plan matching).
+    */
+  private def lshEvalCurve(c: DataFrame): DataFrame = {
+    val pairs = jaccardAllPairs(c)
+    val banded = graft.ops.CacheRegistry.track(minhashBanded(shingles(c)))
+    val a = banded.toDF("a_id", "band", "bh")
+    val b = banded.toDF("b_id", "band2", "bh2")
+    val cands = a.join(b, col("band") === col("band2") &&
+        col("bh") === col("bh2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .withColumn("caught", lit(1L))
+    pairs.join(cands, Seq("a_id", "b_id"), "left")
+      .withColumn("decile",
+        least(lit(9), expr("(inter * 10) div union_n").cast("int")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .orderBy("decile")
   }
 
   /** Dedup CLUSTER formation: connected components over the union of
@@ -408,24 +481,13 @@ object TextQueries {
     // set stays subquadratic) — and because the counts are exact and
     // deterministic, the whole curve sits behind the hash oracle, not
     // a tolerance check.
-    "qt_lsh_eval" -> ((s, d) => {
-      val pairs = jaccardAllPairs(s, d)
-      val banded = graft.ops.CacheRegistry.track(
-        minhashBanded(shingles(corpus(s, d))))
-      val a = banded.toDF("a_id", "band", "bh")
-      val b = banded.toDF("b_id", "band2", "bh2")
-      val cands = a.join(b, col("band") === col("band2") &&
-          col("bh") === col("bh2") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .withColumn("caught", lit(1L))
-      pairs.join(cands, Seq("a_id", "b_id"), "left")
-        .withColumn("decile",
-          least(lit(9), expr("(inter * 10) div union_n").cast("int")))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
-        .orderBy("decile")
-    }),
+    "qt_lsh_eval" -> ((s, d) => lshEvalCurve(corpus(s, d))),
+
+    // the same S-curve on a seeded 40% doc sample — what the BENCH
+    // harness times (the full-corpus evaluation is quadratic-in-
+    // cluster-size by design and dominated a 235 s suite with 26-35 s
+    // across its samples); still exact integer math, still hash-gated
+    "qt_lsh_eval_sample" -> ((s, d) => lshEvalCurve(corpusSample(s, d))),
 
     // INCREMENTAL ingest dedup — the production shape of near-dup at
     // 100 TB: a standing corpus keeps its banded MinHash index
@@ -717,31 +779,8 @@ object TextQueries {
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact per-decile detection curve: intersecting pairs over the
     // df-capped shingle universe vs the banded candidate set
-    "qt_lsh_eval" ->
-      s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()},
-         |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-         |shr AS (SELECT sh.doc_id, sh.s FROM sh
-         |  JOIN dfreq ON sh.s = dfreq.s WHERE dfreq.df <= $MAX_SHINGLE_DF),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
-         |ij AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i_n
-         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT a_id, b_id, i_n, sa.n + sb.n - i_n AS u_n
-         |  FROM ij JOIN sizes sa ON a_id = sa.doc_id
-         |  JOIN sizes sb ON b_id = sb.doc_id),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT LEAST(9, CAST((i_n * 10) // u_n AS INTEGER)) AS decile,
-         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |  CAST(SUM(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_caught
-         |FROM pairs LEFT JOIN cand
-         |  ON pairs.a_id = cand.a_id AND pairs.b_id = cand.b_id
-         |GROUP BY 1 ORDER BY decile""".stripMargin,
+    "qt_lsh_eval" -> lshEvalOracle(corpusSql),
+    "qt_lsh_eval_sample" -> lshEvalOracle(corpusSampleSql),
     "qt_incr_dedup" ->
       s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()}
          |SELECT n.doc_id AS doc_id,
