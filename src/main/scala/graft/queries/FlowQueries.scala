@@ -425,6 +425,20 @@ object FlowQueries {
         FORMAT TabSeparated""")
     }),
 
+    // CH WITH ROLLUP through the shim (round 8): maps onto Spark's own
+    // ROLLUP modifier — per-(type, bucket) rows, per-type subtotals,
+    // and the grand total, subtotal keys NULL on both sides
+    "q_compat_rollup" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("events_compat")
+      graft.sql.Compat.chSql(s, """
+        SELECT event_type, toInt64(user_id % 3) AS bucket, count() AS n,
+          SUM(toInt64(ROUND(value * 100, 0))) AS cents
+        FROM events_compat
+        GROUP BY event_type, user_id % 3 WITH ROLLUP
+        ORDER BY event_type, bucket
+        FORMAT TabSeparated""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -658,6 +672,16 @@ object FlowQueries {
         |    AS cents
         |FROM events GROUP BY GROUPING SETS ((event_type), ())
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // per-(type,bucket) + per-type subtotals + grand total, NULL
+    // subtotal keys ordered first on both sides
+    "q_compat_rollup" ->
+      """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY ROLLUP (event_type, user_id % 3)
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
 
     // ANSI equivalents for every oracled CH spelling; isodow matches
     // the Monday=1 contract, floor(epoch()) matches the long cast,

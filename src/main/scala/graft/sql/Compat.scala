@@ -360,14 +360,23 @@ object Compat {
     * the key columns (Spark's grouping-sets convention) where CH shows
     * type defaults (0 / '').
     */
-  private def rewriteTotals(sql: String): String =
+  private def rewriteTotals(sql: String): String = {
     // the captured key list must not span ANOTHER `GROUP BY` — a lazy
     // `(.+?)` would anchor on the FIRST GROUP BY in the statement and
     // swallow a subquery/CTE boundary when the WITH TOTALS belongs to an
     // outer (later) GROUP BY, emitting invalid SQL
-    sql.replaceAll(
-      "(?is)GROUP\\s+BY\\s+((?:(?!\\bGROUP\\s+BY\\b).)+?)\\s+WITH\\s+TOTALS",
-      "GROUP BY GROUPING SETS (($1), ())")
+    val keys = "((?:(?!\\bGROUP\\s+BY\\b).)+?)"
+    sql
+      .replaceAll(s"(?is)GROUP\\s+BY\\s+$keys\\s+WITH\\s+TOTALS",
+        "GROUP BY GROUPING SETS (($1), ())")
+      // ClickHouse's other grouping modifiers map onto Spark's own
+      // ROLLUP/CUBE (same subtotal semantics; NULL keys on subtotal
+      // rows — the same documented deviation as TOTALS)
+      .replaceAll(s"(?is)GROUP\\s+BY\\s+$keys\\s+WITH\\s+ROLLUP",
+        "GROUP BY ROLLUP ($1)")
+      .replaceAll(s"(?is)GROUP\\s+BY\\s+$keys\\s+WITH\\s+CUBE",
+        "GROUP BY CUBE ($1)")
+  }
 
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(translateCh0(sql))))

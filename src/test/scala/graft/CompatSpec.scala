@@ -214,6 +214,29 @@ class CompatSpec extends AnyFunSuite {
         "GROUP BY k WITH TOTALS ORDER BY k")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(tot.toSeq == Seq((null, 3L, 13L), ("a", 2L, 3L), ("b", 1L, 10L)))
+    // the TOTALS rewrite must anchor on the OUTER group by: an inner
+    // GROUP BY in a subquery before it used to be captured across the
+    // subquery boundary, emitting invalid SQL (round-7 advice)
+    val tot2 = graft.sql.Compat.chSql(spark,
+      "SELECT x, count() AS n FROM (SELECT k AS x, SUM(v) AS sv " +
+        "FROM compat_tot GROUP BY k) sub " +
+        "GROUP BY x WITH TOTALS ORDER BY x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tot2.toSeq == Seq((null, 2L), ("a", 1L), ("b", 1L)),
+      s"inner GROUP BY before outer WITH TOTALS must rewrite correctly: " +
+        tot2.mkString(","))
+    // WITH ROLLUP / WITH CUBE map onto Spark's own modifiers
+    assert(Compat.translateCh(
+      "SELECT k, count() FROM t GROUP BY k, j WITH ROLLUP")
+      == "SELECT k, count(*) FROM t GROUP BY ROLLUP (k, j)")
+    assert(Compat.translateCh(
+      "SELECT k, count() FROM t GROUP BY k, j WITH CUBE")
+      == "SELECT k, count(*) FROM t GROUP BY CUBE (k, j)")
+    val rup = graft.sql.Compat.chSql(spark,
+      "SELECT k, SUM(v) AS s FROM compat_tot GROUP BY k WITH ROLLUP " +
+        "ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rup.toSeq == Seq((null, 13L), ("a", 3L), ("b", 10L)))
     // arrayJoin is the row-multiplying unnest (CH semantics)
     val n = spark.sql(
       "SELECT arrayJoin(array(1, 2, 3)) AS x FROM (SELECT 1)").count()

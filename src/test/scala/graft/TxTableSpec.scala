@@ -5,7 +5,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.flow.{FlowPipeline, SyntheticFlows}
-import graft.sink.{NetworkFlowTable, TxTable}
+import graft.sink.{BloomStore, NetworkFlowTable, TxTable}
 
 /** The object-store commit-log variant of the summing table (S6/W7 on
   * stores without atomic rename): immutable data files + one atomic log
@@ -625,6 +625,37 @@ class TxTableSpec extends AnyFunSuite {
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
   }
 
+  test("a failed sidecar read is NOT cached: the next resolve retries " +
+    "and finds the filter once the sidecar is readable") {
+    import graft.sink.Bloom
+    import org.apache.hadoop.fs.Path
+    BloomStore.clearCache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomretry").toString
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val rel = "d-x/date=2024-03-01/part-0.parquet"
+    val mk = s"${Bloom.M},${Bloom.K}"
+    val stats = Map(
+      "local_pod" -> TxTable.ColStats('b', "@d-x/_filters.tsv", mk))
+    // sidecar missing (transient blip): degrades to no-filter for THIS
+    // probe — the pointer entry is dropped, nothing fails
+    assert(BloomStore.resolveStats(fs, root, rel, stats).isEmpty)
+    // the sidecar becomes readable; a retry must now resolve it — a
+    // cached empty map would pin no-skip until LRU eviction (round-7
+    // advice)
+    val payload = Bloom.ofHashes(Seq(1L, 2L))
+    val side = new java.io.File(s"$dir/d-x/_filters.tsv")
+    side.getParentFile.mkdirs()
+    java.nio.file.Files.write(side.toPath,
+      s"date=2024-03-01/part-0.parquet\tlocal_pod\t$mk\t$payload\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val resolved = BloomStore.resolveStats(fs, root, rel, stats)
+    assert(resolved.get("local_pod").exists(_.min == payload),
+      s"retry after a failed load must resolve the filter: $resolved")
+  }
+
   test("CHECK constraints: recorded in the log after validating existing " +
     "rows, enforced inside every write pass (NULL passes, FALSE aborts " +
     "pre-commit), survive checkpoints, and drop cleanly") {
@@ -823,6 +854,50 @@ class TxTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TxTable.restore(spark, path, 999L)
     }
+  }
+
+  test("RESTORE re-validates the table's CURRENT check constraints over " +
+    "re-added files: rewinding past a constraint cannot reintroduce " +
+    "violating rows") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txrescons").toString + "/t"
+    TxTable.append(spark,
+      Seq((d("2024-03-01"), "a", 1L), (d("2024-03-01"), "b", 5L))
+        .toDF("date", "k", "v"), path)                              // v0
+    val v0 = TxTable.currentVersion(spark, path)
+    assert(TxTable.delete(spark, path, col("v") < 3L) >= 0)         // v1
+    // the constraint HOLDS over live rows now (only b,5 remains) —
+    // but v0's files violate it
+    assert(TxTable.addCheckConstraint(spark, path, "big_v", "v >= 3") >= 0)
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.restore(spark, path, v0)
+    }
+    assert(ex.getMessage.contains("big_v"),
+      s"refusal must name the violated constraint: ${ex.getMessage}")
+    assert(TxTable.read(spark, path).count() == 1L,
+      "the refused restore must not commit")
+    // dropping the constraint unblocks the same restore
+    assert(TxTable.dropCheckConstraint(spark, path, "big_v") >= 0)
+    assert(TxTable.restore(spark, path, v0) >= 0)
+    assert(TxTable.read(spark, path).select("k").collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    // a restore whose re-added files SATISFY the live constraints
+    // proceeds: constraint recorded first, rows never violated it
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_txrescons2").toString + "/t"
+    TxTable.append(spark,
+      Seq((d("2024-03-01"), "x", 7L)).toDF("date", "k", "v"), path2) // v0
+    val p2v0 = TxTable.currentVersion(spark, path2)
+    assert(TxTable.addCheckConstraint(spark, path2, "pos", "v > 0") >= 0)
+    TxTable.append(spark,
+      Seq((d("2024-03-02"), "y", 8L)).toDF("date", "k", "v"), path2)
+    assert(TxTable.delete(spark, path2, col("k") === "x") >= 0)
+    assert(TxTable.restore(spark, path2, p2v0) >= 0,
+      "a constraint-satisfying restore must proceed")
+    assert(TxTable.read(spark, path2).select("k").collect()
+      .map(_.getString(0)).toSet == Set("x"))
   }
 
   test("DELETE WHERE: bloom-pruned copy-on-write — untouched files keep " +
