@@ -73,7 +73,8 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+      parameters.get("skipChangeCommits").exists(_.toBoolean),
+      parameters.get("maxFilesPerTrigger").map(_.toLong))
 
   // ---- streaming write: exactly-once micro-batch commits -----------
 

@@ -6,12 +6,23 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
 
+/** Composite offset for the CHUNKED initial snapshot: the first `idx`
+  * files of the (deterministically sorted) snapshot at `version` have
+  * been planned. Serialized as `s:<version>:<idx>` in the engine's
+  * offset log; plain version offsets stay bare longs, so pre-round-8
+  * checkpoints decode unchanged.
+  */
+case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
+  override val json: String = s"s:$version:$idx"
+}
+
 /** The tx table as a STRUCTURED STREAMING SOURCE — Delta's streaming
   * read, ClickHouse's "another system tails the table" integration:
   *
   * {{{
   *   spark.readStream.format("graft")
-  *     .option("maxVersionsPerTrigger", 10)   // optional rate limit
+  *     .option("maxVersionsPerTrigger", 10)   // tail rate limit
+  *     .option("maxFilesPerTrigger", 1000)    // snapshot rate limit
   *     .option("skipChangeCommits", "true")   // tolerate rewrites
   *     .load("/lake/flows")
   * }}}
@@ -33,10 +44,16 @@ import org.apache.spark.sql.types.StructType
   *    COMMIT, rate-limitable via `maxVersionsPerTrigger`. When part of
   *    the history was swept by [[TxTable.expireLog]] or rewritten
   *    (merge/compact/...), per-commit replay would silently lose those
-  *    rows — batch 0 is then the INITIAL SNAPSHOT of the table at the
-  *    stream-start head version instead, and the tail is consumed
-  *    incrementally from there (exactly Delta's initial-snapshot
-  *    semantics).
+  *    rows — the stream starts from the INITIAL SNAPSHOT of the table
+  *    at the stream-start head version instead (exactly Delta's
+  *    initial-snapshot semantics), and the tail is consumed
+  *    incrementally from there. With `maxFilesPerTrigger` the snapshot
+  *    is delivered in file-count-bounded chunks via
+  *    [[GraftSnapshotOffset]] composite offsets (Delta's
+  *    reservoir-index chunking) — a year-old 100 TB table backfills as
+  *    many bounded micro-batches with mid-snapshot checkpoint recovery,
+  *    not one planet-sized batch 0; without it the snapshot is one
+  *    batch.
   *  - A RUNNING stream that encounters a data-changing rewrite commit
   *    (merge / delete / compact / retention / rollup / overwrite /
   *    restore) in its next range FAILS with an actionable error unless
@@ -57,9 +74,11 @@ import org.apache.spark.sql.types.StructType
   * range-integrity check parses only the (start, end] commit files —
   * metadata bounded by `maxVersionsPerTrigger` — and the vacuum guard
   * is one existence probe per planned file, the same files the scan
-  * opens immediately after. The initial-snapshot branch skips the
-  * existence probe: snapshot files are LIVE by construction and
-  * [[TxTable.vacuum]] never reclaims live files.
+  * opens immediately after. The MONOLITHIC initial-snapshot branch
+  * skips the existence probe (snapshot files are LIVE at the head by
+  * construction and [[TxTable.vacuum]] never reclaims live files);
+  * chunked snapshots probe, because a slow chunked backfill can lag
+  * behind subsequent rewrites.
   *
   * The read schema is FROZEN at stream start (the era's logged
   * schema): additive base evolution mid-stream keeps delivering the
@@ -68,9 +87,12 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftStreamSource(spark: SparkSession, table: String,
     maxVersionsPerTrigger: Option[Long],
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxFilesPerTrigger: Option[Long] = None) extends Source {
   maxVersionsPerTrigger.foreach(n =>
     require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
+  maxFilesPerTrigger.foreach(n =>
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
 
   private val (fs, root) = TxTable.fsFor(spark, table)
 
@@ -87,27 +109,81 @@ class GraftStreamSource(spark: SparkSession, table: String,
     */
   @volatile private var planned: Long = -1L
 
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    // a checkpoint-restored offset arrives serialized; LongOffset's
-    // json is the bare number
-    case other => other.json.trim.toLong
+  /** Chunked-snapshot progress: how many of the snapshot-at-`version`
+    * files have been planned. Set on the first offset of a snapshot-
+    * mode stream and restored by recovery replays of snapshot offsets.
+    */
+  private case class SnapState(version: Long, idx: Long)
+  @volatile private var snap: Option[SnapState] = None
+
+  /** The frozen snapshot file list for one version — DETERMINISTIC
+    * (log replay at `v`, sorted by relative path), so recovery and the
+    * original run slice identical lists.
+    */
+  @volatile private var snapCache
+      : Option[(Long, Seq[(String, TxTable.FileMeta)])] = None
+  private def snapFiles(v: Long): Seq[(String, TxTable.FileMeta)] =
+    snapCache match {
+      case Some((cv, cached)) if cv == v => cached
+      case _ =>
+        val built = TxTable.snapshotFiles(fs, root, Some(v)).toSeq
+          .sortBy(_._1)
+        snapCache = Some((v, built))
+        built
+    }
+
+  private def decode(o: Offset): Either[SnapState, Long] = o match {
+    case s: GraftSnapshotOffset => Left(SnapState(s.version, s.idx))
+    case l: LongOffset          => Right(l.offset)
+    case other =>
+      // checkpoint-restored offsets arrive serialized: either a bare
+      // version number (LongOffset, incl. pre-round-8 checkpoints) or
+      // the snapshot form `s:<version>:<idx>`
+      val j = other.json.trim
+      if (j.startsWith("s:")) {
+        val p = j.split(':')
+        Left(SnapState(p(1).toLong, p(2).toLong))
+      } else Right(j.toLong)
   }
 
   override def getOffset: Option[Offset] = {
     val cur = TxTable.currentVersion(spark, table)
     if (cur < 0) return None
+    // mid-snapshot: the next chunk takes precedence over version
+    // tailing; terminates because idx strictly advances to total
+    snap match {
+      case Some(st) =>
+        val total = snapFiles(st.version).size.toLong
+        if (st.idx < total) {
+          val ni = maxFilesPerTrigger
+            .map(n => math.min(st.idx + n, total)).getOrElse(total)
+          snap = Some(SnapState(st.version, ni))
+          return Some(GraftSnapshotOffset(st.version, ni))
+        }
+      case None => ()
+    }
     val next = maxVersionsPerTrigger match {
       case Some(n) if planned >= 0 => math.min(cur, planned + n)
-      case Some(n) =>
-        // FIRST offset of a fresh stream: per-commit backfill is only
-        // sound when the whole history replays cleanly — otherwise
-        // batch 0 must be the initial snapshot at the head, so the
-        // rate limit cannot carve the history into commit-sized steps
+      case None if planned >= 0    => cur
+      case mvt =>
+        // FIRST offset of a fresh stream (restored streams had planned
+        // pushed forward by the engine's recovery getBatch): per-commit
+        // backfill is only sound when the whole history replays
+        // cleanly — otherwise the stream starts from the initial
+        // snapshot at the head
         val (complete, _, destructive) =
           TxTable.rangeSummary(fs, root, -1L, cur)
-        if (complete && !destructive) math.min(cur, planned + n) else cur
-      case None => cur
+        if (complete && !destructive)
+          mvt.map(n => math.min(cur, planned + n)).getOrElse(cur)
+        else maxFilesPerTrigger match {
+          case Some(n) =>
+            val total = snapFiles(cur).size.toLong
+            val ni = math.min(n, total)
+            snap = Some(SnapState(cur, ni))
+            planned = cur
+            return Some(GraftSnapshotOffset(cur, ni))
+          case None => cur // monolithic snapshot batch
+        }
     }
     if (next <= planned) None
     else {
@@ -125,52 +201,92 @@ class GraftStreamSource(spark: SparkSession, table: String,
       s"graft stream source on $table: commit range ($startV, $endV] " +
         s"$what — $remedy")
 
+  /** Integrity-checked append delta for a (startV, endV] tail range. */
+  private def tailFiles(startV: Long,
+      endV: Long): Seq[(String, TxTable.FileMeta)] = {
+    val (complete, _, destructive) =
+      TxTable.rangeSummary(fs, root, startV, endV)
+    if (!complete) fail(startV, endV,
+      "is no longer fully present in the commit log (expireLog " +
+        "swept part of it): the consumer lagged past the log " +
+        "retention and those appends cannot be reproduced",
+      "restart the stream from a fresh checkpoint (batch 0 becomes " +
+        "the initial snapshot), or run TxTable.expireLog less " +
+        "aggressively so consumers can lag further")
+    if (destructive && !skipChangeCommits) fail(startV, endV,
+      "contains a data-changing rewrite commit (merge / delete / " +
+        "compact / retention / rollup / overwrite / restore): " +
+        "streaming reads deliver appends only, so rows changed by " +
+        "the rewrite would silently diverge downstream",
+      "set .option(\"skipChangeCommits\", \"true\") to skip rewrite " +
+        "commits (Delta's posture), or restart from a fresh " +
+        "checkpoint to pick up the rewritten state")
+    TxTable.appendedIn(fs, root, startV, endV)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val startV = start.map(ver).getOrElse(-1L)
-    val endV = ver(end)
-    if (endV > planned) planned = endV // checkpoint recovery replay
-    val (files, checkExists) =
-      if (startV < 0) {
-        // deterministic under checkpoint-recovery replay: the decision
-        // depends only on the log's (−1, endV] state, and expiry /
-        // rewrites only ever push a clean history towards snapshot
-        // mode, where the delivered ROWS are identical for a history
-        // that was clean at plan time (append-union == snapshot)
-        val (complete, _, destructive) =
-          TxTable.rangeSummary(fs, root, -1L, endV)
-        if (complete && !destructive)
-          (TxTable.appendedIn(fs, root, -1L, endV), true)
-        else
-          // INITIAL SNAPSHOT: the table as of endV. Per-commit replay
-          // would silently drop appends swept by expireLog and rows
-          // whose append commits were since compacted/merged (rewrite
-          // commits deliver nothing).
-          (TxTable.snapshotFiles(fs, root, Some(endV)).toSeq, false)
-      } else {
-        val (complete, _, destructive) =
-          TxTable.rangeSummary(fs, root, startV, endV)
-        if (!complete) fail(startV, endV,
-          "is no longer fully present in the commit log (expireLog " +
-            "swept part of it): the consumer lagged past the log " +
-            "retention and those appends cannot be reproduced",
-          "restart the stream from a fresh checkpoint (batch 0 becomes " +
-            "the initial snapshot), or run TxTable.expireLog less " +
-            "aggressively so consumers can lag further")
-        if (destructive && !skipChangeCommits) fail(startV, endV,
-          "contains a data-changing rewrite commit (merge / delete / " +
-            "compact / retention / rollup / overwrite / restore): " +
-            "streaming reads deliver appends only, so rows changed by " +
-            "the rewrite would silently diverge downstream",
-          "set .option(\"skipChangeCommits\", \"true\") to skip rewrite " +
-            "commits (Delta's posture), or restart from a fresh " +
-            "checkpoint to pick up the rewritten state")
-        (TxTable.appendedIn(fs, root, startV, endV), true)
-      }
+    val startE = start.map(decode)
+    val (files, checkExists, rangeDesc) = decode(end) match {
+      case Left(se) =>
+        // snapshot chunk — restore/advance phase state (recovery
+        // replays come through here before any getOffset call)
+        val restoredIdx = math.max(se.idx,
+          snap.collect { case s if s.version == se.version => s.idx }
+            .getOrElse(0L))
+        snap = Some(SnapState(se.version, restoredIdx))
+        if (se.version > planned) planned = se.version
+        val from = startE match {
+          case None => 0L
+          case Some(Left(s0)) =>
+            require(s0.version == se.version,
+              s"snapshot offsets span versions: $s0 then $se")
+            s0.idx
+          case Some(Right(v)) => throw new IllegalStateException(
+            s"graft stream source on $table: version offset $v " +
+              s"followed by snapshot offset s:${se.version}:${se.idx}" +
+              " — corrupt offset sequence")
+        }
+        (snapFiles(se.version).slice(from.toInt, se.idx.toInt), true,
+          (from - 1, se.idx))
+      case Right(endV) =>
+        if (endV > planned) planned = endV // checkpoint recovery replay
+        startE match {
+          case Some(Left(s0)) =>
+            // version tail after a chunked snapshot: the snapshot
+            // phase must have completed before version offsets start
+            val total = snapFiles(s0.version).size.toLong
+            require(s0.idx >= total,
+              s"version offset $endV before snapshot " +
+                s"(${s0.idx}/$total files) completed")
+            snap = Some(SnapState(s0.version, s0.idx))
+            (tailFiles(s0.version, endV), true, (s0.version, endV))
+          case Some(Right(startV)) =>
+            (tailFiles(startV, endV), true, (startV, endV))
+          case None =>
+            // deterministic under checkpoint-recovery replay: the
+            // decision depends only on the log's (−1, endV] state, and
+            // expiry / rewrites only ever push a clean history towards
+            // snapshot mode, where the delivered ROWS are identical
+            // for a history that was clean at plan time
+            val (complete, _, destructive) =
+              TxTable.rangeSummary(fs, root, -1L, endV)
+            if (complete && !destructive)
+              (TxTable.appendedIn(fs, root, -1L, endV), true,
+                (-1L, endV))
+            else
+              // MONOLITHIC INITIAL SNAPSHOT: the table as of endV.
+              // Per-commit replay would silently drop appends swept by
+              // expireLog and rows whose append commits were since
+              // compacted/merged (rewrite commits deliver nothing).
+              (TxTable.snapshotFiles(fs, root, Some(endV)).toSeq, false,
+                (-1L, endV))
+        }
+    }
     if (checkExists) {
       val missing = files.collect {
         case (rel, _) if !fs.exists(new Path(root, rel)) => rel
       }
-      if (missing.nonEmpty) fail(startV, endV,
+      if (missing.nonEmpty) fail(rangeDesc._1, rangeDesc._2,
         s"references ${missing.size} data file(s) already reclaimed " +
           s"by vacuum (first: ${missing.head}): the consumer lagged " +
           "past the vacuum retention",

@@ -244,9 +244,14 @@ object ScaleBench {
       //    ~linearly with the corpus, never quadratically. Every 7th
       //    doc per copy is duplicated so each copy carries real
       //    positives.
+      // salt by SUFFIXING every token (w -> w_x<i>): shingles keep
+      // their full 3-word selectivity (an inserted marker token would
+      // produce (x,w,x) shingles that depend on ONE word and collapse
+      // within-copy selectivity into a fake quadratic blowup), while
+      // copies stay pairwise disjoint
       val saltedDocs = (0 until factor).map { i =>
         val txt = if (i == 0) col("text")
-          else regexp_replace(col("text"), " ", s" x$i ")
+          else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")
         val one = docsBase.select(
           (col("doc_id") + lit(i * 100000000L)).as("doc_id"),
           txt.as("text"))
@@ -293,8 +298,14 @@ object ScaleBench {
         val v = if (i == 0) col("embedding")
           else expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), " +
             s"slice(embedding, 1, $i))")
-        embBase.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        val one = embBase.select(
+          (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
           v.as("embedding"))
+        // every 10th vector duplicated exactly (the qv_semdedup corpus
+        // shape) so each copy carries real near-dup positives
+        one.unionByName(one.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 50000000L).as("vec_id"),
+            col("embedding")))
       }.reduce(_ unionByName _)
       val quant = emb.select(col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))

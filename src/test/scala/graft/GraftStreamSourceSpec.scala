@@ -234,6 +234,68 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       s"vacuumed-range error must name table and retention knob: $msg")
   }
 
+  test("maxFilesPerTrigger chunks the initial snapshot into bounded " +
+      "micro-batches; a mid-snapshot restart resumes exactly-once; the " +
+      "tail still arrives after the snapshot drains") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamchunk").toString
+    val table = s"$dir/t"
+    // a history that does NOT replay cleanly (delete = destructive),
+    // so a fresh stream must take the initial-snapshot path; batches
+    // land on three dates -> multiple files
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0)
+    val nFiles = TxTable.liveFiles(spark, table).size
+    assert(nFiles >= 3, s"need several live files, got $nFiles")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    def start(once: Boolean) = {
+      val w = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+      (if (once) w.trigger(org.apache.spark.sql.streaming.Trigger.Once())
+       else w)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ks = df.select("k").collect().map(_.getString(0))
+          seen.synchronized {
+            seen ++= ks
+            if (ks.nonEmpty) batches.incrementAndGet()
+          }
+          ()
+        }.start()
+    }
+
+    // one trigger = one 1-file chunk, then stop MID-SNAPSHOT
+    val q1 = start(once = true)
+    try q1.awaitTermination() finally q1.stop()
+    assert(seen.nonEmpty && seen.size < 59,
+      s"Trigger.Once must deliver one bounded chunk (${seen.size})")
+    val firstChunk = seen.size
+
+    // restart from the same checkpoint: the remaining chunks drain,
+    // every live row exactly once across the restart boundary
+    val q2 = start(once = false)
+    try {
+      q2.processAllAvailable()
+      assert(seen.size == 59 && seen.distinct.size == 59,
+        s"mid-snapshot restart must resume exactly-once (${seen.size})")
+      assert(batches.get >= nFiles,
+        s"snapshot must arrive in >= $nFiles chunks (${batches.get})")
+      // the tail: a live append after the snapshot drained
+      TxTable.append(spark, batch(3), table)
+      q2.processAllAvailable()
+      assert(seen.size == 79, "tail append must arrive after snapshot")
+      assert(seen.count(_.startsWith("b3_")) == 20)
+    } finally q2.stop()
+    val live = TxTable.read(spark, table).select("k").collect()
+      .map(_.getString(0)).toSet
+    assert(seen.toSet == live, s"streamed set must equal live set " +
+      s"(first chunk $firstChunk rows)")
+  }
+
   test("frozen schema mid-stream, evolution visible on restart, and " +
       "NULL backfill for pre-evolution rows") {
     val dir = java.nio.file.Files
