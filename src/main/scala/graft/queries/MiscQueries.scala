@@ -698,6 +698,53 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // CHUNKED INITIAL SNAPSHOT as a gate (round 8): a fresh consumer
+    // on a table whose history does NOT replay cleanly (a delete
+    // rewrote it) starts from the snapshot at the head — delivered in
+    // file-count-bounded chunks (maxFilesPerTrigger). The union of all
+    // chunks must equal the post-delete table exactly (a lost or
+    // doubled chunk moves n/cents/u_sum), and the chunking must
+    // actually happen (>1 non-empty micro-batch).
+    "qtx_stream_snapshot" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopyWith(s, d, "streamsnap", "events_3append") { t =>
+        (0 until 3).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 4 === i), t))
+      }
+      TxTable.append(s, ev.filter(col("user_id") % 4 === 3), table)
+      val minUser = ev.agg(min("user_id")).collect().head.getLong(0)
+      require(TxTable.delete(s, table, col("user_id") === minUser) >= 0,
+        "the history-breaking delete must commit")
+      val nFiles = TxTable.liveFiles(s, table).size
+      val chunk = math.max(1, nFiles / 3)
+      val out = s"${table}_snap_out"
+      val nonEmpty = new java.util.concurrent.atomic.AtomicInteger
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", chunk.toString)
+        .load(table)
+        .writeStream.option("checkpointLocation", s"$out/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            nonEmpty.incrementAndGet()
+            df.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+          }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        require(nonEmpty.get > 1,
+          s"the snapshot must arrive chunked ($nFiles files, chunk " +
+            s"$chunk, got ${nonEmpty.get} batches)")
+      } finally q.stop()
+      s.read.parquet(s"$out/data").drop("batch")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // CHECK CONSTRAINTS as a gate: a constraint the data satisfies is
     // recorded; one existing data violates is refused up front; a
     // violating append aborts INSIDE the write job, before any commit
@@ -1163,6 +1210,18 @@ object MiscQueries {
         |  CAST(SUM(cents) AS BIGINT) AS cents,
         |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the chunked snapshot union equals the post-delete table: full
+    // events minus the deleted (min) user
+    "qtx_stream_snapshot" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |kept AS (SELECT * FROM e
+        |  WHERE user_id <> (SELECT MIN(user_id) FROM e))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // restore undoes the delete completely: the oracle is the PLAIN
     // full-events aggregate — any row the rewind lost or duplicated
     // moves n/cents/u_sum

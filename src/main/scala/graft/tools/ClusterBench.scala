@@ -1,0 +1,200 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
+import graft.sink.TxTable
+
+/** MULTI-EXECUTOR evidence: the same operators, run on Spark's
+  * `local-cluster[W, C, M]` master — a real standalone master plus W
+  * worker processes that each FORK a separate executor JVM. Unlike
+  * `local[*]` (everything in one JVM), this exercises the paths that
+  * only exist between JVMs and that SCALE.md rounds 7's "what this
+  * still does not prove" called out:
+  *
+  *  - task + closure serialization to remote executors (the broadcast
+  *    LPM trie, dictionary maps, Bloom builders all must actually
+  *    serialize — in local mode they travel by reference);
+  *  - real Netty network shuffle (fetch over TCP, not block-manager
+  *    local reads);
+  *  - broadcast distribution to remote block managers;
+  *  - tx-table staging tasks writing from executor JVMs while the
+  *    commit protocol runs driver-side.
+  *
+  * For each step the result is CHECKSUMMED and compared against the
+  * same computation's checksum from an earlier `local[*]` run (passed
+  * via the companion run, or recomputed here when run standalone) —
+  * multi-executor execution must be row-identical, not just "ran".
+  *
+  * Usage (SPARK_HOME must point at a Spark dist so workers can fork
+  * executors; executor classpath/JVM opens are injected below):
+  *
+  *   SPARK_HOME=/opt/spark SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     java --add-opens ... -cp "target/scala-2.13/classes:<spark jars>" \
+  *     graft.tools.ClusterBench "local-cluster[4,8,3072]"
+  *
+  * Emits one JSON line per step and the whole array to
+  * `CLUSTER_RESULTS.json`.
+  */
+object ClusterBench {
+  private class Acc extends SparkListener {
+    val shufW = new AtomicLong
+    val shufR = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { shufW.set(0); shufR.set(0) }
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  /** One deterministic long checksum over any frame: per-row hash of
+    * every column (null-safe), summed. Order-independent, exact.
+    */
+  private def checksum(df: DataFrame): Long = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    // pmod keeps each term < 1e9 so the sum stays far from Long
+    // overflow (ANSI mode) at any realistic row count
+    df.select(pmod(xxhash64(cols: _*), lit(1000000007L)).as("h"))
+      .agg(sum("h")).collect().head.getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val master = args.headOption.getOrElse("local-cluster[4,8,3072]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val classesDir = new java.io.File("target/scala-2.13/classes")
+      .getAbsolutePath
+    require(sys.env.contains("SPARK_HOME") || !master.startsWith("local-cluster"),
+      "local-cluster needs SPARK_HOME so workers can fork executor JVMs")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // the forked executor JVMs need the graft classes (custom
+      // Catalyst expressions deserialize there) and the JDK17 opens
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(step: String, sec: Double, rows: Long, sum: Long,
+        extra: (String, String)*): Unit = {
+      val j = (Seq(
+        "step" -> ("\"" + step + "\""), "sec" -> f"$sec%.3f",
+        "rows" -> rows.toString, "checksum" -> sum.toString,
+        "shuffle_write_mb" -> f"${acc.shufW.get / 1e6}%.1f",
+        "shuffle_read_mb" -> f"${acc.shufR.get / 1e6}%.1f") ++ extra)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"[cluster] $j")
+      out += j
+    }
+    def timed[A](f: => A): (A, Double) = {
+      acc.reset()
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // wait for executors to register so the first step doesn't run
+    // driver-only
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 2 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    val nExec = spark.sparkContext.getExecutorMemoryStatus.size
+
+    val events = graft.Tables.events(spark, sfDir)
+    val pods = SyntheticFlows.pods(spark, sfDir)
+    val nodes = SyntheticFlows.nodes(spark, sfDir)
+    val prefixes = SyntheticFlows.prefixes(spark, sfDir)
+
+    // 1. the full flow pipeline: broadcast dims + the driver-built LPM
+    //    trie must SERIALIZE to remote executors (local mode ships them
+    //    by reference and can never falsify serializability)
+    val summed = FlowPipeline.run(SyntheticFlows.flowsFromEvents(events),
+      pods, nodes, prefixes, FlowConfig())
+    val ((rows1, sum1), sec1) = timed {
+      val c = summed.count(); (c, checksum(summed))
+    }
+    record("pipeline", sec1, rows1, sum1, "executors" -> nExec.toString)
+
+    // 2. shuffle-heavy: minhash banding over documents (md5 exprs,
+    //    groupBy over |docs| keys — the dedup-index shuffle shape)
+    val banded = graft.queries.TextQueries.minhashBanded(
+      graft.queries.TextQueries.shingles(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))))
+    val ((rows2, sum2), sec2) = timed {
+      val c = banded.count(); (c, checksum(banded))
+    }
+    record("minhash_banded", sec2, rows2, sum2)
+
+    // 3. the tx table end to end: executor JVMs stage data files +
+    //    build Bloom/token sidecars; the driver runs the commit
+    //    protocol; read-back plans through TxFileIndex
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cluster_tx")
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val table = s"$scratch/t"
+    val ((rows3, sum3), sec3) = timed {
+      TxTable.append(spark, summed, table)
+      val back = TxTable.read(spark, table)
+      (back.count(), checksum(back))
+    }
+    record("tx_append_readback", sec3, rows3, sum3,
+      "files" -> TxTable.liveFiles(spark, table).size.toString)
+    // the round trip preserved content exactly
+    require(rows3 == rows1,
+      s"tx round trip changed row count: $rows1 -> $rows3")
+
+    // 4. targeted merge under multi-executor staging
+    val pod = TxTable.read(spark, table)
+      .filter(col("local_pod").isNotNull)
+      .select("local_pod").orderBy("local_pod").limit(1)
+      .collect().head.getString(0)
+    val (_, sec4) = timed {
+      TxTable.merge(spark,
+        TxTable.read(spark, table).filter(col("local_pod") === pod)
+          .withColumn("bytes", col("bytes") + 1),
+        table, summed.columns.toSeq
+          .filterNot(Set("bytes", "packets", "n_obs")))
+    }
+    val ((rows5, sum5), _) = timed {
+      val back = TxTable.read(spark, table)
+      (back.count(), checksum(back))
+    }
+    record("tx_merge", sec4, rows5, sum5,
+      "candidates" -> TxTable.lastMergeCandidates.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+
+    val line = s"""{"master":"$master","executors":$nExec,""" +
+      s""""steps":[${out.mkString(",")}]}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_CLUSTER_OUT", "CLUSTER_RESULTS.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
