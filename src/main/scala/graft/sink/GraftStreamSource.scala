@@ -2,6 +2,8 @@ package graft.sink
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit,
+  SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
@@ -88,7 +90,8 @@ case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
 class GraftStreamSource(spark: SparkSession, table: String,
     maxVersionsPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
-    maxFilesPerTrigger: Option[Long] = None) extends Source {
+    maxFilesPerTrigger: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
   maxVersionsPerTrigger.foreach(n =>
     require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
   maxFilesPerTrigger.foreach(n =>
@@ -146,8 +149,30 @@ class GraftStreamSource(spark: SparkSession, table: String,
       } else Right(j.toLong)
   }
 
-  override def getOffset: Option[Offset] = {
-    val cur = TxTable.currentVersion(spark, table)
+  /** Trigger.AvailableNow drain target, pinned ONCE at query start.
+    * The engine's generic v1 wrapper would capture one rate-limited
+    * getOffset result as "all available" and stop after a single
+    * trigger's worth of commits — implementing the interface directly
+    * (FileStreamSource's own pattern) lets the rate limit keep
+    * chunking while the run drains exactly to the pinned head.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TxTable.currentVersion(spark, table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    computeNextOffset().orNull
+
+  override def getOffset: Option[Offset] = computeNextOffset()
+
+  private def computeNextOffset(): Option[Offset] = {
+    val head = TxTable.currentVersion(spark, table)
+    // under AvailableNow, commits landing AFTER query start must not
+    // extend the run — cap at the pinned target
+    val cur = availableNowTarget.map(math.min(_, head)).getOrElse(head)
     if (cur < 0) return None
     // mid-snapshot: the next chunk takes precedence over version
     // tailing; terminates because idx strictly advances to total

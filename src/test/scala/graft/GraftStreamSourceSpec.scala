@@ -372,6 +372,45 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q3b.stop()
   }
 
+  test("Trigger.AvailableNow drains the backfill rate-limited and " +
+      "stops; a later run picks up only what landed since") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamavnow").toString
+    val table = s"$dir/t"
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nonEmpty = new java.util.concurrent.atomic.AtomicInteger
+    def drain() = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1")
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ks = df.select("k").collect().map(_.getString(0))
+          seen.synchronized {
+            seen ++= ks
+            if (ks.nonEmpty) nonEmpty.incrementAndGet()
+          }
+          ()
+        }.start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    }
+    drain()
+    assert(seen.size == 60 && seen.distinct.size == 60,
+      s"AvailableNow must drain the full backfill (${seen.size})")
+    assert(nonEmpty.get == 3,
+      s"rate limit must still chunk the drain (${nonEmpty.get})")
+    // landed while no query runs; the next AvailableNow run delivers
+    // exactly the delta
+    TxTable.append(spark, batch(3), table)
+    drain()
+    assert(seen.size == 80 && seen.distinct.size == 80,
+      s"second run must deliver only the new commit (${seen.size})")
+  }
+
   test("schema is required up front and the source refuses a missing " +
       "table; batch frames from the source are streaming-flagged") {
     intercept[IllegalArgumentException] {
