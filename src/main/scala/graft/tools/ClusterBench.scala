@@ -188,6 +188,50 @@ object ClusterBench {
       "candidates" -> TxTable.lastMergeCandidates.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
 
+    // 5. EXECUTOR-LOSS resilience (env-gated — run manually at sf0.1;
+    //    not part of the spec's fast A/B): rerun the pipeline checksum
+    //    on a 6x-unioned corpus while SIGKILLing one executor JVM
+    //    mid-job. Spark must re-run the lost tasks (FetchFailed →
+    //    stage retry; the standalone worker relaunches the executor)
+    //    and the result must be IDENTICAL — deterministic operators
+    //    over immutable inputs make task retries safe, which is the
+    //    property 1000-executor churn depends on.
+    if (sys.env.get("SPARK_GRAFT_KILL_EXEC").contains("1") &&
+        master.startsWith("local-cluster")) {
+      val big = (0 until 6).map(i => events.select(
+        (col("event_id") + lit(i * 10000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _)
+      val bigSummed = FlowPipeline.run(SyntheticFlows.flowsFromEvents(big),
+        pods, nodes, prefixes, FlowConfig())
+      val (baseSum, _) = timed(checksum(bigSummed))
+      val killer = new Thread(() => {
+        try {
+          Thread.sleep(2000)
+          import scala.sys.process._
+          val pids = Seq("bash", "-c",
+            "ps -eo pid,args | grep CoarseGrainedExecutorBackend | " +
+              "grep -v grep | awk '{print $1}'").!!
+            .split("\n").map(_.trim).filter(_.nonEmpty)
+          pids.headOption.foreach { p =>
+            System.err.println(s"[cluster] SIGKILL executor pid $p")
+            Seq("kill", "-9", p).!
+          }
+        } catch { case _: Throwable => () }
+      })
+      killer.setDaemon(true)
+      acc.reset()
+      val t0 = System.nanoTime()
+      killer.start()
+      val sumKilled = checksum(bigSummed)
+      val secK = (System.nanoTime() - t0) / 1e9
+      record("pipeline_with_executor_kill", secK, -1L, sumKilled,
+        "matches_baseline" -> (sumKilled == baseSum).toString)
+      require(sumKilled == baseSum,
+        s"executor loss changed the result: $baseSum -> $sumKilled")
+    }
+
     val line = s"""{"master":"$master","executors":$nExec,""" +
       s""""steps":[${out.mkString(",")}]}"""
     println(line)
