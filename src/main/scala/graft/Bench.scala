@@ -117,21 +117,19 @@ object Bench {
         if (prevFamily.nonEmpty) sentinels(prevFamily) = sentinel()
         prevFamily = fam
       }
-      val a = timeOnce(name, fn)
-      val b = if (sampleTarget < 2 || a < 0) -1.0 else timeOnce(name, fn)
-      val two = Seq(a, b)
+      val first = timeOnce(name, fn)
+      val base =
+        if (first < 0) Seq(first)
+        else first +: (1 until sampleTarget).map(_ => timeOnce(name, fn))
       val samples =
-        if (sampleTarget < 2) Seq(a).filter(_ >= 0)
-        else if (a < 0 || b < 0) two.filter(_ >= 0)
-        else if (math.abs(a - b) / math.min(a, b) > 0.5) {
+        if (base.exists(_ < 0)) base.filter(_ >= 0)
+        else if (sampleTarget == 2 &&
+            math.abs(base(0) - base(1)) / base.min > 0.5) {
           // the two windows disagree badly: one more sample decides
           val c = timeOnce(name, fn)
-          if (c >= 0) two :+ c else two
-        } else two
-      val best =
-        if (sampleTarget < 2) { if (a < 0) -1.0 else a }
-        else if (a < 0 || b < 0) -1.0
-        else samples.min
+          if (c >= 0) base :+ c else base
+        } else base
+      val best = if (base.exists(_ < 0)) -1.0 else samples.min
       (name, best, samples)
     }
     sentinels(prevFamily) = sentinel()

@@ -32,6 +32,16 @@ object BloomStore {
   val Ptr = '@'
 
   private val MaxCached = 512
+
+  /** Failed reads are NOT cached as positive entries (a transient blip
+    * must not pin no-skip until LRU eviction) — but an UNBOUNDED retry
+    * would turn a permanently missing/corrupt sidecar into one failed
+    * filesystem open per file probe on every planning pass, forever.
+    * This TTL bounds both: a failure suppresses retries briefly, then
+    * the next probe tries again.
+    */
+  private val NegativeTtlMs = 60000L
+
   private val cache =
     new java.util.LinkedHashMap[String, Map[(String, String), String]](
       64, 0.75f, true) {
@@ -39,12 +49,24 @@ object BloomStore {
           e: java.util.Map.Entry[String, Map[(String, String), String]])
           : Boolean = size() > MaxCached
     }
+  private val failedAt =
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > MaxCached
+    }
 
   private def load(fs: FileSystem, p: Path): Map[(String, String), String] = {
     val key = fs.makeQualified(p).toString
     cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) return hit
+      val f = failedAt.get(key)
+      if (f != null) {
+        if (System.currentTimeMillis() - f < NegativeTtlMs)
+          return Map.empty
+        failedAt.remove(key)
+      }
     }
     try {
       val in = fs.open(p)
@@ -58,16 +80,23 @@ object BloomStore {
             case _ => None
           }
         }.toMap
-      // only a SUCCESSFUL read is cached: sidecars are immutable so a
-      // parsed map is valid forever, but a transient read failure must
-      // not pin "no filter" until LRU eviction — fall through uncached
-      // and let the next probe retry
-      cache.synchronized { cache.put(key, parsed) }
+      // only a SUCCESSFUL read is cached positively: sidecars are
+      // immutable so a parsed map is valid forever
+      cache.synchronized {
+        failedAt.remove(key)
+        cache.put(key, parsed)
+      }
       parsed
     } catch {
       // a missing/torn sidecar must read as "no filter", never fail
-      // the scan
+      // the scan; the failure is remembered only for NegativeTtlMs so
+      // transient blips retry but a dead sidecar doesn't add one
+      // failed open per probe forever
       case scala.util.control.NonFatal(_) =>
+        cache.synchronized {
+          failedAt.put(key, java.lang.Long.valueOf(
+            System.currentTimeMillis()))
+        }
         Map.empty[(String, String), String]
     }
   }
@@ -109,5 +138,5 @@ object BloomStore {
     }.toSet
 
   private[graft] def clearCache(): Unit =
-    cache.synchronized { cache.clear() }
+    cache.synchronized { cache.clear(); failedAt.clear() }
 }

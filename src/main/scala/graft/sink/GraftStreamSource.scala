@@ -129,6 +129,19 @@ class GraftStreamSource(spark: SparkSession, table: String,
     snapCache match {
       case Some((cv, cached)) if cv == v => cached
       case _ =>
+        // GUARD before replaying: once expireLog sweeps the commits
+        // below a newer checkpoint, replayState(asOf = v) silently
+        // returns an EMPTY state — a paused mid-snapshot consumer
+        // would read that as "0 files left" and silently lose the rest
+        // of its backfill
+        if (!TxTable.versionReproducible(fs, root, v)) fail(-1, v,
+          s"(the initial snapshot at version $v) is no longer " +
+            "reproducible from the commit log (expireLog swept its " +
+            "commits while the snapshot backfill was paused)",
+          "restart the stream from a fresh checkpoint (batch 0 " +
+            "becomes the snapshot at the current head), or run " +
+            "TxTable.expireLog less aggressively so paused consumers " +
+            "can resume")
         val built = TxTable.snapshotFiles(fs, root, Some(v)).toSeq
           .sortBy(_._1)
         snapCache = Some((v, built))
@@ -161,14 +174,31 @@ class GraftStreamSource(spark: SparkSession, table: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(TxTable.currentVersion(spark, table))
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** The configured rate limits, surfaced as this source's default
+    * ReadLimit. The VALUE is echoed back by the engine on normal and
+    * AvailableNow triggers (rate limits apply); Trigger.Once instead
+    * passes `ReadLimit.allAvailable()`, whose contract is "process
+    * everything in one batch" — [[latestOffset]] must then IGNORE the
+    * internal limits (exactly FileStreamSource's behavior, and the
+    * reason Trigger.AvailableNow exists for limit-respecting drains).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    (maxVersionsPerTrigger, maxFilesPerTrigger) match {
+      case (None, None) => ReadLimit.allAvailable()
+      case (v, f) => ReadLimit.compositeLimit(
+        (v.map(ReadLimit.maxRows) ++
+          f.map(n => ReadLimit.maxFiles(n.toInt))).toArray)
+    }
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
-    computeNextOffset().orNull
+    computeNextOffset(ignoreRateLimits = limit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadAllAvailable] &&
+      (maxVersionsPerTrigger.isDefined || maxFilesPerTrigger.isDefined))
+      .orNull
 
-  override def getOffset: Option[Offset] = computeNextOffset()
+  override def getOffset: Option[Offset] = computeNextOffset(false)
 
-  private def computeNextOffset(): Option[Offset] = {
+  private def computeNextOffset(ignoreRateLimits: Boolean): Option[Offset] = {
     val head = TxTable.currentVersion(spark, table)
     // under AvailableNow, commits landing AFTER query start must not
     // extend the run — cap at the pinned target
@@ -180,14 +210,14 @@ class GraftStreamSource(spark: SparkSession, table: String,
       case Some(st) =>
         val total = snapFiles(st.version).size.toLong
         if (st.idx < total) {
-          val ni = maxFilesPerTrigger
+          val ni = maxFilesPerTrigger.filterNot(_ => ignoreRateLimits)
             .map(n => math.min(st.idx + n, total)).getOrElse(total)
           snap = Some(SnapState(st.version, ni))
           return Some(GraftSnapshotOffset(st.version, ni))
         }
       case None => ()
     }
-    val next = maxVersionsPerTrigger match {
+    val next = maxVersionsPerTrigger.filterNot(_ => ignoreRateLimits) match {
       case Some(n) if planned >= 0 => math.min(cur, planned + n)
       case None if planned >= 0    => cur
       case mvt =>
@@ -200,7 +230,7 @@ class GraftStreamSource(spark: SparkSession, table: String,
           TxTable.rangeSummary(fs, root, -1L, cur)
         if (complete && !destructive)
           mvt.map(n => math.min(cur, planned + n)).getOrElse(cur)
-        else maxFilesPerTrigger match {
+        else maxFilesPerTrigger.filterNot(_ => ignoreRateLimits) match {
           case Some(n) =>
             val total = snapFiles(cur).size.toLong
             val ni = math.min(n, total)
@@ -226,11 +256,14 @@ class GraftStreamSource(spark: SparkSession, table: String,
       s"graft stream source on $table: commit range ($startV, $endV] " +
         s"$what — $remedy")
 
-  /** Integrity-checked append delta for a (startV, endV] tail range. */
+  /** Integrity-checked append delta for a (startV, endV] tail range —
+    * ONE parse per commit file in range (classification + file delta
+    * together), the recurring per-trigger metadata cost.
+    */
   private def tailFiles(startV: Long,
       endV: Long): Seq[(String, TxTable.FileMeta)] = {
-    val (complete, _, destructive) =
-      TxTable.rangeSummary(fs, root, startV, endV)
+    val (complete, destructive, files) =
+      TxTable.rangeDelta(fs, root, startV, endV)
     if (!complete) fail(startV, endV,
       "is no longer fully present in the commit log (expireLog " +
         "swept part of it): the consumer lagged past the log " +
@@ -246,7 +279,7 @@ class GraftStreamSource(spark: SparkSession, table: String,
       "set .option(\"skipChangeCommits\", \"true\") to skip rewrite " +
         "commits (Delta's posture), or restart from a fresh " +
         "checkpoint to pick up the rewritten state")
-    TxTable.appendedIn(fs, root, startV, endV)
+    files
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -293,18 +326,25 @@ class GraftStreamSource(spark: SparkSession, table: String,
             // expiry / rewrites only ever push a clean history towards
             // snapshot mode, where the delivered ROWS are identical
             // for a history that was clean at plan time
-            val (complete, _, destructive) =
-              TxTable.rangeSummary(fs, root, -1L, endV)
+            val (complete, destructive, delta) =
+              TxTable.rangeDelta(fs, root, -1L, endV)
             if (complete && !destructive)
-              (TxTable.appendedIn(fs, root, -1L, endV), true,
-                (-1L, endV))
-            else
+              (delta, true, (-1L, endV))
+            else {
               // MONOLITHIC INITIAL SNAPSHOT: the table as of endV.
               // Per-commit replay would silently drop appends swept by
               // expireLog and rows whose append commits were since
               // compacted/merged (rewrite commits deliver nothing).
-              (TxTable.snapshotFiles(fs, root, Some(endV)).toSeq, false,
+              // snapFiles guards reproducibility; the vacuum existence
+              // probe is skipped ONLY while endV is still the head
+              // (live files cannot be vacuumed) — a checkpoint-
+              // recovery replay of an older endV probes, because
+              // rewrites+vacuum during the downtime may have reclaimed
+              // what was live at plan time.
+              (snapFiles(endV),
+                endV != TxTable.currentVersion(spark, table),
                 (-1L, endV))
+            }
         }
     }
     if (checkExists) {

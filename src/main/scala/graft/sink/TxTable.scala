@@ -435,6 +435,48 @@ object TxTable {
     (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
   }
 
+  /** Whether the table state AT `v` is still reproducible from the
+    * log: a checkpoint at or below `v` plus every commit in between,
+    * or (no checkpoint yet) every commit from 0. After [[expireLog]]
+    * sweeps commits below the newest checkpoint, older versions
+    * silently replay to an EMPTY state — callers that would read that
+    * as "no files" (a truncated snapshot) must check this first and
+    * fail loudly instead.
+    */
+  private[sink] def versionReproducible(fs: FileSystem, root: Path,
+      v: Long): Boolean = {
+    if (v < 0) return false
+    val vs = listVersions(fs, root).toSet
+    listCheckpoints(fs, root).filter(_ <= v).lastOption match {
+      case Some(c) => ((c + 1) to v).forall(vs.contains)
+      case None    => (0L to v).forall(vs.contains)
+    }
+  }
+
+  /** ONE metadata pass over the commit range (from, to]: the
+    * completeness/destructiveness classification of [[rangeSummary]]
+    * AND the pure-append file delta of [[appendedIn]], parsing each
+    * commit file once — the per-trigger streaming-read path would
+    * otherwise read every commit in range twice per micro-batch.
+    */
+  private[sink] def rangeDelta(fs: FileSystem, root: Path,
+      fromExclusive: Long, toInclusive: Long)
+      : (Boolean, Boolean, Seq[(String, FileMeta)]) = {
+    val vs = listVersions(fs, root)
+      .filter(v => v > fromExclusive && v <= toInclusive)
+    val complete = vs.size == (toInclusive - fromExclusive)
+    var destructive = false
+    val files = Seq.newBuilder[(String, FileMeta)]
+    vs.foreach { v =>
+      val pl = parseLog(fs, versionFile(root, v), s"commit $v")
+      val hasRemoves = pl.acts.exists(_.add.isEmpty)
+      if (hasRemoves) {
+        if (!pl.op.exists(LayoutOps.contains)) destructive = true
+      } else files ++= pl.acts.collect { case Action(rel, Some(m)) => rel -> m }
+    }
+    (complete, destructive, files.result())
+  }
+
   /** Classify the commit range (from, to] for MV freshness and refresh
     * routing: `complete` = every version in the range is still readable
     * (false after [[expireLog]] swept part of it — callers must then
@@ -1720,18 +1762,44 @@ object TxTable {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }
-    if (liveCons.nonEmpty && readds.nonEmpty) {
-      val readdDf =
-        readFileSet(spark, root, readds, cur.schema.orElse(target.schema))
-      liveCons.foreach { case (name, sql) =>
-        val violating = readdDf
-          .filter(!coalesce(org.apache.spark.sql.functions.expr(sql),
-            lit(true)))
-          .limit(1).count()
-        require(violating == 0L,
-          s"cannot restore $table to version $version: re-added rows " +
-            s"violate CHECK constraint '$name' ($sql); drop the " +
-            "constraint first or restore to a version satisfying it")
+    if (liveCons.nonEmpty) {
+      // restore re-logs the TARGET era's schema, but constraints live
+      // at head and are NOT rewound — a constraint referencing a
+      // column the rewound schema lacks would make every subsequent
+      // write fail at analysis (enforceConstraints can't resolve it).
+      // Refuse up front with the remedy instead of committing an
+      // unwritable table.
+      val postSchema = target.schema.orElse(cur.schema)
+      postSchema.foreach { sch =>
+        val fields = sch.fieldNames.map(_.toLowerCase) :+ "date"
+        liveCons.foreach { case (name, sql) =>
+          val missing = spark.sessionState.sqlParser.parseExpression(sql)
+            .collect {
+              case ua: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => ua.name
+            }
+            .filterNot(a => fields.contains(a.toLowerCase))
+          require(missing.isEmpty,
+            s"cannot restore $table to version $version: CHECK " +
+              s"constraint '$name' ($sql) references column(s) " +
+              s"${missing.mkString(",")} absent from that version's " +
+              "schema — every later write would fail; drop the " +
+              "constraint first")
+        }
+      }
+      if (readds.nonEmpty) {
+        val readdDf =
+          readFileSet(spark, root, readds, cur.schema.orElse(target.schema))
+        liveCons.foreach { case (name, sql) =>
+          val violating = readdDf
+            .filter(!coalesce(org.apache.spark.sql.functions.expr(sql),
+              lit(true)))
+            .limit(1).count()
+          require(violating == 0L,
+            s"cannot restore $table to version $version: re-added rows " +
+              s"violate CHECK constraint '$name' ($sql); drop the " +
+              "constraint first or restore to a version satisfying it")
+        }
       }
     }
     commitRetry(fs, root, readds, removes, None,

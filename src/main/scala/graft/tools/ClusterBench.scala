@@ -54,16 +54,6 @@ object ClusterBench {
     def reset(): Unit = { shufW.set(0); shufR.set(0) }
   }
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"
-  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-
   /** One deterministic long checksum over any frame: per-row hash of
     * every column (null-safe), summed. Order-independent, exact.
     */
@@ -91,7 +81,7 @@ object ClusterBench {
       // the forked executor JVMs need the graft classes (custom
       // Catalyst expressions deserialize there) and the JDK17 opens
       .config("spark.executor.extraClassPath", classesDir)
-      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.executor.extraJavaOptions", Jdk17Opens.asJavaOptions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val acc = new Acc

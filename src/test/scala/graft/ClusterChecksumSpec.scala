@@ -13,15 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * real network shuffle; this can, on every `sbt test`.
   */
 class ClusterChecksumSpec extends AnyFunSuite {
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val addOpens = graft.tools.Jdk17Opens.flags
 
   /** Run ClusterBench in a child JVM against `master`; returns the
     * (step, rows, checksum) triples, or Left(diagnostic) on an exit-137

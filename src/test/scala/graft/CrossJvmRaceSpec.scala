@@ -23,15 +23,7 @@ import graft.sink.TxTable
 class CrossJvmRaceSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar"
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val addOpens = graft.tools.Jdk17Opens.flags
 
   private val nWriters = 2
   private val nCommits = 10

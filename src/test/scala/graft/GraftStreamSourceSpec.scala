@@ -250,34 +250,41 @@ class GraftStreamSourceSpec extends AnyFunSuite {
 
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val batches = new java.util.concurrent.atomic.AtomicInteger
-    def start(once: Boolean) = {
+    def start(crashAfterFirst: Boolean, ckpt: String = s"$dir/ckpt",
+        once: Boolean = false) = {
       val w = spark.readStream.format("graft")
         .option("maxFilesPerTrigger", "1")
         .load(table)
         .writeStream
-        .option("checkpointLocation", s"$dir/ckpt")
+        .option("checkpointLocation", ckpt)
       (if (once) w.trigger(org.apache.spark.sql.streaming.Trigger.Once())
        else w)
         .foreachBatch { (df: DataFrame, _: Long) =>
           val ks = df.select("k").collect().map(_.getString(0))
-          seen.synchronized {
+          val n = seen.synchronized {
             seen ++= ks
-            if (ks.nonEmpty) batches.incrementAndGet()
+            if (ks.nonEmpty) batches.incrementAndGet() else batches.get
           }
+          if (crashAfterFirst && n >= 1)
+            throw new RuntimeException("simulated crash mid-snapshot")
           ()
         }.start()
     }
 
-    // one trigger = one 1-file chunk, then stop MID-SNAPSHOT
-    val q1 = start(once = true)
-    try q1.awaitTermination() finally q1.stop()
+    // the first chunk is delivered, then the query CRASHES before the
+    // batch commits — a mid-snapshot failure
+    val q1 = start(crashAfterFirst = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
     assert(seen.nonEmpty && seen.size < 59,
-      s"Trigger.Once must deliver one bounded chunk (${seen.size})")
-    val firstChunk = seen.size
+      s"the crash must land mid-snapshot (${seen.size})")
 
-    // restart from the same checkpoint: the remaining chunks drain,
-    // every live row exactly once across the restart boundary
-    val q2 = start(once = false)
+    // restart from the same checkpoint: the uncommitted chunk replays,
+    // the remaining chunks drain — every live row exactly once in the
+    // restarted run
+    seen.clear(); batches.set(0)
+    val q2 = start(crashAfterFirst = false)
     try {
       q2.processAllAvailable()
       assert(seen.size == 59 && seen.distinct.size == 59,
@@ -292,8 +299,70 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
     val live = TxTable.read(spark, table).select("k").collect()
       .map(_.getString(0)).toSet
-    assert(seen.toSet == live, s"streamed set must equal live set " +
-      s"(first chunk $firstChunk rows)")
+    assert(seen.toSet == live, "streamed set must equal live set")
+
+    // Trigger.Once contract: ReadLimit.allAvailable overrides the rate
+    // limit — the whole snapshot lands as ONE batch (the reason
+    // AvailableNow exists for limit-respecting drains)
+    seen.clear(); batches.set(0)
+    val q3 = start(crashAfterFirst = false, ckpt = s"$dir/ckpt_once",
+      once = true)
+    try assert(q3.awaitTermination(120000), "Trigger.Once must self-stop")
+    finally q3.stop()
+    assert(batches.get == 1 && seen.size == 79,
+      s"Trigger.Once must drain everything in one batch " +
+        s"(${batches.get} batches, ${seen.size} rows)")
+  }
+
+  test("a paused mid-snapshot consumer whose snapshot version was swept " +
+      "by expireLog fails loudly instead of silently truncating the " +
+      "backfill") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamsnapexp").toString
+    val table = s"$dir/t"
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0) // v3
+
+    val got = new java.util.concurrent.atomic.AtomicInteger
+    def start() = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (got.addAndGet(df.count().toInt) > 0)
+          throw new RuntimeException("pause mid-snapshot")
+        ()
+      }.start()
+
+    // first chunk lands, then the consumer "pauses" (crashes)
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(got.get > 0 && got.get < 59)
+
+    // while paused: enough commits for a log checkpoint, then
+    // expireLog sweeps the snapshot version's commits
+    (4 until 14).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.expireLog(spark, table).nonEmpty)
+
+    // the resumed snapshot must FAIL actionably — replaying version 3
+    // would silently produce an EMPTY file list otherwise
+    val q2 = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains(table) && msg.contains("reproducible") &&
+      msg.contains("expireLog"),
+      s"swept-snapshot error must name table and knob: $msg")
   }
 
   test("frozen schema mid-stream, evolution visible on restart, and " +

@@ -643,17 +643,24 @@ class TxTableSpec extends AnyFunSuite {
     // probe — the pointer entry is dropped, nothing fails
     assert(BloomStore.resolveStats(fs, root, rel, stats).isEmpty)
     // the sidecar becomes readable; a retry must now resolve it — a
-    // cached empty map would pin no-skip until LRU eviction (round-7
-    // advice)
+    // PERMANENTLY cached empty map would pin no-skip until LRU
+    // eviction (round-7 advice). Failures are remembered only for a
+    // short TTL (so a dead sidecar is not re-opened on every probe);
+    // clearCache stands in for the TTL expiring.
     val payload = Bloom.ofHashes(Seq(1L, 2L))
     val side = new java.io.File(s"$dir/d-x/_filters.tsv")
     side.getParentFile.mkdirs()
     java.nio.file.Files.write(side.toPath,
       s"date=2024-03-01/part-0.parquet\tlocal_pod\t$mk\t$payload\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // inside the negative TTL the failure is still suppressed (no
+    // retry storm against a dead sidecar)
+    assert(BloomStore.resolveStats(fs, root, rel, stats).isEmpty,
+      "within the negative TTL the failed load must not retry")
+    BloomStore.clearCache()
     val resolved = BloomStore.resolveStats(fs, root, rel, stats)
     assert(resolved.get("local_pod").exists(_.min == payload),
-      s"retry after a failed load must resolve the filter: $resolved")
+      s"retry after the TTL must resolve the filter: $resolved")
   }
 
   test("CHECK constraints: recorded in the log after validating existing " +
@@ -883,6 +890,33 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.restore(spark, path, v0) >= 0)
     assert(TxTable.read(spark, path).select("k").collect()
       .map(_.getString(0)).toSet == Set("a", "b"))
+    // restoring past an ADDITIVE EVOLUTION whose new column carries a
+    // constraint is refused up front: the constraint lives at head,
+    // the schema rewinds, and committing that state would make every
+    // later write fail at analysis (unresolvable constraint column)
+    val path3 = java.nio.file.Files
+      .createTempDirectory("graft_txrescons3").toString + "/t"
+    TxTable.append(spark,
+      Seq((d("2024-03-01"), "a", 1L)).toDF("date", "k", "v"), path3) // v0
+    val p3v0 = TxTable.currentVersion(spark, path3)
+    TxTable.append(spark,
+      Seq((d("2024-03-02"), "b", 2L, "zz"))
+        .toDF("date", "k", "v", "tag"), path3)                       // v1
+    assert(TxTable.addCheckConstraint(spark, path3, "tag_short",
+      "tag IS NULL OR length(tag) < 5") >= 0)
+    val ex3 = intercept[IllegalArgumentException] {
+      TxTable.restore(spark, path3, p3v0)
+    }
+    assert(ex3.getMessage.contains("tag_short") &&
+      ex3.getMessage.contains("tag"),
+      s"refusal must name the constraint and column: ${ex3.getMessage}")
+    // dropping the constraint unblocks, and the restored table WRITES
+    assert(TxTable.dropCheckConstraint(spark, path3, "tag_short") >= 0)
+    assert(TxTable.restore(spark, path3, p3v0) >= 0)
+    TxTable.append(spark,
+      Seq((d("2024-03-03"), "c", 3L)).toDF("date", "k", "v"), path3)
+    assert(TxTable.read(spark, path3).count() == 2L)
+
     // a restore whose re-added files SATISFY the live constraints
     // proceeds: constraint recorded first, rows never violated it
     val path2 = java.nio.file.Files
