@@ -32,7 +32,7 @@ case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
   * Offsets ARE commit versions: `getOffset` polls the log head (one
   * metadata listing — no data I/O), and `getBatch(start, end]` returns
   * exactly the files added by PURE-APPEND commits in that version
-  * range ([[TxTable.appendedIn]] — the same incremental feed the
+  * range ([[TxTable.rangeDelta]] — the same incremental feed the
   * materialized view consumes). Offsets live in the engine's
   * checkpoint, and a replayed range re-reads the same immutable files
   * — downstream `foreachBatch` + [[TxTable.appendTxn]] therefore

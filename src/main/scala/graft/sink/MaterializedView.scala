@@ -15,7 +15,7 @@ import graft.functions.{KllBuffer, KllMerge, KllState}
   *
   *  - The BASE table's commit log is the change feed: [[refresh]] reads
   *    only the files appended since the last applied base version
-  *    ([[TxTable.appendedIn]]) — never the whole table. Rewrite commits
+  *    ([[TxTable.rangeDelta]]) — never the whole table. Rewrite commits
   *    (compaction / merge / retention) are skipped, exactly ClickHouse's
   *    "merges do not re-trigger MVs".
   *  - Each refresh appends one batch of PARTIAL per-group states to the
@@ -213,11 +213,12 @@ object MaterializedView {
     if (cur < 0) return -1L
     val last = lastApplied(spark, mvTable)
     if (cur <= last) return -1L
-    val (complete, _, destructive) =
-      TxTable.rangeSummary(bfs, broot, last, cur)
+    // one parse per commit in range: classification + append delta
+    // together (the same single-pass the streaming source uses)
+    val (complete, destructive, delta) =
+      TxTable.rangeDelta(bfs, broot, last, cur)
     if (!complete || destructive)
       return rebuild(spark, baseTable, mvTable, mv)
-    val delta = TxTable.appendedIn(bfs, broot, last, cur)
     // every advance is a COMPARE-AND-SET on the high-water mark: two
     // refreshers that read the same `last` but different base heads
     // compute OVERLAPPING deltas — without CAS the later-versioned one

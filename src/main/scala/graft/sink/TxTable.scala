@@ -280,25 +280,6 @@ object TxTable {
   private[sink] def txnHighWater(fs: FileSystem, root: Path): Map[String, Long] =
     replayState(fs, root, None).txns
 
-  /** Files ADDED by pure-append commits in version range (from, to] —
-    * the incremental-consumption feed a materialized view refreshes
-    * from. Commits that also REMOVE files (compaction, merge, retention)
-    * are rewrites of already-consumed data, not new data, and are
-    * skipped — exactly ClickHouse's contract that background merges do
-    * not re-trigger materialized views (only INSERTed blocks do).
-    * Removed-but-unvacuumed files stay readable (immutable data +
-    * [[vacuum]]'s retention window), so a consumer lagging by less than
-    * the vacuum retention always finds its delta files on disk.
-    */
-  private[sink] def appendedIn(fs: FileSystem, root: Path,
-      fromExclusive: Long, toInclusive: Long): Seq[(String, FileMeta)] =
-    listVersions(fs, root)
-      .filter(v => v > fromExclusive && v <= toInclusive)
-      .flatMap { v =>
-        val acts = readCommit(fs, root, v)
-        if (acts.exists(_.add.isEmpty)) Seq.empty
-        else acts.collect { case Action(rel, Some(m)) => rel -> m }
-      }
 
   /** Live relpath -> FileMeta at `asOf` (default: latest). */
   private[sink] def snapshotFiles(fs: FileSystem, root: Path,
@@ -455,7 +436,7 @@ object TxTable {
 
   /** ONE metadata pass over the commit range (from, to]: the
     * completeness/destructiveness classification of [[rangeSummary]]
-    * AND the pure-append file delta of [[appendedIn]], parsing each
+    * AND the pure-append file delta, parsing each
     * commit file once — the per-trigger streaming-read path would
     * otherwise read every commit in range twice per micro-batch.
     */
