@@ -1000,6 +1000,62 @@ object MiscQueries {
       MaterializedView.read(s, mvT, mv).orderBy("date", "event_type")
     }),
 
+    // MULTI-MV COMPOSITION: two DIFFERENT views (different group keys
+    // and states) maintained over ONE base on interleaved refresh
+    // cadences — the common production shape ("one MV per target
+    // table" only constrains a TARGET, not the base). Each MV's
+    // high-water mark lives in its OWN table's log, so lagging one
+    // view never advances or stalls the other; a destructive base
+    // commit (delete) forces BOTH to rebuild independently; and the
+    // final contents of both equal a from-scratch aggregate of the
+    // final base state — which is exactly what the oracle computes
+    // from events. View A rides out as rows; view B as a deterministic
+    // checksum column (sum of bucket*(min+max)) so one gate hash-pins
+    // both.
+    "qmv_multi" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"),
+        col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("bucket", col("user_id") % 10)
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mvmulti_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val (baseT, mvA, mvB) = (s"$base/base", s"$base/mva", s"$base/mvb")
+      val a = MaterializedView.MvDef(Seq("date", "event_type"),
+        Seq(MaterializedView.SumState("cents", "cents"),
+          MaterializedView.CountState("n")))
+      val b = MaterializedView.MvDef(Seq("date", "bucket"),
+        Seq(MaterializedView.MinState("cents", "mn"),
+          MaterializedView.MaxState("cents", "mx")))
+      // interleaved cadence: A refreshes after commit 0, B first
+      // refreshes only after commit 1 (covering both in one delta)
+      TxTable.append(s, ev.filter(col("user_id") % 3 === 0), baseT) // v0
+      require(MaterializedView.refresh(s, baseT, mvA, a) >= 0)
+      TxTable.append(s, ev.filter(col("user_id") % 3 === 1), baseT) // v1
+      require(MaterializedView.refresh(s, baseT, mvB, b) >= 0)
+      require(MaterializedView.lastApplied(s, mvA) == 0L &&
+        MaterializedView.lastApplied(s, mvB) == 1L,
+        "marks must advance independently per MV table")
+      require(MaterializedView.refresh(s, baseT, mvA, a) >= 0)
+      require(MaterializedView.refresh(s, baseT, mvB, b) == -1L,
+        "up-to-date B must no-op while A catches up")
+      // destructive base commit: both views' next refresh must REBUILD
+      require(TxTable.delete(s, baseT, col("user_id") % 7 === 0) >= 0)
+      require(MaterializedView.refresh(s, baseT, mvA, a) >= 0)
+      TxTable.append(s, ev.filter(col("user_id") % 3 === 2), baseT) // v3
+      require(MaterializedView.refresh(s, baseT, mvA, a) >= 0)
+      require(MaterializedView.refresh(s, baseT, mvB, b) >= 0)
+      require(MaterializedView.lastApplied(s, mvA) == 3L &&
+        MaterializedView.lastApplied(s, mvB) == 3L)
+      val bCheck = MaterializedView.read(s, mvB, b)
+        .agg(sum(col("bucket") * (col("mn") + col("mx"))).as("c"))
+        .collect().head.getLong(0)
+      MaterializedView.read(s, mvA, a)
+        .withColumn("b_check", lit(bCheck))
+        .orderBy("date", "event_type")
+    }),
+
     // ClickHouse PROJECTION as a gate: the MV is registered as a
     // projection of its base table and the query is written AGAINST
     // THE BASE — coarser grouping + a date filter — yet must be SERVED
@@ -1547,6 +1603,26 @@ object MiscQueries {
         |  CAST(MAX(cents) AS BIGINT) AS c_max,
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e GROUP BY date, event_type
+        |ORDER BY date, event_type""".stripMargin,
+    // the FINAL base state replayed from events (appends of user%3 in
+    // {0,1}, then the user%7 delete, then the %3=2 append which
+    // post-dates the delete), aggregated per view; view B rides as the
+    // bucket*(min+max) checksum scalar
+    "qmv_multi" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |finalbase AS (
+        |  SELECT * FROM e WHERE user_id % 3 IN (0, 1) AND user_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT * FROM e WHERE user_id % 3 = 2),
+        |bv AS (SELECT date, user_id % 10 AS bucket, MIN(cents) AS mn,
+        |    MAX(cents) AS mx FROM finalbase GROUP BY 1, 2),
+        |bc AS (SELECT CAST(SUM(bucket * (mn + mx)) AS BIGINT) AS b_check
+        |  FROM bv)
+        |SELECT date, event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  (SELECT b_check FROM bc) AS b_check
+        |FROM finalbase GROUP BY date, event_type
         |ORDER BY date, event_type""".stripMargin,
     // the projection route must equal the straight aggregate over the
     // filtered fact rows — computed here with no MV in sight

@@ -295,16 +295,34 @@ object TextQueries {
     val nearEdges = jaccardPairs(s, d)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     val edges = exactEdges.unionByName(nearEdges).distinct()
-    // sym is consumed only inside this loop — unpersisted on exit (the
-    // jaccard lineage underneath is suite-shared and registry-released)
+    connectedComponents(c.select(col("doc_id").as("id")), edges)
+  }
+
+  /** Min-label connected components over an undirected edge list
+    * (a, b) — the loop behind qt_dedup_cluster, extracted so the
+    * convergence property is testable on adversarial graphs.
+    *
+    * Each round propagates the component label across edges AND
+    * through the label table itself (comp := comp of comp — pointer
+    * jumping), so label paths HALVE every round: a diameter-D
+    * component converges in O(log D) rounds, not O(D) — a 10k-node
+    * chain needs ~14 rounds where plain neighbor propagation needs
+    * 10k (the large-star/small-star result, obtained here with one
+    * extra self-join of the small label table per round). Convergence
+    * is an O(1)-column agg: a round can only LOWER labels (every min
+    * includes the old value), so the label sum strictly decreases
+    * until the fixpoint. Each round localCheckpoints eagerly and
+    * frees the previous round's blocks — the iterative-join hygiene
+    * that keeps the plan from deepening geometrically.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // sym is consumed only inside this loop — unpersisted on exit (any
+    // lineage underneath is suite-shared and registry-released)
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = c.select(col("doc_id").as("id"))
-      .withColumn("comp", col("id")).localCheckpoint(true)
-    // convergence check: a round can only LOWER labels (the min includes
-    // the old value), so the label sum is strictly decreasing until the
-    // fixpoint — an O(1)-column agg per round instead of a change-join
+    var labels = nodes.withColumn("comp", col("id"))
+      .localCheckpoint(true)
     var prevSum = Long.MinValue
     var converged = false
     var rounds = 0
@@ -313,7 +331,10 @@ object TextQueries {
       require(rounds <= 50, "component propagation failed to converge")
       val viaNbr = sym.join(labels, col("a") === col("id"))
         .select(col("b").as("id"), col("comp"))
-      val next = labels.unionByName(viaNbr)
+      val viaPtr = labels.toDF("id0", "c0")
+        .join(labels, col("c0") === col("id"))
+        .select(col("id0").as("id"), col("comp"))
+      val next = labels.unionByName(viaNbr).unionByName(viaPtr)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
       val newSum = next.agg(sum("comp")).collect().head.getLong(0)

@@ -57,13 +57,24 @@ object VectorQueries {
   private def signBucket(arr: String,
       pos: Seq[Int] = LSH_TABLES.head): String =
     pos.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN element_at($arr, $p) > 0 THEN ${8 >> i} ELSE 0 END"
+      s"CASE WHEN element_at($arr, $p) > 0 THEN ${1 << (pos.length - 1 - i)} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INTEGER)")
   private def signBucketSql(arr: String,
       pos: Seq[Int] = LSH_TABLES.head): String =
     pos.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN $arr[$p] > 0 THEN ${8 >> i} ELSE 0 END"
+      s"CASE WHEN $arr[$p] > 0 THEN ${1 << (pos.length - 1 - i)} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS INTEGER)")
+
+  /** Evenly-spread component positions for a B-bit routing code over a
+    * 64-dim embedding. bits=4 reproduces LSH_TABLES.head exactly, so
+    * the routed gates at harness scale share the single-table bucket
+    * definition; at scale bits grows with log2(k) to hold seeds-per-
+    * bucket at O(1).
+    */
+  def routingPositions(bits: Int): Seq[Int] = {
+    require(bits >= 1 && bits <= 30, s"routing bits out of range: $bits")
+    (0 until bits).map(i => 1 + i * 64 / bits)
+  }
 
   /** L independent hash tables for the multi-table LSH variant: each
     * table draws its 4 sign bits from disjoint components, so a near
@@ -126,6 +137,141 @@ object VectorQueries {
         first(col("q")).as("q"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("m.cell_id").as("cell_id"),
         col("q"), col("nrm"))
+  }
+
+  /** Sign-LSH-routed nearest-seed assignment — the O(N·B) scale path
+    * replacing the brute-force corpus × k argmin, which is O(N²/const)
+    * once k grows ∝ N (the SemDeDup posture: k ≈ O(√N)..O(N/const)
+    * cells so per-cell pair work stays flat).
+    *
+    * Seeds are bucketed ONCE by a B-bit sign code over the quantized
+    * vector; each corpus vector probes its own code plus the B
+    * Hamming-distance-1 neighbors (one sign flipped), and the exact
+    * integer argmin runs only against seeds in the probed buckets —
+    * O(1) seeds per probe when 2^B ≈ k, so per-vector work is O(B)
+    * dot products instead of O(k). Every vector ALSO scores one
+    * designated seed (min cell_id), guaranteeing a non-empty
+    * candidate set — a vector whose probed buckets hold no seed at
+    * all is assigned the designated seed (routed = false, measured by
+    * qv_routed_recall's n_fallback; a no-seed code needs every probed
+    * bucket empty, vanishingly rare once k ≥ 2^B).
+    *
+    * Deterministic and oracle-reproducible: codes come from the
+    * quantized integer components (`q[p] > 0`), the candidate set is a
+    * pure equi-join on the code, and the argmin tie-breaks by
+    * (d2, cell_id) — DuckDB reproduces every routing decision
+    * bit-for-bit (routedAssignSql is the same algebra).
+    *
+    * corpus: (vec_id, q, nrm); seeds: (cell_id, sq, snrm);
+    * returns (vec_id, cell_id, q, nrm, routed) where routed=false
+    * marks a vector routed via the designated seed only.
+    */
+  private def seedDotD2(df: DataFrame): DataFrame = df
+    .withColumn("dot_s",
+      expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+
+  /** The routed candidate set: each corpus vector against the seeds in
+    * its own + Hamming-1 probe buckets, with the exact integer d2.
+    * Exposed so ScaleBench can measure the candidate-count curve (the
+    * quantity that decides whether routing stays linear). */
+  def routedCandidates(corpus: DataFrame, seeds: DataFrame,
+      pos: Seq[Int] = LSH_TABLES.head): DataFrame = {
+    val bits = pos.length
+    val seedB = seeds.withColumn("sb", expr(signBucket("sq", pos)))
+    val probes = col("vb") +: (0 until bits).map(i =>
+      col("vb").bitwiseXOR(lit(1 << i)))
+    val probed = corpus.withColumn("vb", expr(signBucket("q", pos)))
+      .select(col("vec_id"), col("q"), col("nrm"),
+        explode(array(probes: _*)).as("pb"))
+    seedDotD2(probed.join(broadcast(seedB), col("pb") === col("sb")))
+  }
+
+  def routedAssign(corpus: DataFrame, seeds: DataFrame,
+      pos: Seq[Int] = LSH_TABLES.head): DataFrame = {
+    // ONE join + ONE aggregation, no second pass: besides its probed
+    // candidates, every vector also scores the DESIGNATED seed (min
+    // cell_id) — one extra dot per vector that guarantees a non-empty
+    // candidate set, so the "no seed in any probed bucket" remnant
+    // needs no anti-join fallback branch (an earlier formulation's
+    // fallback re-evaluated the whole probe pipeline a second time —
+    // measured at 2x the assignment cost at 300x corpus). A vector
+    // with no probed candidate is assigned the designated seed
+    // (routed = false, counted by qv_routed_recall's n_fallback) —
+    // with 2^B ≈ k the miss probability is e^-Θ(B), vanishing as k
+    // grows.
+    val cand = routedCandidates(corpus, seeds, pos)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cell_id"),
+        col("d2"), lit(1).as("probed"))
+    val dflt = seeds.orderBy("cell_id").limit(1)
+    val dfltCand = seedDotD2(corpus.crossJoin(broadcast(dflt)))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cell_id"),
+        col("d2"), lit(0).as("probed"))
+    cand.unionByName(dfltCand)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"),
+        (max(col("probed")) === 1).as("routed"))
+      .select(col("vec_id"), col("m.cell_id").as("cell_id"),
+        col("q"), col("nrm"), col("routed"))
+  }
+
+  /** SemDeDup's within-cell drop verdict: for an assignment
+    * (vec_id, cell_id, q, nrm), every non-minimal member of a
+    * cos ≥ 0.99 near-dup pair inside a cell. The pair scan is a hash
+    * equi-join on cell_id — each cluster is its own bounded join
+    * partition. */
+  private def semDropped(assigned: DataFrame): DataFrame = {
+    val a = assigned.toDF("a_id", "cell", "qa", "qn")
+    val b = assigned.toDF("b_id", "cell2", "na", "nn")
+    a.join(b, col("cell") === col("cell2") && col("a_id") < col("b_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cos_bp", round(col("dot") * 10000 /
+        sqrt(col("qn").cast("double") * col("nn").cast("double")), 0)
+        .cast("long"))
+      .filter(col("cos_bp") >= 9900)
+      .select(col("b_id").as("vec_id")).distinct()
+  }
+
+  /** DuckDB mirror of [[routedAssign]]: CTEs `seedb`→`cand`→`dcand`→
+    * `assigned` over existing CTEs `corpus` (vec_id, q, nrm) and
+    * `seeds` (cell_id, sq, snrm). */
+  private def routedAssignSql(pos: Seq[Int] = LSH_TABLES.head): String = {
+    val probeList = ("vb" +: pos.indices.map(i => s"xor(vb, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"""seedb AS (
+       |  SELECT cell_id, sq, snrm, ${signBucketSql("sq", pos)} AS sb
+       |  FROM seeds
+       |), probed AS (
+       |  SELECT vec_id, q, nrm, unnest($probeList) AS pb
+       |  FROM (SELECT vec_id, q, nrm, ${signBucketSql("q", pos)} AS vb
+       |        FROM corpus)
+       |), cand AS (
+       |  SELECT p.vec_id, s.cell_id, p.q, p.nrm,
+       |    p.nrm + s.snrm - 2 * (SELECT SUM(p.q[i.i] * s.sq[i.i])
+       |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
+       |  FROM probed p JOIN seedb s ON p.pb = s.sb
+       |), dflt AS (
+       |  SELECT cell_id, sq, snrm FROM seeds ORDER BY cell_id LIMIT 1
+       |), dcand AS (
+       |  SELECT v.vec_id, d.cell_id, v.q, v.nrm,
+       |    v.nrm + d.snrm - 2 * (SELECT SUM(v.q[i.i] * d.sq[i.i])
+       |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2,
+       |    0 AS probed
+       |  FROM corpus v CROSS JOIN dflt d
+       |), allc AS (
+       |  SELECT vec_id, cell_id, q, nrm, d2, 1 AS probed FROM cand
+       |  UNION ALL SELECT * FROM dcand
+       |), assigned AS (
+       |  SELECT vec_id, cell_id, q, nrm, routed FROM (
+       |    SELECT vec_id, cell_id, q, nrm,
+       |      MAX(probed) OVER (PARTITION BY vec_id) = 1 AS routed,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, cell_id) AS rn
+       |    FROM allc) t
+       |  WHERE rn = 1
+       |)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -235,18 +381,22 @@ object VectorQueries {
     // compare — k-means cells bound the pair search to within-cluster
     // O(N²/k) instead of all-pairs, then cos >= 0.99 inside a cell
     // drops every non-minimal member of a near-dup group. The cell
-    // assignment is the same broadcast-seeds argmin as qv_ivf_ann
-    // (partial-agg'd below its exchange); the pair scan is an equi-join
-    // on cell_id, so each cluster is its own bounded join partition —
-    // no cartesian anywhere. k = 16 here is the deterministic-oracle
-    // harness instantiation; O(N²/k) only stays bounded if k GROWS with
-    // the corpus (SemDeDup's paper setting is k ≈ O(√N), e.g. 50k
-    // clusters for 100M embeddings) — at scale the seeds come from
-    // iterating qv_kmeans_step's Lloyd pass, and the plan shape here is
-    // UNCHANGED by k (the broadcast carries k centroids; the pair join
-    // key is still cell_id). Re-ingested corpus (every 10th vector
-    // duplicated) provides true positives; verdict per vector: its
-    // cell and whether it is dropped as a dup
+    // ASSIGNMENT is sign-LSH-ROUTED (routedAssign): seeds bucketed by
+    // a B-bit sign code, each vector exact-argmin'd only against seeds
+    // in its own + Hamming-1 probe buckets — O(B) dots per vector
+    // instead of the corpus × k brute force, which is O(N²/const) once
+    // k grows ∝ N (SemDeDup's paper setting is k ≈ O(√N), e.g. 50k
+    // clusters for 100M embeddings; at that k the brute argmin was the
+    // measured scale-killer, SCALE.md item 9). The routing is itself
+    // deterministic algebra the oracle reproduces; agreement with the
+    // exact argmin is MEASURED by qv_routed_recall, not assumed. The
+    // pair scan is an equi-join on cell_id, so each cluster is its own
+    // bounded join partition — no cartesian anywhere; k = 16 here is
+    // the deterministic-oracle harness instantiation and the plan
+    // shape is UNCHANGED by k (the broadcast carries k bucketed seeds;
+    // the pair join key is still cell_id). Re-ingested corpus (every
+    // 10th vector duplicated) provides true positives; verdict per
+    // vector: its cell and whether it is dropped as a dup
     "qv_semdedup" -> ((s, d) => {
       val base = quantized(s, d)
       val corpus = base.select("vec_id", "q", "nrm")
@@ -256,7 +406,42 @@ object VectorQueries {
       val seeds = base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cell_id"), col("q").as("sq"),
           col("nrm").as("snrm"))
-      val assigned = corpus.crossJoin(broadcast(seeds))
+      val assigned = routedAssign(corpus, seeds)
+        .select("vec_id", "cell_id", "q", "nrm")
+      val dropped = semDropped(assigned).withColumn("is_dup", lit(true))
+      assigned.select("vec_id", "cell_id")
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cell_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // Routed-assignment quality measurement: per-vector agreement of
+    // the sign-LSH-routed argmin (routedAssign — qv_semdedup's
+    // assignment step) with the exact brute-force argmin over all
+    // seeds, how many vectors needed the no-candidate fallback, AND —
+    // the number that actually decides SemDeDup quality — the parity
+    // of the final drop-as-dup verdicts under both assignments.
+    // Cell agreement is LOW by construction here (untrained random
+    // seeds in 64-dim: the nearest seed is far, so its sign code
+    // differs — routing merely re-partitions the space), but near-dup
+    // pairs have near-identical codes and candidate sets, so they
+    // co-route and the DETECTED dup set is preserved: n_dup_both ==
+    // n_dup_exact == n_dup_routed on this corpus. "Measure, don't
+    // guess" applied to the routing itself — a regression shows up in
+    // these columns, not an anecdote. The exact argmin is affordable
+    // here BECAUSE this is the measurement gate — the production path
+    // never runs it.
+    "qv_routed_recall" -> ((s, d) => {
+      val base = quantized(s, d)
+      val corpus = base.select("vec_id", "q", "nrm")
+        .unionByName(base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("q"),
+            col("nrm")))
+      val seeds = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val exact = corpus.crossJoin(broadcast(seeds))
         .withColumn("dot_s",
           expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
@@ -265,23 +450,22 @@ object VectorQueries {
           first(col("q")).as("q"), first(col("nrm")).as("nrm"))
         .select(col("vec_id"), col("m.cell_id").as("cell_id"),
           col("q"), col("nrm"))
-      val a = assigned.toDF("a_id", "cell", "qa", "qn")
-      val b = assigned.toDF("b_id", "cell2", "na", "nn")
-      val dropped = a.join(b,
-          col("cell") === col("cell2") && col("a_id") < col("b_id"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("cos_bp", round(col("dot") * 10000 /
-          sqrt(col("qn").cast("double") * col("nn").cast("double")), 0)
-          .cast("long"))
-        .filter(col("cos_bp") >= 9900)
-        .select(col("b_id").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      assigned.select("vec_id", "cell_id")
-        .join(dropped, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"), col("cell_id"),
-          coalesce(col("is_dup"), lit(false)).as("is_dup"))
-        .orderBy("vec_id")
+      val routed = routedAssign(corpus, seeds)
+      val dupE = semDropped(exact).withColumn("e", lit(1L))
+      val dupR = semDropped(routed.select("vec_id", "cell_id", "q", "nrm"))
+        .withColumn("r", lit(1L))
+      routed.select(col("vec_id"), col("cell_id"), col("routed"))
+        .join(exact.select(col("vec_id"), col("cell_id").as("exact_cell")),
+          Seq("vec_id"))
+        .join(dupE, Seq("vec_id"), "left")
+        .join(dupR, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cell_id") === col("exact_cell"), 1L)
+            .otherwise(0L)).as("n_agree"),
+          sum(when(col("routed"), 0L).otherwise(1L)).as("n_fallback"),
+          sum(coalesce(col("e"), lit(0L))).as("n_dup_exact"),
+          sum(coalesce(col("r"), lit(0L))).as("n_dup_routed"),
+          sum(coalesce(col("e") * col("r"), lit(0L))).as("n_dup_both"))
     }),
 
     // multi-probe LSH: recall recovery for the bucketed ANN — each query
@@ -610,17 +794,7 @@ object VectorQueries {
          |), seeds AS (
          |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
          |  FROM qn WHERE vec_id < 16
-         |), dists AS (
-         |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
-         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
-         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
-         |  FROM corpus v CROSS JOIN seeds s
-         |), assigned AS (
-         |  SELECT vec_id, cell_id, q, nrm FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY d2, cell_id) AS rn FROM dists) t
-         |  WHERE rn = 1
-         |), pairs AS (
+         |), ${routedAssignSql()}, pairs AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    (SELECT SUM(a.q[i.i] * b.q[i.i])
          |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS dot,
@@ -635,6 +809,53 @@ object VectorQueries {
          |  (d.vec_id IS NOT NULL) AS is_dup
          |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+    "qv_routed_recall" ->
+      s"""WITH $quantizedSql, corpus AS (
+         |  SELECT vec_id, q, nrm FROM qn
+         |  UNION ALL
+         |  SELECT vec_id + 10000, q, nrm FROM qn WHERE vec_id % 10 = 0
+         |), seeds AS (
+         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+         |  FROM qn WHERE vec_id < 16
+         |), ${routedAssignSql()}, exact_d AS (
+         |  SELECT v.vec_id, s.cell_id, v.q, v.nrm,
+         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
+         |  FROM corpus v CROSS JOIN seeds s
+         |), exact_a AS (
+         |  SELECT vec_id, cell_id, q, nrm FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cell_id) AS rn FROM exact_d) t
+         |  WHERE rn = 1
+         |), dropped_e AS (
+         |  SELECT DISTINCT b.vec_id FROM exact_a a JOIN exact_a b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE CAST(ROUND((SELECT SUM(a.q[i.i] * b.q[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) * 10000
+         |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)))
+         |    AS BIGINT) >= 9900
+         |), dropped_r AS (
+         |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE CAST(ROUND((SELECT SUM(a.q[i.i] * b.q[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) * 10000
+         |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)))
+         |    AS BIGINT) >= 9900)
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN a.cell_id = e.cell_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  CAST(SUM(CASE WHEN a.routed THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_fallback,
+         |  CAST(SUM(CASE WHEN de.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_exact,
+         |  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_routed,
+         |  CAST(SUM(CASE WHEN de.vec_id IS NOT NULL AND dr.vec_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_both
+         |FROM assigned a
+         |JOIN exact_a e ON a.vec_id = e.vec_id
+         |LEFT JOIN dropped_e de ON a.vec_id = de.vec_id
+         |LEFT JOIN dropped_r dr ON a.vec_id = dr.vec_id""".stripMargin,
     "qv_lsh_multiprobe" ->
       s"""WITH $quantizedSql, bucketed AS (
          |  SELECT e.vec_id, qn.q, qn.nrm,

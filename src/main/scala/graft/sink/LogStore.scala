@@ -37,6 +37,62 @@ trait LogStore {
   * kernel-atomic lost-race signal, and the file appears with complete
   * content because the temp source was fully written first).
   */
+/** [[LogStore]] with OBJECT-STORE commit semantics, for proving the
+  * protocol under the posture a 100 TB table actually lives on
+  * (S3/GCS/ABFS): no rename or link in the client API — an object
+  * appears atomically or not at all, the conditional-put arbitration
+  * happens SERVER-side — plus the failure modes object-store clients
+  * actually see, injected on a deterministic schedule so specs are
+  * reproducible:
+  *
+  *  - `latencyMs`: every call pays a round-trip (S3 PUT p50 is
+  *    ~10-30 ms; commit cost becomes RTT-dominated — see SCALE.md);
+  *  - `faultEvery`: every Nth call throws BEFORE anything lands (a
+  *    lost request / 503 — retry-safe);
+  *  - `ambiguousEvery`: every Nth SUCCESSFUL put throws AFTER the
+  *    object landed (response lost in flight) — the classic
+  *    conditional-PUT ambiguity: the client cannot know whether it
+  *    won, and must read back and compare (TxTable.putIfAbsent does
+  *    exactly that).
+  *
+  * The tmp+link inside the delegated local write is the SIMULATION of
+  * the service's atomic visibility — not part of the modeled client
+  * API; the modeled client only ever issues one conditional PUT of a
+  * complete payload.
+  */
+final class ObjectStoreLogStore(latencyMs: Long = 0,
+    faultEvery: Int = 0, ambiguousEvery: Int = 0) extends LogStore {
+  private val calls = new java.util.concurrent.atomic.AtomicLong
+  val puts = new java.util.concurrent.atomic.AtomicLong
+  override def putIfAbsent(fs: FileSystem, f: Path,
+      payload: Array[Byte]): Boolean = {
+    val n = calls.incrementAndGet()
+    puts.incrementAndGet()
+    if (latencyMs > 0) Thread.sleep(latencyMs)
+    if (faultEvery > 0 && n % faultEvery == 0)
+      throw new java.io.IOException(
+        s"simulated object-store 503: request lost before landing ($f)")
+    val won = HadoopLogStore.putIfAbsent(fs, f, payload)
+    if (won && ambiguousEvery > 0 && n % ambiguousEvery == 0)
+      throw new java.io.IOException(
+        s"simulated ambiguous PUT: object landed, response lost ($f)")
+    won
+  }
+}
+
+object ObjectStoreLogStore {
+  /** Build from a spec string `objectstore:<latencyMs>:<faultEvery>:
+    * <ambiguousEvery>` (the form RaceWriter accepts via env so the
+    * cross-JVM race can run under this posture). */
+  def parse(spec: String): Option[ObjectStoreLogStore] =
+    spec.split(":") match {
+      case Array("objectstore", l, f, a) =>
+        Some(new ObjectStoreLogStore(l.toLong, f.toInt, a.toInt))
+      case Array("objectstore") => Some(new ObjectStoreLogStore())
+      case _ => None
+    }
+}
+
 object HadoopLogStore extends LogStore {
   override def putIfAbsent(fs: FileSystem, f: Path,
       payload: Array[Byte]): Boolean = {

@@ -381,11 +381,40 @@ object TxTable {
 
   /** Atomic put-if-absent of one complete log file (commit or
     * checkpoint) through the scheme's registered [[LogStore]].
+    *
+    * Object-store hardening: a conditional PUT can fail AMBIGUOUSLY —
+    * the object landed but the response was lost (timeout, dropped
+    * connection). Treating that as a plain lost race would make the
+    * writer retry its payload at the NEXT version and double-commit
+    * its own batch. So on a store exception: read the target back —
+    * our exact bytes there means OUR put won (success); different
+    * bytes means a genuine lost race; absent means the request never
+    * landed (transient — bounded retry, then rethrow). Byte-equal
+    * payloads from two writers are indistinguishable, and
+    * indistinguishable here means interchangeable: the log holds that
+    * payload exactly once either way.
     */
   private def putIfAbsent(fs: FileSystem, f: Path,
-      payload: Array[Byte]): Boolean =
-    Option(logStores.get(fs.getScheme)).getOrElse(HadoopLogStore)
-      .putIfAbsent(fs, f, payload)
+      payload: Array[Byte]): Boolean = {
+    val store =
+      Option(logStores.get(fs.getScheme)).getOrElse(HadoopLogStore)
+    var attempt = 0
+    while (true) {
+      try return store.putIfAbsent(fs, f, payload)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(f)) {
+            val in = fs.open(f)
+            val got = try org.apache.commons.io.IOUtils.toByteArray(in)
+              finally in.close()
+            return java.util.Arrays.equals(got, payload)
+          }
+          attempt += 1
+          if (attempt > 3) throw e
+      }
+    }
+    false // unreachable
+  }
 
   /** Operation tags whose remove+add commits are CONTENT-PRESERVING
     * layout rewrites (same rows in, same rows out): the only rewrite

@@ -25,6 +25,12 @@ object RaceWriter {
     val Array(table, outFile, nWritersS, writerIdS, nCommitsS) = args
     val (nWriters, writerId, nCommits) =
       (nWritersS.toInt, writerIdS.toInt, nCommitsS.toInt)
+    // GRAFT_LOGSTORE=objectstore:<latencyMs>:<faultEvery>:<ambigEvery>
+    // races the commit protocol under object-store semantics
+    // (ObjectStoreRaceSpec) instead of the default local LogStore
+    sys.env.get("GRAFT_LOGSTORE")
+      .flatMap(graft.sink.ObjectStoreLogStore.parse)
+      .foreach(TxTable.registerLogStore("file", _))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

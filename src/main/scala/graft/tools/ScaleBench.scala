@@ -97,7 +97,16 @@ object ScaleBench {
     noop(FlowPipeline.run(SyntheticFlows.flowsFromEvents(baseEvents),
       pods, nodes, prefixes, FlowConfig()))
 
+    // SPARK_GRAFT_SCALE_ONLY=flows,textdedup,semdedup (comma list)
+    // restricts the run to named sections — the high-factor semdedup
+    // crossover arms would otherwise pay for 100x event pipelines they
+    // don't measure
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(section: String): Boolean = only.forall(_.contains(section))
+
     factors.foreach { factor =>
+      if (enabled("flows")) {
       val events =
         if (factor == 1) baseEvents
         // 10M shift: disjoint id spaces per copy, yet small enough that
@@ -235,7 +244,9 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(scratch)
       org.apache.commons.io.FileUtils.deleteDirectory(dscratch)
       BloomStore.clearCache()
+      }
 
+      if (enabled("textdedup")) {
       // 6-7. MinHash-LSH dedup at scale — the subquadratic claims of
       //    TextQueries measured, not just plan-audited. Each corpus
       //    copy is TOKEN-SALTED (every inter-word gap gains a copy
@@ -286,7 +297,9 @@ object ScaleBench {
       }
       record(factor, "incr_dedup", incrSec, nMatched)
       banded.unpersist(blocking = false)
+      }
 
+      if (enabled("semdedup")) {
       // 8. SemDeDup at scale: cluster-then-compare with k GROWN with
       //    the corpus (16 cells per copy — the documented requirement
       //    that k ∝ N keeps per-cell pair work flat). Copies are
@@ -295,9 +308,18 @@ object ScaleBench {
       //    copy and confirmed pairs must grow ~linearly.
       val embBase = graft.Tables.embeddings(spark, sfDir)
       val emb = (0 until factor).map { i =>
-        val v = if (i == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), " +
-            s"slice(embedding, 1, $i))")
+        // rotation works for 64 copies; beyond that each copy also gets
+        // a deterministic per-copy SIGN vector (Knuth-hash pattern) —
+        // both transforms are orthogonal (norm- and within-copy-cosine-
+        // preserving) while cross-copy cosines stay ~random
+        val r = i % 64
+        val rotSql = if (r == 0) "embedding"
+          else s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
+            s"slice(embedding, 1, $r))"
+        val v = if (i < 64) expr(rotSql)
+          else expr(s"zip_with($rotSql, sequence(1, 64), " +
+            s"(x, c) -> x * CASE WHEN (c * 2654435761 + $i) % 97 < 48 " +
+            s"THEN 1 ELSE -1 END)")
         val one = embBase.select(
           (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
           v.as("embedding"))
@@ -311,21 +333,60 @@ object ScaleBench {
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
         .withColumn("nrm",
           expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      quant.count() // materialize outside the timed windows
       val seeds = quant.filter(col("vec_id") % 100000000L < 16)
         .select(col("vec_id").as("cell_id"), col("q").as("sq"),
           col("nrm").as("snrm"))
-      val (semPairs, semSec) = timed {
-        val assigned = quant.crossJoin(broadcast(seeds))
+      val k = 16 * factor
+      // 8a. the O(N·k) brute argmin being REPLACED — kept as the
+      //     baseline arm so the routed win is a measured delta, not a
+      //     claim (this is the cell SCALE.md item 9 flagged: 9x cost
+      //     per 3x data once k ∝ N)
+      val (nBrute, bruteSec) = timed {
+        quant.crossJoin(broadcast(seeds))
           .withColumn("dot_s",
             expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
           .withColumn("d2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
           .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cell_id"))).as("m"),
-            first(col("q")).as("q"), first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), col("m.cell_id").as("cell"),
-            col("q"), col("nrm"))
-        val a = assigned.toDF("a_id", "cell", "qa", "qn")
-        val b = assigned.toDF("b_id", "cell2", "na", "nn")
+          .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
+          .count()
+      }
+      record(factor, "semdedup_assign_brute", bruteSec, nBrute,
+        "cells" -> k.toString)
+      // 8b. the routed O(N·B) assignment now wired into qv_semdedup:
+      //     B = ceil(log2(k)) sign bits hold seeds-per-bucket at O(1),
+      //     so per-vector work is B+1 probes x O(1) exact dots — the
+      //     curve that must stay ~linear as k ∝ N
+      val bits = math.max(4,
+        32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+      val pos = graft.queries.VectorQueries.routingPositions(bits)
+      // materialized once, as production would (SemDeDup persists its
+      // cluster assignment before the pair scan): the assign step is
+      // timed as the materialization, and the pair step then measures
+      // the pair JOIN itself rather than 2x assignment recompute
+      val routedA = graft.queries.VectorQueries
+        .routedAssign(quant, seeds, pos)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("q"),
+          col("nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nRouted, routedSec) = timed { routedA.count() }
+      record(factor, "semdedup_assign_routed", routedSec, nRouted,
+        "cells" -> k.toString, "bits" -> bits.toString)
+      // candidate-count curve: the quantity that decides whether the
+      // routing stays linear — expected ≈ N·(B+1)·k/2^B·skew, where
+      // skew (~5x on this corpus) is the sign-code concentration
+      val (nCand, candSec) = timed {
+        graft.queries.VectorQueries
+          .routedCandidates(quant, seeds, pos).count()
+      }
+      record(factor, "semdedup_routed_cand", candSec, nCand,
+        "cells" -> k.toString, "bits" -> bits.toString)
+      // 8c. within-cell pair scan over the ROUTED assignment (the
+      //     production composition)
+      val (semPairs, semSec) = timed {
+        val a = routedA.toDF("a_id", "cell", "qa", "qn")
+        val b = routedA.toDF("b_id", "cell2", "na", "nn")
         a.join(b, col("cell") === col("cell2") && col("a_id") < col("b_id"))
           .withColumn("dot",
             expr("aggregate(zip_with(qa, na, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
@@ -336,7 +397,10 @@ object ScaleBench {
           .count()
       }
       record(factor, "semdedup_pairs", semSec, semPairs,
-        "cells" -> (16 * factor).toString)
+        "cells" -> k.toString)
+      routedA.unpersist(blocking = false)
+      quant.unpersist(blocking = false)
+      }
     }
 
     java.nio.file.Files.write(

@@ -35,7 +35,8 @@ class CrossJvmRaceSpec extends AnyFunSuite {
     * failure — the caller retries on a fresh dir). Any other nonzero
     * exit IS a protocol failure and fails the spec immediately.
     */
-  private def runRace(dir: String, table: String): Option[String] = {
+  private def runRace(dir: String, table: String,
+      env: Map[String, String] = Map.empty): Option[String] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val procs = (0 until nWriters).map { w =>
@@ -50,6 +51,7 @@ class CrossJvmRaceSpec extends AnyFunSuite {
         nCommits.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("CLASSPATH", cp)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectOutput(new java.io.File(dir, s"log_$w.txt"))
       pb.redirectErrorStream(true)
       pb.start()
@@ -73,8 +75,7 @@ class CrossJvmRaceSpec extends AnyFunSuite {
     None
   }
 
-  test("two separate JVMs racing append/merge commits serialize " +
-      "versions, lose no commits, and merge correctly (>=20 races)") {
+  private def raceAndAssert(env: Map[String, String]): Unit = {
     // exit-137 (OOM reaper) is retried on a FRESH dir up to 3 attempts:
     // a gate that reds for environmental reasons trains people to
     // ignore red. Protocol failures are never retried.
@@ -87,7 +88,7 @@ class CrossJvmRaceSpec extends AnyFunSuite {
       dir = java.nio.file.Files
         .createTempDirectory("graft_xjvm").toString
       table = s"$dir/t"
-      kill = runRace(dir, table)
+      kill = runRace(dir, table, env)
       kill.nonEmpty && attempt < 3
     }) ()
     assert(kill.isEmpty,
@@ -124,5 +125,19 @@ class CrossJvmRaceSpec extends AnyFunSuite {
       assert(v == b * 10 + j + 1000L,
         s"$k lost its merge update (v=$v)")
     }
+  }
+
+  test("two separate JVMs racing append/merge commits serialize " +
+      "versions, lose no commits, and merge correctly (>=20 races)") {
+    raceAndAssert(Map.empty)
+  }
+
+  test("the same cross-JVM race holds under OBJECT-STORE commit " +
+      "semantics: 3 ms per-call latency, every 7th request lost " +
+      "before landing, every 5th successful conditional PUT failing " +
+      "AMBIGUOUSLY after the object landed — versions still " +
+      "serialize, no commit is lost, and no writer double-commits " +
+      "its own batch after an ambiguous success") {
+    raceAndAssert(Map("GRAFT_LOGSTORE" -> "objectstore:3:7:5"))
   }
 }

@@ -458,6 +458,45 @@ class TxTableSpec extends AnyFunSuite {
     } finally s.unpersist()
   }
 
+  test("object-store posture: lost requests (503 before landing) and " +
+    "AMBIGUOUS conditional-PUT successes (object landed, response " +
+    "lost) neither lose nor double-commit — read-back-and-compare " +
+    "resolves every ambiguity to the correct two-outcome verdict") {
+    import spark.implicits._
+    // every 3rd call dies before landing; every 4th successful PUT
+    // throws after landing — a deterministic gauntlet where a writer
+    // that treats ambiguity as a lost race would re-commit its batch
+    // at the next version (doubling rows), and one that treats it as
+    // failure would abort a commit that actually landed
+    val store = new graft.sink.ObjectStoreLogStore(
+      latencyMs = 0, faultEvery = 3, ambiguousEvery = 4)
+    TxTable.registerLogStore("file", store)
+    try {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_objstore").toString + "/t"
+      val vs = (0 until 6).map { i =>
+        val df = Seq((java.sql.Date.valueOf("2024-05-01"), s"k$i",
+          i.toLong)).toDF("date", "k", "v")
+        TxTable.append(spark, df, path)
+      }
+      assert(vs == (0L until 6L),
+        s"single-writer versions must be dense and serial, got $vs")
+      val ks = TxTable.read(spark, path).select("k")
+        .as[String].collect().sorted.toSeq
+      assert(ks == (0 until 6).map(i => s"k$i"),
+        s"rows lost or doubled under injected faults: $ks")
+      // the merge path (read-modify-write) survives the same gauntlet
+      val up = Seq((java.sql.Date.valueOf("2024-05-01"), "k0", 100L))
+        .toDF("date", "k", "v")
+      assert(TxTable.merge(spark, up, path, Seq("date", "k")) == 6L)
+      val v0 = TxTable.read(spark, path).filter(col("k") === "k0")
+        .select("v").as[Long].collect().toSeq
+      assert(v0 == Seq(100L), s"merge lost under faults: $v0")
+      assert(store.puts.get() > 7,
+        "the fault schedule must have forced retries through the store")
+    } finally TxTable.unregisterLogStore("file")
+  }
+
   test("MERGE upsert is copy-on-write surgery: only files containing " +
     "matched keys are rewritten, updates replace, inserts land, and an " +
     "insert-only merge removes nothing") {
