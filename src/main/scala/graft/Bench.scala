@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   *    at the end (`sentinel` map + `sentinel_spread`). If the sentinel
   *    itself drifts, the host was loaded during that window and query
   *    deltas there are not code regressions;
+  *  - the sentinel verdict is ACTED ON, not just recorded: a family
+  *    whose boundary sentinel ran >20% over the run's sentinel floor
+  *    is re-timed once on the spot (min taken per query), and if its
+  *    retry window was dirty too the family is flagged in the
+  *    `contaminated` JSON field — phantom regressions adjudicate
+  *    themselves instead of costing a manual A/B round;
   *  - JVM system load average is recorded at start/end.
   * An untimed warmup action first absorbs JVM/codegen startup so the
   * first timed query isn't penalized ~10x.
@@ -109,48 +115,90 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       onlyPrefixes.forall(_.exists(n.startsWith)) &&
         !timingExcluded.contains(n) }
+    def sampleQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Seq[Double]) = {
+      val first = timeOnce(name, fn)
+      // a first-attempt failure fails fast (no retries of a broken
+      // query); a LATER transient failure must not discard the valid
+      // measurements already taken
+      val raw =
+        if (first < 0) Seq(first)
+        else first +: (1 until sampleTarget).map(_ => timeOnce(name, fn))
+      val valid0 = raw.filter(_ >= 0)
+      val valid =
+        if (valid0.size == 2 &&
+            math.abs(valid0(0) - valid0(1)) / valid0.min > 0.5) {
+          // exactly two valid windows disagreeing badly: one more
+          // sample decides — whatever sampleTarget produced them
+          // (3+ valid samples self-adjudicate via min)
+          val c = timeOnce(name, fn)
+          if (c >= 0) valid0 :+ c else valid0
+        } else valid0
+      val best = if (valid.isEmpty) -1.0 else valid.min
+      (best, if (valid.isEmpty) raw else valid)
+    }
     var prevFamily = ""
-    val results = selected.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap.empty[
+      String, (Double, Seq[Double])]
+    selected.foreach { case (name, fn) =>
       val fam = name.takeWhile(_ != '_')
       if (fam != prevFamily) {
         graft.ops.CacheRegistry.releaseAll()
         if (prevFamily.nonEmpty) sentinels(prevFamily) = sentinel()
         prevFamily = fam
       }
-      val first = timeOnce(name, fn)
-      val base =
-        if (first < 0) Seq(first)
-        else first +: (1 until sampleTarget).map(_ => timeOnce(name, fn))
-      val samples =
-        if (base.exists(_ < 0)) base.filter(_ >= 0)
-        else if (sampleTarget == 2 &&
-            math.abs(base(0) - base(1)) / base.min > 0.5) {
-          // the two windows disagree badly: one more sample decides
-          val c = timeOnce(name, fn)
-          if (c >= 0) base :+ c else base
-        } else base
-      val best = if (base.exists(_ < 0)) -1.0 else samples.min
-      (name, best, samples)
+      results(name) = sampleQuery(name, fn)
     }
     sentinels(prevFamily) = sentinel()
     sentinels("end") = sentinel()
+
+    // CONTAMINATION ADJUDICATION (two rounds of phantom regressions
+    // were burned on this by hand): a family whose boundary sentinel
+    // ran >20% over the run's sentinel floor was timed while the host
+    // was loaded. Re-time those families ONCE on the spot, take the
+    // min per query, and re-measure the sentinel — families whose
+    // retry window was ALSO dirty stay flagged in `contaminated` so a
+    // reader discounts their deltas without a manual A/B.
+    val fnByName = selected.toMap
+    val sentFloor = sentinels.values.min
+    val dirty = sentinels.collect {
+      case (fam, s) if fam != "start" && fam != "end" &&
+        s > sentFloor * 1.2 => fam
+    }.toSeq
+    val stillDirty = dirty.filter { fam =>
+      graft.ops.CacheRegistry.releaseAll()
+      results.keys.filter(_.startsWith(fam + "_")).foreach { name =>
+        val (b2, s2) = sampleQuery(name, fnByName(name))
+        val (b1, s1) = results(name)
+        if (b2 >= 0 && (b1 < 0 || b2 < b1)) results(name) = (b2, s1 ++ s2)
+        else results(name) = (b1, s1 ++ s2.filter(_ >= 0))
+      }
+      val s = sentinel()
+      sentinels(fam + "_retry") = s
+      s > sentFloor * 1.2
+    }
     val loadEnd = loadAvg()
 
     def fmt(d: Double): String = f"$d%.4f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val samplesJson = results.map { case (k, _, ss) =>
+    val samplesJson = results.map { case (k, (_, ss)) =>
       "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect {
+      case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val retriedJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contaminatedJson =
+      stillDirty.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = sentinels.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val sentVals = sentinels.values.toSeq
     val sentSpread =
       if (sentVals.min > 0) (sentVals.max - sentVals.min) / sentVals.min
       else -1.0
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = results.values.collect { case (v, _) if v >= 0 => v }.sum
     // throughput vs the reference's only numeric anchor (BASELINE.md:
     // sink floor 500 rows/s/worker, 20 workers → 10k rows/s fleet):
     // raw flow records fully labeled+classified+summed per second of
@@ -158,14 +206,14 @@ object Bench {
     val pipelineRows =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
       catch { case _: Exception => -1L }
-    val pipelineSec = results.collectFirst {
-      case ("qf_pipeline", v, _) => v }.getOrElse(-1.0)
+    val pipelineSec = results.get("qf_pipeline").map(_._1).getOrElse(-1.0)
     val rowsPerSec =
       if (pipelineRows > 0 && pipelineSec > 0) pipelineRows / pipelineSec
       else -1.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"samples":$samplesJson,"errors":$errors,""" +
       s""""sentinel":$sentJson,"sentinel_spread":${fmt(sentSpread)},""" +
+      s""""retried":$retriedJson,"contaminated":$contaminatedJson,""" +
       s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
       s""""pipeline_rows":$pipelineRows,"pipeline_rows_per_s":${fmt(rowsPerSec)},""" +
       s""""sf":"$sfDir"}"""

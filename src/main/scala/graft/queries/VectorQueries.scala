@@ -190,21 +190,34 @@ object VectorQueries {
   def routedAssign(corpus: DataFrame, seeds: DataFrame,
       pos: Seq[Int] = LSH_TABLES.head): DataFrame = {
     // ONE join + ONE aggregation, no second pass: besides its probed
-    // candidates, every vector also scores the DESIGNATED seed (min
-    // cell_id) — one extra dot per vector that guarantees a non-empty
-    // candidate set, so the "no seed in any probed bucket" remnant
-    // needs no anti-join fallback branch (an earlier formulation's
-    // fallback re-evaluated the whole probe pipeline a second time —
-    // measured at 2x the assignment cost at 300x corpus). A vector
-    // with no probed candidate is assigned the designated seed
-    // (routed = false, counted by qv_routed_recall's n_fallback) —
-    // with 2^B ≈ k the miss probability is e^-Θ(B), vanishing as k
-    // grows.
+    // candidates, every vector also scores one DESIGNATED seed — one
+    // extra dot per vector that guarantees a non-empty candidate set,
+    // so the "no seed in any probed bucket" remnant needs no anti-join
+    // fallback branch (an earlier formulation's fallback re-evaluated
+    // the whole probe pipeline a second time — measured at 2x the
+    // assignment cost at 300x corpus). The designated seed is chosen
+    // by a CONTENT hash of the quantized vector (position-weighted
+    // component sum mod k): identical vectors pick the same seed, so
+    // exact dups still co-locate even when both stray, while stray
+    // mass spreads UNIFORMLY over all k cells — a fixed designated
+    // seed would pile every stray into one cell whose within-cell
+    // pair scan then grows quadratically (measured: 12x pair cost at
+    // 100x corpus before this spread). A vector with no probed
+    // candidate keeps routed = false (qv_routed_recall's n_fallback);
+    // with 2^B ≈ k the miss probability is e^-Θ(B).
     val cand = routedCandidates(corpus, seeds, pos)
       .select(col("vec_id"), col("q"), col("nrm"), col("cell_id"),
         col("d2"), lit(1).as("probed"))
-    val dflt = seeds.orderBy("cell_id").limit(1)
-    val dfltCand = seedDotD2(corpus.crossJoin(broadcast(dflt)))
+    val seedRk = broadcast(seeds.withColumn("rk",
+      row_number().over(Window.orderBy("cell_id")) - 1))
+    val keyed = corpus
+      .crossJoin(broadcast(seeds.agg(count(lit(1)).as("kk"))))
+      .withColumn("wsum",
+        expr("aggregate(zip_with(q, sequence(1, 64), (x, c) -> x * c), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("drk", pmod(col("wsum"), col("kk")))
+    val dfltCand = seedDotD2(keyed.join(seedRk,
+        col("drk") === col("rk")))
       .select(col("vec_id"), col("q"), col("nrm"), col("cell_id"),
         col("d2"), lit(0).as("probed"))
     cand.unionByName(dfltCand)
@@ -252,14 +265,24 @@ object VectorQueries {
        |    p.nrm + s.snrm - 2 * (SELECT SUM(p.q[i.i] * s.sq[i.i])
        |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2
        |  FROM probed p JOIN seedb s ON p.pb = s.sb
-       |), dflt AS (
-       |  SELECT cell_id, sq, snrm FROM seeds ORDER BY cell_id LIMIT 1
+       |), seedrk AS (
+       |  SELECT cell_id, sq, snrm,
+       |    ROW_NUMBER() OVER (ORDER BY cell_id) - 1 AS rk
+       |  FROM seeds
+       |), keyed AS (
+       |  SELECT vec_id, q, nrm,
+       |    ((w % kk) + kk) % kk AS drk
+       |  FROM (SELECT vec_id, q, nrm,
+       |      (SELECT SUM(q[i.i] * i.i)
+       |       FROM (SELECT unnest(range(1, 65)) AS i) i) AS w,
+       |      (SELECT COUNT(*) FROM seeds) AS kk
+       |    FROM corpus)
        |), dcand AS (
        |  SELECT v.vec_id, d.cell_id, v.q, v.nrm,
        |    v.nrm + d.snrm - 2 * (SELECT SUM(v.q[i.i] * d.sq[i.i])
        |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS d2,
        |    0 AS probed
-       |  FROM corpus v CROSS JOIN dflt d
+       |  FROM keyed v JOIN seedrk d ON v.drk = d.rk
        |), allc AS (
        |  SELECT vec_id, cell_id, q, nrm, d2, 1 AS probed FROM cand
        |  UNION ALL SELECT * FROM dcand

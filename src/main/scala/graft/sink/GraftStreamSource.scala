@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.StructType
   * been planned. Serialized as `s:<version>:<idx>` in the engine's
   * offset log; plain version offsets stay bare longs, so pre-round-8
   * checkpoints decode unchanged.
+  *
+  * The FINAL chunk is emitted with `idx = Long.MaxValue` — a terminal
+  * sentinel meaning "snapshot complete". Completion is thereby encoded
+  * in the offset itself: a restart whose committed offset is the
+  * final chunk needs NO snapshot file list (which
+  * [[TxTable.expireLog]] may have made irreproducible during the
+  * downtime) to prove the snapshot finished before tailing versions.
+  * Pre-round-9 checkpoints whose final chunk was `s:<v>:<total>`
+  * still decode and take the list-checked path.
   */
 case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
   override val json: String = s"s:$version:$idx"
@@ -95,7 +104,11 @@ class GraftStreamSource(spark: SparkSession, table: String,
   maxVersionsPerTrigger.foreach(n =>
     require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
   maxFilesPerTrigger.foreach(n =>
-    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+    // the engine's ReadLimit.maxFiles and the snapshot slice bounds
+    // are Ints — a larger value would wrap negative downstream while
+    // passing a bare positivity check
+    require(n > 0 && n <= Int.MaxValue,
+      s"maxFilesPerTrigger must be in (0, ${Int.MaxValue}], got $n"))
 
   private val (fs, root) = TxTable.fsFor(spark, table)
 
@@ -147,6 +160,15 @@ class GraftStreamSource(spark: SparkSession, table: String,
         snapCache = Some((v, built))
         built
     }
+
+  /** Advance the snapshot phase state and build the chunk offset —
+    * the final chunk (ni == total) is published as the terminal
+    * sentinel so completion is provable from the offset alone. */
+  private def chunkOffset(v: Long, ni: Long, total: Long): Offset = {
+    val pub = if (ni >= total) Long.MaxValue else ni
+    snap = Some(SnapState(v, pub))
+    GraftSnapshotOffset(v, pub)
+  }
 
   private def decode(o: Offset): Either[SnapState, Long] = o match {
     case s: GraftSnapshotOffset => Left(SnapState(s.version, s.idx))
@@ -208,13 +230,25 @@ class GraftStreamSource(spark: SparkSession, table: String,
     // tailing; terminates because idx strictly advances to total
     snap match {
       case Some(st) =>
-        val total = snapFiles(st.version).size.toLong
-        if (st.idx < total) {
-          val ni = maxFilesPerTrigger.filterNot(_ => ignoreRateLimits)
-            .map(n => math.min(st.idx + n, total)).getOrElse(total)
-          snap = Some(SnapState(st.version, ni))
-          return Some(GraftSnapshotOffset(st.version, ni))
+        if (st.idx != Long.MaxValue) {
+          val total = snapFiles(st.version).size.toLong
+          if (st.idx < total) {
+            val ni = maxFilesPerTrigger.filterNot(_ => ignoreRateLimits)
+              .map(n => math.min(st.idx + n, total)).getOrElse(total)
+            return Some(chunkOffset(st.version, ni, total))
+          }
         }
+        // snapshot complete. Emit ONE closing VERSION offset at the
+        // snapshot version (when nothing has been tailed past it yet)
+        // so the stream's RESTING committed offset after a full drain
+        // is a plain version, not a snapshot chunk: a later restart
+        // then recovers without the snapshot file list, which
+        // expireLog may have made irreproducible during the downtime.
+        // Only the narrow crash window between the final chunk's
+        // commit and this closing commit still needs the list (and
+        // fails loudly there, as before).
+        snap = None
+        if (planned <= st.version) return Some(LongOffset(st.version))
       case None => ()
     }
     val next = maxVersionsPerTrigger.filterNot(_ => ignoreRateLimits) match {
@@ -234,9 +268,8 @@ class GraftStreamSource(spark: SparkSession, table: String,
           case Some(n) =>
             val total = snapFiles(cur).size.toLong
             val ni = math.min(n, total)
-            snap = Some(SnapState(cur, ni))
             planned = cur
-            return Some(GraftSnapshotOffset(cur, ni))
+            return Some(chunkOffset(cur, ni, total))
           case None => cur // monolithic snapshot batch
         }
     }
@@ -304,19 +337,33 @@ class GraftStreamSource(spark: SparkSession, table: String,
               s"followed by snapshot offset s:${se.version}:${se.idx}" +
               " — corrupt offset sequence")
         }
-        (snapFiles(se.version).slice(from.toInt, se.idx.toInt), true,
-          (from - 1, se.idx))
+        val fl = snapFiles(se.version)
+        val endIdx =
+          if (se.idx == Long.MaxValue) fl.size.toLong else se.idx
+        (fl.slice(math.toIntExact(from), math.toIntExact(endIdx)), true,
+          (from - 1, endIdx))
       case Right(endV) =>
         if (endV > planned) planned = endV // checkpoint recovery replay
         startE match {
           case Some(Left(s0)) =>
             // version tail after a chunked snapshot: the snapshot
-            // phase must have completed before version offsets start
-            val total = snapFiles(s0.version).size.toLong
-            require(s0.idx >= total,
-              s"version offset $endV before snapshot " +
-                s"(${s0.idx}/$total files) completed")
-            snap = Some(SnapState(s0.version, s0.idx))
+            // phase must have completed before version offsets start.
+            // The terminal sentinel (idx == Long.MaxValue, round 9+)
+            // proves completion from the offset alone — no snapshot
+            // file list needed, so a restart here survives expireLog
+            // having swept the snapshot version's commits. Pre-round-9
+            // final chunks carry the real total and take the
+            // list-checked path (which requires reproducibility).
+            if (s0.idx != Long.MaxValue) {
+              val total = snapFiles(s0.version).size.toLong
+              require(s0.idx >= total,
+                s"version offset $endV before snapshot " +
+                  s"(${s0.idx}/$total files) completed")
+            }
+            // the snapshot phase is CLOSED — keeping SnapState around
+            // would re-trigger the closing-offset emission and pin
+            // getOffset at the snapshot version forever
+            snap = None
             (tailFiles(s0.version, endV), true, (s0.version, endV))
           case Some(Right(startV)) =>
             (tailFiles(startV, endV), true, (startV, endV))

@@ -504,4 +504,171 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(spark.table("graft_src_smoke").agg(sum("v")).collect()
       .head.getLong(0) == (0 until 20).map(_.toLong).sum)
   }
+
+  test("restart AT the snapshot-complete boundary survives expireLog " +
+      "sweeping the snapshot version's commits: completion is encoded " +
+      "in the terminal offset, so tailing resumes without the file " +
+      "list and without a re-backfill") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamdone").toString
+    val table = s"$dir/t"
+    // destructive history -> snapshot mode, with the snapshot version
+    // placed at CheckpointEvery - 1 (v9): the NEXT append rolls a log
+    // checkpoint at v10 and expireLog then sweeps 0..9 — exactly the
+    // snapshot's commits — while the tail (9, head] stays fully
+    // present. Head stays AT the snapshot version for the first run so
+    // the stream parks on the snapshot-complete boundary.
+    (0 until 9).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0) // v9
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start() = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(table)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getString(0))
+        seen.synchronized { seen ++= ks }
+        ()
+      }.start()
+
+    // drain the whole snapshot, then stop cleanly at the boundary
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.size == 179, s"snapshot must drain fully (${seen.size})")
+
+    // while down: appends roll the v10 log checkpoint and expireLog
+    // sweeps the snapshot version's commits (0..9) — the snapshot at
+    // v9 is no longer REPRODUCIBLE, but per-commit tailing past it
+    // still is, and the restart must take it (pre-round-9, the final
+    // chunk offset forced snapFiles(9) and failed here)
+    (10 until 13).foreach(i => TxTable.append(spark, batch(i), table))
+    val swept = TxTable.expireLog(spark, table)
+    assert(swept.exists(_ >= 9L),
+      s"the snapshot version's commits must be swept, got $swept")
+
+    seen.clear()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.size == 60 && seen.forall(k =>
+      (10 until 13).exists(i => k.startsWith(s"b${i}_"))),
+      s"restart must tail exactly the offline appends, no re-backfill " +
+        s"and no failure (${seen.size})")
+  }
+
+  test("a rewrite commit landing BETWEEN snapshot chunks: the frozen " +
+      "snapshot still delivers the as-of state, then the tail fails " +
+      "loudly on the rewrite without skipChangeCommits and skips it " +
+      "transparently with it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streammidrw").toString
+    val table = s"$dir/t"
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0) // v3
+    val asOfRows = TxTable.read(spark, table).count() // 59
+
+    def run(skip: Boolean, ckpt: String): (Long, Option[String]) = {
+      val rewrote = new java.util.concurrent.atomic.AtomicBoolean
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val w = spark.readStream.format("graft")
+      val w2 = (if (skip) w.option("skipChangeCommits", "true") else w)
+        .option("maxFilesPerTrigger", "1")
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          n.addAndGet(df.count())
+          // the FIRST chunk triggers a concurrent rewrite: a delete
+          // lands between snapshot chunks (plus one live append so the
+          // tail has something to deliver)
+          if (rewrote.compareAndSet(false, true)) {
+            TxTable.delete(spark, table, col("k") === "b1_0")
+            TxTable.append(spark, batch(7), table)
+          }
+          ()
+        }.start()
+      val err = try { w2.processAllAvailable(); None }
+        catch { case e: org.apache.spark.sql.streaming
+            .StreamingQueryException =>
+          Some(e.getCause.getMessage) }
+        finally w2.stop()
+      (n.get(), err)
+    }
+
+    // arm 1: no skipChangeCommits — the snapshot itself completes with
+    // the frozen as-of-v3 state (59 rows), then the tail range hits
+    // the mid-snapshot delete and fails actionably
+    val (n1, err1) = run(skip = false, s"$dir/ckpt1")
+    assert(err1.isDefined, "tailing into a rewrite must fail loudly")
+    assert(err1.get.contains("skipChangeCommits") &&
+      err1.get.contains(table),
+      s"error must name the table and the knob: ${err1.get}")
+    assert(n1 >= asOfRows,
+      s"the frozen snapshot must deliver the full as-of state before " +
+        s"the tail fails ($n1 < $asOfRows)")
+
+    // arm 2 (fresh checkpoint; the table now has v3-delete history
+    // PLUS the arm-1 rewrite+append): skipChangeCommits skips the
+    // rewrite commit, the snapshot + live append flow through
+    val before = TxTable.read(spark, table).count()
+    val (n2, err2) = run(skip = true, s"$dir/ckpt2")
+    assert(err2.isEmpty, s"skipChangeCommits arm must not fail: $err2")
+    // the second arm's own mid-snapshot rewrite deletes an already-
+    // delivered row and appends batch(7) again: snapshot(as of start)
+    // + the live append
+    assert(n2 == before + 20,
+      s"snapshot + tail append must flow through ($n2 vs $before + 20)")
+  }
+
+  test("maxFilesPerTrigger changed across a mid-snapshot restart: old " +
+      "offsets decode, chunks resize, delivery stays exactly-once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamresize").toString
+    val table = s"$dir/t"
+    (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+    assert(TxTable.delete(spark, table, col("k") === "b0_0") >= 0)
+    val nFiles = TxTable.liveFiles(spark, table).size
+    assert(nFiles >= 3)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start(mft: Option[Int], crash: Boolean) = {
+      val r = spark.readStream.format("graft")
+      mft.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+      r.load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ks = df.select("k").collect().map(_.getString(0))
+          val total = seen.synchronized { seen ++= ks; seen.size }
+          if (crash && total >= 1)
+            throw new RuntimeException("simulated crash mid-snapshot")
+          ()
+        }.start()
+    }
+
+    // crash after the first 1-file chunk
+    val q1 = start(Some(1), crash = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(seen.nonEmpty && seen.size < 59)
+
+    // restart with a BIGGER chunk size: the committed s:v:idx offset
+    // decodes, the remaining files drain in resized chunks
+    seen.clear()
+    val q2 = start(Some(3), crash = false)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.size == 59 && seen.distinct.size == 59,
+      s"resized restart must stay exactly-once (${seen.size})")
+
+    // and a post-snapshot restart with NO maxFilesPerTrigger still
+    // decodes the terminal offset and tails new appends
+    seen.clear()
+    TxTable.append(spark, batch(5), table)
+    val q3 = start(None, crash = false)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(seen.size == 20 && seen.forall(_.startsWith("b5_")),
+      s"unlimited restart must tail the new append only (${seen.size})")
+  }
 }

@@ -195,6 +195,52 @@ class MaterializedViewSpec extends AnyFunSuite {
       expected(batch(0, 100).unionByName(batch(300, 400))))
   }
 
+  test("MV: TWO different views over ONE base refresh on independent " +
+      "cadences — marks never cross-contaminate, compacting one never " +
+      "perturbs the other, and a destructive base commit rebuilds " +
+      "each independently to the same post-delete truth") {
+    val dir = tmp()
+    val (baseT, mvA, mvB) = (s"$dir/base", s"$dir/mva", s"$dir/mvb")
+    val defA = mvDef // (date, k) with the full state set
+    val defB = MV.MvDef(Seq("date"),
+      Seq(MV.SumState("v", "v_sum"), MV.MaxState("v", "v_max")))
+    TxTable.append(spark, batch(0, 100), baseT) // v0
+    assert(MV.refresh(spark, baseT, mvA, defA) >= 0)
+    TxTable.append(spark, batch(100, 200), baseT) // v1
+    assert(MV.refresh(spark, baseT, mvB, defB) >= 0,
+      "B's FIRST refresh covers both commits in one delta")
+    assert(MV.lastApplied(spark, mvA) == 0L &&
+      MV.lastApplied(spark, mvB) == 1L,
+      "each MV's high-water mark lives in its own log")
+    assert(!MV.isCurrent(spark, baseT, mvA) &&
+      MV.isCurrent(spark, baseT, mvB))
+    // compacting B must not touch A's mark or content
+    val aBefore = got(mvA)
+    MV.compact(spark, mvB, defB)
+    assert(MV.lastApplied(spark, mvA) == 0L && got(mvA) == aBefore)
+    assert(MV.refresh(spark, baseT, mvA, defA) >= 0)
+    assert(got(mvA) == expected(batch(0, 200)))
+    // destructive commit: BOTH go stale, each rebuilds independently
+    assert(TxTable.delete(spark, baseT, col("v") >= 150L) >= 0)
+    assert(!MV.isCurrent(spark, baseT, mvA) &&
+      !MV.isCurrent(spark, baseT, mvB))
+    assert(MV.refresh(spark, baseT, mvA, defA) >= 0)
+    // A is current again; B is STILL stale until its own refresh runs
+    assert(MV.isCurrent(spark, baseT, mvA) &&
+      !MV.isCurrent(spark, baseT, mvB),
+      "A's rebuild must not advance B's mark")
+    assert(MV.refresh(spark, baseT, mvB, defB) >= 0)
+    assert(got(mvA) == expected(batch(0, 150)))
+    def shape(r: Row) = (r.getAs[java.sql.Date]("date").toString,
+      r.getAs[Long]("v_sum"), r.getAs[Long]("v_max"))
+    val bFinal = MV.read(spark, mvB, defB).orderBy("date").collect()
+      .map(shape).toSeq
+    val bWant = batch(0, 150).groupBy("date")
+      .agg(sum("v").as("v_sum"), max("v").as("v_max")).orderBy("date")
+      .collect().map(shape).toSeq
+    assert(bFinal == bWant, "B rebuilds to its own post-delete truth")
+  }
+
   test("MV: KLL quantile states merge across deltas within the rank-" +
       "error envelope") {
     val dir = tmp()

@@ -268,4 +268,20 @@ class TextOpsSpec extends AnyFunSuite {
       assert((drop == 1) == (2 * nd >= nw))
     }
   }
+
+  test("connected components converge on a 10k-node CHAIN — the worst-" +
+      "case-diameter graph where plain neighbor propagation needs 10k " +
+      "rounds; pointer jumping makes it O(log n), inside the hard " +
+      "50-round bound") {
+    import org.apache.spark.sql.functions._
+    val nodes = spark.range(0, 10000).select(col("id"))
+    val edges = spark.range(0, 9999)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = graft.queries.TextQueries.connectedComponents(nodes, edges)
+    val (n, mx) = (labels.count(),
+      labels.agg(max("comp")).collect().head.getLong(0))
+    assert(n == 10000L && mx == 0L,
+      s"every chain node must label to component 0 ($n nodes, max $mx)")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
