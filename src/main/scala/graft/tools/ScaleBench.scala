@@ -403,6 +403,43 @@ object ScaleBench {
       }
     }
 
+    if (enabled("commitlatency")) {
+      // Commit-path latency sensitivity, measured: N tiny appends
+      // through ObjectStoreLogStore with injected per-PUT latency.
+      // The per-commit wall delta vs the 0 ms arm ÷ latency = the
+      // number of conditional PUTs on the commit critical path (the
+      // protocol claims ~1 + amortized checkpoint), which is what a
+      // real object store's RTT multiplies. LIST/read RTTs are not
+      // injected (they go through the Hadoop fs, not the LogStore) —
+      // this arm isolates the PUT count.
+      // first arm is an untimed warmup (absorbs codegen/committer
+      // startup so the 0 ms arm isn't penalized by running first)
+      Seq(-1L, 0L, 20L, 100L).foreach { lat =>
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_lat$lat")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        val t = s"$dir/t"
+        val store =
+          new graft.sink.ObjectStoreLogStore(latencyMs = math.max(0L, lat))
+        TxTable.registerLogStore("file", store)
+        try {
+          val one = spark.range(1).select(
+            expr("DATE '2024-05-01'").as("date"),
+            col("id").cast("string").as("k"), col("id").as("v"))
+          val n = 20
+          val (_, sec) = timed {
+            (0 until n).foreach(_ => TxTable.append(spark, one, t))
+          }
+          if (lat >= 0)
+            record(1, "commit_latency", sec, n.toLong,
+              "latency_ms" -> lat.toString,
+              "puts" -> store.puts.get().toString,
+              "sec_per_commit" -> f"${sec / n}%.4f")
+        } finally TxTable.unregisterLogStore("file")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      }
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_RESULTS.json"),
       ("[" + out.mkString(",\n") + "]\n")
