@@ -1000,6 +1000,36 @@ object MiscQueries {
       MaterializedView.read(s, mvT, mv).orderBy("date", "event_type")
     }),
 
+    // CHANGE DATA FEED (Delta's table_changes, derived from the log +
+    // immutable files): appends surface as inserts, a MERGE surfaces
+    // as delete(pre-image) + insert(post-image) for exactly the rows
+    // whose content changed (copy-on-write carry-over rows cancel out
+    // of the multiset diff — rows whose doubled cents equal the
+    // original, i.e. cents = 0, appear in NEITHER side), a DELETE
+    // surfaces pre-images only, and the whole feed is replayable by
+    // the oracle straight from events. Aggregated per (version,
+    // change_type, event_type) so one gate hash-pins every commit's
+    // delta.
+    "qtx_cdf" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_cdf_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 0), t) // v0
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 1), t) // v1
+      val up = ev.filter(col("event_id") % 6 === 0)
+        .withColumn("cents", col("cents") * 2)
+      require(TxTable.merge(s, up, t, Seq("date", "event_id")) == 2L)
+      require(TxTable.delete(s, t, col("event_id") % 5 === 0) == 3L)
+      TxTable.changeFeed(s, t, -1L, 3L)
+        .groupBy("_commit_version", "_change_type", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
+
     // MULTI-MV COMPOSITION: two DIFFERENT views (different group keys
     // and states) maintained over ONE base on interleaved refresh
     // cadences — the common production shape ("one MV per target
@@ -1604,6 +1634,34 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e GROUP BY date, event_type
         |ORDER BY date, event_type""".stripMargin,
+    // the feed replayed straight from events: appends are inserts; the
+    // merge contributes delete+insert for exactly the rows whose
+    // content changed (cents <> 0); the delete contributes pre-images
+    // carrying the post-merge cents
+    "qtx_cdf" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |cdf AS (
+        |  SELECT 0 AS v, 'insert' AS ct, event_type, cents
+        |  FROM e WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', event_type, cents
+        |  FROM e WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'insert', event_type, cents * 2
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 2, 'delete', event_type, cents
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type,
+        |    CASE WHEN event_id % 6 = 0 THEN cents * 2 ELSE cents END
+        |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cdf GROUP BY v, ct, event_type
+        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
     // the FINAL base state replayed from events (appends of user%3 in
     // {0,1}, then the user%7 delete, then the %3=2 append which
     // post-dates the delete), aggregated per view; view B rides as the

@@ -1520,6 +1520,71 @@ object TxTable {
       "bytes_added", "commit_time")
   }
 
+  /** CHANGE DATA FEED over the commit log — Delta CDF's read surface
+    * (`table_changes(t, from, to)`), DERIVED from the log + immutable
+    * files rather than writer-recorded change files: for every commit
+    * in (fromExclusive, toInclusive], emit the rows it changed, tagged
+    * `_change_type` ('insert' | 'delete') and `_commit_version`.
+    *
+    *  - pure-append commit → its added files' rows as inserts
+    *    (O(delta) read, the same feed refresh/streaming use);
+    *  - layout-only rewrite (optimize / z-order) → nothing
+    *    (content-preserving by the [[LayoutOps]] contract);
+    *  - data-changing rewrite (merge / delete / compact / retention /
+    *    rollup / overwrite) → the MULTISET difference: adds∖removes as
+    *    inserts, removes∖adds as deletes. An updated row surfaces as
+    *    delete(pre-image) + insert(post-image); rows a copy-on-write
+    *    rewrite carried over unchanged cancel out of both sides. Cost
+    *    is bounded by the commit's touched files, each read once.
+    *
+    * Requirements are checked loudly, never silently partial: every
+    * commit in range must still exist ([[expireLog]]), and a rewrite's
+    * REMOVED files must still be on disk ([[vacuum]] retention) — the
+    * pre-images live only there. Old files read under the range-head
+    * schema (additive evolution backfills NULLs, both directions of
+    * the diff seeing identical columns).
+    */
+  def changeFeed(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val (fs, root) = fsFor(spark, table)
+    val vs = listVersions(fs, root)
+      .filter(v => v > fromExclusive && v <= toInclusive).sorted
+    require(vs.size == toInclusive - fromExclusive,
+      s"change feed ($fromExclusive, $toInclusive] on $table: part of " +
+        "the range was swept by expireLog and cannot be reproduced — " +
+        "widen the log retention or start the feed from a newer version")
+    val sch = logSchema(fs, root, Some(toInclusive))
+    def readRels(rels: Seq[String]): DataFrame = {
+      val missing = rels.filterNot(r => fs.exists(new Path(root, r)))
+      require(missing.isEmpty,
+        s"change feed ($fromExclusive, $toInclusive] on $table: " +
+          s"${missing.size} pre-image file(s) already reclaimed by " +
+          s"vacuum (first: ${missing.headOption.getOrElse("")}) — " +
+          "raise the vacuum retention to cover the feed's lag")
+      readFileSet(spark, root,
+        rels.map(_ -> FileMeta("", 0L, Map.empty)), sch)
+    }
+    def tag(df: DataFrame, v: Long, ct: String): DataFrame =
+      df.withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(ct))
+    val parts = vs.flatMap { v =>
+      val pl = parseLog(fs, versionFile(root, v), s"commit $v")
+      val adds = pl.acts.collect { case Action(rel, Some(_)) => rel }
+      val removes = pl.acts.collect { case Action(rel, None) => rel }
+      if ((adds.isEmpty && removes.isEmpty) ||
+          pl.op.exists(LayoutOps.contains)) None
+      else if (removes.isEmpty) Some(tag(readRels(adds), v, "insert"))
+      else {
+        val pre = readRels(removes)
+        val post = if (adds.isEmpty) pre.limit(0) else readRels(adds)
+        Some(tag(post.exceptAll(pre), v, "insert")
+          .unionByName(tag(pre.exceptAll(post), v, "delete")))
+      }
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      tag(read(spark, table).limit(0), -1L, ""))
+  }
+
   /** ClickHouse `SELECT ... FINAL` on a Replacing-style table: the
     * keep-latest-version collapse of [[compactReplacing]] applied at
     * READ time, without rewriting anything — correct results over a

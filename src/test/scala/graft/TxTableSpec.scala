@@ -497,6 +497,53 @@ class TxTableSpec extends AnyFunSuite {
     } finally TxTable.unregisterLogStore("file")
   }
 
+  test("change feed: appends are inserts, an update is a delete+insert " +
+    "pair, layout-only rewrites emit NOTHING, carried-over rows cancel " +
+    "out, and reclaimed pre-images / swept ranges fail actionably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf").toString
+    val t = s"$dir/t"
+    def rows(kv: (String, Long)*) = kv.toSeq.map { case (k, v) =>
+      (java.sql.Date.valueOf("2024-05-01"), k, v) }.toDF("date", "k", "v")
+    TxTable.append(spark, rows("a" -> 1L, "b" -> 2L), t)           // v0
+    TxTable.append(spark, rows("c" -> 3L), t)                      // v1
+    // v2: update ONE row; "b" rides along in the rewritten file and
+    // must cancel out of the diff
+    assert(TxTable.merge(spark, rows("a" -> 10L), t,
+      Seq("date", "k")) == 2L)
+    TxTable.optimize(spark, t, slack = 0)                          // v3
+    assert(TxTable.currentVersion(spark, t) == 3L,
+      "optimize must coalesce the two small files into one commit")
+    val cf = TxTable.changeFeed(spark, t, -1L, 3L)
+      .select("_commit_version", "_change_type", "k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(cf == Set(
+      (0L, "insert", "a", 1L), (0L, "insert", "b", 2L),
+      (1L, "insert", "c", 3L),
+      (2L, "delete", "a", 1L), (2L, "insert", "a", 10L)),
+      s"unexpected feed: $cf")
+    // a sub-range reads the same way
+    assert(TxTable.changeFeed(spark, t, 1L, 2L).count() == 2L)
+    // vacuum reclaims v2's pre-image file -> the feed over v2 must
+    // fail loudly, naming vacuum
+    TxTable.vacuum(spark, t, minAgeMs = 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      TxTable.changeFeed(spark, t, -1L, 3L).count()
+    }
+    assert(e1.getMessage.contains("vacuum"), e1.getMessage)
+    // expireLog sweeps part of the range -> loud failure naming the gap
+    (4 until 14).foreach(i => TxTable.append(spark, rows(s"x$i" -> i.toLong), t))
+    assert(TxTable.expireLog(spark, t).nonEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.changeFeed(spark, t, -1L, 13L).count()
+    }
+    assert(e2.getMessage.contains("expireLog"), e2.getMessage)
+    // an intact recent range still reads
+    assert(TxTable.changeFeed(spark, t, 10L, 13L).count() == 3L)
+  }
+
   test("MERGE upsert is copy-on-write surgery: only files containing " +
     "matched keys are rewritten, updates replace, inserts land, and an " +
     "insert-only merge removes nothing") {
