@@ -1030,6 +1030,48 @@ object MiscQueries {
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
 
+    // STREAMING change feed: the same 4-commit feed as qtx_cdf,
+    // delivered by `readStream.option("readChangeFeed", "true")` — the
+    // rewrite commits that FAIL a plain stream (or vanish under
+    // skipChangeCommits) arrive as first-class delete/insert rows, v2
+    // and v3 landing live while the stream runs. The collected batches
+    // must replay to the identical oracle as the batch feed: a lost,
+    // doubled, or mis-tagged micro-batch moves n/cents.
+    "qtx_stream_cdf" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_scdf_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 0), t) // v0
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 1), t) // v1
+      val out = s"$base/out"
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(t)
+        .writeStream.option("checkpointLocation", s"$out/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!df.isEmpty)
+            df.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // v0, v1 backfill as inserts
+        val up = ev.filter(col("event_id") % 6 === 0)
+          .withColumn("cents", col("cents") * 2)
+        require(TxTable.merge(s, up, t, Seq("date", "event_id")) == 2L)
+        require(TxTable.delete(s, t, col("event_id") % 5 === 0) == 3L)
+        q.processAllAvailable() // the rewrites arrive as change rows
+      } finally q.stop()
+      s.read.parquet(s"$out/data").drop("batch")
+        .groupBy("_commit_version", "_change_type", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
+
     // MULTI-MV COMPOSITION: two DIFFERENT views (different group keys
     // and states) maintained over ONE base on interleaved refresh
     // cadences — the common production shape ("one MV per target
@@ -1639,6 +1681,32 @@ object MiscQueries {
     // content changed (cents <> 0); the delete contributes pre-images
     // carrying the post-merge cents
     "qtx_cdf" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |cdf AS (
+        |  SELECT 0 AS v, 'insert' AS ct, event_type, cents
+        |  FROM e WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', event_type, cents
+        |  FROM e WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'insert', event_type, cents * 2
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 2, 'delete', event_type, cents
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type,
+        |    CASE WHEN event_id % 6 = 0 THEN cents * 2 ELSE cents END
+        |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cdf GROUP BY v, ct, event_type
+        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    // the STREAMED feed must replay to the very same oracle as the
+    // batch feed — one definition of correctness for both surfaces
+    "qtx_stream_cdf" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
         |cdf AS (

@@ -61,12 +61,15 @@ class GraftDataSource extends RelationProvider
 
   // ---- streaming read: tail the commit log (see GraftStreamSource) --
 
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(
       GraftStreamSource.schemaFor(sqlContext.sparkSession,
-        path(parameters))))
+        path(parameters), cdf(parameters))))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -74,7 +77,8 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
-      parameters.get("maxFilesPerTrigger").map(_.toLong))
+      parameters.get("maxFilesPerTrigger").map(_.toLong),
+      cdf(parameters))
 
   // ---- streaming write: exactly-once micro-batch commits -----------
 

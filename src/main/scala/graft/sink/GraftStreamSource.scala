@@ -99,7 +99,8 @@ case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
 class GraftStreamSource(spark: SparkSession, table: String,
     maxVersionsPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
   maxVersionsPerTrigger.foreach(n =>
     require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
@@ -113,11 +114,14 @@ class GraftStreamSource(spark: SparkSession, table: String,
   private val (fs, root) = TxTable.fsFor(spark, table)
 
   /** date partition column + the data schema of the newest version at
-    * stream start, pinned for the stream's lifetime.
+    * stream start, pinned for the stream's lifetime (CHANGE-FEED
+    * streams append `_commit_version` + `_change_type`).
     */
-  override val schema: StructType = GraftStreamSource.schemaFor(spark, table)
+  override val schema: StructType =
+    GraftStreamSource.schemaFor(spark, table, readChangeFeed)
   private val frozenData: Option[StructType] =
-    Some(StructType(schema.filterNot(_.name == "date")))
+    Some(StructType(schema.filterNot(f => f.name == "date" ||
+      GraftStreamSource.CdfCols.contains(f.name))))
 
   /** Highest version already handed out by [[getOffset]]/[[getBatch]]
     * (recovery replays push it forward) — the base the rate limit
@@ -262,7 +266,9 @@ class GraftStreamSource(spark: SparkSession, table: String,
         // snapshot at the head
         val (complete, _, destructive) =
           TxTable.rangeSummary(fs, root, -1L, cur)
-        if (complete && !destructive)
+        // CDF backfill represents rewrites as change rows, so only an
+        // INCOMPLETE (log-expired) history forces snapshot mode there
+        if (complete && (!destructive || readChangeFeed))
           mvt.map(n => math.min(cur, planned + n)).getOrElse(cur)
         else maxFilesPerTrigger.filterNot(_ => ignoreRateLimits) match {
           case Some(n) =>
@@ -315,9 +321,70 @@ class GraftStreamSource(spark: SparkSession, table: String,
     files
   }
 
+  /** Build the micro-batch frame from a file set (append deltas and
+    * snapshot slices). CDF streams tag every row
+    * (`_commit_version = snapV`, 'insert' — a snapshot IS its
+    * version's insert set). The final select rebinds to the declared
+    * schema order: the engine maps batch output to the source schema
+    * BY POSITION (readFileSet leads with date; the relation schema
+    * trails with it, the Spark partition-column convention).
+    */
+  private def filesFrame(files: Seq[(String, TxTable.FileMeta)],
+      checkExists: Boolean, rangeDesc: (Long, Long),
+      snapV: Long): DataFrame = {
+    if (checkExists) {
+      val missing = files.collect {
+        case (rel, _) if !fs.exists(new Path(root, rel)) => rel
+      }
+      if (missing.nonEmpty) fail(rangeDesc._1, rangeDesc._2,
+        s"references ${missing.size} data file(s) already reclaimed " +
+          s"by vacuum (first: ${missing.head}): the consumer lagged " +
+          "past the vacuum retention",
+        "restart the stream from a fresh checkpoint to read the " +
+          "current state, or raise the retention (TxTable.vacuum " +
+          "minAgeMs, default 7 days) to cover the worst consumer lag")
+    }
+    if (files.isEmpty)
+      GraftSqlBridge.emptyStreamingFrame(spark, schema)
+    else {
+      val base = TxTable.readFileSet(spark, root, files, frozenData)
+      val tagged =
+        if (!readChangeFeed) base
+        else base
+          .withColumn("_commit_version",
+            org.apache.spark.sql.functions.lit(snapV))
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+      GraftSqlBridge.toStreamingFrame(
+        tagged.select(schema.fieldNames.map(
+          org.apache.spark.sql.functions.col): _*))
+    }
+  }
+
+  /** A (startV, endV] version-tail micro-batch. CDF streams deliver
+    * the DERIVED row-level changes ([[TxTable.changeFeed]]) — rewrite
+    * commits are first-class rows (delete pre-image + insert
+    * post-image), which is the whole point of subscribing to changes;
+    * plain streams deliver append files only, with the
+    * destructive-rewrite/skipChangeCommits contract enforced by
+    * [[tailFiles]].
+    */
+  private def tailFrame(startV: Long, endV: Long): DataFrame =
+    if (readChangeFeed)
+      // toStreamingFrameExec, not toStreamingFrame: the feed's
+      // exceptAll diff must stay a BATCH operator executed per
+      // micro-batch — leaf-flagging it streaming would plan a
+      // STATEFUL streaming Except over the engine's state store
+      GraftSqlBridge.toStreamingFrameExec(
+        TxTable.changeFeed(spark, table, startV, endV)
+          .select(schema.fieldNames.map(
+            org.apache.spark.sql.functions.col): _*))
+    else filesFrame(tailFiles(startV, endV), checkExists = true,
+      (startV, endV), snapV = endV)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startE = start.map(decode)
-    val (files, checkExists, rangeDesc) = decode(end) match {
+    decode(end) match {
       case Left(se) =>
         // snapshot chunk — restore/advance phase state (recovery
         // replays come through here before any getOffset call)
@@ -340,8 +407,9 @@ class GraftStreamSource(spark: SparkSession, table: String,
         val fl = snapFiles(se.version)
         val endIdx =
           if (se.idx == Long.MaxValue) fl.size.toLong else se.idx
-        (fl.slice(math.toIntExact(from), math.toIntExact(endIdx)), true,
-          (from - 1, endIdx))
+        filesFrame(
+          fl.slice(math.toIntExact(from), math.toIntExact(endIdx)),
+          checkExists = true, (from - 1, endIdx), snapV = se.version)
       case Right(endV) =>
         if (endV > planned) planned = endV // checkpoint recovery replay
         startE match {
@@ -364,9 +432,9 @@ class GraftStreamSource(spark: SparkSession, table: String,
             // would re-trigger the closing-offset emission and pin
             // getOffset at the snapshot version forever
             snap = None
-            (tailFiles(s0.version, endV), true, (s0.version, endV))
+            tailFrame(s0.version, endV)
           case Some(Right(startV)) =>
-            (tailFiles(startV, endV), true, (startV, endV))
+            tailFrame(startV, endV)
           case None =>
             // deterministic under checkpoint-recovery replay: the
             // decision depends only on the log's (−1, endV] state, and
@@ -375,8 +443,17 @@ class GraftStreamSource(spark: SparkSession, table: String,
             // for a history that was clean at plan time
             val (complete, destructive, delta) =
               TxTable.rangeDelta(fs, root, -1L, endV)
-            if (complete && !destructive)
-              (delta, true, (-1L, endV))
+            if (readChangeFeed) {
+              // rewrites are representable as change rows, so CDF
+              // backfills per-commit whenever the history is COMPLETE;
+              // only expiry forces the snapshot-as-inserts path
+              if (complete) tailFrame(-1L, endV)
+              else filesFrame(snapFiles(endV),
+                checkExists = endV != TxTable.currentVersion(spark, table),
+                (-1L, endV), snapV = endV)
+            } else if (complete && !destructive)
+              filesFrame(delta, checkExists = true, (-1L, endV),
+                snapV = endV)
             else {
               // MONOLITHIC INITIAL SNAPSHOT: the table as of endV.
               // Per-commit replay would silently drop appends swept by
@@ -388,35 +465,12 @@ class GraftStreamSource(spark: SparkSession, table: String,
               // recovery replay of an older endV probes, because
               // rewrites+vacuum during the downtime may have reclaimed
               // what was live at plan time.
-              (snapFiles(endV),
-                endV != TxTable.currentVersion(spark, table),
-                (-1L, endV))
+              filesFrame(snapFiles(endV),
+                checkExists = endV != TxTable.currentVersion(spark, table),
+                (-1L, endV), snapV = endV)
             }
         }
     }
-    if (checkExists) {
-      val missing = files.collect {
-        case (rel, _) if !fs.exists(new Path(root, rel)) => rel
-      }
-      if (missing.nonEmpty) fail(rangeDesc._1, rangeDesc._2,
-        s"references ${missing.size} data file(s) already reclaimed " +
-          s"by vacuum (first: ${missing.head}): the consumer lagged " +
-          "past the vacuum retention",
-        "restart the stream from a fresh checkpoint to read the " +
-          "current state, or raise the retention (TxTable.vacuum " +
-          "minAgeMs, default 7 days) to cover the worst consumer lag")
-    }
-    if (files.isEmpty)
-      GraftSqlBridge.emptyStreamingFrame(spark, schema)
-    else
-      GraftSqlBridge.toStreamingFrame(
-        // the engine rebinds batch output to the source schema BY
-        // POSITION — project to the declared order (readFileSet leads
-        // with date; the relation schema trails with it, the Spark
-        // partition-column convention)
-        TxTable.readFileSet(spark, root, files, frozenData)
-          .select(schema.fieldNames.map(
-            org.apache.spark.sql.functions.col): _*))
   }
 
   override def stop(): Unit = ()
@@ -425,16 +479,27 @@ class GraftStreamSource(spark: SparkSession, table: String,
 }
 
 object GraftStreamSource {
+  /** The change-feed companion columns, trailing the data schema. */
+  val CdfCols: Seq[String] = Seq("_commit_version", "_change_type")
+
   /** The stream schema for a table: `date` + its current logged data
     * schema (footer-sampled on pre-evolution logs — same resolution as
-    * the batch relation). The table must already exist: a stream needs
+    * the batch relation), plus the CDF companion columns for
+    * change-feed streams. The table must already exist: a stream needs
     * a schema before data arrives, and an empty path has neither.
     */
-  def schemaFor(spark: SparkSession, table: String): StructType = {
+  def schemaFor(spark: SparkSession, table: String,
+      readChangeFeed: Boolean = false): StructType = {
     require(TxTable.currentVersion(spark, table) >= 0,
       s"graft stream source needs an existing table at $table " +
         "(create it with one append/overwrite first — the stream " +
         "schema is resolved from the commit log)")
-    TxFileIndex.readV2(spark, table).schema
+    val base = TxFileIndex.readV2(spark, table).schema
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
   }
 }

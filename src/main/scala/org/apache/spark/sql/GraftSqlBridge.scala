@@ -38,6 +38,22 @@ object GraftSqlBridge {
       isStreaming = false)
   }
 
+  /** Wrap a COMPUTED batch frame as a streaming micro-batch: the batch
+    * plan is optimized and compiled as-is (joins, exceptAll, aggs stay
+    * BATCH operators) and only its output RDD is re-rooted with the
+    * streaming flag. [[toStreamingFrame]]'s leaf-flagging route is
+    * wrong for such plans — a non-map operator above streaming leaves
+    * would be planned as a STATEFUL streaming operator (state stores,
+    * watermarks) instead of a per-batch computation. The RDD is lazy
+    * and deterministic over immutable inputs, so micro-batch retries
+    * recompute identical rows.
+    */
+  def toStreamingFrameExec(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** A zero-row streaming-flagged frame with the given schema (the
     * empty micro-batch a source returns when a polled offset range
     * added no data files).

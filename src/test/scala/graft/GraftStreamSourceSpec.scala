@@ -505,6 +505,82 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .head.getLong(0) == (0 until 20).map(_.toLong).sum)
   }
 
+  test("change-feed stream: rewrites arrive as delete/insert rows " +
+      "instead of failing, a crash mid-feed replays exactly-once, and " +
+      "an expired history backfills as a snapshot of inserts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_streamcdf").toString
+    val table = s"$dir/t"
+    import spark.implicits._
+    def rows(kv: (String, Long)*) = kv.toSeq.map { case (k, v) =>
+      (java.sql.Date.valueOf("2024-06-01"), k, v) }.toDF("date", "k", "v")
+    TxTable.append(spark, rows("a" -> 1L, "b" -> 2L), table) // v0
+    TxTable.append(spark, rows("c" -> 3L), table)            // v1
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val crashing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(ckpt: String = s"$dir/ckpt") = spark.readStream
+      .format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(table)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.select("_commit_version", "_change_type", "k", "v")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+        seen.synchronized { seen ++= got }
+        if (crashing.get && got.nonEmpty)
+          throw new RuntimeException("simulated crash mid-feed")
+        ()
+      }.start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.toSet == Set((0L, "insert", "a", 1L),
+      (0L, "insert", "b", 2L), (1L, "insert", "c", 3L)), seen.toSet)
+
+    // an UPDATE lands while the consumer is down; the restarted feed
+    // crashes on its first delivered batch, then a second restart
+    // replays it exactly-once
+    assert(TxTable.merge(spark, rows("a" -> 10L), table,
+      Seq("date", "k")) == 2L)
+    seen.clear(); crashing.set(true)
+    val q2 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    seen.clear(); crashing.set(false)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(seen.toSet == Set((2L, "delete", "a", 1L),
+      (2L, "insert", "a", 10L)),
+      s"the uncommitted change batch must replay exactly-once: $seen")
+
+    // a FRESH consumer on a history whose commits were partly expired
+    // gets the snapshot-as-inserts backfill (tagged at the head
+    // version), then live tailing continues
+    (3 until 13).foreach(i =>
+      TxTable.append(spark, rows(s"x$i" -> i.toLong), table))
+    assert(TxTable.expireLog(spark, table).nonEmpty)
+    seen.clear()
+    val q4 = start(ckpt = s"$dir/ckpt_fresh")
+    try {
+      q4.processAllAvailable()
+      val head = TxTable.currentVersion(spark, table)
+      assert(seen.nonEmpty && seen.forall(r =>
+        r._1 == head && r._2 == "insert"),
+        s"expired history must backfill as snapshot inserts: $seen")
+      assert(seen.size == TxTable.read(spark, table).count(),
+        "the snapshot must cover the whole live table")
+      TxTable.append(spark, rows("tail" -> 99L), table)
+      q4.processAllAvailable()
+      assert(seen.exists(r => r._3 == "tail" && r._2 == "insert"),
+        "live tailing must continue after the snapshot")
+    } finally q4.stop()
+  }
+
   test("restart AT the snapshot-complete boundary survives expireLog " +
       "sweeping the snapshot version's commits: completion is encoded " +
       "in the terminal offset, so tailing resumes without the file " +
