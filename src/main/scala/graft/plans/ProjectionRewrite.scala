@@ -178,9 +178,17 @@ object ProjectionRewrite extends Rule[LogicalPlan] {
           case _ => false
         }).map(_.map(_.asInstanceOf[AttributeReference].name))
         spark = SparkSession.active
-        // freshness LAST of the cheap checks, it reads the logs
+        // freshness LAST of the cheap checks, it reads the logs; a
+        // retract-refreshed MV carrying tombstones (zero-count state
+        // rows for fully-retracted groups) is also refused — a coarser
+        // re-merge here could surface a phantom group the base no
+        // longer has; MaterializedView.compact collapses tombstones
+        // and re-enables the route
         mvPlan <-
-          if (!MaterializedView.isCurrent(spark, reg.baseTable, reg.mvTable))
+          if (!MaterializedView.isCurrent(spark, reg.baseTable,
+              reg.mvTable) ||
+            graft.sink.TxTable.tableProperties(spark, reg.mvTable)
+              .contains(MaterializedView.TombstoneProp))
             None
           else Some(TxFileIndex.readV2(spark, reg.mvTable)
             .queryExecution.analyzed)

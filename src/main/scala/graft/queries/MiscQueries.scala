@@ -1072,6 +1072,48 @@ object MiscQueries {
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
 
+    // RETRACTABLE MV maintenance: destructive base commits (deletes)
+    // apply as NEGATIVE partials through the change feed — O(touched
+    // files), never a full rebuild (the gate REQUIRES the MV log to
+    // hold no overwrite commit). The second delete removes one
+    // event_type entirely: its groups must vanish from reads (the
+    // zero-count tombstone filter), and the final compact collapses
+    // the tombstones state-preservingly — the oracle aggregates the
+    // surviving base rows from scratch and must match through all of
+    // it.
+    "qmv_retract" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mvretract_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val (baseT, mvT) = (s"$base/base", s"$base/mv")
+      val mv = MaterializedView.MvDef(Seq("date", "event_type"),
+        Seq(MaterializedView.SumState("cents", "cents"),
+          MaterializedView.CountState("n"),
+          MaterializedView.AvgState("cents", "c_avg")))
+      TxTable.append(s, ev, baseT) // v0
+      require(MaterializedView.refresh(s, baseT, mvT, mv) >= 0)
+      require(TxTable.delete(s, baseT, col("user_id") % 7 === 0) >= 0)
+      require(MaterializedView.refresh(s, baseT, mvT, mv) >= 0)
+      val gone = ev.agg(min("event_type")).collect().head.getString(0)
+      require(TxTable.delete(s, baseT, col("event_type") === gone) >= 0)
+      require(MaterializedView.refresh(s, baseT, mvT, mv) >= 0)
+      val ops = TxTable.history(s, mvT).select("operation")
+        .collect().map(_.getString(0)).toSeq
+      require(!ops.contains("overwrite"),
+        s"destructive commits must RETRACT, not rebuild: $ops")
+      require(TxTable.tableProperties(s, mvT)
+        .contains(MaterializedView.TombstoneProp),
+        "the retract refresh must mark tombstones")
+      MaterializedView.compact(s, mvT, mv)
+      require(!TxTable.tableProperties(s, mvT)
+        .contains(MaterializedView.TombstoneProp),
+        "compact must clear the tombstone mark")
+      MaterializedView.read(s, mvT, mv).orderBy("date", "event_type")
+    }),
+
     // MULTI-MV COMPOSITION: two DIFFERENT views (different group keys
     // and states) maintained over ONE base on interleaved refresh
     // cadences — the common production shape ("one MV per target
@@ -1730,6 +1772,22 @@ object MiscQueries {
         |  CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cdf GROUP BY v, ct, event_type
         |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    // the surviving base rows (user%7 delete, then the min event_type
+    // deleted entirely) aggregated from scratch: equals the MV's
+    // retract-maintained state iff every negative partial landed
+    // exactly once and fully-retracted groups were dropped
+    "qmv_retract" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
+        |    user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |gone AS (SELECT MIN(event_type) AS g FROM e),
+        |live AS (SELECT * FROM e, gone
+        |  WHERE user_id % 7 <> 0 AND event_type <> g)
+        |SELECT date, event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
+        |FROM live GROUP BY date, event_type
+        |ORDER BY date, event_type""".stripMargin,
     // the FINAL base state replayed from events (appends of user%3 in
     // {0,1}, then the user%7 delete, then the %3=2 append which
     // post-dates the delete), aggregated per view; view B rides as the

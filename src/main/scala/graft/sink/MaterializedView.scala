@@ -56,6 +56,14 @@ object MaterializedView {
     def partial: Seq[Column]
     def combine: Seq[Column]
     def finish: Seq[Column]
+    /** Whether the state supports RETRACTION — a delete applied as a
+      * negative contribution (linear states only: sum/count/avg; a
+      * retracted min/max would need the runner-up, which the state
+      * doesn't carry). */
+    def retractable: Boolean = false
+    /** Signed partial over change-feed rows (`sign` = +1 insert /
+      * −1 delete); only meaningful when [[retractable]]. */
+    def partialSigned(sign: Column): Seq[Column] = partial
   }
 
   /** sumState/sumMerge: partial sums add. */
@@ -63,6 +71,9 @@ object MaterializedView {
     def partial = Seq(sum(col(src)).as(name))
     def combine = Seq(sum(col(name)).as(name))
     def finish = combine
+    override def retractable = true
+    override def partialSigned(sign: Column) =
+      Seq(sum(col(src) * sign).as(name))
   }
 
   /** countState: a partial count is a sum at merge time. */
@@ -70,6 +81,9 @@ object MaterializedView {
     def partial = Seq(count(lit(1)).as(name))
     def combine = Seq(sum(col(name)).as(name))
     def finish = combine
+    override def retractable = true
+    override def partialSigned(sign: Column) =
+      Seq(sum(sign).cast("long").as(name))
   }
 
   final case class MinState(src: String, name: String) extends StateAgg {
@@ -96,6 +110,11 @@ object MaterializedView {
     def combine = Seq(sum(col(s)).as(s), sum(col(c)).as(c))
     def finish =
       Seq((sum(col(s)).cast("double") / sum(col(c))).as(name))
+    override def retractable = true
+    override def partialSigned(sign: Column) = Seq(
+      sum(col(src) * sign).as(s),
+      sum(when(col(src).isNotNull, sign).otherwise(lit(0L)))
+        .cast("long").as(c))
   }
 
   /** quantileState/quantileMerge over the [[graft.functions.KllQuantiles]]
@@ -161,6 +180,28 @@ object MaterializedView {
     /** Read-time finalization (`-Merge`). */
     def finish(partials: DataFrame): DataFrame =
       agg(partials, states.flatMap(_.finish))
+
+    /** Signed partial over CDF rows carrying `_change_type`: deletes
+      * contribute NEGATIVELY, so appending this batch retracts them
+      * from the view. */
+    def partialRetract(changes: DataFrame): DataFrame = {
+      val sign = when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))
+      agg(changes, states.flatMap(_.partialSigned(sign)))
+    }
+
+    /** The explicit count state's column, when one exists — the
+      * tombstone discriminator (a group whose combined count is 0 has
+      * been fully retracted and must not be served). */
+    val countStateName: Option[String] =
+      states.collectFirst { case CountState(n) => n }
+
+    /** Whether a destructive base commit can be applied by RETRACTION
+      * instead of a full rebuild: every state linear, plus an explicit
+      * count state so fully-retracted groups are detectable at read
+      * time. */
+    def retractSupported: Boolean =
+      states.forall(_.retractable) && countStateName.isDefined
   }
 
   /** True iff serving an aggregate from the MV equals serving it from
@@ -217,8 +258,30 @@ object MaterializedView {
     // together (the same single-pass the streaming source uses)
     val (complete, destructive, delta) =
       TxTable.rangeDelta(bfs, broot, last, cur)
-    if (!complete || destructive)
+    if (!complete)
       return rebuild(spark, baseTable, mvTable, mv)
+    if (destructive) {
+      // RETRACTION instead of rebuild when every state is linear: the
+      // change feed's deletes apply as NEGATIVE partials, so a
+      // merge/delete/compact on the base costs O(touched files)
+      // instead of a full scan. The commit also marks the MV table
+      // with the tombstone property — fully-retracted groups survive
+      // as zero-count state rows until [[compact]] collapses them, and
+      // the projection route refuses to serve a tombstoned MV (a
+      // coarser re-merge could surface a phantom zero-count group).
+      // Any feed failure (pre-images reclaimed by a racing vacuum)
+      // falls back to the always-correct rebuild.
+      if (!mv.retractSupported) return rebuild(spark, baseTable, mvTable, mv)
+      try {
+        val cf = TxTable.changeFeed(spark, baseTable, last, cur)
+        return TxTable.appendTxn(spark, mv.partialRetract(cf), mvTable,
+          WriterApp, cur, expectMark = Some(last),
+          propsSet = Seq(TombstoneProp -> "true"))
+      } catch {
+        case _: IllegalArgumentException =>
+          return rebuild(spark, baseTable, mvTable, mv)
+      }
+    }
     // every advance is a COMPARE-AND-SET on the high-water mark: two
     // refreshers that read the same `last` but different base heads
     // compute OVERLAPPING deltas — without CAS the later-versioned one
@@ -268,14 +331,34 @@ object MaterializedView {
   }
 
   /** The finalized view: merge all stored partials. */
-  def read(spark: SparkSession, mvTable: String, mv: MvDef): DataFrame =
-    mv.finish(TxTable.read(spark, mvTable))
+  /** MV table property marking that retraction tombstones (zero-count
+    * state rows) may be present; set by the retract refresh, cleared
+    * by [[compact]] after it collapses them. */
+  val TombstoneProp = "graft.mv.tombstones"
+
+  def read(spark: SparkSession, mvTable: String, mv: MvDef): DataFrame = {
+    val f = mv.finish(TxTable.read(spark, mvTable))
+    // a fully-retracted group nets to count 0 — present as state rows,
+    // absent from the truth
+    mv.countStateName.map(c => f.filter(col(c) =!= 0L)).getOrElse(f)
+  }
 
   /** Collapse accumulated partial batches into one state row per group
     * (one atomic overwrite commit; high-water marks replay from the log
-    * unaffected, so refresh keeps working after compaction).
+    * unaffected, so refresh keeps working after compaction). Fully-
+    * retracted groups are dropped and the tombstone mark cleared — the
+    * projection route re-enables. A crash between the two commits
+    * leaves the mark set with no tombstones: conservative, still
+    * correct (projections stay off until the next compact).
     */
-  def compact(spark: SparkSession, mvTable: String, mv: MvDef): Long =
-    TxTable.overwrite(spark, mv.combine(TxTable.read(spark, mvTable)),
-      mvTable)
+  def compact(spark: SparkSession, mvTable: String, mv: MvDef): Long = {
+    val combined = mv.combine(TxTable.read(spark, mvTable))
+    val pruned = mv.countStateName
+      .map(c => combined.filter(col(c) =!= 0L)).getOrElse(combined)
+    val v = TxTable.overwrite(spark, pruned, mvTable)
+    if (TxTable.tableProperties(spark, mvTable).contains(TombstoneProp))
+      TxTable.setTableProperties(spark, mvTable,
+        remove = Seq(TombstoneProp))
+    v
+  }
 }

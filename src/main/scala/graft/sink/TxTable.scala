@@ -870,13 +870,26 @@ object TxTable {
     */
   def appendTxn(spark: SparkSession, df: DataFrame, table: String,
       appId: String, version: Long,
-      expectMark: Option[Long] = None): Long = {
+      expectMark: Option[Long] = None,
+      propsSet: Seq[(String, String)] = Seq.empty): Long = {
     val (fs, root) = fsFor(spark, table)
     if (txnHighWater(fs, root).get(appId).exists(_ >= version))
       return -1L // pre-stage check: don't even write the parquet
     commitRetry(fs, root, stage(prep(df), fs, root), Seq.empty,
       Some(appId -> version), schemaUpdate(fs, root, df),
-      op = Some("append"), expectMark = expectMark)
+      op = Some("append"), expectMark = expectMark, propsSet = propsSet)
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: record property changes in
+    * one data-less commit (replayed like files/schema; checkpoints
+    * preserve them). */
+  def setTableProperties(spark: SparkSession, table: String,
+      set: Seq[(String, String)] = Seq.empty,
+      remove: Seq[String] = Seq.empty): Long = {
+    require(set.nonEmpty || remove.nonEmpty, "nothing to change")
+    val (fs, root) = fsFor(spark, table)
+    commitRetry(fs, root, Seq.empty, Seq.empty, op = Some("setprops"),
+      propsSet = set, propsRemove = remove)
   }
 
   /** Ops/test seam: commit ONLY an (appId, version) mark — what a

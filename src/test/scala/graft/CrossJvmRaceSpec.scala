@@ -85,11 +85,16 @@ class CrossJvmRaceSpec extends AnyFunSuite {
     var kill: Option[String] = None
     while ({
       attempt += 1
+      // the reaper windows observed in practice are bursty (children
+      // killed seconds apart across back-to-back attempts, then clean
+      // minutes later) — a growing settle pause between attempts rides
+      // out the burst instead of burning all retries inside it
+      if (attempt > 1) Thread.sleep(15000L * (attempt - 1))
       dir = java.nio.file.Files
         .createTempDirectory("graft_xjvm").toString
       table = s"$dir/t"
       kill = runRace(dir, table, env)
-      kill.nonEmpty && attempt < 3
+      kill.nonEmpty && attempt < 4
     }) ()
     assert(kill.isEmpty,
       s"child JVMs OOM-killed in $attempt consecutive attempts " +

@@ -241,6 +241,75 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(bFinal == bWant, "B rebuilds to its own post-delete truth")
   }
 
+  test("MV: RETRACTABLE states apply a destructive base commit as " +
+      "negative partials (O(touched files), no rebuild), fully-" +
+      "retracted groups vanish from reads, the projection route " +
+      "refuses the tombstoned MV, and compact collapses tombstones " +
+      "and re-enables it") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    val defR = MV.MvDef(Seq("date", "k"),
+      Seq(MV.SumState("v", "v_sum"), MV.CountState("n"),
+        MV.AvgState("v", "v_avg")))
+    TxTable.append(spark, batch(0, 300), baseT)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    // destructive commit: delete the top half
+    assert(TxTable.delete(spark, baseT, col("v") >= 150L) >= 0)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    // the refresh APPENDED a retraction batch — never overwrote
+    val ops = TxTable.history(spark, mvT)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(!ops.contains("overwrite") && ops.count(_ == "append") >= 2,
+      s"retract refresh must append, not rebuild: $ops")
+    assert(TxTable.tableProperties(spark, mvT)
+      .contains(MV.TombstoneProp))
+    // served values equal the from-scratch truth
+    def got2() = MV.read(spark, mvT, defR).orderBy("date", "k")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("v_sum"), r.getAs[Long]("n"))).toSeq
+    def want(rows: DataFrame) = rows.groupBy("date", "k")
+      .agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+      .orderBy("date", "k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("v_sum"),
+        r.getAs[Long]("n"))).toSeq
+    assert(got2() == want(batch(0, 150)))
+    assert(MV.isCurrent(spark, baseT, mvT))
+    // fully retract ONE group: k="4" rows among v<150 are v%5==4 ->
+    // delete every remaining row of that k
+    assert(TxTable.delete(spark, baseT, col("k") === "4") >= 0)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    assert(got2() == want(batch(0, 150).filter(col("k") =!= "4")),
+      "a fully-retracted group must vanish from reads")
+    assert(!got2().exists(_._1 == "4"))
+    // the projection route refuses the tombstoned MV...
+    graft.plans.Projections.register(spark, baseT, mvT, defR)
+    try {
+      // build the query FRESH for each probe: QueryExecution caches
+      // the optimized plan on first access
+      def scansOf(): Seq[String] = graft.sink.TxFileIndex
+        .readV2(spark, baseT).groupBy("k").agg(sum("v").as("v_sum"))
+        .queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+      val scans = scansOf()
+      assert(scans.nonEmpty && !scans.exists(_.contains("/mv/")),
+        "a tombstoned MV must not serve the projection route")
+      // ...until compact collapses the tombstones and clears the mark
+      MV.compact(spark, mvT, defR)
+      assert(!TxTable.tableProperties(spark, mvT)
+        .contains(MV.TombstoneProp))
+      assert(got2() == want(batch(0, 150).filter(col("k") =!= "4")))
+      val scans2 = scansOf()
+      assert(scans2.nonEmpty && scans2.forall(_.contains("/mv/")),
+        "after compact the projection route must serve from the MV")
+    } finally graft.plans.Projections.deregister(spark, baseT)
+  }
+
   test("MV: KLL quantile states merge across deltas within the rank-" +
       "error envelope") {
     val dir = tmp()
