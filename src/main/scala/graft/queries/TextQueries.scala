@@ -534,6 +534,56 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING incremental dedup — the standing-index production
+    // shape driven end-to-end through the engine's OWN streaming
+    // source: the corpus arrives as 3 commits on a tx table, each
+    // micro-batch (maxVersionsPerTrigger=1, so batch k IS commit k)
+    // MinHash-bands its documents, probes the STANDING band index
+    // built by the previous batches (work = new batch × index, never
+    // corpus²), and only then appends its own bands to the index. The
+    // collected matches must equal the closed-form replay: banded
+    // pairs whose arrival batches differ, new side strictly later
+    // (batch = doc_id % 3 — the commit each doc shipped in). A lost
+    // batch, a probe against a stale index, or an index updated
+    // before probing all move the pair set.
+    "qs_incr_dedup" -> ((s, d) => {
+      val c = corpus(s, d)
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_qsdedup_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      (0 until 3).foreach { i =>
+        graft.sink.TxTable.append(s,
+          c.filter(col("doc_id") % 3 === i)
+            .withColumn("date",
+              lit(java.sql.Date.valueOf("2024-01-01"))), t)
+      }
+      val idxDir = s"$base/idx"
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val banded = minhashBanded(
+            shingles(df.select("doc_id", "text"))).persist()
+          val matches =
+            if (new java.io.File(idxDir).exists())
+              banded.toDF("n_id", "band", "bh")
+                .join(s.read.parquet(idxDir).toDF("c_id", "band2", "bh2"),
+                  col("band") === col("band2") && col("bh") === col("bh2"))
+                .select("n_id", "c_id").distinct()
+            else banded.limit(0).select(col("doc_id").as("n_id"),
+              col("doc_id").as("c_id"))
+          matches.write.mode("append").parquet(s"$base/matches")
+          banded.write.mode("append").parquet(idxDir)
+          banded.unpersist()
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .select(col("n_id").as("new_id"), col("c_id").as("idx_id"))
+        .orderBy("new_id", "idx_id")
+    }),
+
     // SimHash (60-bit: 15 md5 hex positions x 4 bits — wide enough for
     // production Hamming-distance thresholds while staying clear of the
     // int64 sign bit on both engines), one signature per doc. Single
@@ -811,6 +861,16 @@ object TextQueries {
          |  ON n.band = c.band AND n.bh = c.bh
          |  AND n.doc_id % 5 <> 0 AND c.doc_id % 5 = 0
          |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
+    // closed-form replay of the streamed index build: a pair matches
+    // iff its docs share a band-hash and arrived in DIFFERENT commits,
+    // the new side strictly later
+    "qs_incr_dedup" ->
+      s"""WITH $corpusSql, $shinglesSql, ${minhashBandedSql()},
+         |b2 AS (SELECT doc_id, band, bh, doc_id % 3 AS batch FROM banded)
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+         |FROM b2 a JOIN b2 b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.batch > b.batch
+         |ORDER BY new_id, idx_id""".stripMargin,
     "qt_simhash" ->
       s"""WITH $corpusSql, toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
