@@ -168,7 +168,9 @@ object Bench {
     }.toSeq
     val stillDirty = dirty.filter { fam =>
       graft.ops.CacheRegistry.releaseAll()
-      results.keys.filter(_.startsWith(fam + "_")).foreach { name =>
+      // materialize before mutating values — no iteration over a map
+      // being updated
+      results.keys.toList.filter(_.startsWith(fam + "_")).foreach { name =>
         val (b2, s2) = sampleQuery(name, fnByName(name))
         val (b1, s1) = results(name)
         if (b2 >= 0 && (b1 < 0 || b2 < b1)) results(name) = (b2, s1 ++ s2)
