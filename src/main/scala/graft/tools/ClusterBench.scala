@@ -176,6 +176,17 @@ object ClusterBench {
     }
     record("tx_merge", sec4, rows5, sum5,
       "candidates" -> TxTable.lastMergeCandidates.toString)
+
+    // 4b. the CHANGE FEED across executor JVMs: the multiset diff
+    //     (exceptAll over the merge's pre/post files) is a real
+    //     shuffle-bearing plan — its row set must be bit-identical
+    //     however tasks were placed
+    val ((rows6, sum6), sec6) = timed {
+      val cf = TxTable.changeFeed(spark, table, -1L,
+        TxTable.currentVersion(spark, table))
+      (cf.count(), checksum(cf))
+    }
+    record("tx_change_feed", sec6, rows6, sum6)
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
 
     // 5. EXECUTOR-LOSS resilience (env-gated — run manually at sf0.1;
