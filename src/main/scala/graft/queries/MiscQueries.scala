@@ -745,6 +745,52 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // THE DSv2 DELIVERY PATH as a gate: the same commit-log tail as
+    // qtx_stream_source but through format("graft-v2") — the
+    // MicroBatchStream whose PartitionReader materializes rows via
+    // the public parquet-mr API instead of a re-rooted batch
+    // DataFrame. Both paths share ONE planner (GraftStreamSource.
+    // planBatch), so this gate pins what the spec suite cannot: the
+    // v2 reader's row materialization (types, nulls, path-derived
+    // date partition values) hash-matches the DuckDB oracle on real
+    // corpus data, batch by batch, live append included.
+    "qtx_stream_v2" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopyWith(s, d, "streamv2", "events_3append") { t =>
+        (0 until 3).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 4 === i), t))
+      }
+      val out = s"${table}_v2_out"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val nonEmpty = new java.util.concurrent.atomic.AtomicInteger
+      val q = s.readStream.format("graft-v2")
+        .option("maxVersionsPerTrigger", "1").load(table)
+        .writeStream.option("checkpointLocation", s"$out/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!df.isEmpty) {
+            nonEmpty.incrementAndGet()
+            df.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+          }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        require(nonEmpty.get == 3,
+          s"v2 rate-limited backfill must deliver one commit per " +
+            s"batch (got ${nonEmpty.get})")
+        TxTable.append(s, ev.filter(col("user_id") % 4 === 3), table)
+        q.processAllAvailable()
+        require(nonEmpty.get == 4, "live append must reach the v2 stream")
+      } finally q.stop()
+      s.read.parquet(s"$out/data").drop("batch")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // CHECK CONSTRAINTS as a gate: a constraint the data satisfies is
     // recorded; one existing data violates is refused up front; a
     // violating append aborts INSIDE the write job, before any commit
@@ -1374,6 +1420,16 @@ object MiscQueries {
     // the streamed union covers all four commits exactly once: the
     // plain full-events aggregate
     "qtx_stream_source" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the v2-delivered union covers all four commits exactly once —
+    // same movement as qtx_stream_source, rows materialized by the
+    // DSv2 parquet-mr reader instead of the vectorized batch scan
+    "qtx_stream_v2" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

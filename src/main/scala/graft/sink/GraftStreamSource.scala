@@ -188,6 +188,21 @@ class GraftStreamSource(spark: SparkSession, table: String,
       } else Right(j.toLong)
   }
 
+  /** Restore planner state from an engine-provided restart offset —
+    * the DSv2 path's explicit replacement for the v1 engine's
+    * recovery-getBatch replay (which pushes [[planned]]/[[snap]]
+    * forward as a side effect). Idempotent; only ever advances.
+    */
+  private[sink] def primeFrom(o: Offset): Unit = decode(o) match {
+    case Right(v) => if (v > planned) planned = v
+    case Left(s) =>
+      if (s.version > planned) planned = s.version
+      val restored = math.max(s.idx,
+        snap.collect { case c if c.version == s.version => c.idx }
+          .getOrElse(0L))
+      snap = Some(SnapState(s.version, restored))
+  }
+
   /** Trigger.AvailableNow drain target, pinned ONCE at query start.
     * The engine's generic v1 wrapper would capture one rate-limited
     * getOffset result as "all available" and stop after a single
@@ -321,6 +336,23 @@ class GraftStreamSource(spark: SparkSession, table: String,
     files
   }
 
+  /** The vacuum guard shared by both delivery paths: one existence
+    * probe per planned file, failing with the lag-naming message.
+    */
+  private def probeMissing(files: Seq[(String, TxTable.FileMeta)],
+      rangeDesc: (Long, Long)): Unit = {
+    val missing = files.collect {
+      case (rel, _) if !fs.exists(new Path(root, rel)) => rel
+    }
+    if (missing.nonEmpty) fail(rangeDesc._1, rangeDesc._2,
+      s"references ${missing.size} data file(s) already reclaimed " +
+        s"by vacuum (first: ${missing.head}): the consumer lagged " +
+        "past the vacuum retention",
+      "restart the stream from a fresh checkpoint to read the " +
+        "current state, or raise the retention (TxTable.vacuum " +
+        "minAgeMs, default 7 days) to cover the worst consumer lag")
+  }
+
   /** Build the micro-batch frame from a file set (append deltas and
     * snapshot slices). CDF streams tag every row
     * (`_commit_version = snapV`, 'insert' — a snapshot IS its
@@ -330,20 +362,7 @@ class GraftStreamSource(spark: SparkSession, table: String,
     * trails with it, the Spark partition-column convention).
     */
   private def filesFrame(files: Seq[(String, TxTable.FileMeta)],
-      checkExists: Boolean, rangeDesc: (Long, Long),
       snapV: Long): DataFrame = {
-    if (checkExists) {
-      val missing = files.collect {
-        case (rel, _) if !fs.exists(new Path(root, rel)) => rel
-      }
-      if (missing.nonEmpty) fail(rangeDesc._1, rangeDesc._2,
-        s"references ${missing.size} data file(s) already reclaimed " +
-          s"by vacuum (first: ${missing.head}): the consumer lagged " +
-          "past the vacuum retention",
-        "restart the stream from a fresh checkpoint to read the " +
-          "current state, or raise the retention (TxTable.vacuum " +
-          "minAgeMs, default 7 days) to cover the worst consumer lag")
-    }
     if (files.isEmpty)
       GraftSqlBridge.emptyStreamingFrame(spark, schema)
     else {
@@ -361,7 +380,7 @@ class GraftStreamSource(spark: SparkSession, table: String,
     }
   }
 
-  /** A (startV, endV] version-tail micro-batch. CDF streams deliver
+  /** A (startV, endV] version-tail batch plan. CDF streams deliver
     * the DERIVED row-level changes ([[TxTable.changeFeed]]) — rewrite
     * commits are first-class rows (delete pre-image + insert
     * post-image), which is the whole point of subscribing to changes;
@@ -369,21 +388,33 @@ class GraftStreamSource(spark: SparkSession, table: String,
     * destructive-rewrite/skipChangeCommits contract enforced by
     * [[tailFiles]].
     */
-  private def tailFrame(startV: Long, endV: Long): DataFrame =
-    if (readChangeFeed)
-      // toStreamingFrameExec, not toStreamingFrame: the feed's
-      // exceptAll diff must stay a BATCH operator executed per
-      // micro-batch — leaf-flagging it streaming would plan a
-      // STATEFUL streaming Except over the engine's state store
-      GraftSqlBridge.toStreamingFrameExec(
-        TxTable.changeFeed(spark, table, startV, endV)
-          .select(schema.fieldNames.map(
-            org.apache.spark.sql.functions.col): _*))
-    else filesFrame(tailFiles(startV, endV), checkExists = true,
-      (startV, endV), snapV = endV)
+  private def tailPlan(startV: Long, endV: Long): GraftStreamSource.BatchPlan =
+    if (readChangeFeed) GraftStreamSource.ChangeRange(startV, endV)
+    else {
+      val files = tailFiles(startV, endV)
+      probeMissing(files, (startV, endV))
+      GraftStreamSource.FileSlice(files, endV)
+    }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val startE = start.map(decode)
+  /** Decode the (start, end] offsets, restore/advance recovery state,
+    * run every integrity check (range completeness, rewrite contract,
+    * snapshot reproducibility, vacuum existence probe), and return
+    * WHAT the batch delivers — a file slice or a CDF version range.
+    * This is the whole of getBatch except frame construction, shared
+    * verbatim by the v1 `Source.getBatch` and the DataSourceV2
+    * `MicroBatchStream.planInputPartitions` ([[GraftMicroBatchStream]]):
+    * one state machine, two delivery contracts.
+    *
+    * A version start offset of -1 is normalized to "from the
+    * beginning": the v1 engine passes `None` there, the v2 engine
+    * passes the stream's `initialOffset`.
+    */
+  private[sink] def planBatch(start: Option[Offset],
+      end: Offset): GraftStreamSource.BatchPlan = {
+    val startE = start.map(decode).filter {
+      case Right(v) => v >= 0
+      case Left(_)  => true
+    }
     decode(end) match {
       case Left(se) =>
         // snapshot chunk — restore/advance phase state (recovery
@@ -407,9 +438,9 @@ class GraftStreamSource(spark: SparkSession, table: String,
         val fl = snapFiles(se.version)
         val endIdx =
           if (se.idx == Long.MaxValue) fl.size.toLong else se.idx
-        filesFrame(
-          fl.slice(math.toIntExact(from), math.toIntExact(endIdx)),
-          checkExists = true, (from - 1, endIdx), snapV = se.version)
+        val slice = fl.slice(math.toIntExact(from), math.toIntExact(endIdx))
+        probeMissing(slice, (from - 1, endIdx))
+        GraftStreamSource.FileSlice(slice, se.version)
       case Right(endV) =>
         if (endV > planned) planned = endV // checkpoint recovery replay
         startE match {
@@ -432,9 +463,9 @@ class GraftStreamSource(spark: SparkSession, table: String,
             // would re-trigger the closing-offset emission and pin
             // getOffset at the snapshot version forever
             snap = None
-            tailFrame(s0.version, endV)
+            tailPlan(s0.version, endV)
           case Some(Right(startV)) =>
-            tailFrame(startV, endV)
+            tailPlan(startV, endV)
           case None =>
             // deterministic under checkpoint-recovery replay: the
             // decision depends only on the log's (−1, endV] state, and
@@ -443,35 +474,51 @@ class GraftStreamSource(spark: SparkSession, table: String,
             // for a history that was clean at plan time
             val (complete, destructive, delta) =
               TxTable.rangeDelta(fs, root, -1L, endV)
+            def snapshotSlice(): GraftStreamSource.FileSlice = {
+              // the vacuum existence probe is skipped ONLY while endV
+              // is still the head (live files cannot be vacuumed) — a
+              // checkpoint-recovery replay of an older endV probes,
+              // because rewrites+vacuum during the downtime may have
+              // reclaimed what was live at plan time
+              val files = snapFiles(endV)
+              if (endV != TxTable.currentVersion(spark, table))
+                probeMissing(files, (-1L, endV))
+              GraftStreamSource.FileSlice(files, endV)
+            }
             if (readChangeFeed) {
               // rewrites are representable as change rows, so CDF
               // backfills per-commit whenever the history is COMPLETE;
               // only expiry forces the snapshot-as-inserts path
-              if (complete) tailFrame(-1L, endV)
-              else filesFrame(snapFiles(endV),
-                checkExists = endV != TxTable.currentVersion(spark, table),
-                (-1L, endV), snapV = endV)
-            } else if (complete && !destructive)
-              filesFrame(delta, checkExists = true, (-1L, endV),
-                snapV = endV)
-            else {
+              if (complete) tailPlan(-1L, endV)
+              else snapshotSlice()
+            } else if (complete && !destructive) {
+              probeMissing(delta, (-1L, endV))
+              GraftStreamSource.FileSlice(delta, endV)
+            } else
               // MONOLITHIC INITIAL SNAPSHOT: the table as of endV.
               // Per-commit replay would silently drop appends swept by
               // expireLog and rows whose append commits were since
               // compacted/merged (rewrite commits deliver nothing).
-              // snapFiles guards reproducibility; the vacuum existence
-              // probe is skipped ONLY while endV is still the head
-              // (live files cannot be vacuumed) — a checkpoint-
-              // recovery replay of an older endV probes, because
-              // rewrites+vacuum during the downtime may have reclaimed
-              // what was live at plan time.
-              filesFrame(snapFiles(endV),
-                checkExists = endV != TxTable.currentVersion(spark, table),
-                (-1L, endV), snapV = endV)
-            }
+              // snapFiles guards reproducibility.
+              snapshotSlice()
         }
     }
   }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    planBatch(start, end) match {
+      case GraftStreamSource.ChangeRange(startV, endV) =>
+        // toStreamingFrameExec, not toStreamingFrame: the feed's
+        // exceptAll diff must stay a BATCH operator executed per
+        // micro-batch — leaf-flagging it streaming would plan a
+        // STATEFUL streaming Except over the engine's state store
+        GraftSqlBridge.toStreamingFrameExec(
+          TxTable.changeFeed(spark, table, startV, endV)
+            .select(schema.fieldNames.map(
+              org.apache.spark.sql.functions.col): _*))
+      case GraftStreamSource.FileSlice(files, snapV) =>
+        filesFrame(files, snapV)
+    }
 
   override def stop(): Unit = ()
 
@@ -479,6 +526,16 @@ class GraftStreamSource(spark: SparkSession, table: String,
 }
 
 object GraftStreamSource {
+  /** What one micro-batch delivers — the output of [[planBatch]],
+    * consumed by the v1 getBatch (frame construction) and by the DSv2
+    * planInputPartitions (one [[InputPartition]] per file).
+    */
+  private[sink] sealed trait BatchPlan
+  private[sink] final case class FileSlice(
+      files: Seq[(String, TxTable.FileMeta)], snapV: Long) extends BatchPlan
+  private[sink] final case class ChangeRange(startV: Long, endV: Long)
+      extends BatchPlan
+
   /** The change-feed companion columns, trailing the data schema. */
   val CdfCols: Seq[String] = Seq("_commit_version", "_change_type")
 

@@ -1,0 +1,378 @@
+package graft.sink
+
+import java.time.LocalDate
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.Offset
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The tx-table streaming source through the DataSourceV2
+  * `MicroBatchStream` contract (`format("graft-v2")`) — the round-8
+  * verdict's asked-for migration, shipped as a PARALLEL delivery path
+  * so the trade it embodies is measurable instead of argued:
+  *
+  *  - The OFFSET and ADMISSION machinery is genuinely first-class
+  *    here: `initialOffset`/`deserializeOffset`/`latestOffset(start,
+  *    limit)` are the interface instead of engine-internal JSON
+  *    decode, the engine hands the restart offset back explicitly
+  *    (no reliance on a recovery `getBatch` replay to rebuild driver
+  *    state), and `SupportsPushDownRequiredColumns` negotiates
+  *    PER-QUERY column pruning down to the parquet page level.
+  *  - The DELIVERY contract is strictly weaker than v1's: a v2
+  *    `PartitionReader` must iterate `InternalRow`s itself, so the
+  *    micro-batch cannot be planned through Spark's native vectorized
+  *    parquet scan (`FileSourceScan` + `WholeStageCodegen`) the way v1
+  *    `getBatch`'s DataFrame is. This reader uses the PUBLIC
+  *    parquet-mr API (`ParquetReader` + `GroupReadSupport`) —
+  *    row-materializing, no vectorization. That is exactly why Spark's
+  *    own file streaming source (`FileStreamSource`) and Delta's
+  *    `DeltaSource` remain v1 `Source` implementations: for FILE-backed
+  *    streams, v1's DataFrame hand-off IS the performance path, and v2
+  *    has no public equivalent (`V1Scan` exists for batch only).
+  *    SCALE.md records the measured backfill-throughput gap; the
+  *    default `format("graft")` stays v1.
+  *  - The CHANGE FEED stays v1-only by construction: CDF batches are
+  *    DERIVED (a per-batch `exceptAll` multiset diff planned on the
+  *    driver), and a v2 reader contract has no way to express "this
+  *    batch is a computed join of two file sets" without first
+  *    materializing the diff to scratch storage.
+  *
+  * Both paths share ONE state machine — [[GraftStreamSource.planBatch]]
+  * computes offsets, recovery, integrity checks (expired-log /
+  * destructive-rewrite / vacuum-lag failures, identical messages) and
+  * the per-batch file slice; the paths differ only in how those files
+  * become rows. The offset JSON is byte-identical (`s:v:i` chunks,
+  * bare-long versions), so a checkpoint written by one path restarts
+  * through the other.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-v2"
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-v2 data source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is v1-only (use format(\"graft\")): change-feed " +
+        "batches are derived per-batch diffs planned on the driver, " +
+        "which the v2 PartitionReader contract cannot express")
+    GraftStreamSource.schemaFor(SparkSession.active, path(options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftV2Table(schema, properties.asScala.toMap)
+}
+
+class GraftV2Table(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-v2:${props.getOrElse("path", "?")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftV2ScanBuilder(tableSchema, options)
+}
+
+/** Column pruning is the one pushdown v2 adds over the v1 path: the
+  * engine calls [[pruneColumns]] with the query's required columns and
+  * the reader projects the parquet scan to exactly those — a
+  * streaming `select(two_cols)` over a wide table reads two column
+  * chunks per file, not the frozen schema's width.
+  */
+class GraftV2ScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftV2Scan(required, options)
+}
+
+class GraftV2Scan(pruned: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+  // plan-time type gate: the row-materializing reader covers the flat
+  // primitive schemas tx tables carry; a nested/decimal column fails
+  // HERE with the remedy, not on an executor mid-backfill
+  pruned.fields.foreach { f =>
+    require(GraftParquetReaderFactory.supported(f.dataType),
+      s"graft-v2 cannot read column `${f.name}` of type " +
+        s"${f.dataType.simpleString}: the v2 row reader supports flat " +
+        "primitive schemas (long/int/double/float/boolean/string/date/" +
+        "timestamp) — use format(\"graft\"), whose v1 path plans " +
+        "through the native vectorized parquet scan for any schema")
+  }
+
+  override def readSchema(): StructType = pruned
+  override def description(): String =
+    s"GraftV2Scan[${options.get("path")}, ${pruned.fieldNames.mkString(",")}]"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    val spark = SparkSession.active
+    new GraftMicroBatchStream(spark, options.get("path"), pruned,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      options.getBoolean("skipChangeCommits", false),
+      Option(options.get("maxFilesPerTrigger")).map(_.toLong))
+  }
+}
+
+class GraftMicroBatchStream(spark: SparkSession, table: String,
+    pruned: StructType, maxVersionsPerTrigger: Option[Long],
+    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** The shared state machine — offsets, rate limits, snapshot
+    * chunking, integrity failures all come from the SAME code the v1
+    * source runs; this class only swaps the delivery contract.
+    */
+  private val planner = new GraftStreamSource(spark, table,
+    maxVersionsPerTrigger, skipChangeCommits, maxFilesPerTrigger)
+  private val (_, root) = TxTable.fsFor(spark, table)
+
+  override def getDefaultReadLimit: ReadLimit = planner.getDefaultReadLimit
+  override def prepareForTriggerAvailableNow(): Unit =
+    planner.prepareForTriggerAvailableNow()
+
+  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+
+  override def deserializeOffset(json: String): OffsetV2 = {
+    val j = json.trim
+    if (j.startsWith("s:")) {
+      val p = j.split(':')
+      GraftSnapshotOffset(p(1).toLong, p(2).toLong)
+    } else LongOffset(j.toLong)
+  }
+
+  private def asV1(o: OffsetV2): Offset = o match {
+    case v1: Offset => v1
+    case other => deserializeOffset(other.json).asInstanceOf[Offset]
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // v2 hands the restart offset back EXPLICITLY — prime the planner
+    // from it instead of relying on a recovery getBatch replay (the
+    // v1 engine behavior) to rebuild the planned/snapshot state
+    if (start != null) planner.primeFrom(asV1(start))
+    planner.latestOffset(start, limit)
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead " +
+        "(this stream implements SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: OffsetV2,
+      end: OffsetV2): Array[InputPartition] =
+    planner.planBatch(Some(asV1(start)), asV1(end)) match {
+      case GraftStreamSource.FileSlice(files, _) =>
+        files.map { case (rel, meta) =>
+          GraftFilePartition(new Path(root, rel).toString, meta.date)
+            : InputPartition
+        }.toArray
+      case _: GraftStreamSource.ChangeRange =>
+        throw new IllegalStateException(
+          "unreachable: the change feed is v1-only and rejected at " +
+            "schema inference")
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftParquetReaderFactory(pruned,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftMicroBatchStream[$table]"
+}
+
+/** One tx data file = one input partition; `date` rides along because
+  * it is a PATH-derived partition column, not a parquet column.
+  */
+final case class GraftFilePartition(path: String, date: String)
+    extends InputPartition
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; ship it to
+  * executors via its own Writable contract.
+  */
+final class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+object GraftParquetReaderFactory {
+  /** The flat primitive types the row reader covers (everything tx
+    * tables write); nested/decimal columns are rejected at plan time.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+}
+
+class GraftParquetReaderFactory(schema: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftParquetPartitionReader(p.asInstanceOf[GraftFilePartition],
+      schema, conf.value)
+}
+
+/** Row-materializing parquet reader over the PUBLIC parquet-mr API
+  * (`ParquetReader` + `GroupReadSupport`): one footer read resolves
+  * the file's physical schema, the requested projection is the pruned
+  * read schema ∩ the file's columns (columns a pre-evolution file
+  * lacks are null — the same additive-evolution semantics the v1
+  * scan's `spark.read.schema(frozen)` applies), and per-field
+  * converters are resolved ONCE against the physical types (INT96 /
+  * INT64-micros/millis/nanos timestamps, INT32-backed longs from
+  * widened schemas), so the per-row loop is branch-free.
+  */
+class GraftParquetPartitionReader(part: GraftFilePartition,
+    schema: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val filePath = new Path(part.path)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(filePath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val dateDays: Int = LocalDate.parse(part.date).toEpochDay.toInt
+
+  private val wanted = schema.fields.filter(f =>
+    f.name != "date" && fileSchema.containsField(f.name))
+  private val requested = new MessageType(fileSchema.getName,
+    (if (wanted.nonEmpty)
+      wanted.toSeq.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+    else
+      // a projection needing NO parquet columns (e.g. select("date"),
+      // or every requested column absent from this pre-evolution
+      // file) still needs row ITERATION — read the first physical
+      // column as a row driver and ignore its values
+      Seq(fileSchema.getType(0))): _*)
+
+  private val reader: ParquetReader[Group] = {
+    val rc = new Configuration(conf)
+    rc.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
+    ParquetReader.builder(new GroupReadSupport(), filePath).withConf(rc)
+      .build()
+  }
+
+  private def timestampConv(idx: Int,
+      prim: org.apache.parquet.schema.PrimitiveType): Group => Any =
+    prim.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT96 =>
+        // 12 bytes little-endian: nanos-of-day (8) + julian day (4)
+        g => {
+          val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = buf.getLong
+          val julian = buf.getInt
+          (julian - 2440588L) * 86400000000L + nanos / 1000L
+        }
+      case PrimitiveTypeName.INT64 =>
+        val unit = prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit
+          case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+        }
+        unit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            g => g.getLong(idx, 0) * 1000L
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            g => g.getLong(idx, 0) / 1000L
+          case _ => g => g.getLong(idx, 0)
+        }
+      case other => throw new IllegalStateException(
+        s"graft-v2 reader: timestamp column backed by $other in " +
+          s"${part.path}")
+    }
+
+  /** Per-field converter, resolved once per file against the physical
+    * type; `null` converter means "column absent in this file".
+    */
+  private val getters: Array[Group => Any] = schema.fields.map { f =>
+    if (f.name == "date" && f.dataType == DateType) { (_: Group) => dateDays }
+    else if (!fileSchema.containsField(f.name)) null
+    else {
+      val idx = requested.getFieldIndex(f.name)
+      val prim = requested.getType(idx).asPrimitiveType()
+      val pt = prim.getPrimitiveTypeName
+      val base: Group => Any = (f.dataType, pt) match {
+        case (LongType, PrimitiveTypeName.INT64) => g => g.getLong(idx, 0)
+        case (LongType, PrimitiveTypeName.INT32) =>
+          g => g.getInteger(idx, 0).toLong
+        case (IntegerType, PrimitiveTypeName.INT32) =>
+          g => g.getInteger(idx, 0)
+        case (DoubleType, PrimitiveTypeName.DOUBLE) => g => g.getDouble(idx, 0)
+        case (DoubleType, PrimitiveTypeName.FLOAT) =>
+          g => g.getFloat(idx, 0).toDouble
+        case (FloatType, PrimitiveTypeName.FLOAT) => g => g.getFloat(idx, 0)
+        case (BooleanType, PrimitiveTypeName.BOOLEAN) =>
+          g => g.getBoolean(idx, 0)
+        case (StringType, PrimitiveTypeName.BINARY) =>
+          g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case (DateType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
+        case (TimestampType | TimestampNTZType, _) =>
+          timestampConv(idx, prim)
+        case (dt, p) => throw new IllegalStateException(
+          s"graft-v2 reader: column `${f.name}` declared $dt but " +
+            s"backed by $p in ${part.path}")
+      }
+      g => if (g.getFieldRepetitionCount(idx) == 0) null else base(g)
+    }
+  }
+
+  private var cur: Group = _
+
+  override def next(): Boolean = {
+    cur = reader.read()
+    cur != null
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < getters.length) {
+      vals(i) = if (getters(i) == null) null else getters(i)(cur)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

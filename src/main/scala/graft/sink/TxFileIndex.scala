@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * relation, planner-owned pruning.
   */
 class TxFileIndex(spark: SparkSession, table: String,
-    asOf: Option[Long] = None) extends FileIndex {
+    asOf: Option[Long] = None,
+    explicitFiles: Option[Seq[(String, TxTable.FileMeta)]] = None)
+    extends FileIndex {
   import TxTable.ColStats
 
   private val root = new Path(table)
@@ -49,7 +51,7 @@ class TxFileIndex(spark: SparkSession, table: String,
       Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] = load()
 
   private def load(): Seq[(String, Seq[(FileStatus, Map[String, ColStats])])] =
-    TxTable.snapshotFiles(fs, root, asOf).toSeq
+    explicitFiles.getOrElse(TxTable.snapshotFiles(fs, root, asOf).toSeq)
       .groupBy(_._2.date).toSeq.sortBy(_._1)
       .map { case (d, files) =>
         d -> files.map { case (rel, m) =>
@@ -242,6 +244,36 @@ object TxFileIndex {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataSchema = TxTable.logSchema(fs, root, asOf).getOrElse(
       spark.read.parquet(index.inputFiles.head).schema)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+
+  /** An EXPLICIT file subset of a tx table as the same planner-owned
+    * relation — the scan behind [[TxTable.readFileSet]] (full reads,
+    * MV refresh deltas, the streaming source, the change feed).
+    * Partition values come from log metadata (a per-FILE constant the
+    * scan injects — no per-row path parsing), and the stock parquet
+    * `FileFormat` keeps vectorization, column pruning, and row-group
+    * pushdown. File metas must carry real dates and byte sizes
+    * ([[TxTable.readFileSet]] normalizes synthetic metas first) —
+    * the scan trusts `bytes` for split planning, so a zero would
+    * silently read nothing.
+    */
+  private[sink] def fileSetRelation(spark: SparkSession, root: Path,
+      files: Seq[(String, TxTable.FileMeta)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : HadoopFsRelation = {
+    val index = new TxFileIndex(spark, root.toString, None, Some(files))
+    val dataSchema = schema.getOrElse {
+      require(files.nonEmpty,
+        "readFileSet of an empty file set needs an explicit schema")
+      spark.read.parquet(index.inputFiles.head).schema
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

@@ -1172,19 +1172,37 @@ object TxTable {
   private[sink] def readFileSet(spark: SparkSession, root: Path,
       files: Seq[(String, FileMeta)],
       schema: Option[StructType]): DataFrame = {
-    // ONE scan relation for the whole snapshot — not a per-date union.
-    // A union of per-date reads costs a separate file listing + scan
-    // node per date at PLANNING time; a 5-year table is ~1800 relations
-    // in every job's plan (and megabyte task binaries). The partition
-    // column is re-derived from the staged path's `date=` segment, the
-    // same shuffle-safe `_metadata` route [[merge]]'s discovery scan
-    // uses; the date set was already pruned against log metadata.
-    val rdr = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = rdr.parquet(
-      files.map { case (rel, _) => new Path(root, rel).toString }: _*)
-    df.select(
-      to_date(regexp_extract(col("_metadata.file_path"),
-        "date=([^/]+)", 1)).as("date") +: df.columns.map(col): _*)
+    // ONE scan relation for the whole set — the same log-driven
+    // TxFileIndex the full-table read plans through, restricted to
+    // this file subset. The `date` partition column is a per-FILE
+    // constant the index hands the scan (the layout's `date=` segment
+    // sits below per-commit staging dirs, so Spark's native basePath
+    // discovery cannot parse it); the previous
+    // `regexp_extract(_metadata.file_path, ...)` route evaluated a
+    // regexp per ROW — measured at ~40% of full-width
+    // streaming-backfill wall (StreamPathBench, SCALE.md).
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // normalize SYNTHETIC metas (the change feed reads pre-image rels
+    // with empty metas): the index needs the real date for the
+    // partition value and the real length for split planning
+    val metas = files.map {
+      case ok @ (_, m) if m.date.nonEmpty && m.bytes > 0 => ok
+      case (rel, m) =>
+        val d =
+          if (m.date.nonEmpty) m.date
+          else rel.split('/').find(_.startsWith("date="))
+            .map(_.substring(5)).getOrElse(throw new IllegalStateException(
+              s"tx file outside a date= directory: $rel"))
+        val b =
+          if (m.bytes > 0) m.bytes
+          else fs.getFileStatus(new Path(root, rel)).getLen
+        (rel, m.copy(date = d, bytes = b))
+    }
+    val df = spark.baseRelationToDataFrame(
+      TxFileIndex.fileSetRelation(spark, root, metas, schema))
+    // relation output is dataSchema ++ partition column; callers'
+    // contract leads with date
+    df.select(col("date") +: df.columns.filterNot(_ == "date").map(col): _*)
   }
 
   /** SummingMergeTree background-merge analog on the tx path: re-sum the
