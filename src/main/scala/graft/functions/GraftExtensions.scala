@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // base table are served from its materialized view when covered
     // and current (see graft.plans.Projections)
     e.injectOptimizerRule(_ => graft.plans.ProjectionRewrite)
+    // SQL-catalog fast path: scans of GraftCatalog tables plan through
+    // the native vectorized HadoopFsRelation instead of the V1Scan
+    // row bridge (see graft.catalog.GraftCatalogRelations)
+    e.injectResolutionRule(_ => graft.catalog.GraftCatalogRelations)
   }
 }

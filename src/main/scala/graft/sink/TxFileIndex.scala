@@ -237,13 +237,17 @@ object TxFileIndex {
   def relation(spark: SparkSession, table: String,
       asOf: Option[Long]): HadoopFsRelation = {
     val index = new TxFileIndex(spark, table, asOf)
-    require(index.inputFiles.nonEmpty,
-      s"tx table $table has no live files" +
-        asOf.map(v => s" at version $v").getOrElse(""))
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataSchema = TxTable.logSchema(fs, root, asOf).getOrElse(
-      spark.read.parquet(index.inputFiles.head).schema)
+    // a LOGGED schema makes an empty file set a legitimate EMPTY table
+    // (freshly created / truncated); only a schema-less empty log is
+    // unreadable
+    val dataSchema = TxTable.logSchema(fs, root, asOf).getOrElse {
+      require(index.inputFiles.nonEmpty,
+        s"tx table $table has no live files" +
+          asOf.map(v => s" at version $v").getOrElse(""))
+      spark.read.parquet(index.inputFiles.head).schema
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal log-structured commit protocol for the summing table — the
   * object-store-safe variant of [[NetworkFlowTable]] (whose
@@ -890,6 +890,73 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, Seq.empty, Seq.empty, op = Some("setprops"),
       propsSet = set, propsRemove = remove)
+  }
+
+  /** CREATE TABLE: one data-less v0 commit carrying the declared
+    * schema (and any table properties) — the DDL primitive behind the
+    * SQL catalog ([[graft.catalog.GraftCatalog]]). The table exists
+    * from this commit on: reads return zero rows under the declared
+    * schema, appends must conform to it (additive evolution only),
+    * and the schema survives checkpoints/expiry like any M action.
+    * `date` must be declared (graft tables are date-partitioned); it
+    * is stripped from the logged data schema exactly as a first
+    * append's would be.
+    */
+  def createTable(spark: SparkSession, table: String, schema: StructType,
+      props: Seq[(String, String)] = Seq.empty): Long = {
+    require(schema.fields.exists(f =>
+      f.name == "date" && f.dataType == org.apache.spark.sql.types.DateType),
+      "graft tables are date-partitioned: declare a `date DATE` column")
+    val (fs, root) = fsFor(spark, table)
+    require(currentVersion(spark, table) < 0,
+      s"graft table $table already exists")
+    val logged = StructType(schema.filterNot(_.name == "date")
+      .map(f => f.copy(nullable = true)))
+    require(logged.nonEmpty, "a graft table needs at least one data " +
+      "column besides the `date` partition column")
+    commitRetry(fs, root, Seq.empty, Seq.empty, None, Some(logged),
+      op = Some("create"), propsSet = props)
+  }
+
+  /** ALTER TABLE ADD COLUMNS: additive schema evolution as one
+    * data-less commit — existing files read the new columns as NULL
+    * (the same M-action replay an evolving append records; see
+    * [[schemaUpdate]]). Names must be new; columns append at the end
+    * of the data schema.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "no columns to add")
+    val (fs, root) = fsFor(spark, table)
+    val cur = logSchema(fs, root).getOrElse(throw new IllegalStateException(
+      s"tx table $table has no logged schema (pre-evolution log): " +
+        "run one append on current code before ALTER TABLE"))
+    val clash = cols.map(_.name).filter(n =>
+      n == "date" || cur.fieldNames.contains(n))
+    require(clash.isEmpty,
+      s"column(s) already exist: ${clash.mkString(",")}")
+    commitRetry(fs, root, Seq.empty, Seq.empty, None,
+      Some(StructType(cur ++ cols.map(_.copy(nullable = true)))),
+      op = Some("addcols"))
+  }
+
+  /** TRUNCATE TABLE: drop every live file in one metadata-only commit
+    * (no data rewrite — the removed files fall to [[vacuum]]); the
+    * schema and properties survive.
+    */
+  def truncate(spark: SparkSession, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    commitRetry(fs, root, Seq.empty, snapshotFiles(fs, root).keys.toSeq,
+      op = Some("truncate"))
+  }
+
+  /** The logged DATA schema (date excluded) at `asOf` — None on
+    * pre-evolution logs (callers fall back to a live file's footer).
+    */
+  def tableSchema(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[StructType] = {
+    val (fs, root) = fsFor(spark, table)
+    logSchema(fs, root, asOf)
   }
 
   /** Ops/test seam: commit ONLY an (appId, version) mark — what a
