@@ -70,11 +70,35 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // IDLE GATE (round-9 lesson: the bench started at load_avg 7.4,
+    // four minutes after the 234-test suite, and produced phantom
+    // regressions on unchanged code): refuse to start timing until the
+    // 1-min load average decays below the threshold, up to a bounded
+    // wait — a loaded host makes every number a lie, so minutes spent
+    // waiting are cheaper than a burned adjudication round.
+    val loadInvoked = loadAvg()
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val idleTimeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_TIMEOUT_S", "600").toLong
+    val waitT0 = System.nanoTime()
+    while (loadAvg() > maxLoad &&
+        (System.nanoTime() - waitT0) / 1e9 < idleTimeoutS) {
+      System.err.println(f"[bench] waiting for idle host: load_avg " +
+        f"${loadAvg()}%.2f > $maxLoad%.2f")
+      Thread.sleep(15000)
+    }
+    val idleWaitS = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadAvg()
     // sentinel warms its own JIT once, untimed, then baselines
     sentinel()
     val sentinels = scala.collection.mutable.LinkedHashMap(
       "start" -> sentinel())
+    // per-family 1-min load average, recorded at the SAME boundaries
+    // as the sentinel — next round's judge adjudicates a family's
+    // drift from the artifact alone
+    val famLoads = scala.collection.mutable.LinkedHashMap(
+      "start" -> loadStart)
 
     // warmup: exercise scan + shuffle + codegen paths once, untimed
     try run(SparkEntry.queries("q1_agg")(spark, sfDir))
@@ -145,13 +169,18 @@ object Bench {
       val fam = name.takeWhile(_ != '_')
       if (fam != prevFamily) {
         graft.ops.CacheRegistry.releaseAll()
-        if (prevFamily.nonEmpty) sentinels(prevFamily) = sentinel()
+        if (prevFamily.nonEmpty) {
+          sentinels(prevFamily) = sentinel()
+          famLoads(prevFamily) = loadAvg()
+        }
         prevFamily = fam
       }
       results(name) = sampleQuery(name, fn)
     }
     sentinels(prevFamily) = sentinel()
+    famLoads(prevFamily) = loadAvg()
     sentinels("end") = sentinel()
+    famLoads("end") = loadAvg()
 
     // CONTAMINATION ADJUDICATION (two rounds of phantom regressions
     // were burned on this by hand): a family whose boundary sentinel
@@ -178,6 +207,7 @@ object Bench {
       }
       val s = sentinel()
       sentinels(fam + "_retry") = s
+      famLoads(fam + "_retry") = loadAvg()
       s > sentFloor * 1.2
     }
     val loadEnd = loadAvg()
@@ -195,6 +225,8 @@ object Bench {
     val contaminatedJson =
       stillDirty.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentJson = sentinels.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val famLoadJson = famLoads.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val sentVals = sentinels.values.toSeq
     val sentSpread =
@@ -217,6 +249,8 @@ object Bench {
       s""""sentinel":$sentJson,"sentinel_spread":${fmt(sentSpread)},""" +
       s""""retried":$retriedJson,"contaminated":$contaminatedJson,""" +
       s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},""" +
+      s""""load_avg_invoked":${fmt(loadInvoked)},""" +
+      s""""idle_wait_s":${fmt(idleWaitS)},"load_avg":$famLoadJson,""" +
       s""""pipeline_rows":$pipelineRows,"pipeline_rows_per_s":${fmt(rowsPerSec)},""" +
       s""""sf":"$sfDir"}"""
     println(line)

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventsQueries.queries ++
-      graft.queries.MiscQueries.queries
+      graft.queries.MiscQueries.queries ++
+      graft.queries.CatalogQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.EventsQueries.oracle ++
-      graft.queries.MiscQueries.oracle
+      graft.queries.MiscQueries.oracle ++
+      graft.queries.CatalogQueries.oracle
 }

@@ -199,9 +199,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "columns append at the end and read as NULL from old files")
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       }
-      TxTable.addColumns(spark, path, fields)
-    }
-    if (sets.nonEmpty || removes.nonEmpty)
+      // ONE commit for the whole statement: a batch carrying both
+      // column adds and property changes must apply atomically — a
+      // crash between two commits would leave the ALTER half-applied
+      // with no error surfaced for the missing half
+      TxTable.addColumns(spark, path, fields, propsSet = sets,
+        propsRemove = removes)
+    } else if (sets.nonEmpty || removes.nonEmpty)
       TxTable.setTableProperties(spark, path, sets, removes)
     new GraftCatalogTable(path, ident, None)
   }
@@ -444,7 +448,8 @@ class GraftCatalogScan(table: GraftCatalogTable, pruned: StructType,
     new GraftMicroBatchStream(SparkSession.active, table.path, pruned,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       options.getBoolean("skipChangeCommits", false),
-      Option(options.get("maxFilesPerTrigger")).map(_.toLong))
+      Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+      options.getBoolean("columnarReader", true))
   }
 }
 
@@ -492,20 +497,33 @@ object GraftCatalogRelations
   import org.apache.spark.sql.execution.datasources.LogicalRelation
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val targets = plan.collect {
+  private def targets(plan: LogicalPlan): Set[DataSourceV2Relation] =
+    plan.collect {
       case w: V2WriteCommand   => w.table
       case d: DeleteFromTable  => d.table
       case u: UpdateTable      => u.table
       case m: MergeIntoTable   => m.targetTable
     }.flatMap(_.collect { case r: DataSourceV2Relation => r }).toSet
-    plan.resolveOperatorsUp {
-      case r: DataSourceV2Relation if !targets.contains(r) &&
-          r.table.isInstanceOf[GraftCatalogTable] =>
-        LogicalRelation(r.table.asInstanceOf[GraftCatalogTable].v1Relation,
-          r.output, None, isStreaming = false, None)
-    }
+
+  private def swap(tg: Set[DataSourceV2Relation])
+      : PartialFunction[LogicalPlan, LogicalPlan] = {
+    case r: DataSourceV2Relation if !tg.contains(r) &&
+        r.table.isInstanceOf[GraftCatalogTable] =>
+      LogicalRelation(r.table.asInstanceOf[GraftCatalogTable].v1Relation,
+        r.output, None, isStreaming = false, None)
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp(swap(targets(plan)))
+
+  /** The SAME swap applied to an ALREADY-analyzed plan (tests/gates in
+    * a session built without extensions): `resolveOperatorsUp` no-ops
+    * on plans the analyzer has marked done, so this route goes through
+    * plain `transformUp` — legal outside the analyzer — with the
+    * identical matching logic.
+    */
+  def applyPostAnalysis(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp(swap(targets(plan)))
 }
 
 class GraftCatalogWriteBuilder(path: String, info: LogicalWriteInfo)

@@ -1076,6 +1076,33 @@ object MiscQueries {
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
 
+    // CDF with keyed UPDATE pairing (Delta's update_preimage /
+    // update_postimage): the same 4-commit feed as qtx_cdf, but the
+    // merge's rewritten rows — whose (date, event_id) appears on BOTH
+    // sides of the commit's diff — surface as update pairs, while the
+    // pure DELETE's one-sided rows stay plain deletes. A mis-paired
+    // key (join back against the table instead of within the commit)
+    // or a leaked carry-over row moves the hash.
+    "qtx_cdf_updates" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_cdfu_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 0), t) // v0
+      TxTable.append(s, ev.filter(col("event_id") % 3 === 1), t) // v1
+      val up = ev.filter(col("event_id") % 6 === 0)
+        .withColumn("cents", col("cents") * 2)
+      require(TxTable.merge(s, up, t, Seq("date", "event_id")) == 2L)
+      require(TxTable.delete(s, t, col("event_id") % 5 === 0) == 3L)
+      TxTable.changeFeed(s, t, -1L, 3L, Seq("date", "event_id"))
+        .groupBy("_commit_version", "_change_type", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
+
     // STREAMING change feed: the same 4-commit feed as qtx_cdf,
     // delivered by `readStream.option("readChangeFeed", "true")` — the
     // rewrite commits that FAIL a plain stream (or vanish under
@@ -1792,6 +1819,32 @@ object MiscQueries {
         |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
         |  UNION ALL
         |  SELECT 2, 'delete', event_type, cents
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type,
+        |    CASE WHEN event_id % 6 = 0 THEN cents * 2 ELSE cents END
+        |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cdf GROUP BY v, ct, event_type
+        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    // keyed pairing: the merge's two-sided rows become update pairs;
+    // the delete's one-sided rows stay deletes
+    "qtx_cdf_updates" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |cdf AS (
+        |  SELECT 0 AS v, 'insert' AS ct, event_type, cents
+        |  FROM e WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', event_type, cents
+        |  FROM e WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', event_type, cents * 2
+        |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', event_type, cents
         |  FROM e WHERE event_id % 6 = 0 AND cents <> 0
         |  UNION ALL
         |  SELECT 3, 'delete', event_type,

@@ -22,6 +22,15 @@ import org.apache.spark.sql.types.StructType
   * downtime) to prove the snapshot finished before tailing versions.
   * Pre-round-9 checkpoints whose final chunk was `s:<v>:<total>`
   * still decode and take the list-checked path.
+  *
+  * DOWNGRADE caveat (forward-only compatibility, by design): code
+  * predating the sentinel decoded `idx` with `.toInt`, which wraps
+  * `Long.MaxValue` to -1 — an old build recovering a NEW checkpoint's
+  * final chunk would slice an empty file list and silently drop the
+  * snapshot tail. Checkpoints written by this build must not be
+  * consumed by older builds; current decode paths reject out-of-range
+  * idx values explicitly ([[GraftStreamSource]] uses
+  * `math.toIntExact` everywhere a chunk index narrows).
   */
 case class GraftSnapshotOffset(version: Long, idx: Long) extends Offset {
   override val json: String = s"s:$version:$idx"

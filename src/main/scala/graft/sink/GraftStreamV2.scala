@@ -139,13 +139,15 @@ class GraftV2Scan(pruned: StructType, options: CaseInsensitiveStringMap)
     new GraftMicroBatchStream(spark, options.get("path"), pruned,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       options.getBoolean("skipChangeCommits", false),
-      Option(options.get("maxFilesPerTrigger")).map(_.toLong))
+      Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+      options.getBoolean("columnarReader", true))
   }
 }
 
 class GraftMicroBatchStream(spark: SparkSession, table: String,
     pruned: StructType, maxVersionsPerTrigger: Option[Long],
-    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Long])
+    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Long],
+    columnarReader: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The shared state machine — offsets, rate limits, snapshot
@@ -192,10 +194,36 @@ class GraftMicroBatchStream(spark: SparkSession, table: String,
       end: OffsetV2): Array[InputPartition] =
     planner.planBatch(Some(asV1(start)), asV1(end)) match {
       case GraftStreamSource.FileSlice(files, _) =>
-        files.map { case (rel, meta) =>
-          GraftFilePartition(new Path(root, rel).toString, meta.date)
-            : InputPartition
-        }.toArray
+        // BIN-PACK files into partitions the way FileSourceScan does
+        // (maxPartitionBytes target, openCostInBytes per-file floor,
+        // at-least-default-parallelism split) — one task per FILE
+        // would schedule millions of tasks on a large backfill, and
+        // measured ~15% of backfill wall even at 120 files
+        val infos = files.map { case (rel, meta) =>
+          GraftFileInfo(new Path(root, rel).toString, meta.date,
+            math.max(meta.bytes, 1L))
+        }
+        val conf = spark.sessionState.conf
+        val openCost = conf.filesOpenCostInBytes
+        val minParts =
+          math.max(spark.sparkContext.defaultParallelism, 1)
+        val totalCost = infos.map(_.bytes + openCost).sum
+        val target = math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, totalCost / minParts + 1))
+        val bins = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[GraftFileInfo]]
+        var binCost = 0L
+        infos.sortBy(-_.bytes).foreach { f =>
+          val cost = f.bytes + openCost
+          if (bins.isEmpty || binCost + cost > target) {
+            bins += scala.collection.mutable.ArrayBuffer(f)
+            binCost = cost
+          } else {
+            bins.last += f
+            binCost += cost
+          }
+        }
+        bins.map(b => GraftFilePartition(b.toSeq): InputPartition).toArray
       case _: GraftStreamSource.ChangeRange =>
         throw new IllegalStateException(
           "unreachable: the change feed is v1-only and rejected at " +
@@ -204,17 +232,23 @@ class GraftMicroBatchStream(spark: SparkSession, table: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftParquetReaderFactory(pruned,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      columnar = columnarReader)
 
   override def commit(end: OffsetV2): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftMicroBatchStream[$table]"
 }
 
-/** One tx data file = one input partition; `date` rides along because
-  * it is a PATH-derived partition column, not a parquet column.
+/** One file of a packed partition; `date` rides along because it is a
+  * PATH-derived partition column, not a parquet column.
   */
-final case class GraftFilePartition(path: String, date: String)
+final case class GraftFileInfo(path: String, date: String, bytes: Long)
+
+/** A bin-packed set of tx data files = one input partition (the
+  * FileSourceScan `FilePartition` shape, sized by maxPartitionBytes).
+  */
+final case class GraftFilePartition(files: Seq[GraftFileInfo])
     extends InputPartition
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; ship it to
@@ -243,13 +277,119 @@ object GraftParquetReaderFactory {
          StringType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
+
+  /** Whether the COLUMNAR delivery can serve `schema`: the synthesized
+    * `date` partition column must sit LAST (a `ColumnarBatch` appends
+    * partition vectors after the file columns — any other position
+    * would permute the output) or be absent from the projection.
+    */
+  def columnarCompatible(schema: StructType): Boolean =
+    !schema.fieldNames.dropRight(1).contains("date")
 }
 
 class GraftParquetReaderFactory(schema: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftParquetPartitionReader(p.asInstanceOf[GraftFilePartition],
-      schema, conf.value)
+    new GraftChainedReader[InternalRow](
+      p.asInstanceOf[GraftFilePartition],
+      f => new GraftParquetFileReader(f, schema, conf.value))
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && GraftParquetReaderFactory.columnarCompatible(schema)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+      p.asInstanceOf[GraftFilePartition],
+      f => new GraftVectorizedFileReader(f, schema, conf.value))
+}
+
+/** Drives a packed partition's files through per-file readers, one at
+  * a time — the partition-level `PartitionReader` both delivery modes
+  * share.
+  */
+class GraftChainedReader[T](part: GraftFilePartition,
+    open: GraftFileInfo => PartitionReader[T]) extends PartitionReader[T] {
+  private val it = part.files.iterator
+  private var cur: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (cur == null || !cur.next()) {
+      if (cur != null) cur.close()
+      cur = null
+      if (!it.hasNext) return false
+      cur = open(it.next())
+    }
+    true
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
+/** COLUMNAR v2 delivery: the same `VectorizedParquetRecordReader`
+  * Spark's own `FileSourceScan` drives — batches of column vectors
+  * instead of one materialized `InternalRow` per record. This closes
+  * the measured 37% full-scan gap of the row-materializing reader
+  * (STREAMV2_RESULTS.json): the v2 contract DOES have a vectorized
+  * story, it's just `PartitionReader[ColumnarBatch]` rather than the
+  * v1 DataFrame hand-off. Schema evolution matches the v1 path —
+  * columns missing from an old file surface as NULL vectors — and the
+  * `date` partition column rides in as a constant vector via
+  * `initBatch` (which is why it must sit last; see
+  * [[GraftParquetReaderFactory.columnarCompatible]]).
+  */
+class GraftVectorizedFileReader(part: GraftFileInfo,
+    schema: StructType, conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.execution.datasources.parquet.{
+    ParquetReadSupport, VectorizedParquetRecordReader}
+
+  private val dataSchema = StructType(schema.filterNot(_.name == "date"))
+  private val wantsDate = schema.fieldNames.contains("date")
+
+  private val reader = {
+    val rc = new Configuration(conf)
+    rc.set("parquet.read.support.class",
+      classOf[ParquetReadSupport].getName)
+    rc.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    // the schema converter reads these from the task conf; Spark's
+    // scan sets them from the session — mirror the same defaults
+    rc.setBoolean("spark.sql.parquet.binaryAsString", false)
+    rc.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    rc.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    rc.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    rc.setBoolean("spark.sql.caseSensitive", false)
+    if (rc.get("spark.sql.session.timeZone") == null)
+      rc.set("spark.sql.session.timeZone", "UTC")
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    // the base reader casts to the OLD-API split (mapred.FileSplit,
+    // which extends the mapreduce one in Hadoop 3)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(part.path), 0, Long.MaxValue, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(rc,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    r.initialize(split, attempt)
+    val (partSchema, partRow) =
+      if (wantsDate)
+        (StructType(Seq(org.apache.spark.sql.types
+          .StructField("date", DateType, nullable = false))),
+          new GenericInternalRow(Array[Any](
+            LocalDate.parse(part.date).toEpochDay.toInt)))
+      else (new StructType(), new GenericInternalRow(Array.empty[Any]))
+    r.initBatch(partSchema, partRow)
+    r.enableReturningBatches()
+    r
+  }
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** Row-materializing parquet reader over the PUBLIC parquet-mr API
@@ -262,7 +402,7 @@ class GraftParquetReaderFactory(schema: StructType,
   * INT64-micros/millis/nanos timestamps, INT32-backed longs from
   * widened schemas), so the per-row loop is branch-free.
   */
-class GraftParquetPartitionReader(part: GraftFilePartition,
+class GraftParquetFileReader(part: GraftFileInfo,
     schema: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 

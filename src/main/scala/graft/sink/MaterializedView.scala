@@ -269,8 +269,12 @@ object MaterializedView {
       // as zero-count state rows until [[compact]] collapses them, and
       // the projection route refuses to serve a tombstoned MV (a
       // coarser re-merge could surface a phantom zero-count group).
-      // Any feed failure (pre-images reclaimed by a racing vacuum)
-      // falls back to the always-correct rebuild.
+      // ONLY the typed feed-unreproducible failure (pre-images
+      // reclaimed by a racing vacuum / swept log range) falls back to
+      // the always-correct rebuild — anything else (a genuine bug in
+      // partialRetract or appendTxn argument plumbing) PROPAGATES
+      // instead of silently degrading every destructive commit to a
+      // full scan forever.
       if (!mv.retractSupported) return rebuild(spark, baseTable, mvTable, mv)
       try {
         val cf = TxTable.changeFeed(spark, baseTable, last, cur)
@@ -278,7 +282,7 @@ object MaterializedView {
           WriterApp, cur, expectMark = Some(last),
           propsSet = Seq(TombstoneProp -> "true"))
       } catch {
-        case _: IllegalArgumentException =>
+        case _: TxTable.ChangeFeedUnavailableException =>
           return rebuild(spark, baseTable, mvTable, mv)
       }
     }
@@ -346,19 +350,26 @@ object MaterializedView {
   /** Collapse accumulated partial batches into one state row per group
     * (one atomic overwrite commit; high-water marks replay from the log
     * unaffected, so refresh keeps working after compaction). Fully-
-    * retracted groups are dropped and the tombstone mark cleared — the
-    * projection route re-enables. A crash between the two commits
-    * leaves the mark set with no tombstones: conservative, still
-    * correct (projections stay off until the next compact).
+    * retracted groups are dropped and the tombstone mark cleared IN THE
+    * SAME COMMIT — a retract refresh landing after the overwrite keeps
+    * its own freshly-set mark (a separate clear commit would erase it
+    * while its zero-count state rows persist, letting the projection
+    * route serve a phantom fully-retracted group).
     */
   def compact(spark: SparkSession, mvTable: String, mv: MvDef): Long = {
+    val markBefore = lastApplied(spark, mvTable)
     val combined = mv.combine(TxTable.read(spark, mvTable))
     val pruned = mv.countStateName
       .map(c => combined.filter(col(c) =!= 0L)).getOrElse(combined)
-    val v = TxTable.overwrite(spark, pruned, mvTable)
-    if (TxTable.tableProperties(spark, mvTable).contains(TombstoneProp))
+    val v = TxTable.overwrite(spark, pruned, mvTable,
+      propsRemove = Seq(TombstoneProp))
+    // a refresh racing this compact (mark advanced since our read) may
+    // have appended a retraction batch our overwrite left live while
+    // clearing its tombstone mark — restore the mark conservatively
+    // (projections stay off until the next compact; never a phantom)
+    if (lastApplied(spark, mvTable) != markBefore)
       TxTable.setTableProperties(spark, mvTable,
-        remove = Seq(TombstoneProp))
+        set = Seq(TombstoneProp -> "true"))
     v
   }
 }

@@ -50,6 +50,17 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * double-removing data.
   */
 object TxTable {
+
+  /** [[changeFeed]]'s TYPED failure: the requested range cannot be
+    * reproduced (commits swept by [[expireLog]], or pre-image files
+    * reclaimed by [[vacuum]]). Typed so consumers that have an
+    * always-correct fallback (the MV's full rebuild) can catch exactly
+    * this condition without masking genuine argument bugs — every
+    * other `require` in the engine still throws a plain
+    * IllegalArgumentException that PROPAGATES.
+    */
+  final class ChangeFeedUnavailableException(msg: String)
+    extends IllegalArgumentException(msg)
   private val LogDirName = "_txlog"
   private val measures = Set("bytes", "packets", "n_obs")
 
@@ -398,17 +409,28 @@ object TxTable {
       payload: Array[Byte]): Boolean = {
     val store =
       Option(logStores.get(fs.getScheme)).getOrElse(HadoopLogStore)
+    def ownBytesLanded(): Boolean = {
+      val in = fs.open(f)
+      val got = try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      java.util.Arrays.equals(got, payload)
+    }
     var attempt = 0
+    var ambiguous = false
     while (true) {
-      try return store.putIfAbsent(fs, f, payload)
-      catch {
+      try {
+        val won = store.putIfAbsent(fs, f, payload)
+        // After ANY ambiguous failure in this call, a later plain
+        // `false` may be our own FIRST request landing late (delayed
+        // visibility: the retry ran while the object was still
+        // invisible, then the original PUT materialized). Concluding
+        // "lost race" without looking would re-commit the batch at the
+        // next version — read back and byte-compare first.
+        return won || (ambiguous && ownBytesLanded())
+      } catch {
         case e: java.io.IOException =>
-          if (fs.exists(f)) {
-            val in = fs.open(f)
-            val got = try org.apache.commons.io.IOUtils.toByteArray(in)
-              finally in.close()
-            return java.util.Arrays.equals(got, payload)
-          }
+          ambiguous = true
+          if (fs.exists(f)) return ownBytesLanded()
           attempt += 1
           if (attempt > 3) throw e
       }
@@ -540,6 +562,14 @@ object TxTable {
       propsRemove)
     var v = listVersions(fs, root).lastOption.getOrElse(-1L) + 1
     while (true) {
+      // a CREATE commit is valid ONLY at version 0: two racing creators
+      // both observe "no table", but only the v0 winner creates — the
+      // loser must NOT silently re-land its schema/properties at v1
+      // over the winner's (TOCTOU double-create)
+      if (op.contains("create") && v > 0)
+        throw new IllegalStateException(
+          s"table at $root already exists (concurrent CREATE lost the " +
+            "race at version 0)")
       if (removes.nonEmpty) {
         val live = snapshotFiles(fs, root)
         val gone = removes.filterNot(live.contains)
@@ -922,10 +952,15 @@ object TxTable {
     * data-less commit — existing files read the new columns as NULL
     * (the same M-action replay an evolving append records; see
     * [[schemaUpdate]]). Names must be new; columns append at the end
-    * of the data schema.
+    * of the data schema. `propsSet`/`propsRemove` ride the SAME commit
+    * so one ALTER statement carrying both column adds and
+    * SET/UNSET TBLPROPERTIES applies atomically — a crash can never
+    * leave the statement half-applied.
     */
   def addColumns(spark: SparkSession, table: String,
-      cols: Seq[StructField]): Long = {
+      cols: Seq[StructField],
+      propsSet: Seq[(String, String)] = Seq.empty,
+      propsRemove: Seq[String] = Seq.empty): Long = {
     require(cols.nonEmpty, "no columns to add")
     val (fs, root) = fsFor(spark, table)
     val cur = logSchema(fs, root).getOrElse(throw new IllegalStateException(
@@ -937,7 +972,7 @@ object TxTable {
       s"column(s) already exist: ${clash.mkString(",")}")
     commitRetry(fs, root, Seq.empty, Seq.empty, None,
       Some(StructType(cur ++ cols.map(_.copy(nullable = true)))),
-      op = Some("addcols"))
+      op = Some("addcols"), propsSet = propsSet, propsRemove = propsRemove)
   }
 
   /** TRUNCATE TABLE: drop every live file in one metadata-only commit
@@ -993,13 +1028,18 @@ object TxTable {
   /** Transactional full replace (one commit swaps the entire file set —
     * the reader never observes the table half-old half-new).
     */
-  def overwrite(spark: SparkSession, df: DataFrame, table: String): Long = {
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+      propsRemove: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsFor(spark, table)
     val adds = stage(prep(df), fs, root)
     // a full replace owns the whole file set, so the schema may change
-    // freely — no additive constraint (Delta's overwriteSchema)
+    // freely — no additive constraint (Delta's overwriteSchema).
+    // `propsRemove` rides the SAME commit so a state change the replace
+    // makes obsolete (e.g. the MV tombstone mark) clears atomically
+    // with it — no window where a racing writer's mark is lost.
     commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq, None,
-      Some(dataSchema(df)), op = Some("overwrite"))
+      Some(dataSchema(df)), op = Some("overwrite"),
+      propsRemove = propsRemove)
   }
 
   /** MERGE (upsert): every source row REPLACES the target row sharing
@@ -1223,8 +1263,21 @@ object TxTable {
     val state = replayState(fs, root, asOfVersion)
     val live = state.files.toSeq
       .filter { case (_, m) => dates.forall(_.contains(m.date)) }
-    require(live.nonEmpty, s"tx table $table has no live files" +
-      dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse(""))
+    if (live.isEmpty) {
+      // zero live files is a VALID state when the log declares a
+      // schema (a created-but-empty or truncated table): read as zero
+      // rows under the declared schema, same as the catalog's
+      // empty-table relation. Only a schema-less empty log (nothing
+      // was ever written OR declared) is unreadable.
+      val sch = state.schema.getOrElse(throw new IllegalArgumentException(
+        s"tx table $table has no live files" +
+          dates.map(ds => s" for dates ${ds.mkString(",")}").getOrElse("")))
+      import org.apache.spark.sql.types.{DateType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(StructField("date", DateType, nullable = true) +:
+          sch.fields.toSeq))
+    }
     readFileSet(spark, root, live, state.schema)
   }
 
@@ -1643,22 +1696,42 @@ object TxTable {
     * the diff seeing identical columns).
     */
   def changeFeed(spark: SparkSession, table: String,
-      fromExclusive: Long, toInclusive: Long): DataFrame = {
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    changeFeed(spark, table, fromExclusive, toInclusive, Seq.empty)
+
+  /** [[changeFeed]] with keyed UPDATE pairing (Delta's
+    * `update_preimage` / `update_postimage`): within one rewrite
+    * commit, a `pairKeys` tuple present on BOTH sides of the diff is
+    * an UPDATE — its old row tagged `update_preimage`, its new row
+    * `update_postimage` — while one-sided tuples stay plain
+    * insert/delete. Correct for Replacing-style tables whose key is
+    * unique per side of a commit (the [[compactReplacing]]/[[merge]]
+    * contract); a key repeated WITHIN one side pairs all its rows,
+    * exactly like Delta CDF on a non-unique merge condition. The
+    * streaming feed (`readChangeFeed`) emits the UNPAIRED form — same
+    * divergence Delta had before CDC batch/stream parity; see
+    * COVERAGE.md.
+    */
+  def changeFeed(spark: SparkSession, table: String,
+      fromExclusive: Long, toInclusive: Long,
+      pairKeys: Seq[String]): DataFrame = {
     val (fs, root) = fsFor(spark, table)
     val vs = listVersions(fs, root)
       .filter(v => v > fromExclusive && v <= toInclusive).sorted
-    require(vs.size == toInclusive - fromExclusive,
-      s"change feed ($fromExclusive, $toInclusive] on $table: part of " +
-        "the range was swept by expireLog and cannot be reproduced — " +
-        "widen the log retention or start the feed from a newer version")
+    if (vs.size != toInclusive - fromExclusive)
+      throw new ChangeFeedUnavailableException(
+        s"change feed ($fromExclusive, $toInclusive] on $table: part of " +
+          "the range was swept by expireLog and cannot be reproduced — " +
+          "widen the log retention or start the feed from a newer version")
     val sch = logSchema(fs, root, Some(toInclusive))
     def readRels(rels: Seq[String]): DataFrame = {
       val missing = rels.filterNot(r => fs.exists(new Path(root, r)))
-      require(missing.isEmpty,
-        s"change feed ($fromExclusive, $toInclusive] on $table: " +
-          s"${missing.size} pre-image file(s) already reclaimed by " +
-          s"vacuum (first: ${missing.headOption.getOrElse("")}) — " +
-          "raise the vacuum retention to cover the feed's lag")
+      if (missing.nonEmpty)
+        throw new ChangeFeedUnavailableException(
+          s"change feed ($fromExclusive, $toInclusive] on $table: " +
+            s"${missing.size} pre-image file(s) already reclaimed by " +
+            s"vacuum (first: ${missing.headOption.getOrElse("")}) — " +
+            "raise the vacuum retention to cover the feed's lag")
       readFileSet(spark, root,
         rels.map(_ -> FileMeta("", 0L, Map.empty)), sch)
     }
@@ -1675,8 +1748,29 @@ object TxTable {
       else {
         val pre = readRels(removes)
         val post = if (adds.isEmpty) pre.limit(0) else readRels(adds)
-        Some(tag(post.exceptAll(pre), v, "insert")
-          .unionByName(tag(pre.exceptAll(post), v, "delete")))
+        val ins = post.exceptAll(pre)
+        val del = pre.exceptAll(post)
+        if (pairKeys.isEmpty)
+          Some(tag(ins, v, "insert").unionByName(tag(del, v, "delete")))
+        else {
+          // pair on key presence across the two diff sides — one
+          // window over the commit's OWN changed rows (O(delta)),
+          // never a join back against the table
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pairKeys.map(col): _*)
+          val both = ins.withColumn("_side", lit("i"))
+            .unionByName(del.withColumn("_side", lit("d")))
+            .withColumn("_nsides",
+              size(collect_set(col("_side")).over(w)))
+          val ct = when(col("_nsides") === 2,
+            when(col("_side") === "i", lit("update_postimage"))
+              .otherwise(lit("update_preimage")))
+            .otherwise(when(col("_side") === "i", lit("insert"))
+              .otherwise(lit("delete")))
+          Some(both.withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", ct)
+            .drop("_side", "_nsides"))
+        }
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse(

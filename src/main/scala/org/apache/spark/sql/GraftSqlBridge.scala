@@ -12,6 +12,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-analyzed logical plan — what a test
+    * or gate needs to exercise an analyzer rule (e.g.
+    * [[graft.catalog.GraftCatalogRelations]]) in a session that was
+    * built WITHOUT `spark.sql.extensions`: apply the rule to
+    * `df.queryExecution.analyzed` and re-root the result.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Re-root a BATCH file-scan frame as a STREAMING one — the v1
     * streaming `Source.getBatch` contract (what FileStreamSource does
     * with `LogicalRelation(..., isStreaming = true)`): the engine

@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+import org.apache.spark.sql.GraftSqlBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{GraftCatalog, GraftCatalogRelations}
+import graft.sink.TxTable
+
+/** The SQL catalog ([[graft.catalog.GraftCatalog]]): identifiers map to
+  * warehouse paths, the commit log IS the table state, and every DDL /
+  * DML statement lands as tx-table commits. Covers the doc-comment
+  * lifecycle in BOTH read postures (the extensions' relation-swap rule
+  * and the V1Scan fallback the shared no-extensions session uses), the
+  * combined ALTER single-commit contract, create-race safety, and
+  * path-API-writer / SQL-reader agreement.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse",
+      sys.props("java.io.tmpdir") + "/graft_gcat_warehouse")
+  }
+
+  private def freshNs(ns: String): Unit = {
+    ensureCatalog()
+    spark.sql(s"DROP NAMESPACE IF EXISTS gcat.$ns CASCADE")
+    spark.sql(s"CREATE NAMESPACE gcat.$ns")
+  }
+
+  test("SQL lifecycle: create / inserts / delete / alter / time travel") {
+    freshNs("spec")
+    spark.sql("CREATE TABLE gcat.spec.t (date DATE, k STRING, v BIGINT)" +
+      " PARTITIONED BY (date)")
+    assert(spark.table("gcat.spec.t").count() == 0,
+      "a created table reads empty under the declared schema")
+    assert(spark.table("gcat.spec.t").schema.fieldNames.toSeq ==
+      Seq("k", "v", "date"), "date moves LAST (file-source convention)")
+    // positional insert follows (k, v, date)
+    spark.sql("INSERT INTO gcat.spec.t VALUES" +
+      " ('a', 1, DATE'2024-01-01'), ('b', 2, DATE'2024-01-01')")
+    // by-name insert is order-independent
+    spark.sql("INSERT INTO gcat.spec.t (date, v, k) VALUES" +
+      " (DATE'2024-01-02', 3, 'a'), (DATE'2024-01-02', 4, 'c')")
+    assert(spark.sql("SELECT sum(v) FROM gcat.spec.t").head.getLong(0) == 10)
+    spark.sql("DELETE FROM gcat.spec.t WHERE k = 'b'")
+    assert(spark.sql("SELECT sum(v) FROM gcat.spec.t").head.getLong(0) == 8)
+    spark.sql("ALTER TABLE gcat.spec.t ADD COLUMNS (w DOUBLE)")
+    spark.sql("INSERT INTO gcat.spec.t VALUES" +
+      " ('d', 5, 2.5, DATE'2024-01-03')")
+    val rows = spark.sql("SELECT k, v, w FROM gcat.spec.t ORDER BY v")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "a", "c", "d"))
+    assert(rows.take(3).forall(_.isNullAt(2)),
+      "pre-evolution rows read the new column as NULL")
+    assert(rows.last.getDouble(2) == 2.5)
+    // time travel: v0 create, v1 insert, v2 insert, v3 delete, ...
+    assert(spark.sql("SELECT count(*) FROM gcat.spec.t VERSION AS OF 2")
+      .head.getLong(0) == 4, "pre-delete state via VERSION AS OF")
+    assert(spark.sql("SELECT count(*) FROM gcat.spec.t VERSION AS OF 1")
+      .head.getLong(0) == 2)
+    // TIMESTAMP AS OF far future resolves to the newest commit
+    assert(spark.sql("SELECT count(*) FROM gcat.spec.t" +
+      " TIMESTAMP AS OF '2999-01-01'").head.getLong(0) == 4)
+    // a pinned table refuses writes
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO gcat.spec.t VERSION AS OF 1 VALUES" +
+        " ('x', 9, 0.0, DATE'2024-01-01')"))
+    assert(e.getMessage != null)
+  }
+
+  test("both read postures agree and the fast path is the vectorized " +
+    "relation") {
+    freshNs("posture")
+    spark.sql("CREATE TABLE gcat.posture.t (date DATE, k STRING, v BIGINT)")
+    spark.sql("INSERT INTO gcat.posture.t VALUES" +
+      " ('a', 1, DATE'2024-01-01'), ('b', 2, DATE'2024-01-02')," +
+      " ('a', 3, DATE'2024-01-02')")
+    val q = "SELECT k, sum(v) AS v FROM gcat.posture.t GROUP BY k"
+    val v1 = spark.sql(q)
+    // fallback posture: the physical plan goes through the V1Scan bridge
+    val v1Plan = v1.queryExecution.executedPlan.toString
+    assert(v1Plan.contains("GraftCatalogV1Relation"), v1Plan.take(800))
+    val swapped = GraftCatalogRelations.applyPostAnalysis(
+      v1.queryExecution.analyzed)
+    assert(swapped.collectFirst { case l: LogicalRelation => l }.isDefined,
+      "the extensions rule must swap in the HadoopFsRelation")
+    val fast = GraftSqlBridge.ofRows(spark, swapped)
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(fastPlan.contains("FileScan parquet"), fastPlan.take(800))
+    assert(fast.orderBy("k").collect().toSeq ==
+      v1.orderBy("k").collect().toSeq)
+    // write targets keep their v2 relation (the rule must NOT swap a
+    // DELETE's target out from under the row-level contract)
+    val del = spark.sessionState.sqlParser.parsePlan(
+      "DELETE FROM gcat.posture.t WHERE k = 'zzz'")
+    val analyzedDel = spark.sessionState.analyzer.execute(del)
+    val swappedDel = GraftCatalogRelations.applyPostAnalysis(analyzedDel)
+    assert(swappedDel.collectFirst { case l: LogicalRelation => l }.isEmpty,
+      "command targets stay v2")
+  }
+
+  test("V1Scan fallback negotiates pruning and filter pushdown") {
+    freshNs("prune")
+    spark.sql("CREATE TABLE gcat.prune.t (date DATE, k STRING, v BIGINT," +
+      " pad STRING)")
+    spark.sql("INSERT INTO gcat.prune.t SELECT concat('k', id)," +
+      " id, repeat('x', 10), DATE'2024-01-01' FROM range(100)")
+    val df = spark.sql(
+      "SELECT v FROM gcat.prune.t WHERE k = 'k7' AND v > 5")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("GraftCatalogV1Relation"), scan.take(800))
+    // `pad` must not reach the scan (column pruning negotiated at the
+    // v2 ScanBuilder even on the fallback path)
+    assert(!scan.contains("pad"), scan.take(800))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the pushdown CONTRACT, checked at the v2 ScanBuilder directly
+    // (the V1 bridge applies pushed filters inside buildScan, so the
+    // physical plan string doesn't carry them)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.connector.read.{SupportsPushDownFilters,
+      SupportsPushDownRequiredColumns}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val sb = cat.loadTable(Identifier.of(Array("prune"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val rest = sb.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(EqualTo("k", "k7"), GreaterThan("v", 5L)))
+    assert(rest.isEmpty, "both filters must be accepted as pushed")
+    sb.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(spark.table("gcat.prune.t").schema
+        .filter(_.name == "v")))
+    val builtScan = sb.build()
+    assert(builtScan.readSchema().fieldNames.toSeq == Seq("v"))
+    assert(builtScan.description().contains("EqualTo(k,k7)"),
+      builtScan.description())
+  }
+
+  test("one ALTER statement carrying ADD COLUMNS + SET TBLPROPERTIES " +
+    "lands as ONE commit") {
+    freshNs("alter")
+    spark.sql("CREATE TABLE gcat.alter.t (date DATE, k STRING, v BIGINT)")
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_gcat_warehouse/alter/t"
+    val before = TxTable.currentVersion(spark, path)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    cat.alterTable(Identifier.of(Array("alter"), "t"),
+      TableChange.addColumn(Array("w"), DoubleType),
+      TableChange.setProperty("a.b", "c"),
+      TableChange.removeProperty("never.set"))
+    assert(TxTable.currentVersion(spark, path) == before + 1,
+      "the combined change batch must be ONE commit")
+    assert(TxTable.tableSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("k", "v", "w"))
+    assert(TxTable.tableProperties(spark, path) == Map("a.b" -> "c"))
+    // half-supported batches are REJECTED whole (no partial apply)
+    intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array("alter"), "t"),
+        TableChange.addColumn(Array("z"), LongType),
+        TableChange.renameColumn(Array("k"), "k2"))
+    }
+    assert(TxTable.tableSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("k", "v", "w"), "rejected batch must not half-apply")
+  }
+
+  test("path-API writer and SQL reader agree (path-is-truth posture)") {
+    freshNs("shared")
+    import spark.implicits._
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_gcat_warehouse/shared/t"
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    TxTable.append(spark, df, path)
+    // no CREATE TABLE ever ran — the log under the warehouse path IS
+    // the catalog entry
+    assert(spark.sql("SELECT sum(v) FROM gcat.shared.t").head.getLong(0)
+      == 3)
+    assert(spark.sql("SHOW TABLES IN gcat.shared").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("INSERT INTO gcat.shared.t VALUES ('c', 4, DATE'2024-01-02')")
+    assert(TxTable.read(spark, path).agg(sum("v")).head.getLong(0) == 7,
+      "SQL writes are visible to the path API")
+  }
+
+  test("create race: the version-0 loser fails instead of silently " +
+    "replacing the winner's schema") {
+    freshNs("race")
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_gcat_warehouse/race/t"
+    import org.apache.spark.sql.types.{DateType, StringType, StructType}
+    val schemaA = StructType(Seq(StructField("date", DateType),
+      StructField("a", LongType)))
+    val schemaB = StructType(Seq(StructField("date", DateType),
+      StructField("b", StringType)))
+    assert(TxTable.createTable(spark, path, schemaA) == 0L)
+    // a second creator that already passed its existence check (TOCTOU)
+    // must NOT land its create at v1 — simulate by calling the
+    // primitive directly against the now-existing log
+    intercept[IllegalArgumentException] {
+      TxTable.createTable(spark, path, schemaB)
+    }
+    assert(TxTable.tableSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("a"), "winner's schema survives")
+    // and SQL-level create on an existing table fails loudly too
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.race.t (date DATE, zz BIGINT)")
+    }
+  }
+
+  test("namespaces: list/exists/drop semantics over plain directories") {
+    freshNs("nsa")
+    spark.sql("CREATE TABLE gcat.nsa.t1 (date DATE, v BIGINT)")
+    val tables = spark.sql("SHOW TABLES IN gcat.nsa").collect()
+      .map(_.getString(1)).toSet
+    assert(tables == Set("t1"))
+    val nss = spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).toSet
+    assert(nss.contains("nsa"))
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE gcat.nsa") // not empty, no cascade
+    }
+    spark.sql("DROP NAMESPACE gcat.nsa CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("nsa"))
+  }
+
+  test("streaming read via the catalog identifier is exactly-once " +
+    "across a restart") {
+    freshNs("strm")
+    import spark.implicits._
+    spark.sql("CREATE TABLE gcat.strm.ev (date DATE, k STRING, v BIGINT)")
+    spark.sql("INSERT INTO gcat.strm.ev VALUES ('a', 1, DATE'2024-01-01')")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cat_strm").toString
+    def start() = spark.readStream.table("gcat.strm.ev")
+      .writeStream.option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty)
+          df.write.mode("overwrite").parquet(s"$out/data/batch=$id")
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.sql("INSERT INTO gcat.strm.ev VALUES ('b', 2, DATE'2024-01-02')")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$out/data")
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 2L)),
+      "restart delivers exactly the missed commit — nothing doubled")
+  }
+}

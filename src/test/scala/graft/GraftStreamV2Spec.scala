@@ -285,6 +285,45 @@ class GraftStreamV2Spec extends AnyFunSuite {
     assert(dates.size == 10 && dates.forall(_ == "2024-06-01"))
   }
 
+  test("v2 COLUMNAR delivery (the default) equals the row reader — " +
+      "full width, evolved schema (old files read the added column " +
+      "as NULL vectors), and the date partition vector") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val dir = tmp("columnar")
+    val table = s"$dir/t"
+    TxTable.append(spark, batch(0), table)
+    TxTable.addColumns(spark, table, Seq(StructField("w", DoubleType)))
+    TxTable.append(spark,
+      batch(1).withColumn("w", col("v").cast("double") * 0.5), table)
+
+    def drain(columnar: Boolean): Set[(String, String, Long, Option[Double])] = {
+      val acc = scala.collection.mutable.Set
+        .empty[(String, String, Long, Option[Double])]
+      val q = spark.readStream.format("graft-v2")
+        .option("columnarReader", columnar.toString)
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt_$columnar")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select("date", "k", "v", "w").collect().map(r =>
+            (r.getDate(0).toString, r.getString(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          acc.synchronized { acc ++= rows }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      acc.toSet
+    }
+    val colRows = drain(columnar = true)
+    val rowRows = drain(columnar = false)
+    assert(colRows.size == 40)
+    assert(colRows == rowRows,
+      "columnar and row delivery must produce identical rows")
+    assert(colRows.count(_._4.isEmpty) == 20,
+      "pre-evolution files read the added column as NULL")
+    assert(colRows.count(_._4.isDefined) == 20)
+  }
+
   test("v2 rejects what it cannot honor, at plan time: readChangeFeed " +
       "names the v1 remedy") {
     val dir = tmp("reject")

@@ -337,4 +337,72 @@ class MaterializedViewSpec extends AnyFunSuite {
         s"quantile p=$p estimated $v, rank error $err > ${0.02 * n}")
     }
   }
+
+  test("MV: the retraction fallback is TYPED — a vacuum-reclaimed feed " +
+      "falls back to rebuild; an unrelated require failure PROPAGATES " +
+      "instead of silently degrading to rebuilds forever") {
+    val defR = MV.MvDef(Seq("date", "k"),
+      Seq(MV.SumState("v", "v_sum"), MV.CountState("n")))
+    // ---- arm 1: feed-unreproducible → typed exception → rebuild ----
+    val d1 = tmp()
+    val (b1, m1) = (s"$d1/base", s"$d1/mv")
+    TxTable.append(spark, batch(0, 200), b1)
+    assert(MV.refresh(spark, b1, m1, defR) >= 0)
+    assert(TxTable.delete(spark, b1, col("v") >= 100L) >= 0)
+    // reclaim the delete's pre-images NOW — the change feed can no
+    // longer reproduce the destructive commit
+    assert(TxTable.vacuum(spark, b1, minAgeMs = 0L).nonEmpty)
+    intercept[TxTable.ChangeFeedUnavailableException] {
+      TxTable.changeFeed(spark, b1, MV.lastApplied(spark, m1),
+        TxTable.currentVersion(spark, b1)).collect()
+    }
+    assert(MV.refresh(spark, b1, m1, defR) >= 0,
+      "refresh must fall back to rebuild")
+    assert(TxTable.history(spark, m1).select("operation").collect()
+      .map(_.getString(0)).contains("overwrite"),
+      "the fallback path is a REBUILD (overwrite commit)")
+    assert(MV.read(spark, m1, defR).agg(sum("v_sum")).head.getLong(0) ==
+      batch(0, 100).agg(sum("v")).head.getLong(0))
+    // ---- arm 2: an unrelated IllegalArgumentException propagates ----
+    val d2 = tmp()
+    val (b2, m2) = (s"$d2/base", s"$d2/mv")
+    TxTable.append(spark, batch(0, 100), b2)
+    assert(MV.refresh(spark, b2, m2, defR) >= 0)
+    // sabotage the MV table: replace its schema non-additively (v_sum
+    // becomes a string) — the next retraction append's schema check
+    // throws a PLAIN IllegalArgumentException
+    import spark.implicits._
+    val junk = Seq(("2024-01-01", "x", "oops", 1L))
+      .toDF("d", "k", "v_sum", "n")
+      .select(to_date(col("d")).as("date"), col("k"), col("v_sum"),
+        col("n"))
+    TxTable.overwrite(spark, junk, m2)
+    assert(TxTable.delete(spark, b2, col("v") >= 50L) >= 0)
+    val e = intercept[IllegalArgumentException] {
+      MV.refresh(spark, b2, m2, defR)
+    }
+    assert(!e.isInstanceOf[TxTable.ChangeFeedUnavailableException],
+      "a genuine bug must NOT be masked as a rebuild")
+    assert(e.getMessage.contains("non-additive"))
+  }
+
+  test("MV: compact clears the tombstone mark in the SAME commit as " +
+      "its overwrite — no window where tombstoned state rows survive " +
+      "an already-cleared mark") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    val defR = MV.MvDef(Seq("date", "k"),
+      Seq(MV.SumState("v", "v_sum"), MV.CountState("n")))
+    TxTable.append(spark, batch(0, 200), baseT)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    assert(TxTable.delete(spark, baseT, col("k") === "3") >= 0)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0) // retraction
+    assert(TxTable.tableProperties(spark, mvT).contains(MV.TombstoneProp))
+    val vBefore = TxTable.currentVersion(spark, mvT)
+    MV.compact(spark, mvT, defR)
+    assert(TxTable.currentVersion(spark, mvT) == vBefore + 1,
+      "compact + mark clear must be ONE commit")
+    assert(!TxTable.tableProperties(spark, mvT).contains(MV.TombstoneProp))
+    assert(MV.read(spark, mvT, defR).filter(col("k") === "3").count() == 0)
+  }
 }

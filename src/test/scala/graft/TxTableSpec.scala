@@ -1304,4 +1304,118 @@ class TxTableSpec extends AnyFunSuite {
     assert(Bloom.mayContain("%%%not-base64", s"${Bloom.M},${Bloom.K}", 7L))
     assert(Bloom.mayContain("QUJD", "garbage", 7L))
   }
+
+  test("DDL: createTable reads empty under the declared schema and " +
+      "appends must conform to it") {
+    import org.apache.spark.sql.types.{DateType, LongType, StringType,
+      StructField, StructType}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ddl").toString + "/t"
+    // date column is mandatory
+    intercept[IllegalArgumentException] {
+      TxTable.createTable(spark, path, StructType(Seq(
+        StructField("k", StringType))))
+    }
+    val schema = StructType(Seq(StructField("date", DateType),
+      StructField("k", StringType), StructField("v", LongType)))
+    assert(TxTable.createTable(spark, path, schema,
+      Seq("graft.p1" -> "x")) == 0L)
+    val empty = TxTable.read(spark, path)
+    assert(empty.count() == 0, "created table reads ZERO rows")
+    assert(empty.columns.toSet == Set("date", "k", "v"),
+      "…under the DECLARED schema")
+    assert(TxTable.tableProperties(spark, path) == Map("graft.p1" -> "x"))
+    // duplicate create fails loudly
+    intercept[IllegalArgumentException] {
+      TxTable.createTable(spark, path, schema)
+    }
+    // a NON-CONFORMING append (v retyped to string) is rejected
+    val bad = Seq(("a", "not-a-long")).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    intercept[IllegalArgumentException] { TxTable.append(spark, bad, path) }
+    // a frame MISSING a declared column is rejected too (non-additive)
+    val missing = Seq("a").toDF("k")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    intercept[IllegalArgumentException] {
+      TxTable.append(spark, missing, path)
+    }
+    // conforming append lands
+    val good = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(TxTable.append(spark, good, path) > 0L)
+    assert(TxTable.read(spark, path).count() == 2)
+  }
+
+  test("DDL: addColumns evolves additively; on a pre-evolution log it " +
+      "fails with the actionable error") {
+    import org.apache.spark.sql.types.{DateType, DoubleType, LongType,
+      StringType, StructField, StructType}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddl2").toString
+    val path = s"$dir/t"
+    val schema = StructType(Seq(StructField("date", DateType),
+      StructField("k", StringType), StructField("v", LongType)))
+    TxTable.createTable(spark, path, schema)
+    val rows = Seq(("a", 1L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    TxTable.append(spark, rows, path)
+    TxTable.addColumns(spark, path, Seq(StructField("w", DoubleType)))
+    val read = TxTable.read(spark, path)
+    assert(read.columns.toSet == Set("date", "k", "v", "w"))
+    assert(read.select("w").collect().forall(_.isNullAt(0)),
+      "old files read the new column as NULL")
+    // name clashes (including the partition column) are rejected
+    intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, path, Seq(StructField("v", LongType)))
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.addColumns(spark, path, Seq(StructField("date", DateType)))
+    }
+    // PRE-EVOLUTION log (no M action): the actionable error, not a
+    // silent mis-evolution
+    val path2 = s"$dir/pre"
+    TxTable.commitActions(spark, path2,
+      Seq(("d-000/p.parquet", "2024-01-01", 1L)), Seq.empty)
+    val e = intercept[IllegalStateException] {
+      TxTable.addColumns(spark, path2, Seq(StructField("w", DoubleType)))
+    }
+    assert(e.getMessage.contains("pre-evolution"))
+  }
+
+  test("DDL: truncate drops every row in one metadata commit, schema " +
+      "and properties survive, removed files fall to vacuum") {
+    import org.apache.spark.sql.types.{DateType, LongType, StringType,
+      StructField, StructType}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ddl3").toString + "/t"
+    val schema = StructType(Seq(StructField("date", DateType),
+      StructField("k", StringType), StructField("v", LongType)))
+    TxTable.createTable(spark, path, schema, Seq("graft.keep" -> "yes"))
+    val rows = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    TxTable.append(spark, rows, path)
+    val vBefore = TxTable.currentVersion(spark, path)
+    assert(TxTable.truncate(spark, path) == vBefore + 1,
+      "truncate is ONE commit")
+    val after = TxTable.read(spark, path)
+    assert(after.count() == 0)
+    assert(after.columns.toSet == Set("date", "k", "v"),
+      "schema survives truncate")
+    assert(TxTable.tableProperties(spark, path) == Map("graft.keep" -> "yes"),
+      "properties survive truncate")
+    // the dropped files were NOT rewritten — they fall to vacuum
+    val reclaimed = TxTable.vacuum(spark, path, minAgeMs = 0L)
+    assert(reclaimed.nonEmpty, "truncated files must be vacuumable")
+    // table keeps working after the sweep
+    TxTable.append(spark, rows.limit(1), path)
+    assert(TxTable.read(spark, path).count() == 1)
+    // the LOG still replays the pre-truncate version's metadata (the
+    // data files themselves are gone to vacuum — reading them would
+    // fail, exactly Delta's vacuum-vs-time-travel trade)
+    assert(TxTable.read(spark, path, asOfVersion = Some(vBefore))
+      .columns.toSet == Set("date", "k", "v"))
+  }
 }
