@@ -318,6 +318,7 @@ class GraftCatalogTable(val path: String, ident: Identifier,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.MICRO_BATCH_READ)
 
   /** The planner-owned relation ([[TxFileIndex.relation]]) — what the
@@ -420,7 +421,24 @@ class GraftCatalogScanBuilder(table: GraftCatalogTable, full: StructType,
 
 class GraftCatalogScan(table: GraftCatalogTable, pruned: StructType,
     pushed: Array[Filter], options: CaseInsensitiveStringMap)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Log-derived size (the same compression-factor-adjusted number the
+    * planner-owned relation reports) so Catalyst can BROADCAST a small
+    * catalog table in the fallback posture instead of defaulting to
+    * "unknown = huge" and shuffling both join sides.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val size = table.v1Relation.sizeInBytes
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def readSchema(): StructType = pruned
   override def description(): String =
@@ -527,15 +545,36 @@ object GraftCatalogRelations
 }
 
 class GraftCatalogWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwriteAll = false
+  private var overwriteCond: Option[Column] = None
 
-  /** INSERT OVERWRITE (static) arrives as truncate-then-append — map
-    * it to the tx table's atomic full replace (one commit swaps the
-    * file set; readers never observe the truncated intermediate).
+  /** Unfiltered INSERT OVERWRITE arrives as truncate-then-append —
+    * map it to the tx table's atomic full replace (one commit swaps
+    * the file set; readers never observe the truncated intermediate).
     */
-  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def truncate(): WriteBuilder = {
+    overwriteAll = true; overwriteCond = None; this
+  }
+
+  /** `INSERT OVERWRITE t PARTITION (date=...)` (and any other
+    * filtered static overwrite) maps to the atomic
+    * [[TxTable.replaceWhere]] — one commit swaps exactly the matched
+    * region.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val always = filters.isEmpty ||
+      filters.forall(_ == sources.AlwaysTrue())
+    if (always) return truncate()
+    val cols = filters.map(f => GraftCatalogTable.filterToColumn(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft cannot overwrite by filter $f")))
+    overwriteCond = Some(cols.reduce(_ && _))
+    overwriteAll = false
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -545,13 +584,22 @@ class GraftCatalogWriteBuilder(path: String, info: LogicalWriteInfo)
           // names; select by name anyway so the mapping is explicit
           val frame = data.select(
             data.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-          if (overwriteAll || overwrite)
-            TxTable.overwrite(data.sparkSession, frame, path)
-          else TxTable.append(data.sparkSession, frame, path)
+          overwriteCond match {
+            case Some(cond) =>
+              TxTable.replaceWhere(data.sparkSession, frame, path, cond)
+            case None if overwriteAll || overwrite =>
+              TxTable.overwrite(data.sparkSession, frame, path)
+            case None =>
+              TxTable.append(data.sparkSession, frame, path)
+          }
           ()
         }
       }
-    override def description(): String =
-      s"GraftWrite[$path, ${if (overwriteAll) "overwrite" else "append"}]"
+    override def description(): String = {
+      val mode =
+        if (overwriteCond.isDefined) "replaceWhere"
+        else if (overwriteAll) "overwrite" else "append"
+      s"GraftWrite[$path, $mode]"
+    }
   }
 }

@@ -163,6 +163,34 @@ object CatalogQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // SQL PARTITION overwrite: `INSERT OVERWRITE t PARTITION (date=d)`
+    // routes through SupportsOverwrite -> TxTable.replaceWhere — ONE
+    // commit swaps exactly the min-date partition (re-priced ×10,
+    // errors dropped) while every other date's rows ride untouched.
+    // The oracle recomputes the same min date independently.
+    "qcat_partition_ow" -> ((s, d) => {
+      freshWarehouse(s, "cat_pow", d)
+      resetNamespace(s, "pow")
+      ev(s, d).createOrReplaceTempView("qcat_pev")
+      s.sql("CREATE TABLE gcat.pow.t (date DATE, event_type STRING," +
+        " cents BIGINT) PARTITIONED BY (date)")
+      s.sql("INSERT INTO gcat.pow.t SELECT event_type, cents, date" +
+        " FROM qcat_pev")
+      val minDate = s.sql("SELECT CAST(MIN(date) AS STRING) FROM qcat_pev")
+        .head.getString(0)
+      val vBefore = graft.sink.TxTable.currentVersion(s,
+        s.conf.get("spark.sql.catalog.gcat.warehouse") + "/pow/t")
+      s.sql(s"INSERT OVERWRITE gcat.pow.t PARTITION (date = '$minDate')" +
+        s" SELECT event_type, cents * 10 FROM qcat_pev" +
+        s" WHERE date = DATE'$minDate' AND event_type <> 'error'")
+      require(graft.sink.TxTable.currentVersion(s,
+        s.conf.get("spark.sql.catalog.gcat.warehouse") + "/pow/t")
+        == vBefore + 1, "a partition overwrite must be ONE commit")
+      s.sql(s"SELECT (date = DATE'$minDate') AS replaced, event_type," +
+        " count(*) AS n, sum(cents) AS cents FROM gcat.pow.t" +
+        " GROUP BY 1, 2 ORDER BY 1, 2")
+    }),
+
     // STREAMING reads through the catalog identifier
     // (`readStream.table`, the GraftMicroBatchStream path): the stream
     // backfills the pre-stream commit, is STOPPED while a commit lands
@@ -242,6 +270,19 @@ object CatalogQueries {
         |    AS n_after_overwrite
         |FROM e WHERE event_id % 4 = 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qcat_partition_ow" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT MIN(date) AS d FROM e),
+        |t AS (
+        |  SELECT date, event_type, cents FROM e
+        |  WHERE date <> (SELECT d FROM m)
+        |  UNION ALL
+        |  SELECT date, event_type, cents * 10 FROM e
+        |  WHERE date = (SELECT d FROM m) AND event_type <> 'error')
+        |SELECT (date = (SELECT d FROM m)) AS replaced, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "qcat_stream" ->
       """WITH e AS (SELECT event_type,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)

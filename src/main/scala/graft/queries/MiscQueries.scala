@@ -1076,6 +1076,31 @@ object MiscQueries {
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
 
+    // Atomic REPLACE WHERE (Delta's replaceWhere): ONE commit removes
+    // every row of a region and adds its replacement — the gate
+    // REQUIRES the whole operation to be commit v1 (append was v0), so
+    // a delete-then-append two-commit implementation fails loudly.
+    // Click rows are re-priced ×10; every other row must ride along
+    // untouched (copy-on-write carry-over inside the touched files).
+    "qtx_replacewhere" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_rw_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      require(TxTable.append(s, ev, t) == 0L)
+      val repl = ev.filter(col("event_type") === "click")
+        .withColumn("cents", col("cents") * 10)
+      require(TxTable.replaceWhere(s, repl, t,
+        col("event_type") === "click") == 1L,
+        "replaceWhere must be ONE commit (v1)")
+      TxTable.read(s, t).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("event_type")
+    }),
+
     // CDF with keyed UPDATE pairing (Delta's update_preimage /
     // update_postimage): the same 4-commit feed as qtx_cdf, but the
     // merge's rewritten rows — whose (date, event_id) appears on BOTH
@@ -1829,6 +1854,17 @@ object MiscQueries {
         |  CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cdf GROUP BY v, ct, event_type
         |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    // click rows re-priced ×10 in place; everything else untouched
+    "qtx_replacewhere" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT event_type, cents FROM e WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, cents * 10 FROM e WHERE event_type = 'click')
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // keyed pairing: the merge's two-sided rows become update pairs;
     // the delete's one-sided rows stay deletes
     "qtx_cdf_updates" ->

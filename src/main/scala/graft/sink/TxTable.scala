@@ -1396,16 +1396,23 @@ object TxTable {
     * commit version, or -1 when nothing matched (no commit at all —
     * a no-op delete must not churn the log).
     */
-  def delete(spark: SparkSession, table: String,
-      predicate: Column): Long = {
+  /** The copy-on-write surgery both [[delete]] and [[replaceWhere]]
+    * run: the files that actually CONTAIN predicate-matching rows
+    * (log-pruned — date conjuncts prune partitions, data conjuncts
+    * probe per-file stats and Bloom filters — then verified by one
+    * scan of the candidates), plus those files' SURVIVING rows.
+    * None = no matching row anywhere (untouched files keep their
+    * identity; there is nothing to rewrite).
+    */
+  private def touchedRewrite(spark: SparkSession, table: String,
+      predicate: Column): Option[(Seq[String], DataFrame)] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
     val (fs, root) = fsFor(spark, table)
     val live = snapshotFiles(fs, root)
-    if (live.isEmpty) return -1L
+    if (live.isEmpty) return None
     val df = TxFileIndex.readV2(spark, table)
     // resolve the predicate against the table schema, split conjuncts,
-    // and hand them to the index's listing — date conjuncts prune
-    // partitions, the rest probe per-file stats and Bloom filters
+    // and hand them to the index's listing
     val cond = df.filter(predicate).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
@@ -1423,7 +1430,7 @@ object TxTable {
     val candidates = idx.listFiles(partF, dataF)
       .flatMap(_.files.map(st => qroot.toUri
         .relativize(st.getPath.toUri).getPath))
-    if (candidates.isEmpty) return -1L
+    if (candidates.isEmpty) return None
     val rdr = logSchema(fs, root).map(spark.read.schema)
       .getOrElse(spark.read)
     def scanFiles(rels: Seq[String]): DataFrame = {
@@ -1437,12 +1444,56 @@ object TxTable {
       .filter(predicate).select("__file").distinct().collect()
       .map(r => qroot.toUri
         .relativize(new Path(r.getString(0)).toUri).getPath).toSeq
-    if (touched.isEmpty) return -1L
+    if (touched.isEmpty) return None
     val kept = scanFiles(touched)
       .filter(!coalesce(predicate, lit(false)))
       .drop("__file")
-    val adds = stage(prep(kept), fs, root)
-    commitRetry(fs, root, adds, touched, None, None, op = Some("delete"))
+    Some((touched, kept))
+  }
+
+  def delete(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    val (fs, root) = fsFor(spark, table)
+    touchedRewrite(spark, table, predicate) match {
+      case None => -1L
+      case Some((touched, kept)) =>
+        val adds = stage(prep(kept), fs, root)
+        commitRetry(fs, root, adds, touched, None, None,
+          op = Some("delete"))
+    }
+  }
+
+  /** Atomic REPLACE WHERE (Delta's `replaceWhere`, and the engine
+    * behind SQL `INSERT OVERWRITE ... PARTITION (date=...)`): ONE
+    * commit removes every row matching `predicate` and adds `df` —
+    * readers never observe the deleted-but-not-yet-inserted
+    * intermediate, and a crash leaves the table wholly before or
+    * wholly after. Every incoming row must itself satisfy the
+    * predicate (Delta's constraint — a replace is a region swap,
+    * never a sneak append into other regions). Pruning mirrors
+    * [[delete]]: only files that actually contain matching rows are
+    * rewritten; untouched files keep their identity. On a region
+    * with no existing rows this degrades to a plain (but still
+    * predicate-validated) append.
+    */
+  def replaceWhere(spark: SparkSession, df: DataFrame, table: String,
+      predicate: Column): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val offending =
+      df.filter(!coalesce(predicate, lit(false))).limit(1).count()
+    require(offending == 0L,
+      s"replaceWhere: incoming rows must satisfy the replace " +
+        s"predicate ($predicate) — found rows outside the region")
+    val addsNew = stage(prep(df), fs, root)
+    val (removes, keptAdds) =
+      touchedRewrite(spark, table, predicate) match {
+        case None => (Seq.empty[String],
+          Seq.empty[(String, FileMeta)])
+        case Some((touched, kept)) =>
+          (touched, stage(prep(kept), fs, root))
+      }
+    commitRetry(fs, root, addsNew ++ keptAdds, removes, None,
+      schemaUpdate(fs, root, df), op = Some("replacewhere"))
   }
 
   /** Delta-style OPTIMIZE (bin-packing): rewrite the dates whose file

@@ -234,6 +234,57 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("nsa"))
   }
 
+  test("INSERT OVERWRITE PARTITION swaps exactly that partition in " +
+      "one commit (replaceWhere), other partitions untouched") {
+    freshNs("pow")
+    spark.sql("CREATE TABLE gcat.pow.t (date DATE, k STRING, v BIGINT)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gcat.pow.t VALUES" +
+      " ('a', 1, DATE'2024-01-01'), ('b', 2, DATE'2024-01-01')," +
+      " ('c', 3, DATE'2024-01-02')")
+    val path = sys.props("java.io.tmpdir") + "/graft_gcat_warehouse/pow/t"
+    val vBefore = TxTable.currentVersion(spark, path)
+    spark.sql("INSERT OVERWRITE gcat.pow.t PARTITION (date='2024-01-01')" +
+      " SELECT 'z', 99")
+    assert(TxTable.currentVersion(spark, path) == vBefore + 1,
+      "partition overwrite must be ONE commit")
+    val got = spark.sql("SELECT k, v FROM gcat.pow.t ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("c", 3L), ("z", 99L)),
+      "2024-01-01 replaced wholesale; 2024-01-02 untouched")
+  }
+
+  test("catalog scan reports log-derived statistics and a small " +
+      "catalog table broadcasts") {
+    freshNs("stats")
+    spark.sql("CREATE TABLE gcat.stats.dim (date DATE, k STRING," +
+      " name STRING)")
+    spark.sql("INSERT INTO gcat.stats.dim SELECT concat('k', id)," +
+      " concat('n', id), DATE'2024-01-01' FROM range(50)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val scan = cat.loadTable(Identifier.of(Array("stats"), "dim"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    val size = scan.estimateStatistics().sizeInBytes()
+    assert(size.isPresent && size.getAsLong > 0 &&
+      size.getAsLong < 10L * 1024 * 1024,
+      s"log-derived size must be small and present: $size")
+    // a fact×dim join must BROADCAST the small catalog table instead
+    // of shuffling both sides
+    import spark.implicits._
+    spark.range(100000).map(i => s"k${i % 50}").toDF("k")
+      .createOrReplaceTempView("gcat_fact")
+    val joined = spark.sql("SELECT f.k, d.name FROM gcat_fact f" +
+      " JOIN gcat.stats.dim d ON f.k = d.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("streaming read via the catalog identifier is exactly-once " +
     "across a restart") {
     freshNs("strm")

@@ -1384,6 +1384,59 @@ class TxTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pre-evolution"))
   }
 
+  test("replaceWhere: one commit swaps exactly the matched region, " +
+      "untouched files keep their identity, out-of-region rows are " +
+      "refused, and an empty region degrades to a validated append") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_rw").toString + "/t"
+    val rows = (0 until 100).map(i =>
+      (java.sql.Date.valueOf(s"2024-01-0${i % 2 + 1}"), s"k$i",
+        (i % 5).toString, i.toLong))
+      .toDF("date", "k", "seg", "v")
+    assert(TxTable.append(spark, rows, path) == 0L)
+    val before = TxTable.liveFiles(spark, path).keySet
+    // region = seg '3': replace with re-priced rows, ONE commit
+    val repl = rows.filter(col("seg") === "3")
+      .withColumn("v", col("v") * 100)
+    assert(TxTable.replaceWhere(spark, repl, path,
+      col("seg") === "3") == 1L, "replaceWhere is ONE commit")
+    val after = TxTable.read(spark, path)
+    assert(after.count() == 100)
+    assert(after.filter(col("seg") === "3").agg(sum("v")).head.getLong(0)
+      == rows.filter(col("seg") === "3").agg(sum("v") * 100)
+        .head.getLong(0))
+    assert(after.filter(col("seg") =!= "3").agg(sum("v")).head.getLong(0)
+      == rows.filter(col("seg") =!= "3").agg(sum("v")).head.getLong(0))
+    // a row OUTSIDE the region is refused before anything commits
+    val vNow = TxTable.currentVersion(spark, path)
+    intercept[IllegalArgumentException] {
+      TxTable.replaceWhere(spark,
+        rows.filter(col("seg") === "1"), path, col("seg") === "3")
+    }
+    assert(TxTable.currentVersion(spark, path) == vNow,
+      "a refused replace must not commit")
+    // empty region: nothing to remove — a validated append, one commit
+    val novel = Seq((java.sql.Date.valueOf("2024-01-03"), "new",
+      "9", 7L)).toDF("date", "k", "seg", "v")
+    assert(TxTable.replaceWhere(spark, novel, path,
+      col("seg") === "9") == vNow + 1)
+    assert(TxTable.read(spark, path).count() == 101)
+    // date-pruned region replace keeps the OTHER date's files identical
+    val before2 = TxTable.liveFiles(spark, path).keySet
+    val d1 = rows.filter(col("date") === "2024-01-01")
+      .withColumn("v", col("v") + 1000000L)
+    TxTable.replaceWhere(spark, d1, path,
+      col("date") === java.sql.Date.valueOf("2024-01-01"))
+    val after2 = TxTable.liveFiles(spark, path)
+    val kept2 = before2.intersect(after2.keySet)
+    assert(kept2.exists(_.contains("date=2024-01-02")),
+      "files of the untouched date keep their identity")
+    assert(!after2.keySet.exists(f =>
+      before2.contains(f) && f.contains("date=2024-01-01")),
+      "every file of the replaced date was swapped")
+  }
+
   test("DDL: truncate drops every row in one metadata commit, schema " +
       "and properties survive, removed files fall to vacuum") {
     import org.apache.spark.sql.types.{DateType, LongType, StringType,
