@@ -80,7 +80,8 @@ import graft.sink.{GraftMicroBatchStream, GraftParquetReaderFactory,
   * exactly-once contract); the catalog table does not advertise
   * STREAMING_WRITE.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -148,10 +149,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Some(TxTable.versionAt(spark, tablePath(ident), inst)))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Shared declaration checks for CREATE / CTAS / RTAS: the
+    * partitioning clause must be absent or exactly `identity(date)`,
+    * the namespace directory must exist, and engine-reserved
+    * properties (provider/location/owner) stay out of the log — the
+    * path IS the location and the provider is implied by the log's
+    * existence. Returns the user properties that DO belong in the log.
+    */
+  private def validateDecl(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+      properties: java.util.Map[String, String]): Seq[(String, String)] = {
     val okPart = partitions.isEmpty ||
       (partitions.length == 1 &&
         partitions.head == Expressions.identity("date"))
@@ -159,20 +166,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft tables are date-partitioned by construction: declare no " +
         "PARTITIONED BY clause or exactly PARTITIONED BY (date); got " +
         partitions.mkString(", "))
+    require(schema.fields.exists(f =>
+      f.name == "date" && f.dataType == DateType),
+      "graft tables are date-partitioned: declare (or select) a " +
+        "`date DATE` column")
     val (fs, root) = fsRoot
     val ns = ident.namespace.foldLeft(root)(new Path(_, _))
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
-    // reserved engine-side properties (provider/location/owner) stay
-    // out of the log — the path IS the location and the provider is
-    // implied by the log's existence
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE)
-    val props = properties.asScala.toSeq.filterNot { case (k, _) =>
+    properties.asScala.toSeq.filterNot { case (k, _) =>
       reserved(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = validateDecl(ident, schema, partitions, properties)
     TxTable.createTable(spark, tablePath(ident), schema, props)
     new GraftCatalogTable(tablePath(ident), ident, None)
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------
+  // The staged table accumulates the SELECT's files UNDER the table
+  // root without committing; commitStagedChanges publishes data +
+  // schema + properties as ONE log commit (create valid only at v0 —
+  // a racing creator fails; replace swaps the whole file set), and an
+  // abort just deletes staged files (never visible to any reader —
+  // unpublished files fall to vacuum anyway).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(tablePath(ident), ident, schema,
+      validateDecl(ident, schema, partitions, properties),
+      orReplace = false, mustExist = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(tablePath(ident), ident, schema,
+      validateDecl(ident, schema, partitions, properties),
+      orReplace = true, mustExist = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    new GraftStagedTable(tablePath(ident), ident, schema,
+      validateDecl(ident, schema, partitions, properties),
+      orReplace = true, mustExist = false)
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(),
+      info.properties())
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -278,6 +345,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(ns, true)
   }
+}
+
+/** The in-flight table of an atomic CTAS / RTAS: the query's result
+  * stages as data files under the table root (invisible — no commit
+  * references them), then [[commitStagedChanges]] publishes files +
+  * schema + properties as ONE commit. CREATE publishes with the
+  * create tag (valid only at version 0 — the TOCTOU guard makes a
+  * racing CTAS lose loudly); REPLACE swaps the entire current file
+  * set; CREATE OR REPLACE picks per the log state at COMMIT time and
+  * downgrades create→replace if a racing creator won in between.
+  * [[abortStagedChanges]] best-effort deletes the staged files;
+  * anything missed is unreferenced and falls to vacuum.
+  */
+class GraftStagedTable(path: String, ident: Identifier,
+    declared: StructType, props: Seq[(String, String)],
+    orReplace: Boolean, mustExist: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private var staged: Seq[(String, TxTable.FileMeta)] = Seq.empty
+
+  override def name(): String =
+    ident.namespace.mkString("", ".", ".") + ident.name + " (staged)"
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("date"))
+  override def properties(): java.util.Map[String, String] =
+    props.toMap.asJava
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged table is empty by definition — truncate is a no-op
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              staged = staged ++
+                TxTable.stageOnly(data.sparkSession, data, path)
+            }
+          }
+        override def description(): String = s"GraftStagedWrite[$path]"
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (mustExist) require(TxTable.currentVersion(spark, path) >= 0,
+      s"REPLACE TABLE ${name()}: the table vanished before commit")
+    val dataSchema = StructType(declared.filterNot(_.name == "date")
+      .map(_.copy(nullable = true)))
+    val create = !orReplace ||
+      (TxTable.currentVersion(spark, path) < 0 && !mustExist)
+    if (create) {
+      try {
+        TxTable.publishStaged(spark, path, staged, dataSchema, props,
+          create = true)
+      } catch {
+        case e: IllegalStateException if orReplace =>
+          // CREATE OR REPLACE lost the create race — the commit-time
+          // guard threw; replace the winner instead (the user asked
+          // for exactly that)
+          TxTable.publishStaged(spark, path, staged, dataSchema, props,
+            create = false)
+      }
+    } else TxTable.publishStaged(spark, path, staged, dataSchema, props,
+      create = false)
+  }
+
+  override def abortStagedChanges(): Unit =
+    TxTable.discardStaged(spark, path, staged)
+
+  override def toString: String = s"GraftStagedTable(${name()})"
 }
 
 /** One tx table behind a catalog identifier. `asOf` pins time travel

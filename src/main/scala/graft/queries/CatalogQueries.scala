@@ -163,6 +163,28 @@ object CatalogQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Atomic CTAS + RTAS through the staging catalog: CREATE TABLE AS
+    // SELECT publishes data + schema as ONE v0 commit; REPLACE TABLE
+    // AS SELECT swaps the whole table (new schema included) as ONE v1
+    // commit. A two-commit implementation (create-then-write,
+    // drop-then-create) fails the version requires.
+    "qcat_ctas" -> ((s, d) => {
+      freshWarehouse(s, "cat_ctas", d)
+      resetNamespace(s, "ctas")
+      ev(s, d).createOrReplaceTempView("qcat_cev")
+      val path = s.conf.get("spark.sql.catalog.gcat.warehouse") + "/ctas/t"
+      s.sql("CREATE TABLE gcat.ctas.t AS SELECT date, event_type, cents" +
+        " FROM qcat_cev WHERE event_id % 2 = 0")
+      require(graft.sink.TxTable.currentVersion(s, path) == 0L,
+        "CTAS must be ONE commit at v0")
+      s.sql("REPLACE TABLE gcat.ctas.t AS SELECT date, event_type," +
+        " cents * 2 AS cents FROM qcat_cev WHERE event_id % 2 = 1")
+      require(graft.sink.TxTable.currentVersion(s, path) == 1L,
+        "RTAS must be ONE commit")
+      s.sql("SELECT event_type, count(*) AS n, sum(cents) AS cents" +
+        " FROM gcat.ctas.t GROUP BY event_type ORDER BY event_type")
+    }),
+
     // SQL PARTITION overwrite: `INSERT OVERWRITE t PARTITION (date=d)`
     // routes through SupportsOverwrite -> TxTable.replaceWhere — ONE
     // commit swaps exactly the min-date partition (re-priced ×10,
@@ -269,6 +291,14 @@ object CatalogQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE event_id % 4 = 1)
         |    AS n_after_overwrite
         |FROM e WHERE event_id % 4 = 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qcat_ctas" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents * 2) AS BIGINT) AS cents
+        |FROM e WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "qcat_partition_ow" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,

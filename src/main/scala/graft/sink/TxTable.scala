@@ -985,6 +985,47 @@ object TxTable {
       op = Some("truncate"))
   }
 
+  /** Stage `df`'s files under the table root WITHOUT committing —
+    * the first half of an atomic CTAS/RTAS ([[publishStaged]] is the
+    * second). Staged-but-never-published files are invisible to every
+    * reader and fall to [[vacuum]], so an abort needs no cleanup
+    * beyond best-effort deletion.
+    */
+  private[graft] def stageOnly(spark: SparkSession, df: DataFrame,
+      table: String): Seq[(String, FileMeta)] = {
+    val (fs, root) = fsFor(spark, table)
+    stage(prep(df), fs, root)
+  }
+
+  /** Publish previously-staged files as ONE commit — the atomic
+    * CTAS / RTAS tail. `create = true` stamps the commit with the
+    * create tag, which [[commitRetry]] only admits at version 0 (a
+    * racing creator fails instead of silently replacing the winner);
+    * `create = false` replaces the whole current file set (RTAS).
+    * `schema` is the logged DATA schema (date already stripped).
+    */
+  private[graft] def publishStaged(spark: SparkSession, table: String,
+      adds: Seq[(String, FileMeta)], schema: StructType,
+      props: Seq[(String, String)], create: Boolean): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val removes =
+      if (create) Seq.empty[String] else snapshotFiles(fs, root).keys.toSeq
+    commitRetry(fs, root, adds, removes, None, Some(schema),
+      op = Some(if (create) "create" else "overwrite"), propsSet = props)
+  }
+
+  /** Best-effort deletion of staged-but-unpublished files (CTAS
+    * abort); anything missed falls to [[vacuum]].
+    */
+  private[graft] def discardStaged(spark: SparkSession, table: String,
+      adds: Seq[(String, FileMeta)]): Unit = {
+    val (fs, root) = fsFor(spark, table)
+    adds.foreach { case (rel, _) =>
+      try fs.delete(new Path(root, rel), false)
+      catch { case _: Exception => () }
+    }
+  }
+
   /** The logged DATA schema (date excluded) at `asOf` — None on
     * pre-evolution logs (callers fall back to a live file's footer).
     */

@@ -234,6 +234,48 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("nsa"))
   }
 
+  test("atomic CTAS / RTAS / CREATE OR REPLACE through the staging " +
+      "catalog: data + schema publish as ONE commit, races fail loudly") {
+    freshNs("ctas")
+    val path = sys.props("java.io.tmpdir") + "/graft_gcat_warehouse/ctas/t"
+    spark.sql("CREATE TABLE gcat.ctas.t AS SELECT concat('k', id) AS k," +
+      " id AS v, DATE'2024-01-01' AS date FROM range(10)")
+    assert(TxTable.currentVersion(spark, path) == 0L,
+      "CTAS is ONE commit at version 0 (data + schema together)")
+    assert(spark.sql("SELECT sum(v) FROM gcat.ctas.t").head.getLong(0)
+      == 45)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas.t AS SELECT 'x' AS k," +
+        " CAST(0 AS BIGINT) AS v, DATE'2024-01-01' AS date")
+    }
+    // RTAS: schema may change, the whole file set swaps in ONE commit
+    spark.sql("REPLACE TABLE gcat.ctas.t AS SELECT concat('r', id) AS k," +
+      " id * 2 AS v, cast(id AS DOUBLE) AS w, DATE'2024-01-02' AS date" +
+      " FROM range(5)")
+    assert(TxTable.currentVersion(spark, path) == 1L,
+      "RTAS is ONE commit")
+    val after = spark.table("gcat.ctas.t")
+    assert(after.count() == 5)
+    assert(after.schema.fieldNames.toSet == Set("k", "v", "w", "date"))
+    // CREATE OR REPLACE: replaces when present, creates when absent
+    spark.sql("CREATE OR REPLACE TABLE gcat.ctas.t AS SELECT 'x' AS k," +
+      " CAST(7 AS BIGINT) AS v, DATE'2024-01-03' AS date")
+    assert(spark.table("gcat.ctas.t").count() == 1)
+    spark.sql("CREATE OR REPLACE TABLE gcat.ctas.t2 AS SELECT 'y' AS k," +
+      " CAST(9 AS BIGINT) AS v, DATE'2024-01-03' AS date")
+    assert(spark.sql("SELECT v FROM gcat.ctas.t2").head.getLong(0) == 9)
+    // REPLACE of a nonexistent table is refused at stage time
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.ctas.nope AS SELECT 'z' AS k," +
+        " CAST(1 AS BIGINT) AS v, DATE'2024-01-01' AS date")
+    }
+    // a SELECT without a date column is refused with the remedy
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas.bad AS SELECT 1 AS v")
+    }
+    assert(e.getMessage.contains("date"))
+  }
+
   test("INSERT OVERWRITE PARTITION swaps exactly that partition in " +
       "one commit (replaceWhere), other partitions untouched") {
     freshNs("pow")
