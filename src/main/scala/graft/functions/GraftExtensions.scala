@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native vectorized HadoopFsRelation instead of the V1Scan
     // row bridge (see graft.catalog.GraftCatalogRelations)
     e.injectResolutionRule(_ => graft.catalog.GraftCatalogRelations)
+    // SQL UPDATE / upsert-MERGE on catalog tables → the tx-table
+    // copy-on-write primitives (see graft.catalog.GraftDmlRewrite)
+    e.injectResolutionRule(_ => graft.catalog.GraftDmlRewrite)
   }
 }

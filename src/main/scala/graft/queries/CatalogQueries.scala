@@ -58,6 +58,21 @@ object CatalogQueries {
     s.sql(s"CREATE NAMESPACE gcat.$ns")
   }
 
+  /** Run an UPDATE / MERGE statement through [[GraftDmlRewrite]] the
+    * way an extensions-enabled session would — the gate session has no
+    * extensions, so the rule applies post-analysis (same matching).
+    */
+  private def runDml(s: SparkSession, sql: String): Unit = {
+    val analyzed = s.sessionState.analyzer.execute(
+      s.sessionState.sqlParser.parsePlan(sql))
+    val rewritten = graft.catalog.GraftDmlRewrite.applyPostAnalysis(analyzed)
+    require(rewritten.isInstanceOf[
+      org.apache.spark.sql.execution.command.LeafRunnableCommand],
+      s"DML rewrite must fire for: $sql")
+    GraftSqlBridge.ofRows(s, rewritten).collect()
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The SQL LIFECYCLE gate: create → positional insert → by-name
@@ -213,6 +228,50 @@ object CatalogQueries {
         " GROUP BY 1, 2 ORDER BY 1, 2")
     }),
 
+    // SQL UPDATE via the DML rewrite (ClickHouse's ALTER TABLE UPDATE
+    // mutation): one copy-on-write commit transforms exactly the
+    // matching rows; the expression references another column. The
+    // Verify session has no extensions, so the gate applies the SAME
+    // rule the extensions register, post-analysis.
+    "qcat_update" -> ((s, d) => {
+      freshWarehouse(s, "cat_upd", d)
+      resetNamespace(s, "upd")
+      ev(s, d).createOrReplaceTempView("qcat_uev")
+      s.sql("CREATE TABLE gcat.upd.t AS SELECT date, event_type, cents" +
+        " FROM qcat_uev")
+      val path = s.conf.get("spark.sql.catalog.gcat.warehouse") + "/upd/t"
+      runDml(s, "UPDATE gcat.upd.t SET cents = cents * 3 + 1" +
+        " WHERE event_type = 'view'")
+      require(graft.sink.TxTable.currentVersion(s, path) == 1L,
+        "UPDATE must be ONE commit after the CTAS")
+      s.sql("SELECT event_type, count(*) AS n, sum(cents) AS cents" +
+        " FROM gcat.upd.t GROUP BY event_type ORDER BY event_type")
+    }),
+
+    // SQL upsert-MERGE via the DML rewrite (the ReplacingMergeTree
+    // re-statement): matched (date, event_id) rows replaced by the
+    // re-priced source, unmatched source rows inserted, one commit.
+    "qcat_merge" -> ((s, d) => {
+      freshWarehouse(s, "cat_mrg", d)
+      resetNamespace(s, "mrg")
+      val e = ev(s, d)
+      e.createOrReplaceTempView("qcat_mev")
+      s.sql("CREATE TABLE gcat.mrg.t AS SELECT date, event_id," +
+        " event_type, cents FROM qcat_mev WHERE event_id % 2 = 0")
+      e.filter(col("event_id") % 3 === 0)
+        .withColumn("cents", col("cents") * 2)
+        .createOrReplaceTempView("qcat_msrc")
+      val path = s.conf.get("spark.sql.catalog.gcat.warehouse") + "/mrg/t"
+      runDml(s, "MERGE INTO gcat.mrg.t t USING qcat_msrc s" +
+        " ON t.date = s.date AND t.event_id = s.event_id" +
+        " WHEN MATCHED THEN UPDATE SET *" +
+        " WHEN NOT MATCHED THEN INSERT *")
+      require(graft.sink.TxTable.currentVersion(s, path) == 1L,
+        "MERGE must be ONE commit after the CTAS")
+      s.sql("SELECT event_type, count(*) AS n, sum(cents) AS cents" +
+        " FROM gcat.mrg.t GROUP BY event_type ORDER BY event_type")
+    }),
+
     // STREAMING reads through the catalog identifier
     // (`readStream.table`, the GraftMicroBatchStream path): the stream
     // backfills the pre-stream commit, is STOPPED while a commit lands
@@ -300,6 +359,28 @@ object CatalogQueries {
         |  CAST(SUM(cents * 2) AS BIGINT) AS cents
         |FROM e WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qcat_update" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT event_type, cents FROM e WHERE event_type <> 'view'
+        |  UNION ALL
+        |  SELECT event_type, cents * 3 + 1 FROM e
+        |  WHERE event_type = 'view')
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qcat_merge" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT event_type, cents FROM e
+        |  WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_type, cents * 2 FROM e WHERE event_id % 3 = 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "qcat_partition_ow" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),

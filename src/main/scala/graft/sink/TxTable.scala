@@ -1437,13 +1437,14 @@ object TxTable {
     * commit version, or -1 when nothing matched (no commit at all —
     * a no-op delete must not churn the log).
     */
-  /** The copy-on-write surgery both [[delete]] and [[replaceWhere]]
-    * run: the files that actually CONTAIN predicate-matching rows
-    * (log-pruned — date conjuncts prune partitions, data conjuncts
-    * probe per-file stats and Bloom filters — then verified by one
-    * scan of the candidates), plus those files' SURVIVING rows.
-    * None = no matching row anywhere (untouched files keep their
-    * identity; there is nothing to rewrite).
+  /** The copy-on-write surgery [[delete]], [[update]] and
+    * [[replaceWhere]] share: the files that actually CONTAIN
+    * predicate-matching rows (log-pruned — date conjuncts prune
+    * partitions, data conjuncts probe per-file stats and Bloom
+    * filters — then verified by one scan of the candidates), plus a
+    * frame of ALL those files' rows for the caller to filter or
+    * transform. None = no matching row anywhere (untouched files keep
+    * their identity; there is nothing to rewrite).
     */
   private def touchedRewrite(spark: SparkSession, table: String,
       predicate: Column): Option[(Seq[String], DataFrame)] = {
@@ -1486,10 +1487,7 @@ object TxTable {
       .map(r => qroot.toUri
         .relativize(new Path(r.getString(0)).toUri).getPath).toSeq
     if (touched.isEmpty) return None
-    val kept = scanFiles(touched)
-      .filter(!coalesce(predicate, lit(false)))
-      .drop("__file")
-    Some((touched, kept))
+    Some((touched, scanFiles(touched).drop("__file")))
   }
 
   def delete(spark: SparkSession, table: String,
@@ -1497,10 +1495,45 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     touchedRewrite(spark, table, predicate) match {
       case None => -1L
-      case Some((touched, kept)) =>
+      case Some((touched, all)) =>
+        val kept = all.filter(!coalesce(predicate, lit(false)))
         val adds = stage(prep(kept), fs, root)
         commitRetry(fs, root, adds, touched, None, None,
           op = Some("delete"))
+    }
+  }
+
+  /** SQL UPDATE (ClickHouse's `ALTER TABLE ... UPDATE` mutation) as
+    * one copy-on-write commit: only the files that actually CONTAIN
+    * matching rows are rewritten — matching rows take the `set`
+    * expressions (which may reference other columns, `v = v + 1`),
+    * non-matching rows of the same files carry over byte-identical in
+    * value. Updating the `date` partition column is refused (a row
+    * may not silently move partitions — ClickHouse's own restriction
+    * on key columns). Returns -1 when nothing matches.
+    */
+  def update(spark: SparkSession, table: String, predicate: Column,
+      set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    require(!set.exists(_._1 == "date"),
+      "cannot UPDATE the `date` partition column: rows may not move " +
+        "partitions (delete + insert instead)")
+    val (fs, root) = fsFor(spark, table)
+    touchedRewrite(spark, table, predicate) match {
+      case None => -1L
+      case Some((touched, all)) =>
+        val cols = set.toMap
+        val updated = all.select(all.columns.toSeq.map { c =>
+          cols.get(c) match {
+            case Some(e) =>
+              when(coalesce(predicate, lit(false)), e)
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val adds = stage(prep(updated), fs, root)
+        commitRetry(fs, root, adds, touched, None, None,
+          op = Some("update"))
     }
   }
 
@@ -1530,7 +1563,8 @@ object TxTable {
       touchedRewrite(spark, table, predicate) match {
         case None => (Seq.empty[String],
           Seq.empty[(String, FileMeta)])
-        case Some((touched, kept)) =>
+        case Some((touched, all)) =>
+          val kept = all.filter(!coalesce(predicate, lit(false)))
           (touched, stage(prep(kept), fs, root))
       }
     commitRetry(fs, root, addsNew ++ keptAdds, removes, None,

@@ -296,6 +296,69 @@ class GraftCatalogSpec extends AnyFunSuite {
       "2024-01-01 replaced wholesale; 2024-01-02 untouched")
   }
 
+  test("SQL UPDATE and upsert-MERGE rewrite to the atomic tx " +
+      "commands; unsupported shapes stay unrewritten") {
+    import graft.catalog.GraftDmlRewrite
+    freshNs("dml")
+    val path = sys.props("java.io.tmpdir") + "/graft_gcat_warehouse/dml/t"
+    spark.sql("CREATE TABLE gcat.dml.t (date DATE, k STRING, v BIGINT)")
+    spark.sql("INSERT INTO gcat.dml.t VALUES" +
+      " ('a', 1, DATE'2024-01-01'), ('b', 2, DATE'2024-01-01')," +
+      " ('c', 3, DATE'2024-01-02')")
+    def analyze(sql: String) = spark.sessionState.analyzer.execute(
+      spark.sessionState.sqlParser.parsePlan(sql))
+    def runDml(sql: String): Unit = {
+      val rewritten = GraftDmlRewrite.applyPostAnalysis(analyze(sql))
+      assert(rewritten.isInstanceOf[
+        org.apache.spark.sql.execution.command.LeafRunnableCommand],
+        s"rule must rewrite:\n$rewritten")
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
+        .collect()
+      ()
+    }
+    // UPDATE: one commit, expression may reference other columns
+    val v0 = TxTable.currentVersion(spark, path)
+    runDml("UPDATE gcat.dml.t SET v = v + 10 WHERE k <> 'c'")
+    assert(TxTable.currentVersion(spark, path) == v0 + 1,
+      "UPDATE is ONE commit")
+    assert(spark.sql("SELECT sum(v) FROM gcat.dml.t").head.getLong(0)
+      == 11 + 12 + 3)
+    // MERGE upsert: matched 'b' replaced, new 'd' inserted
+    import spark.implicits._
+    Seq(("b", 100L, "2024-01-01"), ("d", 4L, "2024-01-03"))
+      .toDF("k", "v", "ds")
+      .select(col("k"), col("v"), to_date(col("ds")).as("date"))
+      .createOrReplaceTempView("gcat_dml_src")
+    val v1 = TxTable.currentVersion(spark, path)
+    runDml("MERGE INTO gcat.dml.t t USING gcat_dml_src s" +
+      " ON t.k = s.k WHEN MATCHED THEN UPDATE SET *" +
+      " WHEN NOT MATCHED THEN INSERT *")
+    assert(TxTable.currentVersion(spark, path) == v1 + 1,
+      "MERGE is ONE commit")
+    val got = spark.sql("SELECT k, v FROM gcat.dml.t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 11L), ("b", 100L), ("c", 3L), ("d", 4L)))
+    // shapes the primitives can't honor are LEFT for Spark's error:
+    // a conditional matched action...
+    val cond = GraftDmlRewrite.applyPostAnalysis(analyze(
+      "MERGE INTO gcat.dml.t t USING gcat_dml_src s ON t.k = s.k" +
+        " WHEN MATCHED AND s.v > 0 THEN UPDATE SET *" +
+        " WHEN NOT MATCHED THEN INSERT *"))
+    assert(cond.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable])
+    // ...a DELETE action...
+    val del = GraftDmlRewrite.applyPostAnalysis(analyze(
+      "MERGE INTO gcat.dml.t t USING gcat_dml_src s ON t.k = s.k" +
+        " WHEN MATCHED THEN DELETE"))
+    assert(del.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable])
+    // ...and an UPDATE of the partition column
+    val dateUpd = GraftDmlRewrite.applyPostAnalysis(analyze(
+      "UPDATE gcat.dml.t SET date = DATE'2024-02-01' WHERE k = 'a'"))
+    assert(dateUpd.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.UpdateTable])
+  }
+
   test("catalog scan reports log-derived statistics and a small " +
       "catalog table broadcasts") {
     freshNs("stats")
