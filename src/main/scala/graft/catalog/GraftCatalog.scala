@@ -81,7 +81,8 @@ import graft.sink.{GraftMicroBatchStream, GraftParquetReaderFactory,
   * STREAMING_WRITE.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -292,6 +293,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(new Path(tablePath(from)), new Path(tablePath(to))),
       s"rename ${from} -> ${to} failed")
   }
+
+  // ---- maintenance procedures: CALL gcat.sys.<proc>(...) -----------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("sys")),
+      s"graft procedures live under the `sys` namespace: CALL " +
+        s"${name()}.sys.<proc>(...); got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(ident.name, this)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("sys")))
+      GraftProcedures.names.map(Identifier.of(Array("sys"), _)).toArray
+    else Array.empty
 
   // ---- namespaces = warehouse directories --------------------------
 

@@ -1,0 +1,147 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.sink.TxTable
+
+/** Table-maintenance PROCEDURES (`CALL gcat.sys.<proc>(...)`) — the
+  * ops surface every lakehouse ships as stored procedures (Iceberg's
+  * `CALL catalog.system.*` posture, public knowledge) mapped onto the
+  * tx-table primitives. SQL owns maintenance end to end:
+  *
+  * {{{
+  *   CALL gcat.sys.optimize(table => 'prod.flows')
+  *   CALL gcat.sys.zorder(table => 'prod.flows', columns => 'src,dst')
+  *   CALL gcat.sys.vacuum(table => 'prod.flows', min_age_ms => 0)
+  *   CALL gcat.sys.expire_log(table => 'prod.flows')
+  *   CALL gcat.sys.history(table => 'prod.flows')
+  * }}}
+  *
+  * Each returns a small driver-side result set (a [[LocalScan]]):
+  * maintenance is metadata-scale on the driver; the heavy lifting
+  * (rewrites) runs as ordinary distributed jobs inside the primitive.
+  */
+object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  val names: Seq[String] =
+    Seq("vacuum", "optimize", "zorder", "expire_log", "history")
+
+  def load(name: String, catalog: GraftCatalog): UnboundProcedure =
+    name.toLowerCase match {
+      case "vacuum"     => new VacuumProc(catalog)
+      case "optimize"   => new OptimizeProc(catalog)
+      case "zorder"     => new ZorderProc(catalog)
+      case "expire_log" => new ExpireLogProc(catalog)
+      case "history"    => new HistoryProc(catalog)
+      case other => throw new RuntimeException(
+        s"no such procedure gcat.sys.$other — available: " +
+          names.mkString(", "))
+    }
+
+  /** `table` parameter ('ns.t' within this catalog) → warehouse path. */
+  private def pathOf(catalog: GraftCatalog, table: String): String = {
+    val parts = table.split('.')
+    require(parts.length >= 2,
+      s"procedure table arguments are catalog-relative: 'ns.table', " +
+        s"got '$table'")
+    catalog.tablePath(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  private def result(schema: StructType,
+      rows: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val internal = rows.map(r =>
+      conv(org.apache.spark.sql.Row.fromSeq(r)).asInstanceOf[InternalRow])
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = internal.toArray
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class SysProc(procName: String,
+      params: Seq[ProcedureParameter]) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  private def tableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("catalog-relative table name: 'ns.table'").build()
+
+  private class VacuumProc(catalog: GraftCatalog)
+      extends SysProc("vacuum", Seq(tableParam,
+        ProcedureParameter.in("min_age_ms", LongType)
+          .defaultValue("604800000").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val reclaimed = TxTable.vacuum(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        input.getLong(1))
+      result(StructType(Seq(
+        StructField("reclaimed_files", LongType, nullable = false))),
+        Seq(Seq(reclaimed.size.toLong)))
+    }
+  }
+
+  private class OptimizeProc(catalog: GraftCatalog)
+      extends SysProc("optimize", Seq(tableParam,
+        ProcedureParameter.in("target_file_bytes", LongType)
+          .defaultValue((128L * 1024 * 1024).toString).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dates = TxTable.optimize(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        input.getLong(1))
+      result(StructType(Seq(
+        StructField("compacted_dates", LongType, nullable = false))),
+        Seq(Seq(dates.size.toLong)))
+    }
+  }
+
+  private class ZorderProc(catalog: GraftCatalog)
+      extends SysProc("zorder", Seq(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated sort columns (>= 2)").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TxTable.zorder(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString.split(',').map(_.trim).toSeq)
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
+    }
+  }
+
+  private class ExpireLogProc(catalog: GraftCatalog)
+      extends SysProc("expire_log", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dropped = TxTable.expireLog(spark,
+        pathOf(catalog, input.getUTF8String(0).toString))
+      result(StructType(Seq(
+        StructField("expired_commits", LongType, nullable = false))),
+        Seq(Seq(dropped.size.toLong)))
+    }
+  }
+
+  private class HistoryProc(catalog: GraftCatalog)
+      extends SysProc("history", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val df = TxTable.history(spark,
+        pathOf(catalog, input.getUTF8String(0).toString))
+      result(df.schema, df.collect().map(_.toSeq).toSeq)
+    }
+  }
+}

@@ -228,6 +228,33 @@ object CatalogQueries {
         " GROUP BY 1, 2 ORDER BY 1, 2")
     }),
 
+    // Maintenance through SQL procedures (CALL gcat.sys.*): optimize
+    // compacts the 3 small commits, zorder re-clusters, vacuum
+    // reclaims the superseded files — and the data must hash
+    // IDENTICALLY to never having run any of it (content-preserving
+    // layout maintenance, end to end through plain SQL).
+    "qcat_maintenance" -> ((s, d) => {
+      freshWarehouse(s, "cat_mnt", d)
+      resetNamespace(s, "mnt")
+      ev(s, d).createOrReplaceTempView("qcat_nev")
+      s.sql("CREATE TABLE gcat.mnt.t (date DATE, event_type STRING," +
+        " cents BIGINT) PARTITIONED BY (date)")
+      (0 until 3).foreach(i =>
+        s.sql("INSERT INTO gcat.mnt.t SELECT event_type, cents, date" +
+          s" FROM qcat_nev WHERE event_id % 3 = $i"))
+      require(s.sql("CALL gcat.sys.optimize(table => 'mnt.t')")
+        .head.getLong(0) >= 1, "3 small commits per date must compact")
+      require(s.sql("CALL gcat.sys.zorder(table => 'mnt.t'," +
+        " columns => 'event_type,cents')").head.getLong(0) > 0)
+      require(s.sql("CALL gcat.sys.vacuum(table => 'mnt.t'," +
+        " min_age_ms => 0)").head.getLong(0) > 0,
+        "superseded files must reclaim")
+      require(s.sql("CALL gcat.sys.history(table => 'mnt.t')")
+        .collect().map(_.getString(1)).contains("zorder"))
+      s.sql("SELECT event_type, count(*) AS n, sum(cents) AS cents" +
+        " FROM gcat.mnt.t GROUP BY event_type ORDER BY event_type")
+    }),
+
     // SQL UPDATE via the DML rewrite (ClickHouse's ALTER TABLE UPDATE
     // mutation): one copy-on-write commit transforms exactly the
     // matching rows; the expression references another column. The
@@ -359,6 +386,12 @@ object CatalogQueries {
         |  CAST(SUM(cents * 2) AS BIGINT) AS cents
         |FROM e WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qcat_maintenance" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "qcat_update" ->
       """WITH e AS (SELECT event_type,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),

@@ -390,6 +390,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("maintenance procedures: CALL gcat.sys.{optimize,zorder," +
+      "vacuum,expire_log,history} run the tx primitives and return " +
+      "result rows") {
+    freshNs("proc")
+    val path = sys.props("java.io.tmpdir") + "/graft_gcat_warehouse/proc/t"
+    spark.sql("CREATE TABLE gcat.proc.t (date DATE, k STRING, v BIGINT)")
+    // several small commits so optimize has something to compact
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gcat.proc.t SELECT concat('k', id)," +
+        s" id + ${i * 100}, DATE'2024-01-01' FROM range(50)")
+    }
+    val hist = spark.sql("CALL gcat.sys.history(table => 'proc.t')")
+    assert(hist.columns.contains("operation"))
+    assert(hist.count() == 5) // create + 4 appends
+    val opt = spark.sql("CALL gcat.sys.optimize(table => 'proc.t')")
+      .head.getLong(0)
+    assert(opt >= 1, "4 tiny files of one date must compact")
+    assert(spark.sql("SELECT count(*) FROM gcat.proc.t").head.getLong(0)
+      == 200, "optimize is content-preserving")
+    val zv = spark.sql("CALL gcat.sys.zorder(table => 'proc.t'," +
+      " columns => 'k,v')").head.getLong(0)
+    assert(zv > 0)
+    // optimize + zorder left superseded files for vacuum
+    val reclaimed = spark.sql("CALL gcat.sys.vacuum(table => 'proc.t'," +
+      " min_age_ms => 0)").head.getLong(0)
+    assert(reclaimed >= 4)
+    assert(spark.sql("SELECT count(*) FROM gcat.proc.t").head.getLong(0)
+      == 200, "vacuum reclaims only unreferenced files")
+    // expire_log prunes commits below the newest checkpoint (none yet
+    // at this commit count — returns 0, still a valid result set)
+    val expired = spark.sql("CALL gcat.sys.expire_log(table => 'proc.t')")
+      .head.getLong(0)
+    assert(expired >= 0)
+    // unknown procedure fails loudly (the engine wraps our message as
+    // FAILED_TO_LOAD_ROUTINE; the cause carries the available list)
+    val e = intercept[Exception] {
+      spark.sql("CALL gcat.sys.nope(table => 'proc.t')")
+    }
+    assert(e.getMessage.contains("nope") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuum")))
+  }
+
   test("streaming read via the catalog identifier is exactly-once " +
     "across a restart") {
     freshNs("strm")
