@@ -1076,6 +1076,82 @@ object MiscQueries {
         .orderBy("_commit_version", "_change_type", "event_type")
     }),
 
+    // MERGE-ON-READ DELETE via deletion vectors (Delta's DV DELETE /
+    // ClickHouse lightweight DELETE): two overlapping predicate
+    // deletes land as METADATA commits — the gate REQUIRES the data
+    // file identities and byte sizes to survive both (a rewrite fails
+    // loudly), vectors to be present after, and a purge + re-read to
+    // reproduce the vectored aggregate exactly. The RETURNED frame
+    // reads through the vectored scan path (DvParquetFileFormat), so
+    // a position mis-count or resurrected row hash-mismatches the
+    // DuckDB oracle.
+    "qtx_dv" -> ((s, d) => {
+      import graft.sink.DvStore
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_dv_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      TxTable.append(s, ev.filter(col("event_id") % 2 === 0), t) // v0
+      TxTable.append(s, ev.filter(col("event_id") % 2 === 1), t) // v1
+      val before = TxTable.liveStats(s, t).map { case (r, m) =>
+        r -> m.bytes }
+      require(TxTable.deleteMergeOnRead(s, t,
+        col("event_id") % 7 === 0) == 2L, "first DV delete must be v2")
+      require(TxTable.deleteMergeOnRead(s, t,
+        col("event_id") % 7 === 0 || col("event_id") % 11 === 0) == 3L,
+        "overlapping DV delete must be v3")
+      val after = TxTable.liveStats(s, t)
+      require(after.map { case (r, m) => r -> m.bytes } == before,
+        "merge-on-read must not rewrite or resize any data file")
+      require(after.values.exists(_.stats.contains(DvStore.Key)),
+        "vectors must be present before purge")
+      val vectored = TxFileIndex.readV2(s, t)
+      val res = vectored.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          min("date").as("first_date"))
+        .orderBy("event_type")
+      val chk = res.collect().toSeq
+      // purge materializes the vectors away, content-preserved
+      require(TxTable.purgeDeletes(s, t) == 4L, "purge must be v4")
+      require(TxTable.liveStats(s, t).values
+        .forall(!_.stats.contains(DvStore.Key)),
+        "no vector survives purge")
+      val post = TxFileIndex.readV2(s, t).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          min("date").as("first_date"))
+        .orderBy("event_type").collect().toSeq
+      require(post == chk, "purge must preserve the row multiset")
+      res
+    }),
+
+    // CHANGE FEED over deletion-vector commits: each DV commit must
+    // announce EXACTLY its newly deleted rows (the era-correct diff of
+    // new-vector against old-vector — an overlap re-announcement or a
+    // resurrected earlier delete moves the hash), and the purge, being
+    // a content-preserving layout op, must be silent.
+    "qtx_dv_cdf" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_dvcdf_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val t = s"$base/t"
+      TxTable.append(s, ev, t) // v0
+      require(TxTable.deleteMergeOnRead(s, t,
+        col("event_id") % 7 === 0) == 1L)
+      require(TxTable.deleteMergeOnRead(s, t,
+        col("event_id") % 7 === 0 || col("event_id") % 11 === 0) == 2L)
+      require(TxTable.purgeDeletes(s, t) == 3L)
+      TxTable.changeFeed(s, t, -1L, 3L)
+        .groupBy("_commit_version", "_change_type", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("_commit_version", "_change_type", "event_type")
+    }),
+
     // Atomic REPLACE WHERE (Delta's replaceWhere): ONE commit removes
     // every row of a region and adds its replacement — the gate
     // REQUIRES the whole operation to be commit v1 (append was v0), so
@@ -1849,6 +1925,33 @@ object MiscQueries {
         |  SELECT 3, 'delete', event_type,
         |    CASE WHEN event_id % 6 = 0 THEN cents * 2 ELSE cents END
         |  FROM e WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cdf GROUP BY v, ct, event_type
+        |ORDER BY _commit_version, _change_type, event_type""".stripMargin,
+    // rows surviving both vectored deletes (%7 and %11 gone)
+    "qtx_dv" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |kept AS (SELECT * FROM e
+        |  WHERE NOT (event_id % 7 = 0 OR event_id % 11 = 0))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents, MIN(date) AS first_date
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // v0 inserts everything; v1 deletes the %7 rows; v2 deletes ONLY
+    // the newly-vectored %11 (non-%7) rows; v3 (purge) is silent
+    "qtx_dv_cdf" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_id, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |cdf AS (
+        |  SELECT 0 AS v, 'insert' AS ct, event_type, cents FROM e
+        |  UNION ALL
+        |  SELECT 1, 'delete', event_type, cents FROM e
+        |  WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 2, 'delete', event_type, cents FROM e
+        |  WHERE event_id % 11 = 0 AND event_id % 7 <> 0)
         |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents

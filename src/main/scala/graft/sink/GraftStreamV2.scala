@@ -199,9 +199,15 @@ class GraftMicroBatchStream(spark: SparkSession, table: String,
         // at-least-default-parallelism split) — one task per FILE
         // would schedule millions of tasks on a large backfill, and
         // measured ~15% of backfill wall even at 120 files
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val infos = files.map { case (rel, meta) =>
+          // deletion vectors resolve driver-side at plan time (strict:
+          // a snapshot-era file with an unresolvable vector fails the
+          // plan, never delivers resurrected rows)
+          val dv = DvStore.positions(fs, root, rel, meta.stats)
+            .map(DvStore.encode)
           GraftFileInfo(new Path(root, rel).toString, meta.date,
-            math.max(meta.bytes, 1L))
+            math.max(meta.bytes, 1L), dv)
         }
         val conf = spark.sessionState.conf
         val openCost = conf.filesOpenCostInBytes
@@ -241,9 +247,14 @@ class GraftMicroBatchStream(spark: SparkSession, table: String,
 }
 
 /** One file of a packed partition; `date` rides along because it is a
-  * PATH-derived partition column, not a parquet column.
+  * PATH-derived partition column, not a parquet column. `dv` carries
+  * the file's DELETION VECTOR payload (encoded positions, resolved
+  * driver-side at plan time) when the snapshot-era meta has one — the
+  * v2 readers subtract those positions exactly like the v1 scan's
+  * [[DvParquetFileFormat]].
   */
-final case class GraftFileInfo(path: String, date: String, bytes: Long)
+final case class GraftFileInfo(path: String, date: String, bytes: Long,
+    dv: Option[String] = None)
 
 /** A bin-packed set of tx data files = one input partition (the
   * FileSourceScan `FilePartition` shape, sized by maxPartitionBytes).
@@ -293,16 +304,46 @@ class GraftParquetReaderFactory(schema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftChainedReader[InternalRow](
       p.asInstanceOf[GraftFilePartition],
-      f => new GraftParquetFileReader(f, schema, conf.value))
+      f => {
+        val base = new GraftParquetFileReader(f, schema, conf.value)
+        f.dv match {
+          case None => base
+          case Some(b64) => new DvFilteredReader(base, DvStore.decode(b64))
+        }
+      })
 
+  // a partition holding any vectored file falls back to the row
+  // delivery (filtering inside a ColumnarBatch would mean rebuilding
+  // the batch; purge restores columnar) — the same trade the v1 scan
+  // makes relation-wide in DvParquetFileFormat
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && GraftParquetReaderFactory.columnarCompatible(schema)
+    columnar && GraftParquetReaderFactory.columnarCompatible(schema) &&
+      p.asInstanceOf[GraftFilePartition].files.forall(_.dv.isEmpty)
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
       p.asInstanceOf[GraftFilePartition],
       f => new GraftVectorizedFileReader(f, schema, conf.value))
+}
+
+/** Subtracts a file's deletion vector from its row reader: the base
+  * reader yields every row of ONE whole file in order (v2 files are
+  * never split and read with no pushdown), so the running position IS
+  * the vector's row identity.
+  */
+class DvFilteredReader(base: PartitionReader[InternalRow],
+    deleted: Array[Long]) extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  override def next(): Boolean = {
+    while (base.next()) {
+      pos += 1
+      if (java.util.Arrays.binarySearch(deleted, pos) < 0) return true
+    }
+    false
+  }
+  override def get(): InternalRow = base.get()
+  override def close(): Unit = base.close()
 }
 
 /** Drives a packed partition's files through per-file readers, one at

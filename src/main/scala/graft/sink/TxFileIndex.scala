@@ -70,6 +70,26 @@ class TxFileIndex(spark: SparkSession, table: String,
 
   override def refresh(): Unit = { byDate = load() }
 
+  /** The scan's [[ParquetFileFormat]]: plain parquet unless any file in
+    * this snapshot carries a deletion-vector pointer, in which case the
+    * DV-subtracting [[DvParquetFileFormat]] filters deleted positions
+    * at read time (see Dv.scala). Derived from the SAME loaded state as
+    * the listing, so a scan and its row filter can never disagree about
+    * which era's deletes apply.
+    */
+  private[sink] def fileFormat: ParquetFileFormat = {
+    val refs: Map[String, DvRef] = byDate.flatMap(_._2).flatMap {
+      case (st, stats) =>
+        DvStore.pointerOf(stats).collect {
+          case ptr if BloomStore.isPtr(ptr) =>
+            val rel = qroot.toUri.relativize(st.getPath.toUri).getPath
+            st.getPath.toString -> DvRef(ptr.substring(1), rel)
+        }
+    }.toMap
+    if (refs.isEmpty) new ParquetFileFormat
+    else new DvParquetFileFormat(root.toString, refs)
+  }
+
   override def inputFiles: Array[String] =
     byDate.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
@@ -253,7 +273,7 @@ object TxFileIndex {
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = index.fileFormat,
       options = Map.empty)(spark)
   }
 
@@ -283,7 +303,7 @@ object TxFileIndex {
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = index.fileFormat,
       options = Map.empty)(spark)
   }
 }

@@ -444,8 +444,13 @@ object TxTable {
     * else that removes files (merge, delete, compact, retention,
     * rollup, overwrite, restore) changes the table's row multiset, so
     * an MV that predates it is stale until rebuilt.
+    *
+    * `purge` qualifies because reads ALWAYS subtract deletion vectors:
+    * a file-with-DV before [[purgeDeletes]] and its physical rewrite
+    * after yield the identical row multiset — only the representation
+    * of the pending deletes moves (vector → rewritten file).
     */
-  private[sink] val LayoutOps: Set[String] = Set("optimize", "zorder")
+  private[sink] val LayoutOps: Set[String] = Set("optimize", "zorder", "purge")
 
   private def render(adds: Seq[(String, FileMeta)],
       removes: Seq[String], txn: Option[(String, Long)] = None,
@@ -453,11 +458,16 @@ object TxTable {
       op: Option[String] = None,
       propsSet: Seq[(String, String)] = Seq.empty,
       propsRemove: Seq[String] = Seq.empty): Array[Byte] = {
-    val lines = adds.map { case (rel, m) =>
-      if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
-      else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
-    } ++
-      removes.map(r => s"R\t$r") ++
+    // removes BEFORE adds: replay folds a commit's actions in file
+    // order, and a deletion-vector commit re-adds the SAME rel it
+    // removes (meta update) — R-then-A nets to the new meta, A-then-R
+    // would net to a dropped file. Disjoint-rel rewrites are
+    // order-insensitive.
+    val lines = removes.map(r => s"R\t$r") ++
+      adds.map { case (rel, m) =>
+        if (m.stats.isEmpty) s"A\t${m.date}\t${m.bytes}\t$rel"
+        else s"A\t${m.date}\t${m.bytes}\t$rel\t${renderStats(m.stats)}"
+      } ++
       txn.map { case (a, ver) => s"T\t${enc(a)}\t$ver" }.toSeq ++
       schema.map(s => s"M\t${enc(s.json)}").toSeq ++
       op.map(o => s"O\t${enc(o)}").toSeq ++
@@ -556,7 +566,8 @@ object TxTable {
       op: Option[String] = None,
       expectMark: Option[Long] = None,
       propsSet: Seq[(String, String)] = Seq.empty,
-      propsRemove: Seq[String] = Seq.empty): Long = {
+      propsRemove: Seq[String] = Seq.empty,
+      expectDv: Map[String, Option[String]] = Map.empty): Long = {
     fs.mkdirs(logDir(root))
     val payload = render(adds, removes, txn, schema, op, propsSet,
       propsRemove)
@@ -570,11 +581,22 @@ object TxTable {
         throw new IllegalStateException(
           s"table at $root already exists (concurrent CREATE lost the " +
             "race at version 0)")
-      if (removes.nonEmpty) {
+      if (removes.nonEmpty || expectDv.nonEmpty) {
         val live = snapshotFiles(fs, root)
         val gone = removes.filterNot(live.contains)
         require(gone.isEmpty,
           s"commit conflict: concurrently removed ${gone.take(3).mkString(",")}")
+        // deletion-vector CAS: a read-modify-write of a file's DV is
+        // valid only while the pointer still equals what the caller
+        // read — a concurrent merge-on-read delete's vector would
+        // otherwise be silently overwritten (its rows resurrected)
+        expectDv.foreach { case (rel, expected) =>
+          val cur = live.get(rel).flatMap(m => DvStore.pointerOf(m.stats))
+          require(cur == expected,
+            s"commit conflict: deletion vector on $rel changed " +
+              "concurrently (expected " +
+              s"${expected.getOrElse("none")}, found ${cur.getOrElse("none")})")
+        }
       }
       // a lost race may have been THIS batch from a concurrent duplicate
       // of the same writer (task retry, zombie executor): re-check the
@@ -1245,13 +1267,9 @@ object TxTable {
       val qroot = fs.makeQualified(root)
       val keyHash = xxhash64(keys.map(col): _*).as("__kh")
       val srcKeys = src.select(keys.map(col): _*).distinct()
-      val rdr = logSchema(fs, root).map(spark.read.schema)
-        .getOrElse(spark.read)
-      def scanFiles(rels: Seq[String]): DataFrame = rdr
-        .parquet(rels.map(rel => new Path(root, rel).toString): _*)
-        .withColumn("__file", col("_metadata.file_path"))
-        .withColumn("date",
-          to_date(regexp_extract(col("__file"), "date=([^/]+)", 1)))
+      def scanFiles(rels: Seq[String]): DataFrame =
+        scanLive(spark, root, rels.map(r => r -> live(r)),
+          logSchema(fs, root))
       val touched: Seq[String] = tdbg("discovery") {
         if (candidates.isEmpty) Seq.empty
         else scanFiles(candidates.keys.toSeq).withColumn("__kh", keyHash)
@@ -1366,6 +1384,22 @@ object TxTable {
     df.select(col("date") +: df.columns.filterNot(_ == "date").map(col): _*)
   }
 
+  /** One planner-owned scan over an explicit live-file subset with a
+    * `__file` identity column — the shared discovery/rewrite scan of
+    * [[merge]], [[delete]]/[[update]]/[[replaceWhere]] and
+    * [[deleteMergeOnRead]]. Uses the same log-driven relation as
+    * [[readFileSet]], so deletion vectors are subtracted (a rewrite
+    * must never resurrect previously deleted rows) and the `date`
+    * partition column is a per-file constant instead of a per-row
+    * regexp. Output: data columns, `date`, `__file`.
+    */
+  private def scanLive(spark: SparkSession, root: Path,
+      files: Seq[(String, FileMeta)],
+      schema: Option[StructType]): DataFrame =
+    spark.baseRelationToDataFrame(
+      TxFileIndex.fileSetRelation(spark, root, files, schema))
+      .withColumn("__file", col("_metadata.file_path"))
+
   /** SummingMergeTree background-merge analog on the tx path: re-sum the
     * target dates into fresh files and atomically swap them in. Old
     * files stay on disk (time travel / reader isolation) until
@@ -1446,12 +1480,16 @@ object TxTable {
     * transform. None = no matching row anywhere (untouched files keep
     * their identity; there is nothing to rewrite).
     */
-  private def touchedRewrite(spark: SparkSession, table: String,
-      predicate: Column): Option[(Seq[String], DataFrame)] = {
+  /** Planning-time candidate pruning shared by every predicate-scoped
+    * mutation: the live files that MAY hold a matching row, by the
+    * same machinery a query scan uses — date conjuncts prune
+    * partitions, data conjuncts probe per-file min/max and Bloom/token
+    * filters through [[TxFileIndex.listFiles]].
+    */
+  private def candidateFiles(spark: SparkSession, table: String,
+      predicate: Column): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd}
     val (fs, root) = fsFor(spark, table)
-    val live = snapshotFiles(fs, root)
-    if (live.isEmpty) return None
     val df = TxFileIndex.readV2(spark, table)
     // resolve the predicate against the table schema, split conjuncts,
     // and hand them to the index's listing
@@ -1469,19 +1507,22 @@ object TxTable {
         c.references.forall(_.name == "date"))
     val idx = new TxFileIndex(spark, table)
     val qroot = fs.makeQualified(root)
-    val candidates = idx.listFiles(partF, dataF)
+    idx.listFiles(partF, dataF)
       .flatMap(_.files.map(st => qroot.toUri
         .relativize(st.getPath.toUri).getPath))
+  }
+
+  private def touchedRewrite(spark: SparkSession, table: String,
+      predicate: Column): Option[(Seq[String], DataFrame)] = {
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    if (live.isEmpty) return None
+    val candidates = candidateFiles(spark, table, predicate)
     if (candidates.isEmpty) return None
-    val rdr = logSchema(fs, root).map(spark.read.schema)
-      .getOrElse(spark.read)
-    def scanFiles(rels: Seq[String]): DataFrame = {
-      val d = rdr.parquet(rels.map(rel => new Path(root, rel).toString): _*)
-        .withColumn("__file", col("_metadata.file_path"))
-        .withColumn("date",
-          to_date(regexp_extract(col("__file"), "date=([^/]+)", 1)))
-      d
-    }
+    val qroot = fs.makeQualified(root)
+    def scanFiles(rels: Seq[String]): DataFrame =
+      scanLive(spark, root, rels.map(r => r -> live(r)),
+        logSchema(fs, root))
     val touched: Seq[String] = scanFiles(candidates)
       .filter(predicate).select("__file").distinct().collect()
       .map(r => qroot.toUri
@@ -1501,6 +1542,133 @@ object TxTable {
         commitRetry(fs, root, adds, touched, None, None,
           op = Some("delete"))
     }
+  }
+
+  /** MERGE-ON-READ DELETE WHERE (Delta's deletion-vector DELETE,
+    * ClickHouse's lightweight `DELETE FROM`): instead of rewriting
+    * every touched file ([[delete]]'s copy-on-write — O(touched
+    * BYTES)), record the matching rows' file positions in a deletion
+    * vector sidecar and publish ONE metadata commit — O(matched ROWS)
+    * of write I/O. Scans subtract the vectors at read time
+    * ([[DvParquetFileFormat]]); data files are untouched, so at 100 TB
+    * a point delete ("these 40 rows across a thousand 1 GB files")
+    * costs kilobytes instead of a terabyte of rewrite.
+    *
+    * Semantics match [[delete]] exactly: candidates are log-pruned by
+    * the same planning machinery, NULL predicates keep their rows, a
+    * no-match delete commits nothing (-1). A second delete on an
+    * already-vectored file UNIONS positions (one pointer per file,
+    * CAS-protected against concurrent vector writers); a file whose
+    * every remaining row matches is simply REMOVED (no vector needed).
+    * The trade: reads of vectored files drop out of whole-stage batch
+    * mode until [[purgeDeletes]] materializes the vectors away —
+    * merge-on-read is for sparse deletes, copy-on-write for bulk.
+    */
+  def deleteMergeOnRead(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    if (live.isEmpty) return -1L
+    val candidates = candidateFiles(spark, table, predicate)
+    if (candidates.isEmpty) return -1L
+    val qroot = fs.makeQualified(root)
+    // one scan of the candidates (existing vectors applied — an
+    // already-deleted row can never re-match): matching positions per
+    // file, collected as sorted arrays. Driver volume is O(matched
+    // rows) — the merge-on-read contract.
+    val scan = scanLive(spark, root,
+      candidates.map(r => r -> live(r)), logSchema(fs, root))
+    val matched: Array[(String, Array[Long])] = scan
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(coalesce(predicate, lit(false)))
+      .groupBy("__file")
+      .agg(sort_array(collect_list(col("__pos"))).as("pos"))
+      .collect()
+      .map { r =>
+        val rel = qroot.toUri
+          .relativize(new Path(r.getString(0)).toUri).getPath
+        rel -> r.getAs[scala.collection.Seq[Long]]("pos").toArray
+      }
+    if (matched.isEmpty) return -1L
+    // fold new positions into any existing vector; a file left with
+    // zero live rows is dropped outright instead of carrying a
+    // full-file vector
+    val merged: Seq[(String, Array[Long], FileMeta)] = matched.toSeq
+      .map { case (rel, newPos) =>
+        val m = live(rel)
+        val old = DvStore.positions(fs, root, rel, m.stats)
+          .getOrElse(Array.empty[Long])
+        (rel, DvStore.union(old, newPos), m)
+      }
+    def fileRows(rel: String): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
+      try rdr.getRecordCount finally rdr.close()
+    }
+    val (emptied, vectored) = merged.partition { case (rel, pos, _) =>
+      pos.length >= fileRows(rel)
+    }
+    val sidecarRel =
+      if (vectored.isEmpty) ""
+      else DvStore.writeSidecar(fs, root,
+        vectored.map { case (rel, pos, _) => rel -> pos }.toMap)
+    val adds = vectored.map { case (rel, pos, m) =>
+      rel -> m.copy(stats =
+        m.stats + DvStore.pointerEntry(sidecarRel, pos.length.toLong))
+    }
+    val removes = merged.map(_._1)
+    commitRetry(fs, root, adds, removes, None, None,
+      op = Some("delete-mor"),
+      expectDv = merged.map { case (rel, _, m) =>
+        rel -> DvStore.pointerOf(m.stats)
+      }.toMap)
+  }
+
+  /** Test seam for the deletion-vector CAS: commit a vector for `rel`
+    * while EXPECTING `expectPtr` as its current pointer — the exact
+    * commit a concurrent [[deleteMergeOnRead]] writer that read the
+    * `expectPtr` era would publish.
+    */
+  private[graft] def commitDvForTest(spark: SparkSession, table: String,
+      rel: String, positions: Array[Long],
+      expectPtr: Option[String]): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val m = snapshotFiles(fs, root)(rel)
+    val sidecarRel = DvStore.writeSidecar(fs, root, Map(rel -> positions))
+    commitRetry(fs, root,
+      Seq(rel -> m.copy(stats = m.stats +
+        DvStore.pointerEntry(sidecarRel, positions.length.toLong))),
+      Seq(rel), None, None, op = Some("delete-mor"),
+      expectDv = Map(rel -> expectPtr))
+  }
+
+  /** Materialize pending deletion vectors away (Delta's
+    * `REORG TABLE ... APPLY (PURGE)`): every vectored file is
+    * physically rewritten without its deleted rows and the vectors are
+    * dropped, restoring full vectorized batch reads. CONTENT-PRESERVING
+    * by construction — reads always subtract vectors, so the row
+    * multiset before and after is identical; the commit is tagged with
+    * the [[LayoutOps]] `purge` op, which keeps materialized views
+    * fresh, streams transparent, and the change feed silent, exactly
+    * like `optimize`. CAS-protected per file: a merge-on-read delete
+    * landing mid-purge aborts the purge (retry re-reads), never loses
+    * its vector. Returns -1 when no file carries a vector.
+    */
+  def purgeDeletes(spark: SparkSession, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    val dvd = live.filter(_._2.stats.contains(DvStore.Key)).toSeq
+      .sortBy(_._1)
+    if (dvd.isEmpty) return -1L
+    val rows = readFileSet(spark, root, dvd, logSchema(fs, root))
+    val adds = stage(prep(rows), fs, root)
+    commitRetry(fs, root, adds, dvd.map(_._1), None, None,
+      op = Some("purge"),
+      expectDv = dvd.map { case (rel, m) =>
+        rel -> DvStore.pointerOf(m.stats)
+      }.toMap)
   }
 
   /** SQL UPDATE (ClickHouse's `ALTER TABLE ... UPDATE` mutation) as
@@ -1850,29 +2018,59 @@ object TxTable {
           "the range was swept by expireLog and cannot be reproduced — " +
           "widen the log retention or start the feed from a newer version")
     val sch = logSchema(fs, root, Some(toInclusive))
-    def readRels(rels: Seq[String]): DataFrame = {
-      val missing = rels.filterNot(r => fs.exists(new Path(root, r)))
+    def readRels(relMetas: Seq[(String, FileMeta)]): DataFrame = {
+      val missing = relMetas.collect {
+        case (r, _) if !fs.exists(new Path(root, r)) => r
+      }
       if (missing.nonEmpty)
         throw new ChangeFeedUnavailableException(
           s"change feed ($fromExclusive, $toInclusive] on $table: " +
             s"${missing.size} pre-image file(s) already reclaimed by " +
             s"vacuum (first: ${missing.headOption.getOrElse("")}) — " +
             "raise the vacuum retention to cover the feed's lag")
-      readFileSet(spark, root,
-        rels.map(_ -> FileMeta("", 0L, Map.empty)), sch)
+      readFileSet(spark, root, relMetas, sch)
     }
+    // a removed file must read with its PRE-COMMIT meta: stats carry
+    // the deletion-vector pointer of that era, so a file deleted-from
+    // twice diffs new-vector against old-vector (emitting only the
+    // newly deleted rows), and a rewrite of a DV'd file never
+    // re-announces rows an earlier vector already removed. Commits
+    // before the previous version's state is reproducible (expireLog
+    // swept it below the nearest checkpoint) fall back to bare metas —
+    // sound for DV-free histories, refused loudly for DV'd ones.
+    def preMetas(v: Long, pl: ParsedLog,
+        removes: Seq[String]): Seq[(String, FileMeta)] =
+      if (versionReproducible(fs, root, v - 1)) {
+        val prev = snapshotFiles(fs, root, Some(v - 1))
+        removes.map(r => r -> prev.getOrElse(r, FileMeta("", 0L, Map.empty)))
+      } else {
+        // pre-state swept: bare metas are sound only when no deletion
+        // vector could have been attached to a removed file — a DV
+        // commit in this position cannot reproduce which rows were
+        // ALREADY deleted, so fail loudly rather than re-announce them
+        val dvInvolved = pl.op.contains("delete-mor") ||
+          pl.acts.exists(_.add.exists(_.stats.contains(DvStore.Key)))
+        if (dvInvolved)
+          throw new ChangeFeedUnavailableException(
+            s"change feed ($fromExclusive, $toInclusive] on $table: " +
+              s"commit $v touches deletion vectors but version ${v - 1} " +
+              "was swept by expireLog — the pre-images' vectors cannot " +
+              "be reproduced; widen the log retention")
+        removes.map(_ -> FileMeta("", 0L, Map.empty))
+      }
     def tag(df: DataFrame, v: Long, ct: String): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(ct))
     val parts = vs.flatMap { v =>
       val pl = parseLog(fs, versionFile(root, v), s"commit $v")
-      val adds = pl.acts.collect { case Action(rel, Some(_)) => rel }
+      val adds = pl.acts.collect { case a @ Action(_, Some(_)) => a }
+        .map(a => a.rel -> a.add.get)
       val removes = pl.acts.collect { case Action(rel, None) => rel }
       if ((adds.isEmpty && removes.isEmpty) ||
           pl.op.exists(LayoutOps.contains)) None
       else if (removes.isEmpty) Some(tag(readRels(adds), v, "insert"))
       else {
-        val pre = readRels(removes)
+        val pre = readRels(preMetas(v, pl, removes))
         val post = if (adds.isEmpty) pre.limit(0) else readRels(adds)
         val ins = post.exceptAll(pre)
         val del = pre.exceptAll(post)
@@ -2242,7 +2440,8 @@ object TxTable {
     // part of the live state (they hold its skip indexes) even though
     // no commit adds them as data files — never reclaim those
     val liveSidecars =
-      BloomStore.referencedSidecars(snapshot.values.map(_.stats))
+      BloomStore.referencedSidecars(snapshot.values.map(_.stats)) ++
+        DvStore.referencedSidecars(snapshot.values.map(_.stats))
     val now = System.currentTimeMillis()
     val hits = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     fs.listStatus(root).filter(s => s.isDirectory &&

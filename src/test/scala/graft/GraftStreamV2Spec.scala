@@ -77,6 +77,38 @@ class GraftStreamV2Spec extends AnyFunSuite {
     assert(seen.toSet == tableRows)
   }
 
+  test("deletion vectors in stream backfill: a fresh stream's initial " +
+      "snapshot of a vectored table delivers only live rows — both " +
+      "delivery paths (v1 readFileSet, v2 per-file readers)") {
+    Seq("graft", "graft-v2").foreach { format =>
+      val dir = tmp(s"dvsnap_${format.replace("-", "")}")
+      val table = s"$dir/t"
+      (0 until 3).foreach(i => TxTable.append(spark, batch(i), table))
+      // vector out every v % 10 == 7 row, then force the fresh stream
+      // down the SNAPSHOT path (the delete-mor commit is destructive,
+      // so per-commit replay is off the table for a fresh reader)
+      assert(TxTable.deleteMergeOnRead(spark, table, col("v") % 10 === 7) > 0)
+      val live = TxTable.read(spark, table).select("k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(live.nonEmpty && !live.exists(_._2 % 10 == 7))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = spark.readStream.format(format)
+        .load(table)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.select("k", "v").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          seen.synchronized { seen ++= rows }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(seen.toSet == live && seen.size == live.size,
+        s"$format snapshot must subtract the vector " +
+          s"(delivered ${seen.size}, live ${live.size})")
+    }
+  }
+
   test("checkpoint interop: a checkpoint written by the v1 path " +
       "restarts through the v2 path (and back) — the offset JSON is " +
       "the contract, not the delivery code") {
