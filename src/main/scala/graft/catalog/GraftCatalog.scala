@@ -509,7 +509,15 @@ class GraftCatalogTable(val path: String, ident: Identifier,
       s"cannot delete from ${name()}: the table is pinned by time travel")
     val cond = filters.flatMap(GraftCatalogTable.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    TxTable.delete(spark, path, cond)
+    // the `graft.deletionVectors` table property opts SQL DELETE into
+    // merge-on-read (Delta's enableDeletionVectors posture): sparse
+    // deletes become metadata commits; purge via
+    // `CALL gcat.sys.purge_deletes(...)`
+    if (TxTable.tableProperties(spark, path)
+        .get("graft.deletionVectors").contains("true"))
+      TxTable.deleteMergeOnRead(spark, path, cond)
+    else
+      TxTable.delete(spark, path, cond)
     ()
   }
 

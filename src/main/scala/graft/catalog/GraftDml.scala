@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
   AttributeReference, AttributeSet, EqualTo, Expression, And => CAnd}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable,
-  UpdateAction, UpdateTable}
+  DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction,
+  MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -74,6 +74,14 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
   }
 
   private def pf: PartialFunction[LogicalPlan, LogicalPlan] = {
+    // DELETE with ANY predicate — the DSv2 SupportsDelete path only
+    // accepts conditions translatable to v1 Filters (`v < 10`); this
+    // rewrite frees `DELETE FROM t WHERE v % 10 = 3` to run through
+    // the same tx primitive, exactly Delta's DeleteFromTable posture.
+    case d @ DeleteFromTable(rel, cond)
+        if d.resolved && graftTable(rel).isDefined =>
+      GraftDeleteCommand(graftTable(rel).get.path, byName(cond))
+
     case u @ UpdateTable(rel, assignments, cond)
         if u.resolved && graftTable(rel).isDefined &&
           assignments.forall(a => keyName(a.key).isDefined) &&
@@ -145,6 +153,25 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** `DELETE FROM` executed as one tx commit — copy-on-write
+  * ([[TxTable.delete]]) or, when the table opts in via the
+  * `graft.deletionVectors` property, merge-on-read
+  * ([[TxTable.deleteMergeOnRead]]).
+  */
+case class GraftDeleteCommand(path: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (TxTable.tableProperties(spark, path)
+        .get("graft.deletionVectors").contains("true"))
+      TxTable.deleteMergeOnRead(spark, path, cond)
+    else
+      TxTable.delete(spark, path, cond)
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand $path"
+}
+
 /** `UPDATE` executed as [[TxTable.update]]'s single copy-on-write
   * commit. Assignments and condition were rebound by name, so they
   * re-resolve against the command's own fresh table scan.
@@ -153,8 +180,14 @@ case class GraftUpdateCommand(path: String,
     sets: Seq[(String, Column)], cond: Option[Column])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    TxTable.update(spark, path,
-      cond.getOrElse(org.apache.spark.sql.functions.lit(true)), sets)
+    val c = cond.getOrElse(org.apache.spark.sql.functions.lit(true))
+    // `graft.deletionVectors` opts SQL UPDATE into merge-on-read
+    // (vector the pre-images + append the post-images in one commit)
+    if (TxTable.tableProperties(spark, path)
+        .get("graft.deletionVectors").contains("true"))
+      TxTable.updateMergeOnRead(spark, path, c, sets)
+    else
+      TxTable.update(spark, path, c, sets)
     Seq.empty
   }
   override def simpleString(maxFields: Int): String =

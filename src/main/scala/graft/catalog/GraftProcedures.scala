@@ -34,7 +34,8 @@ object GraftProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] =
-    Seq("vacuum", "optimize", "zorder", "expire_log", "history")
+    Seq("vacuum", "optimize", "zorder", "expire_log", "history",
+      "purge_deletes")
 
   def load(name: String, catalog: GraftCatalog): UnboundProcedure =
     name.toLowerCase match {
@@ -43,6 +44,7 @@ object GraftProcedures {
       case "zorder"     => new ZorderProc(catalog)
       case "expire_log" => new ExpireLogProc(catalog)
       case "history"    => new HistoryProc(catalog)
+      case "purge_deletes" => new PurgeDeletesProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
           names.mkString(", "))
@@ -133,6 +135,21 @@ object GraftProcedures {
       result(StructType(Seq(
         StructField("expired_commits", LongType, nullable = false))),
         Seq(Seq(dropped.size.toLong)))
+    }
+  }
+
+  /** Materialize pending deletion vectors into physical rewrites
+    * (Delta's `REORG ... APPLY (PURGE)`): restores vectorized batch
+    * reads after merge-on-read deletes.
+    */
+  private class PurgeDeletesProc(catalog: GraftCatalog)
+      extends SysProc("purge_deletes", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TxTable.purgeDeletes(spark,
+        pathOf(catalog, input.getUTF8String(0).toString))
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
     }
   }
 

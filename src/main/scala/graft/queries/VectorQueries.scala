@@ -620,6 +620,64 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF-PQ composed (FAISS's IVFADC shape, no-residual variant —
+    // `by_residual=false`, a public FAISS option): the coarse
+    // quantizer routes a query to its nprobe=2 nearest cells, and
+    // ONLY the vectors of those cells are scored — via their PQ codes
+    // and the query's precomputed LUT, never the full vectors. This
+    // is the billion-scale serving shape: candidate count drops by
+    // ~k/nprobe from the coarse index AND each candidate costs M LUT
+    // lookups instead of a 64-dim dot product. Scale audit: codebook
+    // and LUT are broadcast (16x4 / 10x4x16 entries), code assignment
+    // partial-aggregates map-side, and the ADC sum collapses its M
+    // subspace rows before the exchange.
+    "qv_ivfpq" -> ((s, d) => {
+      val base = quantized(s, d).select("vec_id", "q", "nrm")
+      val seeds = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val coarse = base.crossJoin(broadcast(seeds))
+        .withColumn("dot_s",
+          expr("aggregate(zip_with(q, sq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+      val assigned = coarse.groupBy("vec_id")
+        .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
+      val sub = assigned.select(col("vec_id"), col("cell_id"),
+        explode(expr(
+          "transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
+          col("e.sub").as("sub"))
+      val cent = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"))
+      val cdists = sub.join(broadcast(cent), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      val codes = cdists.groupBy("vec_id", "cell_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).as("a"))
+        .select(col("vec_id"), col("cell_id"), col("m"),
+          col("a.code").as("code"))
+      val wp = Window.partitionBy("vec_id").orderBy(asc("cd2"), asc("cell_id"))
+      val probes = coarse.filter(col("vec_id") < 10)
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
+      val lut = cdists.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("m"), col("code"), col("d2"))
+      val adc = codes.join(broadcast(probes), col("cell_id") === col("pcell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(lut), Seq("q_id", "m", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(min("cell_id").as("cell"), sum("d2").as("adc"))
+      val w = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+      adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
+          col("rank"), col("adc"))
+        .orderBy("q_id", "rank")
+    }),
+
     // one Lloyd iteration of k-means: per-cell centroid update from the
     // IVF assignment, emitted as exact integer component sums + counts
     // (centroid = csum/n, derived by the caller in whatever float
@@ -719,6 +777,56 @@ object VectorQueries {
          |    ORDER BY adc, n_id) AS INTEGER) AS rank FROM adc)
          |SELECT q_id, n_id, rank, CAST(adc AS BIGINT) AS adc
          |FROM rankedq WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "qv_ivfpq" ->
+      s"""WITH $quantizedSql, seeds AS (
+         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+         |  FROM qn WHERE vec_id < 16
+         |), coarse AS (
+         |  SELECT v.vec_id, s.cell_id, v.q,
+         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS cd2
+         |  FROM qn v CROSS JOIN seeds s
+         |), assigned AS (
+         |  SELECT vec_id, cell_id, q FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cd2, cell_id) AS rn FROM coarse) t
+         |  WHERE rn = 1
+         |), sub AS (
+         |  SELECT vec_id, cell_id, mm.m AS m,
+         |    q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sub
+         |  FROM assigned, (SELECT unnest(range(0, 4)) AS m) mm
+         |), cent AS (
+         |  SELECT m, vec_id AS code, sub AS csub FROM sub WHERE vec_id < 16
+         |), cd AS (
+         |  SELECT s.vec_id, s.cell_id, s.m, c.code,
+         |    (SELECT SUM((s.sub[i.i] - c.csub[i.i]) * (s.sub[i.i] - c.csub[i.i]))
+         |     FROM (SELECT unnest(range(1, 17)) AS i) i) AS d2
+         |  FROM sub s JOIN cent c ON s.m = c.m
+         |), codes AS (
+         |  SELECT vec_id, cell_id, m, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM cd) t
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cell_id AS pcell FROM (
+         |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
+         |    FROM coarse WHERE vec_id < 10) t
+         |  WHERE rn <= 2
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, code, d2 FROM cd WHERE vec_id < 10
+         |), adc AS (
+         |  SELECT p.q_id, k.vec_id, MIN(k.cell_id) AS cell,
+         |    SUM(l.d2) AS adc
+         |  FROM codes k JOIN probes p
+         |    ON k.cell_id = p.pcell AND k.vec_id <> p.q_id
+         |  JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
+         |  GROUP BY 1, 2
+         |), rankedp AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
+         |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc
+         |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "qv_kmeans_step" ->
       s"""WITH $ivfAssignedSql
          |SELECT cell_id, CAST(i.i - 1 AS INTEGER) AS pos,

@@ -1480,6 +1480,19 @@ object TxTable {
     * transform. None = no matching row anywhere (untouched files keep
     * their identity; there is nothing to rewrite).
     */
+  /** Footer-only row count of one data file — O(1) metadata read,
+    * used to spot files whose deletion vector would cover EVERY row
+    * (those are dropped outright instead of carrying a full vector).
+    */
+  private def parquetRowCount(fs: FileSystem, root: Path,
+      rel: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
+    try rdr.getRecordCount finally rdr.close()
+  }
+
   /** Planning-time candidate pruning shared by every predicate-scoped
     * mutation: the live files that MAY hold a matching row, by the
     * same machinery a query scan uses — date conjuncts prune
@@ -1600,15 +1613,8 @@ object TxTable {
           .getOrElse(Array.empty[Long])
         (rel, DvStore.union(old, newPos), m)
       }
-    def fileRows(rel: String): Long = {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val rdr = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(root, rel), fs.getConf))
-      try rdr.getRecordCount finally rdr.close()
-    }
     val (emptied, vectored) = merged.partition { case (rel, pos, _) =>
-      pos.length >= fileRows(rel)
+      pos.length >= parquetRowCount(fs, root, rel)
     }
     val sidecarRel =
       if (vectored.isEmpty) ""
@@ -1624,6 +1630,76 @@ object TxTable {
       expectDv = merged.map { case (rel, _, m) =>
         rel -> DvStore.pointerOf(m.stats)
       }.toMap)
+  }
+
+  /** MERGE-ON-READ UPDATE: ONE commit vectors out the matched rows of
+    * every touched file (pre-images) and appends fresh files holding
+    * their updated form (post-images) — write I/O is O(matched rows),
+    * never the touched files' bytes, the same trade
+    * [[deleteMergeOnRead]] makes for DELETE. Readers flip atomically
+    * from old rows to updated rows at the commit; the change feed
+    * derives delete(pre)+insert(post) from the era-correct diff with
+    * no special casing. Same refusals as [[update]] (no `date`
+    * reassignment), -1 on no match, CAS-protected vectors.
+    */
+  def updateMergeOnRead(spark: SparkSession, table: String,
+      predicate: Column, set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    require(!set.exists(_._1 == "date"),
+      "cannot UPDATE the `date` partition column: rows may not move " +
+        "partitions (delete + insert instead)")
+    val (fs, root) = fsFor(spark, table)
+    val live = snapshotFiles(fs, root)
+    if (live.isEmpty) return -1L
+    val candidates = candidateFiles(spark, table, predicate)
+    if (candidates.isEmpty) return -1L
+    val qroot = fs.makeQualified(root)
+    val scan = scanLive(spark, root,
+      candidates.map(r => r -> live(r)), logSchema(fs, root))
+    val matchedRows = scan
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(coalesce(predicate, lit(false)))
+      .persist()
+    try {
+      val matched: Array[(String, Array[Long])] = matchedRows
+        .groupBy("__file")
+        .agg(sort_array(collect_list(col("__pos"))).as("pos"))
+        .collect()
+        .map { r =>
+          val rel = qroot.toUri
+            .relativize(new Path(r.getString(0)).toUri).getPath
+          rel -> r.getAs[scala.collection.Seq[Long]]("pos").toArray
+        }
+      if (matched.isEmpty) return -1L
+      val cols = set.toMap
+      val updated = matchedRows.select(
+        scan.columns.filterNot(_ == "__file").toSeq.map { c =>
+          cols.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*)
+      val newFiles = stage(prep(updated), fs, root)
+      val merged = matched.toSeq.map { case (rel, newPos) =>
+        val m = live(rel)
+        val old = DvStore.positions(fs, root, rel, m.stats)
+          .getOrElse(Array.empty[Long])
+        (rel, DvStore.union(old, newPos), m)
+      }
+      val (emptied, vectored) = merged.partition { case (rel, pos, _) =>
+        pos.length >= parquetRowCount(fs, root, rel)
+      }
+      val sidecarRel =
+        if (vectored.isEmpty) ""
+        else DvStore.writeSidecar(fs, root,
+          vectored.map { case (rel, pos, _) => rel -> pos }.toMap)
+      val dvAdds = vectored.map { case (rel, pos, m) =>
+        rel -> m.copy(stats =
+          m.stats + DvStore.pointerEntry(sidecarRel, pos.length.toLong))
+      }
+      commitRetry(fs, root, dvAdds ++ newFiles, merged.map(_._1), None,
+        schemaUpdate(fs, root, updated), op = Some("update-mor"),
+        expectDv = merged.map { case (rel, _, m) =>
+          rel -> DvStore.pointerOf(m.stats)
+        }.toMap)
+    } finally { matchedRows.unpersist(); () }
   }
 
   /** Test seam for the deletion-vector CAS: commit a vector for `rel`

@@ -187,6 +187,19 @@ object ClusterBench {
       (cf.count(), checksum(cf))
     }
     record("tx_change_feed", sec6, rows6, sum6)
+
+    // 4c. merge-on-read DELETE across executor JVMs: the position
+    //     SCAN (row_index collection) and the vectored read-back run
+    //     on remote executors — the subtraction must be
+    //     placement-invariant, and the checksum pins it
+    val ((rows7, sum7), sec7) = timed {
+      val v = TxTable.deleteMergeOnRead(spark, table,
+        col("bytes") % 7 === 0)
+      require(v > 0, "cluster DV arm: the delete must match rows")
+      val back = TxTable.read(spark, table)
+      (back.count(), checksum(back))
+    }
+    record("tx_dv_delete", sec7, rows7, sum7)
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
 
     // 5. EXECUTOR-LOSS resilience (env-gated — run manually at sf0.1;

@@ -401,6 +401,67 @@ object ScaleBench {
       routedA.unpersist(blocking = false)
       quant.unpersist(blocking = false)
       }
+
+      if (enabled("dv")) {
+        // Deletion vectors vs copy-on-write: the same sparse DELETE
+        // (~0.1% of rows, spread across every file) through both
+        // paths. The claims under measurement: MoR write cost is
+        // O(matched rows) — sidecar bytes stay ~flat per matched row
+        // while CoW rewrite bytes grow with the touched-file bytes —
+        // and the vectored-read tax (row-mode scan) is bounded and
+        // fully recovered by purge.
+        val ev = (if (factor == 1) baseEvents
+          else (0 until factor).map(i => baseEvents.select(
+            (col("event_id") + lit(i * 10000000L)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"),
+            col("user_id"), col("event_type"), col("value")))
+            .reduce(_ unionByName _))
+          .select(to_date(col("ts")).as("date"), col("event_id"),
+            col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val pred = col("event_id") % 1000 === 7
+        def freshTable(tag: String): String = {
+          val dir = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_dv_${tag}_${factor}x")
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          val t = s"$dir/t"
+          TxTable.append(spark, ev, t)
+          t
+        }
+        val matched = ev.filter(pred).count()
+
+        val tCow = freshTable("cow")
+        val (vCow, cowSec) = timed(TxTable.delete(spark, tCow, pred))
+        val cowBytes = TxTable.history(spark, tCow)
+          .filter(col("version") === vCow)
+          .select("bytes_added").head.getLong(0)
+        record(factor, "dv_cow_delete", cowSec, matched,
+          "written_mb" -> f"${cowBytes / 1e6}%.1f")
+
+        val tMor = freshTable("mor")
+        val files = TxTable.liveStats(spark, tMor).size
+        val (vMor, morSec) = timed(
+          TxTable.deleteMergeOnRead(spark, tMor, pred))
+        require(vMor > 0, "scale arm: MoR delete must commit")
+        val sidecarBytes = TxTable.liveStats(spark, tMor).values
+          .flatMap(m => graft.sink.DvStore.pointerOf(m.stats)).toSet
+          .map((p: String) => new java.io.File(tMor,
+            p.stripPrefix("@")).length).sum
+        record(factor, "dv_mor_delete", morSec, matched,
+          "written_mb" -> f"${sidecarBytes / 1e6}%.3f",
+          "files" -> files.toString)
+
+        // the read tax: clean (post-CoW, no vectors) vs vectored scan
+        // of the same surviving rows, then purge and the recovery
+        val (_, cleanScanSec) = timed(noop(TxTable.read(spark, tCow)))
+        record(factor, "dv_scan_clean", cleanScanSec, matched)
+        val (_, morScanSec) = timed(noop(TxTable.read(spark, tMor)))
+        record(factor, "dv_scan_vectored", morScanSec, matched)
+        val (_, purgeSec) = timed(TxTable.purgeDeletes(spark, tMor))
+        record(factor, "dv_purge", purgeSec, matched)
+        val (_, purgedScanSec) = timed(noop(TxTable.read(spark, tMor)))
+        record(factor, "dv_scan_purged", purgedScanSec, matched)
+      }
     }
 
     if (enabled("commitlatency")) {
@@ -440,9 +501,27 @@ object ScaleBench {
       }
     }
 
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALE_RESULTS.json"),
-      ("[" + out.mkString(",\n") + "]\n")
+    // MERGE into the existing artifact: a SPARK_GRAFT_SCALE_ONLY run
+    // measures one section and must not clobber the others' recorded
+    // curves. Entries for the (step, factor) pairs this run measured
+    // replace their previous records; everything else is preserved.
+    val path = java.nio.file.Paths.get("SCALE_RESULTS.json")
+    def keyOf(j: String): String = {
+      def field(k: String): String =
+        ("\"" + k + "\":(\"[^\"]*\"|[^,}]*)").r
+          .findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+      field("step") + "@" + field("factor")
+    }
+    val measured = out.map(keyOf).toSet
+    val kept =
+      if (!java.nio.file.Files.exists(path)) Seq.empty[String]
+      else new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .stripPrefix("[").stripSuffix("\n").stripSuffix("]")
+        .split(",\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .filterNot(j => measured.contains(keyOf(j)))
+    java.nio.file.Files.write(path,
+      ("[" + (kept ++ out).mkString(",\n") + "]\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -68,8 +68,8 @@ class ClusterChecksumSpec extends AnyFunSuite {
         new java.io.File(dir, s"mc_$attempt.log"))
       (a, b) match {
         case (Right(loc), Right(mc)) =>
-          assert(loc.size == 5 && mc.size == 5,
-            s"expected 5 steps, got ${loc.size}/${mc.size}")
+          assert(loc.size == 6 && mc.size == 6,
+            s"expected 6 steps, got ${loc.size}/${mc.size}")
           loc.zip(mc).foreach { case ((s1, r1, c1), (s2, r2, c2)) =>
             assert(s1 == s2, s"step order diverged: $s1 vs $s2")
             assert(r1 == r2,

@@ -147,6 +147,41 @@ class DeletionVectorSpec extends AnyFunSuite {
       "the rewrite replaced the vectored file — pointer gone with it")
   }
 
+  test("merge-on-read UPDATE: one commit vectors the pre-images and " +
+    "appends the post-images; the feed reads delete+insert") {
+    val path = freshTable("graft_dvupd")
+    val rows = (0 until 50)
+      .map(i => (d("2024-03-01"), i.toLong, s"k${i % 5}"))
+      .toDF("date", "v", "k")
+    TxTable.append(spark, rows, path)
+    val before = liveShape(path)
+    val v1 = TxTable.updateMergeOnRead(spark, path, col("v") < 10,
+      Seq("v" -> (col("v") + 1000L)))
+    assert(v1 == 1L)
+    val after = liveShape(path)
+    assert(before.keySet.subsetOf(after.keySet),
+      "original data files keep their identity (vectored, not rewritten)")
+    before.foreach { case (rel, (bytes, _)) =>
+      assert(after(rel)._1 == bytes, s"$rel rewritten")
+    }
+    assert(after.size > before.size, "post-image files appended")
+    val got = TxTable.read(spark, path).select("v")
+      .as[Long].collect().sorted.toSeq
+    val expect = ((10L until 50L) ++ (0L until 10L).map(_ + 1000L)).sorted
+    assert(got == expect)
+    // no-match update commits nothing
+    assert(TxTable.updateMergeOnRead(spark, path, col("v") === -1L,
+      Seq("v" -> lit(0L))) == -1L)
+    // the feed derives delete(pre) + insert(post) from the commit
+    val feed = TxTable.changeFeed(spark, path, v1 - 1, v1)
+      .select(col("_change_type"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val dels = feed.filter(_._1 == "delete").map(_._2).sorted.toSeq
+    val ins = feed.filter(_._1 == "insert").map(_._2).sorted.toSeq
+    assert(dels == (0L until 10L), s"pre-images: $dels")
+    assert(ins == (0L until 10L).map(_ + 1000L), s"post-images: $ins")
+  }
+
   test("changeFeed on merge-on-read commits: exactly the newly deleted " +
     "rows, per era; purge is silent") {
     val path = freshTable("graft_dvcdf")

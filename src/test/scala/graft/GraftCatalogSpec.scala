@@ -32,6 +32,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"CREATE NAMESPACE gcat.$ns")
   }
 
+  test("deletion vectors through SQL: the graft.deletionVectors " +
+    "property opts DELETE and UPDATE into merge-on-read, and " +
+    "CALL gcat.sys.purge_deletes materializes the vectors away") {
+    freshNs("dv")
+    spark.sql("CREATE TABLE gcat.dv.t (date DATE, k STRING, v BIGINT)" +
+      " PARTITIONED BY (date)" +
+      " TBLPROPERTIES ('graft.deletionVectors' = 'true')")
+    spark.sql("INSERT INTO gcat.dv.t SELECT 'k' || id, id," +
+      " DATE'2024-01-01' FROM range(0, 100)")
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED gcat.dv.t")
+      .filter(col("col_name") === "Location").head.getString(1)
+    def live() = graft.sink.TxTable.liveStats(spark, loc)
+      .map { case (r, m) => r -> m.bytes }
+    val before = live()
+    spark.sql("DELETE FROM gcat.dv.t WHERE v < 10")
+    assert(live() == before,
+      "property-gated SQL DELETE must be merge-on-read: files untouched")
+    assert(spark.sql("SELECT count(*) FROM gcat.dv.t").head.getLong(0)
+      == 90)
+    // the shared spec session carries no extensions — drive the DML
+    // rewrite rule directly, as the UPDATE/MERGE test does
+    val updPlan = graft.catalog.GraftDmlRewrite.applyPostAnalysis(
+      spark.sessionState.analyzer.execute(spark.sessionState.sqlParser
+        .parsePlan("UPDATE gcat.dv.t SET v = v + 1000 WHERE v >= 90")))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, updPlan).collect()
+    assert(before.keySet.subsetOf(live().keySet),
+      "property-gated SQL UPDATE keeps the original file identities")
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.dv.t WHERE v >= 1000").head.getLong(0)
+      == 10)
+    assert(spark.sql("SELECT sum(v) FROM gcat.dv.t").head.getLong(0) ==
+      ((10L until 90L) ++ (90L until 100L).map(_ + 1000L)).sum)
+    // a NON-TRANSLATABLE predicate (modulo) — refused by the DSv2
+    // SupportsDelete path — runs through the DML rewrite instead
+    val delPlan = graft.catalog.GraftDmlRewrite.applyPostAnalysis(
+      spark.sessionState.analyzer.execute(spark.sessionState.sqlParser
+        .parsePlan("DELETE FROM gcat.dv.t WHERE v % 10 = 5")))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, delPlan).collect()
+    // survivors: {10..89} minus its eight x5 values, {1090..1099}
+    // minus 1095 — nine rows gone
+    assert(spark.sql("SELECT count(*) FROM gcat.dv.t").head.getLong(0)
+      == 81, "modulo DELETE must run through the rewrite")
+    assert(before.keySet.subsetOf(live().keySet),
+      "rewrite DELETE is merge-on-read too under the property")
+    // purge through the procedure surface; content preserved
+    val sums = spark.sql("SELECT sum(v), count(*) FROM gcat.dv.t").head
+    spark.sql("CALL gcat.sys.purge_deletes(table => 'dv.t')")
+    assert(graft.sink.TxTable.liveStats(spark, loc).values
+      .forall(!_.stats.contains(graft.sink.DvStore.Key)),
+      "no vector survives the purge procedure")
+    assert(spark.sql("SELECT sum(v), count(*) FROM gcat.dv.t").head
+      == sums)
+  }
+
   test("SQL lifecycle: create / inserts / delete / alter / time travel") {
     freshNs("spec")
     spark.sql("CREATE TABLE gcat.spec.t (date DATE, k STRING, v BIGINT)" +

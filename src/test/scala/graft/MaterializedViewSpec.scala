@@ -310,6 +310,38 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally graft.plans.Projections.deregister(spark, baseT)
   }
 
+  test("MV: a MERGE-ON-READ delete (deletion vector) retracts like a " +
+      "rewrite delete — negative partials from the feed's vector " +
+      "diff, no rebuild, and a follow-up purge needs no refresh") {
+    val dir = tmp()
+    val (baseT, mvT) = (s"$dir/base", s"$dir/mv")
+    val defR = MV.MvDef(Seq("date", "k"),
+      Seq(MV.SumState("v", "v_sum"), MV.CountState("n")))
+    TxTable.append(spark, batch(0, 300), baseT)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    assert(TxTable.deleteMergeOnRead(spark, baseT, col("v") >= 150L) > 0)
+    assert(MV.refresh(spark, baseT, mvT, defR) >= 0)
+    val ops = TxTable.history(spark, mvT)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(!ops.contains("overwrite") && ops.count(_ == "append") >= 2,
+      s"a vectored delete must retract by appends, not rebuild: $ops")
+    def got() = MV.read(spark, mvT, defR).orderBy("date", "k")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("v_sum"), r.getAs[Long]("n"))).toSeq
+    def want(rows: DataFrame) = rows.groupBy("date", "k")
+      .agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+      .orderBy("date", "k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("v_sum"),
+        r.getAs[Long]("n"))).toSeq
+    assert(got() == want(batch(0, 150)))
+    assert(MV.isCurrent(spark, baseT, mvT))
+    // purge is layout-class: the MV stays current with NO refresh
+    assert(TxTable.purgeDeletes(spark, baseT) > 0)
+    assert(MV.isCurrent(spark, baseT, mvT),
+      "a purge must not stale the MV")
+    assert(got() == want(batch(0, 150)))
+  }
+
   test("MV: KLL quantile states merge across deltas within the rank-" +
       "error envelope") {
     val dir = tmp()
