@@ -748,16 +748,36 @@ object TxTable {
         case None    => sess.conf.unset(tsKey)
       }
     }
+    indexStagedDir(sess, fs, root, dataDir)
+  }
+
+  /** Index an already-staged data dir: per-file footer stats, the
+    * Bloom/token sidecar, and the (relpath -> meta) adds a commit
+    * needs. The second half of [[stage]], also the publish half of
+    * the DSv2 STREAMING write ([[GraftStreamingWrite]]), whose
+    * executors wrote the parquet themselves. `onlyFiles` (table-
+    * relative) restricts indexing to a committed subset — aborted or
+    * speculative task attempts may have left extra files in the dir,
+    * which stay unreferenced and fall to vacuum.
+    */
+  private[sink] def indexStagedDir(sess: SparkSession, fs: FileSystem,
+      root: Path, dataDir: String,
+      onlyFiles: Option[Set[String]] = None): Seq[(String, FileMeta)] = {
     val it = fs.listFiles(new Path(root, dataDir), true)
     val files = scala.collection.mutable.ArrayBuffer.empty[(Path, String, Long)]
     while (it.hasNext) {
       val st = it.next()
       val f = st.getPath
-      if (f.getName.startsWith("part-")) {
-        val date = f.getParent.getName.stripPrefix("date=")
+      val date = f.getParent.getName.stripPrefix("date=")
+      val rel = s"$dataDir/date=$date/${f.getName}"
+      if (f.getName.startsWith("part-") &&
+          onlyFiles.forall(_.contains(rel))) {
         files += ((f, date, st.getLen))
       }
     }
+    val stagedSchema =
+      if (files.isEmpty) new StructType()
+      else sess.read.parquet(files.head._1.toString).schema
     // per-file Bloom filters for the skip-index columns: ONE
     // column-pruned distributed job over the just-staged files (the
     // only pass that sees values; footers can't provide membership).
@@ -766,12 +786,12 @@ object TxTable {
     // date dirs a single task writes, so the bare name alone would
     // merge different partitions' filters (conservative but weaker
     // skipping).
-    val bloomCols = bloomColumns.filter(df.schema.fieldNames.contains)
+    val bloomCols = bloomColumns.filter(stagedSchema.fieldNames.contains)
     val tokCols = tokenBloomColumns.filter(c =>
-      df.schema.fieldNames.contains(c) &&
-        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      stagedSchema.fieldNames.contains(c) &&
+        stagedSchema(c).dataType == org.apache.spark.sql.types.StringType)
     def stagedByName = sess.read
-      .parquet(new Path(root, dataDir).toString)
+      .parquet(files.toSeq.map(_._1.toString): _*)
       .withColumn("__name", concat_ws("/",
         element_at(split(col("_metadata.file_path"), "/"), -2),
         element_at(split(col("_metadata.file_path"), "/"), -1)))
