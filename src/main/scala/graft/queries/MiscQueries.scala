@@ -791,6 +791,47 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // THE DSv2 STREAMING WRITE as a gate: engine-to-engine — the v1
+    // stream source tails the events table while format("graft-v2")
+    // is the SINK, executors writing the epoch's parquet themselves
+    // (GraftParquetDataWriter) and the driver publishing exactly the
+    // committed tasks' files in one marked commit. The query is
+    // STOPPED mid-corpus and restarted from its checkpoint with a live
+    // append in between — a replayed epoch landing even once would
+    // move n/cents/u_sum off the full-events oracle.
+    "qtx_stream_v2_write" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val table = txBaseCopyWith(s, d, "streamv2w", "events_3append") { t =>
+        (0 until 3).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 4 === i), t))
+      }
+      val target = s"${table}_v2w_target"
+      val ckpt = s"${table}_v2w_ckpt"
+      Seq(target, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      def start() = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(table)
+        .writeStream.format("graft-v2")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .start()
+      val q = start()
+      try q.processAllAvailable() finally q.stop()
+      val mid = TxTable.read(s, target).count()
+      TxTable.append(s, ev.filter(col("user_id") % 4 === 3), table)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      require(TxTable.read(s, target).count() > mid,
+        "the restart must deliver the live append through the v2 sink")
+      TxTable.read(s, target)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // CHECK CONSTRAINTS as a gate: a constraint the data satisfies is
     // recorded; one existing data violates is refused up front; a
     // violating append aborts INSIDE the write job, before any commit
@@ -1558,6 +1599,16 @@ object MiscQueries {
     // same movement as qtx_stream_source, rows materialized by the
     // DSv2 parquet-mr reader instead of the vectorized batch scan
     "qtx_stream_v2" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the v2-WRITTEN table equals the full corpus exactly once: every
+    // epoch landed as one marked commit, the mid-stream restart
+    // replayed nothing, executor-written parquet reads back losslessly
+    "qtx_stream_v2_write" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -7,22 +7,33 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader,
+  ParquetWriter}
 import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+  GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+  PrimitiveType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.streaming.Offset
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -83,7 +94,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       "readChangeFeed is v1-only (use format(\"graft\")): change-feed " +
         "batches are derived per-batch diffs planned on the driver, " +
         "which the v2 PartitionReader contract cannot express")
-    GraftStreamSource.schemaFor(SparkSession.active, path(options))
+    val spark = SparkSession.active
+    // a WRITE to a not-yet-existing table has no schema to infer (the
+    // write schema comes from the query; the table springs into
+    // existence at the first epoch commit) — a READ of a missing
+    // table still fails with the source's actionable message
+    if (TxTable.currentVersion(spark, path(options)) < 0) new StructType()
+    else GraftStreamSource.schemaFor(spark, path(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -92,13 +109,32 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class GraftV2Table(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-v2:${props.getOrElse("path", "?")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the WRITE-side inferSchema tolerates a missing table (it springs
+    // into existence at the first epoch); a READ must not — re-raise
+    // the source's actionable message here instead of failing later
+    // with an empty schema
+    Option(options.get("path")).orElse(props.get("path")).foreach { p =>
+      require(TxTable.currentVersion(SparkSession.active, p) >= 0,
+        s"graft stream source needs an existing table at $p " +
+          "(create it with one append/overwrite first — the stream " +
+          "schema is resolved from the commit log)")
+    }
     new GraftV2ScanBuilder(tableSchema, options)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path")).getOrElse(
+      props.getOrElse("path", throw new IllegalArgumentException(
+        "graft-v2 streaming write requires a path")))
+    new GraftV2WriteBuilder(path, info.schema(), info.queryId(),
+      info.options.asScala.toMap)
+  }
 }
 
 /** Column pruning is the one pushdown v2 adds over the v1 path: the
@@ -556,4 +592,261 @@ class GraftParquetFileReader(part: GraftFileInfo,
   }
 
   override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------------------
+// DSv2 STREAMING WRITE — the publish direction of `format("graft-v2")`.
+// ---------------------------------------------------------------------------
+
+/** The tx table as a DSv2 streaming SINK: executors write the epoch's
+  * parquet themselves (one [[GraftParquetDataWriter]] per task, files
+  * under an epoch-scoped staged dir), and the driver publishes exactly
+  * the files the COMMITTED tasks reported in one marked commit
+  * ([[TxTable.commitStreamingEpoch]]). The division of labor differs
+  * from the v1 sink ([[GraftStreamSink]]) in one structural way: v1's
+  * `addBatch` re-plans the batch DataFrame through a full Spark write
+  * job (range partitioning + sort + vectorized parquet), while here
+  * the rows stream through the task that produced them — no second
+  * shuffle, but also no sort clustering, so v2-streamed files skip on
+  * date/Bloom stats only until OPTIMIZE re-clusters them. Exactly-once
+  * is the same `(writerId, epochId)` mark: a replayed epoch after
+  * checkpoint recovery or a zombie duplicate writer lands ZERO times,
+  * and files from aborted/speculative task attempts are never
+  * referenced (they fall to vacuum).
+  *
+  * Complete mode maps to `SupportsTruncate`: each epoch's commit swaps
+  * the whole live file set atomically. Update mode is refused — same
+  * posture as v1 (keyed upserts go through foreachBatch + merge).
+  */
+class GraftV2WriteBuilder(path: String, writeSchema: StructType,
+    queryId: String, options: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = {
+    val dateOk = writeSchema.fields.exists(f => f.name == "date" &&
+      (f.dataType == DateType || f.dataType == StringType))
+    require(dateOk, "graft tables are date-partitioned: the streamed " +
+      "frame needs a `date` column (DATE or yyyy-MM-dd STRING)")
+    val unsupported = writeSchema.fields.filter(f =>
+      f.name != "date" && !GraftParquetSchema.supported(f.dataType))
+    require(unsupported.isEmpty,
+      "graft-v2 streaming write supports flat primitive schemas; " +
+        s"unsupported column(s): ${unsupported.map(f =>
+          s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+    // stable dedup scope, writerId option > checkpoint-derived id >
+    // queryId (itself checkpoint-stable) — same precedence as v1
+    val writerId = options.get("writerid")
+      .orElse(options.get("checkpointlocation").map { cp =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "graft-v2-sink-" + d.take(6).map(b => f"$b%02x").mkString
+      }).getOrElse(s"graft-v2-sink-$queryId")
+    new Write {
+      override def toStreaming: StreamingWrite =
+        new GraftStreamingWrite(path, writerId, writeSchema, replace)
+      override def description(): String =
+        s"graft-v2 streaming write [$path]"
+    }
+  }
+}
+
+final case class GraftEpochFiles(files: Seq[String])
+  extends WriterCommitMessage
+
+class GraftStreamingWrite(table: String, writerId: String,
+    writeSchema: StructType, replace: Boolean) extends StreamingWrite {
+
+  // epoch dirs are deterministic in (writerId, epochId): a retried
+  // epoch re-stages into the SAME dir and the commit references only
+  // the retry's reported files — prior attempts' leftovers stay
+  // unreferenced
+  private val dirPrefix = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "d-s" + d.take(5).map(b => f"$b%02x").mkString
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    GraftStreamWriterFactory(table, dirPrefix, writeSchema, conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.iterator.collect {
+      case GraftEpochFiles(fs) => fs
+    }.flatten.toSet
+    TxTable.commitStreamingEpoch(SparkSession.active, table,
+      s"$dirPrefix-e$epochId", files, writerId, epochId, writeSchema,
+      replace)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort: unreferenced files are invisible either way and
+    // fall to vacuum
+    val spark = SparkSession.active
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    messages.iterator.collect { case GraftEpochFiles(names) => names }
+      .flatten.foreach { rel =>
+        try fs.delete(new Path(root, rel), false)
+        catch { case _: Exception => () }
+      }
+  }
+
+  override def useCommitCoordinator(): Boolean = true
+  override def toString: String = s"GraftStreamingWrite[$table]"
+}
+
+final case class GraftStreamWriterFactory(table: String, dirPrefix: String,
+    writeSchema: StructType, conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(table, s"$dirPrefix-e$epochId",
+      writeSchema, conf.value, partitionId, taskId)
+}
+
+/** StructType -> parquet `MessageType` for the executor-side writer —
+  * the exact physical shapes the v1 path produces (INT64-micros
+  * timestamps so footer stats stay usable for data skipping, UTF8
+  * strings) and the v2 reader resolves.
+  */
+object GraftParquetSchema {
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  def fileType(f: StructField): Type = {
+    val b = f.dataType match {
+      case LongType    => Types.optional(PrimitiveTypeName.INT64)
+      case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+      case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE)
+      case FloatType   => Types.optional(PrimitiveTypeName.FLOAT)
+      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+      case StringType  => Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType())
+      case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case DateType => Types.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType())
+      case dt => throw new IllegalArgumentException(
+        s"unsupported graft-v2 write type: $dt")
+    }
+    b.named(f.name)
+  }
+
+  /** The staged FILE schema: everything but the `date` partition
+    * column, which lives in the directory name (exactly what v1's
+    * `partitionBy("date")` produces).
+    */
+  def messageType(schema: StructType): MessageType =
+    new MessageType("spark_schema",
+      schema.fields.filter(_.name != "date").map(fileType).toSeq: _*)
+}
+
+/** Per-task parquet writer: routes rows to one open file per date
+  * partition (`<dataDir>/date=<d>/part-p<pid>-t<tid>-<uuid>.parquet`),
+  * zstd-compressed via the public parquet-mr Group API. The task's
+  * commit message reports the table-relative paths it wrote; ONLY
+  * those become candidates for the epoch commit.
+  */
+class GraftParquetDataWriter(table: String, dataDir: String,
+    schema: StructType, conf: Configuration, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val root = new Path(table)
+  private val fs = root.getFileSystem(conf)
+  private val dateIdx = schema.fieldIndex("date")
+  private val dateIsNative = schema(dateIdx).dataType == DateType
+  private val msgType = GraftParquetSchema.messageType(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val uuid = java.util.UUID.randomUUID().toString.take(8)
+
+  // (field index in `schema`) -> setter into the group; null = date col
+  private val setters: Array[(Group, InternalRow, Int) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == dateIdx) null
+      else {
+        val name = f.name
+        f.dataType match {
+          case LongType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getLong(i))
+          case IntegerType | DateType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getInt(i))
+          case DoubleType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getDouble(i))
+          case FloatType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getFloat(i))
+          case BooleanType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getBoolean(i))
+          case StringType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name,
+              Binary.fromString(r.getUTF8String(i).toString))
+          case TimestampType | TimestampNTZType =>
+            (g: Group, r: InternalRow, _: Int) => g.add(name, r.getLong(i))
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        }
+      }
+    }
+
+  private val open =
+    scala.collection.mutable.HashMap.empty[String, (ParquetWriter[Group], String)]
+
+  private def writerFor(date: String): ParquetWriter[Group] =
+    open.getOrElseUpdate(date, {
+      val rel = s"$dataDir/date=$date/part-p$partitionId-t$taskId-$uuid.parquet"
+      val w = ExampleParquetWriter.builder(
+          HadoopOutputFile.fromPath(new Path(root, rel), conf))
+        .withConf(conf)
+        .withType(msgType)
+        .withCompressionCodec(CompressionCodecName.ZSTD)
+        .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+      (w, rel)
+    })._1
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(dateIdx),
+      "graft tables are date-partitioned: `date` must be non-null")
+    val date =
+      if (dateIsNative) LocalDate.ofEpochDay(row.getInt(dateIdx).toLong).toString
+      else row.getUTF8String(dateIdx).toString
+    val g = factory.newGroup()
+    var i = 0
+    while (i < setters.length) {
+      if (setters(i) != null && !row.isNullAt(i)) setters(i)(g, row, i)
+      i += 1
+    }
+    writerFor(date).write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._1.close())
+    GraftEpochFiles(open.values.map(_._2).toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, rel) =>
+      try w.close() catch { case _: Exception => () }
+      try fs.delete(new Path(root, rel), false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = ()
 }

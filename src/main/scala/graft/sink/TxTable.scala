@@ -748,7 +748,7 @@ object TxTable {
         case None    => sess.conf.unset(tsKey)
       }
     }
-    indexStagedDir(sess, fs, root, dataDir)
+    indexStagedDir(sess, fs, root, dataDir, knownSchema = Some(df.schema))
   }
 
   /** Index an already-staged data dir: per-file footer stats, the
@@ -762,7 +762,8 @@ object TxTable {
     */
   private[sink] def indexStagedDir(sess: SparkSession, fs: FileSystem,
       root: Path, dataDir: String,
-      onlyFiles: Option[Set[String]] = None): Seq[(String, FileMeta)] = {
+      onlyFiles: Option[Set[String]] = None,
+      knownSchema: Option[StructType] = None): Seq[(String, FileMeta)] = {
     val it = fs.listFiles(new Path(root, dataDir), true)
     val files = scala.collection.mutable.ArrayBuffer.empty[(Path, String, Long)]
     while (it.hasNext) {
@@ -775,9 +776,12 @@ object TxTable {
         files += ((f, date, st.getLen))
       }
     }
-    val stagedSchema =
+    // the index pass only needs FIELD NAMES/TYPES to pick the skip-index
+    // columns: callers that just wrote the data pass their schema so no
+    // extra footer read (a per-commit driver round trip) happens here
+    val stagedSchema = knownSchema.getOrElse(
       if (files.isEmpty) new StructType()
-      else sess.read.parquet(files.head._1.toString).schema
+      else sess.read.parquet(files.head._1.toString).schema)
     // per-file Bloom filters for the skip-index columns: ONE
     // column-pruned distributed job over the just-staged files (the
     // only pass that sees values; footers can't provide membership).
@@ -1088,6 +1092,53 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     commitRetry(fs, root, Seq.empty, Seq.empty, Some(appId -> version),
       op = Some("mark"), expectMark = expectMark)
+  }
+
+  /** Publish one DSv2 streaming EPOCH: the executors already wrote the
+    * parquet themselves ([[GraftParquetDataWriter]]); this is the
+    * driver-side half — index exactly the files the epoch's committed
+    * tasks reported (`onlyFiles`; files from aborted/speculative
+    * attempts in the same dir stay unreferenced and fall to
+    * [[vacuum]]), then land them in ONE commit carrying the
+    * `(writerId, epochId)` mark, so a replayed epoch after checkpoint
+    * recovery lands ZERO times — the same exactly-once contract as
+    * [[appendTxn]], with the pre-index high-water check keeping the
+    * replay path metadata-only. `replace = true` (Complete mode)
+    * swaps the whole live file set in the same commit. An epoch whose
+    * tasks all wrote nothing still advances the mark (data-less
+    * commit), so recovery never re-runs it.
+    */
+  private[graft] def commitStreamingEpoch(spark: SparkSession,
+      table: String, dataDir: String, onlyFiles: Set[String],
+      appId: String, epochId: Long, writeSchema: StructType,
+      replace: Boolean = false): Long = {
+    val (fs, root) = fsFor(spark, table)
+    if (txnHighWater(fs, root).get(appId).exists(_ >= epochId))
+      return -1L // replayed epoch: don't even list the staged dir
+    val adds =
+      if (onlyFiles.isEmpty) Seq.empty
+      else indexStagedDir(spark, fs, root, dataDir, Some(onlyFiles),
+        Some(writeSchema))
+    val next = StructType(writeSchema.filterNot(_.name == "date")
+      .map(f => f.copy(nullable = true)))
+    val schemaAction = logSchema(fs, root) match {
+      case None                      => Some(next)
+      case Some(cur) if cur == next  => None
+      case Some(cur) =>
+        val nextTypes = next.map(f => f.name -> f.dataType).toMap
+        val broken =
+          cur.filterNot(f => nextTypes.get(f.name).contains(f.dataType))
+        require(broken.isEmpty || replace,
+          s"non-additive schema change (${broken.map(_.name).mkString(",")})" +
+            ": a streaming append may only ADD columns")
+        Some(next)
+    }
+    val removes =
+      if (replace) snapshotFiles(fs, root).keys.toSeq else Seq.empty
+    commitRetry(fs, root, adds, removes, Some(appId -> epochId),
+      schemaAction,
+      op = Some(if (replace) "overwrite"
+                else if (adds.isEmpty) "mark" else "append"))
   }
 
   /** Full replace carrying a writer (appId, version) mark in the SAME
