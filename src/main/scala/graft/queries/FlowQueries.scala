@@ -439,6 +439,66 @@ object FlowQueries {
         FORMAT TabSeparated""")
     }),
 
+    // CH ARRAY JOIN clause (round 11): the row-multiplying unnest in
+    // its CLAUSE spelling (the function form arrayJoin() was already
+    // registered) — literal CH text through the shim becomes a
+    // LATERAL VIEW explode in the same clause position
+    "q_compat_array_join" -> ((s, d) => {
+      graft.Tables.documents(s, d).createOrReplaceTempView("ch_docs_aj")
+      graft.sql.Compat.chSql(s, """
+        SELECT doc_id, tok, count() AS n
+        FROM ch_docs_aj ARRAY JOIN splitByChar(' ', text) AS tok
+        WHERE lengthUTF8(tok) >= 8
+        GROUP BY doc_id, tok
+        ORDER BY doc_id, tok""")
+    }),
+
+    // CH LIMIT n BY cols (round 11): first-n-rows-per-group in the
+    // query's own ORDER BY, rewritten to a hidden ROW_NUMBER window;
+    // the trailing global LIMIT applies after, exactly CH's clause
+    // order
+    "q_compat_limit_by" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_lb")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id, event_id, event_type
+        FROM ch_events_lb
+        ORDER BY user_id, event_id LIMIT 3 BY user_id
+        LIMIT 500""")
+    }),
+
+    // CH SAMPLE k (round 11): deterministic-in-the-key sampling — the
+    // registered sampling key's md5 prefix decides membership, so the
+    // SAME rows sample on every engine and run (CH's repeatable
+    // sampling contract, which the oracle replays verbatim; a
+    // TABLESAMPLE would be per-scan random and un-oracle-able)
+    "q_compat_sample" -> ((s, d) => {
+      graft.Tables.documents(s, d).createOrReplaceTempView("ch_docs_s")
+      graft.sql.Compat.registerSamplingKey("ch_docs_s", "doc_id")
+      graft.sql.Compat.chSql(s, """
+        SELECT lang, count() AS n, min(doc_id) AS lo, max(doc_id) AS hi
+        FROM ch_docs_s SAMPLE 0.25
+        GROUP BY lang ORDER BY lang""")
+    }),
+
+    // CH SELECT ... FINAL (round 11): read-time Replacing collapse —
+    // the registered (keys, version) view reads as its keep-latest
+    // state through the SAME latestPerKey collapse the background
+    // merge (compactReplacing) and TxTable.readFinal use, so FINAL
+    // before a merge ≡ the same query after it
+    "q_compat_final" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("user_id"),
+        col("event_id").as("ver"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      ev.createOrReplaceTempView("ch_user_state")
+      graft.sql.Compat.registerReplacing("ch_user_state",
+        Seq("user_id"), "ver")
+      graft.sql.Compat.chSql(s, """
+        SELECT date, user_id, event_type, cents
+        FROM ch_user_state FINAL
+        ORDER BY date, user_id""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -682,6 +742,43 @@ object FlowQueries {
         |    AS cents
         |FROM events GROUP BY ROLLUP (event_type, user_id % 3)
         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+
+    // the ARRAY JOIN clause = UNNEST of the same split; empty tokens
+    // fall to the length filter on both sides
+    "q_compat_array_join" ->
+      """SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |WHERE LENGTH(tok) >= 8
+        |GROUP BY doc_id, tok
+        |ORDER BY doc_id, tok""".stripMargin,
+    // LIMIT BY = first-n-per-group in the query's own total order,
+    // then the trailing global LIMIT
+    "q_compat_limit_by" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY user_id, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+    // SAMPLE 0.25 = the md5-prefix membership predicate, replayed
+    // verbatim (floor(0.25 * 65536) = 0x4000)
+    "q_compat_sample" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS lo, MAX(doc_id) AS hi
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // FINAL = keep-highest-version per (date, key); event_id is unique
+    // so the version order is total
+    "q_compat_final" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, user_id,
+        |    event_id AS ver, event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, user_id
+        |    ORDER BY ver DESC) AS rn FROM e)
+        |SELECT date, user_id, event_type, cents FROM r
+        |WHERE rn = 1 ORDER BY date, user_id""".stripMargin,
 
     // ANSI equivalents for every oracled CH spelling; isodow matches
     // the Monday=1 contract, floor(epoch()) matches the long cast,

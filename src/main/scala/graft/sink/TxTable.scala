@@ -1530,6 +1530,68 @@ object TxTable {
       schemaUpdate(fs, root, restored), op = Some("replacing"))
   }
 
+  /** AggregatingMergeTree background-merge analog: rows carry
+    * MERGEABLE partial-aggregate STATES (what the CH `-State`
+    * combinators produce — see the `sumState`/`avgState`/
+    * `uniqExactState`/`uniqState` registrations in
+    * [[graft.sql.Compat.registerClickHouseFunctions]]); this merge
+    * collapses equal-key rows by re-merging their states and swaps the
+    * re-written dates in atomically, so a query-time `-Merge` read
+    * touches one row per key however many inserts produced it.
+    * Partition-scoped like every CH merge (date joins the key). State
+    * kinds, by column:
+    *  - `sum` / `count` / `min` / `max`: the state is the value,
+    *    merge is the same reduction;
+    *  - `avg`: struct(sum, cnt), merged field-wise;
+    *  - `uniqExact`: the sorted exact distinct set, merged by
+    *    flatten + distinct (sorted for deterministic file bytes);
+    *  - `hll`: Apache DataSketches HLL binary, merged by sketch union.
+    * Everything stays inside native partial aggregation — one hash
+    * exchange on (date, keys), states collapse map-side.
+    */
+  def compactAggregating(spark: SparkSession, table: String,
+      keys: Seq[String], states: Map[String, String],
+      dates: Option[Seq[String]] = None): Long = {
+    require(keys.nonEmpty, "aggregating compact needs a key")
+    require(states.nonEmpty, "aggregating compact needs state columns")
+    val (fs, root) = fsFor(spark, table)
+    val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
+      .sorted.filter(d => dates.forall(_.contains(d)))
+    val df = read(spark, table, Some(targetDates))
+    val keyCols = ("date" +: keys.filterNot(_ == "date")).distinct
+    states.keys.foreach(c => require(df.columns.contains(c),
+      s"no state column $c"))
+    require(states.keys.forall(c => !keyCols.contains(c)),
+      "a state column cannot be a key")
+    val leftover = df.columns.toSet -- keyCols -- states.keySet
+    require(leftover.isEmpty,
+      s"columns with no declared state kind: ${leftover.mkString(",")}")
+    val aggs = states.toSeq.map { case (c, kind) =>
+      (kind.toLowerCase match {
+        case "sum" | "count" => sum(col(c))
+        case "min"           => min(col(c))
+        case "max"           => max(col(c))
+        case "avg"           => struct(
+          sum(col(c).getField("sum")).as("sum"),
+          sum(col(c).getField("cnt")).as("cnt"))
+        case "uniqexact"     =>
+          array_sort(array_distinct(flatten(collect_list(col(c)))))
+        case "hll"           => hll_union_agg(col(c))
+        case other => throw new IllegalArgumentException(
+          s"unknown state kind `$other` for column $c " +
+            "(sum|count|min|max|avg|uniqExact|hll)")
+      }).as(c)
+    }
+    val merged = df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toSeq: _*)
+    val adds = stage(prep(merged), fs, root)
+    val removes = snapshotFiles(fs, root)
+      .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
+    commitRetry(fs, root, adds, removes, None,
+      schemaUpdate(fs, root, merged), op = Some("aggregating"))
+  }
+
   /** DELETE WHERE — copy-on-write row deletion (Delta's DELETE): files
     * that provably hold no matching row are pruned from consideration
     * by the SAME planning-time machinery a query scan uses (partition
@@ -2265,7 +2327,7 @@ object TxTable {
     * aggregate on the wire), deterministic payload tie-break, original
     * column order restored.
     */
-  private def latestPerKey(df: DataFrame, keys: Seq[String],
+  private[graft] def latestPerKey(df: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame = {
     require(keys.nonEmpty, "replacing collapse needs a key")
     (keys :+ versionCol).foreach(c =>

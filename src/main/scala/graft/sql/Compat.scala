@@ -221,6 +221,51 @@ object Compat {
       StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)),
         Literal(-1))
     }
+    // -State / -Merge combinators (the AggregatingMergeTree surface):
+    // a -State aggregate produces a MERGEABLE partial state a table can
+    // STORE; re-aggregating states with the matching -Merge yields
+    // exactly the aggregate over the original rows — across inserts,
+    // background merges ([[graft.sink.TxTable.compactAggregating]]),
+    // and query-time grouping at any coarser key. States here are plain
+    // Spark SQL values (long / struct / sorted array / sketch binary),
+    // not an opaque CH AggregateFunction blob — parquet-storable,
+    // cross-engine readable, and the exact ones oracle-checkable.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct,
+      CreateNamedStruct, Divide, Flatten, Size, SortArray}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList,
+      CollectSet, HllSketchAgg, HllUnionAgg, Max, Min}
+    import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+    import org.apache.spark.sql.types.LongType
+    // exact states: sum/count/min/max states ARE the partial value;
+    // avg carries (sum, cnt); uniqExact carries the sorted distinct set
+    f("sumState")(e => Sum(e.head))
+    f("countState")(e =>
+      if (e.isEmpty) Count(Seq(Literal(1))) else Count(e))
+    f("minState")(e => Min(e.head))
+    f("maxState")(e => Max(e.head))
+    f("avgState")(e => CreateNamedStruct(Seq(
+      Literal("sum"), Sum(e.head).toAggregateExpression(),
+      Literal("cnt"), Count(e).toAggregateExpression())))
+    f("uniqExactState")(e => SortArray(
+      CollectSet(e.head).toAggregateExpression(), Literal(true)))
+    f("sumMerge")(e => Sum(e.head))
+    f("countMerge")(e => Sum(e.head))
+    f("minMerge")(e => Min(e.head))
+    f("maxMerge")(e => Max(e.head))
+    f("avgMerge")(e => Divide(
+      Cast(Sum(UnresolvedExtractValue(e.head, Literal("sum")))
+        .toAggregateExpression(), DoubleType),
+      Cast(Sum(UnresolvedExtractValue(e.head, Literal("cnt")))
+        .toAggregateExpression(), DoubleType)))
+    f("uniqExactMerge")(e => Cast(Size(ArrayDistinct(Flatten(
+      CollectList(e.head).toAggregateExpression()))), LongType))
+    // sketch states (approximate by CH contract, like uniq itself):
+    // uniqState = an Apache DataSketches HLL binary, uniqMerge = union
+    // + estimate. Validated by error bound in the spec, not by hash.
+    f("uniqState")(e => new HllSketchAgg(e.head))
+    f("uniqMerge")(e => HllSketchEstimate(
+      new HllUnionAgg(e.head).toAggregateExpression()))
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a
@@ -378,8 +423,129 @@ object Compat {
         "GROUP BY CUBE ($1)")
   }
 
+  /** CH `[LEFT] ARRAY JOIN <expr> AS <alias>` (the row-multiplying
+    * clause form; the function form `arrayJoin(...)` is registered
+    * separately) → Spark's `LATERAL VIEW [OUTER] explode(...)`, which
+    * occupies the same position between FROM and WHERE. Conservative:
+    * the expression is captured up to the first ` AS `, so an `AS`
+    * inside the array expression (e.g. a CAST) passes through
+    * untouched and fails loudly in the parser rather than being
+    * rewritten wrongly.
+    */
+  private def rewriteArrayJoin(sql: String): String = {
+    val expr = "((?:(?!\\bAS\\b).)+?)"
+    sql
+      .replaceAll(s"(?is)\\bLEFT\\s+ARRAY\\s+JOIN\\s+$expr\\s+AS\\s+(\\w+)",
+        "LATERAL VIEW OUTER explode($1) __aj AS $2")
+      .replaceAll(s"(?is)\\bARRAY\\s+JOIN\\s+$expr\\s+AS\\s+(\\w+)",
+        "LATERAL VIEW explode($1) __aj AS $2")
+  }
+
+  /** CH `ORDER BY <ord> LIMIT <n> BY <cols> [LIMIT <m>]` — the
+    * first-n-rows-per-group clause — → a ROW_NUMBER window over the
+    * query's own ORDER BY, partitioned by the BY columns, with the
+    * group-local rank filtered and hidden (`SELECT * EXCEPT(__lb)`).
+    * The whole pre-ORDER-BY query becomes the window's input subquery,
+    * so select-list aliases stay referencable from both the window
+    * ORDER BY and the outer one — exactly CH's scoping. Conservative:
+    * only the depth-0 `ORDER BY ... LIMIT n BY ...` shape rewrites;
+    * anything else (no ORDER BY, nested LIMIT BY) passes through and
+    * fails loudly in Spark's parser.
+    */
+  private def rewriteLimitBy(sql: String): String = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^(.*?)\\bORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+" +
+        "(.+?)\\s*(LIMIT\\s+\\d+\\s*)?;?\\s*$").matcher(sql)
+    if (!m.matches()) return sql
+    val (head, ord, n, cols) =
+      (m.group(1).trim, m.group(2).trim, m.group(3), m.group(4).trim)
+    val tailLimit = Option(m.group(5)).map(" " + _.trim).getOrElse("")
+    // depth-0 check: the ORDER BY we anchored on must not live inside
+    // a subquery (unbalanced parens in `head` would mean it does)
+    val depth = head.foldLeft(0) {
+      case (d, '(') => d + 1
+      case (d, ')') => d - 1
+      case (d, _)   => d
+    }
+    if (depth != 0) return sql
+    s"SELECT * EXCEPT(__lb) FROM (SELECT *, ROW_NUMBER() OVER " +
+      s"(PARTITION BY $cols ORDER BY $ord) AS __lb FROM ($head) __lbq) " +
+      s"WHERE __lb <= $n ORDER BY $ord$tailLimit"
+  }
+
+  /** Sampling keys for CH `SAMPLE k`: table/view name (as written in
+    * the query) → the key expression whose md5 prefix decides
+    * membership. CH resolves the key from the table DDL's `SAMPLE BY`;
+    * Spark-side the view owner registers it once. The predicate is
+    * DETERMINISTIC in the key — the same rows sample on every engine
+    * and every run (CH's repeatable-sampling contract), unlike
+    * `TABLESAMPLE`'s per-scan randomness.
+    */
+  private val samplingKeys =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  def registerSamplingKey(table: String, keyExpr: String): Unit =
+    samplingKeys.put(table.toLowerCase, keyExpr)
+
+  /** CH `FROM <t> SAMPLE <k>` (0 < k < 1) → a deterministic md5-prefix
+    * range predicate on the registered sampling key: the first 4 hex
+    * chars of `md5(cast(key as string))` land uniformly in
+    * ['0000','ffff'], so `< toHex4(k * 65536)` keeps a k-fraction.
+    * Lowercase-hex string comparison is engine-portable (the DuckDB
+    * oracle replays it verbatim). Tables with no registered key pass
+    * through and fail loudly in the parser.
+    */
+  private def rewriteSample(sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)\\b(FROM|,)\\s+([A-Za-z_][\\w.]*)\\s+SAMPLE\\s+(0?\\.\\d+)")
+    val m = p.matcher(sql)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val (kw, table, frac) = (m.group(1), m.group(2), m.group(3).toDouble)
+      samplingKeys.get(table.toLowerCase) match {
+        case Some(key) if frac > 0 && frac < 1 =>
+          val thr = f"${math.round(frac * 65536).toInt}%04x"
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+            s"$kw (SELECT * FROM $table WHERE " +
+              s"substring(md5(cast($key AS STRING)), 1, 4) < '$thr') $table"))
+        case _ => m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(m.group(0)))
+      }
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Replacing-view registry for CH `FROM <t> FINAL`: view name →
+    * (keys, version column). [[chSql]] materializes `<t>__final` as a
+    * temp view through the SAME collapse as the engine's background
+    * merge ([[graft.sink.TxTable.latestPerKey]] — version-led struct
+    * MAX per (date, keys), deterministic payload tie-break), so
+    * `SELECT ... FINAL` before a merge ≡ the same SELECT after it.
+    */
+  private val replacingViews =
+    new scala.collection.concurrent.TrieMap[String, (Seq[String], String)]
+
+  def registerReplacing(view: String, keys: Seq[String],
+      versionCol: String): Unit =
+    replacingViews.put(view.toLowerCase, (keys, versionCol))
+
+  private def rewriteFinal(spark: SparkSession, sql: String): String =
+    replacingViews.foldLeft(sql) { case (acc, (view, (keys, ver))) =>
+      val p = java.util.regex.Pattern.compile(
+        s"(?i)\\b${java.util.regex.Pattern.quote(view)}\\s+FINAL\\b")
+      if (!p.matcher(acc).find()) acc
+      else {
+        val fv = s"${view.replace('.', '_')}__final"
+        graft.sink.TxTable.latestPerKey(spark.table(view), keys, ver)
+          .createOrReplaceTempView(fv)
+        p.matcher(acc).replaceAll(fv)
+      }
+    }
+
   def translateCh(sql: String): String =
-    mergePrewhere(stripGlobal(rewriteTotals(translateCh0(sql))))
+    mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
+      rewriteSample(rewriteArrayJoin(translateCh0(sql)))))))
 
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")
@@ -441,7 +607,7 @@ object Compat {
     * apply the syntax shim, hand the result to Spark's parser. */
   def chSql(spark: SparkSession, sql: String): DataFrame = {
     registerClickHouseFunctions(spark)
-    spark.sql(translateCh(sql))
+    spark.sql(rewriteFinal(spark, translateCh(sql)))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

@@ -302,4 +302,76 @@ class CompatSpec extends AnyFunSuite {
       FROM compat_param FORMAT Pretty""").collect().head
     assert(r.getDouble(0) == 20.0 && r.getLong(1) == 3L)
   }
+
+  test("round-11 clause shims: ARRAY JOIN, LIMIT BY, SAMPLE, FINAL") {
+    import Compat.translateCh
+
+    // ARRAY JOIN clause → LATERAL VIEW explode (LEFT → OUTER)
+    assert(translateCh(
+      "SELECT id, t FROM docs ARRAY JOIN splitByChar(' ', text) AS t WHERE t != ''")
+      == "SELECT id, t FROM docs LATERAL VIEW explode(splitByChar(' ', text))" +
+        " __aj AS t WHERE t != ''")
+    assert(translateCh("SELECT id, x FROM t LEFT ARRAY JOIN arr AS x")
+      == "SELECT id, x FROM t LATERAL VIEW OUTER explode(arr) __aj AS x")
+
+    // LIMIT BY → hidden ROW_NUMBER window over the query's own ORDER BY
+    val lb = translateCh(
+      "SELECT a, b FROM t ORDER BY a, b DESC LIMIT 2 BY a LIMIT 10")
+    assert(lb == "SELECT * EXCEPT(__lb) FROM (SELECT *, ROW_NUMBER() OVER " +
+      "(PARTITION BY a ORDER BY a, b DESC) AS __lb FROM (SELECT a, b FROM t)" +
+      " __lbq) WHERE __lb <= 2 ORDER BY a, b DESC LIMIT 10")
+    // no ORDER BY → untouched (fails loudly downstream, never mangled);
+    // a subquery's ORDER BY is not a valid anchor either
+    assert(translateCh("SELECT a FROM t LIMIT 2 BY a")
+      == "SELECT a FROM t LIMIT 2 BY a")
+
+    // SAMPLE: only registered tables rewrite, deterministically
+    Compat.registerSamplingKey("sample_docs", "id")
+    assert(translateCh("SELECT count() FROM unregistered SAMPLE 0.5")
+      == "SELECT count(*) FROM unregistered SAMPLE 0.5")
+    val sm = translateCh("SELECT count() AS n FROM sample_docs SAMPLE 0.25")
+    assert(sm == "SELECT count(*) AS n FROM (SELECT * FROM sample_docs " +
+      "WHERE substring(md5(cast(id AS STRING)), 1, 4) < '4000') sample_docs")
+
+    // end-to-end over real frames
+    Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+      .createOrReplaceTempView("aj_docs")
+    val toks = Compat.chSql(spark,
+      "SELECT id, t FROM aj_docs ARRAY JOIN splitByChar(' ', text) AS t " +
+        "ORDER BY id, t").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(toks.toSeq == Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma")))
+
+    Seq((1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "d", 5))
+      .toDF("g", "k", "v").createOrReplaceTempView("lb_t")
+    val top2 = Compat.chSql(spark,
+      "SELECT g, k, v FROM lb_t ORDER BY g, v DESC LIMIT 2 BY g")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(top2.toSeq == Seq((1, "c"), (1, "b"), (2, "d")),
+      "first-2-per-group in the query's own order")
+
+    (1L to 400L).toDF("id").createOrReplaceTempView("sample_docs")
+    val n1 = Compat.chSql(spark,
+      "SELECT count() AS n FROM sample_docs SAMPLE 0.25")
+      .collect().head.getLong(0)
+    val n2 = Compat.chSql(spark,
+      "SELECT count() AS n FROM sample_docs SAMPLE 0.25")
+      .collect().head.getLong(0)
+    assert(n1 == n2, "sampling must be deterministic across runs")
+    assert(n1 > 50 && n1 < 150, s"~25% of 400 expected, got $n1")
+
+    // FINAL: keep-latest == the engine's own readFinal collapse
+    val dts = java.sql.Date.valueOf("2024-06-01")
+    Seq((dts, "k1", 1L, "old"), (dts, "k1", 2L, "new"),
+      (dts, "k2", 5L, "only"))
+      .toDF("date", "k", "ver", "payload")
+      .createOrReplaceTempView("repl_t")
+    Compat.registerReplacing("repl_t", Seq("k"), "ver")
+    val fin = Compat.chSql(spark,
+      "SELECT k, payload FROM repl_t FINAL ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fin.toSeq == Seq(("k1", "new"), ("k2", "only")))
+    // and without FINAL the duplicates are still visible
+    assert(Compat.chSql(spark, "SELECT count() AS n FROM repl_t")
+      .collect().head.getLong(0) == 3L)
+  }
 }
