@@ -45,6 +45,7 @@ object GraftProcedures {
       case "expire_log" => new ExpireLogProc(catalog)
       case "history"    => new HistoryProc(catalog)
       case "purge_deletes" => new PurgeDeletesProc(catalog)
+      case "compact_aggregating" => new CompactAggregatingProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
           names.mkString(", "))
@@ -121,6 +122,36 @@ object GraftProcedures {
       val v = TxTable.zorder(spark,
         pathOf(catalog, input.getUTF8String(0).toString),
         input.getUTF8String(1).toString.split(',').map(_.trim).toSeq)
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
+    }
+  }
+
+  /** `CALL gcat.sys.compact_aggregating('ns.t', 'k1,k2',
+    * 'col:kind,col:kind')` — the AggregatingMergeTree background merge
+    * ([[TxTable.compactAggregating]]) as SQL: state rows with equal
+    * keys re-merge to one row per (date, keys).
+    */
+  private class CompactAggregatingProc(catalog: GraftCatalog)
+      extends SysProc("compact_aggregating", Seq(tableParam,
+        ProcedureParameter.in("keys", StringType)
+          .comment("comma-separated key columns").build(),
+        ProcedureParameter.in("states", StringType)
+          .comment("comma-separated col:kind pairs " +
+            "(sum|count|min|max|avg|uniqExact|hll)").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val states = input.getUTF8String(2).toString.split(',').map { p =>
+        p.split(':') match {
+          case Array(c, k) => c.trim -> k.trim
+          case _ => throw new IllegalArgumentException(
+            s"states entry `$p` is not col:kind")
+        }
+      }.toMap
+      val v = TxTable.compactAggregating(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
+        states)
       result(StructType(Seq(
         StructField("version", LongType, nullable = false))),
         Seq(Seq(v)))

@@ -1506,6 +1506,107 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // BUCKETED TX TABLES as a gate (round 11): two tx tables declare
+    // graft.bucketBy/graft.buckets at CREATE; every write buckets at
+    // the stage choke point (Spark's own Murmur3-pmod placement,
+    // BucketingUtils-parseable file names), and the log-driven
+    // relation claims the HashPartitioning — so the fact-fact join
+    // plans with ZERO exchanges on either side (required inside the
+    // gate). The 100 TB story: a co-located join whose shuffle cost
+    // was paid once at write time, amortized over every query.
+    "qtx_bucket_join" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_buckjoin_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val props = Seq("graft.buckets" -> "8")
+      val dt = to_date(lit("2024-01-01"))
+      val ot = s"$run/orders"
+      TxTable.createTable(s, ot, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("date",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_cents",
+          org.apache.spark.sql.types.LongType))),
+        ("graft.bucketBy" -> "o_custkey") +: props)
+      TxTable.append(s, graft.Tables.orders(s, d).select(dt.as("date"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("o_cents")), ot)
+      val ct = s"$run/customer"
+      TxTable.createTable(s, ct, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("date",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType))),
+        ("graft.bucketBy" -> "c_custkey") +: props)
+      TxTable.append(s, graft.Tables.customer(s, d).select(dt.as("date"),
+        col("c_custkey"), col("c_mktsegment")), ct)
+      val j = TxFileIndex.readV2(s, ot).hint("merge")
+        .join(TxFileIndex.readV2(s, ct),
+          col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed tx join must not shuffle either side:\n${plan.take(800)}")
+      j.groupBy("c_mktsegment")
+        .agg(sum("o_cents").as("cents"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // AggregatingMergeTree end-to-end as a gate (round 11): two
+    // inserts write -State rows (sumState/countState/avgState/
+    // minState/uniqExactState over disjoint user halves, pre-grouped
+    // per (date, event_type)), compactAggregating collapses them to
+    // ONE state row per key by re-merging states, and the -Merge read
+    // — grouped COARSER than the storage key (event_type across
+    // dates) — must equal the plain aggregate over the original rows,
+    // exactly (every state here is exact; the sketch-state variant is
+    // bound-checked in AggregatingSpec). The gate also pins the merge
+    // invariant: the -Merge read BEFORE the background merge equals
+    // the read after it.
+    "qtx_aggregating" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_aggmt_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      graft.sql.Compat.registerClickHouseFunctions(s)
+      graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+        .createOrReplaceTempView("agg_ev_src")
+      def states(pred: String) = graft.sql.Compat.chSql(s, s"""
+        SELECT date, event_type,
+          sumState(cents) AS cents_s, countState() AS n_s,
+          avgState(cents) AS avg_s, minState(cents) AS lo_s,
+          uniqExactState(user_id) AS users_s
+        FROM agg_ev_src WHERE $pred GROUP BY date, event_type""")
+      require(TxTable.append(s, states("user_id % 2 = 0"), table) >= 0)
+      require(TxTable.append(s, states("user_id % 2 = 1"), table) >= 0)
+      def mergeRead() = {
+        TxFileIndex.readV2(s, table).createOrReplaceTempView("agg_tbl")
+        graft.sql.Compat.chSql(s, """
+          SELECT event_type, sumMerge(cents_s) AS cents,
+            countMerge(n_s) AS n, avgMerge(avg_s) AS avg_cents,
+            minMerge(lo_s) AS lo, uniqExactMerge(users_s) AS users
+          FROM agg_tbl GROUP BY event_type ORDER BY event_type""")
+      }
+      val before = mergeRead().collect().toSeq
+      val keyCount = TxFileIndex.readV2(s, table)
+        .select("date", "event_type").distinct().count()
+      require(TxTable.read(s, table).count() > keyCount,
+        "pre-merge table must hold multiple state rows per key")
+      require(TxTable.compactAggregating(s, table, Seq("event_type"),
+        Map("cents_s" -> "sum", "n_s" -> "count", "avg_s" -> "avg",
+          "lo_s" -> "min", "users_s" -> "uniqExact")) >= 0)
+      require(TxTable.read(s, table).count() == keyCount,
+        "background merge must leave exactly one state row per key")
+      val after = mergeRead()
+      require(after.collect().toSeq == before,
+        "-Merge must read the same result before and after the merge")
+      after
+    }),
+
     // write the summing table (partitioned+sorted zstd parquet), read it
     // back, and aggregate — exercises the full sink + scan path
     "qsink_roundtrip" -> ((s, d) => {
@@ -2122,6 +2223,27 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e, k WHERE date >= cut
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the zero-exchange bucketed join aggregates exactly like the
+    // raw join
+    "qtx_bucket_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // states merged across inserts + background merge + a coarser
+    // query grouping == the plain aggregate over the original rows
+    "qtx_aggregating" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_cents,
+        |  CAST(MIN(cents) AS BIGINT) AS lo,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the bucketed round trip must aggregate exactly like the raw join
     "qsink_bucketed" ->
       """SELECT c_mktsegment,

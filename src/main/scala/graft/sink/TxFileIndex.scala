@@ -268,11 +268,24 @@ object TxFileIndex {
           asOf.map(v => s" at version $v").getOrElse(""))
       spark.read.parquet(index.inputFiles.head).schema
     }
+    // declared bucketing becomes the relation's bucketSpec — joins and
+    // aggregations on the bucket keys plan WITHOUT an exchange (the
+    // 100 TB fact-fact join path). Claimed only when EVERY live file
+    // carries a parseable bucket id: a pre-bucketing era (time travel
+    // to before the property landed) degrades to a plain scan, never
+    // to a wrong hash-placement claim.
+    val bucketSpec = TxTable.bucketSpecOf(
+      TxTable.tablePropertiesAt(spark, table, asOf)).collect {
+      case (keys, n) if index.inputFiles.forall(f =>
+        org.apache.spark.sql.execution.datasources.BucketingUtils
+          .getBucketId(new Path(f).getName).isDefined) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, keys, Nil)
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = index.fileFormat,
       options = Map.empty)(spark)
   }

@@ -726,6 +726,61 @@ object TxTable {
   private val stageLocks =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
 
+  /** Declared bucketing of a table, from its log-carried properties:
+    * `graft.bucketBy` (comma-separated key columns) + `graft.buckets`
+    * (count). Declared at CREATE (data-less commit), consulted by
+    * every data write — [[stage]] is the single choke point, so
+    * appends, SQL INSERTs, compactions, DELETE rewrites and rollups
+    * all preserve the layout without per-operator logic.
+    */
+  private[graft] def bucketSpecOf(
+      props: Map[String, String]): Option[(Seq[String], Int)] =
+    props.get("graft.bucketBy").map { ks =>
+      val keys = ks.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val n = props.getOrElse("graft.buckets",
+        throw new IllegalArgumentException(
+          "graft.bucketBy needs graft.buckets")).trim.toInt
+      require(keys.nonEmpty && n > 0,
+        s"invalid bucketing: keys=$ks buckets=$n")
+      (keys, n)
+    }
+
+  /** Move `date=<d>/__gb=<b>/part-X[.ext]` up to
+    * `date=<d>/part-X_<b%05d>[.ext]` — the exact filename contract
+    * Spark's `BucketingUtils.getBucketId` parses (`.*_(\d+)(?:\..*)?$`),
+    * so the scan-side `HadoopFsRelation(bucketSpec)` groups the files
+    * into hash-aligned RDD partitions. Metadata-only renames on the
+    * still-unpublished staged dir.
+    */
+  private def promoteBucketDirs(fs: FileSystem, dir: Path): Unit = {
+    val it = fs.listFiles(dir, true)
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val parent = f.getParent
+      if (parent.getName.startsWith("__gb=") &&
+          f.getName.startsWith("part-")) {
+        val b = parent.getName.stripPrefix("__gb=").toInt
+        val base = f.getName
+        val dot = base.indexOf('.')
+        val renamed =
+          if (dot < 0) f"${base}_$b%05d"
+          else f"${base.substring(0, dot)}_$b%05d${base.substring(dot)}"
+        moves += ((f, new Path(parent.getParent, renamed)))
+      }
+    }
+    moves.foreach { case (src, dst) =>
+      require(fs.rename(src, dst), s"bucket promote failed: $src -> $dst")
+    }
+    fs.listStatus(dir).foreach { dateSt =>
+      if (dateSt.isDirectory)
+        fs.listStatus(dateSt.getPath).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("__gb="))
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
+
   private def stage(df0: DataFrame, fs: FileSystem,
       root: Path): Seq[(String, FileMeta)] = {
     // every data write — append, merge rewrite, overwrite, maintenance
@@ -738,16 +793,36 @@ object TxTable {
     // per-session stage lock (see [[stageLocks]]).
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val sess = df.sparkSession
+    val bucketing = bucketSpecOf(replayState(fs, root, None).props)
     stageLocks.computeIfAbsent(sess, _ => new Object).synchronized {
       val prevTs = sess.conf.getOption(tsKey)
       sess.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try df.write.option("compression", "zstd")
-        .partitionBy("date").parquet(new Path(root, dataDir).toString)
-      finally prevTs match {
+      try bucketing match {
+        case Some((keys, n)) =>
+          // bucket id = Spark's own bucketing hash (Murmur3 pmod n),
+          // so the scan's HashPartitioning claim is exactly what the
+          // files contain. The callers' range-repartition collapses
+          // into this exchange (CollapseRepartition) — a bucketed
+          // write costs ONE shuffle, like any other.
+          keys.foreach(k => require(df.columns.contains(k),
+            s"bucketed table: every write needs key column $k"))
+          require(!df.columns.contains("__gb"), "__gb is reserved")
+          val sk = NetworkFlowTable.sortKey.filter(df.columns.contains)
+          df.withColumn("__gb", pmod(hash(keys.map(col): _*), lit(n)))
+            .repartition(n, col("__gb"))
+            .sortWithinPartitions(("__gb" +: sk).map(col): _*)
+            .write.option("compression", "zstd")
+            .partitionBy("date", "__gb")
+            .parquet(new Path(root, dataDir).toString)
+        case None =>
+          df.write.option("compression", "zstd")
+            .partitionBy("date").parquet(new Path(root, dataDir).toString)
+      } finally prevTs match {
         case Some(v) => sess.conf.set(tsKey, v)
         case None    => sess.conf.unset(tsKey)
       }
     }
+    if (bucketing.isDefined) promoteBucketDirs(fs, new Path(root, dataDir))
     indexStagedDir(sess, fs, root, dataDir, knownSchema = Some(df.schema))
   }
 
@@ -902,19 +977,47 @@ object TxTable {
     * schema (Delta calls that a breaking change requiring `overwrite`,
     * which replaces the file set and may change schema freely).
     */
+  /** Deep nullability relaxation for schema comparison: a writer whose
+    * derived NESTED nullability is tighter than the declared schema
+    * (collect_set yields containsNull=false, count a NOT-NULL struct
+    * field) is writing the SAME type — non-null data always fits a
+    * nullable container. Without this, the first aggregate-state
+    * insert into a declared `ARRAY<BIGINT>` column would read as
+    * non-additive evolution and refuse.
+    */
+  private def relaxNulls(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxNulls(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = relaxNulls(m.keyType),
+        valueType = relaxNulls(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def schemaUpdate(fs: FileSystem, root: Path,
       df: DataFrame): Option[StructType] = {
     val next = dataSchema(df)
     logSchema(fs, root) match {
       case None                     => Some(next)
       case Some(cur) if cur == next => None
+      // nullability-only drift: same type — the DECLARED schema wins
+      // (no M action; the logged contract is already the loose one)
+      case Some(cur) if cur.map(f => f.name -> relaxNulls(f.dataType)) ==
+          next.map(f => f.name -> relaxNulls(f.dataType)) => None
       case Some(cur) =>
-        val nextTypes = next.map(f => f.name -> f.dataType).toMap
-        val broken = cur.filterNot(f => nextTypes.get(f.name).contains(f.dataType))
+        val nextTypes = next.map(f => f.name -> relaxNulls(f.dataType)).toMap
+        val broken = cur.filterNot(f =>
+          nextTypes.get(f.name).contains(relaxNulls(f.dataType)))
         require(broken.isEmpty,
           s"non-additive schema change (${broken.map(_.name).mkString(",")}): " +
             "append may only ADD columns; use overwrite to replace the schema")
-        Some(next)
+        // keep the DECLARED types for existing columns (a tighter
+        // writer-derived nullability must not narrow the contract);
+        // genuinely new columns append at the end
+        val curNames = cur.fieldNames.toSet
+        Some(StructType(cur ++ next.filterNot(f => curNames(f.name))))
     }
   }
 
@@ -964,6 +1067,19 @@ object TxTable {
       remove: Seq[String] = Seq.empty): Long = {
     require(set.nonEmpty || remove.nonEmpty, "nothing to change")
     val (fs, root) = fsFor(spark, table)
+    // bucketing is a physical-layout contract: declaring it over
+    // EXISTING unbucketed files would make the relation's downgrade
+    // path permanent — refuse with the remedy instead
+    if (set.exists(_._1 == "graft.bucketBy")) {
+      val unbucketed = snapshotFiles(fs, root).keys.filterNot { rel =>
+        org.apache.spark.sql.execution.datasources.BucketingUtils
+          .getBucketId(new Path(root, rel).getName).isDefined
+      }
+      require(unbucketed.isEmpty,
+        s"cannot declare bucketing over ${unbucketed.size} existing " +
+          "unbucketed file(s): declare graft.bucketBy/graft.buckets at " +
+          "CREATE TABLE, or overwrite the table after setting them")
+    }
     commitRetry(fs, root, Seq.empty, Seq.empty, op = Some("setprops"),
       propsSet = set, propsRemove = remove)
   }
@@ -1115,6 +1231,11 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     if (txnHighWater(fs, root).get(appId).exists(_ >= epochId))
       return -1L // replayed epoch: don't even list the staged dir
+    require(bucketSpecOf(replayState(fs, root, None).props).isEmpty,
+      "graft-v2 streaming write cannot target a BUCKETED table: its " +
+        "executors write rows where they stand (no bucket placement); " +
+        "stream through format(\"graft\") instead, whose per-batch " +
+        "write job buckets like any other append")
     val adds =
       if (onlyFiles.isEmpty) Seq.empty
       else indexStagedDir(spark, fs, root, dataDir, Some(onlyFiles),
@@ -1124,14 +1245,20 @@ object TxTable {
     val schemaAction = logSchema(fs, root) match {
       case None                      => Some(next)
       case Some(cur) if cur == next  => None
+      case Some(cur) if cur.map(f => f.name -> relaxNulls(f.dataType)) ==
+          next.map(f => f.name -> relaxNulls(f.dataType)) => None
       case Some(cur) =>
-        val nextTypes = next.map(f => f.name -> f.dataType).toMap
-        val broken =
-          cur.filterNot(f => nextTypes.get(f.name).contains(f.dataType))
+        val nextTypes = next.map(f => f.name -> relaxNulls(f.dataType)).toMap
+        val broken = cur.filterNot(f =>
+          nextTypes.get(f.name).contains(relaxNulls(f.dataType)))
         require(broken.isEmpty || replace,
           s"non-additive schema change (${broken.map(_.name).mkString(",")})" +
             ": a streaming append may only ADD columns")
-        Some(next)
+        if (replace) Some(next)
+        else {
+          val curNames = cur.fieldNames.toSet
+          Some(StructType(cur ++ next.filterNot(f => curNames(f.name))))
+        }
     }
     val removes =
       if (replace) snapshotFiles(fs, root).keys.toSeq else Seq.empty
@@ -1571,9 +1698,17 @@ object TxTable {
         case "sum" | "count" => sum(col(c))
         case "min"           => min(col(c))
         case "max"           => max(col(c))
-        case "avg"           => struct(
-          sum(col(c).getField("sum")).as("sum"),
-          sum(col(c).getField("cnt")).as("cnt"))
+        case "avg"           =>
+          // field nullability must MATCH the stored struct exactly
+          // (count states are NOT NULL; a merged sum re-derives
+          // nullable) or the commit would read as schema evolution
+          val st = df.schema(c).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          def fld(n: String) = {
+            val base = sum(col(c).getField(n))
+            (if (st(n).nullable) base else coalesce(base, lit(0L))).as(n)
+          }
+          struct(fld("sum"), fld("cnt"))
         case "uniqexact"     =>
           array_sort(array_distinct(flatten(collect_list(col(c)))))
         case "hll"           => hll_union_agg(col(c))
@@ -2421,6 +2556,15 @@ object TxTable {
   def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
     val (fs, root) = fsFor(spark, table)
     replayState(fs, root, None).props
+  }
+
+  /** Era-correct property view for time travel (the bucketing claim,
+    * constraints, etc. must be the ones in force AT the version).
+    */
+  private[sink] def tablePropertiesAt(spark: SparkSession, table: String,
+      asOf: Option[Long]): Map[String, String] = {
+    val (fs, root) = fsFor(spark, table)
+    replayState(fs, root, asOf).props
   }
 
   /** The table's CHECK constraints: name -> boolean SQL expression. */

@@ -450,13 +450,19 @@ class GraftStreamV2Spec extends AnyFunSuite {
       s"the lag failure must name the sweep and the remedy: $msg")
   }
 
-  test("v2 refuses a missing table at plan time, naming the remedy") {
+  test("v2 refuses a missing table at scan-plan time, naming the " +
+      "remedy (load() itself stays lazy so the WRITE path can target " +
+      "a not-yet-existing table)") {
     val dir = tmp("missing")
-    val e = intercept[IllegalArgumentException] {
-      spark.readStream.format("graft-v2").load(s"$dir/absent")
+    val q = spark.readStream.format("graft-v2").load(s"$dir/absent")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
     }
-    assert(e.getMessage.contains("existing table"),
-      s"got: ${e.getMessage}")
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("existing table")), msgs)
   }
 
   test("v2 Trigger.AvailableNow drains the whole backlog under the " +
