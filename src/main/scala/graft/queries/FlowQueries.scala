@@ -499,6 +499,47 @@ object FlowQueries {
         ORDER BY date, user_id""")
     }),
 
+    // CH windowFunnel (round 11): deepest view->click->purchase level
+    // per user within 1 day of the chain's FIRST step (the CH
+    // chain-start window), then the level histogram. The oracle
+    // replays the existential characterization, exact because the
+    // corpus has unique per-user timestamps.
+    "q_compat_funnel" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_fn")
+      graft.sql.Compat.chSql(s, """
+        SELECT lvl, count() AS n_users FROM (
+          SELECT user_id, windowFunnel(86400)(ts,
+            event_type = 'view', event_type = 'click',
+            event_type = 'purchase') AS lvl
+          FROM ch_events_fn GROUP BY user_id) t
+        GROUP BY lvl ORDER BY lvl""")
+    }),
+
+    // CH retention (round 11): [signup, signup && click,
+    // signup && purchase] per user, summed to cohort counts
+    "q_compat_retention" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_rt")
+      graft.sql.Compat.chSql(s, """
+        SELECT sum(arrayElement(r, 1)) AS r_signup,
+          sum(arrayElement(r, 2)) AS r_click,
+          sum(arrayElement(r, 3)) AS r_purchase
+        FROM (SELECT user_id, retention(event_type = 'signup',
+            event_type = 'click', event_type = 'purchase') AS r
+          FROM ch_events_rt GROUP BY user_id) t""")
+    }),
+
+    // CH sequenceMatch (round 11): ordered signup -> purchase
+    // subsequence per user (the (?1).*(?2) chain form)
+    "q_compat_seqmatch" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sm")
+      graft.sql.Compat.chSql(s, """
+        SELECT count() AS matched FROM (
+          SELECT user_id, sequenceMatch('(?1).*(?2)')(ts,
+            event_type = 'signup', event_type = 'purchase') AS m
+          FROM ch_events_sm GROUP BY user_id) t
+        WHERE m""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -769,6 +810,50 @@ object FlowQueries {
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // funnel levels via the existential characterization of CH's
+    // chain algorithm (valid under unique per-user timestamps): level
+    // >= k iff an ordered chain exists with every step within the
+    // window of the FIRST step
+    "q_compat_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |    FROM events),
+        |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM v),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v JOIN c
+        |  ON c.user_id = v.user_id AND c.t > v.t
+        |  AND c.t <= v.t + 86400000000),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.t > v.t
+        |    AND c.t <= v.t + 86400000000
+        |  JOIN p ON p.user_id = v.user_id AND p.t > c.t
+        |    AND p.t <= v.t + 86400000000),
+        |lv AS (SELECT u.user_id,
+        |  CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id)
+        |SELECT CAST(lvl AS INTEGER) AS lvl,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM lv GROUP BY lvl ORDER BY lvl""".stripMargin,
+    "q_compat_retention" ->
+      """WITH per AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+        |  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(s) AS BIGINT) AS r_signup,
+        |  CAST(SUM(s * c) AS BIGINT) AS r_click,
+        |  CAST(SUM(s * p) AS BIGINT) AS r_purchase FROM per""".stripMargin,
+    "q_compat_seqmatch" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS matched FROM (
+        |  SELECT DISTINCT a.user_id FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'signup'
+        |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
     // FINAL = keep-highest-version per (date, key); event_id is unique
     // so the version order is total
     "q_compat_final" ->

@@ -937,6 +937,60 @@ object MiscQueries {
       }.reduce(_ unionByName _).orderBy("tok")
     }),
 
+    // NGRAM BLOOM INDEX as a gate (round 11, ngrambf_v1 analog):
+    // substring lookups (LIKE '%needle%') over a text column with a
+    // declared graft.ngramBloomBy index — planning probes every
+    // 4-gram of the needle against per-file filters and skips files
+    // where any gram is provably absent (required in-gate for the
+    // rarest needle), while results hash-match the full-scan oracle
+    // (false positives cost a wasted scan, never a wrong row).
+    "qtx_ngrambloom" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d).select(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("doc_id") % 7).cast("int")).as("date"),
+        col("doc_id"), col("text"))
+      val table = txBaseCopyWith(s, d, "ngrambloom", "docs_ngram") { t =>
+        TxTable.createTable(s, t, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("date",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))),
+          Seq("graft.ngramBloomBy" -> "text"))
+        // several appends so membership can partition the file set
+        (0 until 4).foreach(i =>
+          TxTable.append(s, docs.filter(col("doc_id") % 4 === i), t))
+      }
+      // the 3 rarest tokens of length >= 6: selective substrings
+      val needles = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) >= 6)
+        .groupBy("t").count()
+        .orderBy(col("count"), col("t")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      // the synthetic corpus has a ~31-word vocabulary, so every
+      // corpus 4-gram appears in every file — the pruning proof uses
+      // a needle with grams the corpus provably lacks (all files must
+      // skip at planning time; the scan runs over zero files)
+      val total = TxTable.liveFiles(s, table).size
+      val probe = TxFileIndex.readV2(s, table)
+        .filter(col("text").contains("zzqqxxyyww"))
+      require(probe.count() == 0)
+      val scanned = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+      require(scanned < total,
+        s"ngram index must skip files ($scanned of $total scanned " +
+          "for an absent needle)")
+      needles.map { ndl =>
+        TxFileIndex.readV2(s, table)
+          .filter(col("text").contains(ndl))
+          .agg(lit(ndl).as("needle"), count(lit(1)).as("n"),
+            sum("doc_id").as("id_sum"))
+      }.reduce(_ unionByName _).orderBy("needle")
+    }),
+
     // OPTIMIZE (bin-packing) as a gate: the base lands as 8 successive
     // micro-batch-sized appends (the streaming small-file shape — each
     // date fragmented across ~8 files), optimize repacks every needy
@@ -1740,6 +1794,19 @@ object MiscQueries {
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same rarest-token choice and the same single-space token
     // semantics, straight over documents
+    // the substring hits are whatever a full scan finds — the index
+    // only prunes provably-miss files
+    "qtx_ngrambloom" ->
+      """WITH toks AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) >= 6),
+        |tgt AS (SELECT t FROM toks GROUP BY t
+        |  ORDER BY COUNT(*), t LIMIT 3)
+        |SELECT tgt.t AS needle, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM tgt JOIN documents d ON contains(d.text, tgt.t)
+        |GROUP BY tgt.t ORDER BY needle""".stripMargin,
     "qtx_tokenbloom" ->
       """WITH toks AS (
         |  SELECT t FROM (

@@ -130,6 +130,12 @@ object Bloom {
     */
   val TokM: Int = 1 << 17
 
+  /** ngram length for the `ngrambf_v1`-analog substring index (CH
+    * users pick theirs in the DDL; 4 balances selectivity against
+    * the shortest LIKE literals that can probe at all).
+    */
+  val NgramN: Int = 4
+
   /** Bitset-OR aggregator over pre-hashed values; partial-aggregates
     * map-side so the exchange carries one fixed-size word array per
     * (file, column) group. `m` must be a multiple of 64.

@@ -3,7 +3,7 @@ package graft.sink
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Contains, EndsWith, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{DateType, DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
@@ -205,9 +205,43 @@ class TxFileIndex(spark: SparkSession, table: String,
           case Some(st) if st.typ == 'b' => Bloom.mayContain(st.min, st.max, h)
           case _ => true
         })
+      // substring predicates (LIKE '%..%' → Contains, prefix/suffix
+      // LIKEs → StartsWith/EndsWith) probe the column's NGRAM filter
+      // ('<col>#ng', ngrambf_v1 analog): a match contains the literal
+      // as a substring, so EVERY 4-gram of the literal must be present
+      // — one provably-absent gram drops the file. Literals shorter
+      // than one gram cannot probe (scan everything, like CH).
+      case Contains(a: AttributeReference, l: Literal)
+          if ngramProbe(l).isDefined => ngramSkipper(a.name, l)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if ngramProbe(l).isDefined => ngramSkipper(a.name, l)
+      case EndsWith(a: AttributeReference, l: Literal)
+          if ngramProbe(l).isDefined => ngramSkipper(a.name, l)
       case _ => None
     }
   }
+
+  private def ngramProbe(l: Literal): Option[Seq[String]] =
+    l.value match {
+      case u: UTF8String if u.toString.length >= Bloom.NgramN =>
+        Some(u.toString.sliding(Bloom.NgramN).toSeq.distinct)
+      case _ => None
+    }
+
+  private def ngramSkipper(name: String,
+      l: Literal): Option[Map[String, ColStats] => Boolean] =
+    ngramProbe(l).map { grams =>
+      val hashes = grams.map { g =>
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(Literal(UTF8String.fromString(g), StringType)), 42L)
+          .eval(InternalRow.empty).asInstanceOf[Long]
+      }
+      stats => stats.get(s"$name#ng") match {
+        case Some(st) if st.typ == 'b' =>
+          hashes.forall(h => Bloom.mayContain(st.min, st.max, h))
+        case _ => true
+      }
+    }
 
   /** Partition pruning + data skipping: rebind the planner's `date`
     * references to this index's single-column partition row and

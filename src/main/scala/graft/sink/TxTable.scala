@@ -733,6 +733,13 @@ object TxTable {
     * appends, SQL INSERTs, compactions, DELETE rewrites and rollups
     * all preserve the layout without per-operator logic.
     */
+  /** Columns with a declared ngram Bloom index
+    * (`graft.ngramBloomBy`, comma-separated).
+    */
+  private[sink] def bucketNgramCols(props: Map[String, String]): Seq[String] =
+    props.get("graft.ngramBloomBy").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   private[graft] def bucketSpecOf(
       props: Map[String, String]): Option[(Seq[String], Int)] =
     props.get("graft.bucketBy").map { ks =>
@@ -783,9 +790,12 @@ object TxTable {
 
   private def stage(df0: DataFrame, fs: FileSystem,
       root: Path): Seq[(String, FileMeta)] = {
+    // ONE log replay per stage serves both property consumers
+    // (constraints + bucketing)
+    val props = replayState(fs, root, None).props
     // every data write — append, merge rewrite, overwrite, maintenance
     // — passes the table's CHECK constraints, enforced inside this job
-    val df = enforceConstraints(df0, fs, root)
+    val df = enforceConstraints(df0, props)
     val dataDir = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     // INT96 (Spark's compatibility default) carries no usable min/max
     // stats in parquet — pin INT64 micros so interval_start skipping has
@@ -793,7 +803,7 @@ object TxTable {
     // per-session stage lock (see [[stageLocks]]).
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val sess = df.sparkSession
-    val bucketing = bucketSpecOf(replayState(fs, root, None).props)
+    val bucketing = bucketSpecOf(props)
     stageLocks.computeIfAbsent(sess, _ => new Object).synchronized {
       val prevTs = sess.conf.getOption(tsKey)
       sess.conf.set(tsKey, "TIMESTAMP_MICROS")
@@ -823,7 +833,8 @@ object TxTable {
       }
     }
     if (bucketing.isDefined) promoteBucketDirs(fs, new Path(root, dataDir))
-    indexStagedDir(sess, fs, root, dataDir, knownSchema = Some(df.schema))
+    indexStagedDir(sess, fs, root, dataDir, knownSchema = Some(df.schema),
+      ngramCols = bucketNgramCols(props))
   }
 
   /** Index an already-staged data dir: per-file footer stats, the
@@ -838,7 +849,8 @@ object TxTable {
   private[sink] def indexStagedDir(sess: SparkSession, fs: FileSystem,
       root: Path, dataDir: String,
       onlyFiles: Option[Set[String]] = None,
-      knownSchema: Option[StructType] = None): Seq[(String, FileMeta)] = {
+      knownSchema: Option[StructType] = None,
+      ngramCols: Seq[String] = Seq.empty): Seq[(String, FileMeta)] = {
     val it = fs.listFiles(new Path(root, dataDir), true)
     val files = scala.collection.mutable.ArrayBuffer.empty[(Path, String, Long)]
     while (it.hasNext) {
@@ -910,11 +922,47 @@ object TxTable {
             }
           }
       }
+    // ngram filters (ClickHouse `ngrambf_v1` analog): OPT-IN via the
+    // `graft.ngramBloomBy` table property — the build explodes one
+    // 4-gram per character position, which is ~5× the token pass's
+    // row count, so only tables that serve substring (LIKE '%..%')
+    // lookups should pay it. Probed at planning time for
+    // Contains/StartsWith/EndsWith predicates whose literal is >= 4
+    // chars: EVERY gram of the needle must may-contain, else the file
+    // is skipped (a substring match implies all its grams appear).
+    val ngCols = ngramCols
+      .filter(c => stagedSchema.fieldNames.contains(c) &&
+        stagedSchema(c).dataType == org.apache.spark.sql.types.StringType)
+    val ngramBlooms: Map[String, Map[String, ColStats]] =
+      ngCols.foldLeft(Map.empty[String, Map[String, ColStats]]) {
+        (acc, c) =>
+          if (files.isEmpty) acc
+          else {
+            val n = Bloom.NgramN
+            val grams = expr(s"CASE WHEN length($c) >= $n THEN " +
+              s"transform(sequence(1, length($c) - ${n - 1}), " +
+              s"i -> substring($c, i, $n)) ELSE array() END")
+            val per = stagedByName
+              .select(col("__name"), explode(grams).as("__g"))
+              .groupBy("__name")
+              .agg(Bloom.agg(col("__g"), Bloom.TokM).as("b"))
+              .collect().map { r =>
+                r.getString(0) -> Map(s"$c#ng" -> ColStats('b',
+                  Bloom.encode(r.getAs[Array[Byte]]("b")),
+                  s"${Bloom.TokM},${Bloom.K}"))
+              }.toMap
+            acc ++ per.map { case (f, m) =>
+              f -> (acc.getOrElse(f, Map.empty) ++ m)
+            }
+          }
+      }
     val bloomsInline: Map[String, Map[String, ColStats]] =
-      (valueBlooms.keySet ++ tokenBlooms.keySet).map { f =>
-        f -> (valueBlooms.getOrElse(f, Map.empty) ++
-          tokenBlooms.getOrElse(f, Map.empty))
-      }.toMap
+      (valueBlooms.keySet ++ tokenBlooms.keySet ++ ngramBlooms.keySet)
+        .map { f =>
+          f -> (valueBlooms.getOrElse(f, Map.empty) ++
+            tokenBlooms.getOrElse(f, Map.empty) ++
+            ngramBlooms.getOrElse(f, Map.empty))
+        }.toMap
     // filters go to ONE immutable sidecar per staged dir; the log
     // carries a pointer per (file, column) instead of ~27 KB of base64
     // replicated into every checkpoint (see [[BloomStore]])
@@ -1231,7 +1279,8 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     if (txnHighWater(fs, root).get(appId).exists(_ >= epochId))
       return -1L // replayed epoch: don't even list the staged dir
-    require(bucketSpecOf(replayState(fs, root, None).props).isEmpty,
+    val props = replayState(fs, root, None).props
+    require(bucketSpecOf(props).isEmpty,
       "graft-v2 streaming write cannot target a BUCKETED table: its " +
         "executors write rows where they stand (no bucket placement); " +
         "stream through format(\"graft\") instead, whose per-batch " +
@@ -1239,7 +1288,7 @@ object TxTable {
     val adds =
       if (onlyFiles.isEmpty) Seq.empty
       else indexStagedDir(spark, fs, root, dataDir, Some(onlyFiles),
-        Some(writeSchema))
+        Some(writeSchema), ngramCols = bucketNgramCols(props))
     val next = StructType(writeSchema.filterNot(_.name == "date")
       .map(f => f.copy(nullable = true)))
     val schemaAction = logSchema(fs, root) match {
@@ -2622,9 +2671,9 @@ object TxTable {
     * the job on the first FALSE row — nothing half-commits and no
     * extra scan is paid.
     */
-  private def enforceConstraints(df: DataFrame, fs: FileSystem,
-      root: Path): DataFrame = {
-    val cons = replayState(fs, root, None).props.collect {
+  private def enforceConstraints(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val cons = props.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }

@@ -266,6 +266,50 @@ object Compat {
     f("uniqState")(e => new HllSketchAgg(e.head))
     f("uniqMerge")(e => HllSketchEstimate(
       new HllUnionAgg(e.head).toAggregateExpression()))
+    // event-chain analytics (the CH dashboard trio over event tables):
+    // windowFunnel(window_s)(ts, c1, c2, ...) — deepest funnel level
+    // reached within `window` SECONDS of the chain's first step;
+    // sequenceMatch('(?1)(?2)')(ts, c1, ...) — ordered-subsequence
+    // existence (the chain subset of CH's pattern language; time-bound
+    // atoms are refused, not approximated); retention(c1, ..., cn) —
+    // [c1 seen, c1 && c2 seen, ...] as 0/1 ints.
+    f("windowFunnel") { e =>
+      val window = e.head match {
+        case Literal(v: Long, _)    => v
+        case Literal(v: Int, _)     => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel window must be an integer literal of seconds, " +
+            s"got $other")
+      }
+      graft.functions.WindowFunnel(window, e(1), e.drop(2))
+        .toAggregateExpression()
+    }
+    f("sequenceMatch") { e =>
+      val pattern = e.head match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceMatch pattern must be a string literal, got $other")
+      }
+      val atom = "\\(\\?(\\d+)\\)|\\.\\*".r
+      val matched = atom.findAllMatchIn(pattern).toSeq
+      require(matched.map(_.matched).mkString == pattern.replace(" ", ""),
+        s"unsupported sequenceMatch pattern `$pattern`: only (?N) chain " +
+          "atoms and .* gaps are supported (time-bound atoms like " +
+          "(?t<=3600) are not)")
+      val chain = matched.flatMap(m => Option(m.group(1))).map(_.toInt - 1)
+      require(chain.nonEmpty && chain.forall(i => i >= 0 &&
+        i < e.length - 2),
+        s"sequenceMatch pattern `$pattern` references conditions the " +
+          "call does not pass")
+      graft.functions.SequenceMatchChain(chain, e(1), e.drop(2))
+        .toAggregateExpression()
+    }
+    f("retention") { e =>
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Multiply}
+      val m = e.map(c => Cast(
+        Max(Cast(c, IntegerType)).toAggregateExpression(), IntegerType))
+      CreateArray(m.head +: m.tail.map(mi => Multiply(m.head, mi)))
+    }
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a

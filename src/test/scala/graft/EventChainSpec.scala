@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.Compat
+
+/** windowFunnel / sequenceMatch / retention goldens — hand-computed
+  * chains pinning the ClickHouse default-mode semantics: the window is
+  * measured from the chain's FIRST step, a later level-1 event
+  * re-opens the chain, and one event may satisfy several steps.
+  */
+class EventChainSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private def funnel(rows: Seq[(Long, String)], window: Long): Int = {
+    Compat.registerClickHouseFunctions(spark)
+    rows.map { case (t, e) => (ts(t), e) }.toDF("t", "e")
+      .createOrReplaceTempView("ec_src")
+    Compat.chSql(spark, s"""
+      SELECT windowFunnel($window)(t, e = 'a', e = 'b', e = 'c') AS lvl
+      FROM ec_src""").collect().head.getInt(0)
+  }
+
+  test("windowFunnel: chain-start window, re-opened chains, gaps") {
+    // plain a -> b -> c inside the window
+    assert(funnel(Seq((10L, "a"), (20L, "b"), (30L, "c")), 100) == 3)
+    // c lands outside window measured from the chain START (t=10),
+    // even though it is within 100s of b
+    assert(funnel(Seq((10L, "a"), (100L, "b"), (150L, "c")), 100) == 2)
+    // ... but a LATER a re-opens the chain and c completes from it
+    assert(funnel(Seq((10L, "a"), (95L, "b"), (98L, "a"), (120L, "b"),
+      (190L, "c")), 100) == 3)
+    // no level-1 event: level 0
+    assert(funnel(Seq((10L, "b"), (20L, "c")), 100) == 0)
+    // out-of-order steps do not chain (b before a)
+    assert(funnel(Seq((10L, "b"), (20L, "a")), 100) == 1)
+    // exact boundary: t_k == t_1 + window still matches (CH <=)
+    assert(funnel(Seq((10L, "a"), (110L, "b")), 100) == 2)
+    assert(funnel(Seq((10L, "a"), (111L, "b")), 100) == 1)
+  }
+
+  test("windowFunnel: one event satisfying several steps advances the " +
+      "chain through them (CH iterates every matched level per event)") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq((ts(10L), "a", true, true, false), (ts(20L), "x", false, false, true))
+      .toDF("t", "e", "c1", "c2", "c3").createOrReplaceTempView("ec_multi")
+    val lvl = Compat.chSql(spark,
+      "SELECT windowFunnel(100)(t, c1, c2, c3) AS l FROM ec_multi")
+      .collect().head.getInt(0)
+    assert(lvl == 3)
+  }
+
+  test("sequenceMatch: subsequence existence, .* gaps, refusals") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq((ts(10L), "a"), (ts(20L), "x"), (ts(30L), "b"))
+      .toDF("t", "e").createOrReplaceTempView("sm_src")
+    def m(p: String): Boolean = Compat.chSql(spark,
+      s"SELECT sequenceMatch('$p')(t, e = 'a', e = 'b') AS m FROM sm_src")
+      .collect().head.getBoolean(0)
+    assert(m("(?1)(?2)"))
+    assert(m("(?1).*(?2)"))
+    assert(!m("(?2)(?1)"), "b never precedes a")
+    val e = intercept[Exception] {
+      Compat.chSql(spark, "SELECT sequenceMatch('(?1)(?t<=10)(?2)')" +
+        "(t, e = 'a', e = 'b') FROM sm_src").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("unsupported"))))
+  }
+
+  test("retention: [c1, c1&&c2, c1&&c3] per group") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq(("u1", "signup"), ("u1", "click"), ("u2", "click"), ("u3", "signup"))
+      .toDF("u", "e").createOrReplaceTempView("rt_src")
+    val got = Compat.chSql(spark, """
+      SELECT u, retention(e = 'signup', e = 'click', e = 'purchase') AS r
+      FROM rt_src GROUP BY u ORDER BY u""").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1)))
+    assert(got.toSeq == Seq(("u1", Seq(1, 1, 0)), ("u2", Seq(0, 0, 0)),
+      ("u3", Seq(1, 0, 0))))
+  }
+
+  test("the aggregate is partial-aggregation shaped (no collect-all " +
+      "plan node; ObjectHashAggregate carries the buffer)") {
+    Compat.registerClickHouseFunctions(spark)
+    (1 to 100).map(i => (ts(i.toLong), s"u${i % 5}",
+      if (i % 3 == 0) "a" else "b")).toDF("t", "u", "e")
+      .createOrReplaceTempView("ec_plan")
+    val df = Compat.chSql(spark, """
+      SELECT u, windowFunnel(100)(t, e = 'a', e = 'b') AS l
+      FROM ec_plan GROUP BY u""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan.take(600))
+    assert(df.count() == 5)
+  }
+}
