@@ -462,6 +462,71 @@ object ScaleBench {
         val (_, purgedScanSec) = timed(noop(TxTable.read(spark, tMor)))
         record(factor, "dv_scan_purged", purgedScanSec, matched)
       }
+
+      if (enabled("bucketjoin")) {
+        // Bucketed vs plain tx tables under the SAME fact-fact
+        // equi-join (1:1 on event_id). Claims under measurement: the
+        // bucketed join's shuffle bytes are ~zero at every factor
+        // (the exchange was paid once at write time) while the plain
+        // join's shuffle grows linearly with the data; and the
+        // one-time write premium is bounded.
+        import org.apache.spark.sql.types.{DateType, LongType,
+          StringType, StructField, StructType}
+        val ev = (if (factor == 1) baseEvents
+          else (0 until factor).map(i => baseEvents.select(
+            (col("event_id") + lit(i * 10000000L)).as("event_id"),
+            col("user_id"), col("event_type"), col("value")))
+            .reduce(_ unionByName _))
+          .select(to_date(lit("2024-01-01")).as("date"), col("event_id"),
+            col("user_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val nRows = ev.count()
+        def fresh(tag: String): String = {
+          val dir = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_bj_${tag}_${factor}x")
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          s"$dir/t"
+        }
+        val leftSchema = StructType(Seq(StructField("date", DateType),
+          StructField("event_id", LongType), StructField("cents", LongType)))
+        val rightSchema = StructType(Seq(StructField("date", DateType),
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        val leftDf = ev.select(col("date"), col("event_id"), col("cents"))
+        val rightDf = ev.select(col("date"), col("event_id"),
+          col("user_id"), col("event_type"))
+
+        // plain tables: the join shuffles both sides on every query
+        val (pl, pr) = (fresh("plain_l"), fresh("plain_r"))
+        TxTable.append(spark, leftDf, pl)
+        TxTable.append(spark, rightDf, pr)
+        def join(l: String, r: String) =
+          TxFileIndex.readV2(spark, l).hint("merge")
+            .join(TxFileIndex.readV2(spark, r)
+              .withColumnRenamed("date", "d2"), Seq("event_id"))
+            .select("event_id", "cents", "user_id")
+        val (_, plainSec) = timed(noop(join(pl, pr)))
+        record(factor, "join_plain", plainSec, nRows)
+
+        // bucketed tables: the write pays the exchange once
+        val bprops = Seq("graft.bucketBy" -> "event_id",
+          "graft.buckets" -> "32")
+        val (bl, br) = (fresh("buck_l"), fresh("buck_r"))
+        TxTable.createTable(spark, bl, leftSchema, bprops)
+        TxTable.createTable(spark, br, rightSchema, bprops)
+        val (_, wlSec) = timed(TxTable.append(spark, leftDf, bl))
+        record(factor, "join_bucketed_write", wlSec, nRows)
+        TxTable.append(spark, rightDf, br)
+        val bj = join(bl, br)
+        require(!bj.queryExecution.executedPlan.toString
+          .contains("Exchange"), "bucketed join must plan exchange-free")
+        val (_, buckSec) = timed(noop(bj))
+        record(factor, "join_bucketed", buckSec, nRows)
+        Seq(pl, pr, bl, br).foreach(t =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(t).getParentFile))
+      }
     }
 
     if (enabled("commitlatency")) {
