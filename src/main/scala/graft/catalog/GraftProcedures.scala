@@ -46,6 +46,9 @@ object GraftProcedures {
       case "history"    => new HistoryProc(catalog)
       case "purge_deletes" => new PurgeDeletesProc(catalog)
       case "compact_aggregating" => new CompactAggregatingProc(catalog)
+      case "clone" => new CloneProc(catalog)
+      case "attach_partition" => new AttachPartitionProc(catalog)
+      case "parts" => new PartsProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
           names.mkString(", "))
@@ -158,6 +161,55 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL gcat.sys.clone(source => 'ns.s', target => 'ns.t',
+    * shallow => true, version => -1)` — [[TxTable.cloneTable]]:
+    * shallow = one metadata commit referencing the source's files
+    * (zero data I/O), deep = a materialized copy. version -1 = head.
+    */
+  private class CloneProc(catalog: GraftCatalog)
+      extends SysProc("clone", Seq(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("target", StringType).build(),
+        ProcedureParameter.in("shallow", BooleanType)
+          .defaultValue("true").build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1").build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val asOf = input.getLong(3) match {
+        case -1L => None
+        case v   => Some(v)
+      }
+      val v = TxTable.cloneTable(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        pathOf(catalog, input.getUTF8String(1).toString),
+        input.getBoolean(2), asOf)
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
+    }
+  }
+
+  /** `CALL gcat.sys.attach_partition(source => 'ns.s',
+    * target => 'ns.t', date => '2024-01-01')` —
+    * [[TxTable.attachPartitionFrom]]: one date partition joins the
+    * target by reference, one metadata commit.
+    */
+  private class AttachPartitionProc(catalog: GraftCatalog)
+      extends SysProc("attach_partition", Seq(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("target", StringType).build(),
+        ProcedureParameter.in("date", StringType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TxTable.attachPartitionFrom(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        pathOf(catalog, input.getUTF8String(1).toString),
+        input.getUTF8String(2).toString)
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
+    }
+  }
+
   private class ExpireLogProc(catalog: GraftCatalog)
       extends SysProc("expire_log", Seq(tableParam)) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -190,6 +242,40 @@ object GraftProcedures {
       val df = TxTable.history(spark,
         pathOf(catalog, input.getUTF8String(0).toString))
       result(df.schema, df.collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  /** `CALL gcat.sys.parts(table => 'ns.t')` — ClickHouse
+    * `system.parts` analog: one row per live data file from the commit
+    * log (NO directory listing, like every other metadata read), with
+    * its date partition, bytes, bucket id when the table is bucketed,
+    * deletion-vector pointer when one rides the file, and the
+    * min/max-stat column list the planner can skip on. The first stop
+    * for "why is this table slow / big / unclustered".
+    */
+  private class PartsProc(catalog: GraftCatalog)
+      extends SysProc("parts", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val metas = TxTable.liveStats(spark,
+        pathOf(catalog, input.getUTF8String(0).toString))
+      val rows = metas.toSeq.sortBy(_._1).map { case (rel, m) =>
+        val bucket = org.apache.spark.sql.execution.datasources
+          .BucketingUtils
+          .getBucketId(new org.apache.hadoop.fs.Path(rel).getName)
+          .map(_.toLong).getOrElse(-1L)
+        val dv = graft.sink.DvStore.pointerOf(m.stats).orNull
+        val statCols = m.stats.keys.filterNot(_.contains("#"))
+          .toSeq.sorted.mkString(",")
+        Seq(rel, m.date, m.bytes, bucket, dv, statCols)
+      }
+      result(StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("date", StringType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("bucket", LongType, nullable = false),
+        StructField("deletion_vector", StringType, nullable = true),
+        StructField("stat_columns", StringType, nullable = false))),
+        rows)
     }
   }
 }

@@ -499,6 +499,43 @@ object FlowQueries {
         ORDER BY date, user_id""")
     }),
 
+    // CH merge() table function (round 11): three tx tables under one
+    // dir (one with an extra column — additive harmonization reads it
+    // as NULL elsewhere) queried as a single union with the `_table`
+    // virtual column, through literal CH text
+    "q_compat_merge_tables" -> ((s, d) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mergefn_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      (0 until 3).foreach { i =>
+        val slice = ev.filter(col("user_id") % 3 === i)
+        graft.sink.TxTable.append(s,
+          if (i == 2) slice.withColumn("extra", col("user_id") * 2)
+          else slice, s"$base/events_$i")
+      }
+      graft.sink.TxTable.append(s, ev.limit(5), s"$base/other")
+      graft.sql.Compat.chSql(s, s"""
+        SELECT _table, event_type, count() AS n, sum(cents) AS cents,
+          sum(ifNull(extra, 0)) AS extra_sum
+        FROM merge('$base', '^events_')
+        GROUP BY _table, event_type
+        ORDER BY _table, event_type""")
+    }),
+
+    // CH topK (round 11): space-saving heavy hitters per cohort —
+    // exact here (5 event types << buffer capacity), deterministic
+    // tie order (count desc, value asc) so the oracle can replay it
+    "q_compat_topk" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_tk")
+      graft.sql.Compat.chSql(s, """
+        SELECT toInt64(user_id % 10) AS cohort,
+          arrayStringConcat(topK(2)(event_type), ',') AS top2
+        FROM ch_events_tk GROUP BY user_id % 10 ORDER BY cohort""")
+    }),
+
     // CH windowFunnel (round 11): deepest view->click->purchase level
     // per user within 1 day of the chain's FIRST step (the CH
     // chain-start window), then the level histogram. The oracle
@@ -810,6 +847,28 @@ object FlowQueries {
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the union of the three slices, keyed by the synthetic _table
+    // name; the extra column exists only in slice 2 (NULL -> 0
+    // elsewhere); the unmatched 'other' table must NOT contribute
+    "q_compat_merge_tables" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT CONCAT('events_', CAST(user_id % 3 AS VARCHAR)) AS _table,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(CASE WHEN user_id % 3 = 2 THEN user_id * 2 ELSE 0 END)
+        |    AS BIGINT) AS extra_sum
+        |FROM e GROUP BY 1, 2 ORDER BY _table, event_type""".stripMargin,
+    // top-2 event types per cohort, count desc then type asc
+    "q_compat_topk" ->
+      """WITH c AS (SELECT user_id % 10 AS cohort, event_type,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT cohort, event_type, ROW_NUMBER() OVER (
+        |    PARTITION BY cohort ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  STRING_AGG(event_type, ',' ORDER BY rk) AS top2
+        |FROM r WHERE rk <= 2 GROUP BY cohort ORDER BY cohort""".stripMargin,
     // funnel levels via the existential characterization of CH's
     // chain algorithm (valid under unique per-user timestamps): level
     // >= k iff an ordered chain exists with every step within the

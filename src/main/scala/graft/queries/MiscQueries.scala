@@ -1560,6 +1560,54 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // SHALLOW CLONE + ATTACH as a gate (round 11): the clone pins the
+    // 3-slice snapshot with ONE metadata commit (zero data files under
+    // its root — required), the source then grows a 4th slice the
+    // clone must not see, a DELETE on the clone must not touch the
+    // source, and an extra table receives one source date by
+    // reference. All three read-backs hash-match closed-form oracles
+    // over events.
+    "qtx_clone" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_clone_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      val src = s"$run/src"
+      (0 until 3).foreach(i =>
+        TxTable.append(s, ev.filter(col("user_id") % 4 === i), src))
+      val cl = s"$run/clone"
+      require(TxTable.cloneTable(s, src, cl) == 0L)
+      require(!new java.io.File(cl).listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("d-")),
+        "shallow clone must write no data files")
+      TxTable.append(s, ev.filter(col("user_id") % 4 === 3), src)
+      val minType = ev.agg(min("event_type")).collect().head.getString(0)
+      require(TxTable.delete(s, cl, col("event_type") === minType) >= 0)
+      val att = s"$run/attached"
+      val firstDate = ev.agg(min("date")).collect().head.getDate(0)
+      TxTable.createTable(s, att, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("date",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType))))
+      require(TxTable.attachPartitionFrom(s, src, att,
+        firstDate.toString) > 0)
+      def agg(side: String, t: String) = TxFileIndex.readV2(s, t)
+        .groupBy("event_type")
+        .agg(lit(side).as("side"), count(lit(1)).as("n"),
+          sum("cents").as("cents"))
+        .select("side", "event_type", "n", "cents")
+      agg("attached", att).unionByName(agg("clone", cl))
+        .unionByName(agg("src", src))
+        .orderBy("side", "event_type")
+    }),
+
     // BUCKETED TX TABLES as a gate (round 11): two tx tables declare
     // graft.bucketBy/graft.buckets at CREATE; every write buckets at
     // the stage choke point (Spark's own Murmur3-pmod placement,
@@ -2290,6 +2338,26 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e, k WHERE date >= cut
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // src = all four slices; clone = the 3-slice snapshot minus its
+    // deleted min type; attached = the first date's rows (attach runs
+    // AFTER the 4th slice landed, so all four slices contribute)
+    "qtx_clone" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT 'src' AS side, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT)
+        |    AS cents FROM e GROUP BY event_type),
+        |c AS (SELECT 'clone', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT) FROM e
+        |  WHERE user_id % 4 <> 3
+        |    AND event_type <> (SELECT MIN(event_type) FROM e)
+        |  GROUP BY event_type),
+        |a AS (SELECT 'attached', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT) FROM e
+        |  WHERE date = (SELECT MIN(date) FROM e)
+        |  GROUP BY event_type)
+        |SELECT * FROM s UNION ALL SELECT * FROM c UNION ALL
+        |SELECT * FROM a ORDER BY side, event_type""".stripMargin,
     // the zero-exchange bucketed join aggregates exactly like the
     // raw join
     "qtx_bucket_join" ->

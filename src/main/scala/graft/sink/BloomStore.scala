@@ -101,13 +101,13 @@ object BloomStore {
     }
   }
 
-  /** The file's key within its data dir's sidecar: strip the leading
-    * `d-<uuid>` segment of the table-relative path.
+  /** The file's key within its data dir's sidecar: the last two path
+    * segments (`date=<d>/<name>`) — identical to stripping the leading
+    * `d-<uuid>` for table-relative paths, and still correct for the
+    * ABSOLUTE paths a shallow clone's log carries.
     */
-  private def fileKey(rel: String): String = {
-    val i = rel.indexOf('/')
-    if (i < 0) rel else rel.substring(i + 1)
-  }
+  private def fileKey(rel: String): String =
+    rel.split('/').takeRight(2).mkString("/")
 
   /** Resolve every pointer-form 'b' entry of one file's stats to its
     * inline payload; unresolvable entries are DROPPED (conservative:

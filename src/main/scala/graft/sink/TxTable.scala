@@ -166,6 +166,19 @@ object TxTable {
       dec(c) -> ColStats(t.head, dec(mn), dec(mx))
     }.toMap
 
+  /** Map a physical file path back to its commit-log key: the
+    * table-relative path for files under the root, the QUALIFIED
+    * absolute string for foreign files a shallow clone / attached
+    * partition references (relativize leaves those absolute; `new
+    * Path(...).toString` normalizes scheme spelling on both sides).
+    */
+  private[sink] def logKeyOf(qroot: Path, p: Path): String = {
+    val rel = qroot.toUri.relativize(p.toUri)
+    if (rel.isAbsolute || rel.getPath.startsWith("/"))
+      new Path(p.toUri).toString
+    else rel.getPath
+  }
+
   /** Latest committed version, or -1 for an empty/new table. */
   def currentVersion(spark: SparkSession, table: String): Long = {
     val (fs, root) = fsFor(spark, table)
@@ -1522,8 +1535,7 @@ object TxTable {
         else scanFiles(candidates.keys.toSeq).withColumn("__kh", keyHash)
           .join(srcKeys.select(keyHash).distinct(), Seq("__kh"), "left_semi")
           .select("__file").distinct().collect()
-          .map(r => qroot.toUri
-            .relativize(new Path(r.getString(0)).toUri).getPath).toSeq }
+          .map(r => logKeyOf(qroot, new Path(r.getString(0)))).toSeq }
 
       // 3. copy-on-write rewrite of the touched files only
       val adds = tdbg("rewrite+stage") {
@@ -1838,8 +1850,7 @@ object TxTable {
     val idx = new TxFileIndex(spark, table)
     val qroot = fs.makeQualified(root)
     idx.listFiles(partF, dataF)
-      .flatMap(_.files.map(st => qroot.toUri
-        .relativize(st.getPath.toUri).getPath))
+      .flatMap(_.files.map(st => logKeyOf(qroot, st.getPath)))
   }
 
   private def touchedRewrite(spark: SparkSession, table: String,
@@ -1855,8 +1866,7 @@ object TxTable {
         logSchema(fs, root))
     val touched: Seq[String] = scanFiles(candidates)
       .filter(predicate).select("__file").distinct().collect()
-      .map(r => qroot.toUri
-        .relativize(new Path(r.getString(0)).toUri).getPath).toSeq
+      .map(r => logKeyOf(qroot, new Path(r.getString(0)))).toSeq
     if (touched.isEmpty) return None
     Some((touched, scanFiles(touched).drop("__file")))
   }
@@ -1915,8 +1925,7 @@ object TxTable {
       .agg(sort_array(collect_list(col("__pos"))).as("pos"))
       .collect()
       .map { r =>
-        val rel = qroot.toUri
-          .relativize(new Path(r.getString(0)).toUri).getPath
+        val rel = logKeyOf(qroot, new Path(r.getString(0)))
         rel -> r.getAs[scala.collection.Seq[Long]]("pos").toArray
       }
     if (matched.isEmpty) return -1L
@@ -1983,8 +1992,7 @@ object TxTable {
         .agg(sort_array(collect_list(col("__pos"))).as("pos"))
         .collect()
         .map { r =>
-          val rel = qroot.toUri
-            .relativize(new Path(r.getString(0)).toUri).getPath
+          val rel = logKeyOf(qroot, new Path(r.getString(0)))
           rel -> r.getAs[scala.collection.Seq[Long]]("pos").toArray
         }
       if (matched.isEmpty) return -1L
@@ -2605,6 +2613,143 @@ object TxTable {
   def tableProperties(spark: SparkSession, table: String): Map[String, String] = {
     val (fs, root) = fsFor(spark, table)
     replayState(fs, root, None).props
+  }
+
+  /** ClickHouse `merge('dir', '^regex$')` — read every tx table under
+    * `baseDir` whose NAME matches the regex as one union, each branch
+    * through its own log-driven planner relation (pruning and skip
+    * indexes intact per table), schemas harmonized additively
+    * (unionByName with missing columns as NULL — the same contract as
+    * the engine's own schema evolution) and the source table name
+    * riding along as the `_table` virtual column, exactly CH's.
+    */
+  def readMerge(spark: SparkSession, baseDir: String,
+      nameRegex: String): DataFrame = {
+    val root = new Path(baseDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val re = nameRegex.r
+    val tables = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        re.findFirstIn(st.getPath.getName).isDefined &&
+        fs.exists(new Path(st.getPath, "_txlog")))
+      .map(_.getPath).sortBy(_.getName)
+    require(tables.nonEmpty,
+      s"merge('$baseDir', '$nameRegex') matches no tx table")
+    tables.map { p =>
+      TxFileIndex.readV2(spark, p.toString)
+        .withColumn("_table", lit(p.getName))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** CLONE TABLE (Delta's public CLONE semantics): `dst` springs into
+    * existence as a snapshot of `src` at `asOf` (default: head).
+    *
+    * SHALLOW: one metadata-only commit whose adds REFERENCE the
+    * source's files by absolute qualified path — zero data I/O
+    * regardless of table size (the training-snapshot-reproducibility
+    * primitive: pin a 100 TB corpus state in milliseconds). Skip-index
+    * sidecar pointers are absolutized with the files, so pruning works
+    * unchanged on the clone. The clone owns its own log from v0:
+    * appends/deletes/compactions on either side never affect the
+    * other. The one shared-fate caveat is Delta's own: VACUUM on the
+    * SOURCE can reclaim files a shallow clone still references — pin
+    * source retention accordingly. The clone's own vacuum never
+    * touches foreign files (it only walks its own root). Sources with
+    * live deletion vectors are refused (run purge_deletes first): a
+    * DV pointer's position-subtraction contract is not portable
+    * across roots.
+    *
+    * DEEP: the snapshot is materialized through the normal write path
+    * (one job) — independent bytes, and any DVs are applied in the
+    * copy.
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      shallow: Boolean = true, asOf: Option[Long] = None): Long = {
+    val (sfs, sroot) = fsFor(spark, src)
+    val (dfs, droot) = fsFor(spark, dst)
+    require(currentVersion(spark, dst) < 0,
+      s"clone target $dst already exists")
+    val state = replayState(sfs, sroot, asOf)
+    require(state.files.nonEmpty || state.schema.isDefined,
+      s"clone source $src has no content or schema" +
+        asOf.map(v => s" at version $v").getOrElse(""))
+    if (!shallow) {
+      val df = read(spark, src, asOfVersion = asOf)
+      return commitRetry(dfs, droot, stage(prep(df), dfs, droot),
+        Seq.empty, None,
+        state.schema.orElse(Some(dataSchema(df))),
+        op = Some("clone"), propsSet = state.props.toSeq)
+    }
+    val dv = state.files.collect {
+      case (rel, m) if DvStore.pointerOf(m.stats).isDefined => rel
+    }
+    require(dv.isEmpty,
+      s"shallow clone of $src refused: ${dv.size} file(s) carry live " +
+        "deletion vectors (position subtraction is not portable " +
+        "across table roots) — run purgeDeletes/CALL " +
+        "gcat.sys.purge_deletes first, or clone deep")
+    val qsrc = sfs.makeQualified(sroot)
+    val adds = state.files.toSeq.map { case (rel, m) =>
+      val abs = new Path(qsrc, rel).toString
+      val stats2 = m.stats.map {
+        case (c, st) if st.typ == 'b' && BloomStore.isPtr(st.min) =>
+          c -> st.copy(min =
+            s"${BloomStore.Ptr}${new Path(qsrc, st.min.substring(1))}")
+        case other => other
+      }
+      abs -> m.copy(stats = stats2)
+    }
+    commitRetry(dfs, droot, adds, Seq.empty, None, state.schema,
+      op = Some("clone"), propsSet = state.props.toSeq)
+  }
+
+  /** ClickHouse `ALTER TABLE dst ATTACH PARTITION date FROM src`: one
+    * date partition's live files become part of `dst` BY REFERENCE —
+    * one metadata commit, zero data I/O (the partition-scoped sibling
+    * of a shallow [[cloneTable]]; same absolute-path mechanics, same
+    * source-vacuum caveat, same DV refusal). The source keeps its
+    * files (CH semantics: ATTACH FROM copies, REPLACE replaces).
+    * Schemas must agree additively (the attached files may lack
+    * columns `dst` declares — they read as NULL).
+    */
+  def attachPartitionFrom(spark: SparkSession, src: String, dst: String,
+      date: String): Long = {
+    val (sfs, sroot) = fsFor(spark, src)
+    val (dfs, droot) = fsFor(spark, dst)
+    val state = replayState(sfs, sroot, None)
+    val part = state.files.filter(_._2.date == date)
+    require(part.nonEmpty, s"$src has no live files for date $date")
+    part.collect { case (rel, m)
+        if DvStore.pointerOf(m.stats).isDefined =>
+      throw new IllegalArgumentException(
+        s"attach of $date refused: $rel carries a live deletion vector" +
+          " — purge the source first")
+    }
+    // additive compatibility against dst's declared schema
+    val srcSchema = state.schema.getOrElse(StructType(Nil))
+    val dstSchema = logSchema(dfs, droot)
+    dstSchema.foreach { cur =>
+      val curTypes = cur.map(f => f.name -> relaxNulls(f.dataType)).toMap
+      val broken = srcSchema.filterNot(f =>
+        curTypes.get(f.name).forall(_ == relaxNulls(f.dataType)))
+      require(broken.isEmpty,
+        s"attach refused: column(s) ${broken.map(_.name).mkString(",")} " +
+          s"of $src conflict with $dst's schema")
+    }
+    val qsrc = sfs.makeQualified(sroot)
+    val adds = part.toSeq.map { case (rel, m) =>
+      val stats2 = m.stats.map {
+        case (c, st) if st.typ == 'b' && BloomStore.isPtr(st.min) =>
+          c -> st.copy(min =
+            s"${BloomStore.Ptr}${new Path(qsrc, st.min.substring(1))}")
+        case other => other
+      }
+      new Path(qsrc, rel).toString -> m.copy(stats = stats2)
+    }
+    commitRetry(dfs, droot, adds, Seq.empty, None,
+      // a first attach to an empty-log dst records the source schema
+      if (dstSchema.isEmpty) Some(srcSchema) else None,
+      op = Some("attach"))
   }
 
   /** Era-correct property view for time travel (the bucketing claim,

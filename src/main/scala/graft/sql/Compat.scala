@@ -304,6 +304,18 @@ object Compat {
       graft.functions.SequenceMatchChain(chain, e(1), e.drop(2))
         .toAggregateExpression()
     }
+    // topK(k)(x): space-saving heavy hitters — exact below the buffer
+    // capacity, deterministic (count desc, value asc) tie order
+    f("topK") { e =>
+      val k = e.head match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"topK k must be an integer literal, got $other")
+      }
+      require(k > 0, s"topK k must be positive, got $k")
+      graft.functions.TopKAgg(k, e(1)).toAggregateExpression()
+    }
     f("retention") { e =>
       import org.apache.spark.sql.catalyst.expressions.{CreateArray, Multiply}
       val m = e.map(c => Cast(
@@ -574,6 +586,31 @@ object Compat {
       versionCol: String): Unit =
     replacingViews.put(view.toLowerCase, (keys, versionCol))
 
+  /** CH `FROM merge('<dir>', '<name regex>')` — the multi-table union
+    * read. Each occurrence materializes a temp view through
+    * [[graft.sink.TxTable.readMerge]] (per-table planner relations,
+    * additive schema harmonization, `_table` virtual column) and the
+    * call text is replaced by the view name.
+    */
+  private def rewriteMergeFn(spark: SparkSession, sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)\\bmerge\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)")
+    val m = p.matcher(sql)
+    val sb = new java.lang.StringBuilder
+    var n = 0
+    while (m.find()) {
+      val (dir, re) = (m.group(1), m.group(2))
+      val view = s"__merge_${math.abs((dir + re).hashCode)}_$n"
+      n += 1
+      graft.sink.TxTable.readMerge(spark, dir, re)
+        .createOrReplaceTempView(view)
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(view))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private def rewriteFinal(spark: SparkSession, sql: String): String =
     replacingViews.foldLeft(sql) { case (acc, (view, (keys, ver))) =>
       val p = java.util.regex.Pattern.compile(
@@ -651,7 +688,7 @@ object Compat {
     * apply the syntax shim, hand the result to Spark's parser. */
   def chSql(spark: SparkSession, sql: String): DataFrame = {
     registerClickHouseFunctions(spark)
-    spark.sql(rewriteFinal(spark, translateCh(sql)))
+    spark.sql(rewriteFinal(spark, rewriteMergeFn(spark, translateCh(sql))))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

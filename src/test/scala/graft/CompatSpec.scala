@@ -374,4 +374,24 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.chSql(spark, "SELECT count() AS n FROM repl_t")
       .collect().head.getLong(0) == 3L)
   }
+
+  test("merge() table function: regex-matched tx tables union with " +
+      "_table and additive NULLs; no match refuses actionably") {
+    import graft.sink.TxTable
+    val base = java.nio.file.Files.createTempDirectory("graft_mrg").toString
+    val d = java.sql.Date.valueOf("2024-06-01")
+    TxTable.append(spark, Seq((d, 1L)).toDF("date", "v"), s"$base/t_a")
+    TxTable.append(spark,
+      Seq((d, 2L, "x")).toDF("date", "v", "tag"), s"$base/t_b")
+    TxTable.append(spark, Seq((d, 9L)).toDF("date", "v"), s"$base/skip")
+    val got = Compat.chSql(spark,
+      s"SELECT _table, v, tag FROM merge('$base', '^t_') ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2))))
+    assert(got.toSeq == Seq(("t_a", 1L, None), ("t_b", 2L, Some("x"))))
+    val e = intercept[Exception] {
+      Compat.chSql(spark, s"SELECT * FROM merge('$base', '^nope')")
+    }
+    assert(e.getMessage.contains("matches no tx table"))
+  }
 }

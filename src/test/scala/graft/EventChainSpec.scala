@@ -84,6 +84,35 @@ class EventChainSpec extends AnyFunSuite {
       ("u3", Seq(1, 0, 0))))
   }
 
+  test("topK: exact under the cap with deterministic tie order; a " +
+      "heavy hitter survives cap-exceeding cardinality; long output " +
+      "type round-trips") {
+    Compat.registerClickHouseFunctions(spark)
+    Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("e")
+      .createOrReplaceTempView("tk_small")
+    val top = Compat.chSql(spark,
+      "SELECT topK(2)(e) AS t FROM tk_small").collect()
+      .head.getSeq[String](0)
+    assert(top == Seq("a", "b"))
+    // ties break value-ascending
+    Seq("z", "y").map(Tuple1(_)).toDF("e")
+      .createOrReplaceTempView("tk_tie")
+    assert(Compat.chSql(spark, "SELECT topK(2)(e) AS t FROM tk_tie")
+      .collect().head.getSeq[String](0) == Seq("y", "z"))
+    // heavy hitter among > cap distinct values still surfaces
+    val wide = (1 to 5000).map(i => s"rare_$i") ++ Seq.fill(2000)("hot")
+    wide.map(Tuple1(_)).toDF("e").createOrReplaceTempView("tk_wide")
+    val hot = Compat.chSql(spark,
+      "SELECT topK(1)(e) AS t FROM tk_wide").collect()
+      .head.getSeq[String](0)
+    assert(hot == Seq("hot"), s"space-saving must keep the heavy hitter: $hot")
+    // long argument: output element type follows the argument
+    (1L to 10L).map(i => i % 3).map(Tuple1(_)).toDF("v")
+      .createOrReplaceTempView("tk_long")
+    assert(Compat.chSql(spark, "SELECT topK(1)(v) AS t FROM tk_long")
+      .collect().head.getSeq[Long](0) == Seq(1L))
+  }
+
   test("the aggregate is partial-aggregation shaped (no collect-all " +
       "plan node; ObjectHashAggregate carries the buffer)") {
     Compat.registerClickHouseFunctions(spark)
