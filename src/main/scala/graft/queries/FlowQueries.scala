@@ -525,6 +525,20 @@ object FlowQueries {
         ORDER BY _table, event_type""")
     }),
 
+    // CH ORDER BY ... WITH FILL (round 11): one user's sparse signup
+    // days gap-filled over the corpus date span — missing days appear
+    // with NULL counts (documented deviation: CH shows type defaults)
+    "q_compat_withfill" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_wf")
+      graft.sql.Compat.chSql(s, """
+        SELECT toDate(ts) AS day, count() AS n
+        FROM ch_events_wf
+        WHERE event_type = 'signup'
+          AND user_id = (SELECT min(user_id) FROM ch_events_wf)
+        GROUP BY toDate(ts)
+        ORDER BY day WITH FILL""")
+    }),
+
     // CH topK (round 11): space-saving heavy hitters per cohort —
     // exact here (5 event types << buffer capacity), deterministic
     // tie order (count desc, value asc) so the oracle can replay it
@@ -859,6 +873,19 @@ object FlowQueries {
         |  CAST(SUM(CASE WHEN user_id % 3 = 2 THEN user_id * 2 ELSE 0 END)
         |    AS BIGINT) AS extra_sum
         |FROM e GROUP BY 1, 2 ORDER BY _table, event_type""".stripMargin,
+    // every day between the user's first and last signup appears;
+    // the gap days carry NULL
+    "q_compat_withfill" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |  WHERE event_type = 'signup'
+        |    AND user_id = (SELECT MIN(user_id) FROM events)
+        |  GROUP BY 1),
+        |axis AS (SELECT UNNEST(generate_series(
+        |    (SELECT MIN(day) FROM s), (SELECT MAX(day) FROM s),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT axis.day AS day, s.n AS n FROM axis
+        |LEFT JOIN s ON s.day = axis.day ORDER BY day""".stripMargin,
     // top-2 event types per cohort, count desc then type asc
     "q_compat_topk" ->
       """WITH c AS (SELECT user_id % 10 AS cohort, event_type,

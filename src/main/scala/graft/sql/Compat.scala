@@ -686,9 +686,56 @@ object Compat {
 
   /** Run literal ClickHouse-dialect SQL: register the function pack,
     * apply the syntax shim, hand the result to Spark's parser. */
+  /** CH `ORDER BY <col> WITH FILL [FROM a] [TO b] [STEP s]` — gap
+    * filling over an integral or date axis. The fill axis is
+    * synthesized as a `sequence(...)` and LEFT-joined to the query,
+    * so missing axis points appear as rows. Documented deviation
+    * (same family as WITH TOTALS): synthesized rows carry NULL in the
+    * other columns where CH shows type defaults. Supported shape: one
+    * ascending fill column, literal bounds/step (defaults: the
+    * result's min/max, step 1); anything else passes through and
+    * fails loudly in Spark's parser.
+    */
+  private def applyWithFill(spark: SparkSession, sql: String): DataFrame = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)^(.*\\bORDER\\s+BY\\s+)([A-Za-z_]\\w*)\\s+WITH\\s+FILL" +
+        "(?:\\s+FROM\\s+(\\S+))?(?:\\s+TO\\s+(\\S+))?" +
+        "(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$")
+    val m = p.matcher(sql)
+    if (!m.matches()) return spark.sql(sql)
+    val (head, c) = (m.group(1), m.group(2))
+    val (from, to) = (Option(m.group(3)), Option(m.group(4)))
+    val step = Option(m.group(5)).map(_.toLong).getOrElse(1L)
+    val inner = spark.sql(
+      head.replaceAll("(?is)\\bORDER\\s+BY\\s+$", ""))
+    import org.apache.spark.sql.functions._
+    val dt = inner.schema(c).dataType
+    val isDate = dt == org.apache.spark.sql.types.DateType
+    def bound(lit0: Option[String],
+        agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lit0 match {
+      case Some(v) if isDate => to_date(expr(v))
+      case Some(v)           => expr(v)
+      case None              => agg
+    }).cast(if (isDate) dt else org.apache.spark.sql.types.LongType)
+    val b = inner.agg(bound(from, min(col(c))).as("lo"),
+      bound(to, max(col(c))).as("hi")).collect().head
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      s"WITH FILL on an empty result needs explicit FROM/TO bounds")
+    val axis =
+      if (isDate) spark.range(1).select(explode(sequence(
+        lit(b.getDate(0)), lit(b.getDate(1)),
+        expr(s"INTERVAL $step DAYS"))).as(c))
+      else spark.range(1).select(explode(sequence(
+        lit(b.getLong(0)), lit(b.getLong(1)), lit(step))).as(c))
+        .select(col(c).cast(dt).as(c))
+    axis.join(inner, Seq(c), "left").orderBy(col(c))
+  }
+
   def chSql(spark: SparkSession, sql: String): DataFrame = {
     registerClickHouseFunctions(spark)
-    spark.sql(rewriteFinal(spark, rewriteMergeFn(spark, translateCh(sql))))
+    applyWithFill(spark,
+      rewriteFinal(spark, rewriteMergeFn(spark, translateCh(sql))))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

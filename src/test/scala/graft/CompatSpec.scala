@@ -375,6 +375,36 @@ class CompatSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("WITH FILL: gap rows appear over integral and date axes, " +
+      "literal FROM/TO/STEP bounds honored, unsupported shapes pass " +
+      "through to the parser") {
+    Seq((1L, 10L), (4L, 40L), (7L, 70L)).toDF("x", "v")
+      .createOrReplaceTempView("wf_t")
+    val filled = Compat.chSql(spark,
+      "SELECT x, sum(v) AS v FROM wf_t GROUP BY x ORDER BY x WITH FILL")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getLong(1)))
+    assert(filled.toSeq == Seq((1L, 10L), (2L, -1L), (3L, -1L),
+      (4L, 40L), (5L, -1L), (6L, -1L), (7L, 70L)))
+    val bounded = Compat.chSql(spark,
+      "SELECT x, sum(v) AS v FROM wf_t GROUP BY x " +
+        "ORDER BY x WITH FILL FROM 0 TO 9 STEP 3")
+      .collect().map(_.getLong(0))
+    assert(bounded.toSeq == Seq(0L, 3L, 6L, 9L))
+    val dts = Seq(("2024-06-01", 1L), ("2024-06-04", 2L))
+      .map { case (dd, v) => (java.sql.Date.valueOf(dd), v) }
+      .toDF("day", "v")
+    dts.createOrReplaceTempView("wf_d")
+    val days = Compat.chSql(spark,
+      "SELECT day, sum(v) AS v FROM wf_d GROUP BY day " +
+        "ORDER BY day WITH FILL").collect()
+    assert(days.length == 4 && days(1).isNullAt(1) && days(2).isNullAt(1))
+    // multi-column ORDER BY before WITH FILL: conservative passthrough
+    intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT x, v FROM wf_t ORDER BY v, x WITH FILL").collect()
+    }
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
