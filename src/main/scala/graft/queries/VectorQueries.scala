@@ -694,6 +694,81 @@ object VectorQueries {
         .orderBy("cell_id", "pos")
     }),
 
+    // the FULL k-means fit (round 11): deterministic farthest-point
+    // initialization (the scalable k-means++/k-means|| shape without
+    // randomness: each round one distributed pass picks the point
+    // maximizing its distance to the chosen set, ties on vec_id) +
+    // `iters` Lloyd iterations with integer-exact truncated-division
+    // centroids. Scale shape per round/iteration: ONE job over the
+    // vectors against a k-row BROADCAST centers frame (k x 64 longs on
+    // the driver — the legitimate collect), argmin partial-aggregated
+    // map-side; nothing is ever all-pairs and no lineage chain builds
+    // up (each iteration's centers are plain driver values). The
+    // 2-iteration run is replayed closed-form by the DuckDB oracle.
+    "qv_kmeans_fit" -> ((s, d) => {
+      val vecs = quantized(s, d).select("vec_id", "q", "nrm")
+        .persist()
+      try {
+        val k = 3
+        val dims = 64
+        def centersDf(cs: Seq[(Int, Array[Long])]) = {
+          val rows = cs.map { case (cid, cq) =>
+            (cid, cq.toSeq, cq.map(v => v * v).sum)
+          }
+          s.createDataFrame(rows).toDF("cell_id", "cq", "cnrm")
+        }
+        def withD2(cs: Seq[(Int, Array[Long])]) = vecs
+          .crossJoin(broadcast(centersDf(cs)))
+          .withColumn("d2", col("nrm") + col("cnrm") -
+            lit(2L) * expr(
+              "aggregate(zip_with(q, cq, (a, b) -> a * b), " +
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        // init: c0 = min vec_id; then farthest-point rounds
+        def vecOf(row: org.apache.spark.sql.Row): Array[Long] =
+          row.getSeq[Long](row.fieldIndex("q")).toArray
+        var centers = Seq(0 -> vecOf(
+          vecs.orderBy("vec_id").limit(1).collect().head))
+        while (centers.size < k) {
+          val far = withD2(centers)
+            .groupBy("vec_id").agg(min("d2").as("mind"),
+              first("q").as("q"))
+            .orderBy(desc("mind"), asc("vec_id")).limit(1)
+            .collect().head
+          centers = centers :+ (centers.size -> vecOf(far))
+        }
+        // Lloyd iterations: assign -> integer centroid update
+        (1 to 2).foreach { _ =>
+          val assigned = withD2(centers)
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("vec_id").orderBy("d2", "cell_id")))
+            .filter(col("rn") === 1)
+          val upd = assigned
+            .select(col("cell_id"), posexplode(col("q")).as(Seq("pos", "c")))
+            .groupBy("cell_id", "pos")
+            .agg(expr("sum(c) div count(1)").as("cv"))
+            .collect()
+          centers = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+            val arr = new Array[Long](dims)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            cid -> arr
+          }.sortBy(_._1)
+        }
+        // final assignment statistics + centroid checksums
+        withD2(centers)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy("d2", "cell_id")))
+          .filter(col("rn") === 1)
+          .groupBy("cell_id")
+          .agg(count(lit(1)).as("n_vecs"), sum("nrm").as("nrm_sum"),
+            min("vec_id").as("first_vec"),
+            first(expr("aggregate(cq, CAST(0 AS BIGINT), " +
+              "(acc, v) -> acc + v)")).as("centroid_sum"))
+          .orderBy("cell_id")
+      } finally vecs.unpersist()
+    }),
+
     // asymmetric 8-bit scalar quantization of each embedding (the
     // storage-compression pass an embedding lake runs before ANN):
     // code = (q - min) * 255 div range over the quantized-integer
@@ -827,6 +902,82 @@ object VectorQueries {
          |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
          |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc
          |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // full fit replay: farthest-point init (c0 = min vec_id, then two
+    // argmax-of-min-distance rounds), two Lloyd iterations with
+    // truncated-division integer centroids, final assignment stats
+    "qv_kmeans_fit" ->
+      s"""WITH $quantizedSql,
+         |c0 AS (SELECT 0 AS cell_id, q AS cq, nrm AS cnrm FROM qn
+         |  ORDER BY vec_id LIMIT 1),
+         |m0 AS (SELECT v.vec_id,
+         |    MIN(v.nrm + c.cnrm - 2 * (SELECT SUM(v.q[i.i] * c.cq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i)) AS mind
+         |  FROM qn v CROSS JOIN c0 c GROUP BY v.vec_id),
+         |c1 AS (SELECT 1 AS cell_id, q AS cq, nrm AS cnrm
+         |  FROM qn JOIN m0 USING (vec_id)
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |cents01 AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
+         |m1 AS (SELECT v.vec_id,
+         |    MIN(v.nrm + c.cnrm - 2 * (SELECT SUM(v.q[i.i] * c.cq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i)) AS mind
+         |  FROM qn v CROSS JOIN cents01 c GROUP BY v.vec_id),
+         |c2 AS (SELECT 2 AS cell_id, q AS cq, nrm AS cnrm
+         |  FROM qn JOIN m1 USING (vec_id)
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |cents AS (SELECT * FROM cents01 UNION ALL SELECT * FROM c2),
+         |a1 AS (SELECT vec_id, cell_id, q FROM (
+         |  SELECT v.vec_id, c.cell_id, v.q,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.nrm + c.cnrm - 2 * (SELECT SUM(v.q[i.i] * c.cq[i.i])
+         |        FROM (SELECT unnest(range(1, 65)) AS i) i),
+         |      c.cell_id) AS rn
+         |  FROM qn v CROSS JOIN cents c) t WHERE rn = 1),
+         |u1 AS (SELECT cell_id, i.i AS pos,
+         |    CAST(TRUNC(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |      AS cv
+         |  FROM a1, (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY cell_id, i.i),
+         |cent1 AS (SELECT cell_id, list(cv ORDER BY pos) AS cq
+         |  FROM u1 GROUP BY cell_id),
+         |cent1n AS (SELECT cell_id, cq,
+         |    (SELECT SUM(cq[i.i] * cq[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS cnrm
+         |  FROM cent1),
+         |a2 AS (SELECT vec_id, cell_id, q FROM (
+         |  SELECT v.vec_id, c.cell_id, v.q,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.nrm + c.cnrm - 2 * (SELECT SUM(v.q[i.i] * c.cq[i.i])
+         |        FROM (SELECT unnest(range(1, 65)) AS i) i),
+         |      c.cell_id) AS rn
+         |  FROM qn v CROSS JOIN cent1n c) t WHERE rn = 1),
+         |u2 AS (SELECT cell_id, i.i AS pos,
+         |    CAST(TRUNC(CAST(SUM(q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |      AS cv
+         |  FROM a2, (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY cell_id, i.i),
+         |cent2 AS (SELECT cell_id, list(cv ORDER BY pos) AS cq
+         |  FROM u2 GROUP BY cell_id),
+         |cent2n AS (SELECT cell_id, cq,
+         |    (SELECT SUM(cq[i.i] * cq[i.i])
+         |     FROM (SELECT unnest(range(1, 65)) AS i) i) AS cnrm
+         |  FROM cent2),
+         |af AS (SELECT vec_id, cell_id, nrm FROM (
+         |  SELECT v.vec_id, c.cell_id, v.nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      v.nrm + c.cnrm - 2 * (SELECT SUM(v.q[i.i] * c.cq[i.i])
+         |        FROM (SELECT unnest(range(1, 65)) AS i) i),
+         |      c.cell_id) AS rn
+         |  FROM qn v CROSS JOIN cent2n c) t WHERE rn = 1),
+         |csum AS (SELECT cell_id,
+         |    (SELECT SUM(cq[i.i]) FROM (SELECT unnest(range(1, 65)) AS i) i)
+         |      AS centroid_sum
+         |  FROM cent2n)
+         |SELECT af.cell_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(af.nrm) AS BIGINT) AS nrm_sum,
+         |  MIN(af.vec_id) AS first_vec,
+         |  CAST(MIN(csum.centroid_sum) AS BIGINT) AS centroid_sum
+         |FROM af JOIN csum ON af.cell_id = csum.cell_id
+         |GROUP BY af.cell_id ORDER BY af.cell_id""".stripMargin,
     "qv_kmeans_step" ->
       s"""WITH $ivfAssignedSql
          |SELECT cell_id, CAST(i.i - 1 AS INTEGER) AS pos,

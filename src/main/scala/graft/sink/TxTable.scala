@@ -952,10 +952,19 @@ object TxTable {
           if (files.isEmpty) acc
           else {
             val n = Bloom.NgramN
+            // array_distinct BEFORE the explode: a bitset only needs
+            // each gram once per document, and natural text repeats
+            // grams heavily — measured 8x fewer exploded rows on the
+            // bench corpus (SCALE.md ngramtax arm)
             val grams = expr(s"CASE WHEN length($c) >= $n THEN " +
-              s"transform(sequence(1, length($c) - ${n - 1}), " +
-              s"i -> substring($c, i, $n)) ELSE array() END")
+              s"array_distinct(transform(sequence(1, length($c) - ${n - 1}), " +
+              s"i -> substring($c, i, $n))) ELSE array() END")
+            // one staged file = ONE input partition; the gram explode
+            // multiplies rows ~200x, so hash it at full parallelism:
+            // round-robin the (cheap, pre-explode) doc rows first —
+            // partial bitsets per partition merge per __name after
             val per = stagedByName
+              .repartition(sess.sparkContext.defaultParallelism)
               .select(col("__name"), explode(grams).as("__g"))
               .groupBy("__name")
               .agg(Bloom.agg(col("__g"), Bloom.TokM).as("b"))

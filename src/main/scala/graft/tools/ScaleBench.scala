@@ -463,6 +463,45 @@ object ScaleBench {
         record(factor, "dv_scan_purged", purgedScanSec, matched)
       }
 
+      if (enabled("ngramtax")) {
+        // The ngram index's WRITE premium (the reason it is opt-in):
+        // the same documents append with and without graft.ngramBloomBy
+        // — the delta is the per-character 4-gram explode + filter
+        // build. Read payoff is the qtx_ngrambloom gate's zero-file
+        // scan; this arm prices the other side of the trade.
+        val docs = (if (factor == 1) docsBase
+          else (0 until factor).map(i => docsBase.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"))).reduce(_ unionByName _))
+          .select(to_date(lit("2024-01-01")).as("date"), col("doc_id"),
+            col("text"))
+        val nDocs = docs.count()
+        def fresh(tag: String): String = {
+          val dir = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_ng_${tag}_${factor}x")
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          s"$dir/t"
+        }
+        val plain = fresh("plain")
+        val (_, plainSec) = timed(TxTable.append(spark, docs, plain))
+        record(factor, "ngram_append_plain", plainSec, nDocs)
+        val indexed = fresh("indexed")
+        TxTable.createTable(spark, indexed,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("date",
+              org.apache.spark.sql.types.DateType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+          Seq("graft.ngramBloomBy" -> "text"))
+        val (_, idxSec) = timed(TxTable.append(spark, docs, indexed))
+        record(factor, "ngram_append_indexed", idxSec, nDocs)
+        Seq(plain, indexed).foreach(t =>
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(t).getParentFile))
+      }
+
       if (enabled("bucketjoin")) {
         // Bucketed vs plain tx tables under the SAME fact-fact
         // equi-join (1:1 on event_id). Claims under measurement: the
