@@ -145,6 +145,39 @@ case class WindowFunnel(windowSeconds: Long, ts: Expression,
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `sequenceCount('(?1)(?2)...')`: how many NON-OVERLAPPING
+  * time-ordered occurrences of the chain does the group contain?
+  * Greedy restart after each completion — ClickHouse's contract.
+  */
+case class SequenceCountChain(chain: Seq[Int], ts: Expression,
+    conds: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends EventChainAgg {
+
+  override def prettyName: String = "sequenceCount"
+  override def dataType: DataType = LongType
+
+  override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
+    var pos = 0
+    var n = 0L
+    sortedLevels(buf).foreach { case (_, lvl) =>
+      if (lvl == chain(pos)) {
+        pos += 1
+        if (pos == chain.length) { n += 1; pos = 0 }
+      }
+    }
+    n
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SequenceCountChain =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SequenceCountChain =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SequenceCountChain =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
 /** `sequenceMatch('(?1)(?2)...')`: does the group's event stream
   * contain the numbered conditions as a time-ordered subsequence?
   * `chain` holds the 0-based condition indices in pattern order.

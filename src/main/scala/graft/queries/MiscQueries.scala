@@ -1560,6 +1560,55 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING AGGREGATING PIPELINE as a gate (round 11): the classic
+    // ClickHouse "Kafka -> MV with -State -> AggregatingMergeTree"
+    // story end-to-end on this engine — each micro-batch pre-aggregates
+    // to -State rows (sumState/countState/uniqExactState per
+    // (date, event_type)) landed as ONE marked commit (replays
+    // deduplicated), the background merge collapses the accumulated
+    // state rows to one per key, and the -Merge read equals the plain
+    // aggregate over every raw event that ever streamed. Exactly-once
+    // + state mergeability + background-merge invariance, one hash.
+    "qs_aggregating" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qsagg_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      graft.sql.Compat.registerClickHouseFunctions(s)
+      val q = StreamingFlows.eventsStream(s, d)
+        .writeStream.option("checkpointLocation", s"$run/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the micro-batch frame lives in its own child session — the
+          // -State SQL must run THERE to see the registered view
+          val bs = batch.sparkSession
+          batch.createOrReplaceTempView("qs_agg_batch")
+          val states = graft.sql.Compat.chSql(bs, """
+            SELECT toDate(ts) AS date, event_type,
+              sumState(toInt64(round(value * 100))) AS cents_s,
+              countState() AS n_s,
+              uniqExactState(user_id) AS users_s
+            FROM qs_agg_batch GROUP BY toDate(ts), event_type""")
+          require(TxTable.appendTxn(bs, states, table, "qs-agg", id) >= 0)
+          require(TxTable.appendTxn(bs, states, table, "qs-agg", id) == -1L,
+            s"replayed batch $id must land zero times")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val keys = TxFileIndex.readV2(s, table)
+        .select("date", "event_type").distinct().count()
+      require(TxTable.read(s, table).count() > keys,
+        "multiple micro-batches must have stacked state rows per key")
+      require(TxTable.compactAggregating(s, table, Seq("event_type"),
+        Map("cents_s" -> "sum", "n_s" -> "count",
+          "users_s" -> "uniqExact")) >= 0)
+      require(TxTable.read(s, table).count() == keys)
+      TxFileIndex.readV2(s, table).createOrReplaceTempView("qs_agg_tbl")
+      graft.sql.Compat.chSql(s, """
+        SELECT event_type, sumMerge(cents_s) AS cents,
+          countMerge(n_s) AS n, uniqExactMerge(users_s) AS users
+        FROM qs_agg_tbl GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // SHALLOW CLONE + ATTACH as a gate (round 11): the clone pins the
     // 3-slice snapshot with ONE metadata commit (zero data files under
     // its root — required), the source then grows a 4th slice the
@@ -2338,6 +2387,15 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e, k WHERE date >= cut
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streamed, re-merged, coarser-grouped states equal the plain
+    // aggregate over every raw event
+    "qs_aggregating" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // src = all four slices; clone = the 3-slice snapshot minus its
     // deleted min type; attached = the first date's rows (attach runs
     // AFTER the 4th slice landed, so all four slices contribute)

@@ -919,7 +919,11 @@ object TxTable {
         (acc, c) =>
           if (files.isEmpty) acc
           else {
+            // same pre-explode spread as the ngram pass below: the
+            // token explode multiplies rows ~30x after a scan whose
+            // parallelism is file-count-bound
             val per = stagedByName
+              .repartition(sess.sparkContext.defaultParallelism)
               .select(col("__name"),
                 explode(split(col(c), " ")).as("__t"))
               .filter(length(col("__t")) > 0)
@@ -2719,10 +2723,14 @@ object TxTable {
     * source-vacuum caveat, same DV refusal). The source keeps its
     * files (CH semantics: ATTACH FROM copies, REPLACE replaces).
     * Schemas must agree additively (the attached files may lack
-    * columns `dst` declares — they read as NULL).
+    * columns `dst` declares — they read as NULL). `replace = true` is
+    * CH's `REPLACE PARTITION FROM`: the target's existing files for
+    * that date leave in the SAME commit, so readers flip between the
+    * two partition states atomically (the removed files fall to the
+    * target's vacuum).
     */
   def attachPartitionFrom(spark: SparkSession, src: String, dst: String,
-      date: String): Long = {
+      date: String, replace: Boolean = false): Long = {
     val (sfs, sroot) = fsFor(spark, src)
     val (dfs, droot) = fsFor(spark, dst)
     val state = replayState(sfs, sroot, None)
@@ -2755,10 +2763,32 @@ object TxTable {
       }
       new Path(qsrc, rel).toString -> m.copy(stats = stats2)
     }
-    commitRetry(dfs, droot, adds, Seq.empty, None,
+    val removes =
+      if (!replace) Seq.empty
+      else snapshotFiles(dfs, droot).collect {
+        case (rel, m) if m.date == date => rel
+      }.toSeq
+    commitRetry(dfs, droot, adds, removes, None,
       // a first attach to an empty-log dst records the source schema
       if (dstSchema.isEmpty) Some(srcSchema) else None,
-      op = Some("attach"))
+      op = Some(if (replace) "replacepart" else "attach"))
+  }
+
+  /** ClickHouse `ALTER TABLE ... DROP PARTITION`: every live file of
+    * one date leaves in ONE metadata commit — no data I/O, instant at
+    * any size (the removed files stay for time travel until
+    * [[vacuum]]). The direct partition-ops sibling of the TTL sweep,
+    * for the operator who knows exactly which day must go. Returns -1
+    * when the date has no live files (no commit churn).
+    */
+  def dropPartition(spark: SparkSession, table: String,
+      date: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val removes = snapshotFiles(fs, root).collect {
+      case (rel, m) if m.date == date => rel
+    }.toSeq
+    if (removes.isEmpty) -1L
+    else commitRetry(fs, root, Seq.empty, removes, op = Some("droppart"))
   }
 
   /** Era-correct property view for time travel (the bucketing claim,

@@ -322,6 +322,41 @@ object Compat {
         Max(Cast(c, IntegerType)).toAggregateExpression(), IntegerType))
       CreateArray(m.head +: m.tail.map(mi => Multiply(m.head, mi)))
     }
+    // sequenceCount('(?1)(?2)')(ts, c1, ...): greedy NON-OVERLAPPING
+    // chain count (CH's contract) — same buffer/evaluator family as
+    // sequenceMatch
+    f("sequenceCount") { e =>
+      val pattern = e.head match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceCount pattern must be a string literal, got $other")
+      }
+      val atom = "\\(\\?(\\d+)\\)|\\.\\*".r
+      val matched = atom.findAllMatchIn(pattern).toSeq
+      require(matched.map(_.matched).mkString == pattern.replace(" ", ""),
+        s"unsupported sequenceCount pattern `$pattern`: only (?N) chain " +
+          "atoms and .* gaps are supported")
+      val chain = matched.flatMap(m => Option(m.group(1))).map(_.toInt - 1)
+      require(chain.nonEmpty && chain.forall(i => i >= 0 &&
+        i < e.length - 2),
+        s"sequenceCount pattern `$pattern` references conditions the " +
+          "call does not pass")
+      graft.functions.SequenceCountChain(chain, e(1), e.drop(2))
+        .toAggregateExpression()
+    }
+    // uniqUpTo(N)(x): EXACT distinct count while <= N, else N+1 — the
+    // CH small-cardinality guard, composed from exact pieces
+    f("uniqUpTo") { e =>
+      val n = e.head match {
+        case Literal(v: Int, _)  => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"uniqUpTo N must be an integer literal, got $other")
+      }
+      org.apache.spark.sql.catalyst.expressions.Least(Seq(
+        Count(Seq(e(1))).toAggregateExpression(isDistinct = true),
+        Literal(n + 1)))
+    }
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a

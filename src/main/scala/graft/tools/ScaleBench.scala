@@ -502,6 +502,48 @@ object ScaleBench {
             new java.io.File(t).getParentFile))
       }
 
+      if (enabled("aggpayoff")) {
+        // The AggregatingMergeTree payoff: answering the dashboard
+        // aggregate from MERGED STATE ROWS vs re-scanning the raw
+        // events. State rows are O(distinct keys) however large the
+        // ingest, so the state-read latency should stay ~FLAT as the
+        // raw side grows linearly.
+        graft.sql.Compat.registerClickHouseFunctions(spark)
+        val ev = (if (factor == 1) baseEvents
+          else (0 until factor).map(i => baseEvents.select(
+            (col("event_id") + lit(i * 10000000L)).as("event_id"),
+            col("ts"), col("user_id"), col("event_type"), col("value")))
+            .reduce(_ unionByName _))
+        val n = ev.count()
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_ap_${factor}x")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        val raw = s"$dir/raw"
+        TxTable.append(spark, ev.select(to_date(col("ts")).as("date"),
+          col("event_type"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents")), raw)
+        val agg = s"$dir/agg"
+        ev.createOrReplaceTempView("scale_ap_src")
+        TxTable.append(spark, graft.sql.Compat.chSql(spark, """
+          SELECT toDate(ts) AS date, event_type,
+            sumState(toInt64(round(value * 100, 0))) AS cents_s,
+            countState() AS n_s
+          FROM scale_ap_src GROUP BY toDate(ts), event_type"""), agg)
+        def noopDf(df: DataFrame): Unit = noop(df)
+        val (_, rawSec) = timed(noopDf(
+          TxFileIndex.readV2(spark, raw).groupBy("event_type")
+            .agg(sum("cents"), count(lit(1)))))
+        record(factor, "agg_read_raw", rawSec, n)
+        TxFileIndex.readV2(spark, agg)
+          .createOrReplaceTempView("scale_ap_tbl")
+        val (_, stSec) = timed(noopDf(graft.sql.Compat.chSql(spark, """
+          SELECT event_type, sumMerge(cents_s) AS cents,
+            countMerge(n_s) AS n
+          FROM scale_ap_tbl GROUP BY event_type""")))
+        record(factor, "agg_read_state", stSec, n)
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      }
+
       if (enabled("bucketjoin")) {
         // Bucketed vs plain tx tables under the SAME fact-fact
         // equi-join (1:1 on event_id). Claims under measurement: the

@@ -113,6 +113,28 @@ class CloneSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TxTable.attachPartitionFrom(spark, src, dst, "2030-01-01")
     }
+    // REPLACE PARTITION: the target's own 06-03 rows leave in the
+    // same commit the source's arrive... (no 06-03 in src, so replace
+    // its 06-02 instead: target's attached copy swaps atomically)
+    TxTable.append(spark, rows(200 until 203, "2024-06-02"), dst)
+    assert(TxFileIndex.readV2(spark, dst)
+      .filter(col("date") === "2024-06-02").count() == 33)
+    assert(TxTable.attachPartitionFrom(spark, src, dst, "2024-06-02",
+      replace = true) > 0)
+    assert(TxFileIndex.readV2(spark, dst)
+      .filter(col("date") === "2024-06-02").count() == 30,
+      "REPLACE PARTITION swaps the whole date to the source's state")
+
+    // DROP PARTITION: one metadata commit, the date vanishes, the
+    // rest survives; a dateless drop is a no-op (-1, no commit churn)
+    val vBefore = TxTable.currentVersion(spark, dst)
+    assert(TxTable.dropPartition(spark, dst, "2024-06-02") > vBefore)
+    assert(TxFileIndex.readV2(spark, dst)
+      .filter(col("date") === "2024-06-02").count() == 0)
+    assert(TxFileIndex.readV2(spark, dst).count() == 10,
+      "the other dates survive the drop")
+    assert(TxTable.dropPartition(spark, dst, "2030-01-01") == -1L)
+    assert(TxTable.currentVersion(spark, dst) == vBefore + 1)
     val odd = s"${tmp("apodd")}/t"
     TxTable.append(spark,
       Seq((java.sql.Date.valueOf("2024-06-01"), 1L, 2.5))

@@ -72,6 +72,32 @@ class EventChainSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("unsupported"))))
   }
 
+  test("sequenceCount (greedy non-overlapping) and uniqUpTo") {
+    Compat.registerClickHouseFunctions(spark)
+    // a b a b a  -> two complete (a then b) chains, trailing a unused
+    Seq((10L, "a"), (20L, "b"), (30L, "a"), (40L, "b"), (50L, "a"))
+      .map { case (t, e) => (ts(t), e) }.toDF("t", "e")
+      .createOrReplaceTempView("sc_src")
+    assert(Compat.chSql(spark,
+      "SELECT sequenceCount('(?1)(?2)')(t, e = 'a', e = 'b') AS n" +
+        " FROM sc_src").collect().head.getLong(0) == 2L)
+    // overlap must not double count: a a b = ONE chain
+    Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .map { case (t, e) => (ts(t), e) }.toDF("t", "e")
+      .createOrReplaceTempView("sc_ov")
+    assert(Compat.chSql(spark,
+      "SELECT sequenceCount('(?1)(?2)')(t, e = 'a', e = 'b') AS n" +
+        " FROM sc_ov").collect().head.getLong(0) == 1L)
+
+    (1L to 10L).map(i => i % 7).map(Tuple1(_)).toDF("v")
+      .createOrReplaceTempView("uu_t")
+    val r = Compat.chSql(spark,
+      "SELECT uniqUpTo(3)(v) AS capped, uniqUpTo(10)(v) AS exact" +
+        " FROM uu_t").collect().head
+    assert(r.getLong(0) == 4L, "7 distinct capped at 3 -> 3+1")
+    assert(r.getLong(1) == 7L, "under the cap: exact")
+  }
+
   test("retention: [c1, c1&&c2, c1&&c3] per group") {
     Compat.registerClickHouseFunctions(spark)
     Seq(("u1", "signup"), ("u1", "click"), ("u2", "click"), ("u3", "signup"))
