@@ -49,6 +49,7 @@ object GraftProcedures {
       case "clone" => new CloneProc(catalog)
       case "attach_partition" => new AttachPartitionProc(catalog)
       case "parts" => new PartsProc(catalog)
+      case "drop_partition" => new DropPartitionProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
           names.mkString(", "))
@@ -189,6 +190,23 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL gcat.sys.drop_partition(table => 'ns.t',
+    * date => '2024-01-01')` — [[TxTable.dropPartition]]: one
+    * metadata commit drops the date; -1 when it held nothing.
+    */
+  private class DropPartitionProc(catalog: GraftCatalog)
+      extends SysProc("drop_partition", Seq(tableParam,
+        ProcedureParameter.in("date", StringType).build())) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TxTable.dropPartition(spark,
+        pathOf(catalog, input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(StructType(Seq(
+        StructField("version", LongType, nullable = false))),
+        Seq(Seq(v)))
+    }
+  }
+
   /** `CALL gcat.sys.attach_partition(source => 'ns.s',
     * target => 'ns.t', date => '2024-01-01')` —
     * [[TxTable.attachPartitionFrom]]: one date partition joins the
@@ -198,12 +216,15 @@ object GraftProcedures {
       extends SysProc("attach_partition", Seq(
         ProcedureParameter.in("source", StringType).build(),
         ProcedureParameter.in("target", StringType).build(),
-        ProcedureParameter.in("date", StringType).build())) {
+        ProcedureParameter.in("date", StringType).build(),
+        ProcedureParameter.in("replace", BooleanType)
+          .defaultValue("false").build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val v = TxTable.attachPartitionFrom(spark,
         pathOf(catalog, input.getUTF8String(0).toString),
         pathOf(catalog, input.getUTF8String(1).toString),
-        input.getUTF8String(2).toString)
+        input.getUTF8String(2).toString,
+        input.getBoolean(3))
       result(StructType(Seq(
         StructField("version", LongType, nullable = false))),
         Seq(Seq(v)))

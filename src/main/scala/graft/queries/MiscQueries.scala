@@ -1623,9 +1623,12 @@ object MiscQueries {
       val ev = graft.Tables.events(s, d).select(
         to_date(col("ts")).as("date"), col("event_type"), col("user_id"),
         round(col("value") * 100, 0).cast("long").as("cents"))
-      val src = s"$run/src"
-      (0 until 3).foreach(i =>
-        TxTable.append(s, ev.filter(col("user_id") % 4 === i), src))
+      // the 3-slice base is the same one the stream gates use — built
+      // once per corpus fingerprint, copied per run
+      val src = txBaseCopyWith(s, d, "clonesrc", "events_3append") { t =>
+        (0 until 3).foreach(i =>
+          TxTable.append(s, ev.filter(col("user_id") % 4 === i), t))
+      }
       val cl = s"$run/clone"
       require(TxTable.cloneTable(s, src, cl) == 0L)
       require(!new java.io.File(cl).listFiles().exists(f =>

@@ -172,5 +172,13 @@ class CloneSpec extends AnyFunSuite {
     assert(parts.forall(_.getAs[Long]("bytes") > 0))
     // the attached file is a foreign absolute reference
     assert(parts.exists(_.getAs[String]("file").contains("cln/s/")))
+
+    // drop_partition: the date vanishes in one metadata commit
+    assert(spark.sql("CALL gcat.sys.drop_partition(table => 'cln.u'," +
+      " date => '2024-06-01')").head.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM gcat.cln.u")
+      .head.getLong(0) == 0)
+    assert(spark.sql("CALL gcat.sys.drop_partition(table => 'cln.u'," +
+      " date => '2030-01-01')").head.getLong(0) == -1L)
   }
 }
