@@ -322,6 +322,35 @@ object Compat {
         Max(Cast(c, IntegerType)).toAggregateExpression(), IntegerType))
       CreateArray(m.head +: m.tail.map(mi => Multiply(m.head, mi)))
     }
+    // small exact CH spellings, composed from built-in pieces:
+    // avgWeighted, the arraySum/Min/Max/Avg folds, countEqual, and the
+    // groupBit* aggregate bit ops (Spark's bit_and/or/xor aggregates
+    // under CH names)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
+        ArrayFilter, ArrayMax, ArrayMin, Divide, EqualNullSafe,
+        LambdaFunction, Multiply, Size, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{BitAndAgg,
+        BitOrAgg, BitXorAgg}
+      import org.apache.spark.sql.types.LongType
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      f("avgWeighted")(e => Divide(
+        Cast(Sum(Multiply(Cast(e(0), DoubleType), Cast(e(1), DoubleType)))
+          .toAggregateExpression(), DoubleType),
+        Cast(Sum(Cast(e(1), DoubleType)).toAggregateExpression(),
+          DoubleType)))
+      f("arraySum")(e => ArrayAggregate(e.head, Literal(0L),
+        LambdaFunction(Add(lv("acc"), lv("x")), Seq(lv("acc"), lv("x"))),
+        LambdaFunction(lv("acc"), Seq(lv("acc")))))
+      f("arrayMin")(e => ArrayMin(e.head))
+      f("arrayMax")(e => ArrayMax(e.head))
+      f("countEqual")(e => Cast(Size(ArrayFilter(e(0),
+        LambdaFunction(EqualNullSafe(lv("v"), e(1)), Seq(lv("v"))))),
+        LongType))
+      f("groupBitAnd")(e => BitAndAgg(e.head))
+      f("groupBitOr")(e => BitOrAgg(e.head))
+      f("groupBitXor")(e => BitXorAgg(e.head))
+    }
     // sequenceCount('(?1)(?2)')(ts, c1, ...): greedy NON-OVERLAPPING
     // chain count (CH's contract) — same buffer/evaluator family as
     // sequenceMatch

@@ -405,6 +405,26 @@ class CompatSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 small exact spellings: avgWeighted, array folds, " +
+      "countEqual, groupBit*") {
+    Seq((10.0, 1.0, Seq(1L, 2L, 2L, 5L), 6L),
+      (20.0, 3.0, Seq(4L, 2L), 3L))
+      .toDF("v", "w", "arr", "b").createOrReplaceTempView("cx_t")
+    val agg = Compat.chSql(spark, """
+      SELECT avgWeighted(v, w) AS aw, groupBitAnd(b) AS ba,
+        groupBitOr(b) AS bo, groupBitXor(b) AS bx
+      FROM cx_t""").collect().head
+    assert(agg.getDouble(0) == (10.0 + 60.0) / 4.0)
+    assert(agg.getLong(1) == 2L && agg.getLong(2) == 7L &&
+      agg.getLong(3) == 5L)
+    val rows = Compat.chSql(spark, """
+      SELECT arraySum(arr) AS s, arrayMin(arr) AS lo,
+        arrayMax(arr) AS hi, countEqual(arr, 2) AS c2
+      FROM cx_t ORDER BY s""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((6L, 2L, 4L, 1L), (10L, 1L, 5L, 2L)))
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
