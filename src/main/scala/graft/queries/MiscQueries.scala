@@ -1560,6 +1560,36 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // OPTIMIZE DEDUPLICATE as a gate (round 11): the same events land
+    // TWICE (a replay without the dedup token — the accident the
+    // maintenance op exists to repair), the full-row dedup collapses
+    // the copies per date partition behind one atomic swap, and the
+    // read-back equals the single-copy oracle exactly.
+    "qtx_dedup_optimize" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dedupopt_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      // event_id keeps rows unique WITHIN one copy, so the dedup
+      // provably collapses only the replay, never organic collisions
+      val ev = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"), col("event_type"),
+        col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      TxTable.append(s, ev, table)
+      TxTable.append(s, ev, table) // the duplicating replay
+      val n = ev.count()
+      require(TxTable.read(s, table).count() == 2 * n)
+      require(TxTable.optimizeDeduplicate(s, table) >= 0)
+      require(TxTable.read(s, table).count() == n,
+        "full-row dedup must collapse the replay exactly")
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("user_id").as("u_sum"), min("date").as("first_date"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING AGGREGATING PIPELINE as a gate (round 11): the classic
     // ClickHouse "Kafka -> MV with -State -> AggregatingMergeTree"
     // story end-to-end on this engine — each micro-batch pre-aggregates
@@ -2390,6 +2420,14 @@ object MiscQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_avg
         |FROM e, k WHERE date >= cut
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // after the dedup, the table equals ONE copy of events exactly
+    "qtx_dedup_optimize" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type, user_id,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streamed, re-merged, coarser-grouped states equal the plain
     // aggregate over every raw event
     "qs_aggregating" ->

@@ -2774,6 +2774,42 @@ object TxTable {
       op = Some(if (replace) "replacepart" else "attach"))
   }
 
+  /** ClickHouse `OPTIMIZE TABLE ... DEDUPLICATE`: fully-identical rows
+    * collapse to one, scoped per date partition like every CH merge
+    * (duplicates on different dates never meet), behind one atomic
+    * remove+add swap. `columns` restricts the identity to a subset
+    * (CH's `DEDUPLICATE BY col...`; the kept row takes the
+    * deterministic per-group MIN of the others — CH keeps "any").
+    * One hash exchange on the identity; partial aggregation collapses
+    * duplicate multiplicity map-side.
+    */
+  def optimizeDeduplicate(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty,
+      dates: Option[Seq[String]] = None): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
+      .sorted.filter(d => dates.forall(_.contains(d)))
+    val df = read(spark, table, Some(targetDates))
+    columns.foreach(c => require(df.columns.contains(c),
+      s"no column $c"))
+    val deduped =
+      if (columns.isEmpty) df.distinct()
+      else {
+        val keys = ("date" +: columns.filterNot(_ == "date")).distinct
+        val others = df.columns.filterNot(keys.contains).toSeq
+        if (others.isEmpty) df.distinct()
+        else df.groupBy(keys.map(col): _*)
+          .agg(min(others.head).as(others.head),
+            others.tail.map(c => min(c).as(c)): _*)
+          .select(df.columns.map(col).toSeq: _*)
+      }
+    val adds = stage(prep(deduped), fs, root)
+    val removes = snapshotFiles(fs, root)
+      .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
+    commitRetry(fs, root, adds, removes, None,
+      schemaUpdate(fs, root, deduped), op = Some("dedup"))
+  }
+
   /** ClickHouse `ALTER TABLE ... DROP PARTITION`: every live file of
     * one date leaves in ONE metadata commit — no data I/O, instant at
     * any size (the removed files stay for time travel until

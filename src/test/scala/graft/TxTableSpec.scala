@@ -1123,6 +1123,38 @@ class TxTableSpec extends AnyFunSuite {
     assert(sub.count() == 2)
   }
 
+  test("OPTIMIZE DEDUPLICATE: full-row dedup collapses replays per " +
+    "date partition; BY-columns identity keeps the deterministic MIN " +
+    "payload; different dates never collapse") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_txdedup").toString + "/t"
+    val rows = Seq(
+      (d("2024-03-01"), 1L, "a", 10L),
+      (d("2024-03-01"), 1L, "a", 10L), // exact dup, same date
+      (d("2024-03-02"), 1L, "a", 10L), // same content, OTHER date
+      (d("2024-03-01"), 2L, "b", 20L),
+      (d("2024-03-01"), 2L, "z", 30L)) // same key 2, different payload
+      .toDF("date", "k", "v", "n")
+    TxTable.append(spark, rows, path)
+    // full-row: only the exact duplicate collapses
+    assert(TxTable.optimizeDeduplicate(spark, path) >= 0)
+    assert(TxTable.read(spark, path).count() == 4)
+    assert(TxTable.read(spark, path)
+      .filter(col("date") === d("2024-03-02")).count() == 1,
+      "cross-date content twins both survive")
+    // BY (k): per (date, k) one row survives with the MIN payload
+    assert(TxTable.optimizeDeduplicate(spark, path, Seq("k")) >= 0)
+    val kept = TxTable.read(spark, path)
+      .filter(col("date") === d("2024-03-01") && col("k") === 2L)
+      .collect()
+    assert(kept.length == 1 && kept.head.getAs[String]("v") == "b" &&
+      kept.head.getAs[Long]("n") == 20L,
+      "BY-columns dedup keeps the deterministic per-group MIN")
+    assert(TxTable.read(spark, path).count() == 3)
+  }
+
   test("replacing compact: max-version row wins per (date, key), ties " +
     "break on the payload order, and dates never collapse together") {
     import spark.implicits._
