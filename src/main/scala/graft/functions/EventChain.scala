@@ -25,11 +25,17 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType,
   * deepest level reached. Ties in the sort break by level ascending
   * (CH sorts its (t, idx) pairs the same way).
   *
-  * [[SequenceMatchChain]] is the `(?1)(?2)...` subset of CH's
-  * sequenceMatch patterns — subsequence existence in time order,
-  * evaluated by a greedy scan (greedy is complete for subsequence
-  * matching). Time-bound pattern atoms (`(?t<=...)`) are refused at
-  * registration, not silently approximated.
+  * [[SequenceMatchChain]] implements CH's sequenceMatch pattern
+  * language over `(?N)` atoms, `.*` gaps, and `(?t OP n)` time bounds
+  * with a backtracking matcher (CH's own matcher backtracks too:
+  * AggregateFunctionSequenceMatch.h). CH semantics preserved
+  * faithfully: events matching NO condition are ignored; adjacent
+  * `(?N)(?M)` atoms must match DIRECTLY consecutive events among the
+  * condition-matching ones (gaps require an explicit `.*`); a time
+  * bound compares the atom's event against the previously matched
+  * atom's event in seconds AND allows arbitrary events between (the
+  * documented `(?1)(?t>1800)(?2)` contract); the match is unanchored
+  * (leading/trailing events never matter).
   */
 abstract class EventChainAgg extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]] {
 
@@ -107,6 +113,106 @@ abstract class EventChainAgg extends TypedImperativeAggregate[ArrayBuffer[(Long,
       }
     }
   }
+
+  /** Time-sorted whole events — one element per event, carrying its
+    * full condition bitmask (the sequenceMatch matcher consumes one
+    * EVENT per atom; same-timestamp ties break by mask for a stable
+    * distributed answer where CH leaves them unspecified).
+    */
+  protected def sortedEvents(
+      buf: ArrayBuffer[(Long, Int)]): IndexedSeq[(Long, Int)] =
+    buf.sortBy(identity).toIndexedSeq
+}
+
+/** One `(?N)` atom of a compiled sequenceMatch/sequenceCount pattern:
+  * 0-based condition index, whether a gap (`.*` or any time bound)
+  * precedes it, and the time bounds `(op, micros)` evaluated against
+  * the previously matched atom's event timestamp.
+  */
+case class SeqAtom(cond: Int, gapBefore: Boolean, tcs: Seq[(String, Long)])
+
+object EventChainPattern {
+
+  private val token =
+    raw"\(\?(\d+)\)|\.\*|\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)".r
+
+  /** Compile a CH sequenceMatch pattern into [[SeqAtom]]s. Supported
+    * grammar: `(?N)` condition atoms, `.*` gaps, `(?t OP seconds)`
+    * time bounds (OP in <=, <, >=, >, ==) between two atoms. Anything
+    * else — including the single-event wildcard `.`, which would need
+    * non-matching events the buffer deliberately drops — is refused
+    * with a named error, never silently approximated.
+    */
+  def parse(pattern: String, nConds: Int, fname: String): Seq[SeqAtom] = {
+    val ms = token.findAllMatchIn(pattern).toSeq
+    require(ms.map(_.matched).mkString == pattern.replace(" ", ""),
+      s"unsupported $fname pattern `$pattern`: only (?N) atoms, .* gaps " +
+        "and (?t<=n)-style time bounds are supported")
+    val atoms = ArrayBuffer.empty[SeqAtom]
+    var gap = false
+    var tcs = Vector.empty[(String, Long)]
+    ms.foreach { m =>
+      if (m.group(1) != null) {
+        val n = m.group(1).toInt
+        require(n >= 1 && n <= nConds,
+          s"$fname pattern `$pattern` references condition $n but the " +
+            s"call passes $nConds")
+        atoms += SeqAtom(n - 1, gapBefore = gap, tcs = tcs)
+        gap = false; tcs = Vector.empty
+      } else if (m.matched == ".*") gap = true
+      else { // (?t OP v): implies a gap (CH: arbitrary events between)
+        tcs :+= ((m.group(2), m.group(3).toLong * 1000000L))
+        gap = true
+      }
+    }
+    require(atoms.nonEmpty, s"$fname pattern `$pattern` has no (?N) atom")
+    require(atoms.head.tcs.isEmpty,
+      s"$fname pattern `$pattern`: a time bound needs a preceding atom")
+    require(tcs.isEmpty,
+      s"$fname pattern `$pattern`: a time bound needs a following atom")
+    atoms.toSeq
+  }
+
+  private def holds(op: String, dt: Long, bound: Long): Boolean = op match {
+    case "<=" => dt <= bound
+    case "<"  => dt < bound
+    case ">=" => dt >= bound
+    case ">"  => dt > bound
+    case _    => dt == bound
+  }
+
+  /** Backtracking matcher (CH's own sequenceMatch matcher backtracks).
+    * Returns the index ONE PAST the last consumed event of the first
+    * match found scanning left-to-right, or -1 — sequenceCount resumes
+    * from that index for the non-overlapping contract. `from` is the
+    * first event the match may use; the match itself is unanchored
+    * (atom 0 scans forward freely).
+    */
+  def findMatch(evs: IndexedSeq[(Long, Int)], atoms: Seq[SeqAtom],
+      from: Int): Int = {
+    def go(ei: Int, ai: Int, prevT: Long): Int = {
+      if (ai == atoms.length) return ei
+      val a = atoms(ai)
+      def ok(i: Int): Boolean = {
+        val (t, mask) = evs(i)
+        ((mask >> a.cond) & 1) == 1 &&
+          a.tcs.forall { case (op, b) => holds(op, t - prevT, b) }
+      }
+      if (a.gapBefore || ai == 0) {
+        var i = ei
+        while (i < evs.length) {
+          if (ok(i)) {
+            val r = go(i + 1, ai + 1, evs(i)._1)
+            if (r >= 0) return r
+          }
+          i += 1
+        }
+        -1
+      } else if (ei < evs.length && ok(ei)) go(ei + 1, ai + 1, evs(ei)._1)
+      else -1
+    }
+    go(from, 0, 0L)
+  }
 }
 
 case class WindowFunnel(windowSeconds: Long, ts: Expression,
@@ -145,11 +251,12 @@ case class WindowFunnel(windowSeconds: Long, ts: Expression,
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
-/** `sequenceCount('(?1)(?2)...')`: how many NON-OVERLAPPING
-  * time-ordered occurrences of the chain does the group contain?
-  * Greedy restart after each completion — ClickHouse's contract.
+/** `sequenceCount('pattern')`: how many NON-OVERLAPPING time-ordered
+  * occurrences of the pattern does the group contain? Greedy restart
+  * after each completed match — ClickHouse's contract. Full pattern
+  * language via [[EventChainPattern]] (adjacency, `.*`, time bounds).
   */
-case class SequenceCountChain(chain: Seq[Int], ts: Expression,
+case class SequenceCountChain(atoms: Seq[SeqAtom], ts: Expression,
     conds: Seq[Expression],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends EventChainAgg {
@@ -158,13 +265,13 @@ case class SequenceCountChain(chain: Seq[Int], ts: Expression,
   override def dataType: DataType = LongType
 
   override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
+    val evs = sortedEvents(buf)
     var pos = 0
     var n = 0L
-    sortedLevels(buf).foreach { case (_, lvl) =>
-      if (lvl == chain(pos)) {
-        pos += 1
-        if (pos == chain.length) { n += 1; pos = 0 }
-      }
+    while (pos < evs.length) {
+      val end = EventChainPattern.findMatch(evs, atoms, pos)
+      if (end < 0) pos = evs.length
+      else { n += 1; pos = end }
     }
     n
   }
@@ -178,11 +285,13 @@ case class SequenceCountChain(chain: Seq[Int], ts: Expression,
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
-/** `sequenceMatch('(?1)(?2)...')`: does the group's event stream
-  * contain the numbered conditions as a time-ordered subsequence?
-  * `chain` holds the 0-based condition indices in pattern order.
+/** `sequenceMatch('pattern')`: does the group's time-ordered event
+  * stream contain a chain matching the pattern? Full CH pattern
+  * language via [[EventChainPattern]]: adjacent atoms must match
+  * directly consecutive condition-matching events, `.*` allows gaps,
+  * `(?t OP n)` bounds the seconds between neighboring matched atoms.
   */
-case class SequenceMatchChain(chain: Seq[Int], ts: Expression,
+case class SequenceMatchChain(atoms: Seq[SeqAtom], ts: Expression,
     conds: Seq[Expression],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends EventChainAgg {
@@ -190,15 +299,8 @@ case class SequenceMatchChain(chain: Seq[Int], ts: Expression,
   override def prettyName: String = "sequenceMatch"
   override def dataType: DataType = BooleanType
 
-  override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
-    var pos = 0
-    val it = sortedLevels(buf)
-    while (pos < chain.length && it.hasNext) {
-      val (_, lvl) = it.next()
-      if (lvl == chain(pos)) pos += 1
-    }
-    pos == chain.length
-  }
+  override def eval(buf: ArrayBuffer[(Long, Int)]): Any =
+    EventChainPattern.findMatch(sortedEvents(buf), atoms, 0) >= 0
 
   override def withNewMutableAggBufferOffset(o: Int): SequenceMatchChain =
     copy(mutableAggBufferOffset = o)

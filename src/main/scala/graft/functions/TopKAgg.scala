@@ -92,11 +92,17 @@ case class TopKAgg(k: Int, child: Expression,
     ArrayData.toArrayData(vals)
   }
 
+  // Keys go length-prefixed UTF-8, NOT writeUTF: writeUTF caps at
+  // 65535 encoded bytes and would crash the partial-agg shuffle on a
+  // topK over long strings.
   override def serialize(buf: mutable.Map[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (kk, v) => out.writeUTF(kk); out.writeLong(v) }
+    buf.foreach { case (kk, v) =>
+      val b = kk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -107,7 +113,14 @@ case class TopKAgg(k: Int, child: Expression,
     val n = in.readInt()
     val buf = mutable.Map.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -591,6 +591,24 @@ object FlowQueries {
         WHERE m""")
     }),
 
+    // CH sequenceMatch pattern language (round 12): time-bound atoms
+    // ((?t<=3600): purchase within an hour of signup, arbitrary events
+    // between — the CH-documented contract) and bare adjacency
+    // ((?1)(?2): purchase DIRECTLY after signup among described
+    // events). The oracle replays both existentially.
+    "q_compat_seqmatch_t" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_smt")
+      graft.sql.Compat.chSql(s, """
+        SELECT sum(toInt64(m1)) AS matched_1h,
+          sum(toInt64(m2)) AS matched_adj FROM (
+          SELECT user_id,
+            sequenceMatch('(?1)(?t<=3600)(?2)')(ts,
+              event_type = 'signup', event_type = 'purchase') AS m1,
+            sequenceMatch('(?1)(?2)')(ts,
+              event_type = 'signup', event_type = 'purchase') AS m2
+          FROM ch_events_smt GROUP BY user_id) t""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -940,6 +958,24 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    // time bound = pair within 3600s; adjacency = LEAD over the
+    // described-events-only sequence (undescribed events invisible,
+    // exactly the CH contract); per-user timestamps are unique so
+    // both orderings are total
+    "q_compat_seqmatch_t" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |    FROM events WHERE event_type IN ('signup', 'purchase')),
+        |m1 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_type = 'signup'
+        |    AND b.event_type = 'purchase' AND b.t > a.t
+        |    AND b.t <= a.t + 3600000000),
+        |sq AS (SELECT user_id, event_type, LEAD(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY t) AS nxt FROM e),
+        |m2 AS (SELECT DISTINCT user_id FROM sq
+        |  WHERE event_type = 'signup' AND nxt = 'purchase')
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m1) AS matched_1h,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM m2) AS matched_adj"""
+        .stripMargin,
     // FINAL = keep-highest-version per (date, key); event_id is unique
     // so the version order is total
     "q_compat_final" ->

@@ -221,10 +221,19 @@ class TxFileIndex(spark: SparkSession, table: String,
     }
   }
 
+  // Gram extraction MUST mirror the build side, which uses Spark's
+  // substring/length (Unicode code points). String.sliding counts
+  // UTF-16 units, so a literal with supplementary characters (emoji,
+  // astral CJK) would probe grams the index never stored and wrongly
+  // skip a matching file. Slide over code points instead.
   private def ngramProbe(l: Literal): Option[Seq[String]] =
     l.value match {
-      case u: UTF8String if u.toString.length >= Bloom.NgramN =>
-        Some(u.toString.sliding(Bloom.NgramN).toSeq.distinct)
+      case u: UTF8String =>
+        val cps = u.toString.codePoints().toArray
+        if (cps.length >= Bloom.NgramN)
+          Some((0 to cps.length - Bloom.NgramN)
+            .map(i => new String(cps, i, Bloom.NgramN)).distinct)
+        else None
       case _ => None
     }
 

@@ -2742,6 +2742,19 @@ object TxTable {
         s"attach of $date refused: $rel carries a live deletion vector" +
           " — purge the source first")
     }
+    // bucketing layouts must agree: attached files come in BY REFERENCE
+    // with their bucket-id filenames intact, so a bucketed dst would
+    // claim Spark's bucketSpec over rows hashed with the WRONG keys or
+    // count — exchange-free joins would silently return wrong results.
+    // An unbucketed dst is always safe (plain scan, ids ignored).
+    val dstProps = replayState(dfs, droot, None).props
+    bucketSpecOf(dstProps).foreach { db =>
+      val sb = bucketSpecOf(state.props)
+      require(sb.contains(db),
+        s"attach refused: $dst is bucketed ${db._1.mkString(",")}×${db._2}" +
+          s" but $src is ${sb.map(b => b._1.mkString(",") + "×" + b._2)
+            .getOrElse("unbucketed")} — hash placement would not match")
+    }
     // additive compatibility against dst's declared schema
     val srcSchema = state.schema.getOrElse(StructType(Nil))
     val dstSchema = logSchema(dfs, droot)
@@ -2778,8 +2791,9 @@ object TxTable {
     * collapse to one, scoped per date partition like every CH merge
     * (duplicates on different dates never meet), behind one atomic
     * remove+add swap. `columns` restricts the identity to a subset
-    * (CH's `DEDUPLICATE BY col...`; the kept row takes the
-    * deterministic per-group MIN of the others — CH keeps "any").
+    * (CH's `DEDUPLICATE BY col...`; the kept row is the ONE source row
+    * whose non-key struct is minimal — deterministic where CH keeps
+    * "any", and never a per-column mix of different rows).
     * One hash exchange on the identity; partial aggregation collapses
     * duplicate multiplicity map-side.
     */
@@ -2798,10 +2812,16 @@ object TxTable {
         val keys = ("date" +: columns.filterNot(_ == "date")).distinct
         val others = df.columns.filterNot(keys.contains).toSeq
         if (others.isEmpty) df.distinct()
-        else df.groupBy(keys.map(col): _*)
-          .agg(min(others.head).as(others.head),
-            others.tail.map(c => min(c).as(c)): _*)
-          .select(df.columns.map(col).toSeq: _*)
+        else {
+          // ONE surviving source row per group (CH keeps "any"; we keep
+          // the struct-min of the non-key columns — deterministic, and
+          // crucially a row that actually existed, never a per-column
+          // mix of different rows).
+          val packed = df.groupBy(keys.map(col): _*)
+            .agg(min(struct(others.map(col): _*)).as("__rest"))
+          packed.select(df.columns.toSeq.map(c =>
+            if (keys.contains(c)) col(c) else col(s"__rest.$c").as(c)): _*)
+        }
       }
     val adds = stage(prep(deduped), fs, root)
     val removes = snapshotFiles(fs, root)

@@ -269,9 +269,9 @@ object Compat {
     // event-chain analytics (the CH dashboard trio over event tables):
     // windowFunnel(window_s)(ts, c1, c2, ...) — deepest funnel level
     // reached within `window` SECONDS of the chain's first step;
-    // sequenceMatch('(?1)(?2)')(ts, c1, ...) — ordered-subsequence
-    // existence (the chain subset of CH's pattern language; time-bound
-    // atoms are refused, not approximated); retention(c1, ..., cn) —
+    // sequenceMatch('pattern')(ts, c1, ...) — CH's pattern language
+    // ((?N) adjacency, .* gaps, (?t<=n) time bounds) via a
+    // backtracking matcher; retention(c1, ..., cn) —
     // [c1 seen, c1 && c2 seen, ...] as 0/1 ints.
     f("windowFunnel") { e =>
       val window = e.head match {
@@ -290,18 +290,9 @@ object Compat {
         case other => throw new IllegalArgumentException(
           s"sequenceMatch pattern must be a string literal, got $other")
       }
-      val atom = "\\(\\?(\\d+)\\)|\\.\\*".r
-      val matched = atom.findAllMatchIn(pattern).toSeq
-      require(matched.map(_.matched).mkString == pattern.replace(" ", ""),
-        s"unsupported sequenceMatch pattern `$pattern`: only (?N) chain " +
-          "atoms and .* gaps are supported (time-bound atoms like " +
-          "(?t<=3600) are not)")
-      val chain = matched.flatMap(m => Option(m.group(1))).map(_.toInt - 1)
-      require(chain.nonEmpty && chain.forall(i => i >= 0 &&
-        i < e.length - 2),
-        s"sequenceMatch pattern `$pattern` references conditions the " +
-          "call does not pass")
-      graft.functions.SequenceMatchChain(chain, e(1), e.drop(2))
+      val atoms = graft.functions.EventChainPattern.parse(
+        pattern, e.length - 2, "sequenceMatch")
+      graft.functions.SequenceMatchChain(atoms, e(1), e.drop(2))
         .toAggregateExpression()
     }
     // topK(k)(x): space-saving heavy hitters — exact below the buffer
@@ -360,17 +351,9 @@ object Compat {
         case other => throw new IllegalArgumentException(
           s"sequenceCount pattern must be a string literal, got $other")
       }
-      val atom = "\\(\\?(\\d+)\\)|\\.\\*".r
-      val matched = atom.findAllMatchIn(pattern).toSeq
-      require(matched.map(_.matched).mkString == pattern.replace(" ", ""),
-        s"unsupported sequenceCount pattern `$pattern`: only (?N) chain " +
-          "atoms and .* gaps are supported")
-      val chain = matched.flatMap(m => Option(m.group(1))).map(_.toInt - 1)
-      require(chain.nonEmpty && chain.forall(i => i >= 0 &&
-        i < e.length - 2),
-        s"sequenceCount pattern `$pattern` references conditions the " +
-          "call does not pass")
-      graft.functions.SequenceCountChain(chain, e(1), e.drop(2))
+      val atoms = graft.functions.EventChainPattern.parse(
+        pattern, e.length - 2, "sequenceCount")
+      graft.functions.SequenceCountChain(atoms, e(1), e.drop(2))
         .toAggregateExpression()
     }
     // uniqUpTo(N)(x): EXACT distinct count while <= N, else N+1 — the

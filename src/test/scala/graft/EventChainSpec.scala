@@ -54,22 +54,47 @@ class EventChainSpec extends AnyFunSuite {
     assert(lvl == 3)
   }
 
-  test("sequenceMatch: subsequence existence, .* gaps, refusals") {
+  test("sequenceMatch: gaps, adjacency, time bounds, refusals") {
     Compat.registerClickHouseFunctions(spark)
+    // x matches no condition -> ignored (CH: undescribed events are
+    // invisible), so a and b ARE adjacent among described events
     Seq((ts(10L), "a"), (ts(20L), "x"), (ts(30L), "b"))
       .toDF("t", "e").createOrReplaceTempView("sm_src")
-    def m(p: String): Boolean = Compat.chSql(spark,
-      s"SELECT sequenceMatch('$p')(t, e = 'a', e = 'b') AS m FROM sm_src")
+    def m(view: String, p: String, conds: String =
+        "e = 'a', e = 'b'"): Boolean = Compat.chSql(spark,
+      s"SELECT sequenceMatch('$p')(t, $conds) AS m FROM $view")
       .collect().head.getBoolean(0)
-    assert(m("(?1)(?2)"))
-    assert(m("(?1).*(?2)"))
-    assert(!m("(?2)(?1)"), "b never precedes a")
-    val e = intercept[Exception] {
-      Compat.chSql(spark, "SELECT sequenceMatch('(?1)(?t<=10)(?2)')" +
-        "(t, e = 'a', e = 'b') FROM sm_src").collect()
+    assert(m("sm_src", "(?1)(?2)"))
+    assert(m("sm_src", "(?1).*(?2)"))
+    assert(!m("sm_src", "(?2)(?1)"), "b never precedes a")
+    // describing x as condition 3 makes it block bare adjacency
+    // (the CH docs' own worked example) while .* still matches
+    assert(!m("sm_src", "(?1)(?2)", "e = 'a', e = 'b', e = 'x'"))
+    assert(m("sm_src", "(?1).*(?2)", "e = 'a', e = 'b', e = 'x'"))
+    // time bounds vs the PREVIOUS matched atom, in seconds; the bound
+    // itself allows arbitrary described events between (CH docs:
+    // (?1)(?t>1800)(?2))
+    assert(m("sm_src", "(?1)(?t<=20)(?2)"), "dt=20 <= 20")
+    assert(!m("sm_src", "(?1)(?t<10)(?2)"), "dt=20, bound 10")
+    assert(m("sm_src", "(?1)(?t>10)(?2)"))
+    assert(m("sm_src", "(?1)(?t==20)(?2)"))
+    assert(!m("sm_src", "(?1)(?t>=21)(?2)"))
+    // backtracking: the FIRST a (t=10) fails (?t<=5) to b, but a
+    // later a (t=28) satisfies it
+    Seq((ts(10L), "a"), (ts(28L), "a"), (ts(30L), "b"))
+      .toDF("t", "e").createOrReplaceTempView("sm_bt")
+    assert(m("sm_bt", "(?1)(?t<=5)(?2)"))
+    assert(!m("sm_bt", "(?1)(?t>25)(?2)"), "only dt=20 and dt=2 exist")
+    // refusals stay refusals: unknown syntax, dangling time bound
+    for (bad <- Seq("(?1)x(?2)", "(?1)(?t<=5)", "(?t<=5)(?1)")) {
+      val e = intercept[Exception] {
+        Compat.chSql(spark, s"SELECT sequenceMatch('$bad')" +
+          "(t, e = 'a', e = 'b') FROM sm_src").collect()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(msg =>
+          msg.contains("unsupported") || msg.contains("time bound"))))
     }
-    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("unsupported"))))
   }
 
   test("sequenceCount (greedy non-overlapping) and uniqUpTo") {
