@@ -609,6 +609,51 @@ object FlowQueries {
           FROM ch_events_smt GROUP BY user_id) t""")
     }),
 
+    // CH JSON-extraction spellings (round 12): a CH user's literal
+    // JSONExtract*/JSONHas/visitParam* query text over the events
+    // props JSON plus a per-row synthesized doc — strict typing
+    // (missing key -> 0), raw-with-quotes, and the fast-path alias
+    "q_compat_json" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_js")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          sum(JSONExtractInt(props, 'k')) AS k_sum,
+          max(JSONExtractFloat(props, 'k')) AS k_maxf,
+          sum(toInt64(JSONHas(props, 'k'))) AS has_k,
+          sum(toInt64(JSONHas(props, 'zz'))) AS has_zz,
+          sum(JSONExtractInt(props, 'zz')) AS zz_sum,
+          max(JSONExtractString(doc, 'pri')) AS pri_max,
+          max(JSONExtractRaw(doc, 'pri')) AS pri_raw,
+          max(visitParamExtractString(doc, 'pri')) AS pri_visit,
+          sum(toInt64(JSONExtractBool(doc, 'open'))) AS n_open,
+          max(JSONLength(doc)) AS doc_len
+        FROM (SELECT user_id, props,
+            concat('{"pri":"', event_type, '","open":',
+              CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END,
+              '}') AS doc
+          FROM ch_events_js) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // CH ASOF JOIN spelling (round 12): literal `ASOF JOIN` query text
+    // routed through Compat.rewriteAsof to the single-shuffle
+    // union-window plan (the q20_asof formulation — one exchange on
+    // user_id, NO join operator; PlanAuditSpec asserts the shape).
+    // Inner ASOF semantics: purchases with no at-or-before view drop.
+    "q_compat_asof" -> ((s, d) => {
+      val e = graft.Tables.events(s, d)
+      e.filter(col("event_type") === "view")
+        .createOrReplaceTempView("ch_asof_view")
+      e.filter(col("event_type") === "purchase")
+        .createOrReplaceTempView("ch_asof_purch")
+      graft.sql.Compat.chSql(s, """
+        SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+          v.ts AS asof_view_ts, v.event_id AS asof_view_id
+        FROM ch_asof_purch AS p ASOF JOIN ch_asof_view AS v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY event_id""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -958,6 +1003,49 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    // same deterministic ordering as q20_asof's oracle ((ts, kind,
+    // event_id), views-before-purchases at equal ts → inclusive >=),
+    // inner form: unmatched purchases drop instead of sentineling
+    "q_compat_asof" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN kind = 0 THEN mts END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY mts, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av_ts,
+        |    LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY mts, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av_id
+        |  FROM t)
+        |SELECT event_id, user_id, mts AS ts, av_ts AS asof_view_ts,
+        |  CAST(av_id AS BIGINT) AS asof_view_id
+        |FROM w WHERE kind = 1 AND av_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_compat_json" ->
+      """WITH t AS (SELECT user_id, event_id, props,
+        |    '{"pri":"' || event_type || '","open":' ||
+        |      CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+        |      || '}' AS doc
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+        |    AS DOUBLE) AS k_maxf,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS has_k,
+        |  CAST(0 AS BIGINT) AS has_zz,
+        |  CAST(0 AS BIGINT) AS zz_sum,
+        |  MAX(json_extract_string(doc, '$.pri')) AS pri_max,
+        |  MAX(CAST(json_extract(doc, '$.pri') AS VARCHAR)) AS pri_raw,
+        |  MAX(json_extract_string(doc, '$.pri')) AS pri_visit,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open,
+        |  CAST(2 AS BIGINT) AS doc_len
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     // time bound = pair within 3600s; adjacency = LEAD over the
     // described-events-only sequence (undescribed events invisible,
     // exactly the CH contract); per-user timestamps are unique so

@@ -360,14 +360,30 @@ object PipelineQueries {
         sh.filter(col("doc_id") % 97 === 0)
           .select(col("sh"), col("doc_id").as("bench_id")).distinct())
       // sizing action + bloom build are both benchmark-side jobs —
-      // metadata-scale, and served from the cached bench frame
+      // metadata-scale, and served from the cached bench frame. The
+      // filter is built by Spark's own BloomFilterAggregate over
+      // xxhash64(sh) and probed by the codegen'd
+      // BloomFilterMightContain — the exact (build, probe) pair
+      // InjectRuntimeFilter plants, so the probe stays inside
+      // whole-stage codegen instead of boxing through a ScalaUDF
+      // (PlanAuditSpec asserts no UDF in this plan)
+      import org.apache.spark.sql.GraftSqlBridge.{column => colOf, expression => exprOf}
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       val nBench = math.max(bench.count(), 1000L)
-      val bloom = bench.stat.bloomFilter("sh", nBench, 0.01)
-      val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightContain =
-        udf((x: String) => x != null && bloomBc.value.mightContainString(x))
+      // optimal bit count for fpp=0.01 at nBench items (ln2-squared law)
+      val nBits = math.ceil(
+        -nBench * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+      val bloomBytes = bench.select(colOf(new BloomFilterAggregate(
+          XxHash64(Seq(exprOf(col("sh"))), 42L),
+          CatLit(nBench), CatLit(nBits)).toAggregateExpression()))
+        .head().getAs[Array[Byte]](0)
+      val mightContain = colOf(BloomFilterMightContain(
+        CatLit(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        XxHash64(Seq(exprOf(col("sh"))), 42L)))
       sh.filter(col("doc_id") % 97 =!= 0)
-        .filter(mightContain(col("sh")))
+        .filter(mightContain)
         .join(broadcast(bench), "sh")
         .groupBy("doc_id")
         .agg(countDistinct("sh").as("n_shared"),

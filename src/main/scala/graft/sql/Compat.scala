@@ -369,6 +369,108 @@ object Compat {
         Count(Seq(e(1))).toAggregateExpression(isDistinct = true),
         Literal(n + 1)))
     }
+    // CH JSON-extraction family (JSONExtract*/JSONHas/JSONLength plus
+    // the visitParam*/simpleJSON* fast-path spellings), built on
+    // Spark's VARIANT engine: parse once with try semantics (invalid
+    // JSON reads as "missing", like CH), take the RAW JSON text of the
+    // addressed value, then apply CH's strict typing contract — wrong
+    // type yields the type's default ('', 0, 0.0, false) — which the
+    // raw text discriminates exactly (a JSON string always starts with
+    // '"', a number with a digit or '-'). Path arguments follow CH's
+    // indices_or_keys: literal string keys and positive 1-based array
+    // indices. One documented narrowing: visitParam*/simpleJSON*
+    // address a TOP-LEVEL field by name (CH's fast path scans for the
+    // field at any depth — depth-blind matching is a footgun, not a
+    // feature worth replicating).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayTransform,
+        Coalesce, EqualTo, EvalMode, Expression, GetJsonObject, IsNotNull,
+        JsonObjectKeys, LambdaFunction, LengthOfJsonArray, RLike, Size,
+        StartsWith, StructsToJson, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson,
+        VariantGet}
+      import org.apache.spark.sql.types.{ArrayType, BooleanType,
+        IntegerType, LongType, StringType, VariantType}
+      import org.apache.spark.unsafe.types.UTF8String
+
+      def pathOf(args: Seq[Expression], fname: String): Literal = {
+        val p = "$" + args.map {
+          case Literal(u: UTF8String, StringType) => "." + u.toString
+          case Literal(i: Int, IntegerType) if i >= 1 => s"[${i - 1}]"
+          case other => throw new IllegalArgumentException(
+            s"$fname path arguments must be literal string keys or " +
+              s"positive 1-based integer indices, got $other")
+        }.mkString
+        Literal(UTF8String.fromString(p), StringType)
+      }
+      def rawOf(e: Seq[Expression], fname: String): Expression =
+        StructsToJson(Map.empty[String, String],
+          VariantGet(ParseJson(e.head, failOnError = false),
+            pathOf(e.tail, fname), VariantType, failOnError = false, None))
+      def strE(e: Seq[Expression], fname: String): Expression =
+        If(StartsWith(rawOf(e, fname), Literal("\"")),
+          Coalesce(Seq(GetJsonObject(e.head, pathOf(e.tail, fname)),
+            Literal(""))),
+          Literal(""))
+      def numGuard(e: Seq[Expression], fname: String,
+          value: Expression => Expression, dflt: Literal): Expression = {
+        val r = rawOf(e, fname)
+        If(RLike(r, Literal("^-?[0-9]")),
+          Coalesce(Seq(value(r), dflt)), dflt)
+      }
+      def intE(e: Seq[Expression], fname: String): Expression =
+        numGuard(e, fname, r => Coalesce(Seq(
+          Cast(r, LongType, None, EvalMode.TRY),
+          Cast(Cast(r, DoubleType, None, EvalMode.TRY), LongType, None,
+            EvalMode.TRY))), Literal(0L))
+      def floatE(e: Seq[Expression], fname: String): Expression =
+        numGuard(e, fname, r => Cast(r, DoubleType, None, EvalMode.TRY),
+          Literal(0.0))
+      def boolE(e: Seq[Expression], fname: String): Expression =
+        Coalesce(Seq(EqualTo(rawOf(e, fname), Literal("true")),
+          Literal(false)))
+      def rawE(e: Seq[Expression], fname: String): Expression =
+        Coalesce(Seq(rawOf(e, fname), Literal("")))
+      def hasE(e: Seq[Expression], fname: String): Expression =
+        IsNotNull(rawOf(e, fname))
+      def lenE(e: Seq[Expression], fname: String): Expression = {
+        val r = rawOf(e, fname)
+        If(StartsWith(r, Literal("[")),
+          Cast(LengthOfJsonArray(r), LongType),
+          If(StartsWith(r, Literal("{")),
+            Cast(Size(JsonObjectKeys(r)), LongType), Literal(0L)))
+      }
+      f("JSONHas")(hasE(_, "JSONHas"))
+      f("JSONLength")(lenE(_, "JSONLength"))
+      f("JSONExtractString")(strE(_, "JSONExtractString"))
+      f("JSONExtractInt")(intE(_, "JSONExtractInt"))
+      f("JSONExtractUInt")(intE(_, "JSONExtractUInt"))
+      f("JSONExtractFloat")(floatE(_, "JSONExtractFloat"))
+      f("JSONExtractBool")(boolE(_, "JSONExtractBool"))
+      f("JSONExtractRaw")(rawE(_, "JSONExtractRaw"))
+      // raw JSON text of each element of the addressed array; wrong
+      // type -> empty array (the CH contract)
+      f("JSONExtractArrayRaw") { e =>
+        val v = UnresolvedNamedLambdaVariable(Seq("jx"))
+        Coalesce(Seq(
+          ArrayTransform(
+            VariantGet(ParseJson(e.head, failOnError = false),
+              pathOf(e.tail, "JSONExtractArrayRaw"),
+              ArrayType(VariantType), failOnError = false, None),
+            LambdaFunction(StructsToJson(Map.empty[String, String], v),
+              Seq(v))),
+          Literal.create(Seq.empty[String], ArrayType(StringType))))
+      }
+      for (fast <- Seq("visitParam", "simpleJSON")) {
+        f(s"${fast}Has")(hasE(_, s"${fast}Has"))
+        f(s"${fast}ExtractString")(strE(_, s"${fast}ExtractString"))
+        f(s"${fast}ExtractInt")(intE(_, s"${fast}ExtractInt"))
+        f(s"${fast}ExtractUInt")(intE(_, s"${fast}ExtractUInt"))
+        f(s"${fast}ExtractFloat")(floatE(_, s"${fast}ExtractFloat"))
+        f(s"${fast}ExtractBool")(boolE(_, s"${fast}ExtractBool"))
+        f(s"${fast}ExtractRaw")(rawE(_, s"${fast}ExtractRaw"))
+      }
+    }
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a
@@ -658,6 +760,107 @@ object Compat {
     sb.toString
   }
 
+  /** CH `ASOF [LEFT] JOIN` → the engine's single-shuffle union-window
+    * plan (the q20_asof formulation — see queries/CoreQueries.scala):
+    * both sides union into one frame keyed by the equality columns,
+    * ONE exchange + sort per (keys, time), and `last(..., ignoreNulls)`
+    * over the preceding frame carries the nearest right-side row to
+    * every left row. No join operator exists in the plan, so a hot key
+    * with V views and P purchases costs V+P rows, not V×P — the shape
+    * a range-join formulation degrades to at 100 TB.
+    *
+    * Supported shape (anything else passes through and fails loudly in
+    * Spark's parser — the house honest-refusal contract):
+    * `FROM <tbl> [AS] a ASOF [INNER|LEFT] JOIN <tbl> [AS] b ON
+    *  <AND-separated alias-qualified equalities> AND a.t >= b.t`
+    * with the one inequality in {>=, >, <=, <} written on either side.
+    * Column references elsewhere in the query must be alias-qualified
+    * (they rewrite to the union frame's `__l_`/`__r_` names); CH
+    * itself requires qualification wherever the sides share names.
+    * Deviation (same family as WITH TOTALS): ASOF LEFT JOIN fills
+    * unmatched right columns with NULL, not CH's type defaults.
+    */
+  private def rewriteAsof(spark: SparkSession, sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)\\bFROM\\s+([A-Za-z_][\\w.]*)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s+" +
+        "ASOF\\s+(LEFT\\s+|INNER\\s+)?JOIN\\s+" +
+        "([A-Za-z_][\\w.]*)\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s+ON\\s+(.+?)" +
+        "(\\bWHERE\\b|\\bGROUP\\b|\\bHAVING\\b|\\bORDER\\b|\\bLIMIT\\b|$)")
+    val m = p.matcher(sql)
+    if (!m.find()) return sql
+    val (aTbl, aAl) = (m.group(1), m.group(2))
+    val left = Option(m.group(3)).exists(_.trim.equalsIgnoreCase("LEFT"))
+    val (bTbl, bAl) = (m.group(4), m.group(5))
+    val conds = m.group(6).trim.split("(?i)\\bAND\\b").map(_.trim)
+    val cond = java.util.regex.Pattern.compile(
+      s"(?i)^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*(>=|<=|=|>|<)\\s*" +
+        s"([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)$$")
+    // classify: equality keys as (aCol, bCol); ONE inequality,
+    // normalized so the left table's column is on the left
+    var eqs = Vector.empty[(String, String)]
+    var ineq: Option[(String, String, String)] = None
+    conds.foreach { c0 =>
+      val cm = cond.matcher(c0)
+      if (!cm.matches()) return sql
+      val (x, xc, op, y, yc) =
+        (cm.group(1), cm.group(2), cm.group(3), cm.group(4), cm.group(5))
+      val (ac, bc, nop) =
+        if (x.equalsIgnoreCase(aAl) && y.equalsIgnoreCase(bAl))
+          (xc, yc, op)
+        else if (x.equalsIgnoreCase(bAl) && y.equalsIgnoreCase(aAl))
+          (yc, xc, op match {
+            case ">=" => "<="; case "<=" => ">="
+            case ">" => "<"; case "<" => ">"; case o => o })
+        else return sql
+      if (nop == "=") eqs :+= ((ac, bc))
+      else if (ineq.isDefined) return sql
+      else ineq = Some((ac, nop, bc))
+    }
+    val (aT, op, bT) = ineq.getOrElse(return sql)
+    if (eqs.isEmpty) return sql
+    val desc = op == "<=" || op == "<"       // forward as-of: next match
+    val strict = op == ">" || op == "<"      // equal timestamps excluded
+    val (aKind, bKind) = if (strict) (0, 1) else (1, 0)
+
+    import org.apache.spark.sql.expressions.Window
+    val (fa, fb) = (spark.table(aTbl), spark.table(bTbl))
+    val keyN = eqs.indices.map(i => s"__k$i")
+    def side(df: DataFrame, keys: Seq[String], t: String, kind: Int,
+        pre: String, otherPre: String, other: DataFrame): DataFrame =
+      df.select(
+        keys.zip(keyN).map { case (c, k) => col(c).as(k) } ++
+          Seq(col(t).as("__t"), lit(kind).as("__kind")) ++
+          df.columns.map(c => col(c).as(s"$pre$c")) ++
+          other.columns.map(c =>
+            lit(null).cast(other.schema(c).dataType).as(s"$otherPre$c")): _*)
+    val u = side(fa, eqs.map(_._1), aT, aKind, "__l_", "__r_", fb)
+      .unionByName(side(fb, eqs.map(_._2), bT, bKind, "__r_", "__l_", fa))
+    val w = Window.partitionBy(keyN.map(col): _*)
+      .orderBy((if (desc) col("__t").desc else col("__t").asc) +:
+        Seq(col("__kind").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rCols = fb.columns.map(c => s"__r_$c")
+    val carried = u.withColumn("__m",
+        last(when(col("__kind") === bKind,
+          struct(rCols.map(col): _*)), ignoreNulls = true).over(w))
+      .filter(col("__kind") === aKind)
+    val joined0 = if (left) carried else carried.filter(col("__m").isNotNull)
+    val out = joined0.select(
+      fa.columns.map(c => col(s"__l_$c")) ++
+        rCols.map(c => col(s"__m.$c").as(c)): _*)
+    val view = s"__asof_${math.abs((aTbl + bTbl + sql.length).hashCode)}"
+    out.createOrReplaceTempView(view)
+    val spliced = new java.lang.StringBuilder(sql)
+      .replace(m.start, m.end - m.group(7).length, s" FROM $view ")
+      .toString
+    // alias-qualified references elsewhere in the query → the union
+    // frame's column names (both sides rewrite, so an unqualified
+    // right-side reference fails loudly instead of silently resolving)
+    spliced
+      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(aAl)}\\.", "__l_")
+      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(bAl)}\\.", "__r_")
+  }
+
   private def rewriteFinal(spark: SparkSession, sql: String): String =
     replacingViews.foldLeft(sql) { case (acc, (view, (keys, ver))) =>
       val p = java.util.regex.Pattern.compile(
@@ -782,7 +985,8 @@ object Compat {
   def chSql(spark: SparkSession, sql: String): DataFrame = {
     registerClickHouseFunctions(spark)
     applyWithFill(spark,
-      rewriteFinal(spark, rewriteMergeFn(spark, translateCh(sql))))
+      rewriteFinal(spark, rewriteMergeFn(spark,
+        rewriteAsof(spark, translateCh(sql)))))
   }
 
   /** summing-table rows -> the reference's column names and shapes. */

@@ -241,11 +241,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "vocab rides as a reference object, not a join")
   }
 
+  test("qp_bloom_decontam: bloom probe is codegen-native, no ScalaUDF") {
+    // the prefilter that drops ~99% of train shingles BEFORE the
+    // exchange must itself be free: BloomFilterMightContain inside
+    // whole-stage codegen, never a boxed udf((String) => Boolean)
+    val p = plan("qp_bloom_decontam")
+    assert(!p.contains("UDF"),
+      "bloom membership probe must be a native expression\n" + p.take(2000))
+    assert(p.contains("might_contain"),
+      "expected the BloomFilterMightContain probe in the plan\n" + p.take(2000))
+  }
+
   test("q20_asof: as-of join is ONE exchange and zero join operators") {
     // the union-window formulation: both event kinds shuffle once on
     // user_id for the window; a range-join formulation would instead
     // explode quadratically per hot user
     val p = plan("q20_asof")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), "as-of must not be a join\n" + p.take(2000))
+  }
+
+  test("q_compat_asof: the CH ASOF JOIN spelling reaches the same " +
+      "one-exchange zero-join plan as q20_asof") {
+    // rewriteAsof must not degrade the literal `ASOF JOIN` text into a
+    // range join (quadratic per hot user) — same audit as q20_asof
+    val p = plan("q_compat_asof")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
     assert(!p.contains("Join"), "as-of must not be a join\n" + p.take(2000))
   }
@@ -267,9 +287,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pushing 99% of shingles out of the plan while it's still a map
     // stage — and the bench (build) side must broadcast, never shuffle
     val joinIdx = p.indexOf("BroadcastHashJoin")
-    val udfIdx = p.indexOf("UDF")
+    val probeIdx = p.indexOf("might_contain")
     assert(joinIdx > 0, "bench join must be broadcast\n" + p.take(2000))
-    assert(udfIdx > joinIdx,
+    assert(probeIdx > joinIdx,
       "bloom probe filter must appear below (after) the join node in " +
         "the plan tree\n" + p.take(3000))
   }
