@@ -489,6 +489,42 @@ class GraftCatalogTable(val path: String, ident: Identifier,
   private[catalog] def v1Relation: HadoopFsRelation =
     TxFileIndex.relation(spark, path, asOf)
 
+  /** Minimal CatalogTable carrying CatalogStatistics for the swapped
+    * [[org.apache.spark.sql.execution.datasources.LogicalRelation]]:
+    * the log-derived sizeInBytes plus the EXACT rowCount from the
+    * per-file `#rows` footer stats (DV cardinalities subtracted) —
+    * zero data-file I/O, reusing `rel`'s own one-log-replay index.
+    * With `spark.sql.cbo.enabled` the planner then sizes the relation
+    * as rowCount × row width and estimates every operator above it
+    * from row counts instead of raw bytes — the difference between
+    * broadcasting a 1000-row/10 GB-on-disk dim and shuffling 100 TB
+    * of facts against it. CBO off → plain sizeInBytes, today's
+    * behavior exactly. None when any live file predates `#rows`
+    * (unknown beats a lowball the optimizer would trust).
+    */
+  private[catalog] def statsCatalogTable(rel: HadoopFsRelation)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    rel.location match {
+      case ix: graft.sink.TxFileIndex => ix.exactRowCount.map { n =>
+        CatalogTable(
+          identifier = TableIdentifier(ident.name,
+            ident.namespace.lastOption),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(new java.net.URI(path))),
+          schema = StructType(rel.dataSchema ++ rel.partitionSchema),
+          provider = Some("graft"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(math.max(rel.sizeInBytes, 1L)),
+            rowCount = Some(BigInt(n)))))
+      }
+      case _ => None
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftCatalogScanBuilder(this, schema(), options)
 
@@ -598,14 +634,28 @@ class GraftCatalogScan(table: GraftCatalogTable, pruned: StructType,
     * catalog table in the fallback posture instead of defaulting to
     * "unknown = huge" and shuffling both join sides.
     */
+  /** NOTE: in the no-extensions fallback posture Spark wraps this scan
+    * in `V1ScanWrapper`, which does NOT forward
+    * `SupportsReportStatistics` — so these numbers only reach the
+    * planner when the scan survives unwrapped (pure v2 consumers).
+    * The statistics path that matters in production is the extensions
+    * rule ([[GraftCatalogRelations]]), whose swapped LogicalRelation
+    * carries the same exact rowCount as CatalogStatistics —
+    * CatalogStatsSpec pins the broadcast flip it buys.
+    */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val size = table.v1Relation.sizeInBytes
+    val rel = table.v1Relation
+    val rows: Option[Long] = rel.location match {
+      case ix: graft.sink.TxFileIndex => ix.exactRowCount
+      case _ => None
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(size, 1L))
+        java.util.OptionalLong.of(math.max(rel.sizeInBytes, 1L))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
 
@@ -696,8 +746,12 @@ object GraftCatalogRelations
       : PartialFunction[LogicalPlan, LogicalPlan] = {
     case r: DataSourceV2Relation if !tg.contains(r) &&
         r.table.isInstanceOf[GraftCatalogTable] =>
-      LogicalRelation(r.table.asInstanceOf[GraftCatalogTable].v1Relation,
-        r.output, None, isStreaming = false, None)
+      val tbl = r.table.asInstanceOf[GraftCatalogTable]
+      val rel = tbl.v1Relation
+      // CatalogStatistics ride along so the CBO sees the exact log-
+      // derived rowCount (see [[GraftCatalogTable.statsCatalogTable]])
+      LogicalRelation(rel, r.output, tbl.statsCatalogTable(rel),
+        isStreaming = false, None)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

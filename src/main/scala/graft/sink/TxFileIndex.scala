@@ -63,6 +63,23 @@ class TxFileIndex(spark: SparkSession, table: String,
         }
       }
 
+  /** Exact live row count from log metadata alone — Σ`#rows` (footer-
+    * derived, logged per file) minus deletion-vector cardinalities.
+    * None if any live file predates row-count stats: an unknown beats
+    * a lowball the optimizer would trust. Time-travel indexes count
+    * the pinned snapshot. Zero data-file I/O either way.
+    */
+  def exactRowCount: Option[Long] = {
+    val metas = byDate.iterator.flatMap(_._2.iterator.map(_._2))
+    var sum = 0L
+    for (m <- metas) m.get(TxTable.RowsKey) match {
+      case None => return None
+      case Some(st) => sum += st.min.toLong -
+        m.get(DvStore.Key).map(_.max.toLong).getOrElse(0L)
+    }
+    Some(sum)
+  }
+
   override val partitionSchema: StructType =
     StructType(Seq(StructField("date", DateType, nullable = false)))
 

@@ -685,7 +685,13 @@ object TxTable {
     try {
       val wanted = statsColumns.toSet
       val acc = scala.collection.mutable.Map.empty[String, Option[ColStats]]
+      // exact per-file row count, free from the same footer — rides the
+      // log as the `#rows` pseudo-column (same reserved-prefix family
+      // as `#dv`) so estimateStatistics can report an exact table
+      // rowCount to the CBO without touching a data file
+      var nRows = 0L
       rdr.getFooter.getBlocks.forEach { block =>
+        nRows += block.getRowCount
         block.getColumns.forEach { cc =>
           val name = cc.getPath.toDotString
           if (wanted(name)) {
@@ -716,9 +722,15 @@ object TxTable {
           }
         }
       }
-      acc.collect { case (c, Some(st)) => c -> st }.toMap
+      acc.collect { case (c, Some(st)) => c -> st }.toMap +
+        (RowsKey -> ColStats('l', nRows.toString, nRows.toString))
     } finally rdr.close()
   }
+
+  /** Stats key of the exact per-file row count (footer-derived);
+    * summed (minus DV cardinalities) by [[TxFileIndex.exactRowCount]].
+    */
+  private[graft] val RowsKey = "#rows"
 
   /** Stage `df` (which must carry a `date` column) as immutable parquet
     * under a fresh uuid dir and return the (relpath -> meta) adds,
