@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// fresh junit-xml dir per test run: orphaned reports from deleted
+// suites otherwise survive forever and inflate naive report counts
+// (round-11 finding: a DppProbeSpec report outlived its suite)
+Test / testOptions += Tests.Setup { () =>
+  IO.delete(file("target/test-reports"))
+}
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

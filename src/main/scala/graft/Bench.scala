@@ -139,16 +139,23 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       onlyPrefixes.forall(_.exists(n.startsWith)) &&
         !timingExcluded.contains(n) }
+    // headline-metric queries get a PINNED >=3-sample minimum whatever
+    // SPARK_GRAFT_BENCH_SAMPLES says: pipeline_rows_per_s derives from
+    // qf_pipeline alone, and its r9->r11 "drift" (36.7k->34.4k rows/s,
+    // each step inside host noise) cost an adjudication round that a
+    // min-of-3 with visible spread would have settled from the artifact
+    val pinnedMinSamples = Map("qf_pipeline" -> 3)
     def sampleQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double]) = {
+      val target = sampleTarget.max(pinnedMinSamples.getOrElse(name, 1))
       val first = timeOnce(name, fn)
       // a first-attempt failure fails fast (no retries of a broken
       // query); a LATER transient failure must not discard the valid
       // measurements already taken
       val raw =
         if (first < 0) Seq(first)
-        else first +: (1 until sampleTarget).map(_ => timeOnce(name, fn))
+        else first +: (1 until target).map(_ => timeOnce(name, fn))
       val valid0 = raw.filter(_ >= 0)
       val valid =
         if (valid0.size == 2 &&
@@ -262,6 +269,21 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e") }
+    // bench_out.json is OVERWRITTEN per run and BENCH_rN once survived
+    // only as a 2000-char stdout tail (r11: parsed=null) — so every
+    // run ALSO appends its full line (epoch-stamped) to an append-only
+    // committed history; no per-query record ever again depends on a
+    // mutable file or a tail capture
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    val stamped = s"""{"ts":${System.currentTimeMillis() / 1000},""" +
+      line.drop(1)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
+      (stamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not append $histPath: $e") }
     graft.ops.CacheRegistry.releaseAll()
     spark.stop()
   }
