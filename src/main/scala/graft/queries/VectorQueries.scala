@@ -678,6 +678,134 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // PERSISTED + INCREMENTALLY MAINTAINED IVF-PQ index (round 12) —
+    // the standing-service shape of qv_ivfpq. A 100 TB corpus cannot
+    // re-encode itself per query: the codebook is TRAINED ONCE and
+    // FROZEN (FAISS's train-then-add contract; here the deterministic
+    // vec_id < 16 sample, identical to qv_ivfpq's), the corpus then
+    // arrives as commits on a tx table and flows through the engine's
+    // OWN streaming source; each micro-batch encodes ONLY ITS OWN rows
+    // against the broadcast codebook (batch x k coarse argmin +
+    // batch x 16 PQ codes per subspace — never corpus-sized work) and
+    // appends them to the standing INDEX TABLE via an idempotent txn
+    // (appId, batchId), so a redelivered batch provably no-ops (the
+    // exactly-once W8 machinery applied to index maintenance). After
+    // ingest the index gets the same maintenance any tx table gets —
+    // OPTIMIZE ZORDER BY (cell_id, vec_id) clusters codes by cell so a
+    // query's nprobe cells touch few files. Serving reads ONLY the
+    // standing index: coarse-probe + LUT come from the query vectors
+    // and the frozen codebook (broadcast, metadata-sized), and the ADC
+    // sum scans index CODES, never raw vectors. Output = qv_ivfpq's
+    // top-5 exactly (the index is order-independent state), plus the
+    // proof columns: index_rows (from the commit log's #rows stats —
+    // zero data I/O) and replay_noop.
+    "qv_ivfpq_incr" -> ((s, d) => {
+      import graft.sink.{TxFileIndex, TxTable}
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_qvincr_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val (src, idx) = (s"$base/src", s"$base/idx")
+      val day = java.sql.Date.valueOf("2024-01-01")
+      val emb = Tables.embeddings(s, d)
+      (0 until 3).foreach { i =>
+        TxTable.append(s, emb.filter(col("vec_id") % 3 === i)
+          .withColumn("date", lit(day)), src)
+      }
+      // frozen codebook: coarse seeds + the per-subspace PQ centroids
+      val quantOf = (df: DataFrame) => df.select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+            " * 10000) AS BIGINT))").as("q"))
+        .withColumn("nrm",
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      val seeds = quantOf(emb).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val cent = seeds.select(col("cell_id").as("code"), explode(expr(
+          "transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'csub', slice(sq, m * 16 + 1, 16)))")).as("e"))
+        .select(col("e.m").as("m"), col("code"), col("e.csub").as("csub"))
+      // batch -> (vec_id, cell_id, m, code) index rows, codebook-only math
+      def encode(batch: DataFrame): DataFrame = {
+        val q = quantOf(batch)
+        val assigned = q.crossJoin(broadcast(seeds))
+          .withColumn("dot_s", expr(
+            "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("cd2",
+            col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
+            first(col("q")).as("q"))
+          .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
+        val sub = assigned.select(col("vec_id"), col("cell_id"),
+            explode(expr("transform(sequence(0, 3), m -> named_struct(" +
+              "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+          .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
+            col("e.sub").as("sub"))
+        sub.join(broadcast(cent), "m")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
+              " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .groupBy("vec_id", "cell_id", "m")
+          .agg(min(struct(col("d2"), col("code"))).as("a"))
+          .select(col("vec_id"), col("cell_id"), col("m"),
+            col("a.code").as("code"), lit(day).as("date"))
+      }
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          TxTable.appendTxn(s, encode(df), idx, "qv_ivfpq_incr", batchId)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      def idxRows: Long =
+        new TxFileIndex(s, idx).exactRowCount.getOrElse(-1L)
+      val before = idxRows
+      // redeliver the last batch under its original txn id — the
+      // exactly-once contract must refuse it BEFORE staging
+      val replayRes = TxTable.appendTxn(s,
+        encode(emb.filter(col("vec_id") % 3 === 2)), idx,
+        "qv_ivfpq_incr", 2L)
+      val replayNoop = replayRes == -1L && idxRows == before
+      // standing-table maintenance: cluster codes by cell
+      TxTable.zorder(s, idx, Seq("cell_id", "vec_id"))
+      // serve from the standing index alone
+      val idxCodes = TxTable.read(s, idx)
+        .select("vec_id", "cell_id", "m", "code")
+      val qv = quantOf(emb).filter(col("vec_id") < 10)
+      val qCoarse = qv.crossJoin(broadcast(seeds))
+        .withColumn("dot_s", expr(
+          "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+      val wp = Window.partitionBy("vec_id").orderBy(asc("cd2"), asc("cell_id"))
+      val probes = qCoarse.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
+      val lut = qv.select(col("vec_id").as("q_id"), explode(expr(
+          "transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("q_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+        .join(broadcast(cent), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select("q_id", "m", "code", "d2")
+      val adc = idxCodes.join(broadcast(probes), col("cell_id") === col("pcell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(lut), Seq("q_id", "m", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(min("cell_id").as("cell"), sum("d2").as("adc"))
+      val w = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+      adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
+          col("rank"), col("adc"),
+          lit(before).as("index_rows"), lit(replayNoop).as("replay_noop"))
+        .orderBy("q_id", "rank")
+    }),
+
     // one Lloyd iteration of k-means: per-cell centroid update from the
     // IVF assignment, emitted as exact integer component sums + counts
     // (centroid = csum/n, derived by the caller in whatever float
@@ -901,6 +1029,62 @@ object VectorQueries {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
          |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
          |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc
+         |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // the standing index is order-independent state, so the oracle is
+    // the batch rebuild (same replay as qv_ivfpq) + the closed-form
+    // proof columns: 4 code rows per corpus vector, replay no-op true
+    "qv_ivfpq_incr" ->
+      s"""WITH $quantizedSql, seeds AS (
+         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+         |  FROM qn WHERE vec_id < 16
+         |), coarse AS (
+         |  SELECT v.vec_id, s.cell_id, v.q,
+         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS cd2
+         |  FROM qn v CROSS JOIN seeds s
+         |), assigned AS (
+         |  SELECT vec_id, cell_id, q FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cd2, cell_id) AS rn FROM coarse) t
+         |  WHERE rn = 1
+         |), sub AS (
+         |  SELECT vec_id, cell_id, mm.m AS m,
+         |    q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sub
+         |  FROM assigned, (SELECT unnest(range(0, 4)) AS m) mm
+         |), cent AS (
+         |  SELECT m, vec_id AS code, sub AS csub FROM sub WHERE vec_id < 16
+         |), cd AS (
+         |  SELECT s.vec_id, s.cell_id, s.m, c.code,
+         |    (SELECT SUM((s.sub[i.i] - c.csub[i.i]) * (s.sub[i.i] - c.csub[i.i]))
+         |     FROM (SELECT unnest(range(1, 17)) AS i) i) AS d2
+         |  FROM sub s JOIN cent c ON s.m = c.m
+         |), codes AS (
+         |  SELECT vec_id, cell_id, m, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM cd) t
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cell_id AS pcell FROM (
+         |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
+         |    FROM coarse WHERE vec_id < 10) t
+         |  WHERE rn <= 2
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, code, d2 FROM cd WHERE vec_id < 10
+         |), adc AS (
+         |  SELECT p.q_id, k.vec_id, MIN(k.cell_id) AS cell,
+         |    SUM(l.d2) AS adc
+         |  FROM codes k JOIN probes p
+         |    ON k.cell_id = p.pcell AND k.vec_id <> p.q_id
+         |  JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
+         |  GROUP BY 1, 2
+         |), rankedp AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
+         |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc,
+         |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+         |    AS index_rows,
+         |  TRUE AS replay_noop
          |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // full fit replay: farthest-point init (c0 = min vec_id, then two
     // argmax-of-min-distance rounds), two Lloyd iterations with

@@ -34,15 +34,22 @@ object ScaleBench {
     val shufW = new AtomicLong
     val shufR = new AtomicLong
     val input = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         input.addAndGet(m.inputMetrics.bytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
       }
     }
-    def reset(): Unit = { shufW.set(0); shufR.set(0); input.set(0) }
+    def reset(): Unit = {
+      shufW.set(0); shufR.set(0); input.set(0)
+      memSpill.set(0); diskSpill.set(0)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,7 +79,9 @@ object ScaleBench {
         "rows_per_s" -> (if (sec > 0) f"${rows / sec}%.0f" else "-1"),
         "shuffle_write_mb" -> f"${acc.shufW.get / 1e6}%.1f",
         "shuffle_read_mb" -> f"${acc.shufR.get / 1e6}%.1f",
-        "input_mb" -> f"${acc.input.get / 1e6}%.1f")
+        "input_mb" -> f"${acc.input.get / 1e6}%.1f",
+        "spill_mem_mb" -> f"${acc.memSpill.get / 1e6}%.1f",
+        "spill_disk_mb" -> f"${acc.diskSpill.get / 1e6}%.1f")
       val j = (base ++ extra).map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       println(s"[scale] $j")
@@ -105,18 +114,20 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def enabled(section: String): Boolean = only.forall(_.contains(section))
 
+    // 10M shift: disjoint id spaces per copy, yet small enough that
+    // flowsFromEvents' id*2654435761 hash stays inside Long under
+    // ANSI arithmetic (100 copies -> 1e9 ids, x2.65e9 < Long.Max)
+    def scaledEvents(factor: Int): DataFrame =
+      if (factor == 1) baseEvents
+      else (0 until factor).map(i => baseEvents.select(
+        (col("event_id") + lit(i * 10000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _)
+
     factors.foreach { factor =>
       if (enabled("flows")) {
-      val events =
-        if (factor == 1) baseEvents
-        // 10M shift: disjoint id spaces per copy, yet small enough that
-        // flowsFromEvents' id*2654435761 hash stays inside Long under
-        // ANSI arithmetic
-        else (0 until factor).map(i => baseEvents.select(
-          (col("event_id") + lit(i * 10000000L)).as("event_id"),
-          (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props")))
-          .reduce(_ unionByName _)
+      val events = scaledEvents(factor)
       val nEvents = events.count()
 
       // 1. the full flow pipeline (filter/label/direction/LPM/fan-out/
@@ -607,6 +618,53 @@ object ScaleBench {
         Seq(pl, pr, bl, br).foreach(t =>
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(t).getParentFile))
+      }
+    }
+
+    factors.foreach { factor =>
+      if (enabled("spill")) {
+        // MEMORY-PRESSURE arm: launched with a capped heap (e.g.
+        // SPARK_DRIVER_MEM=2g SPARK_GRAFT_SCALE_ONLY=spill, factor 30)
+        // this drives the agg/sort/tx-write paths into Tungsten spill
+        // and records memoryBytesSpilled/diskBytesSpilled per step.
+        // The claim under test is NOT speed — it is that every
+        // operator COMPLETES under execution-memory pressure by
+        // degrading to disk instead of OOMing, and the artifact shows
+        // the spill actually happened (spill_disk_mb > 0 on the
+        // capped run; ~0 on an uncapped host, which is fine — the
+        // capped row is the one SCALE.md cites). Shuffle parallelism
+        // is pinned LOW (4) so per-task working sets exceed their
+        // execution-memory share the way a 100 TB partition that
+        // outgrew its planned size would.
+        val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+        val events = scaledEvents(factor)
+        val nEvents = events.count()
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          // 1. the full pipeline's hash aggregate under pressure
+          val summed = FlowPipeline.run(SyntheticFlows.flowsFromEvents(events),
+            pods, nodes, prefixes, FlowConfig())
+          val (_, aggSec) = timed(noop(summed))
+          record(factor, "spill_pipeline", aggSec, nEvents,
+            "heap_mb" -> heapMb.toString)
+          // 2. a global sort of the raw events (range partition + per-
+          //    partition external sort — the canonical spill path)
+          val (_, sortSec) = timed(
+            noop(events.orderBy("user_id", "ts", "event_id")))
+          record(factor, "spill_sort", sortSec, nEvents,
+            "heap_mb" -> heapMb.toString)
+          // 3. the transactional sorted append (stage + footer stats +
+          //    sidecar jobs) — the write path must survive pressure too
+          val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_scale_spill_${factor}x")
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          val (_, wSec) = timed(
+            TxTable.append(spark, summed, s"$scratch/t"))
+          record(factor, "spill_tx_append", wSec, nEvents,
+            "heap_mb" -> heapMb.toString)
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
     }
 
