@@ -505,10 +505,24 @@ class GraftCatalogTable(val path: String, ident: Identifier,
   private[catalog] def statsCatalogTable(rel: HadoopFsRelation)
       : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
-      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+      CatalogStatistics, CatalogStorageFormat, CatalogTable,
+      CatalogTableType}
     rel.location match {
       case ix: graft.sink.TxFileIndex => ix.exactRowCount.map { n =>
+        // per-column count stats (NDV upper bound clamped to rowCount,
+        // exact null counts) for the log's indexed columns — what
+        // AggregateEstimation needs to size a GROUP BY's output from
+        // metadata, which in turn lets a join above the aggregate
+        // broadcast (CatalogStatsSpec pins it)
+        val colStats = ix.columnCountStats.collect {
+          case (c, (ndv, nulls)) if ndv.isDefined || nulls.isDefined =>
+            c -> CatalogColumnStat(
+              distinctCount = ndv.map(v => BigInt(math.min(v, n))),
+              min = None, max = None,
+              nullCount = nulls.map(BigInt(_)),
+              avgLen = None, maxLen = None, histogram = None)
+        }
         CatalogTable(
           identifier = TableIdentifier(ident.name,
             ident.namespace.lastOption),
@@ -519,7 +533,8 @@ class GraftCatalogTable(val path: String, ident: Identifier,
           provider = Some("graft"),
           stats = Some(CatalogStatistics(
             sizeInBytes = BigInt(math.max(rel.sizeInBytes, 1L)),
-            rowCount = Some(BigInt(n)))))
+            rowCount = Some(BigInt(n)),
+            colStats = colStats)))
       }
       case _ => None
     }

@@ -80,6 +80,32 @@ class TxFileIndex(spark: SparkSession, table: String,
     Some(sum)
   }
 
+  /** Per-column count stats from log metadata: column → (NDV upper
+    * bound = Σ per-file `#ndv`, exact null count = Σ `#nulls`). Each
+    * component is present only if EVERY live file carries it (a
+    * partial sum would be a lowball the optimizer trusts). The NDV sum
+    * over-counts values repeated across files — the safe direction for
+    * aggregate-output estimates; [[graft.catalog.GraftCatalogTable]]
+    * additionally clamps it to the table rowCount.
+    */
+  def columnCountStats: Map[String, (Option[Long], Option[Long])] = {
+    val metas = byDate.flatMap(_._2.map(_._2))
+    def sumIfAll(suffix: String): Map[String, Long] =
+      if (metas.isEmpty) Map.empty
+      else metas.map(_.collect {
+          case (k, st) if k.endsWith(suffix) =>
+            k.dropRight(suffix.length) -> st.min.toLong
+        }.toMap)
+        .reduce { (a, b) =>
+          a.keySet.intersect(b.keySet)
+            .map(k => k -> (a(k) + b(k))).toMap
+        }
+    val ndv = sumIfAll(TxTable.NdvSuffix)
+    val nulls = sumIfAll(TxTable.NullsSuffix)
+    (ndv.keySet ++ nulls.keySet).map(c =>
+      c -> (ndv.get(c), nulls.get(c))).toMap
+  }
+
   override val partitionSchema: StructType =
     StructType(Seq(StructField("date", DateType, nullable = false)))
 

@@ -690,8 +690,26 @@ object TxTable {
       // as `#dv`) so estimateStatistics can report an exact table
       // rowCount to the CBO without touching a data file
       var nRows = 0L
+      // exact per-column null counts (footer-free too): `<col>#nulls`,
+      // additive across files, for the stats + bloom columns. A column
+      // whose footer omits the null count in ANY block is dropped —
+      // a partial sum would be a lowball the optimizer trusts.
+      val nullWanted = wanted ++ bloomColumns
+      val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
       rdr.getFooter.getBlocks.forEach { block =>
         nRows += block.getRowCount
+        block.getColumns.forEach { cc =>
+          val nname = cc.getPath.toDotString
+          if (nullWanted(nname)) {
+            val nst = cc.getStatistics
+            nulls.updateWith(nname) {
+              case Some(None) => Some(None)
+              case prev =>
+                if (nst == null || nst.isEmpty || !nst.isNumNullsSet) Some(None)
+                else Some(Some(prev.flatten.getOrElse(0L) + nst.getNumNulls))
+            }
+          }
+        }
         block.getColumns.forEach { cc =>
           val name = cc.getPath.toDotString
           if (wanted(name)) {
@@ -722,7 +740,9 @@ object TxTable {
           }
         }
       }
-      acc.collect { case (c, Some(st)) => c -> st }.toMap +
+      acc.collect { case (c, Some(st)) => c -> st }.toMap ++
+        nulls.collect { case (c, Some(n)) =>
+          s"$c$NullsSuffix" -> ColStats('l', n.toString, n.toString) } +
         (RowsKey -> ColStats('l', nRows.toString, nRows.toString))
     } finally rdr.close()
   }
@@ -731,6 +751,19 @@ object TxTable {
     * summed (minus DV cardinalities) by [[TxFileIndex.exactRowCount]].
     */
   private[graft] val RowsKey = "#rows"
+
+  /** Per-column count-stats key suffixes (reserved `#` family, so the
+    * `parts` surfaces and the skip-index prober never mistake them for
+    * data columns): `<col>#nulls` = exact footer null count (additive
+    * across files); `<col>#ndv` = per-file approximate distinct count
+    * from the same distributed pass that builds the value Blooms.
+    * Σ per-file NDV is an UPPER bound on table NDV (duplicates across
+    * files collapse), which is the safe direction for the CBO's
+    * aggregate-output estimate: min(rowCount, Π ndv) can only
+    * overestimate group counts, never starve a hash aggregate.
+    */
+  private[graft] val NullsSuffix = "#nulls"
+  private[graft] val NdvSuffix = "#ndv"
 
   /** Stage `df` (which must carry a `date` column) as immutable parquet
     * under a fresh uuid dir and return the (relpath -> meta) adds,
@@ -914,14 +947,23 @@ object TxTable {
     val valueBlooms: Map[String, Map[String, ColStats]] =
       if (bloomCols.isEmpty || files.isEmpty) Map.empty
       else {
-        val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c))
+        // per-file approximate NDV rides the SAME job as the Bloom
+        // build (one extra agg column on a scan already paid for) —
+        // the `<col>#ndv` count stat the CBO's aggregate estimation
+        // needs (see [[NdvSuffix]])
+        val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c)) ++
+          bloomCols.map(c =>
+            approx_count_distinct(col(c)).as(s"$c$NdvSuffix"))
         stagedByName.groupBy("__name")
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
-            r.getString(0) -> bloomCols.map { c =>
+            r.getString(0) -> (bloomCols.map { c =>
               c -> ColStats('b', Bloom.encode(r.getAs[Array[Byte]](c)),
                 s"${Bloom.M},${Bloom.K}")
-            }.toMap
+            } ++ bloomCols.map { c =>
+              val n = r.getAs[Long](s"$c$NdvSuffix")
+              s"$c$NdvSuffix" -> ColStats('l', n.toString, n.toString)
+            }).toMap
           }.toMap
       }
     // token filters: one pass per indexed text column — the explode
@@ -1008,9 +1050,11 @@ object TxTable {
       if (bloomsInline.isEmpty) bloomsInline
       else {
         val sidecarRel = s"$dataDir/_filters.tsv"
+        // only the 'b' bitset payloads move to the sidecar; the small
+        // scalar count stats (`#ndv`) stay inline in the log line
         val lines = bloomsInline.toSeq.sortBy(_._1).flatMap {
-          case (f, cols) => cols.toSeq.sortBy(_._1).map {
-            case (c, st) => s"$f\t$c\t${st.max}\t${st.min}"
+          case (f, cols) => cols.toSeq.sortBy(_._1).collect {
+            case (c, st) if st.typ == 'b' => s"$f\t$c\t${st.max}\t${st.min}"
           }
         }
         val out = fs.create(new Path(root, sidecarRel), true)
@@ -1018,8 +1062,10 @@ object TxTable {
           .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         bloomsInline.map { case (f, cols) =>
-          f -> cols.map { case (c, st) =>
-            c -> ColStats('b', s"${BloomStore.Ptr}$sidecarRel", st.max)
+          f -> cols.map {
+            case (c, st) if st.typ == 'b' =>
+              c -> ColStats('b', s"${BloomStore.Ptr}$sidecarRel", st.max)
+            case other => other
           }
         }
       }

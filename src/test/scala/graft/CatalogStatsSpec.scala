@@ -89,6 +89,70 @@ class CatalogStatsSpec extends AnyFunSuite {
       "any pre-#rows file must make the table count unknown")
   }
 
+  test("column count stats: NDV upper bound and exact null counts " +
+      "ride the log; CBO sizes a GROUP BY output from them") {
+    ensure()
+    spark.sql("CREATE TABLE gstat.st.flows" +
+      " (local_pod STRING, pad STRING, date DATE) PARTITIONED BY (date)")
+    // 20k rows, 50 pods, every 97th pod NULL, incompressible pad
+    spark.sql("INSERT INTO gstat.st.flows SELECT" +
+      " CASE WHEN id % 97 = 0 THEN NULL ELSE 'pod-' || (id % 50) END," +
+      " array_join(transform(sequence(1, 50)," +
+      "   i -> md5(cast(id * 50 + i AS STRING))), '')," +
+      " DATE'2024-01-01' FROM range(0, 20000)")
+    val loc = wh + "/st/flows"
+    val cs = new TxFileIndex(spark, loc).columnCountStats
+    val (ndv, nulls) = cs("local_pod")
+    assert(nulls.contains(20000L / 97 + 1),
+      s"exact footer null count, got $nulls")
+    // Σ per-file approx NDV: >= true 50 (plus the cross-file
+    // over-count), never a lowball below the per-file truth
+    assert(ndv.exists(_ >= 50L), s"ndv upper bound, got $ndv")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val agg = swapped(
+        "SELECT local_pod, count(*) AS n FROM gstat.st.flows" +
+          " GROUP BY local_pod")
+      val st = agg.queryExecution.optimizedPlan.stats
+      // with ndv + nullCount the aggregate output is estimated at
+      // ~|pods| rows, not scan-sized: the broadcast-enabling number
+      assert(st.rowCount.exists(_ < 500),
+        s"aggregate output must be estimated from NDV, got $st")
+    }
+  }
+
+  test("join above a GROUP BY broadcasts only because NDV stats size " +
+      "the aggregate output") {
+    ensure()
+    spark.sql("CREATE TABLE gstat.st.fat2" +
+      " (local_pod STRING, pad STRING, date DATE) PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.fat2 SELECT 'pod-' || (id % 50)," +
+      " array_join(transform(sequence(1, 50)," +
+      "   i -> md5(cast(id * 50 + i AS STRING))), '')," +
+      " DATE'2024-01-01' FROM range(0, 20000)")
+    spark.sql("CREATE TABLE gstat.st.base2 (k STRING, v STRING, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.base2 SELECT 'pod-' || (id % 50)," +
+      " md5(cast(id AS STRING)), DATE'2024-01-01' FROM range(0, 200000)")
+    val q = "SELECT b.k, b.v, a.n FROM gstat.st.base2 b JOIN" +
+      " (SELECT local_pod, count(*) AS n FROM gstat.st.fat2" +
+      "  GROUP BY local_pod) a ON b.k = a.local_pod"
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+      withConf("spark.sql.cbo.enabled" -> "false") {
+        val p = swapped(q).queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+          "size-only stats keep the aggregate scan-sized -> sort-merge\n" +
+            p.take(2000))
+      }
+      withConf("spark.sql.cbo.enabled" -> "true") {
+        val p = swapped(q).queryExecution.executedPlan.toString
+        assert(p.contains("BroadcastHashJoin"),
+          "NDV-sized aggregate output must broadcast\n" + p.take(2000))
+      }
+    }
+  }
+
   test("join-strategy flip: CBO + exact rowCount broadcasts the " +
       "big-on-disk/few-rows side where byte size alone sort-merges") {
     ensure()
