@@ -635,6 +635,30 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // round-12 dialect widening as a driver gate: lambda-first
+    // higher-order array functions, regex/string spellings, bitwise
+    // ops, and the quoted-unit dateDiff — all literal CH text through
+    // chSql, replayed exactly by DuckDB's list/regex/bit operators
+    "q_compat_hof" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_hof")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          sum(arrayCount(x -> x > 2,
+            sequence(1, 1 + CAST(event_id % 5 AS INT)))) AS n_gt2,
+          sum(arraySum(arrayMap(x -> x * x,
+            sequence(1, 1 + CAST(event_id % 3 AS INT))))) AS s_sq,
+          sum(toInt64(arrayExists(x -> x = 4,
+            sequence(1, 1 + CAST(event_id % 5 AS INT))))) AS n_has4,
+          sum(arrayUniq(arrayConcat(sequence(1, 3), sequence(2, 4)))) AS s_uniq,
+          sum(bitAnd(event_id, 255)) AS s_band,
+          sum(bitShiftLeft(event_id % 8, 2)) AS s_shift,
+          sum(toInt64(match(event_type, '^p'))) AS n_match,
+          max(replaceAll(event_type, 'a', '_')) AS r_all,
+          max(extract(event_type, '[aeiou]+')) AS r_vowel,
+          sum(dateDiff('minute', toStartOfHour(ts), ts)) AS s_dmin
+        FROM ch_events_hof GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // CH ASOF JOIN spelling (round 12): literal `ASOF JOIN` query text
     // routed through Compat.rewriteAsof to the single-shuffle
     // union-window plan (the q20_asof formulation — one exchange on
@@ -1003,6 +1027,27 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    // DuckDB range(a, b) is end-EXCLUSIVE: range(1, 2+k) == CH/Spark
+    // sequence(1, 1+k)
+    "q_compat_hof" ->
+      """SELECT user_id,
+        |  CAST(SUM(len(list_filter(range(1, 2 + event_id % 5),
+        |    x -> x > 2))) AS BIGINT) AS n_gt2,
+        |  CAST(SUM(list_sum(list_transform(range(1, 2 + event_id % 3),
+        |    x -> x * x))) AS BIGINT) AS s_sq,
+        |  CAST(SUM(CASE WHEN list_contains(range(1, 2 + event_id % 5), 4)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_has4,
+        |  CAST(SUM(4) AS BIGINT) AS s_uniq,
+        |  CAST(SUM(event_id & 255) AS BIGINT) AS s_band,
+        |  CAST(SUM((event_id % 8) << 2) AS BIGINT) AS s_shift,
+        |  CAST(SUM(CASE WHEN regexp_matches(event_type, '^p')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  MAX(replace(event_type, 'a', '_')) AS r_all,
+        |  MAX(regexp_extract(event_type, '[aeiou]+')) AS r_vowel,
+        |  CAST(SUM(date_diff('minute',
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |    CAST(ts AS TIMESTAMP))) AS BIGINT) AS s_dmin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same deterministic ordering as q20_asof's oracle ((ts, kind,
     // event_id), views-before-purchases at equal ts → inclusive >=),
     // inner form: unmatched purchases drop instead of sentineling

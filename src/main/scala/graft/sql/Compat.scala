@@ -369,6 +369,123 @@ object Compat {
         Count(Seq(e(1))).toAggregateExpression(isDistinct = true),
         Literal(n + 1)))
     }
+    // Higher-order array functions — CH's LAMBDA-FIRST spelling
+    // (arrayMap(x -> ..., arr)) mapped onto Spark's codegen'd
+    // higher-order expressions (argument order swapped; Spark's parser
+    // already produces the LambdaFunction node for `x -> expr`).
+    // Multi-array forms (arrayMap over 2+ arrays = zip semantics) are
+    // refused rather than approximated.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
+        ArrayDistinct, ArrayExcept, ArrayExists, ArrayFilter, ArrayForAll,
+        ArrayIntersect, ArraysOverlap, ArrayTransform, EqualTo, Expression,
+        Flatten, IsNotNull, LambdaFunction, Reverse, Sequence, Size,
+        UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.types.LongType
+      def lam(e: Expression, fname: String): LambdaFunction = e match {
+        case lf: LambdaFunction => lf
+        case other => throw new IllegalArgumentException(
+          s"$fname takes a lambda (x -> ...) as its FIRST argument " +
+            s"(the ClickHouse order), got $other")
+      }
+      def one(e: Seq[Expression], fname: String): Expression = {
+        require(e.length == 2, s"$fname(lambda, array): multi-array " +
+          "forms are not supported")
+        e(1)
+      }
+      f("arrayMap")(e =>
+        ArrayTransform(one(e, "arrayMap"), lam(e.head, "arrayMap")))
+      f("arrayFilter")(e =>
+        ArrayFilter(one(e, "arrayFilter"), lam(e.head, "arrayFilter")))
+      f("arrayExists")(e =>
+        ArrayExists(one(e, "arrayExists"), lam(e.head, "arrayExists")))
+      f("arrayAll")(e =>
+        ArrayForAll(one(e, "arrayAll"), lam(e.head, "arrayAll")))
+      // the analyzer requires a registry-built expression with lambda
+      // arguments to BE a HigherOrderFunction at its root — so count
+      // and first are folds, not Size/element_at compositions
+      f("arrayCount") { e =>
+        val p = lam(e.head, "arrayCount")
+        val acc = UnresolvedNamedLambdaVariable(Seq("__cnt"))
+        ArrayAggregate(one(e, "arrayCount"), Literal(0L),
+          LambdaFunction(Add(acc, If(p.function, Literal(1L), Literal(0L))),
+            Seq(acc, p.arguments.head)),
+          LambdaFunction.identity)
+      }
+      // arrayFirst is deliberately NOT registered: a fold needs an
+      // element-typed zero the registry cannot know pre-analysis, and
+      // CH's no-match-returns-type-default contract cannot be spelled
+      // faithfully. `arrayElement(arrayFilter(f, arr), 1)` composes
+      // the same lookup from supported pieces (NULL on no match).
+      // lambda-less array utilities
+      f("arrayDistinct")(e => ArrayDistinct(e.head))
+      f("arrayUniq")(e => Cast(Size(ArrayDistinct(e.head)), LongType))
+      f("arrayReverse")(e => Reverse(e.head))
+      f("arrayFlatten")(e => Flatten(e.head))
+      f("arrayIntersect")(e => ArrayIntersect(e(0), e(1)))
+      f("arrayEnumerate")(e =>
+        Sequence(Literal(1), Size(e.head), None, None))
+      f("hasAny")(e => ArraysOverlap(e(0), e(1)))
+      f("hasAll")(e =>
+        EqualTo(Size(ArrayExcept(e(1), e(0))), Literal(0)))
+    }
+    // string / regex / date-arithmetic / bitwise spellings, each a
+    // 1:1 native expression (no UDFs); semantically inexact CH
+    // functions (formatDateTime's version-dependent %M, cityHash64's
+    // CH-private algorithm, replaceOne's first-only contract) are
+    // deliberately NOT registered — a loud unknown-function beats a
+    // silently different answer.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Base64, BitwiseAnd,
+        BitwiseNot, BitwiseOr, BitwiseXor, DateAdd, Expression, RLike,
+        RegExpExtract, ShiftLeft, ShiftRight, StringReplace, TimestampAdd,
+        TimestampDiff, UnBase64}
+      import org.apache.spark.sql.types.{BinaryType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+      f("replaceAll")(e => StringReplace(e(0), e(1), e(2)))
+      f("replaceRegexpAll")(e =>
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+          e(0), e(1), e(2)))
+      f("match")(e => RLike(e(0), e(1)))
+      // CH extract: first subpattern when the regex has one, else the
+      // whole match — decidable only for a literal pattern
+      f("extract") { e =>
+        val grp = e(1) match {
+          case Literal(u: UTF8String, StringType) =>
+            if (u.toString.replace("\\(", "").contains("(")) 1 else 0
+          case other => throw new IllegalArgumentException(
+            s"extract needs a literal pattern, got $other")
+        }
+        RegExpExtract(e(0), e(1), Literal(grp))
+      }
+      def addT(u: String)(e: Seq[Expression]): Expression =
+        TimestampAdd(u, e(1), Cast(e(0), TimestampType))
+      def subT(u: String)(e: Seq[Expression]): Expression =
+        TimestampAdd(u,
+          org.apache.spark.sql.catalyst.expressions.UnaryMinus(e(1)),
+          Cast(e(0), TimestampType))
+      Seq("Years" -> "YEAR", "Months" -> "MONTH", "Weeks" -> "WEEK",
+        "Days" -> "DAY", "Hours" -> "HOUR", "Minutes" -> "MINUTE",
+        "Seconds" -> "SECOND").foreach { case (n, u) =>
+        f(s"add$n")(addT(u))
+        f(s"subtract$n")(subT(u))
+      }
+      // dateDiff with CH's QUOTED unit ('day') is handled in
+      // translateCh0's token pass — Spark's parser owns dateDiff and
+      // demands an unquoted unit keyword, so the registry never sees it
+      f("toDateTime")(e => Cast(e.head, TimestampType))
+      f("yesterday")(_ => DateAdd(CurrentDate(), Literal(-1)))
+      f("bitAnd")(e => BitwiseAnd(e(0), e(1)))
+      f("bitOr")(e => BitwiseOr(e(0), e(1)))
+      f("bitXor")(e => BitwiseXor(e(0), e(1)))
+      f("bitNot")(e => BitwiseNot(e.head))
+      f("bitShiftLeft")(e => ShiftLeft(e(0), e(1)))
+      f("bitShiftRight")(e => ShiftRight(e(0), e(1)))
+      f("base64Encode")(e => Base64(Cast(e.head, BinaryType)))
+      f("base64Decode")(e => Cast(UnBase64(e.head), StringType))
+      f("modulo")(e =>
+        org.apache.spark.sql.catalyst.expressions.Remainder(e(0), e(1)))
+    }
     // CH JSON-extraction family (JSONExtract*/JSONHas/JSONLength plus
     // the visitParam*/simpleJSON* fast-path spellings), built on
     // Spark's VARIANT engine: parse once with try semantics (invalid
@@ -876,7 +993,16 @@ object Compat {
 
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
-      rewriteSample(rewriteArrayJoin(translateCh0(sql)))))))
+      rewriteSample(rewriteArrayJoin(rewriteDateDiff(translateCh0(sql))))))))
+
+  /** CH spells `dateDiff('day', a, b)` with a QUOTED unit; Spark's
+    * parser owns dateDiff and demands the unquoted unit keyword, so
+    * the quote is stripped at the syntax level (unit names are plain
+    * identifiers on both sides).
+    */
+  private def rewriteDateDiff(sql: String): String =
+    sql.replaceAll("(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(" +
+      "\\s*'(\\w+)'\\s*,", "$1($2,")
 
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")

@@ -425,6 +425,63 @@ class CompatSpec extends AnyFunSuite {
       r.getLong(3))).toSeq == Seq((6L, 2L, 4L, 1L), (10L, 1L, 5L, 2L)))
   }
 
+  test("round-12 spellings: lambda-first array functions, regex/string, " +
+      "date arithmetic, bitwise, base64") {
+    Seq((Seq(1L, 2L, 3L, 4L), "banana", 12L,
+        java.sql.Timestamp.valueOf("2024-03-05 10:17:30")),
+      (Seq(5L, 5L, 6L), "apple", 200L,
+        java.sql.Timestamp.valueOf("2024-03-05 23:59:59")))
+      .toDF("arr", "s", "b", "ts").createOrReplaceTempView("cx_hof")
+    val r = Compat.chSql(spark, """
+      SELECT arrayMap(x -> x * 10, arr) AS m,
+        arrayFilter(x -> x % 2 = 0, arr) AS fl,
+        arrayCount(x -> x > 2, arr) AS c,
+        arrayExists(x -> x = 6, arr) AS ex,
+        arrayAll(x -> x < 10, arr) AS al,
+        arrayElement(arrayFilter(x -> x > 3, arr), 1) AS fi,
+        arrayUniq(arr) AS u,
+        arrayReverse(arr) AS rv,
+        hasAny(arr, arrayConcat(arr, arr)) AS ha,
+        hasAll(arr, arrayDistinct(arr)) AS hl,
+        arrayEnumerate(arr) AS en
+      FROM cx_hof ORDER BY b""").collect()
+    assert(r(0).getSeq[Long](0) == Seq(10L, 20L, 30L, 40L))
+    assert(r(0).getSeq[Long](1) == Seq(2L, 4L))
+    assert(r(0).getLong(2) == 2L && r(1).getLong(2) == 3L)
+    assert(!r(0).getBoolean(3) && r(1).getBoolean(3))
+    assert(r(0).getBoolean(4))
+    assert(r(0).getLong(5) == 4L)
+    assert(r(0).getLong(6) == 4L && r(1).getLong(6) == 2L)
+    assert(r(0).getSeq[Long](7) == Seq(4L, 3L, 2L, 1L))
+    assert(r(0).getBoolean(8) && r(0).getBoolean(9))
+    assert(r(1).getSeq[Int](10) == Seq(1, 2, 3))
+    val r2 = Compat.chSql(spark, """
+      SELECT replaceAll(s, 'a', '_') AS ra,
+        replaceRegexpAll(s, '[aeiou]', '.') AS rr,
+        match(s, '^ban') AS mt,
+        extract(s, 'an(a?)n') AS exg,
+        extract(s, '[b-p]+') AS exw,
+        bitAnd(b, 10) AS ba, bitOr(b, 1) AS bo, bitXor(b, 6) AS bx,
+        bitNot(b) AS bn, bitShiftLeft(b, 2) AS bsl,
+        bitShiftRight(b, 1) AS bsr, modulo(b, 7) AS md,
+        base64Decode(base64Encode(s)) AS b64,
+        dateDiff('minute', toStartOfHour(ts), ts) AS dm,
+        toUnixTimestamp(addDays(ts, 2)) - toUnixTimestamp(ts) AS ad,
+        toUnixTimestamp(subtractHours(ts, 3)) - toUnixTimestamp(ts) AS sh
+      FROM cx_hof ORDER BY b""").collect()
+    val x = r2(0)
+    assert(x.getString(0) == "b_n_n_" && x.getString(1) == "b.n.n.")
+    assert(x.getBoolean(2))
+    assert(x.getString(3) == "a", "first subpattern when a group exists")
+    assert(x.getString(4) == "b", "whole match when no group")
+    assert(x.getLong(5) == 8L && x.getLong(6) == 13L && x.getLong(7) == 10L)
+    assert(x.getLong(8) == ~12L && x.getLong(9) == 48L && x.getLong(10) == 6L)
+    assert(x.getLong(11) == 5L)
+    assert(x.getString(12) == "banana")
+    assert(x.getLong(13) == 17L)
+    assert(x.getLong(14) == 2L * 86400L && x.getLong(15) == -3L * 3600L)
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
