@@ -35,7 +35,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("vacuum", "optimize", "zorder", "expire_log", "history",
-      "purge_deletes")
+      "purge_deletes", "analyze")
 
   def load(name: String, catalog: GraftCatalog): UnboundProcedure =
     name.toLowerCase match {
@@ -49,6 +49,7 @@ object GraftProcedures {
       case "clone" => new CloneProc(catalog)
       case "attach_partition" => new AttachPartitionProc(catalog)
       case "parts" => new PartsProc(catalog)
+      case "analyze" => new AnalyzeProc(catalog)
       case "drop_partition" => new DropPartitionProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
@@ -228,6 +229,22 @@ object GraftProcedures {
       result(StructType(Seq(
         StructField("version", LongType, nullable = false))),
         Seq(Seq(v)))
+    }
+  }
+
+  /** `CALL gcat.sys.analyze(table => 'ns.t')` — backfill footer-derived
+    * count stats onto pre-upgrade log entries ([[TxTable.analyzeTable]]):
+    * ANALYZE TABLE's job, done from parquet footers + one metadata
+    * commit, no data rewrite, no scan.
+    */
+  private class AnalyzeProc(catalog: GraftCatalog)
+      extends SysProc("analyze", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = TxTable.analyzeTable(spark,
+        pathOf(catalog, input.getUTF8String(0).toString))
+      result(StructType(Seq(
+        StructField("files_backfilled", LongType, nullable = false))),
+        Seq(Seq(math.max(n, 0L))))
     }
   }
 

@@ -1191,6 +1191,47 @@ object TxTable {
       op = Some("append"), expectMark = expectMark, propsSet = propsSet)
   }
 
+  /** ANALYZE: backfill footer-derived stats (`#rows`, `#nulls`, and
+    * the min/max ranges for [[statsColumns]]) onto live files whose
+    * log entries predate them — how a PRE-UPGRADE table gains an exact
+    * rowCount for the optimizer without rewriting a byte of data.
+    * Pure metadata: footer reads on the bounded driver pool + ONE
+    * R-then-A meta-update commit (the deletion-vector pattern), with
+    * the files themselves untouched. Existing stats entries win on
+    * conflict (bloom pointers, `#dv`, already-present ranges), the
+    * removal guard refuses if compaction dropped a file concurrently,
+    * and the DV CAS refuses if a vector landed meanwhile. NDV stats
+    * are NOT backfilled (they need a value pass — they arrive with the
+    * next rewrite); rowCount alone is what unlocks the CBO. Returns
+    * the number of files updated, -1 when nothing was missing.
+    */
+  def analyzeTable(spark: SparkSession, table: String): Long = {
+    val (fs, root) = fsFor(spark, table)
+    val missing = snapshotFiles(fs, root).filter {
+      case (_, m) => !m.stats.contains(RowsKey)
+    }.toSeq
+    if (missing.isEmpty) return -1L
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, missing.size))
+    val updated =
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(Future.traverse(missing) { case (rel, m) =>
+          Future(rel -> m.copy(stats =
+            footerStats(fs, new Path(root, rel)) ++ m.stats))
+        }, Duration.Inf)
+      } finally pool.shutdown()
+    commitRetry(fs, root, updated, updated.map(_._1),
+      op = Some("analyze"),
+      expectDv = updated.map { case (rel, m) =>
+        rel -> DvStore.pointerOf(m.stats)
+      }.toMap)
+    updated.size.toLong
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: record property changes in
     * one data-less commit (replayed like files/schema; checkpoints
     * preserve them). */

@@ -53,6 +53,46 @@ object Compat {
     f("toStartOfDay")(e =>
       TruncTimestamp(Literal("day"), Cast(e.head, TimestampType)))
     f("toDate")(e => Cast(e.head, DateType))
+    // fixed-width time buckets: epoch-second floor arithmetic (exactly
+    // CH's contract for second-granularity intervals; month/quarter/
+    // year intervals map to date_trunc when the count is 1, otherwise
+    // refused — calendar multi-month buckets have no anchor CH and
+    // Spark agree on)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Expression,
+        IntegralDivide, Multiply}
+      import org.apache.spark.sql.types.{DayTimeIntervalType, LongType,
+        YearMonthIntervalType}
+      def floorTo(ts: Expression, seconds: Long): Expression =
+        Cast(Multiply(
+          IntegralDivide(Cast(Cast(ts, TimestampType), LongType),
+            Literal(seconds)),
+          Literal(seconds)), TimestampType)
+      f("toStartOfFifteenMinutes")(e => floorTo(e.head, 900L))
+      f("toStartOfFiveMinutes")(e => floorTo(e.head, 300L))
+      f("toStartOfTenMinutes")(e => floorTo(e.head, 600L))
+      f("toStartOfInterval") { e =>
+        e(1) match {
+          case Literal(micros: Long, _: DayTimeIntervalType) =>
+            require(micros > 0 && micros % 1000000L == 0,
+              "toStartOfInterval needs a positive whole-second interval")
+            floorTo(e.head, micros / 1000000L)
+          case Literal(months: Int, _: YearMonthIntervalType) =>
+            val unit = months match {
+              case 1  => "month"
+              case 3  => "quarter"
+              case 12 => "year"
+              case n => throw new IllegalArgumentException(
+                s"toStartOfInterval: unsupported $n-month bucket — only " +
+                  "1 (month), 3 (quarter), 12 (year) have an anchored " +
+                  "meaning shared by both engines")
+            }
+            TruncTimestamp(Literal(unit), Cast(e.head, TimestampType))
+          case other => throw new IllegalArgumentException(
+            s"toStartOfInterval needs a literal INTERVAL, got $other")
+        }
+      }
+    }
     // IPv4 dotted-quad codecs over the compat view's string IPs
     f("IPv4NumToString")(e => LongToIp(e.head))
     f("IPv4StringToNum")(e => IpToLong(e.head))
@@ -993,7 +1033,18 @@ object Compat {
 
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
-      rewriteSample(rewriteArrayJoin(rewriteDateDiff(translateCh0(sql))))))))
+      rewriteSample(rewriteArrayJoin(rewriteNumbers(
+        rewriteDateDiff(translateCh0(sql)))))))))
+
+  /** CH `FROM numbers(N)` / `numbers(M, N)` — the row-generator table
+    * function — → Spark's `range`, with CH's column name (`number`).
+    * Literal arguments only (CH's own contract for the table form).
+    */
+  private def rewriteNumbers(sql: String): String =
+    sql.replaceAll("(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)",
+        "(SELECT id AS number FROM range($1))")
+      .replaceAll("(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)",
+        "(SELECT id AS number FROM range($1, $1 + $2))")
 
   /** CH spells `dateDiff('day', a, b)` with a QUOTED unit; Spark's
     * parser owns dateDiff and demands the unquoted unit keyword, so

@@ -153,6 +153,32 @@ class CatalogStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL sys.analyze backfills #rows onto pre-upgrade log entries " +
+      "from footers alone") {
+    ensure()
+    spark.sql("CREATE TABLE gstat.st.old (k BIGINT, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.old SELECT id, DATE'2024-01-01'" +
+      " FROM range(0, 123)")
+    val loc = wh + "/st/old"
+    // simulate a pre-upgrade log: re-add the live rels with EMPTY stats
+    // (the ops/test seam) — replay nets to stats-less metas
+    val live = TxTable.liveStats(spark, loc).toSeq
+    TxTable.commitActions(spark, loc,
+      live.map { case (rel, m) => (rel, m.date, m.bytes) }, Seq.empty)
+    assert(new TxFileIndex(spark, loc).exactRowCount.isEmpty,
+      "stats-less entries must read as unknown")
+    val n = spark.sql("CALL gstat.sys.analyze(table => 'st.old')")
+      .head.getLong(0)
+    assert(n == live.size)
+    assert(new TxFileIndex(spark, loc).exactRowCount.contains(123L))
+    // second call: nothing missing, still reports cleanly
+    assert(spark.sql("CALL gstat.sys.analyze(table => 'st.old')")
+      .head.getLong(0) == 0L)
+    // data untouched: same file identities
+    assert(TxTable.liveStats(spark, loc).keySet == live.map(_._1).toSet)
+  }
+
   test("join-strategy flip: CBO + exact rowCount broadcasts the " +
       "big-on-disk/few-rows side where byte size alone sort-merges") {
     ensure()

@@ -482,6 +482,34 @@ class CompatSpec extends AnyFunSuite {
     assert(x.getLong(14) == 2L * 86400L && x.getLong(15) == -3L * 3600L)
   }
 
+  test("round-12: numbers() table function and fixed-width time buckets") {
+    Compat.registerClickHouseFunctions(spark)
+    val n = Compat.chSql(spark,
+      "SELECT sum(number) AS s, count() AS c FROM numbers(10)")
+      .collect().head
+    assert(n.getLong(0) == 45L && n.getLong(1) == 10L)
+    val n2 = Compat.chSql(spark,
+      "SELECT min(number) AS lo, max(number) AS hi FROM numbers(5, 3)")
+      .collect().head
+    assert(n2.getLong(0) == 5L && n2.getLong(1) == 7L)
+    Seq(java.sql.Timestamp.valueOf("2024-03-05 10:47:31"))
+      .toDF("ts").createOrReplaceTempView("cx_buckets")
+    val b = Compat.chSql(spark, """
+      SELECT toStartOfFifteenMinutes(ts) AS q15,
+        toStartOfInterval(ts, INTERVAL 5 MINUTE) AS i5,
+        toStartOfInterval(ts, INTERVAL 2 HOUR) AS i2h,
+        toStartOfInterval(ts, INTERVAL 1 MONTH) AS im
+      FROM cx_buckets""").collect().head
+    assert(b.getTimestamp(0).toString == "2024-03-05 10:45:00.0")
+    assert(b.getTimestamp(1).toString == "2024-03-05 10:45:00.0")
+    assert(b.getTimestamp(2).toString == "2024-03-05 10:00:00.0")
+    assert(b.getTimestamp(3).toString == "2024-03-01 00:00:00.0")
+    val bad = intercept[Exception](Compat.chSql(spark,
+      "SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM cx_buckets")
+      .collect())
+    assert(bad.getMessage.contains("2-month"))
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
