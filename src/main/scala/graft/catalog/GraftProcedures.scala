@@ -50,6 +50,7 @@ object GraftProcedures {
       case "attach_partition" => new AttachPartitionProc(catalog)
       case "parts" => new PartsProc(catalog)
       case "analyze" => new AnalyzeProc(catalog)
+      case "stats" => new StatsProc(catalog)
       case "drop_partition" => new DropPartitionProc(catalog)
       case other => throw new RuntimeException(
         s"no such procedure gcat.sys.$other — available: " +
@@ -245,6 +246,31 @@ object GraftProcedures {
       result(StructType(Seq(
         StructField("files_backfilled", LongType, nullable = false))),
         Seq(Seq(math.max(n, 0L))))
+    }
+  }
+
+  /** `CALL gcat.sys.stats(table => 'ns.t')` — the optimizer's view of
+    * the table, from log metadata alone: one `#table` row with the
+    * exact live row count, then one row per counted column (NDV upper
+    * bound, exact null count). What `DESCRIBE EXTENDED` shows for an
+    * ANALYZE'd Hive table, served with zero data I/O.
+    */
+  private class StatsProc(catalog: GraftCatalog)
+      extends SysProc("stats", Seq(tableParam)) {
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val loc = pathOf(catalog, input.getUTF8String(0).toString)
+      val ix = new graft.sink.TxFileIndex(spark, loc)
+      val head = Seq[Any]("#table",
+        ix.exactRowCount.map(Long.box).orNull, null)
+      val cols = ix.columnCountStats.toSeq.sortBy(_._1).map {
+        case (c, (ndv, nulls)) => Seq[Any](c,
+          ndv.map(Long.box).orNull, nulls.map(Long.box).orNull)
+      }
+      result(StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("ndv_upper", LongType, nullable = true),
+        StructField("null_count", LongType, nullable = true))),
+        head +: cols)
     }
   }
 

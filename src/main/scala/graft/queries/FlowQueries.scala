@@ -659,6 +659,18 @@ object FlowQueries {
         FROM ch_events_hof GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // numbers() row generator + fixed-width time buckets, as literal CH
+    // text; DuckDB replays the 15-minute bucket via time_bucket (same
+    // epoch anchor: 2000-01-01 is a whole multiple of 900 s)
+    "q_compat_numbers" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_num")
+      graft.sql.Compat.chSql(s, """
+        SELECT toStartOfFifteenMinutes(ts) AS q15, count() AS n,
+          sum(event_id % 100) AS s_mod,
+          (SELECT sum(number) FROM numbers(100)) AS s_num
+        FROM ch_events_num GROUP BY q15 ORDER BY q15""")
+    }),
+
     // CH ASOF JOIN spelling (round 12): literal `ASOF JOIN` query text
     // routed through Compat.rewriteAsof to the single-shuffle
     // union-window plan (the q20_asof formulation — one exchange on
@@ -1027,6 +1039,13 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    "q_compat_numbers" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |    AS q15,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id % 100) AS BIGINT) AS s_mod,
+        |  CAST((SELECT SUM(range) FROM range(100)) AS BIGINT) AS s_num
+        |FROM events GROUP BY q15 ORDER BY q15""".stripMargin,
     // DuckDB range(a, b) is end-EXCLUSIVE: range(1, 2+k) == CH/Spark
     // sequence(1, 1+k)
     "q_compat_hof" ->

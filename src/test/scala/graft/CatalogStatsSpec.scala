@@ -177,6 +177,10 @@ class CatalogStatsSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
     // data untouched: same file identities
     assert(TxTable.liveStats(spark, loc).keySet == live.map(_._1).toSet)
+    // the observability surface reads the same numbers back
+    val st = spark.sql("CALL gstat.sys.stats(table => 'st.old')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st("#table").getLong(1) == 123L)
   }
 
   test("join-strategy flip: CBO + exact rowCount broadcasts the " +
