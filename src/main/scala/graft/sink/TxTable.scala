@@ -947,13 +947,25 @@ object TxTable {
     val valueBlooms: Map[String, Map[String, ColStats]] =
       if (bloomCols.isEmpty || files.isEmpty) Map.empty
       else {
-        // per-file approximate NDV rides the SAME job as the Bloom
-        // build (one extra agg column on a scan already paid for) —
-        // the `<col>#ndv` count stat the CBO's aggregate estimation
-        // needs (see [[NdvSuffix]])
-        val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c)) ++
-          bloomCols.map(c =>
-            approx_count_distinct(col(c)).as(s"$c$NdvSuffix"))
+        // per-file approximate NDV (`<col>#ndv`, the CBO count stat) is
+        // DERIVED from the bitset the job collects anyway — the Bloom
+        // swamping estimator n ≈ -(m/k)·ln(1 - X/m), X = bits set —
+        // so it costs a driver-side popcount, not a second distributed
+        // aggregate re-hashing every value (an approx_count_distinct
+        // column here measured ~1.15× on the bloom-writing gates)
+        val aggs = bloomCols.map(c => Bloom.agg(col(c)).as(c))
+        def ndvOf(bits: Array[Byte]): Long = {
+          var x = 0L
+          var i = 0
+          while (i < bits.length) {
+            x += java.lang.Integer.bitCount(bits(i) & 0xff); i += 1
+          }
+          val m = Bloom.M.toDouble
+          // saturated filter: unknown-large. 2^40 keeps a million-file
+          // Σ far from Long overflow; the catalog clamps to rowCount.
+          if (x >= Bloom.M) 1L << 40
+          else math.round(-(m / Bloom.K) * math.log1p(-x / m))
+        }
         stagedByName.groupBy("__name")
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
@@ -961,7 +973,7 @@ object TxTable {
               c -> ColStats('b', Bloom.encode(r.getAs[Array[Byte]](c)),
                 s"${Bloom.M},${Bloom.K}")
             } ++ bloomCols.map { c =>
-              val n = r.getAs[Long](s"$c$NdvSuffix")
+              val n = ndvOf(r.getAs[Array[Byte]](c))
               s"$c$NdvSuffix" -> ColStats('l', n.toString, n.toString)
             }).toMap
           }.toMap
