@@ -659,6 +659,25 @@ object FlowQueries {
         FROM ch_events_hof GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // sumMap/minMap/maxMap — CH's map-combining aggregates over the
+    // (keys array, values array) spelling, O(distinct keys) state;
+    // DuckDB replays via unnest + per-key group + ordered list agg
+    "q_compat_summap" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sm2")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          sumMap(ka, va).keys AS ks,
+          sumMap(ka, va).vals AS vs,
+          minMap(ka, va).vals AS mnv,
+          maxMap(ka, va).vals AS mxv
+        FROM (SELECT user_id,
+            arrayConcat(array(event_id % 3), array(event_id % 5 + 10)) AS ka,
+            arrayConcat(array(CAST(1 AS BIGINT)),
+              array(event_id % 7)) AS va
+          FROM ch_events_sm2) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // numbers() row generator + fixed-width time buckets, as literal CH
     // text; DuckDB replays the 15-minute bucket via time_bucket (same
     // epoch anchor: 2000-01-01 is a whole multiple of 900 s)
@@ -1039,6 +1058,21 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    "q_compat_summap" ->
+      """WITH pairs AS (
+        |  SELECT user_id, k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM (
+        |    SELECT user_id, event_id % 3 AS k, CAST(1 AS BIGINT) AS v
+        |    FROM events
+        |    UNION ALL
+        |    SELECT user_id, event_id % 5 + 10, event_id % 7 FROM events) t
+        |  GROUP BY 1, 2)
+        |SELECT user_id,
+        |  list(k ORDER BY k) AS ks,
+        |  list(CAST(s AS BIGINT) ORDER BY k) AS vs,
+        |  list(CAST(mn AS BIGINT) ORDER BY k) AS mnv,
+        |  list(CAST(mx AS BIGINT) ORDER BY k) AS mxv
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_numbers" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |    AS q15,

@@ -396,6 +396,13 @@ object Compat {
       graft.functions.SequenceCountChain(atoms, e(1), e.drop(2))
         .toAggregateExpression()
     }
+    // map-combining aggregates over the (keys array, values array)
+    // spelling — O(distinct keys) partial-aggregating state, see
+    // [[graft.functions.MapCombineAgg]]
+    for (mop <- Seq("sum", "min", "max"))
+      f(s"${mop}Map")(e =>
+        graft.functions.MapCombineAgg(mop, e(0), e(1))
+          .toAggregateExpression())
     // uniqUpTo(N)(x): EXACT distinct count while <= N, else N+1 — the
     // CH small-cardinality guard, composed from exact pieces
     f("uniqUpTo") { e =>

@@ -510,6 +510,32 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("2-month"))
   }
 
+  test("round-12: sumMap/minMap/maxMap combine values per key") {
+    Seq((Seq(1L, 2L), Seq(10L, 20L)),
+      (Seq(2L, 3L), Seq(5L, 7L)),
+      (Seq(1L), Seq(100L)))
+      .toDF("ks", "vs").createOrReplaceTempView("cx_map")
+    val r = Compat.chSql(spark, """
+      SELECT sumMap(ks, vs).keys AS k,
+        sumMap(ks, vs).vals AS s,
+        minMap(ks, vs).vals AS mn,
+        maxMap(ks, vs).vals AS mx
+      FROM cx_map""").collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(110L, 25L, 7L))
+    assert(r.getSeq[Long](2) == Seq(10L, 5L, 7L),
+      "minMap must never see a phantom 0 for an absent key")
+    assert(r.getSeq[Long](3) == Seq(100L, 20L, 7L))
+    // string keys sort ascending, double values sum
+    Seq((Seq("b", "a"), Seq(1.5, 2.5)), (Seq("a"), Seq(1.0)))
+      .toDF("ks", "vs").createOrReplaceTempView("cx_map2")
+    val r2 = Compat.chSql(spark,
+      "SELECT sumMap(ks, vs).keys AS k, sumMap(ks, vs).vals AS s" +
+        " FROM cx_map2").collect().head
+    assert(r2.getSeq[String](0) == Seq("a", "b"))
+    assert(r2.getSeq[Double](1) == Seq(3.5, 1.5))
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
