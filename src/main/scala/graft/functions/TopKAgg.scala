@@ -24,14 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * are refused at analysis, not silently stringified.
   */
 case class TopKAgg(k: Int, child: Expression,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.Map[String, Long]] {
 
   private val cap = math.max(8 * k, 256)
 
-  override def prettyName: String = "topK"
-  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String =
+    if (weight.isDefined) "topKWeighted" else "topK"
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType,
     containsNull = false)
@@ -70,7 +72,19 @@ case class TopKAgg(k: Int, child: Expression,
   override def update(buf: mutable.Map[String, Long],
       input: InternalRow): mutable.Map[String, Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, keyOf(v), 1L)
+    // topKWeighted: each row counts `weight` instead of 1 (CH's
+    // spelling for pre-aggregated frequencies); NULL weight = skip
+    val n = weight match {
+      case None => 1L
+      case Some(w) => w.eval(input) match {
+        case null       => 0L
+        case x: Long    => x
+        case x: Int     => x.toLong
+        case other      => throw new IllegalStateException(
+          s"topKWeighted weight must be integral, got $other")
+      }
+    }
+    if (v != null && n > 0) add(buf, keyOf(v), n)
     buf
   }
 
@@ -130,5 +144,6 @@ case class TopKAgg(k: Int, child: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = weight.map(_ => newChildren(1)))
 }

@@ -347,6 +347,18 @@ object Compat {
       require(k > 0, s"topK k must be positive, got $k")
       graft.functions.TopKAgg(k, e(1)).toAggregateExpression()
     }
+    // topKWeighted(k)(x, w): same sketch, each row counts w instead
+    // of 1 (CH's spelling for pre-aggregated frequencies)
+    f("topKWeighted") { e =>
+      val k = e.head match {
+        case Literal(v: Int, _)  => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"topKWeighted k must be an integer literal, got $other")
+      }
+      require(k > 0, s"topKWeighted k must be positive, got $k")
+      graft.functions.TopKAgg(k, e(1), Some(e(2))).toAggregateExpression()
+    }
     f("retention") { e =>
       import org.apache.spark.sql.catalyst.expressions.{CreateArray, Multiply}
       val m = e.map(c => Cast(
@@ -475,6 +487,69 @@ object Compat {
       f("hasAny")(e => ArraysOverlap(e(0), e(1)))
       f("hasAll")(e =>
         EqualTo(Size(ArrayExcept(e(1), e(0))), Literal(0)))
+      // array arithmetic (CH returns Float64 for avg/product; the
+      // difference array pairs each element with its predecessor, head
+      // paired with itself -> leading 0, exactly CH's contract)
+      import org.apache.spark.sql.catalyst.expressions.{Add => CAdd,
+        ArrayAggregate => AAgg, Concat, Divide, LambdaFunction => LF,
+        Multiply, Slice, Subtract, ZipWith}
+      import org.apache.spark.sql.types.DoubleType
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      f("arrayAvg") { e =>
+        val s = AAgg(e.head, Literal(0.0),
+          LF(CAdd(lv("aa"), Cast(lv("ax"), DoubleType)),
+            Seq(lv("aa"), lv("ax"))),
+          LambdaFunction.identity)
+        Divide(s, Cast(Size(e.head), DoubleType))
+      }
+      f("arrayProduct")(e => AAgg(e.head, Literal(1.0),
+        LF(Multiply(lv("pa"), Cast(lv("px"), DoubleType)),
+          Seq(lv("pa"), lv("px"))),
+        LambdaFunction.identity))
+      f("arrayDifference") { e =>
+        val shifted = Concat(Seq(Slice(e.head, Literal(1), Literal(1)),
+          Slice(e.head, Literal(1),
+            Subtract(Size(e.head), Literal(1)))))
+        ZipWith(e.head, shifted,
+          LF(Subtract(lv("dx"), lv("dy")), Seq(lv("dx"), lv("dy"))))
+      }
+      f("arrayZip")(e => ZipWith(e(0), e(1),
+        LF(org.apache.spark.sql.catalyst.expressions.CreateStruct(
+          Seq(lv("zx"), lv("zy"))), Seq(lv("zx"), lv("zy")))))
+      // CH `transform`: 2-arg = Spark's own higher-order map (pass
+      // through, so existing `transform(arr, x -> ...)` text keeps
+      // working); 3/4-arg = CH's VALUE-MAPPING transform(x, from, to
+      // [, default]) over literal arrays -> a CASE chain (3-arg
+      // default: x itself, the CH contract)
+      f("transform") { e =>
+        def elems(x: Expression, which: String): Seq[Expression] =
+          x match {
+            case org.apache.spark.sql.catalyst.expressions
+              .CreateArray(es, _) => es
+            case other => throw new IllegalArgumentException(
+              s"transform $which must be an array(...) literal, " +
+                s"got $other")
+          }
+        e match {
+          case Seq(arr, lf: LambdaFunction) => ArrayTransform(arr, lf)
+          case Seq(x, from, to) =>
+            val (fs, ts) = (elems(from, "from"), elems(to, "to"))
+            require(fs.size == ts.size,
+              "transform: from/to arrays must have equal length")
+            org.apache.spark.sql.catalyst.expressions.CaseWhen(
+              fs.zip(ts).map { case (fe, te) => (EqualTo(x, fe), te) },
+              Some(x))
+          case Seq(x, from, to, dflt) =>
+            val (fs, ts) = (elems(from, "from"), elems(to, "to"))
+            require(fs.size == ts.size,
+              "transform: from/to arrays must have equal length")
+            org.apache.spark.sql.catalyst.expressions.CaseWhen(
+              fs.zip(ts).map { case (fe, te) => (EqualTo(x, fe), te) },
+              Some(dflt))
+          case _ => throw new IllegalArgumentException(
+            "transform takes (arr, lambda) or (x, from, to[, default])")
+        }
+      }
     }
     // string / regex / date-arithmetic / bitwise spellings, each a
     // 1:1 native expression (no UDFs); semantically inexact CH
@@ -655,7 +730,8 @@ object Compat {
     * untouched and fail analysis with a clear message.
     */
   private val parametricNames = Set("quantile", "quantiles",
-    "quantileexact", "quantiletiming", "topk", "histogram", "uniqupto",
+    "quantileexact", "quantiletiming", "topk", "topkweighted",
+    "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in

@@ -536,6 +536,37 @@ class CompatSpec extends AnyFunSuite {
     assert(r2.getSeq[Double](1) == Seq(3.5, 1.5))
   }
 
+  test("round-12: array math, CH transform value-mapping, topKWeighted") {
+    Seq((Seq(1L, 4L, 9L), 6L, 3L), (Seq(2L, 2L), 6L, 1L),
+      (Seq(10L), 8L, 5L))
+      .toDF("arr", "x", "w").createOrReplaceTempView("cx_am")
+    val r = Compat.chSql(spark, """
+      SELECT arrayAvg(arr) AS av, arrayProduct(arr) AS pr,
+        arrayDifference(arr) AS df,
+        arrayZip(arr, arrayReverse(arr)) AS zp,
+        transform(x, array(6, 7), array(60, 70), -1) AS tr4,
+        transform(x, array(7), array(70)) AS tr3,
+        transform(arr, e -> e + 1) AS hof
+      FROM cx_am ORDER BY x, av""").collect()
+    assert(r(0).getDouble(0) == 2.0 && r(1).getDouble(0) == (14.0 / 3))
+    assert(r(1).getDouble(1) == 36.0)
+    assert(r(1).getSeq[Long](2) == Seq(0L, 3L, 5L))
+    assert(r(1).getSeq[org.apache.spark.sql.Row](3)
+      .map(t => (t.getLong(0), t.getLong(1))) == Seq((1L, 9L), (4L, 4L), (9L, 1L)))
+    assert(r(0).getInt(4) == 60 && r(1).getInt(4) == 60 &&
+      r(2).getInt(4) == -1, "4-arg transform maps with default")
+    assert(r(0).getLong(5) == 6L && r(2).getLong(5) == 8L,
+      "3-arg transform defaults to x itself")
+    assert(r(1).getSeq[Long](6) == Seq(2L, 5L, 10L),
+      "2-arg transform stays Spark's higher-order map")
+    // topKWeighted: weights dominate raw row counts
+    Seq(("a", 1L), ("b", 10L), ("a", 1L), ("c", 3L))
+      .toDF("k", "w").createOrReplaceTempView("cx_tkw")
+    val tw = Compat.chSql(spark,
+      "SELECT topKWeighted(2)(k, w) AS t FROM cx_tkw").collect().head
+    assert(tw.getSeq[String](0) == Seq("b", "c"))
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
