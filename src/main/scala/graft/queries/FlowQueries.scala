@@ -659,6 +659,25 @@ object FlowQueries {
         FROM ch_events_hof GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // URL function family over per-row synthesized URLs (documents
+    // carries no real URLs) — the web-corpus columns a crawl pipeline
+    // derives before domain caps / URL dedup; DuckDB replays with
+    // plain regexp_extract
+    "q_compat_url" -> ((s, d) => {
+      graft.Tables.documents(s, d).createOrReplaceTempView("ch_docs_url")
+      graft.sql.Compat.chSql(s, """
+        SELECT dm AS domain, count() AS n,
+          max(tld) AS tld, max(pa) AS max_path, max(lg) AS max_lang
+        FROM (SELECT
+            domain(u) AS dm, topLevelDomain(u) AS tld, path(u) AS pa,
+            extractURLParameter(u, 'lang') AS lg
+          FROM (SELECT concat('https://www.', source, '.example.',
+              CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END,
+              '/p/', CAST(doc_id AS STRING), '?lang=', lang) AS u
+            FROM ch_docs_url) t0) t
+        GROUP BY dm ORDER BY dm""")
+    }),
+
     // sumMap/minMap/maxMap — CH's map-combining aggregates over the
     // (keys array, values array) spelling, O(distinct keys) state;
     // DuckDB replays via unnest + per-key group + ordered list agg
@@ -1058,6 +1077,21 @@ object FlowQueries {
         |  SELECT DISTINCT a.user_id FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_type = 'signup'
         |    AND b.event_type = 'purchase' AND b.ts > a.ts) t""".stripMargin,
+    "q_compat_url" ->
+      """WITH t AS (
+        |  SELECT 'https://www.' || source || '.example.' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+        |      '/p/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS u
+        |  FROM documents
+        |), p AS (
+        |  SELECT regexp_extract(u, '^[a-z]+://([^/?#]+)', 1) AS dm,
+        |    regexp_extract(u, '\.([a-z]+)(?:/|$)', 1) AS tld,
+        |    regexp_extract(u, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS pa,
+        |    regexp_extract(u, '[?&]lang=([^&#]*)', 1) AS lg
+        |  FROM t)
+        |SELECT dm AS domain, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(tld) AS tld, MAX(pa) AS max_path, MAX(lg) AS max_lang
+        |FROM p GROUP BY dm ORDER BY dm""".stripMargin,
     "q_compat_summap" ->
       """WITH pairs AS (
         |  SELECT user_id, k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx

@@ -607,6 +607,67 @@ object Compat {
       f("base64Decode")(e => Cast(UnBase64(e.head), StringType))
       f("modulo")(e =>
         org.apache.spark.sql.catalyst.expressions.Remainder(e(0), e(1)))
+      // URL functions — the web-corpus staples, all on Spark's native
+      // ParseUrl (java.net.URI semantics) + string expressions. CH's
+      // empty-string-on-miss contract is kept via coalesce.
+      import org.apache.spark.sql.catalyst.expressions.{Coalesce, Contains,
+        ElementAt, ParseUrl, RegExpCount, RegExpExtractAll, RegExpReplace,
+        StringSplit}
+      def urlPart(u: Expression, part: String): Expression =
+        Coalesce(Seq(ParseUrl(Seq(u,
+          Literal(UTF8String.fromString(part), StringType)),
+          failOnError = false), Literal("")))
+      f("protocol")(e => urlPart(e.head, "PROTOCOL"))
+      f("domain")(e => urlPart(e.head, "HOST"))
+      f("path")(e => urlPart(e.head, "PATH"))
+      f("queryString")(e => urlPart(e.head, "QUERY"))
+      f("fragment")(e => urlPart(e.head, "REF"))
+      f("domainWithoutWWW")(e =>
+        RegExpReplace(urlPart(e.head, "HOST"), Literal("^www\\."),
+          Literal("")))
+      f("topLevelDomain") { e =>
+        val h = urlPart(e.head, "HOST")
+        If(Contains(h, Literal(".")),
+          ElementAt(StringSplit(h, Literal("\\."), Literal(-1)),
+            Literal(-1)),
+          Literal(""))
+      }
+      f("extractURLParameter")(e => Coalesce(Seq(
+        ParseUrl(Seq(e(0),
+          Literal(UTF8String.fromString("QUERY"), StringType), e(1)),
+          failOnError = false), Literal(""))))
+      f("cutFragment")(e =>
+        ElementAt(StringSplit(e.head, Literal("#"), Literal(2)),
+          Literal(1)))
+      f("cutQueryStringAndFragment")(e =>
+        ElementAt(StringSplit(e.head, Literal("[?#]"), Literal(2)),
+          Literal(1)))
+      // remaining string/regex spellings
+      f("splitByString") { e =>
+        val sep = e.head match {
+          case Literal(u: UTF8String, StringType) =>
+            java.util.regex.Pattern.quote(u.toString)
+          case other => throw new IllegalArgumentException(
+            s"splitByString needs a literal separator, got $other")
+        }
+        StringSplit(e(1), Literal(sep), Literal(-1))
+      }
+      f("extractAll") { e =>
+        val grp = e(1) match {
+          case Literal(u: UTF8String, StringType) =>
+            if (u.toString.replace("\\(", "").contains("(")) 1 else 0
+          case other => throw new IllegalArgumentException(
+            s"extractAll needs a literal pattern, got $other")
+        }
+        RegExpExtractAll(e(0), e(1), Literal(grp))
+      }
+      f("countMatches")(e => RegExpCount(e(0), e(1)))
+      f("multiSearchAny") { e =>
+        import org.apache.spark.sql.catalyst.expressions.{ArrayExists,
+          LambdaFunction, UnresolvedNamedLambdaVariable}
+        val v = UnresolvedNamedLambdaVariable(Seq("__ms"))
+        ArrayExists(e(1), LambdaFunction(Contains(e.head, v), Seq(v)))
+      }
     }
     // CH JSON-extraction family (JSONExtract*/JSONHas/JSONLength plus
     // the visitParam*/simpleJSON* fast-path spellings), built on

@@ -567,6 +567,42 @@ class CompatSpec extends AnyFunSuite {
     assert(tw.getSeq[String](0) == Seq("b", "c"))
   }
 
+  test("round-12: URL functions and remaining string/regex spellings") {
+    Seq("https://www.news.example.co/a/b.html?q=spark&lang=en#frag",
+      "http://cdn.example.com/img.png", "not a url")
+      .toDF("u").createOrReplaceTempView("cx_url")
+    val r = Compat.chSql(spark, """
+      SELECT protocol(u) AS pr, domain(u) AS dm,
+        domainWithoutWWW(u) AS dw, topLevelDomain(u) AS tld,
+        path(u) AS pa, queryString(u) AS qs, fragment(u) AS fr,
+        extractURLParameter(u, 'lang') AS lg,
+        cutFragment(u) AS cf, cutQueryStringAndFragment(u) AS cq
+      FROM cx_url ORDER BY u DESC""").collect()
+    val a = r(1) // the https url ('not a url' sorts first DESC)
+    assert(a.getString(0) == "https" && a.getString(1) == "www.news.example.co")
+    assert(a.getString(2) == "news.example.co" && a.getString(3) == "co")
+    assert(a.getString(4) == "/a/b.html")
+    assert(a.getString(5) == "q=spark&lang=en" && a.getString(6) == "frag")
+    assert(a.getString(7) == "en")
+    assert(a.getString(8) ==
+      "https://www.news.example.co/a/b.html?q=spark&lang=en")
+    assert(a.getString(9) == "https://www.news.example.co/a/b.html")
+    assert(r(0).getString(1) == "", "a non-URL reads as empty, not null")
+    val s = Compat.chSql(spark, """
+      SELECT splitByString('][', 'a][bb][c') AS sp,
+        extractAll('a1b22c333', '[0-9]+') AS ea,
+        extractAll('k=1;k=22', 'k=([0-9]+)') AS eg,
+        countMatches('a1b22c333', '[0-9]+') AS cm,
+        multiSearchAny('the quick fox', array('cat', 'qui')) AS ms,
+        multiSearchAny('the quick fox', array('cat', 'dog')) AS ms2
+      FROM numbers(1)""").collect().head
+    assert(s.getSeq[String](0) == Seq("a", "bb", "c"))
+    assert(s.getSeq[String](1) == Seq("1", "22", "333"))
+    assert(s.getSeq[String](2) == Seq("1", "22"))
+    assert(s.getInt(3) == 3)
+    assert(s.getBoolean(4) && !s.getBoolean(5))
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
