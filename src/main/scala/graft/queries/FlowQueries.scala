@@ -728,6 +728,26 @@ object FlowQueries {
         ORDER BY event_id""")
     }),
 
+    // the LEFT arm of the ASOF spelling: unmatched purchases survive
+    // with NULL view columns (documented deviation: NULL, not CH's
+    // type defaults) — plus the -If combinators and sumCount
+    "q_compat_asof_left" -> ((s, d) => {
+      val e = graft.Tables.events(s, d)
+      e.filter(col("event_type") === "view")
+        .createOrReplaceTempView("ch_asofl_view")
+      e.filter(col("event_type") === "purchase")
+        .createOrReplaceTempView("ch_asofl_purch")
+      graft.sql.Compat.chSql(s, """
+        SELECT p.user_id AS user_id,
+          count() AS n_purch,
+          sum(toInt64(v.event_id IS NULL)) AS n_unmatched,
+          argMaxIf(v.event_id, p.ts, v.event_id IS NOT NULL) AS last_view,
+          sumCount(p.event_id).count AS n_cnt
+        FROM ch_asofl_purch AS p ASOF LEFT JOIN ch_asofl_view AS v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // S7: 4-feed cloud-range merge with reference precedence
     // (public_ranges.go:159-311): aws internal service dedup, then
     // azurestorage > google > gcp > aws > azure-other per exact prefix
@@ -1135,6 +1155,25 @@ object FlowQueries {
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |    CAST(ts AS TIMESTAMP))) AS BIGINT) AS s_dmin
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_asof_left" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), w AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY mts, kind, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av_id
+        |  FROM t)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purch,
+        |  CAST(SUM(CASE WHEN av_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  CAST(arg_max(av_id, mts) FILTER (WHERE av_id IS NOT NULL)
+        |    AS BIGINT) AS last_view,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cnt
+        |FROM w WHERE kind = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same deterministic ordering as q20_asof's oracle ((ts, kind,
     // event_id), views-before-purchases at equal ts → inclusive >=),
     // inner form: unmatched purchases drop instead of sentineling

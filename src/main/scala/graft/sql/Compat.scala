@@ -408,6 +408,25 @@ object Compat {
       graft.functions.SequenceCountChain(atoms, e(1), e.drop(2))
         .toAggregateExpression()
     }
+    // -If combinators for the pick-by aggregates, and sumCount's
+    // (sum, count) pair — each composed from native aggregates (the
+    // condition maps the non-matching rows to NULL, which every
+    // underlying aggregate already skips)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+      import org.apache.spark.sql.catalyst.expressions.aggregate.First
+      def ifNull(v: org.apache.spark.sql.catalyst.expressions.Expression,
+          c: org.apache.spark.sql.catalyst.expressions.Expression) =
+        If(c, v, Literal(null, NullType))
+      f("anyIf")(e =>
+        First(ifNull(e(0), e(1)), ignoreNulls = true)
+          .toAggregateExpression())
+      f("argMaxIf")(e => MaxBy(ifNull(e(0), e(2)), ifNull(e(1), e(2))))
+      f("argMinIf")(e => MinBy(ifNull(e(0), e(2)), ifNull(e(1), e(2))))
+      f("sumCount")(e => CreateNamedStruct(Seq(
+        Literal("sum"), Sum(e.head).toAggregateExpression(),
+        Literal("count"), Count(Seq(e.head)).toAggregateExpression())))
+    }
     // map-combining aggregates over the (keys array, values array)
     // spelling — O(distinct keys) partial-aggregating state, see
     // [[graft.functions.MapCombineAgg]]
