@@ -615,23 +615,35 @@ object FlowQueries {
     // (missing key -> 0), raw-with-quotes, and the fast-path alias
     "q_compat_json" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("ch_events_js")
+      // extraction happens in the PER-ROW projection and the aggregate
+      // sees plain columns: the VARIANT strict-typing trees are big
+      // enough that putting all 11 inside one hashAgg overflows
+      // janino's 64 KB method limit and drops the whole stage out of
+      // codegen — projections split into per-expression methods, so
+      // this shape keeps both stages compiled
       graft.sql.Compat.chSql(s, """
         SELECT user_id,
-          sum(JSONExtractInt(props, 'k')) AS k_sum,
-          max(JSONExtractFloat(props, 'k')) AS k_maxf,
-          sum(toInt64(JSONHas(props, 'k'))) AS has_k,
-          sum(toInt64(JSONHas(props, 'zz'))) AS has_zz,
-          sum(JSONExtractInt(props, 'zz')) AS zz_sum,
-          max(JSONExtractString(doc, 'pri')) AS pri_max,
-          max(JSONExtractRaw(doc, 'pri')) AS pri_raw,
-          max(visitParamExtractString(doc, 'pri')) AS pri_visit,
-          sum(toInt64(JSONExtractBool(doc, 'open'))) AS n_open,
-          max(JSONLength(doc)) AS doc_len
-        FROM (SELECT user_id, props,
-            concat('{"pri":"', event_type, '","open":',
-              CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END,
-              '}') AS doc
-          FROM ch_events_js) t
+          sum(k_i) AS k_sum, max(k_f) AS k_maxf,
+          sum(toInt64(h_k)) AS has_k, sum(toInt64(h_z)) AS has_zz,
+          sum(z_i) AS zz_sum, max(pri_s) AS pri_max,
+          max(pri_r) AS pri_raw, max(pri_v) AS pri_visit,
+          sum(toInt64(op_b)) AS n_open, max(d_len) AS doc_len
+        FROM (SELECT user_id,
+            JSONExtractInt(props, 'k') AS k_i,
+            JSONExtractFloat(props, 'k') AS k_f,
+            JSONHas(props, 'k') AS h_k,
+            JSONHas(props, 'zz') AS h_z,
+            JSONExtractInt(props, 'zz') AS z_i,
+            JSONExtractString(doc, 'pri') AS pri_s,
+            JSONExtractRaw(doc, 'pri') AS pri_r,
+            visitParamExtractString(doc, 'pri') AS pri_v,
+            JSONExtractBool(doc, 'open') AS op_b,
+            JSONLength(doc) AS d_len
+          FROM (SELECT user_id, props,
+              concat('{"pri":"', event_type, '","open":',
+                CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END,
+                '}') AS doc
+            FROM ch_events_js) t0) t
         GROUP BY user_id ORDER BY user_id""")
     }),
 
