@@ -252,6 +252,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the BloomFilterMightContain probe in the plan\n" + p.take(2000))
   }
 
+  test("q_compat_summap: map-combine aggregates partial BEFORE the " +
+      "exchange — the wire carries combined maps, not row-level pairs") {
+    val p = plan("q_compat_summap")
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(aggIdx >= 0 && exIdx >= 0, p.take(2000))
+    assert(p.indexOf("ObjectHashAggregate", exIdx) > exIdx,
+      "partial ObjectHashAggregate must sit below the exchange\n" +
+        p.take(3000))
+    assert(!p.contains("Generate"),
+      "no explode — the per-key combine happens inside the agg state\n" +
+        p.take(2000))
+  }
+
   test("q20_asof: as-of join is ONE exchange and zero join operators") {
     // the union-window formulation: both event kinds shuffle once on
     // user_id for the window; a range-join formulation would instead
