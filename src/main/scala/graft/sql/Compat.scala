@@ -150,6 +150,10 @@ object Compat {
         org.apache.spark.sql.catalyst.expressions.CreateArray(
           e.dropRight(1))))
     f("quantileExact")(e => new Percentile(e(1), e(0)))
+    // weighted exact quantile: Spark's Percentile takes the weight as
+    // its frequency child natively (same interpolation contract as the
+    // unweighted spelling above)
+    f("quantileExactWeighted")(e => new Percentile(e(1), e(0), e(2)))
     f("median")(e => new Percentile(e.head, Literal(0.5)))
     f("uniqCombined")(e => HyperLogLogPlusPlus(e.head))
     // dispersion spellings
@@ -421,6 +425,12 @@ object Compat {
       f("anyIf")(e =>
         First(ifNull(e(0), e(1)), ignoreNulls = true)
           .toAggregateExpression())
+      // collect_list / HLL both skip NULLs, so the -If forms compose
+      f("groupArrayIf")(e =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(ifNull(e(0), e(1))).toAggregateExpression())
+      f("uniqIf")(e => HyperLogLogPlusPlus(ifNull(e(0), e(1)))
+        .toAggregateExpression())
       f("argMaxIf")(e => MaxBy(ifNull(e(0), e(2)), ifNull(e(1), e(2))))
       f("argMinIf")(e => MinBy(ifNull(e(0), e(2)), ifNull(e(1), e(2))))
       f("sumCount")(e => CreateNamedStruct(Seq(
@@ -810,8 +820,8 @@ object Compat {
     * untouched and fail analysis with a clear message.
     */
   private val parametricNames = Set("quantile", "quantiles",
-    "quantileexact", "quantiletiming", "topk", "topkweighted",
-    "histogram", "uniqupto",
+    "quantileexact", "quantileexactweighted", "quantiletiming",
+    "topk", "topkweighted", "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in

@@ -603,6 +603,20 @@ class CompatSpec extends AnyFunSuite {
     assert(s.getBoolean(4) && !s.getBoolean(5))
   }
 
+  test("round-12: quantileExactWeighted, groupArrayIf, uniqIf") {
+    Seq((10.0, 1L, "a"), (20.0, 3L, "b"), (30.0, 1L, "a"))
+      .toDF("v", "w", "k").createOrReplaceTempView("cx_qw")
+    val r = Compat.chSql(spark, """
+      SELECT quantileExactWeighted(0.5)(v, w) AS qw,
+        array_sort(groupArrayIf(v, k = 'a')) AS ga,
+        uniqIf(k, v > 15) AS u
+      FROM cx_qw""").collect().head
+    // weighted population (10, 20, 20, 20, 30): median = 20 exactly
+    assert(r.getDouble(0) == 20.0)
+    assert(r.getSeq[Double](1) == Seq(10.0, 30.0))
+    assert(r.getLong(2) == 2L)
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
