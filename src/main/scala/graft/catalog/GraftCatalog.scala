@@ -514,15 +514,40 @@ class GraftCatalogTable(val path: String, ident: Identifier,
         // exact null counts) for the log's indexed columns — what
         // AggregateEstimation needs to size a GROUP BY's output from
         // metadata, which in turn lets a join above the aggregate
-        // broadcast (CatalogStatsSpec pins it)
-        val colStats = ix.columnCountStats.collect {
-          case (c, (ndv, nulls)) if ndv.isDefined || nulls.isDefined =>
-            c -> CatalogColumnStat(
-              distinctCount = ndv.map(v => BigInt(math.min(v, n))),
-              min = None, max = None,
-              nullCount = nulls.map(BigInt(_)),
-              avgLen = None, maxLen = None, histogram = None)
+        // broadcast (CatalogStatsSpec pins it) — plus min/max ranges
+        // folded from the per-file log stats for INTEGRAL columns
+        // (CatalogColumnStat's external string for integrals is the
+        // plain decimal; timestamps/dates/strings use formats the 'l'
+        // micros/days encoding does not match, so they stay range-less
+        // here rather than risk a misparsed bound), which is what
+        // FilterEstimation needs to size a range predicate's output
+        val ranges = ix.columnRangeStats
+        val schemaTypes = rel.dataSchema.fields
+          .map(f => f.name -> f.dataType).toMap
+        def extRange(c: String): (Option[String], Option[String]) = {
+          import org.apache.spark.sql.types.{ByteType, IntegerType,
+            LongType, ShortType}
+          (ranges.get(c), schemaTypes.get(c)) match {
+            case (Some(('l', mn, mx)), Some(t))
+                if t == LongType || t == IntegerType ||
+                  t == ShortType || t == ByteType =>
+              (Some(mn), Some(mx))
+            case _ => (None, None)
+          }
         }
+        val counts = ix.columnCountStats
+        val colStats = (counts.keySet ++ ranges.keySet
+          .filter(c => extRange(c)._1.isDefined)).toSeq.flatMap { c =>
+          val (ndv, nulls) =
+            counts.getOrElse(c, (None: Option[Long], None: Option[Long]))
+          val (mn, mx) = extRange(c)
+          if (ndv.isEmpty && nulls.isEmpty && mn.isEmpty) None
+          else Some(c -> CatalogColumnStat(
+            distinctCount = ndv.map(v => BigInt(math.min(v, n))),
+            min = mn, max = mx,
+            nullCount = nulls.map(BigInt(_)),
+            avgLen = None, maxLen = None, histogram = None))
+        }.toMap
         CatalogTable(
           identifier = TableIdentifier(ident.name,
             ident.namespace.lastOption),

@@ -237,12 +237,29 @@ object GraftProcedures {
     * count stats onto pre-upgrade log entries ([[TxTable.analyzeTable]]):
     * ANALYZE TABLE's job, done from parquet footers + one metadata
     * commit, no data rewrite, no scan.
+    *
+    * `CALL gcat.sys.analyze(table => 'ns.t', columns => 'v,k')` — the
+    * opt-in FULL arm ([[TxTable.analyzeColumnsFull]]): one
+    * column-pruned scan computes per-file approximate NDV, null
+    * counts and min/max ranges for the named columns — `ANALYZE TABLE
+    * ... COMPUTE STATISTICS FOR COLUMNS`, metadata-committed so every
+    * later session's CBO sees it without re-scanning.
     */
   private class AnalyzeProc(catalog: GraftCatalog)
-      extends SysProc("analyze", Seq(tableParam)) {
+      extends SysProc("analyze", Seq(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("optional comma-separated columns for the full " +
+            "value-pass arm (NDV/nulls/min-max)")
+          .defaultValue("''").build())) {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val n = TxTable.analyzeTable(spark,
-        pathOf(catalog, input.getUTF8String(0).toString))
+      val path = pathOf(catalog, input.getUTF8String(0).toString)
+      val cols =
+        if (input.isNullAt(1)) Seq.empty
+        else input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      val n =
+        if (cols.isEmpty) TxTable.analyzeTable(spark, path)
+        else TxTable.analyzeColumnsFull(spark, path, cols)
       result(StructType(Seq(
         StructField("files_backfilled", LongType, nullable = false))),
         Seq(Seq(math.max(n, 0L))))

@@ -692,21 +692,83 @@ object FlowQueries {
 
     // sumMap/minMap/maxMap — CH's map-combining aggregates over the
     // (keys array, values array) spelling, O(distinct keys) state;
-    // DuckDB replays via unnest + per-key group + ordered list agg
+    // DuckDB replays via unnest + per-key group + ordered string agg.
+    // The four ARRAY results are serialized as comma-joined strings
+    // (the qp_invindex recipe) so the row stays hashable for the
+    // comparison harness; MapCombineAgg emits keys pre-sorted, so the
+    // stringify is order-stable against the oracle's ORDER BY k.
     "q_compat_summap" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sm2")
       graft.sql.Compat.chSql(s, """
         SELECT user_id,
-          sumMap(ka, va).keys AS ks,
-          sumMap(ka, va).vals AS vs,
-          minMap(ka, va).vals AS mnv,
-          maxMap(ka, va).vals AS mxv
+          sumMap(ka, va).keys AS ks0,
+          sumMap(ka, va).vals AS vs0,
+          minMap(ka, va).vals AS mnv0,
+          maxMap(ka, va).vals AS mxv0
         FROM (SELECT user_id,
             arrayConcat(array(event_id % 3), array(event_id % 5 + 10)) AS ka,
             arrayConcat(array(CAST(1 AS BIGINT)),
               array(event_id % 7)) AS va
           FROM ch_events_sm2) t
         GROUP BY user_id ORDER BY user_id""")
+        .selectExpr(
+          "user_id",
+          "concat_ws(',', transform(ks0, x -> cast(x AS string))) AS ks",
+          "concat_ws(',', transform(vs0, x -> cast(x AS string))) AS vs",
+          "concat_ws(',', transform(mnv0, x -> cast(x AS string))) AS mnv",
+          "concat_ws(',', transform(mxv0, x -> cast(x AS string))) AS mxv")
+    }),
+
+    // CH's window-adjacent "running" family (round 13):
+    // runningDifference / neighbor in their window-extended spelling
+    // (a distributed engine has no block order — the explicit OVER is
+    // the deterministic reading, and CH itself deprecates the bare
+    // forms), plus the lagInFrame/leadInFrame renames. One window per
+    // user, ordered by the unique event_id; DuckDB replays with plain
+    // lag/lead.
+    "q_compat_running" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_run")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id, event_id,
+          runningDifference(v) OVER
+            (PARTITION BY user_id ORDER BY event_id) AS rd,
+          neighbor(v, 1, CAST(-1 AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY event_id) AS nb,
+          lagInFrame(v, 1, CAST(0 AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY event_id) AS lif,
+          leadInFrame(v) OVER
+            (PARTITION BY user_id ORDER BY event_id) AS ldf
+        FROM (SELECT user_id, event_id,
+            CAST(event_id % 97 AS BIGINT) AS v FROM ch_events_run) t
+        ORDER BY user_id, event_id""")
+    }),
+
+    // groupArrayMovingSum/Avg (round 13): CH's per-group running
+    // sum/avg arrays, windowed via the parametric form. These carry
+    // groupArray's arrival-order contract (non-deterministic across
+    // threads — CH and Spark alike; measured here: even a local sort
+    // feeding the aggregate is reordered under AQE coalescing), so
+    // the GATE pins the order-free part of the contract — window
+    // ramp-up least(i, W), cumulative growth, array length — by
+    // making v constant per group; exact ordered goldens live in
+    // CompatSpec where partitioning is controlled. Arrays stringify
+    // with the qp_invindex recipe for harness hashability.
+    "q_compat_movingsum" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_mvs")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          groupArrayMovingSum(v) AS cum0,
+          groupArrayMovingSum(3)(v) AS ms0,
+          groupArrayMovingAvg(2)(v) AS ma0
+        FROM (SELECT user_id, CAST(user_id % 7 AS DOUBLE) AS v
+          FROM ch_events_mvs) t
+        GROUP BY user_id ORDER BY user_id""")
+        .selectExpr("user_id",
+          "concat_ws(',', transform(cum0," +
+            " x -> cast(cast(x AS bigint) AS string))) AS cum",
+          "concat_ws(',', transform(ms0," +
+            " x -> cast(cast(x AS bigint) AS string))) AS ms",
+          "concat_ws(',', transform(ma0, x -> cast(x AS string))) AS ma")
     }),
 
     // numbers() row generator + fixed-width time buckets, as literal CH
@@ -1134,11 +1196,36 @@ object FlowQueries {
         |    SELECT user_id, event_id % 5 + 10, event_id % 7 FROM events) t
         |  GROUP BY 1, 2)
         |SELECT user_id,
-        |  list(k ORDER BY k) AS ks,
-        |  list(CAST(s AS BIGINT) ORDER BY k) AS vs,
-        |  list(CAST(mn AS BIGINT) ORDER BY k) AS mnv,
-        |  list(CAST(mx AS BIGINT) ORDER BY k) AS mxv
+        |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS ks,
+        |  string_agg(CAST(CAST(s AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY k) AS vs,
+        |  string_agg(CAST(CAST(mn AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY k) AS mnv,
+        |  string_agg(CAST(CAST(mx AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY k) AS mxv
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_running" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(event_id % 97 AS BIGINT) AS v FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(v - COALESCE(lag(v) OVER win, v) AS BIGINT) AS rd,
+        |  CAST(lead(v, 1, -1) OVER win AS BIGINT) AS nb,
+        |  CAST(lag(v, 1, 0) OVER win AS BIGINT) AS lif,
+        |  CAST(lead(v) OVER win AS BIGINT) AS ldf
+        |FROM t WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_compat_movingsum" ->
+      """WITH g AS (SELECT user_id, CAST(user_id % 7 AS DOUBLE) AS v,
+        |    COUNT(*) AS n FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  string_agg(CAST(CAST(v * i AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY i) AS cum,
+        |  string_agg(CAST(CAST(v * LEAST(i, 3) AS BIGINT) AS VARCHAR),
+        |    ',' ORDER BY i) AS ms,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS ma
+        |FROM (SELECT user_id, v,
+        |    unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM g) u
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_numbers" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |    AS q15,

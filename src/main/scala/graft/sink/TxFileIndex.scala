@@ -106,6 +106,38 @@ class TxFileIndex(spark: SparkSession, table: String,
       c -> (ndv.get(c), nulls.get(c))).toMap
   }
 
+  /** Table-level min/max ranges folded from the per-file bare range
+    * stats (footer-derived for [[TxTable.statsColumns]], value-derived
+    * for `CALL sys.analyze(..., columns => ...)` targets): column →
+    * (typ, min, max). A column qualifies only when EVERY live file
+    * carries its range — a partial fold would NARROW the range and
+    * overstate out-of-range filter selectivity (the same
+    * unknown-beats-lowball rule as [[exactRowCount]]). 'l' ranges fold
+    * numerically, 's' lexicographically. Feeds the CBO's
+    * filter-selectivity estimate via
+    * [[graft.catalog.GraftCatalogTable.statsCatalogTable]].
+    */
+  def columnRangeStats: Map[String, (Char, String, String)] = {
+    val metas = byDate.flatMap(_._2.map(_._2)).toSeq
+    if (metas.isEmpty) return Map.empty
+    val perFile = metas.map(_.collect {
+      case (k, st) if !k.contains("#") && (st.typ == 'l' || st.typ == 's') =>
+        k -> st
+    }.toMap)
+    perFile.reduce { (a, b) =>
+      a.keySet.intersect(b.keySet).map { k =>
+        val (x, y) = (a(k), b(k))
+        k -> (if (x.typ == 'l')
+          TxTable.ColStats('l',
+            math.min(x.min.toLong, y.min.toLong).toString,
+            math.max(x.max.toLong, y.max.toLong).toString)
+        else TxTable.ColStats('s',
+          if (x.min <= y.min) x.min else y.min,
+          if (x.max >= y.max) x.max else y.max))
+      }.toMap
+    }.map { case (k, st) => k -> (st.typ, st.min, st.max) }
+  }
+
   override val partitionSchema: StructType =
     StructType(Seq(StructField("date", DateType, nullable = false)))
 

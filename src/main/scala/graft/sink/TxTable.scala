@@ -1244,6 +1244,97 @@ object TxTable {
     updated.size.toLong
   }
 
+  /** ANALYZE FULL (the opt-in VALUE pass): per-file approximate NDV
+    * (`<col>#ndv`, HyperLogLog++), exact null counts (`<col>#nulls`)
+    * and min/max ranges (bare `<col>`, the statsColumns encoding:
+    * 'l' covers integrals plus timestamps-as-micros/dates-as-days,
+    * 's' UTF8) for the NAMED columns — the stats a column WITHOUT a
+    * Bloom index (whose NDV otherwise rides the bloom bitset for
+    * free) can only get from reading values. Cost: ONE column-pruned
+    * distributed scan grouped by `_metadata.file_path` — the shuffle
+    * is #files × #cols sketch rows, never data-sized — then the
+    * analyzeTable R-then-A metadata commit. Deletion vectors are
+    * subtracted by the scan, so the stats describe LIVE rows.
+    * Re-running REFRESHES estimates (new values win). The ranges feed
+    * both the file skipper and the CBO's filter-selectivity estimate
+    * ([[graft.catalog.GraftCatalogTable.statsCatalogTable]]).
+    * Returns the number of files updated.
+    */
+  def analyzeColumnsFull(spark: SparkSession, table: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "analyze full needs at least one column")
+    val (fs, root) = fsFor(spark, table)
+    val state = replayState(fs, root, None)
+    val live = state.files.toSeq
+    if (live.isEmpty) return -1L
+    val df = readFileSet(spark, root, live, state.schema)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"analyze full: no such column(s) ${missing.mkString(", ")} in " +
+        s"$table (have: ${df.columns.mkString(", ")})")
+    import org.apache.spark.sql.types._
+    val types: Map[String, DataType] =
+      cols.map(c => c -> df.schema(c).dataType).toMap
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+    }
+    val perFile = df.withColumn("__file", col("_metadata.file_path"))
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // metadata-scale: #files rows of sketch outputs
+    val absToRel = live.map { case (rel, _) =>
+      fs.makeQualified(new Path(root, rel)).toString -> rel }.toMap
+    val byRel = live.toMap
+    // range encoding mirrors footerStats: one stats vocabulary for
+    // skipper and CBO alike
+    def range(dt: DataType, mn: Any, mx: Any): Option[ColStats] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(ColStats('l',
+          mn.asInstanceOf[Number].longValue.toString,
+          mx.asInstanceOf[Number].longValue.toString))
+      case DateType => Some(ColStats('l',
+        mn.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toString,
+        mx.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toString))
+      case TimestampType =>
+        def micros(v: Any): Long = {
+          val t = v.asInstanceOf[java.sql.Timestamp]
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        }
+        Some(ColStats('l', micros(mn).toString, micros(mx).toString))
+      case StringType =>
+        Some(ColStats('s', mn.toString, mx.toString))
+      case _ => None // no range vocabulary for the type: NDV/nulls only
+    }
+    val updated = perFile.toSeq.flatMap { r =>
+      val rel = absToRel.getOrElse(r.getString(0),
+        throw new IllegalStateException(
+          s"analyze full: scanned file outside the snapshot: " +
+            r.getString(0)))
+      val m = byRel(rel)
+      val fresh = cols.flatMap { c =>
+        val ndv = r.getAs[Long](s"${c}__ndv")
+        val nulls = r.getAs[Long](s"${c}__nulls")
+        Seq(
+          s"$c$NdvSuffix" -> ColStats('l', ndv.toString, ndv.toString),
+          s"$c$NullsSuffix" ->
+            ColStats('l', nulls.toString, nulls.toString)) ++
+          (if (r.isNullAt(r.fieldIndex(s"${c}__min"))) Nil
+           else range(types(c), r.getAs[Any](s"${c}__min"),
+             r.getAs[Any](s"${c}__max")).map(c -> _).toSeq)
+      }
+      Some(rel -> m.copy(stats = m.stats ++ fresh))
+    }
+    commitRetry(fs, root, updated, updated.map(_._1),
+      op = Some("analyze"),
+      expectDv = updated.map { case (rel, m) =>
+        rel -> DvStore.pointerOf(m.stats)
+      }.toMap)
+    updated.size.toLong
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: record property changes in
     * one data-less commit (replayed like files/schema; checkpoints
     * preserve them). */

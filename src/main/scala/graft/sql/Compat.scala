@@ -142,6 +142,58 @@ object Compat {
     // wrap in array_sort for stable results), groupUniqArray dedups
     f("groupArray")(e => CollectList(e.head))
     f("groupUniqArray")(e => CollectSet(e.head))
+    // groupArrayMovingSum/Avg: CH's per-group running-sum/avg arrays,
+    // optionally windowed via the parametric form name(W)(x) (the
+    // parametric pass flattens to name(W, x)). Arrival order follows
+    // the groupArray contract — sort upstream for stable results.
+    // Values are summed as Float64 (CH keeps integer widths —
+    // documented narrowing, same family as arrayAvg). The running
+    // sum is a transform over ONE collected array; the heavy lifting
+    // (the collect) is the same map-side-combined aggregate as
+    // groupArray, so the shuffle profile is identical.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Add => MAdd,
+        ArrayAggregate => MAgg, ArrayTransform => MTrans, Divide => MDiv,
+        Greatest => MGreatest, LambdaFunction => MLF, Least => MLeast,
+        Slice => MSlice, Subtract => MSub,
+        UnresolvedNamedLambdaVariable => MVar}
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      def moving(name: String, avg: Boolean): Unit = f(name) { e =>
+        val (w, x) =
+          if (e.length == 2) (Some(e(0)), e(1)) else (None, e.head)
+        val lst = CollectList(Cast(x, DoubleType)).toAggregateExpression()
+        val v = MVar(Seq("__mv")); val ix = MVar(Seq("__mi"))
+        val pos1 = MAdd(Cast(ix, IntegerType), Literal(1)) // 1-based idx
+        val start = w match {
+          case Some(ww) => MGreatest(Seq(Literal(1),
+            MSub(MAdd(pos1, Literal(1)), Cast(ww, IntegerType))))
+          case None => Literal(1)
+        }
+        val len = w match {
+          case Some(ww) => MLeast(Seq(pos1, Cast(ww, IntegerType)))
+          case None => pos1
+        }
+        val a = MVar(Seq("__ma")); val b = MVar(Seq("__mb"))
+        val s = MAgg(MSlice(lst, start, len), Literal(0.0),
+          MLF(MAdd(a, b), Seq(a, b)), MLF.identity)
+        val body = if (avg) MDiv(s, Cast(len, DoubleType)) else s
+        MTrans(lst, MLF(body, Seq(v, ix)))
+      }
+      moving("groupArrayMovingSum", avg = false)
+      moving("groupArrayMovingAvg", avg = true)
+      // arrayCumSum: running sum over an ARRAY argument (the scalar
+      // sibling of groupArrayMovingSum) — same Float64 narrowing
+      f("arrayCumSum") { e =>
+        val arr = e.head
+        val v = MVar(Seq("__cv")); val ix = MVar(Seq("__ci"))
+        val a = MVar(Seq("__ca")); val b = MVar(Seq("__cb"))
+        val s = MAgg(
+          MSlice(arr, Literal(1), MAdd(Cast(ix, IntegerType), Literal(1))),
+          Literal(0.0),
+          MLF(MAdd(a, Cast(b, DoubleType)), Seq(a, b)), MLF.identity)
+        MTrans(arr, MLF(s, Seq(v, ix)))
+      }
+    }
     // quantiles: quantile/quantiles are approximate BY CONTRACT in CH
     // (reservoir there, GK sketch here); quantileExact/median are exact
     f("quantile")(e => new ApproximatePercentile(e(1), e(0)))
@@ -151,8 +203,12 @@ object Compat {
           e.dropRight(1))))
     f("quantileExact")(e => new Percentile(e(1), e(0)))
     // weighted exact quantile: Spark's Percentile takes the weight as
-    // its frequency child natively (same interpolation contract as the
-    // unweighted spelling above)
+    // its frequency child natively. Documented deviation (same family
+    // as WITH TOTALS / NULL-fill): when the weighted rank lands
+    // BETWEEN two input values, Percentile linearly interpolates where
+    // ClickHouse's quantileExactWeighted returns an element of the
+    // input set (the lower neighbor); at exact-element ranks — every
+    // golden here — the two agree.
     f("quantileExactWeighted")(e => new Percentile(e(1), e(0), e(2)))
     f("median")(e => new Percentile(e.head, Literal(0.5)))
     f("uniqCombined")(e => HyperLogLogPlusPlus(e.head))
@@ -500,11 +556,61 @@ object Compat {
             Seq(acc, p.arguments.head)),
           LambdaFunction.identity)
       }
-      // arrayFirst is deliberately NOT registered: a fold needs an
-      // element-typed zero the registry cannot know pre-analysis, and
-      // CH's no-match-returns-type-default contract cannot be spelled
-      // faithfully. `arrayElement(arrayFilter(f, arr), 1)` composes
-      // the same lookup from supported pieces (NULL on no match).
+      // arrayFirst/arrayLast/arrayFirstIndex: the HOF-at-root rule
+      // forbids element_at(filter(...), 1) compositions, and an
+      // ArrayAggregate fold cannot use an untyped NULL zero — but
+      // `slice(arr, 1, 0)` IS an element-typed empty-array zero, so
+      // the fold carries a 0/1-element array and finishes with a
+      // non-throwing element_at. Documented deviation (NULL-fill
+      // family): no match yields NULL, not CH's type default (0, '').
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray,
+          ElementAt, Slice}
+        def firstLast(name: String, keepFirst: Boolean) =
+          f(name) { e =>
+            val p = lam(e.head, name)
+            val arr = one(e, name)
+            val acc = UnresolvedNamedLambdaVariable(Seq("__fl"))
+            val hit = CreateArray(Seq(p.arguments.head))
+            val step =
+              if (keepFirst)
+                If(org.apache.spark.sql.catalyst.expressions.And(
+                  EqualTo(Size(acc), Literal(0)), p.function), hit, acc)
+              else If(p.function, hit, acc)
+            val res = UnresolvedNamedLambdaVariable(Seq("__flr"))
+            ArrayAggregate(arr,
+              Slice(arr, Literal(1), Literal(0)),
+              LambdaFunction(step, Seq(acc, p.arguments.head)),
+              LambdaFunction(
+                ElementAt(res, Literal(1), None, failOnError = false),
+                Seq(res)))
+          }
+        firstLast("arrayFirst", keepFirst = true)
+        firstLast("arrayLast", keepFirst = false)
+        // 1-based index of the first match, 0 when none (the exact CH
+        // contract — an index, unlike the element, HAS a total default)
+        f("arrayFirstIndex") { e =>
+          val p = lam(e.head, "arrayFirstIndex")
+          val arr = one(e, "arrayFirstIndex")
+          val acc = UnresolvedNamedLambdaVariable(Seq("__fi"))
+          def fld(s: String) = org.apache.spark.sql.catalyst.analysis
+            .UnresolvedExtractValue(acc, Literal(s))
+          val ns = org.apache.spark.sql.catalyst.expressions
+            .CreateNamedStruct(Seq(
+              Literal("i"), Add(fld("i"), Literal(1L)),
+              Literal("r"), If(
+                org.apache.spark.sql.catalyst.expressions.GreaterThan(
+                  fld("r"), Literal(0L)), fld("r"),
+                If(p.function, Add(fld("i"), Literal(1L)), Literal(0L)))))
+          val res = UnresolvedNamedLambdaVariable(Seq("__fir"))
+          ArrayAggregate(arr,
+            org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+              Seq(Literal("i"), Literal(0L), Literal("r"), Literal(0L))),
+            LambdaFunction(ns, Seq(acc, p.arguments.head)),
+            LambdaFunction(org.apache.spark.sql.catalyst.analysis
+              .UnresolvedExtractValue(res, Literal("r")), Seq(res)))
+        }
+      }
       // lambda-less array utilities
       f("arrayDistinct")(e => ArrayDistinct(e.head))
       f("arrayUniq")(e => Cast(Size(ArrayDistinct(e.head)), LongType))
@@ -536,9 +642,13 @@ object Compat {
           Seq(lv("pa"), lv("px"))),
         LambdaFunction.identity))
       f("arrayDifference") { e =>
+        // slice length clamps at 0 so an EMPTY input yields an empty
+        // result (CH's contract) instead of Slice's negative-length
+        // runtime error
         val shifted = Concat(Seq(Slice(e.head, Literal(1), Literal(1)),
           Slice(e.head, Literal(1),
-            Subtract(Size(e.head), Literal(1)))))
+            org.apache.spark.sql.catalyst.expressions.Greatest(Seq(
+              Subtract(Size(e.head), Literal(1)), Literal(0))))))
         ZipWith(e.head, shifted,
           LF(Subtract(lv("dx"), lv("dy")), Seq(lv("dx"), lv("dy"))))
       }
@@ -599,11 +709,14 @@ object Compat {
           e(0), e(1), e(2)))
       f("match")(e => RLike(e(0), e(1)))
       // CH extract: first subpattern when the regex has one, else the
-      // whole match — decidable only for a literal pattern
+      // whole match — decidable only for a literal pattern; the
+      // compiled Pattern's groupCount is authoritative (a textual '('
+      // scan miscounts (?:...) groups and [(] classes)
       f("extract") { e =>
         val grp = e(1) match {
           case Literal(u: UTF8String, StringType) =>
-            if (u.toString.replace("\\(", "").contains("(")) 1 else 0
+            if (java.util.regex.Pattern.compile(u.toString)
+              .matcher("").groupCount() > 0) 1 else 0
           case other => throw new IllegalArgumentException(
             s"extract needs a literal pattern, got $other")
         }
@@ -684,7 +797,8 @@ object Compat {
       f("extractAll") { e =>
         val grp = e(1) match {
           case Literal(u: UTF8String, StringType) =>
-            if (u.toString.replace("\\(", "").contains("(")) 1 else 0
+            if (java.util.regex.Pattern.compile(u.toString)
+              .matcher("").groupCount() > 0) 1 else 0
           case other => throw new IllegalArgumentException(
             s"extractAll needs a literal pattern, got $other")
         }
@@ -822,7 +936,8 @@ object Compat {
   private val parametricNames = Set("quantile", "quantiles",
     "quantileexact", "quantileexactweighted", "quantiletiming",
     "topk", "topkweighted", "histogram", "uniqupto",
-    "windowfunnel", "sequencematch", "sequencecount", "retention")
+    "windowfunnel", "sequencematch", "sequencecount", "retention",
+    "grouparraymovingsum", "grouparraymovingavg")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint
@@ -1178,17 +1293,57 @@ object Compat {
     val out = joined0.select(
       fa.columns.map(c => col(s"__l_$c")) ++
         rCols.map(c => col(s"__m.$c").as(c)): _*)
-    val view = s"__asof_${math.abs((aTbl + bTbl + sql.length).hashCode)}"
+    // view name is unique per invocation (a sql.length-derived hash
+    // collides across concurrent translations of different queries
+    // over the same tables)
+    val view = s"__asof_${asofSeq.incrementAndGet()}"
     out.createOrReplaceTempView(view)
     val spliced = new java.lang.StringBuilder(sql)
       .replace(m.start, m.end - m.group(7).length, s" FROM $view ")
       .toString
     // alias-qualified references elsewhere in the query → the union
     // frame's column names (both sides rewrite, so an unqualified
-    // right-side reference fails loudly instead of silently resolving)
-    spliced
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(aAl)}\\.", "__l_")
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(bAl)}\\.", "__r_")
+    // right-side reference fails loudly instead of silently resolving);
+    // the rewrite is token-aware — string literals and longer
+    // identifiers that merely START with the alias are left intact
+    rewriteAliasRefs(spliced, Seq(aAl -> "__l_", bAl -> "__r_"))
+  }
+
+  private val asofSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Replace `alias.` with `repl` only where `alias` stands as a whole
+    * identifier outside single-quoted string literals. */
+  private def rewriteAliasRefs(sql: String,
+      repls: Seq[(String, String)]): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0; val n = sql.length
+    def identCh(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 1
+            } else open = false
+          }
+          i += 1
+        }
+      } else if (identCh(c) && (i == 0 || !identCh(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < n && identCh(sql.charAt(j))) j += 1
+        val word = sql.substring(i, j)
+        repls.find { case (a, _) =>
+          word.equalsIgnoreCase(a) && j < n && sql.charAt(j) == '.' } match {
+          case Some((_, r)) => sb.append(r); i = j + 1
+          case None => sb.append(word); i = j
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def rewriteFinal(spark: SparkSession, sql: String): String =
@@ -1207,7 +1362,98 @@ object Compat {
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
       rewriteSample(rewriteArrayJoin(rewriteNumbers(
-        rewriteDateDiff(translateCh0(sql)))))))))
+        rewriteDateDiff(rewriteRunning(translateCh0(sql))))))))))
+
+  /** Split an argument list starting just AFTER an opening '(' at
+    * position `from` into top-level comma-separated pieces; returns
+    * (trimmed args, index of the matching ')'), None if unbalanced.
+    * Quote-aware ('' escapes toggle twice, which nets out). */
+  private def splitTopLevelArgs(sql: String, from: Int)
+      : Option[(Seq[String], Int)] = {
+    var i = from; val n = sql.length
+    var depth = 0; var inStr = false
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = i
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        if (depth == 0) {
+          args += sql.substring(start, i)
+          return Some((args.map(_.trim).toSeq, i))
+        }
+        depth -= 1
+      } else if (c == ',' && depth == 0) {
+        args += sql.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** CH's block-scoped "running" family. A distributed engine has no
+    * block order, so these translate only in their window-extended
+    * spelling `fn(args) OVER (...)` — CH itself deprecates the bare
+    * forms in favor of window functions, and an explicit window is
+    * the only deterministic reading at scale. Supported:
+    *  - runningDifference(x) OVER w -> x minus the previous x in w,
+    *    0 on the first row (CH's first-row contract);
+    *  - neighbor(x, k[, d]) OVER w  -> lead (k>=0) / lag (k<0) by a
+    *    LITERAL offset k (CH requires a constant too); without d the
+    *    out-of-frame fill is NULL, not CH's type default (documented
+    *    NULL-fill deviation);
+    *  - lagInFrame/leadInFrame      -> lag/lead (rename; both respect
+    *    the usual PARTITION BY/ORDER BY window).
+    * Bare spellings without OVER pass through and fail loudly in
+    * Spark's parser (the house honest-refusal contract).
+    */
+  private def rewriteRunning(sql: String): String = {
+    val renamed = sql
+      .replaceAll("(?i)\\blagInFrame\\s*\\(", "lag(")
+      .replaceAll("(?i)\\bleadInFrame\\s*\\(", "lead(")
+    rewriteRunning0(renamed)
+  }
+  private def rewriteRunning0(sql: String): String = {
+    val head = java.util.regex.Pattern.compile(
+      "(?i)\\b(runningDifference|neighbor)\\s*\\(")
+    val m = head.matcher(sql)
+    if (!m.find()) return sql
+    val fn = m.group(1).toLowerCase
+    def passThrough(at: Int) =
+      sql.substring(0, at) + rewriteRunning0(sql.substring(at))
+    splitTopLevelArgs(sql, m.end) match {
+      case None => sql
+      case Some((args, close)) =>
+        val overM = java.util.regex.Pattern.compile("(?is)^\\s*OVER\\s*\\(")
+          .matcher(sql.substring(close + 1))
+        if (!overM.find()) return passThrough(close + 1)
+        splitTopLevelArgs(sql, close + 1 + overM.end) match {
+          case None => sql
+          case Some((winParts, winClose)) =>
+            val win = winParts.mkString(", ")
+            val repl: Option[String] = fn match {
+              case "runningdifference" if args.length == 1 =>
+                val x = args.head
+                Some(s"($x - coalesce(lag($x, 1) OVER ($win), $x))")
+              case "neighbor"
+                  if (args.length == 2 || args.length == 3) &&
+                    args(1).matches("-?\\d+") =>
+                val k = args(1).toLong
+                val d = if (args.length == 3) s", ${args(2)}" else ""
+                val (dir, off) = if (k >= 0) ("lead", k) else ("lag", -k)
+                Some(s"${dir}(${args.head}, $off$d) OVER ($win)")
+              case _ => None
+            }
+            repl match {
+              case Some(r) => sql.substring(0, m.start) + r +
+                rewriteRunning0(sql.substring(winClose + 1))
+              case None => passThrough(winClose + 1)
+            }
+        }
+    }
+  }
 
   /** CH `FROM numbers(N)` / `numbers(M, N)` — the row-generator table
     * function — → Spark's `range`, with CH's column name (`number`).
@@ -1219,14 +1465,56 @@ object Compat {
       .replaceAll("(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)",
         "(SELECT id AS number FROM range($1, $1 + $2))")
 
-  /** CH spells `dateDiff('day', a, b)` with a QUOTED unit; Spark's
-    * parser owns dateDiff and demands the unquoted unit keyword, so
-    * the quote is stripped at the syntax level (unit names are plain
-    * identifiers on both sides).
+  /** CH `dateDiff('unit', a, b)` counts UNIT-BOUNDARY CROSSINGS, not
+    * complete elapsed units: dateDiff('day','2024-01-01 23:00',
+    * '2024-01-02 01:00') = 1 in CH (and DuckDB) where Spark's
+    * timestampdiff = 0. The quoted-unit spelling is rewritten at the
+    * syntax level (Spark's parser owns dateDiff and demands an
+    * unquoted unit keyword) to a boundary-crossing formulation:
+    * `timestampdiff(unit, date_trunc('unit', a), date_trunc('unit',
+    * b))` — after truncation every elapsed unit IS a boundary
+    * crossing, so the contracts coincide for all inputs. Arguments
+    * are split at top-level commas with a quote/paren-aware scan;
+    * an unrecognized unit passes through and fails loudly in Spark's
+    * parser (the house honest-refusal contract). Week boundaries are
+    * Mondays (Spark and DuckDB date_trunc agree; CH's mode-0 weeks
+    * start Sunday — documented deviation).
     */
-  private def rewriteDateDiff(sql: String): String =
-    sql.replaceAll("(?i)\\b(dateDiff|date_diff|timestampDiff)\\s*\\(" +
-      "\\s*'(\\w+)'\\s*,", "$1($2,")
+  private val dateDiffUnits = Set("second", "minute", "hour", "day",
+    "week", "month", "quarter", "year", "millisecond", "microsecond")
+  private def rewriteDateDiff(sql: String): String = {
+    val head = java.util.regex.Pattern.compile(
+      "(?i)\\b(?:dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'(\\w+)'\\s*,")
+    val m = head.matcher(sql)
+    if (!m.find()) return sql
+    val unit = m.group(1).toLowerCase
+    if (!dateDiffUnits(unit))
+      return sql.substring(0, m.end) + rewriteDateDiff(sql.substring(m.end))
+    var i = m.end; val n = sql.length
+    var depth = 0; var inStr = false
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = i; var close = -1
+    while (i < n && close < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        if (depth == 0) { args += sql.substring(start, i); close = i }
+        else depth -= 1
+      } else if (c == ',' && depth == 0) {
+        args += sql.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    if (close < 0 || args.length != 2)
+      return sql.substring(0, m.end) + rewriteDateDiff(sql.substring(m.end))
+    val Seq(a, b) = args.map(_.trim).toSeq
+    val repl = s"timestampdiff($unit, " +
+      s"date_trunc('$unit', CAST($a AS TIMESTAMP)), " +
+      s"date_trunc('$unit', CAST($b AS TIMESTAMP)))"
+    sql.substring(0, m.start) + repl + rewriteDateDiff(sql.substring(close + 1))
+  }
 
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")

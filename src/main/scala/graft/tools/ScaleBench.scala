@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.flow.{FlowConfig, FlowPipeline, SyntheticFlows}
@@ -410,6 +411,190 @@ object ScaleBench {
       record(factor, "semdedup_pairs", semSec, semPairs,
         "cells" -> k.toString)
       routedA.unpersist(blocking = false)
+      quant.unpersist(blocking = false)
+      }
+
+      if (enabled("ivfpqrecall")) {
+      // 9. IVF-PQ serve-from-codes QUALITY at scale (the qv_recall
+      //    pattern applied to the standing index of qv_ivfpq_incr):
+      //    recall@3 of the ADC top-k against exact brute top-k, per
+      //    query, as a NUMBER — production tunes cells/nprobe against
+      //    exactly this measurement. Corpus scaled with the semdedup
+      //    rotation/sign recipe (norm-preserving, cross-copy cosine
+      //    ~random), cells grown k ∝ N, codebook FROZEN from the base
+      //    copy (the train-then-add contract). Two nprobe arms make
+      //    the recall/probe-cost trade a curve, not a point.
+      val embBase = graft.Tables.embeddings(spark, sfDir)
+      val emb = (0 until factor).map { i =>
+        val r = i % 64
+        val rotSql = if (r == 0) "embedding"
+          else s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
+            s"slice(embedding, 1, $r))"
+        val v = if (i < 64) expr(rotSql)
+          else expr(s"zip_with($rotSql, sequence(1, 64), " +
+            s"(x, c) -> x * CASE WHEN (c * 2654435761 + $i) % 97 < 48 " +
+            s"THEN 1 ELSE -1 END)")
+        embBase.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+          v.as("embedding"))
+      }.reduce(_ unionByName _)
+      val quant = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+            " * 10000) AS BIGINT))").as("q"))
+        .withColumn("nrm",
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      quant.count()
+      val k = 16 * factor
+      val seeds = quant.filter(col("vec_id") % 100000000L < 16)
+        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+          col("nrm").as("snrm"))
+      val cent = quant.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), explode(expr(
+          "transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'csub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("e.m").as("m"), col("code"), col("e.csub").as("csub"))
+      def dotAgg(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      // 9a. index build: brute coarse assign at this k (the routed
+      //     O(N·B) variant is the semdedup section's measurement) +
+      //     per-subspace code argmin — what qv_ivfpq_incr does
+      //     per-batch, here over the whole corpus
+      val coarse = quant.crossJoin(broadcast(seeds))
+        .withColumn("dot_s", dotAgg("q", "sq"))
+        .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+      var codes: DataFrame = null
+      val (nCodes, buildSec) = timed {
+        val assigned = coarse.groupBy("vec_id")
+          .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
+            first(col("q")).as("q"))
+          .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
+        val sub = assigned.select(col("vec_id"), col("cell_id"),
+          explode(expr("transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+          .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
+            col("e.sub").as("sub"))
+        codes = sub.join(broadcast(cent), "m")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
+              " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .groupBy("vec_id", "cell_id", "m")
+          .agg(min(struct(col("d2"), col("code"))).as("a"))
+          .select(col("vec_id"), col("cell_id"), col("m"),
+            col("a.code").as("code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+      }
+      record(factor, "ivfpq_index_build", buildSec, nCodes,
+        "cells" -> k.toString)
+      // 9b. exact brute top-3 per query — the ground truth arm
+      val qs = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qa"),
+          col("nrm").as("qn"))
+      val wB = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      var brute: DataFrame = null
+      val (nBrute, bruteSec) = timed {
+        brute = quant.toDF("n_id", "na", "nn").crossJoin(broadcast(qs))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("dot", dotAgg("qa", "na"))
+          .withColumn("cos", col("dot") /
+            sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 3).select("q_id", "n_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        brute.count()
+      }
+      record(factor, "ivfpq_brute_topk", bruteSec, nBrute,
+        "queries" -> "10")
+      // 9c. serve from CODES alone (coarse probe + broadcast LUT +
+      //     ADC), recall@3 vs brute — at two nprobe points
+      val qcoarse = coarse.filter(col("vec_id") < 10)
+      val lutAll = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), explode(expr(
+          "transform(sequence(0, 3), m -> named_struct(" +
+            "'m', m, 'qsub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("q_id"), col("e.m").as("m"), col("e.qsub").as("qsub"))
+        .join(broadcast(cent), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("q_id"), col("m"), col("code"), col("d2"))
+      Seq(4, 32).foreach { nprobe =>
+        val wp = Window.partitionBy("vec_id")
+          .orderBy(asc("cd2"), asc("cell_id"))
+        val probes = qcoarse
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
+        val wA = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+        val (recallBp, serveSec) = timed {
+          val served = codes
+            .join(broadcast(probes), col("cell_id") === col("pcell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .join(broadcast(lutAll), Seq("q_id", "m", "code"))
+            .groupBy("q_id", "vec_id")
+            .agg(sum("d2").as("adc"))
+            .withColumn("rank", row_number().over(wA))
+            .filter(col("rank") <= 3)
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              lit(1L).as("hit"))
+          val r = brute.join(served, Seq("q_id", "n_id"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0L))) * 10000 /
+              count(lit(1))).cast("long").as("bp"))
+            .collect().head.getLong(0)
+          r
+        }
+        record(factor, s"ivfpq_serve_np$nprobe", serveSec, 10L,
+          "cells" -> k.toString, "nprobe" -> nprobe.toString,
+          "recall_bp" -> recallBp.toString)
+      }
+      // 9d. the production serve shape: ADC SHORTLIST (top-32) +
+      //     exact re-rank of the shortlist only — per query this
+      //     reads 32 raw vectors, not the corpus, and recovers the
+      //     recall a 4x16 codebook alone cannot (FAISS's
+      //     refine/rerank stage; the ADC-only arms above are the
+      //     honest lower bound)
+      Seq(32, 128).foreach { shortlist =>
+        val nprobe = 32
+        val wp = Window.partitionBy("vec_id")
+          .orderBy(asc("cd2"), asc("cell_id"))
+        val probes = qcoarse
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
+        val wA = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+        val wR = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+        val (recallBp, serveSec) = timed {
+          val short = codes
+            .join(broadcast(probes), col("cell_id") === col("pcell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .join(broadcast(lutAll), Seq("q_id", "m", "code"))
+            .groupBy("q_id", "vec_id")
+            .agg(sum("d2").as("adc"))
+            .withColumn("rank", row_number().over(wA))
+            .filter(col("rank") <= shortlist)
+            .select(col("q_id"), col("vec_id").as("n_id"))
+          val served = short
+            .join(quant.toDF("n_id", "na", "nn"), "n_id")
+            .join(broadcast(qs), "q_id")
+            .withColumn("dot", dotAgg("qa", "na"))
+            .withColumn("cos", col("dot") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+            .withColumn("rr", row_number().over(wR))
+            .filter(col("rr") <= 3)
+            .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+          brute.join(served, Seq("q_id", "n_id"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0L))) * 10000 /
+              count(lit(1))).cast("long").as("bp"))
+            .collect().head.getLong(0)
+        }
+        record(factor, s"ivfpq_serve_rerank$shortlist", serveSec, 10L,
+          "cells" -> k.toString, "nprobe" -> nprobe.toString,
+          "shortlist" -> shortlist.toString,
+          "recall_bp" -> recallBp.toString)
+      }
+      brute.unpersist(blocking = false)
+      codes.unpersist(blocking = false)
       quant.unpersist(blocking = false)
       }
 

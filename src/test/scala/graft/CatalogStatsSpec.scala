@@ -183,6 +183,56 @@ class CatalogStatsSpec extends AnyFunSuite {
     assert(st("#table").getLong(1) == 123L)
   }
 
+  test("ANALYZE full arm: one value pass gives a NON-indexed column " +
+      "NDV + min/max, and range-filter selectivity flips the join") {
+    ensure()
+    // 200k rows; v uniform 0..199999 — NOT a bloom column (no free
+    // NDV) and NOT in statsColumns (no footer range): before the full
+    // arm the CBO knows nothing about v
+    spark.sql("CREATE TABLE gstat.st.vals (k BIGINT, v BIGINT, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.vals SELECT id % 50, id," +
+      " DATE'2024-01-01' FROM range(0, 200000)")
+    spark.sql("CREATE TABLE gstat.st.probe (k BIGINT, w STRING, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.probe SELECT id % 50," +
+      " md5(cast(id AS STRING)), DATE'2024-01-01' FROM range(0, 200000)")
+    val loc = wh + "/st/vals"
+    val before = new TxFileIndex(spark, loc)
+    assert(!before.columnCountStats.contains("v"))
+    assert(!before.columnRangeStats.contains("v"))
+    // 0.5% of vals passes the range filter; both tables are over the
+    // broadcast threshold by rowCount x width, so only a
+    // selectivity-informed estimate can broadcast the filtered side
+    val q = "SELECT b.k, b.w FROM gstat.st.probe b JOIN" +
+      " (SELECT k, v FROM gstat.st.vals WHERE v >= 199000) f ON b.k = f.k"
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString) {
+      val p0 = swapped(q).queryExecution.executedPlan.toString
+      assert(p0.contains("SortMergeJoin") && !p0.contains("BroadcastHashJoin"),
+        "without column stats the filter keeps its scan-sized estimate\n" +
+          p0.take(2000))
+      // the opt-in value pass: per-file NDV/nulls/min-max in ONE
+      // column-pruned scan + one metadata commit
+      val n = spark.sql("CALL gstat.sys.analyze(table => 'st.vals'," +
+        " columns => 'v')").head.getLong(0)
+      assert(n >= 1L, s"expected file stats updates, got $n")
+      val after = new TxFileIndex(spark, loc)
+      val (ndv, nulls) = after.columnCountStats("v")
+      assert(ndv.exists(_ >= 150000L), s"HLL NDV near 200k, got $ndv")
+      assert(nulls.contains(0L))
+      val (t, mn, mx) = after.columnRangeStats("v")
+      assert(t == 'l' && mn.toLong == 0L && mx.toLong == 199999L,
+        s"table range folded from per-file ranges, got ($t, $mn, $mx)")
+      val p1 = swapped(q).queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        "min/max selectivity must shrink the filtered side under the " +
+          "broadcast threshold\n" + p1.take(2000))
+    }
+  }
+
   test("join-strategy flip: CBO + exact rowCount broadcasts the " +
       "big-on-disk/few-rows side where byte size alone sort-merges") {
     ensure()

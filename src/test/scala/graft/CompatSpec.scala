@@ -617,6 +617,108 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2L)
   }
 
+  test("round-13: arrayFirst/arrayLast/arrayFirstIndex, empty " +
+      "arrayDifference, non-capturing-group extract") {
+    val r = Compat.chSql(spark, """
+      SELECT arrayFirst(x -> x > 2, array(1,2,3,4)) AS f,
+        arrayLast(x -> x > 2, array(1,2,3,4)) AS l,
+        arrayFirstIndex(x -> x > 2, array(1,2,3,4)) AS i,
+        arrayFirst(x -> x > 9, array(1,2,3)) AS none_f,
+        arrayFirstIndex(x -> x > 9, array(1,2,3)) AS none_i,
+        arrayFirst(x -> x like 'b%', array('ap','ban','be')) AS sf,
+        arrayDifference(array(1,3,6)) AS ad,
+        arrayDifference(slice(array(1),1,0)) AS ade,
+        extract('hello123world', '(?:[a-z]+)(\\d+)') AS g1,
+        extract('abc', '(?:abc)') AS g0""").collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4 && r.getLong(2) == 3L)
+    // documented NULL-fill deviation: no match -> NULL element, 0 index
+    assert(r.isNullAt(3) && r.getLong(4) == 0L)
+    assert(r.getString(5) == "ban")
+    assert(r.getSeq[Int](6) == Seq(0, 2, 3))
+    assert(r.getSeq[Int](7) == Seq.empty)
+    // Pattern.groupCount decides group 1 vs whole-match, so (?:...)
+    // is NOT miscounted as a capture group
+    assert(r.getString(8) == "123" && r.getString(9) == "abc")
+  }
+
+  test("round-13: dateDiff counts unit-boundary crossings (CH/DuckDB " +
+      "contract), including NON-boundary starts") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        dateDiff('day',  toDateTime('2024-01-01 23:00:00'),
+                         toDateTime('2024-01-02 01:00:00')) AS d1,
+        dateDiff('hour', toDateTime('2024-01-01 10:59:00'),
+                         toDateTime('2024-01-01 11:01:00')) AS h1,
+        dateDiff('month', toDateTime('2024-01-31 00:00:00'),
+                          toDateTime('2024-02-01 00:00:00')) AS m1,
+        dateDiff('day',  toDateTime('2024-01-02 01:00:00'),
+                         toDateTime('2024-01-01 23:00:00')) AS dneg,
+        dateDiff('day',  toDateTime('2024-01-01 01:00:00'),
+                         toDateTime('2024-01-01 23:59:59')) AS dzero
+      """).collect().head
+    // complete-elapsed-units semantics would give 0, 0, 0 for the
+    // first three — boundary-crossing gives 1, 1, 1 (and stays
+    // antisymmetric / zero within one unit)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == -1L && r.getLong(4) == 0L)
+  }
+
+  test("round-13: running family (runningDifference, neighbor, " +
+      "lagInFrame/leadInFrame) and groupArrayMovingSum/Avg") {
+    spark.range(10)
+      .selectExpr("id % 2 AS g", "id AS t", "cast(id*id as long) AS v")
+      .createOrReplaceTempView("cx_rr")
+    val rows = Compat.chSql(spark, """
+      SELECT g, t,
+        runningDifference(v) OVER (PARTITION BY g ORDER BY t) AS rd,
+        neighbor(v, 1, -1) OVER (PARTITION BY g ORDER BY t) AS nb,
+        neighbor(v, -2) OVER (PARTITION BY g ORDER BY t) AS nb2,
+        lagInFrame(v, 1, 0) OVER (PARTITION BY g ORDER BY t) AS lif,
+        leadInFrame(v) OVER (PARTITION BY g ORDER BY t) AS ldf
+      FROM cx_rr WHERE g = 0 ORDER BY t""").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 4L, 12L, 20L, 28L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(4L, 16L, 36L, 64L, -1L))
+    assert(rows.take(2).forall(_.isNullAt(4)) && rows(2).getLong(4) == 0L)
+    assert(rows.map(_.getLong(5)).toSeq == Seq(0L, 0L, 4L, 16L, 36L))
+    assert(rows.last.isNullAt(6) && rows.head.getLong(6) == 4L)
+    // ordered golden: arrival order is only a contract the caller can
+    // pin (CH and groupArray alike), so feed ONE pre-sorted partition
+    spark.table("cx_rr").filter("g = 0").coalesce(1)
+      .sortWithinPartitions("t").createOrReplaceTempView("cx_rr1")
+    val ms = Compat.chSql(spark, """
+      SELECT g, groupArrayMovingSum(v2) AS ms,
+        groupArrayMovingSum(2)(v2) AS ms2,
+        groupArrayMovingAvg(2)(v2) AS ma2
+      FROM (SELECT g, v AS v2 FROM cx_rr1)
+      GROUP BY g""").collect().head
+    assert(ms.getSeq[Double](1) == Seq(0.0, 4.0, 20.0, 56.0, 120.0))
+    assert(ms.getSeq[Double](2) == Seq(0.0, 4.0, 20.0, 52.0, 100.0))
+    assert(ms.getSeq[Double](3) == Seq(0.0, 2.0, 10.0, 26.0, 50.0))
+    val cs = Compat.chSql(spark,
+      "SELECT arrayCumSum(array(1, 2, 3)) AS c1," +
+        " arrayCumSum(slice(array(1), 1, 0)) AS c0").collect().head
+    assert(cs.getSeq[Double](0) == Seq(1.0, 3.0, 6.0))
+    assert(cs.getSeq[Double](1) == Seq.empty)
+  }
+
+  test("round-13: ASOF alias rewrite is literal-safe and view names " +
+      "are invocation-unique") {
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+      .createOrReplaceTempView("cx_asof_l")
+    Seq((1L, 5L, "v.1"), (1L, 15L, "v.2")).toDF("k", "t", "tag")
+      .createOrReplaceTempView("cx_asof_r")
+    // alias `v` appears inside the string literal 'v.1' — a global
+    // regex rewrite would corrupt it into __r_1
+    val got = Compat.chSql(spark, """
+      SELECT u.t AS ut, v.t AS vt, v.tag AS tag,
+        concat(v.tag, '-v.1') AS lit
+      FROM cx_asof_l u ASOF JOIN cx_asof_r v
+      ON u.k = v.k AND u.t >= v.t ORDER BY u.t""").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((10L, 5L, "v.1"), (20L, 15L, "v.2")))
+    assert(got.head.getString(3) == "v.1-v.1")
+  }
+
   test("merge() table function: regex-matched tx tables union with " +
       "_table and additive NULLs; no match refuses actionably") {
     import graft.sink.TxTable
