@@ -536,17 +536,37 @@ class GraftCatalogTable(val path: String, ident: Identifier,
           }
         }
         val counts = ix.columnCountStats
+        // equi-height histograms from the ANALYZE full arm ride the
+        // table's log-carried properties — FilterEstimation's skew
+        // instrument (min/max assumes uniform density; a histogram
+        // knows 31 of 32 bins are a point value)
+        val hists: Map[String,
+            org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+          ix.tableProps.collect {
+            case (k, v) if k.startsWith(graft.sink.TxTable.HistPropPrefix) =>
+              val c = k.stripPrefix(graft.sink.TxTable.HistPropPrefix)
+              val Array(h, binsS) = v.split('|')
+              val bins = binsS.split(';').map { b =>
+                val Array(lo, hi, ndv) = b.split(',')
+                org.apache.spark.sql.catalyst.plans.logical
+                  .HistogramBin(lo.toDouble, hi.toDouble, ndv.toLong)
+              }
+              c -> org.apache.spark.sql.catalyst.plans.logical
+                .Histogram(h.toDouble, bins)
+          }
         val colStats = (counts.keySet ++ ranges.keySet
-          .filter(c => extRange(c)._1.isDefined)).toSeq.flatMap { c =>
+          .filter(c => extRange(c)._1.isDefined) ++ hists.keySet)
+          .toSeq.flatMap { c =>
           val (ndv, nulls) =
             counts.getOrElse(c, (None: Option[Long], None: Option[Long]))
           val (mn, mx) = extRange(c)
-          if (ndv.isEmpty && nulls.isEmpty && mn.isEmpty) None
+          if (ndv.isEmpty && nulls.isEmpty && mn.isEmpty &&
+            !hists.contains(c)) None
           else Some(c -> CatalogColumnStat(
             distinctCount = ndv.map(v => BigInt(math.min(v, n))),
             min = mn, max = mx,
             nullCount = nulls.map(BigInt(_)),
-            avgLen = None, maxLen = None, histogram = None))
+            avgLen = None, maxLen = None, histogram = hists.get(c)))
         }.toMap
         CatalogTable(
           identifier = TableIdentifier(ident.name,

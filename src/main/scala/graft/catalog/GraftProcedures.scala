@@ -278,15 +278,26 @@ object GraftProcedures {
       val loc = pathOf(catalog, input.getUTF8String(0).toString)
       val ix = new graft.sink.TxFileIndex(spark, loc)
       val head = Seq[Any]("#table",
-        ix.exactRowCount.map(Long.box).orNull, null)
-      val cols = ix.columnCountStats.toSeq.sortBy(_._1).map {
-        case (c, (ndv, nulls)) => Seq[Any](c,
-          ndv.map(Long.box).orNull, nulls.map(Long.box).orNull)
-      }
+        ix.exactRowCount.map(Long.box).orNull, null, null, null)
+      // min/max from the folded per-file ranges (footer- or
+      // analyze-full-derived), rendered in the log's own encoding
+      // ('l' = long / epoch-micros / epoch-days, 's' = raw string)
+      val ranges = ix.columnRangeStats
+      val cols = (ix.columnCountStats.keySet ++ ranges.keySet)
+        .toSeq.sorted.map { c =>
+          val (ndv, nulls) = ix.columnCountStats
+            .getOrElse(c, (None: Option[Long], None: Option[Long]))
+          val rg = ranges.get(c)
+          Seq[Any](c, ndv.map(Long.box).orNull,
+            nulls.map(Long.box).orNull,
+            rg.map(_._2).orNull, rg.map(_._3).orNull)
+        }
       result(StructType(Seq(
         StructField("column", StringType, nullable = false),
         StructField("ndv_upper", LongType, nullable = true),
-        StructField("null_count", LongType, nullable = true))),
+        StructField("null_count", LongType, nullable = true),
+        StructField("min", StringType, nullable = true),
+        StructField("max", StringType, nullable = true))),
         head +: cols)
     }
   }

@@ -63,6 +63,16 @@ class TxFileIndex(spark: SparkSession, table: String,
         }
       }
 
+  /** Log-carried table properties for THIS snapshot (the ANALYZE full
+    * arm's histogram stats ride here) — lazy so indexes that never
+    * serve planner statistics pay nothing; honors the same asOf pin
+    * as the file listing. Explicit-file indexes (log deltas, change
+    * feeds) carry none.
+    */
+  lazy val tableProps: Map[String, String] =
+    if (explicitFiles.isDefined) Map.empty
+    else TxTable.tablePropsAt(fs, root, asOf)
+
   /** Exact live row count from log metadata alone — Σ`#rows` (footer-
     * derived, logged per file) minus deletion-vector cardinalities.
     * None if any live file predates row-count stats: an unknown beats

@@ -1327,13 +1327,69 @@ object TxTable {
       }
       Some(rel -> m.copy(stats = m.stats ++ fresh))
     }
+    // table-level EQUI-HEIGHT histograms for the numeric targets —
+    // the skew instrument min/max cannot be (a uniform-density range
+    // estimate is arbitrarily wrong on a 99%-one-value column). The
+    // percentile bounds + Spark's own per-interval NDV sketch ride as
+    // a table PROPERTY in the same commit (they are table-level, not
+    // per-file); duplicate percentile endpoints are the point — they
+    // become point bins, which is exactly how equi-height encodes
+    // skew. Serialized `height|lo,hi,ndv;...` under
+    // `graft.stats.hist.<col>`.
+    val numBins = HistogramBins
+    val histCols = cols.filter(c => types(c) match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType => true
+      case _ => false
+    })
+    val histProps: Seq[(String, String)] =
+      if (histCols.isEmpty) Nil
+      else {
+        val pcts = (0 to numBins).map(_.toDouble / numBins)
+        val aggsH = histCols.flatMap { c =>
+          Seq(expr(s"percentile_approx(CAST(`$c` AS DOUBLE), " +
+            s"array(${pcts.mkString(",")}), 10000)").as(s"${c}__p"),
+            count(col(c)).as(s"${c}__n"))
+        }
+        val pr = df.agg(aggsH.head, aggsH.tail: _*).collect().head
+        histCols.flatMap { c =>
+          val pi = pr.fieldIndex(s"${c}__p")
+          val nn = pr.getAs[Long](s"${c}__n")
+          if (pr.isNullAt(pi) || nn == 0L) None
+          else {
+            val ends = pr.getSeq[Double](pi)
+            import org.apache.spark.sql.catalyst.expressions.{
+              CreateArray, Literal => CLit}
+            val ndvE = org.apache.spark.sql.catalyst.expressions.aggregate
+              .ApproxCountDistinctForIntervals(
+                org.apache.spark.sql.GraftSqlBridge.expression(
+                  df.col(c).cast("double")),
+                CreateArray(ends.map(d => CLit(d))))
+            val ndvs = df.agg(org.apache.spark.sql.GraftSqlBridge
+                .column(ndvE.toAggregateExpression()).as("x"))
+              .collect().head.getSeq[Long](0)
+            val height = nn.toDouble / numBins
+            val bins = (0 until numBins).map(i =>
+              s"${ends(i)},${ends(i + 1)},${ndvs(i)}").mkString(";")
+            Some(s"$HistPropPrefix$c" -> s"$height|$bins")
+          }
+        }
+      }
     commitRetry(fs, root, updated, updated.map(_._1),
       op = Some("analyze"),
       expectDv = updated.map { case (rel, m) =>
         rel -> DvStore.pointerOf(m.stats)
-      }.toMap)
+      }.toMap,
+      propsSet = histProps)
     updated.size.toLong
   }
+
+  /** Equi-height histogram bin count for the ANALYZE full arm. */
+  private[graft] val HistogramBins = 32
+
+  /** Table-property prefix carrying per-column equi-height histograms
+    * (`graft.stats.hist.<col>` -> `height|lo,hi,ndv;...`). */
+  private[graft] val HistPropPrefix = "graft.stats.hist."
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: record property changes in
     * one data-less commit (replayed like files/schema; checkpoints
@@ -2829,6 +2885,12 @@ object TxTable {
     val (fs, root) = fsFor(spark, table)
     replayState(fs, root, None).props
   }
+
+  /** [[tableProperties]] at a pinned version, from an already-resolved
+    * (fs, root) — the [[TxFileIndex.tableProps]] seam. */
+  private[sink] def tablePropsAt(fs: FileSystem, root: Path,
+      asOf: Option[Long]): Map[String, String] =
+    replayState(fs, root, asOf).props
 
   /** ClickHouse `merge('dir', '^regex$')` — read every tx table under
     * `baseDir` whose NAME matches the regex as one union, each branch

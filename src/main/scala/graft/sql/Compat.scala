@@ -228,6 +228,13 @@ object Compat {
       TruncDate(Cast(e.head, DateType), Literal("quarter")))
     f("toStartOfYear")(e =>
       TruncDate(Cast(e.head, DateType), Literal("year")))
+    // toMonday = toStartOfWeek with CH's Monday anchor spelled out
+    // (Spark's trunc 'week' IS Monday); toLastDayOfMonth is native
+    f("toMonday")(e =>
+      TruncDate(Cast(e.head, DateType), Literal("week")))
+    f("toLastDayOfMonth")(e =>
+      org.apache.spark.sql.catalyst.expressions.LastDay(
+        Cast(e.head, DateType)))
     f("toHour")(e => org.apache.spark.sql.catalyst.expressions.Hour(
       Cast(e.head, TimestampType)))
     f("toMinute")(e => org.apache.spark.sql.catalyst.expressions.Minute(
@@ -303,6 +310,36 @@ object Compat {
     f("arrayConcat")(e => Concat(e))
     f("arrayPushBack")(e => Concat(Seq(e(0),
       org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(e(1))))))
+    f("arrayPushFront")(e => Concat(Seq(
+      org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(e(1))),
+      e(0))))
+    // pop*: empty input yields empty (the Greatest clamp — Slice
+    // throws on a negative length)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Greatest => PGr,
+        Size => PSize, Subtract => PSub}
+      f("arrayPopBack")(e => Slice(e.head, Literal(1),
+        PGr(Seq(PSub(PSize(e.head), Literal(1)), Literal(0)))))
+      f("arrayPopFront")(e => Slice(e.head, Literal(2),
+        PGr(Seq(PSub(PSize(e.head), Literal(1)), Literal(0)))))
+    }
+    // mapKeys/mapValues over Spark MAP values
+    f("mapKeys")(e =>
+      org.apache.spark.sql.catalyst.expressions.MapKeys(e.head))
+    f("mapValues")(e =>
+      org.apache.spark.sql.catalyst.expressions.MapValues(e.head))
+    // countSubstrings: non-overlapping literal occurrences —
+    // (len(h) - len(replace(h, n, ''))) / len(n), exact and codegen'd
+    f("countSubstrings") { e =>
+      import org.apache.spark.sql.catalyst.expressions.{Divide => CDiv,
+        StringReplace, Subtract => CSub}
+      import org.apache.spark.sql.types.{DoubleType => CDouble,
+        LongType => CLong}
+      Cast(CDiv(
+        Cast(CSub(Length(e(0)),
+          Length(StringReplace(e(0), e(1), Literal("")))), CDouble),
+        Cast(Length(e(1)), CDouble)), CLong)
+    }
     f("lengthUTF8")(e => Length(Cast(e.head, StringType)))
     f("substringUTF8")(e => Substring(e(0), e(1), e(2)))
     f("lowerUTF8")(e =>
@@ -1362,7 +1399,7 @@ object Compat {
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
       rewriteSample(rewriteArrayJoin(rewriteNumbers(
-        rewriteDateDiff(rewriteRunning(translateCh0(sql))))))))))
+        rewriteAge(rewriteDateDiff(rewriteRunning(translateCh0(sql)))))))))))
 
   /** Split an argument list starting just AFTER an opening '(' at
     * position `from` into top-level comma-separated pieces; returns
@@ -1482,6 +1519,31 @@ object Compat {
     */
   private val dateDiffUnits = Set("second", "minute", "hour", "day",
     "week", "month", "quarter", "year", "millisecond", "microsecond")
+
+  /** CH `age('unit', a, b)` counts COMPLETE elapsed units — exactly
+    * Spark's native timestampdiff contract, so only the quoted unit
+    * needs unquoting (the complement of [[rewriteDateDiff]]'s
+    * boundary-crossing translation; the two CH functions differ and
+    * so do the two rewrites).
+    */
+  private def rewriteAge(sql: String): String = {
+    val head = java.util.regex.Pattern.compile(
+      "(?i)\\bage\\s*\\(\\s*'(\\w+)'\\s*,")
+    val m = head.matcher(sql)
+    if (!m.find()) return sql
+    val unit = m.group(1).toLowerCase
+    if (!dateDiffUnits(unit))
+      return sql.substring(0, m.end) + rewriteAge(sql.substring(m.end))
+    splitTopLevelArgs(sql, m.end) match {
+      case Some((Seq(a, b), close)) =>
+        sql.substring(0, m.start) +
+          s"timestampdiff($unit, CAST($a AS TIMESTAMP), " +
+          s"CAST($b AS TIMESTAMP))" + rewriteAge(sql.substring(close + 1))
+      case _ =>
+        sql.substring(0, m.end) + rewriteAge(sql.substring(m.end))
+    }
+  }
+
   private def rewriteDateDiff(sql: String): String = {
     val head = java.util.regex.Pattern.compile(
       "(?i)\\b(?:dateDiff|date_diff|timestampDiff)\\s*\\(\\s*'(\\w+)'\\s*,")

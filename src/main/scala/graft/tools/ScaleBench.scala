@@ -58,9 +58,15 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factors =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10)
+    // SPARK_GRAFT_SHUFFLE_PARTS decouples shuffle parallelism from
+    // thread count: on a real cluster partitions scale WITH data, so
+    // the high-factor arms need more partitions than cores to keep
+    // per-task state flat (the 300× append sizing experiment)
+    val shufParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

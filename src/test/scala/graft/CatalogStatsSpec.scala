@@ -226,10 +226,61 @@ class CatalogStatsSpec extends AnyFunSuite {
       val (t, mn, mx) = after.columnRangeStats("v")
       assert(t == 'l' && mn.toLong == 0L && mx.toLong == 199999L,
         s"table range folded from per-file ranges, got ($t, $mn, $mx)")
+      // the observability surface reads the same numbers back
+      val st = spark.sql("CALL gstat.sys.stats(table => 'st.vals')")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(st("v").getString(3) == "0" && st("v").getString(4) == "199999")
       val p1 = swapped(q).queryExecution.executedPlan.toString
       assert(p1.contains("BroadcastHashJoin"),
         "min/max selectivity must shrink the filtered side under the " +
           "broadcast threshold\n" + p1.take(2000))
+    }
+  }
+
+  test("ANALYZE full-arm histograms: equi-height bins estimate a " +
+      "SKEWED range filter where min/max's uniform assumption cannot") {
+    ensure()
+    // v: 99.5% zeros, 0.5% spread to ~200k — min/max (0, 199800) with
+    // uniform density estimates `v >= 1` at ~100% of rows; the
+    // 32-bin equi-height histogram knows 31 bins are the point [0,0]
+    spark.sql("CREATE TABLE gstat.st.skew (k BIGINT, v BIGINT, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.skew SELECT id % 50," +
+      " CASE WHEN id % 200 = 0 THEN id ELSE 0 END," +
+      " DATE'2024-01-01' FROM range(0, 200000)")
+    spark.sql("CREATE TABLE gstat.st.probe2 (k BIGINT, w STRING, date DATE)" +
+      " PARTITIONED BY (date)")
+    spark.sql("INSERT INTO gstat.st.probe2 SELECT id % 50," +
+      " md5(cast(id AS STRING)), DATE'2024-01-01' FROM range(0, 200000)")
+    val loc = wh + "/st/skew"
+    spark.sql("CALL gstat.sys.analyze(table => 'st.skew'," +
+      " columns => 'v')")
+    val hist = TxTable.tableProperties(spark, loc)
+      .get(TxTable.HistPropPrefix + "v")
+    assert(hist.isDefined, "full arm must persist the histogram property")
+    // 31 of 32 bins collapse to the point [0.0, 0.0]
+    val pointBins = hist.get.split('|')(1).split(';')
+      .count(_.startsWith("0.0,0.0,"))
+    assert(pointBins >= 30, s"expected point bins on a 99.5%-zero " +
+      s"column, got $pointBins of 32")
+    val q = "SELECT b.k, b.w FROM gstat.st.probe2 b JOIN" +
+      " (SELECT k, v FROM gstat.st.skew WHERE v >= 1) f ON b.k = f.k"
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+      val p1 = swapped(q).queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        "histogram must shrink the skewed filter under the threshold\n" +
+          p1.take(2000))
+      // the counterfactual: same ndv/min-max stats, histogram REMOVED
+      // — uniform density reads `v >= 1` as ~every row -> sort-merge
+      TxTable.setTableProperties(spark, loc,
+        remove = Seq(TxTable.HistPropPrefix + "v"))
+      val p0 = swapped(q).queryExecution.executedPlan.toString
+      assert(p0.contains("SortMergeJoin") && !p0.contains("BroadcastHashJoin"),
+        "without the histogram, min/max alone must keep the scan-sized " +
+          "estimate\n" + p0.take(2000))
     }
   }
 

@@ -701,6 +701,40 @@ class CompatSpec extends AnyFunSuite {
     assert(cs.getSeq[Double](1) == Seq.empty)
   }
 
+  test("round-13: calendar/array/map/string round-out — toMonday, " +
+      "toLastDayOfMonth, age(), push/pop, mapKeys/Values, " +
+      "countSubstrings") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        toMonday(toDateTime('2024-03-07 15:00:00')) AS mon,
+        toLastDayOfMonth(toDateTime('2024-02-10 00:00:00')) AS eom,
+        age('day',  toDateTime('2024-01-01 23:00:00'),
+                    toDateTime('2024-01-02 01:00:00')) AS age_d,
+        age('hour', toDateTime('2024-01-01 10:00:00'),
+                    toDateTime('2024-01-01 13:30:00')) AS age_h,
+        arrayPushFront(array(2, 3), 1) AS pf,
+        arrayPopBack(array(1, 2, 3)) AS pb,
+        arrayPopFront(array(1, 2, 3)) AS pfr,
+        arrayPopBack(slice(array(1), 1, 0)) AS pbe,
+        mapKeys(map('a', 1, 'b', 2)) AS mk,
+        mapValues(map('a', 1, 'b', 2)) AS mv,
+        countSubstrings('abcabcab', 'ab') AS cs,
+        countSubstrings('aaa', 'z') AS cs0
+      """).collect().head
+    assert(r.getDate(0).toString == "2024-03-04")   // Thursday -> Monday
+    assert(r.getDate(1).toString == "2024-02-29")   // leap February
+    // CH age counts COMPLETE elapsed units (contrast dateDiff's
+    // boundary crossings: dateDiff('day', ...) on the same pair = 1)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 3L)
+    assert(r.getSeq[Int](4) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](5) == Seq(1, 2))
+    assert(r.getSeq[Int](6) == Seq(2, 3))
+    assert(r.getSeq[Int](7) == Seq.empty)
+    assert(r.getSeq[String](8).sorted == Seq("a", "b"))
+    assert(r.getSeq[Int](9).sorted == Seq(1, 2))
+    assert(r.getLong(10) == 3L && r.getLong(11) == 0L)
+  }
+
   test("round-13: ASOF alias rewrite is literal-safe and view names " +
       "are invocation-unique") {
     Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
