@@ -771,6 +771,49 @@ object FlowQueries {
           "concat_ws(',', transform(ma0, x -> cast(x AS string))) AS ma")
     }),
 
+    // maxIntersections/maxIntersectionsPosition (peak concurrent
+    // intervals via the mergeable boundary-delta sweep; half-open
+    // contract), boundingRatio (slope across the x range), anyHeavy
+    // (exact mode with deterministic ties) — round 13. DuckDB replays
+    // the sweep with unnest + a running window sum, the slope with
+    // arg_max/arg_min, the mode with a count-ranked row_number.
+    "q_compat_intervals" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_iv")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          maxIntersections(st, en) AS mi,
+          maxIntersectionsPosition(st, en) AS mip,
+          boundingRatio(event_id, v) AS br,
+          anyHeavy(hv) AS ah
+        FROM (SELECT user_id, event_id,
+            event_id % 50 AS st,
+            event_id % 50 + 1 + event_id % 7 AS en,
+            CAST(event_id % 97 AS BIGINT) AS v,
+            CASE WHEN event_id % 2 = 0 THEN 'even'
+                 ELSE concat('odd', event_id % 3) END AS hv
+          FROM ch_events_iv) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // deltaSumTimestamp — the counter-delta sum (positive ts-ordered
+    // differences only; resets contribute 0), rewritten by Compat to
+    // the exact lag-window formulation. v replays a wrapping counter
+    // (mostly +1 steps with a reset every 1000); the unique event_id
+    // is the ordering axis so both engines see one deterministic
+    // sequence. DuckDB replays the window formulation directly.
+    "q_compat_deltasum" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_ds")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          CAST(deltaSumTimestamp(v, event_id) AS BIGINT) AS ds,
+          CAST(deltaSumTimestamp(v % 10, event_id) AS BIGINT) AS ds10,
+          count() AS n
+        FROM (SELECT user_id, event_id,
+            CAST(event_id % 1000 AS BIGINT) AS v FROM ch_events_ds) t
+        WHERE event_id % 11 != 0
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // numbers() row generator + fixed-width time buckets, as literal CH
     // text; DuckDB replays the 15-minute bucket via time_bucket (same
     // epoch anchor: 2000-01-01 is a whole multiple of 900 s)
@@ -1226,6 +1269,54 @@ object FlowQueries {
         |FROM (SELECT user_id, v,
         |    unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM g) u
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_intervals" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    event_id % 50 AS st,
+        |    event_id % 50 + 1 + event_id % 7 AS en,
+        |    CAST(event_id % 97 AS BIGINT) AS v,
+        |    CASE WHEN event_id % 2 = 0 THEN 'even'
+        |         ELSE concat('odd', event_id % 3) END AS hv
+        |  FROM events),
+        |pts AS (
+        |  SELECT user_id, st AS p, 1 AS dd FROM t
+        |  UNION ALL SELECT user_id, en, -1 FROM t),
+        |net AS (SELECT user_id, p, SUM(dd) AS nd FROM pts GROUP BY 1, 2),
+        |run AS (SELECT user_id, p,
+        |    SUM(nd) OVER (PARTITION BY user_id ORDER BY p) AS r FROM net),
+        |sweep AS (SELECT user_id, CAST(MAX(r) AS BIGINT) AS mi,
+        |    CAST(MIN(CASE WHEN r = mx THEN p END) AS BIGINT) AS mip
+        |  FROM (SELECT user_id, p, r,
+        |      MAX(r) OVER (PARTITION BY user_id) AS mx FROM run) rr
+        |  GROUP BY user_id),
+        |slope AS (SELECT user_id,
+        |    (arg_max(v, event_id) - arg_min(v, event_id))
+        |      / CAST(MAX(event_id) - MIN(event_id) AS DOUBLE) AS br
+        |  FROM t GROUP BY user_id),
+        |heavy AS (SELECT user_id, hv AS ah FROM (
+        |    SELECT user_id, hv, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY COUNT(*) DESC, hv ASC) AS rn
+        |    FROM t GROUP BY user_id, hv) h WHERE rn = 1)
+        |SELECT s.user_id AS user_id, s.mi AS mi, s.mip AS mip,
+        |  sl.br AS br, hy.ah AS ah
+        |FROM sweep s JOIN slope sl USING (user_id)
+        |  JOIN heavy hy USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_compat_deltasum" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(event_id % 1000 AS BIGINT) AS v FROM events
+        |  WHERE event_id % 11 != 0),
+        |d AS (SELECT user_id,
+        |    v - lag(v) OVER w AS dv,
+        |    (v % 10) - lag(v % 10) OVER w AS dv10
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN dv > 0 THEN dv END), 0)
+        |    AS BIGINT) AS ds,
+        |  CAST(COALESCE(SUM(CASE WHEN dv10 > 0 THEN dv10 END), 0)
+        |    AS BIGINT) AS ds10,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_numbers" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |    AS q15,

@@ -491,6 +491,42 @@ object Compat {
       f("groupBitOr")(e => BitOrAgg(e.head))
       f("groupBitXor")(e => BitXorAgg(e.head))
     }
+    // interval sweep + slope + heavy-hitter (round 13):
+    // maxIntersections / maxIntersectionsPosition — peak concurrent
+    // intervals via the mergeable boundary-delta sweep (half-open
+    // contract documented on the aggregate); boundingRatio — the
+    // (y at max x − y at min x) / (max x − min x) slope, composed
+    // from native min/max/min_by/max_by; anyHeavy — CH only promises
+    // "a frequently occurring value", this one returns the EXACT mode
+    // (count desc, value asc tie order) via the topK(1) space-saving
+    // sketch, which satisfies CH's majority guarantee determinstically
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Divide, ElementAt,
+        Subtract}
+      f("maxIntersections")(e => graft.functions.MaxIntersectionsAgg(
+        Cast(e(0), LongType), Cast(e(1), LongType), position = false)
+        .toAggregateExpression())
+      f("maxIntersectionsPosition")(e =>
+        graft.functions.MaxIntersectionsAgg(
+          Cast(e(0), LongType), Cast(e(1), LongType), position = true)
+          .toAggregateExpression())
+      f("boundingRatio")(e => Divide(
+        Subtract(
+          Cast(MaxBy(e(1), e(0)).toAggregateExpression(), DoubleType),
+          Cast(MinBy(e(1), e(0)).toAggregateExpression(), DoubleType)),
+        Subtract(Cast(Max(e(0)).toAggregateExpression(), DoubleType),
+          Cast(Min(e(0)).toAggregateExpression(), DoubleType))))
+      f("anyHeavy")(e => ElementAt(
+        graft.functions.TopKAgg(1, e.head).toAggregateExpression(),
+        Literal(1)))
+      // bare deltaSum depends on block order, which a distributed
+      // engine does not have (same refusal as bare runningDifference);
+      // deltaSumTimestamp(v, ts) is the deterministic spelling and
+      // rewrites to the exact window formulation in rewriteDeltaSum
+      f("deltaSum")(_ => throw new IllegalArgumentException(
+        "deltaSum is block-order-dependent and has no deterministic " +
+          "distributed reading; use deltaSumTimestamp(value, ts)"))
+    }
     // sequenceCount('(?1)(?2)')(ts, c1, ...): greedy NON-OVERLAPPING
     // chain count (CH's contract) — same buffer/evaluator family as
     // sequenceMatch
@@ -1398,8 +1434,97 @@ object Compat {
 
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
-      rewriteSample(rewriteArrayJoin(rewriteNumbers(
-        rewriteAge(rewriteDateDiff(rewriteRunning(translateCh0(sql)))))))))))
+      rewriteSample(rewriteArrayJoin(rewriteNumbers(rewriteAge(
+        rewriteDateDiff(rewriteRunning(rewriteDeltaSum(
+          translateCh0(sql))))))))))))
+
+  /** CH `deltaSumTimestamp(value, ts)` — the counter-delta sum: the
+    * sum of positive differences between ts-consecutive values
+    * (negative differences — counter resets — contribute nothing).
+    * CH's aggregate carries an O(1) state that is only exact when
+    * parts arrive ts-ordered (its docs scope it to ordered
+    * materialized views); a distributed engine makes the ordering
+    * explicit instead: the call rewrites to the EXACT window
+    * formulation — `value - lag(value) OVER (PARTITION BY the GROUP
+    * BY keys ORDER BY ts)` in a subquery, `sum(greatest(delta, 0))`
+    * outside (Spark's greatest skips the first row's NULL, so a
+    * single-row group reads 0, CH's answer). One shuffle on the group
+    * keys serves both the window and the aggregate.
+    *
+    * Supported shape: ONE top-level `SELECT ... FROM ... GROUP BY`
+    * with named (non-ordinal) keys and every call sitting in the
+    * select list. Anything else passes through unrewritten and fails
+    * loudly in the analyzer — never a silently different answer.
+    */
+  private def rewriteDeltaSum(sql: String): String = {
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
+    if (!lower.contains("deltasumtimestamp(")) return sql
+    // depth/quote map over the whole text, for clause anchoring
+    def topLevelIndexOf(word: String, from: Int): Int = {
+      var i = from; var depth = 0; var inStr = false
+      val w = word.toLowerCase(java.util.Locale.ROOT)
+      while (i < lower.length) {
+        val c = lower.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && lower.startsWith(w, i) &&
+          (i == 0 || !lower.charAt(i - 1).isLetterOrDigit &&
+            lower.charAt(i - 1) != '_') &&
+          (i + w.length >= lower.length ||
+            !lower.charAt(i + w.length).isLetterOrDigit &&
+              lower.charAt(i + w.length) != '_')) return i
+        i += 1
+      }
+      -1
+    }
+    val trimmed = lower.dropWhile(_.isWhitespace)
+    if (!trimmed.startsWith("select")) return sql
+    val selStart = lower.indexOf("select") + "select".length
+    val fromAt = topLevelIndexOf("from", selStart)
+    if (fromAt < 0) return sql
+    val groupAt = topLevelIndexOf("group", fromAt)
+    if (groupAt < 0) return sql
+    val byM = java.util.regex.Pattern.compile("^group\\s+by\\s")
+      .matcher(lower.substring(groupAt))
+    if (!byM.find()) return sql
+    val keysStart = groupAt + byM.end()
+    val tailAt = Seq("having", "order", "limit")
+      .map(topLevelIndexOf(_, keysStart)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(sql.length)
+    val keys = sql.substring(keysStart, tailAt).trim
+    if (keys.isEmpty ||
+      keys.split(",").exists(_.trim.matches("\\d+"))) return sql
+    // every call must live in the select list
+    if (topLevelIndexOf("deltasumtimestamp", fromAt) >= 0) return sql
+    // collect (start, argsEnd, value, ts) per call in the select list,
+    // then splice right-to-left
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String)]
+    var at = lower.indexOf("deltasumtimestamp(", selStart)
+    while (at >= 0 && at < fromAt) {
+      if (at > 0 && (lower.charAt(at - 1).isLetterOrDigit ||
+          lower.charAt(at - 1) == '_')) return sql
+      splitTopLevelArgs(sql, at + "deltasumtimestamp(".length) match {
+        case Some((Seq(v, ts), close)) => calls += ((at, close, v, ts))
+        case _ => return sql
+      }
+      at = lower.indexOf("deltasumtimestamp(", at + 1)
+    }
+    if (calls.isEmpty) return sql
+    var selectList = sql.substring(selStart, fromAt)
+    calls.zipWithIndex.reverse.foreach { case ((s, e, _, _), i) =>
+      selectList = selectList.substring(0, s - selStart) +
+        s"sum(greatest(__dst$i, 0))" + selectList.substring(e + 1 - selStart)
+    }
+    val defs = calls.zipWithIndex.map { case ((_, _, v, ts), i) =>
+      s"(($v) - lag($v) OVER (PARTITION BY $keys ORDER BY $ts)) AS __dst$i"
+    }.mkString(", ")
+    val fromPart = sql.substring(fromAt + 4, groupAt).trim
+    s"SELECT $selectList FROM (SELECT *, $defs FROM $fromPart) __dsq " +
+      s"GROUP BY $keys ${sql.substring(tailAt)}"
+  }
 
   /** Split an argument list starting just AFTER an opening '(' at
     * position `from` into top-level comma-separated pieces; returns

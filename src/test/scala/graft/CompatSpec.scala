@@ -772,4 +772,43 @@ class CompatSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("matches no tx table"))
   }
+
+  test("round-13: maxIntersections sweep (half-open), boundingRatio, " +
+      "anyHeavy, deltaSumTimestamp window rewrite") {
+    // intervals [1,3) [2,5) [4,6) [6,7): peak 2, first attained at 2;
+    // the touching pair [4,6)+[6,7) does NOT intersect (half-open)
+    Seq((1L, 3L), (2L, 5L), (4L, 6L), (6L, 7L))
+      .toDF("st", "en").createOrReplaceTempView("cx_iv")
+    val iv = Compat.chSql(spark, """
+      SELECT maxIntersections(st, en) AS mi,
+        maxIntersectionsPosition(st, en) AS mip
+      FROM cx_iv""").collect().head
+    assert(iv.getLong(0) == 2L && iv.getLong(1) == 2L)
+    val touch = Compat.chSql(spark,
+      "SELECT maxIntersections(st, en) AS mi FROM " +
+        "(SELECT * FROM cx_iv WHERE st >= 4)").collect().head
+    assert(touch.getLong(0) == 1L)
+    // boundingRatio: slope between (x=1,y=10) and (x=4,y=4) = -2;
+    // anyHeavy: 7 is the exact mode
+    Seq((1L, 10L, 7L), (2L, 14L, 7L), (4L, 4L, 9L))
+      .toDF("x", "y", "h").createOrReplaceTempView("cx_br")
+    val br = Compat.chSql(spark,
+      "SELECT boundingRatio(x, y) AS br, anyHeavy(h) AS ah FROM cx_br")
+      .collect().head
+    assert(br.getDouble(0) == -2.0 && br.getLong(1) == 7L)
+    // deltaSumTimestamp: values 10,13,12,15 in ts order -> +3,+3 = 6;
+    // the single-row group reads 0; bare deltaSum refuses
+    Seq((1L, 1L, 10L), (1L, 2L, 13L), (1L, 3L, 12L), (1L, 4L, 15L),
+      (2L, 1L, 42L))
+      .toDF("g", "t", "v").createOrReplaceTempView("cx_ds")
+    val ds = Compat.chSql(spark, """
+      SELECT g, deltaSumTimestamp(v, t) AS ds FROM cx_ds
+      GROUP BY g ORDER BY g""").collect()
+    assert(ds.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 6L), (2L, 0L)))
+    val err = intercept[Exception] {
+      Compat.chSql(spark, "SELECT deltaSum(v) FROM cx_ds").collect()
+    }
+    assert(err.getMessage.contains("deltaSumTimestamp"))
+  }
 }
