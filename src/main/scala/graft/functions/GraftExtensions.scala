@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // base table are served from its materialized view when covered
     // and current (see graft.plans.Projections)
     e.injectOptimizerRule(_ => graft.plans.ProjectionRewrite)
+    // sort-order PROJECTION routing: filtered scans of a registered tx
+    // base are served from its alternate-clustered copy when the
+    // filter touches the copy's cluster keys and the copy is current
+    // (see graft.plans.SortProjections)
+    e.injectOptimizerRule(_ => graft.plans.SortProjectionRewrite)
     // SQL-catalog fast path: scans of GraftCatalog tables plan through
     // the native vectorized HadoopFsRelation instead of the V1Scan
     // row bridge (see graft.catalog.GraftCatalogRelations)

@@ -472,6 +472,66 @@ object MiscQueries {
         .orderBy("direction", "proto_name")
     }),
 
+    // SORT-ORDER PROJECTION as a gate (ClickHouse's second projection
+    // kind — ADD PROJECTION (SELECT * ORDER BY other_key)): the summed
+    // table is the base, kept time-clustered; a full-row copy clustered
+    // on (proto_name, direction) is registered as its projection and
+    // maintained through the commit-log protocol. The base lands in TWO
+    // appends with a refresh between, exercising the incremental CAS
+    // maintenance path; mid-gate, while the projection LAGS the second
+    // append, the same query must route BACK to the base (never a stale
+    // answer) — required before the final refresh re-enables the route.
+    // The returned aggregate is required to be served entirely from
+    // projection files and hash-checks every row: any loss, duplicate,
+    // or corruption in the alternate-layout copy mismatches. The
+    // file-skipping payoff is scan-metrics-audited in SortProjectionSpec.
+    "qtx_sortproj" -> ((s, d) => {
+      val (f, p, n, px) = (SyntheticFlows.flows(s, d), SyntheticFlows.pods(s, d),
+        SyntheticFlows.nodes(s, d), SyntheticFlows.prefixes(s, d))
+      val summed = graft.ops.CacheRegistry.track(
+        FlowPipeline.run(f, p, n, px, FlowConfig()))
+      val dir = sys.props("java.io.tmpdir") +
+        s"/graft_sortproj_${math.abs(d.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val (baseT, projT) = (s"$dir/base", s"$dir/proj")
+      val keys = Seq("proto_name", "direction")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation => h.location.inputFiles.toSeq
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+      def q = TxFileIndex.readV2(s, baseT)
+        .filter(col("proto_name").isNotNull)
+        .groupBy("proto_name", "direction")
+        .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+          sum("n_obs").as("n_obs"))
+        .orderBy("proto_name", "direction")
+      // split on direction: the 1-obs→2-row fan-out guarantees both
+      // halves are non-empty, so the second append really advances the
+      // base and really opens a staleness window
+      TxTable.append(s, summed.filter(col("direction") === "out"), baseT)
+      require(graft.sink.SortProjection.refresh(s, baseT, projT, keys) >= 0,
+        "first projection refresh must apply")
+      graft.plans.SortProjections.register(s, baseT, projT, keys)
+      val routed1 = scansOf(q)
+      require(routed1.nonEmpty && routed1.forall(_.contains("/proj/")),
+        "a current projection must serve the key-filtered query")
+      TxTable.append(s, summed.filter(col("direction") =!= "out"), baseT)
+      val stale = scansOf(q)
+      require(stale.nonEmpty && stale.forall(_.contains("/base/")),
+        "a lagging projection must degrade to the base, never serve stale")
+      require(graft.sink.SortProjection.refresh(s, baseT, projT, keys) >= 0,
+        "incremental refresh must fold the second append")
+      val routed2 = scansOf(q)
+      require(routed2.nonEmpty && routed2.forall(_.contains("/proj/")),
+        "the refreshed projection must serve again")
+      q
+    }),
+
     // BLOOM SKIP INDEX as a gate: the summed table's commit log carries
     // a per-file Bloom filter over local_pod (a high-cardinality column
     // OUTSIDE the sort key — min/max can never skip on it), and a point
@@ -2206,6 +2266,17 @@ object MiscQueries {
          |FROM summed WHERE proto_name = 'tcp'
          |GROUP BY direction, proto_name
          |ORDER BY direction, proto_name""".stripMargin,
+    // the projection route must equal the plain summing aggregate —
+    // computed straight from the CTE, layout-blind
+    "qtx_sortproj" ->
+      s"""${graft.flow.FlowSql.summedCte}
+         |SELECT proto_name, direction,
+         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |  CAST(SUM(packets) AS BIGINT) AS packets,
+         |  CAST(SUM(n_obs) AS BIGINT) AS n_obs
+         |FROM summed WHERE proto_name IS NOT NULL
+         |GROUP BY proto_name, direction
+         |ORDER BY proto_name, direction""".stripMargin,
     // the same deterministic probe key (max local_pod), the same point
     // lookup — computed straight from the summing CTE, no index
     "qtx_bloom" ->

@@ -1636,6 +1636,52 @@ object TxTable {
       propsRemove = propsRemove)
   }
 
+  /** Range-cluster `df` on an ALTERNATE key instead of the table sort
+    * key — the write layout behind [[SortProjection]]: each shuffled
+    * file then spans a narrow slice of the PROJECTION's key domain, so
+    * its logged min/max envelopes are tight where the base table's
+    * (clustered on its own sort key) are full-width. Clusters on the
+    * keys ALONE for the same reason [[zorder]] does: the write's
+    * partitionBy(date) already splits per-date files, and leading with
+    * date would hand low partition counts full-domain envelopes back.
+    */
+  private def clusterByKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val ks = keys.filter(df.columns.contains).map(col)
+    if (ks.isEmpty) df
+    else df.repartitionByRange(ks: _*).sortWithinPartitions(ks: _*)
+  }
+
+  /** [[appendTxn]] with [[clusterByKeys]] layout — the incremental
+    * sort-projection maintenance write. Same (appId, version)
+    * exactly-once CAS contract.
+    */
+  private[sink] def appendTxnClustered(spark: SparkSession, df: DataFrame,
+      table: String, appId: String, version: Long, keys: Seq[String],
+      expectMark: Option[Long] = None): Long = {
+    val (fs, root) = fsFor(spark, table)
+    if (txnHighWater(fs, root).get(appId).exists(_ >= version))
+      return -1L
+    commitRetry(fs, root, stage(clusterByKeys(df, keys), fs, root),
+      Seq.empty, Some(appId -> version), schemaUpdate(fs, root, df),
+      op = Some("append"), expectMark = expectMark)
+  }
+
+  /** [[overwriteTxn]] with [[clusterByKeys]] layout — the
+    * sort-projection REBUILD write (atomic full replace + high-water
+    * mark, duplicate rebuilds no-op with -1).
+    */
+  private[sink] def overwriteTxnClustered(spark: SparkSession,
+      df: DataFrame, table: String, appId: String, version: Long,
+      keys: Seq[String], expectMark: Option[Long] = None): Long = {
+    val (fs, root) = fsFor(spark, table)
+    if (txnHighWater(fs, root).get(appId).exists(_ >= version))
+      return -1L
+    val adds = stage(clusterByKeys(df, keys), fs, root)
+    commitRetry(fs, root, adds, snapshotFiles(fs, root).keys.toSeq,
+      Some(appId -> version), Some(dataSchema(df)), op = Some("overwrite"),
+      expectMark = expectMark)
+  }
+
   /** MERGE (upsert): every source row REPLACES the target row sharing
     * its `keys` tuple, or is INSERTED when none matches — and the commit
     * rewrites ONLY the files that actually contain a matched key. This
