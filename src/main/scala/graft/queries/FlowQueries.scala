@@ -773,16 +773,19 @@ object FlowQueries {
 
     // maxIntersections/maxIntersectionsPosition (peak concurrent
     // intervals via the mergeable boundary-delta sweep; half-open
-    // contract), boundingRatio (slope across the x range), anyHeavy
-    // (exact mode with deterministic ties) — round 13. DuckDB replays
-    // the sweep with unnest + a running window sum, the slope with
-    // arg_max/arg_min, the mode with a count-ranked row_number.
+    // contract), intervalLengthSum (union length, same sweep state),
+    // boundingRatio (slope across the x range), anyHeavy (exact mode
+    // with deterministic ties) — round 13. DuckDB replays the sweep
+    // with unnest + a running window sum (+LEAD gaps for the union
+    // length), the slope with arg_max/arg_min, the mode with a
+    // count-ranked row_number.
     "q_compat_intervals" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("ch_events_iv")
       graft.sql.Compat.chSql(s, """
         SELECT user_id,
           maxIntersections(st, en) AS mi,
           maxIntersectionsPosition(st, en) AS mip,
+          intervalLengthSum(st, en) AS il,
           boundingRatio(event_id, v) AS br,
           anyHeavy(hv) AS ah
         FROM (SELECT user_id, event_id,
@@ -811,6 +814,36 @@ object FlowQueries {
         FROM (SELECT user_id, event_id,
             CAST(event_id % 1000 AS BIGINT) AS v FROM ch_events_ds) t
         WHERE event_id % 11 != 0
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // statistics tier (round 13): skew/kurt (pop+samp, the CH 1/n
+    // central-moment definitions), covariance/correlation,
+    // simpleLinearRegression k/b via tupleElement, exact Shannon
+    // entropy. v is near-uniform so the moments exercise the
+    // cancellation-sensitive range; w = 3v + noise keeps corr high but
+    // not 1. DuckDB replays the moments from raw power sums (central
+    // m3/m4 by expansion), regression/corr/entropy with its natives
+    // (DuckDB entropy is log2-based like CH). Both sides round to 4dp
+    // so two correct-but-differently-associated float paths can't
+    // straddle the harness's 6dp compare.
+    "q_compat_stats" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_st")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(skewPop(v), 4) AS sp, round(skewSamp(v), 4) AS ss,
+          round(kurtPop(v), 4) AS kp, round(kurtSamp(v), 4) AS ks,
+          round(covarPop(v, w), 4) AS cvp,
+          round(covarSamp(v, w), 4) AS cvs,
+          round(corr(v, w), 4) AS cr,
+          round(tupleElement(simpleLinearRegression(v, w), 1), 4) AS slr_k,
+          round(tupleElement(simpleLinearRegression(v, w), 2), 4) AS slr_b,
+          round(entropy(c), 4) AS ent
+        FROM (SELECT user_id,
+            CAST(event_id % 97 AS DOUBLE) AS v,
+            CAST((event_id % 97) * 3 + event_id % 11 AS DOUBLE) AS w,
+            event_id % 7 AS c
+          FROM ch_events_st) t
         GROUP BY user_id ORDER BY user_id""")
     }),
 
@@ -1282,10 +1315,14 @@ object FlowQueries {
         |  UNION ALL SELECT user_id, en, -1 FROM t),
         |net AS (SELECT user_id, p, SUM(dd) AS nd FROM pts GROUP BY 1, 2),
         |run AS (SELECT user_id, p,
-        |    SUM(nd) OVER (PARTITION BY user_id ORDER BY p) AS r FROM net),
+        |    SUM(nd) OVER (PARTITION BY user_id ORDER BY p) AS r,
+        |    LEAD(p) OVER (PARTITION BY user_id ORDER BY p) AS np
+        |  FROM net),
         |sweep AS (SELECT user_id, CAST(MAX(r) AS BIGINT) AS mi,
-        |    CAST(MIN(CASE WHEN r = mx THEN p END) AS BIGINT) AS mip
-        |  FROM (SELECT user_id, p, r,
+        |    CAST(MIN(CASE WHEN r = mx THEN p END) AS BIGINT) AS mip,
+        |    CAST(COALESCE(SUM(CASE WHEN r > 0 THEN np - p END), 0)
+        |      AS BIGINT) AS il
+        |  FROM (SELECT user_id, p, r, np,
         |      MAX(r) OVER (PARTITION BY user_id) AS mx FROM run) rr
         |  GROUP BY user_id),
         |slope AS (SELECT user_id,
@@ -1297,7 +1334,7 @@ object FlowQueries {
         |        ORDER BY COUNT(*) DESC, hv ASC) AS rn
         |    FROM t GROUP BY user_id, hv) h WHERE rn = 1)
         |SELECT s.user_id AS user_id, s.mi AS mi, s.mip AS mip,
-        |  sl.br AS br, hy.ah AS ah
+        |  s.il AS il, sl.br AS br, hy.ah AS ah
         |FROM sweep s JOIN slope sl USING (user_id)
         |  JOIN heavy hy USING (user_id)
         |ORDER BY user_id""".stripMargin,
@@ -1317,6 +1354,34 @@ object FlowQueries {
         |    AS BIGINT) AS ds10,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_stats" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE) AS v,
+        |    CAST((event_id % 97) * 3 + event_id % 11 AS DOUBLE) AS w,
+        |    event_id % 7 AS c
+        |  FROM events),
+        |m AS (SELECT user_id,
+        |    avg(v) AS mu, var_pop(v) AS vp, var_samp(v) AS vs,
+        |    avg(v*v) AS p2, avg(v*v*v) AS p3, avg(v*v*v*v) AS p4,
+        |    covar_pop(v, w) AS cvp, covar_samp(v, w) AS cvs,
+        |    corr(v, w) AS cr,
+        |    regr_slope(w, v) AS slr_k, regr_intercept(w, v) AS slr_b,
+        |    entropy(c) AS ent
+        |  FROM t GROUP BY user_id),
+        |cm AS (SELECT user_id, vp, vs, cvp, cvs, cr, slr_k, slr_b, ent,
+        |    p3 - 3*mu*p2 + 2*mu*mu*mu AS m3,
+        |    p4 - 4*mu*p3 + 6*mu*mu*p2 - 3*mu*mu*mu*mu AS m4
+        |  FROM m)
+        |SELECT user_id,
+        |  round(m3 / power(vp, 1.5), 4) AS sp,
+        |  round(m3 / power(vs, 1.5), 4) AS ss,
+        |  round(m4 / power(vp, 2), 4) AS kp,
+        |  round(m4 / power(vs, 2), 4) AS ks,
+        |  round(cvp, 4) AS cvp, round(cvs, 4) AS cvs,
+        |  round(cr, 4) AS cr,
+        |  round(slr_k, 4) AS slr_k, round(slr_b, 4) AS slr_b,
+        |  round(ent, 4) AS ent
+        |FROM cm ORDER BY user_id""".stripMargin,
     "q_compat_numbers" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |    AS q15,

@@ -526,6 +526,72 @@ object Compat {
       f("deltaSum")(_ => throw new IllegalArgumentException(
         "deltaSum is block-order-dependent and has no deterministic " +
           "distributed reading; use deltaSumTimestamp(value, ts)"))
+      f("intervalLengthSum")(e => graft.functions.IntervalLengthSumAgg(
+        Cast(e(0), LongType), Cast(e(1), LongType))
+        .toAggregateExpression())
+    }
+    // statistics tier (round 13): CH's moment/correlation/regression
+    // spellings over Spark's single-pass central-moment natives.
+    // Definitions (CH source, AggregateFunctionStatisticsSimple):
+    //   skewPop  = m3 / m2^1.5          (all central moments 1/n)
+    //   skewSamp = m3 / s^3  = skewPop · (varPop/varSamp)^1.5
+    //   kurtPop  = m4 / m2^2            (NOT excess kurtosis)
+    //   kurtSamp = m4 / s^4  = kurtPop · (varPop/varSamp)^2
+    // Spark's skewness IS m3/m2^1.5 and its kurtosis is m4/m2²−3, so
+    // the compositions below are algebraic identities, not
+    // approximations. entropy is the EXACT Shannon entropy in bits
+    // (map-state aggregate, O(distinct values)); uniqTheta and the
+    // quantileTiming/TDigest/BFloat16 family are approximate BY
+    // CONTRACT in CH and map to Spark's HLL++/GK sketches like uniq
+    // and quantile do.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Add, CreateNamedStruct,
+        Divide, Expression, GetStructField, Multiply, Pow}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Corr,
+        CovPopulation, CovSample, Kurtosis, RegrIntercept, RegrSlope,
+        Skewness, VariancePop, VarianceSamp}
+      def dbl(e: Expression) = Cast(e, DoubleType)
+      def popOverSamp(x: Expression) = Divide(
+        VariancePop(dbl(x)).toAggregateExpression(),
+        VarianceSamp(dbl(x)).toAggregateExpression())
+      def kurtPop(x: Expression) = Add(
+        Kurtosis(dbl(x)).toAggregateExpression(), Literal(3.0))
+      f("skewPop")(e => Skewness(dbl(e.head)).toAggregateExpression())
+      f("skewSamp")(e => Multiply(
+        Skewness(dbl(e.head)).toAggregateExpression(),
+        Pow(popOverSamp(e.head), Literal(1.5))))
+      f("kurtPop")(e => kurtPop(e.head))
+      f("kurtSamp")(e => Multiply(kurtPop(e.head),
+        Pow(popOverSamp(e.head), Literal(2.0))))
+      f("covarPop")(e =>
+        CovPopulation(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      f("covarSamp")(e =>
+        CovSample(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      f("corr")(e => Corr(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      // simpleLinearRegression(x, y) -> (k, b) for y = k·x + b; Spark's
+      // regr_slope/regr_intercept take (y, x) — note the swap
+      f("simpleLinearRegression")(e => CreateNamedStruct(Seq(
+        Literal("k"),
+        RegrSlope(dbl(e(1)), dbl(e(0))).toAggregateExpression(),
+        Literal("b"),
+        RegrIntercept(dbl(e(1)), dbl(e(0))).toAggregateExpression())))
+      // CH tuple access for the struct results: tupleElement(t, N),
+      // 1-based literal index (the `.1` spelling is not SQL)
+      f("tupleElement")(e => e(1) match {
+        case Literal(i: Int, _)  => GetStructField(e(0), i - 1)
+        case Literal(l: Long, _) => GetStructField(e(0), l.toInt - 1)
+        case other => throw new IllegalArgumentException(
+          s"tupleElement needs a literal 1-based index, got $other")
+      })
+      f("entropy")(e =>
+        graft.functions.EntropyAgg(e.head).toAggregateExpression())
+      f("uniqTheta")(e => HyperLogLogPlusPlus(e.head))
+    }
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+      Seq("quantileTiming", "quantileTDigest", "quantileBFloat16")
+        .foreach(n =>
+          f(n)(e => new ApproximatePercentile(e(1), e(0))))
     }
     // sequenceCount('(?1)(?2)')(ts, c1, ...): greedy NON-OVERLAPPING
     // chain count (CH's contract) — same buffer/evaluator family as

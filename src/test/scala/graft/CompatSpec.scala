@@ -811,4 +811,63 @@ class CompatSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("deltaSumTimestamp"))
   }
+
+  test("round-13: statistics tier — skew/kurt pop+samp (CH 1/n central " +
+      "moments), covar/corr, simpleLinearRegression + tupleElement, " +
+      "exact entropy, intervalLengthSum union length") {
+    // (1,1,4): mean 2, m2 = 2, m3 = 2 → skewPop = 2/2^1.5 = 1/√2;
+    // varSamp = 3 → skewSamp = 2/3^1.5
+    Seq(1L, 1L, 4L).toDF("x").createOrReplaceTempView("cx_sk")
+    val sk = Compat.chSql(spark,
+      "SELECT skewPop(x) AS sp, skewSamp(x) AS ss FROM cx_sk")
+      .collect().head
+    assert(math.abs(sk.getDouble(0) - 1.0 / math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(sk.getDouble(1) - 2.0 / math.pow(3.0, 1.5)) < 1e-9)
+    // (1,2,3): m2 = 2/3, m4 = 2/3 → kurtPop = 1.5 (NOT excess);
+    // varSamp = 1 → kurtSamp = m4 = 2/3
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("cx_kt")
+    val kt = Compat.chSql(spark,
+      "SELECT kurtPop(x) AS kp, kurtSamp(x) AS ks FROM cx_kt")
+      .collect().head
+    assert(math.abs(kt.getDouble(0) - 1.5) < 1e-9)
+    assert(math.abs(kt.getDouble(1) - 2.0 / 3.0) < 1e-9)
+    // y = 2x exactly: covarPop 4/3, covarSamp 2, corr 1, k=2 b=1 on
+    // the shifted line
+    Seq((1L, 2L, 3L), (2L, 4L, 5L), (3L, 6L, 7L))
+      .toDF("x", "y", "z").createOrReplaceTempView("cx_cv")
+    val cv = Compat.chSql(spark, """
+      SELECT covarPop(x, y) AS cvp, covarSamp(x, y) AS cvs,
+        corr(x, y) AS cr,
+        tupleElement(simpleLinearRegression(x, z), 1) AS k,
+        tupleElement(simpleLinearRegression(x, z), 2) AS b
+      FROM cx_cv""").collect().head
+    assert(math.abs(cv.getDouble(0) - 4.0 / 3.0) < 1e-9)
+    assert(math.abs(cv.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(cv.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(cv.getDouble(3) - 2.0) < 1e-9 &&
+      math.abs(cv.getDouble(4) - 1.0) < 1e-9)
+    // entropy: two 50/50 values = 1 bit; four uniform = 2 bits;
+    // constant column = 0; strings key exactly
+    Seq("a", "a", "b", "b").toDF("s").createOrReplaceTempView("cx_en")
+    val en = Compat.chSql(spark,
+      "SELECT entropy(s) AS e2 FROM cx_en").collect().head
+    assert(math.abs(en.getDouble(0) - 1.0) < 1e-12)
+    Seq(1L, 2L, 3L, 4L).toDF("x").createOrReplaceTempView("cx_en4")
+    val en4 = Compat.chSql(spark,
+      "SELECT entropy(x) AS e, entropy(x % 1) AS e0 FROM cx_en4")
+      .collect().head
+    assert(math.abs(en4.getDouble(0) - 2.0) < 1e-12 &&
+      en4.getDouble(1) == 0.0)
+    // intervalLengthSum: [1,3]∪[2,5]∪[7,8] = 5; touching [1,2],[2,3]
+    // coalesce to 2
+    Seq((1L, 3L), (2L, 5L), (7L, 8L)).toDF("st", "en")
+      .createOrReplaceTempView("cx_il")
+    assert(Compat.chSql(spark,
+      "SELECT intervalLengthSum(st, en) AS il FROM cx_il")
+      .collect().head.getLong(0) == 5L)
+    assert(Compat.chSql(spark,
+      "SELECT intervalLengthSum(st, en) AS il FROM " +
+        "(SELECT 1 AS st, 2 AS en UNION ALL SELECT 2, 3)")
+      .collect().head.getLong(0) == 2L)
+  }
 }
