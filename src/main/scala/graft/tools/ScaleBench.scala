@@ -813,6 +813,68 @@ object ScaleBench {
     }
 
     factors.foreach { factor =>
+      if (enabled("sortproj")) {
+        // SORT-ORDER PROJECTION payoff under measurement. The base is
+        // time-clustered (its dim envelopes are full-width, so a dim
+        // filter reads every byte); the projection is range-clustered
+        // on (proto_name, direction), so the same filter reads
+        // ~1/|live combos| of the bytes via log-stats skipping. Claims:
+        // routed input_mb collapses vs the base scan at every factor;
+        // the initial refresh is one range-shuffle of the corpus; the
+        // incremental refresh costs O(new data), not O(table).
+        def factsOf(e: DataFrame): DataFrame = e.select(
+          to_date(lit("2024-03-01")).as("date"),
+          timestamp_micros(lit(1709251200000000L) +
+            pmod(col("event_id"), lit(86400L)) * 1000000L)
+            .as("interval_start"),
+          concat(lit("d"), pmod(col("user_id"), lit(8)).cast("string"))
+            .as("direction"),
+          concat(lit("p"), pmod(col("event_id") * 7, lit(4)).cast("string"))
+            .as("proto_name"),
+          pmod(col("event_id"), lit(1000L)).as("bytes"))
+        val facts = factsOf(scaledEvents(factor))
+        val dir0 = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scale_sp_${factor}x")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir0)
+        val (baseT, projT) = (s"$dir0/base", s"$dir0/proj")
+        val keys = Seq("proto_name", "direction")
+        val nRows = facts.count()
+        TxTable.append(spark, facts, baseT)
+        def q() = TxFileIndex.readV2(spark, baseT)
+          .filter(col("proto_name") === "p1" && col("direction") === "d3")
+          .groupBy("proto_name", "direction")
+          .agg(sum("bytes").as("b"), count(lit(1)).as("n"))
+        val (hitBase, baseSec) = timed(q().collect())
+        record(factor, "sortproj_scan_base", baseSec,
+          hitBase.head.getLong(3))
+        val (_, refSec) = timed(require(graft.sink.SortProjection
+          .refresh(spark, baseT, projT, keys) >= 0))
+        record(factor, "sortproj_refresh_full", refSec, nRows)
+        graft.plans.SortProjections.register(spark, baseT, projT, keys)
+        val (hitProj, projSec) = timed(q().collect())
+        record(factor, "sortproj_scan_routed", projSec,
+          hitProj.head.getLong(3))
+        require(hitProj.head.getLong(2) == hitBase.head.getLong(2) &&
+          hitProj.head.getLong(3) == hitBase.head.getLong(3),
+          "the projection route must not change the answer")
+        // incremental maintenance: a FIXED 1x slice lands on the base
+        // (ids shifted past every scaled copy so the append is real
+        // new data), then one refresh folds it in — its cost must
+        // track the slice, not the table
+        val slice = factsOf(baseEvents.select(
+          (col("event_id") + lit(factor * 10000000L)).as("event_id"),
+          col("user_id")))
+        val nSlice = slice.count()
+        TxTable.append(spark, slice, baseT)
+        val (_, incSec) = timed(require(graft.sink.SortProjection
+          .refresh(spark, baseT, projT, keys) >= 0))
+        record(factor, "sortproj_refresh_incr", incSec, nSlice)
+        graft.plans.SortProjections.deregister(spark, baseT)
+        org.apache.commons.io.FileUtils.deleteDirectory(dir0)
+      }
+    }
+
+    factors.foreach { factor =>
       if (enabled("spill")) {
         // MEMORY-PRESSURE arm: launched with a capped heap (e.g.
         // SPARK_DRIVER_MEM=2g SPARK_GRAFT_SCALE_ONLY=spill, factor 30)
