@@ -847,6 +847,28 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
+    // spelling, dispatched to the gated array builders; per-row
+    // reduces summed per user so every element flows into the hash.
+    // DuckDB replays with its own list aggregates (range(a,b) is
+    // exclusive-stop, Spark's sequence inclusive — hence the +1).
+    "q_compat_arrayreduce" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_ar")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          CAST(sum(arrayReduce('sum', arr)) AS BIGINT) AS s,
+          CAST(sum(arrayReduce('count', arr)) AS BIGINT) AS c,
+          CAST(sum(arrayReduce('uniqExact', arr)) AS BIGINT) AS u,
+          CAST(sum(arrayReduce('max', arr)) AS BIGINT) AS mx,
+          round(sum(arrayReduce('avg', arr)), 4) AS av,
+          CAST(sum(arrayReduce('any', arr)) AS BIGINT) AS a1,
+          CAST(sum(arrayReduce('anyLast', arr)) AS BIGINT) AS a2
+        FROM (SELECT user_id,
+            sequence(1, CAST(1 + event_id % 7 AS INT)) AS arr
+          FROM ch_events_ar) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // numbers() row generator + fixed-width time buckets, as literal CH
     // text; DuckDB replays the 15-minute bucket via time_bucket (same
     // epoch anchor: 2000-01-01 is a whole multiple of 900 s)
@@ -1382,6 +1404,19 @@ object FlowQueries {
         |  round(slr_k, 4) AS slr_k, round(slr_b, 4) AS slr_b,
         |  round(ent, 4) AS ent
         |FROM cm ORDER BY user_id""".stripMargin,
+    "q_compat_arrayreduce" ->
+      """WITH t AS (SELECT user_id,
+        |    range(1, CAST(2 + event_id % 7 AS BIGINT)) AS arr
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(list_sum(arr)) AS BIGINT) AS s,
+        |  CAST(SUM(len(arr)) AS BIGINT) AS c,
+        |  CAST(SUM(len(list_distinct(arr))) AS BIGINT) AS u,
+        |  CAST(SUM(list_max(arr)) AS BIGINT) AS mx,
+        |  round(SUM(list_avg(arr)), 4) AS av,
+        |  CAST(SUM(arr[1]) AS BIGINT) AS a1,
+        |  CAST(SUM(arr[-1]) AS BIGINT) AS a2
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_numbers" ->
       """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
         |    AS q15,

@@ -593,6 +593,49 @@ object Compat {
         .foreach(n =>
           f(n)(e => new ApproximatePercentile(e(1), e(0))))
     }
+    // arrayReduce('agg', arr): CH's apply-an-aggregate-to-an-array
+    // spelling, dispatched at ANALYSIS time to the already-registered
+    // array builders (same expressions, same contracts — arraySum's
+    // long fold, arrayAvg's Float64, arrayUniq's exact distinct; CH's
+    // uniq is approximate by contract, so serving it exactly is
+    // within contract). Unsupported aggregate names refuse loudly.
+    locally {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.{ElementAt, Size}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val delegated = Map("sum" -> "arraySum", "min" -> "arrayMin",
+        "max" -> "arrayMax", "avg" -> "arrayAvg",
+        "product" -> "arrayProduct", "uniq" -> "arrayUniq",
+        "uniqExact" -> "arrayUniq")
+      f("arrayReduce") { e =>
+        val fname = e.head match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce needs a literal aggregate name, got $other")
+        }
+        val arr = e(1)
+        fname match {
+          case "count"   => Cast(Size(arr), LongType)
+          case "any"     => ElementAt(arr, Literal(1))
+          case "anyLast" => ElementAt(arr, Literal(-1))
+          case n if delegated.contains(n) =>
+            reg.lookupFunctionBuilder(FunctionIdentifier(delegated(n)))
+              .getOrElse(throw new IllegalStateException(
+                s"delegate ${delegated(n)} not registered"))(Seq(arr))
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce('$other') is not supported; supported: " +
+              (delegated.keys.toSeq ++ Seq("count", "any", "anyLast"))
+                .sorted.mkString(", "))
+        }
+      }
+      // block-order-dependent running accumulator: same refusal family
+      // as bare deltaSum/runningDifference — the deterministic
+      // distributed spelling is an explicit window frame
+      f("runningAccumulate")(_ => throw new IllegalArgumentException(
+        "runningAccumulate is block-order-dependent and has no " +
+          "deterministic distributed reading; use sum(x) OVER " +
+          "(ORDER BY ...) with an explicit order"))
+    }
     // sequenceCount('(?1)(?2)')(ts, c1, ...): greedy NON-OVERLAPPING
     // chain count (CH's contract) — same buffer/evaluator family as
     // sequenceMatch

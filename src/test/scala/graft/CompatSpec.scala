@@ -870,4 +870,28 @@ class CompatSpec extends AnyFunSuite {
         "(SELECT 1 AS st, 2 AS en UNION ALL SELECT 2, 3)")
       .collect().head.getLong(0) == 2L)
   }
+
+  test("round-13: arrayReduce dispatch and the block-order refusals") {
+    val r = Compat.chSql(spark, """
+      SELECT arrayReduce('sum', array(1, 2, 3)) AS s,
+        arrayReduce('count', array(1, 1, 2)) AS c,
+        arrayReduce('uniqExact', array(1, 1, 2)) AS u,
+        arrayReduce('min', array(3, 1, 2)) AS mn,
+        arrayReduce('avg', array(1, 2, 3)) AS av,
+        arrayReduce('any', array(7, 8)) AS a1,
+        arrayReduce('anyLast', array(7, 8)) AS a2""").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getInt(3) == 1 && r.getDouble(4) == 2.0)
+    assert(r.getInt(5) == 7 && r.getInt(6) == 8)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT arrayReduce('median', array(1)) AS x").collect()
+    }
+    assert(bad.getMessage.contains("not supported"))
+    val ra = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT runningAccumulate(x) FROM (SELECT 1 AS x)").collect()
+    }
+    assert(ra.getMessage.contains("OVER"))
+  }
 }
