@@ -149,4 +149,76 @@ class SortProjectionSpec extends AnyFunSuite {
         "time travel must read the base's history, not the projection")
     } finally SortProjections.deregister(spark, baseT)
   }
+
+  test("layout-only base rewrites advance the mark WITHOUT copying; " +
+    "streaming ingest keeps the projection current per batch and " +
+    "replays no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sortproj3").toString
+    val (baseT, projT) = (s"$dir/base", s"$dir/proj")
+    try {
+      TxTable.append(spark, facts(4000L), baseT)
+      assert(SortProjection.refresh(spark, baseT, projT, keys) >= 0)
+      val filesAfterFirst = TxTable.liveFiles(spark, projT).size
+      // z-order the BASE: content-preserving, so the projection stays
+      // valid — the refresh advances the mark with a data-less commit
+      // and the projection's file set is untouched
+      assert(TxTable.zorder(spark, baseT,
+        Seq("direction", "proto_name")) >= 0)
+      assert(SortProjection.isCurrent(spark, baseT, projT),
+        "a layout rewrite must not read as staleness")
+      assert(SortProjection.refresh(spark, baseT, projT, keys) >= 0)
+      assert(TxTable.liveFiles(spark, projT).size == filesAfterFirst,
+        "mark-only advance must not copy data")
+
+      // streaming ingest: appendTxn + refresh per micro-batch — the
+      // projection covers the base after EVERY batch (routing never
+      // lags the stream), and a zombie replay no-ops end to end
+      SortProjections.register(spark, baseT, projT, keys)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val rows = mem.toDF().select(
+        to_date(lit("2024-03-01")).as("date"),
+        timestamp_micros(lit(1709251200000000L) + col("value") * 1000000L)
+          .as("interval_start"),
+        concat(lit("d"), pmod(col("value"), lit(8)).cast("string"))
+          .as("direction"),
+        concat(lit("p"), pmod(col("value") * 7, lit(4)).cast("string"))
+          .as("proto_name"),
+        (col("value") * 3).as("bytes"))
+      val q = rows.writeStream
+        .option("checkpointLocation", s"$dir/cp")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (TxTable.appendTxn(spark, b, baseT, "sp-stream", id) >= 0)
+            require(SortProjection.refresh(spark, baseT, projT,
+              keys) >= 0, s"on-insert refresh of batch $id must apply")
+          require(SortProjection.isCurrent(spark, baseT, projT),
+            s"projection lags after batch $id")
+          ()
+        }.start()
+      try {
+        mem.addData(100000L until 100400L: _*)
+        q.processAllAvailable()
+        mem.addData(100400L until 100800L: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      def routedCount() = {
+        val r = TxFileIndex.readV2(spark, baseT)
+          .filter(col("proto_name") === "p1")
+          .agg(count(lit(1)).as("n"), sum("bytes").as("b"))
+        assert(scannedPaths(r).forall(_.contains("/proj/")))
+        r.collect().head.toSeq
+      }
+      val afterStream = routedCount()
+      // zombie replay of batch 0: mark-swallowed, nothing changes
+      assert(TxTable.appendTxn(spark,
+        TxTable.read(spark, baseT).limit(10), baseT, "sp-stream", 0L)
+        == -1L, "replayed batch must be refused by the txn mark")
+      assert(SortProjection.refresh(spark, baseT, projT, keys) == -1L)
+      assert(routedCount() == afterStream)
+    } finally SortProjections.deregister(spark, baseT)
+  }
 }
