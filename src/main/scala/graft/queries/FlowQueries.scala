@@ -847,6 +847,26 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // categorical association (cramersV family) over the cross-tab
+    // map state; chi² is the FULL textbook statistic (unobserved
+    // cells folded in analytically via Σo²/e − n). DuckDB replays the
+    // same closed form from contingency counts. b is partially
+    // dependent on a (shared event_id residues), so V sits strictly
+    // between 0 and 1 and any marginal/cell slip moves it.
+    "q_compat_contingency" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_ct")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(cramersV(a, b), 4) AS cv,
+          round(cramersVBiasCorrected(a, b), 4) AS cvb,
+          round(contingency(a, b), 4) AS cg,
+          count() AS n
+        FROM (SELECT user_id, event_id % 5 AS a,
+            (event_id % 4 + event_id % 3) % 4 AS b
+          FROM ch_events_ct) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1404,6 +1424,34 @@ object FlowQueries {
         |  round(slr_k, 4) AS slr_k, round(slr_b, 4) AS slr_b,
         |  round(ent, 4) AS ent
         |FROM cm ORDER BY user_id""".stripMargin,
+    "q_compat_contingency" ->
+      """WITH t AS (SELECT user_id, event_id % 5 AS a,
+        |    (event_id % 4 + event_id % 3) % 4 AS b FROM events),
+        |o AS (SELECT user_id, a, b, CAST(COUNT(*) AS DOUBLE) AS o
+        |  FROM t GROUP BY 1, 2, 3),
+        |rm AS (SELECT user_id, a, SUM(o) AS rs FROM o GROUP BY 1, 2),
+        |cm AS (SELECT user_id, b, SUM(o) AS cs FROM o GROUP BY 1, 2),
+        |nn AS (SELECT user_id, SUM(o) AS n,
+        |    CAST(COUNT(DISTINCT a) AS DOUBLE) AS rr,
+        |    CAST(COUNT(DISTINCT b) AS DOUBLE) AS cc
+        |  FROM o GROUP BY 1),
+        |g AS (SELECT o.user_id,
+        |    GREATEST(SUM(o.o * o.o / (rm.rs * cm.cs / nn.n))
+        |      - MAX(nn.n), 0) AS chi2,
+        |    MAX(nn.n) AS n, MAX(nn.rr) AS rr, MAX(nn.cc) AS cc
+        |  FROM o
+        |  JOIN rm ON o.user_id = rm.user_id AND o.a = rm.a
+        |  JOIN cm ON o.user_id = cm.user_id AND o.b = cm.b
+        |  JOIN nn ON o.user_id = nn.user_id
+        |  GROUP BY 1)
+        |SELECT user_id,
+        |  round(sqrt(chi2 / (n * LEAST(rr - 1, cc - 1))), 4) AS cv,
+        |  round(sqrt(GREATEST(chi2 / n - (rr-1)*(cc-1)/(n-1), 0)
+        |    / (LEAST(rr - (rr-1)*(rr-1)/(n-1),
+        |             cc - (cc-1)*(cc-1)/(n-1)) - 1)), 4) AS cvb,
+        |  round(sqrt(chi2 / (chi2 + n)), 4) AS cg,
+        |  CAST(n AS BIGINT) AS n
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_compat_arrayreduce" ->
       """WITH t AS (SELECT user_id,
         |    range(1, CAST(2 + event_id % 7 AS BIGINT)) AS arr

@@ -586,6 +586,12 @@ object Compat {
       f("entropy")(e =>
         graft.functions.EntropyAgg(e.head).toAggregateExpression())
       f("uniqTheta")(e => HyperLogLogPlusPlus(e.head))
+      // categorical association over a shared cross-tab map state;
+      // chi² is the FULL textbook statistic (unobserved cells folded
+      // in via Σo²/e − n), documented on the aggregate
+      graft.functions.CrossTabAgg.Kinds.foreach(k =>
+        f(k)(e => graft.functions.CrossTabAgg(e(0), e(1), k)
+          .toAggregateExpression()))
     }
     locally {
       import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile

@@ -894,4 +894,42 @@ class CompatSpec extends AnyFunSuite {
     }
     assert(ra.getMessage.contains("OVER"))
   }
+
+  test("round-13: cramersV / cramersVBiasCorrected / contingency " +
+      "cross-tab goldens") {
+    // perfect association: V = 1, contingency = sqrt(chi2/(chi2+n))
+    Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("x", "y").createOrReplaceTempView("cx_ct1")
+    val p = Compat.chSql(spark, """
+      SELECT cramersV(x, y) AS v, contingency(x, y) AS c
+      FROM cx_ct1""").collect().head
+    assert(math.abs(p.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(p.getDouble(1) - math.sqrt(0.5)) < 1e-12)
+    // independence: everything 0
+    Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("x", "y").createOrReplaceTempView("cx_ct2")
+    val i = Compat.chSql(spark, """
+      SELECT cramersV(x, y) AS v, cramersVBiasCorrected(x, y) AS vb,
+        contingency(x, y) AS c FROM cx_ct2""").collect().head
+    assert(i.getDouble(0) == 0.0 && i.getDouble(1) == 0.0 &&
+      i.getDouble(2) == 0.0)
+    // 2x2 counts [[2,1],[1,2]]: chi2 = 2/3 -> V = 1/3,
+    // contingency = sqrt((2/3)/(2/3+6)) = 0.31623, bias-corrected
+    // clamps to 0 (phi2 = 1/9 < (r-1)(c-1)/(n-1) = 1/5)
+    Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L),
+      ("b", 2L)).toDF("x", "y").createOrReplaceTempView("cx_ct3")
+    val m = Compat.chSql(spark, """
+      SELECT cramersV(x, y) AS v, cramersVBiasCorrected(x, y) AS vb,
+        contingency(x, y) AS c FROM cx_ct3""").collect().head
+    assert(math.abs(m.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    assert(m.getDouble(1) == 0.0)
+    assert(math.abs(m.getDouble(2) -
+      math.sqrt((2.0 / 3.0) / (2.0 / 3.0 + 6.0))) < 1e-12)
+    // constant column: no variation, no association
+    Seq(("a", 1L), ("a", 2L)).toDF("x", "y")
+      .createOrReplaceTempView("cx_ct4")
+    assert(Compat.chSql(spark,
+      "SELECT cramersV(x, y) AS v FROM cx_ct4")
+      .collect().head.getDouble(0) == 0.0)
+  }
 }
