@@ -847,6 +847,25 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // rankCorr — Spearman with AVERAGE ranks for ties, rewritten to
+    // corr over window ranks (one shuffle on user_id serves both
+    // windows and the aggregate). w is a monotone transform of v plus
+    // a small residue, so rho is high but not 1 and every tie-rank
+    // convention slip moves it. DuckDB replays the identical
+    // average-rank formulation.
+    "q_compat_rankcorr" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_rc")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(rankCorr(v, w), 4) AS rc,
+          count() AS n
+        FROM (SELECT user_id,
+            event_id % 97 AS v,
+            (event_id % 97) * 3 + event_id % 11 AS w
+          FROM ch_events_rc) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // categorical association (cramersV family) over the cross-tab
     // map state; chi² is the FULL textbook statistic (unobserved
     // cells folded in analytically via Σo²/e − n). DuckDB replays the
@@ -1424,6 +1443,21 @@ object FlowQueries {
         |  round(slr_k, 4) AS slr_k, round(slr_b, 4) AS slr_b,
         |  round(ent, 4) AS ent
         |FROM cm ORDER BY user_id""".stripMargin,
+    "q_compat_rankcorr" ->
+      """WITH t AS (SELECT user_id,
+        |    event_id % 97 AS v,
+        |    (event_id % 97) * 3 + event_id % 11 AS w FROM events),
+        |r AS (SELECT user_id,
+        |    rank() OVER (PARTITION BY user_id ORDER BY v)
+        |      + (COUNT(*) OVER (PARTITION BY user_id, v) - 1) / 2.0
+        |      AS rx,
+        |    rank() OVER (PARTITION BY user_id ORDER BY w)
+        |      + (COUNT(*) OVER (PARTITION BY user_id, w) - 1) / 2.0
+        |      AS ry
+        |  FROM t)
+        |SELECT user_id, round(corr(rx, ry), 4) AS rc,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_contingency" ->
       """WITH t AS (SELECT user_id, event_id % 5 AS a,
         |    (event_id % 4 + event_id % 3) % 4 AS b FROM events),

@@ -526,6 +526,15 @@ object Compat {
       f("deltaSum")(_ => throw new IllegalArgumentException(
         "deltaSum is block-order-dependent and has no deterministic " +
           "distributed reading; use deltaSumTimestamp(value, ts)"))
+      // supported shapes are rewritten away BEFORE analysis
+      // (rewriteDeltaSum / rewriteRankCorr); reaching these builders
+      // means the query shape wasn't rewritable — refuse with the
+      // contract instead of an opaque unresolved-function error
+      Seq("deltaSumTimestamp", "rankCorr").foreach(n =>
+        f(n)(_ => throw new IllegalArgumentException(
+          s"$n is supported in the select list of a single-level " +
+            "SELECT ... GROUP BY with named (non-ordinal) keys; this " +
+            "query shape is not rewritable to its window formulation")))
       f("intervalLengthSum")(e => graft.functions.IntervalLengthSumAgg(
         Cast(e(0), LongType), Cast(e(1), LongType))
         .toAggregateExpression())
@@ -1550,8 +1559,8 @@ object Compat {
   def translateCh(sql: String): String =
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
       rewriteSample(rewriteArrayJoin(rewriteNumbers(rewriteAge(
-        rewriteDateDiff(rewriteRunning(rewriteDeltaSum(
-          translateCh0(sql))))))))))))
+        rewriteDateDiff(rewriteRunning(rewriteRankCorr(rewriteDeltaSum(
+          translateCh0(sql)))))))))))))
 
   /** CH `deltaSumTimestamp(value, ts)` — the counter-delta sum: the
     * sum of positive differences between ts-consecutive values
@@ -1571,9 +1580,46 @@ object Compat {
     * select list. Anything else passes through unrewritten and fails
     * loudly in the analyzer — never a silently different answer.
     */
-  private def rewriteDeltaSum(sql: String): String = {
+  private def rewriteDeltaSum(sql: String): String =
+    rewriteGroupWindow(sql, "deltasumtimestamp",
+      call = (i, _) => s"sum(greatest(__dst$i, 0))",
+      defs = (i, a, keys) => s"((${a(0)}) - lag(${a(0)}) OVER " +
+        s"(PARTITION BY $keys ORDER BY ${a(1)})) AS __dst$i")
+
+  /** CH `rankCorr(x, y)` — Spearman's rank correlation with AVERAGE
+    * ranks for ties (the statistics-textbook and CH convention):
+    * rewrites to `corr` over per-group average ranks — `rank() OVER
+    * (PARTITION BY keys ORDER BY v) + (count(*) OVER (PARTITION BY
+    * keys, v) − 1)/2` — in a subquery. CH buffers every (x, y) pair
+    * per group to rank at finalization; the window formulation keeps
+    * the ranking distributed: one shuffle on the group keys serves
+    * both windows and the aggregate. Same supported shape as
+    * [[rewriteDeltaSum]]; unsupported shapes refuse loudly via the
+    * registered fallback.
+    */
+  private def rewriteRankCorr(sql: String): String =
+    rewriteGroupWindow(sql, "rankcorr",
+      call = (i, _) => s"corr(__rcx$i, __rcy$i)",
+      defs = (i, a, keys) => Seq(a(0) -> "x", a(1) -> "y").map {
+        case (v, t) =>
+          s"(rank() OVER (PARTITION BY $keys ORDER BY $v) + " +
+            s"(count(*) OVER (PARTITION BY $keys, $v) - 1) / 2.0) " +
+            s"AS __rc$t$i"
+      }.mkString(", "))
+
+  /** Shared aggregate→window rewriter: replace every `fn(a, b)` in the
+    * select list of ONE top-level `SELECT ... FROM ... GROUP BY` with
+    * `call(i, args)` over window columns `defs(i, args, keys)`
+    * computed in an injected subquery partitioned by the GROUP BY
+    * keys. Anything outside the supported shape (no GROUP BY, ordinal
+    * keys, calls outside the select list) passes through unrewritten
+    * and fails loudly at analysis — never a silently different answer.
+    */
+  private def rewriteGroupWindow(sql: String, fn: String,
+      call: (Int, Seq[String]) => String,
+      defs: (Int, Seq[String], String) => String): String = {
     val lower = sql.toLowerCase(java.util.Locale.ROOT)
-    if (!lower.contains("deltasumtimestamp(")) return sql
+    if (!lower.contains(fn + "(")) return sql
     // depth/quote map over the whole text, for clause anchoring
     def topLevelIndexOf(word: String, from: Int): Int = {
       var i = from; var depth = 0; var inStr = false
@@ -1612,33 +1658,34 @@ object Compat {
     if (keys.isEmpty ||
       keys.split(",").exists(_.trim.matches("\\d+"))) return sql
     // every call must live in the select list
-    if (topLevelIndexOf("deltasumtimestamp", fromAt) >= 0) return sql
-    // collect (start, argsEnd, value, ts) per call in the select list,
+    if (topLevelIndexOf(fn, fromAt) >= 0) return sql
+    // collect (start, argsEnd, args) per call in the select list,
     // then splice right-to-left
     val calls = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, String, String)]
-    var at = lower.indexOf("deltasumtimestamp(", selStart)
+      .empty[(Int, Int, Seq[String])]
+    var at = lower.indexOf(fn + "(", selStart)
     while (at >= 0 && at < fromAt) {
       if (at > 0 && (lower.charAt(at - 1).isLetterOrDigit ||
           lower.charAt(at - 1) == '_')) return sql
-      splitTopLevelArgs(sql, at + "deltasumtimestamp(".length) match {
-        case Some((Seq(v, ts), close)) => calls += ((at, close, v, ts))
+      splitTopLevelArgs(sql, at + fn.length + 1) match {
+        case Some((args, close)) if args.size == 2 =>
+          calls += ((at, close, args))
         case _ => return sql
       }
-      at = lower.indexOf("deltasumtimestamp(", at + 1)
+      at = lower.indexOf(fn + "(", at + 1)
     }
     if (calls.isEmpty) return sql
     var selectList = sql.substring(selStart, fromAt)
-    calls.zipWithIndex.reverse.foreach { case ((s, e, _, _), i) =>
+    calls.zipWithIndex.reverse.foreach { case ((s, e, args), i) =>
       selectList = selectList.substring(0, s - selStart) +
-        s"sum(greatest(__dst$i, 0))" + selectList.substring(e + 1 - selStart)
+        call(i, args) + selectList.substring(e + 1 - selStart)
     }
-    val defs = calls.zipWithIndex.map { case ((_, _, v, ts), i) =>
-      s"(($v) - lag($v) OVER (PARTITION BY $keys ORDER BY $ts)) AS __dst$i"
-    }.mkString(", ")
+    val defText = calls.zipWithIndex
+      .map { case ((_, _, args), i) => defs(i, args, keys) }
+      .mkString(", ")
     val fromPart = sql.substring(fromAt + 4, groupAt).trim
-    s"SELECT $selectList FROM (SELECT *, $defs FROM $fromPart) __dsq " +
-      s"GROUP BY $keys ${sql.substring(tailAt)}"
+    s"SELECT $selectList FROM (SELECT *, $defText FROM $fromPart) " +
+      s"__${fn}q GROUP BY $keys ${sql.substring(tailAt)}"
   }
 
   /** Split an argument list starting just AFTER an opening '(' at

@@ -932,4 +932,24 @@ class CompatSpec extends AnyFunSuite {
       "SELECT cramersV(x, y) AS v FROM cx_ct4")
       .collect().head.getDouble(0) == 0.0)
   }
+
+  test("round-13: rankCorr — Spearman with average ranks via the " +
+      "window rewrite; unsupported shapes refuse with the contract") {
+    // g1 monotone (rho 1; negated rho -1); g2 has a tie in x:
+    // avg ranks (1, 2.5, 2.5, 4) vs (1,2,3,4) -> 4.5/sqrt(22.5)
+    Seq((1L, 1L, 1L), (1L, 2L, 4L), (1L, 3L, 9L), (1L, 4L, 16L),
+      (2L, 1L, 10L), (2L, 2L, 20L), (2L, 2L, 30L), (2L, 3L, 40L))
+      .toDF("g", "x", "y").createOrReplaceTempView("cx_rc")
+    val rc = Compat.chSql(spark, """
+      SELECT g, rankCorr(x, y) AS r, rankCorr(x, 0 - y) AS rn
+      FROM cx_rc GROUP BY g ORDER BY g""").collect()
+    assert(math.abs(rc(0).getDouble(1) - 1.0) < 1e-12 &&
+      math.abs(rc(0).getDouble(2) + 1.0) < 1e-12)
+    assert(math.abs(rc(1).getDouble(1) - 4.5 / math.sqrt(22.5)) < 1e-12)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT rankCorr(x, y) AS r FROM cx_rc").collect()
+    }
+    assert(bad.getMessage.contains("window formulation"))
+  }
 }
