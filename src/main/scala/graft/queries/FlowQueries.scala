@@ -847,6 +847,27 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // studentTTest/welchTTest t-statistics, hash-checked against
+    // DuckDB's conditional-aggregate replay (i=1 rows get a +3.5
+    // shift so t is comfortably non-zero). The p-value halves of the
+    // tuples rest on the incomplete-beta expression, pinned to
+    // closed-form anchors in CompatSpec — DuckDB has no Student CDF
+    // to replay them against.
+    "q_compat_ttest" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_tt")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(tupleElement(studentTTest(v, i), 1), 4) AS ts,
+          round(tupleElement(welchTTest(v, i), 1), 4) AS tw,
+          count() AS n
+        FROM (SELECT user_id,
+            CAST(event_id % 97 AS DOUBLE)
+              + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+            event_id % 2 AS i
+          FROM ch_events_tt) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // rankCorr — Spearman with AVERAGE ranks for ties, rewritten to
     // corr over window ranks (one shuffle on user_id serves both
     // windows and the aggregate). w is a monotone transform of v plus
@@ -1443,6 +1464,26 @@ object FlowQueries {
         |  round(slr_k, 4) AS slr_k, round(slr_b, 4) AS slr_b,
         |  round(ent, 4) AS ent
         |FROM cm ORDER BY user_id""".stripMargin,
+    "q_compat_ttest" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE)
+        |      + (event_id % 2) * 3.5 AS v,
+        |    event_id % 2 AS i FROM events),
+        |m AS (SELECT user_id,
+        |    avg(CASE WHEN i = 0 THEN v END) AS m0,
+        |    avg(CASE WHEN i = 1 THEN v END) AS m1,
+        |    var_samp(CASE WHEN i = 0 THEN v END) AS s0,
+        |    var_samp(CASE WHEN i = 1 THEN v END) AS s1,
+        |    CAST(count(CASE WHEN i = 0 THEN v END) AS DOUBLE) AS n0,
+        |    CAST(count(CASE WHEN i = 1 THEN v END) AS DOUBLE) AS n1,
+        |    count(*) AS n
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id,
+        |  round((m0 - m1) / sqrt(((n0-1)*s0 + (n1-1)*s1)/(n0+n1-2)
+        |    * (1/n0 + 1/n1)), 4) AS ts,
+        |  round((m0 - m1) / sqrt(s0/n0 + s1/n1), 4) AS tw,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY user_id""".stripMargin,
     "q_compat_rankcorr" ->
       """WITH t AS (SELECT user_id,
         |    event_id % 97 AS v,

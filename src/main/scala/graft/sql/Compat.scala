@@ -601,6 +601,57 @@ object Compat {
       graft.functions.CrossTabAgg.Kinds.foreach(k =>
         f(k)(e => graft.functions.CrossTabAgg(e(0), e(1), k)
           .toAggregateExpression()))
+      // A/B-test aggregates: studentTTest/welchTTest(data, index) →
+      // (t_statistic, p_value). The statistics compose from
+      // conditional aggregates (one pass, map-side partials — Spark
+      // dedups the repeated aggregate functions at planning); the
+      // two-sided p comes from the regularized-incomplete-beta
+      // expression, evaluated once per group post-aggregation.
+      // Index contract: 0 = first sample, 1 = second (CH's).
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{Add => TAdd,
+          EqualTo, Sqrt, Subtract => TSub, Multiply => TMul,
+          Divide => TDiv, CreateNamedStruct}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{
+          Average, VarianceSamp}
+        import org.apache.spark.sql.catalyst.expressions.Expression
+        import org.apache.spark.sql.types.LongType
+        def sampleOf(data: Expression, idx: Expression, v: Long) =
+          If(EqualTo(Cast(idx, LongType), Literal(v)),
+            Cast(data, DoubleType), Literal(null, DoubleType))
+        def mean(d: Expression) = Average(d).toAggregateExpression()
+        def vsamp(d: Expression) = VarianceSamp(d).toAggregateExpression()
+        def cnt(d: Expression) =
+          Cast(Count(Seq(d)).toAggregateExpression(), DoubleType)
+        def one = Literal(1.0)
+        f("studentTTest") { e =>
+          val x0 = sampleOf(e(0), e(1), 0L)
+          val x1 = sampleOf(e(0), e(1), 1L)
+          val (n0, n1) = (cnt(x0), cnt(x1))
+          val df = TSub(TAdd(n0, n1), Literal(2.0))
+          val sp2 = TDiv(TAdd(
+            TMul(TSub(n0, one), vsamp(x0)),
+            TMul(TSub(n1, one), vsamp(x1))), df)
+          val t = TDiv(TSub(mean(x0), mean(x1)),
+            Sqrt(TMul(sp2, TAdd(TDiv(one, n0), TDiv(one, n1)))))
+          CreateNamedStruct(Seq(Literal("t_statistic"), t,
+            Literal("p_value"), graft.functions.StudentTPValue(t, df)))
+        }
+        f("welchTTest") { e =>
+          val x0 = sampleOf(e(0), e(1), 0L)
+          val x1 = sampleOf(e(0), e(1), 1L)
+          val (n0, n1) = (cnt(x0), cnt(x1))
+          val (v0n, v1n) = (TDiv(vsamp(x0), n0), TDiv(vsamp(x1), n1))
+          val se2 = TAdd(v0n, v1n)
+          val t = TDiv(TSub(mean(x0), mean(x1)), Sqrt(se2))
+          // Welch–Satterthwaite degrees of freedom
+          val df = TDiv(TMul(se2, se2), TAdd(
+            TDiv(TMul(v0n, v0n), TSub(n0, one)),
+            TDiv(TMul(v1n, v1n), TSub(n1, one))))
+          CreateNamedStruct(Seq(Literal("t_statistic"), t,
+            Literal("p_value"), graft.functions.StudentTPValue(t, df)))
+        }
+      }
     }
     locally {
       import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile

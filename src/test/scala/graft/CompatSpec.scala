@@ -952,4 +952,44 @@ class CompatSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("window formulation"))
   }
+
+  test("round-13: studentTTest/welchTTest — composed statistics and " +
+      "the incomplete-beta p-value") {
+    // closed-form p-value anchors: df=1 (Cauchy) at t=1 -> 0.5;
+    // df=2 has p = 1 - t/(sqrt(2)*sqrt(1+t^2/2)) -> at t=sqrt(2): 1-1/sqrt(2)
+    assert(math.abs(graft.functions.StudentTPValue.twoSided(1.0, 1.0)
+      - 0.5) < 1e-12)
+    assert(math.abs(graft.functions.StudentTPValue.twoSided(
+      math.sqrt(2.0), 2.0) - (1.0 - 1.0 / math.sqrt(2.0))) < 1e-12)
+    // samples: x0 = (1..5) m=3 s2=2.5 n=5; x1 = (2,4,6) m=4 s2=4 n=3
+    // student: df=6, sp2=3, t = -1/sqrt(3*(1/5+1/3)) = -1/sqrt(1.6)
+    // welch:   se2 = 0.5 + 4/3, t = -1/sqrt(11/6)
+    Seq((1.0, 0L), (2.0, 0L), (3.0, 0L), (4.0, 0L), (5.0, 0L),
+      (2.0, 1L), (4.0, 1L), (6.0, 1L))
+      .toDF("v", "i").createOrReplaceTempView("cx_tt")
+    val r = Compat.chSql(spark, """
+      SELECT tupleElement(studentTTest(v, i), 1) AS ts,
+        tupleElement(studentTTest(v, i), 2) AS ps,
+        tupleElement(welchTTest(v, i), 1) AS tw,
+        tupleElement(welchTTest(v, i), 2) AS pw
+      FROM cx_tt""").collect().head
+    assert(math.abs(r.getDouble(0) + 1.0 / math.sqrt(1.6)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - graft.functions.StudentTPValue
+      .twoSided(1.0 / math.sqrt(1.6), 6.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0 / math.sqrt(11.0 / 6.0)) < 1e-12)
+    // Welch–Satterthwaite df for these samples:
+    // (11/6)^2 / (0.25/4 + (16/9)/2) = 3.5433...
+    val dfW = math.pow(11.0 / 6.0, 2) /
+      (math.pow(0.5, 2) / 4.0 + math.pow(4.0 / 3.0, 2) / 2.0)
+    assert(math.abs(r.getDouble(3) - graft.functions.StudentTPValue
+      .twoSided(1.0 / math.sqrt(11.0 / 6.0), dfW)) < 1e-12)
+    // p-values land in (0, 1) and the identical-samples case reads 1
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
+    Seq((1.0, 0L), (2.0, 0L), (1.0, 1L), (2.0, 1L))
+      .toDF("v", "i").createOrReplaceTempView("cx_tt2")
+    val same = Compat.chSql(spark,
+      "SELECT tupleElement(studentTTest(v, i), 2) AS p FROM cx_tt2")
+      .collect().head
+    assert(math.abs(same.getDouble(0) - 1.0) < 1e-12)
+  }
 }
