@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** ClickHouse's categorical-association family over one shared
   * cross-tabulation state — `cramersV(x, y)`,
-  * `cramersVBiasCorrected(x, y)`, `contingency(x, y)`:
+  * `cramersVBiasCorrected(x, y)`, `contingency(x, y)`,
+  * `theilsU(x, y)` (entropy-based, asymmetric — see the eval case):
   *
   *   chi² = Σ_cells (o−e)²/e  with  e_xy = rowCount_x · colCount_y / n,
   *   computed by the closed form chi² = Σ_observed o²/e − n (the
@@ -101,6 +102,25 @@ case class CrossTabAgg(x: Expression, y: Expression, kind: String,
     val c = colCnt.size.toDouble
     if (n < 2 || r < 2 || c < 2) return 0.0
     val nd = n.toDouble
+    if (kind == "theilsU") {
+      // Theil's uncertainty coefficient U(x|y) — how much knowing y
+      // reduces the entropy of x, normalized: (H(x) − H(x|y)) / H(x),
+      // with H(x|y) = −Σ p(x,y)·ln(p(x,y)/p(y)). Asymmetric by
+      // definition; the FIRST argument is the predicted column.
+      var hx = 0.0
+      rowCnt.values.foreach { cnt =>
+        val p = cnt.toDouble / nd
+        hx -= p * math.log(p)
+      }
+      if (hx == 0.0) return 0.0
+      var hxy = 0.0
+      buf.foreach { case ((_, b), o) =>
+        val pab = o.toDouble / nd
+        val pb = colCnt(b).toDouble / nd
+        hxy -= pab * math.log(pab / pb)
+      }
+      return (hx - hxy) / hx
+    }
     // chi² = Σ o²/e − n  (e over observed cells; unobserved fold in)
     var sumO2E = 0.0
     buf.foreach { case ((a, b), o) =>
@@ -168,5 +188,5 @@ case class CrossTabAgg(x: Expression, y: Expression, kind: String,
 
 object CrossTabAgg {
   val Kinds: Set[String] =
-    Set("cramersV", "cramersVBiasCorrected", "contingency")
+    Set("cramersV", "cramersVBiasCorrected", "contingency", "theilsU")
 }

@@ -907,6 +907,105 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // nonparametric tests: mannWhitneyUTest U (average ranks, scipy's
+    // U₁ convention for the index-0 sample) and kolmogorovSmirnovTest
+    // D (RANGE-frame ECDFs), both rewritten to one-shuffle window
+    // formulations. DuckDB replays the identical rank / cumulative-
+    // count math; the p-value halves rest on the erfc / Kolmogorov
+    // tails, pinned to stdlib-math anchors in CompatSpec (DuckDB has
+    // neither function to replay against). The +3.5 shift on i=1 rows
+    // keeps both statistics comfortably off their null centers.
+    "q_compat_nptest" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_np")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(tupleElement(mannWhitneyUTest(v, i), 1), 4) AS u,
+          round(tupleElement(kolmogorovSmirnovTest(v, i), 1), 4) AS ks_d,
+          count() AS n
+        FROM (SELECT user_id,
+            CAST(event_id % 97 AS DOUBLE)
+              + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+            event_id % 2 AS i
+          FROM ch_events_np) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // meanZTest — the known-variance z-test; z and BOTH confidence
+    // bounds replay in DuckDB (the 97.5% normal quantile is a shared
+    // constant), p pinned in CompatSpec like the other test tails.
+    "q_compat_meanz" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_mz")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(tupleElement(meanZTest(800.0, 800.0, 0.95)(v, i), 1), 4)
+            AS z,
+          round(tupleElement(meanZTest(800.0, 800.0, 0.95)(v, i), 3), 4)
+            AS ci_lo,
+          round(tupleElement(meanZTest(800.0, 800.0, 0.95)(v, i), 4), 4)
+            AS ci_hi,
+          count() AS n
+        FROM (SELECT user_id,
+            CAST(event_id % 97 AS DOUBLE)
+              + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+            event_id % 2 AS i
+          FROM ch_events_mz) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // exponentialMovingAverage(half_life)(value, time) — the
+    // 2^(−Δt/hl)-weighted mean anchored at the group's max time;
+    // DuckDB replays the identical closed form, so the whole result
+    // (not just a statistic) is hash-checked.
+    "q_compat_ema" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_em")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(exponentialMovingAverage(60)(v, t), 4) AS ema,
+          count() AS n
+        FROM (SELECT user_id,
+            CAST(event_id % 97 AS DOUBLE) AS v,
+            CAST(event_id % 600 AS DOUBLE) AS t
+          FROM ch_events_em) tt
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // theilsU — entropy-based asymmetric association on the shared
+    // cross-tab state; BOTH directions gated so the asymmetry itself
+    // is hash-checked (b is partially dependent on a, so U(a|b) and
+    // U(b|a) differ). DuckDB replays the marginal/conditional-entropy
+    // sums from contingency counts.
+    "q_compat_theilsu" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_tu")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(theilsU(a, b), 4) AS tu_ab,
+          round(theilsU(b, a), 4) AS tu_ba,
+          count() AS n
+        FROM (SELECT user_id, event_id % 5 AS a,
+            (event_id % 4 + event_id % 3) % 4 AS b
+          FROM ch_events_tu) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // remaining cardinality/precision spellings: groupBitmap (bitmap
+    // CARDINALITY = exact distinct count), sumKahan (documented
+    // IEEE-sum mapping), quantileDeterministic (exact percentile; the
+    // determinator only steers CH's sampling). All three replay
+    // exactly in DuckDB; the uniqHLL12/uniqCombined64 sketches are
+    // approximate by contract and covered by spec bounds instead.
+    "q_compat_card" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_cd")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          CAST(groupBitmap(event_id % 37) AS BIGINT) AS gb,
+          round(sumKahan(CAST(event_id % 97 AS DOUBLE) / 7.0), 4) AS sk,
+          round(quantileDeterministic(0.25)(event_id % 97, event_id), 4)
+            AS qd,
+          count() AS n
+        FROM ch_events_cd
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1527,6 +1626,100 @@ object FlowQueries {
         |  round(sqrt(chi2 / (chi2 + n)), 4) AS cg,
         |  CAST(n AS BIGINT) AS n
         |FROM g ORDER BY user_id""".stripMargin,
+    "q_compat_nptest" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE)
+        |      + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+        |    event_id % 2 AS i FROM events),
+        |r AS (SELECT user_id, i, v,
+        |    rank() OVER (PARTITION BY user_id ORDER BY v)
+        |      + (COUNT(*) OVER (PARTITION BY user_id, v) - 1) / 2.0
+        |      AS rk,
+        |    CAST(COUNT(CASE WHEN i = 0 THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY v
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS c0,
+        |    CAST(COUNT(CASE WHEN i <> 0 THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY v
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS c1,
+        |    CAST(COUNT(CASE WHEN i = 0 THEN 1 END) OVER
+        |      (PARTITION BY user_id) AS DOUBLE) AS n0,
+        |    CAST(COUNT(CASE WHEN i <> 0 THEN 1 END) OVER
+        |      (PARTITION BY user_id) AS DOUBLE) AS n1
+        |  FROM t)
+        |SELECT user_id,
+        |  round(SUM(CASE WHEN i = 0 THEN rk ELSE 0 END)
+        |    - MAX(n0) * (MAX(n0) + 1) / 2.0, 4) AS u,
+        |  round(MAX(abs(c0 / n0 - c1 / n1)), 4) AS ks_d,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_meanz" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE)
+        |      + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+        |    event_id % 2 AS i FROM events),
+        |g AS (SELECT user_id,
+        |    AVG(CASE WHEN i = 0 THEN v END)
+        |      - AVG(CASE WHEN i <> 0 THEN v END) AS df,
+        |    sqrt(800.0 / COUNT(CASE WHEN i = 0 THEN 1 END)
+        |      + 800.0 / COUNT(CASE WHEN i <> 0 THEN 1 END)) AS se,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id, round(df / se, 4) AS z,
+        |  round(df - 1.959963984540054 * se, 4) AS ci_lo,
+        |  round(df + 1.959963984540054 * se, 4) AS ci_hi, n
+        |FROM g ORDER BY user_id""".stripMargin,
+    "q_compat_ema" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE) AS v,
+        |    CAST(event_id % 600 AS DOUBLE) AS t FROM events),
+        |w AS (SELECT user_id, v,
+        |    pow(2.0, (t - MAX(t) OVER (PARTITION BY user_id)) / 60.0)
+        |      AS wt
+        |  FROM t)
+        |SELECT user_id, round(SUM(v * wt) / SUM(wt), 4) AS ema,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_theilsu" ->
+      """WITH t AS (SELECT user_id, event_id % 5 AS a,
+        |    (event_id % 4 + event_id % 3) % 4 AS b FROM events),
+        |o AS (SELECT user_id, a, b, CAST(COUNT(*) AS DOUBLE) AS o
+        |  FROM t GROUP BY 1, 2, 3),
+        |am AS (SELECT user_id, a, SUM(o) AS ca FROM o GROUP BY 1, 2),
+        |bm AS (SELECT user_id, b, SUM(o) AS cb FROM o GROUP BY 1, 2),
+        |nn AS (SELECT user_id, SUM(o) AS n FROM o GROUP BY 1),
+        |hx AS (SELECT am.user_id, -SUM((ca / n) * ln(ca / n)) AS h
+        |  FROM am JOIN nn ON am.user_id = nn.user_id GROUP BY 1),
+        |hy AS (SELECT bm.user_id, -SUM((cb / n) * ln(cb / n)) AS h
+        |  FROM bm JOIN nn ON bm.user_id = nn.user_id GROUP BY 1),
+        |hxgy AS (SELECT o.user_id,
+        |    -SUM((o / n) * ln((o / n) / (cb / n))) AS h
+        |  FROM o
+        |  JOIN bm ON o.user_id = bm.user_id AND o.b = bm.b
+        |  JOIN nn ON o.user_id = nn.user_id GROUP BY 1),
+        |hygx AS (SELECT o.user_id,
+        |    -SUM((o / n) * ln((o / n) / (ca / n))) AS h
+        |  FROM o
+        |  JOIN am ON o.user_id = am.user_id AND o.a = am.a
+        |  JOIN nn ON o.user_id = nn.user_id GROUP BY 1)
+        |SELECT hx.user_id,
+        |  round((hx.h - hxgy.h) / hx.h, 4) AS tu_ab,
+        |  round((hy.h - hygx.h) / hy.h, 4) AS tu_ba,
+        |  CAST((SELECT MAX(n) FROM nn n2
+        |    WHERE n2.user_id = hx.user_id) AS BIGINT) AS n
+        |FROM hx
+        |JOIN hy ON hx.user_id = hy.user_id
+        |JOIN hxgy ON hx.user_id = hxgy.user_id
+        |JOIN hygx ON hx.user_id = hygx.user_id
+        |ORDER BY hx.user_id""".stripMargin,
+    "q_compat_card" ->
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT event_id % 37) AS BIGINT) AS gb,
+        |  round(SUM((event_id % 97) / 7.0), 4) AS sk,
+        |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_arrayreduce" ->
       """WITH t AS (SELECT user_id,
         |    range(1, CAST(2 + event_id % 7 AS BIGINT)) AS arr

@@ -212,6 +212,28 @@ object Compat {
     f("quantileExactWeighted")(e => new Percentile(e(1), e(0), e(2)))
     f("median")(e => new Percentile(e.head, Literal(0.5)))
     f("uniqCombined")(e => HyperLogLogPlusPlus(e.head))
+    // remaining cardinality/quantile spellings, mapped with the same
+    // documented contracts as their siblings: uniqHLL12/uniqCombined64
+    // are approximate BY CONTRACT in CH too (different sketch, same
+    // promise); groupBitmap's result is the bitmap's CARDINALITY
+    // (CH returns UInt64), which is exactly count-distinct — Spark's
+    // exact distinct-count stands in for the roaring bitmap;
+    // quantileDeterministic's determinator only steers CH's reservoir
+    // sampling, so the EXACT percentile is a strict accuracy upgrade
+    // at the same spelling (deviation: exact vs sampled, documented).
+    f("uniqHLL12")(e => HyperLogLogPlusPlus(e.head))
+    f("uniqCombined64")(e => HyperLogLogPlusPlus(e.head))
+    f("groupBitmap")(e =>
+      Count(e).toAggregateExpression(isDistinct = true))
+    f("quantileDeterministic")(e =>
+      if (e.size >= 3) new Percentile(e(1), e(0))
+      else new Percentile(e(0), Literal(0.5)))
+    // sumKahan: compensated summation — Spark's double sum is plain
+    // IEEE accumulation; the spelling maps to it with the precision
+    // deviation documented rather than refused (CH's own result is
+    // itself order-dependent at the merge boundaries)
+    f("sumKahan")(e => Sum(Cast(e.head, DoubleType))
+      .toAggregateExpression())
     // dispersion spellings
     f("stddevPop")(e => StddevPop(e.head))
     f("stddevSamp")(e => StddevSamp(e.head))
@@ -530,7 +552,8 @@ object Compat {
       // (rewriteDeltaSum / rewriteRankCorr); reaching these builders
       // means the query shape wasn't rewritable — refuse with the
       // contract instead of an opaque unresolved-function error
-      Seq("deltaSumTimestamp", "rankCorr").foreach(n =>
+      Seq("deltaSumTimestamp", "rankCorr", "mannWhitneyUTest",
+        "kolmogorovSmirnovTest", "exponentialMovingAverage").foreach(n =>
         f(n)(_ => throw new IllegalArgumentException(
           s"$n is supported in the select list of a single-level " +
             "SELECT ... GROUP BY with named (non-ordinal) keys; this " +
@@ -651,6 +674,46 @@ object Compat {
           CreateNamedStruct(Seq(Literal("t_statistic"), t,
             Literal("p_value"), graft.functions.StudentTPValue(t, df)))
         }
+        // meanZTest(pop_var_x, pop_var_y, conf)(data, index) →
+        // (z_statistic, p_value, confidence_interval_low/high): the
+        // known-variance z-test. Population variances and the
+        // confidence level are REQUIRED literals (CH's contract too —
+        // they are aggregate parameters), so the normal quantile for
+        // the CI is computed once at translation time, never per row.
+        f("meanZTest") { e =>
+          def litD(x: Expression, what: String): Double = x match {
+            case Literal(v, _) if v != null => v.toString.toDouble
+            case other => throw new IllegalArgumentException(
+              s"meanZTest $what must be a numeric literal, got $other")
+          }
+          val vx = litD(e(0), "population_variance_x")
+          val vy = litD(e(1), "population_variance_y")
+          val conf = litD(e(2), "confidence_level")
+          require(conf > 0.0 && conf < 1.0,
+            s"meanZTest confidence_level must be in (0,1), got $conf")
+          val x0 = sampleOf(e(3), e(4), 0L)
+          val x1 = sampleOf(e(3), e(4), 1L)
+          val (n0, n1) = (cnt(x0), cnt(x1))
+          val se = Sqrt(TAdd(TDiv(Literal(vx), n0), TDiv(Literal(vy), n1)))
+          val diff = TSub(mean(x0), mean(x1))
+          val z = TDiv(diff, se)
+          val p = TMul(Literal(2.0), graft.functions.NormUpperTail(
+            org.apache.spark.sql.catalyst.expressions.Abs(z)))
+          val zc = Literal(graft.functions.StatDist
+            .invNormCdf(1.0 - (1.0 - conf) / 2.0))
+          CreateNamedStruct(Seq(
+            Literal("z_statistic"), z,
+            Literal("p_value"), p,
+            Literal("confidence_interval_low"), TSub(diff, TMul(zc, se)),
+            Literal("confidence_interval_high"), TAdd(diff, TMul(zc, se))))
+        }
+        // internal scalar tails emitted by the nonparametric-test
+        // rewriters (rewriteMannWhitney/rewriteKolmogorov); the graft_
+        // prefix keeps them out of the CH-spelling namespace
+        f("graft_norm_upper")(e => graft.functions.NormUpperTail(
+          Cast(e.head, DoubleType)))
+        f("graft_ks_q")(e => graft.functions.KolmogorovQ(
+          Cast(e.head, DoubleType)))
       }
     }
     locally {
@@ -1185,7 +1248,9 @@ object Compat {
     "quantileexact", "quantileexactweighted", "quantiletiming",
     "topk", "topkweighted", "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention",
-    "grouparraymovingsum", "grouparraymovingavg")
+    "grouparraymovingsum", "grouparraymovingavg",
+    "mannwhitneyutest", "kolmogorovsmirnovtest", "meanztest",
+    "exponentialmovingaverage", "quantiledeterministic")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint
@@ -1607,11 +1672,14 @@ object Compat {
       }
     }
 
-  def translateCh(sql: String): String =
+  def translateCh(sql: String): String = {
+    val base = rewriteMannWhitney(rewriteKolmogorov(rewriteEma(
+      translateCh0(sql))))
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
       rewriteSample(rewriteArrayJoin(rewriteNumbers(rewriteAge(
         rewriteDateDiff(rewriteRunning(rewriteRankCorr(rewriteDeltaSum(
-          translateCh0(sql)))))))))))))
+          base))))))))))))
+  }
 
   /** CH `deltaSumTimestamp(value, ts)` — the counter-delta sum: the
     * sum of positive differences between ts-consecutive values
@@ -1658,6 +1726,148 @@ object Compat {
             s"AS __rc$t$i"
       }.mkString(", "))
 
+  private def stripStrLit(s: String): Option[String] = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      Some(t.substring(1, t.length - 1)) else None
+  }
+
+  /** CH `mannWhitneyUTest([alternative[, continuity_correction]])
+    * (sample_data, sample_index)` → `(u_statistic, p_value)`:
+    * rows with index 0 form the first sample, anything else the
+    * second (CH's contract). Rewrites to average ranks over the
+    * combined sample — the [[rewriteRankCorr]] window formulation, so
+    * ranking stays distributed (one shuffle on the GROUP BY keys
+    * serves the windows and the aggregate) instead of CH's
+    * buffer-every-pair-per-group state.
+    *
+    *   u  = R₀ − n₀(n₀+1)/2   (rank-sum convention for the FIRST
+    *                           sample, the scipy/textbook U₁),
+    *   p  = normal approximation with the tie correction
+    *        σ = √(n₀n₁/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *        and a 0.5 continuity correction (on by default, CH's
+    *        default too); alternative ∈ two-sided | greater | less.
+    *
+    * Deviations, documented not hidden: the p-value is always the
+    * normal approximation (CH switches to an exact permutation count
+    * for tiny samples); rows with a NULL sample value rank per
+    * Spark's null ordering rather than being skipped — filter NULLs
+    * first. Same supported query shape as [[rewriteDeltaSum]];
+    * unsupported shapes pass through and fail loudly at analysis.
+    */
+  private def rewriteMannWhitney(sql: String): String =
+    rewriteGroupWindow(sql, "mannwhitneyutest",
+      call = (i, a) => {
+        val alt = if (a.size >= 3) stripStrLit(a(0)).getOrElse(
+          throw new IllegalArgumentException(
+            "mannWhitneyUTest alternative must be a string literal, " +
+              s"got ${a(0)}")) else "two-sided"
+        val cc = if (a.size == 4) a(1).trim != "0" else true
+        val n0 = s"CAST(count_if((__mwi$i) = 0) AS DOUBLE)"
+        val n1 = s"CAST(count_if((__mwi$i) <> 0) AS DOUBLE)"
+        val r0 = s"sum(CASE WHEN (__mwi$i) = 0 THEN __mwr$i ELSE 0.0 END)"
+        val ties = s"sum(__mwt$i * __mwt$i - 1.0)"
+        val u = s"($r0 - $n0 * ($n0 + 1.0) / 2.0)"
+        val mu = s"($n0 * $n1 / 2.0)"
+        val nn = s"($n0 + $n1)"
+        val sg = s"sqrt($n0 * $n1 / 12.0 * " +
+          s"(($nn + 1.0) - $ties / ($nn * ($nn - 1.0))))"
+        val ccv = if (cc) "0.5" else "0.0"
+        val p = alt match {
+          case "two-sided" =>
+            s"least(1.0, 2.0 * graft_norm_upper((abs($u - $mu) - $ccv) / $sg))"
+          case "greater" =>
+            s"graft_norm_upper(($u - $mu - $ccv) / $sg)"
+          case "less" =>
+            s"(1.0 - graft_norm_upper(($u - $mu + $ccv) / $sg))"
+          case other => throw new IllegalArgumentException(
+            s"mannWhitneyUTest alternative must be two-sided, greater " +
+              s"or less, got '$other'")
+        }
+        s"named_struct('u_statistic', $u, 'p_value', $p)"
+      },
+      defs = (i, a, keys) => {
+        val d = a(a.size - 2)
+        val idx = a.last
+        s"(rank() OVER (PARTITION BY $keys ORDER BY ($d)) + " +
+          s"(count(*) OVER (PARTITION BY $keys, ($d)) - 1) / 2.0) " +
+          s"AS __mwr$i, " +
+          s"CAST(count(*) OVER (PARTITION BY $keys, ($d)) AS DOUBLE) " +
+          s"AS __mwt$i, " +
+          s"CAST(($idx) AS BIGINT) AS __mwi$i"
+      },
+      argsOk = a => a.size >= 2 && a.size <= 4)
+
+  /** CH `kolmogorovSmirnovTest([alternative[, computation_method]])
+    * (sample_data, sample_index)` → `(d_statistic, p_value)`:
+    * two-sample KS. The ECDFs come from cumulative counts over the
+    * default RANGE window frame (ties included on both engines), so
+    * D = max|F₀ − F₁| is one window pass plus a plain max — never a
+    * per-group sort-and-buffer. p is the asymptotic Kolmogorov
+    * survival Q(√(n₀n₁/(n₀+n₁)) · D) (scipy's 'asymp'); the 'exact'
+    * method and one-sided alternatives are REFUSED loudly — an exact
+    * two-sample count is a different algorithm, and a silently
+    * asymptotic answer under an 'exact' label violates the refusal
+    * policy. NULL sample values: filter first, as with
+    * [[rewriteMannWhitney]]. */
+  private def rewriteKolmogorov(sql: String): String =
+    rewriteGroupWindow(sql, "kolmogorovsmirnovtest",
+      call = (i, a) => {
+        val alt = if (a.size >= 3) stripStrLit(a(0)).getOrElse(
+          throw new IllegalArgumentException(
+            "kolmogorovSmirnovTest alternative must be a string " +
+              s"literal, got ${a(0)}")) else "two-sided"
+        if (alt != "two-sided") throw new IllegalArgumentException(
+          "kolmogorovSmirnovTest: only the two-sided alternative is " +
+            s"supported (got '$alt') — one-sided D+/D- is a different " +
+            "statistic this rewrite does not compute")
+        val method = if (a.size == 4) stripStrLit(a(1)).getOrElse("auto")
+          else "auto"
+        if (method == "exact") throw new IllegalArgumentException(
+          "kolmogorovSmirnovTest: computation_method 'exact' is not " +
+            "supported — the p-value here is always the asymptotic " +
+            "Kolmogorov tail; pass 'asymp' (or 'auto') to accept it")
+        val n0 = s"max(__ksn0$i)"
+        val n1 = s"max(__ksn1$i)"
+        val d = s"max(abs(__ksc0$i / __ksn0$i - __ksc1$i / __ksn1$i))"
+        s"named_struct('d_statistic', $d, 'p_value', " +
+          s"graft_ks_q(sqrt($n0 * $n1 / ($n0 + $n1)) * $d))"
+      },
+      defs = (i, a, keys) => {
+        val d = a(a.size - 2)
+        val idx = a.last
+        // default frame with ORDER BY = RANGE UNBOUNDED..CURRENT:
+        // ties land together, so the running count IS n·F(x)
+        s"CAST(count(CASE WHEN ($idx) = 0 THEN 1 END) OVER " +
+          s"(PARTITION BY $keys ORDER BY ($d)) AS DOUBLE) AS __ksc0$i, " +
+          s"CAST(count(CASE WHEN ($idx) <> 0 THEN 1 END) OVER " +
+          s"(PARTITION BY $keys ORDER BY ($d)) AS DOUBLE) AS __ksc1$i, " +
+          s"CAST(count(CASE WHEN ($idx) = 0 THEN 1 END) OVER " +
+          s"(PARTITION BY $keys) AS DOUBLE) AS __ksn0$i, " +
+          s"CAST(count(CASE WHEN ($idx) <> 0 THEN 1 END) OVER " +
+          s"(PARTITION BY $keys) AS DOUBLE) AS __ksn1$i"
+      },
+      argsOk = a => a.size >= 2 && a.size <= 4)
+
+  /** CH `exponentialMovingAverage(half_life)(value, time)` — the
+    * 2^(−Δt/half_life)-weighted mean anchored at the group's latest
+    * time (CH keeps numerator/denominator exponentially-smoothed
+    * sums; the shared anchor cancels in the ratio, so the closed form
+    * is Σv·w / Σw with w = 2^((t − max t)/half_life)). The max-t
+    * anchor comes from an unordered window over the GROUP BY keys —
+    * same one-shuffle shape as the other group-window rewrites, and
+    * anchoring at the max keeps every weight ≤ 1 (no overflow at any
+    * epoch scale). */
+  private def rewriteEma(sql: String): String =
+    rewriteGroupWindow(sql, "exponentialmovingaverage",
+      call = (i, _) => s"(sum(__emv$i * __emw$i) / sum(__emw$i))",
+      defs = (i, a, keys) =>
+        s"CAST((${a(1)}) AS DOUBLE) AS __emv$i, " +
+          s"pow(2.0, (CAST((${a(2)}) AS DOUBLE) - " +
+          s"max(CAST((${a(2)}) AS DOUBLE)) OVER (PARTITION BY $keys)) " +
+          s"/ (${a(0)})) AS __emw$i",
+      argsOk = _.size == 3)
+
   /** Shared aggregate→window rewriter: replace every `fn(a, b)` in the
     * select list of ONE top-level `SELECT ... FROM ... GROUP BY` with
     * `call(i, args)` over window columns `defs(i, args, keys)`
@@ -1668,7 +1878,8 @@ object Compat {
     */
   private def rewriteGroupWindow(sql: String, fn: String,
       call: (Int, Seq[String]) => String,
-      defs: (Int, Seq[String], String) => String): String = {
+      defs: (Int, Seq[String], String) => String,
+      argsOk: Seq[String] => Boolean = _.size == 2): String = {
     val lower = sql.toLowerCase(java.util.Locale.ROOT)
     if (!lower.contains(fn + "(")) return sql
     // depth/quote map over the whole text, for clause anchoring
@@ -1719,7 +1930,7 @@ object Compat {
       if (at > 0 && (lower.charAt(at - 1).isLetterOrDigit ||
           lower.charAt(at - 1) == '_')) return sql
       splitTopLevelArgs(sql, at + fn.length + 1) match {
-        case Some((args, close)) if args.size == 2 =>
+        case Some((args, close)) if argsOk(args) =>
           calls += ((at, close, args))
         case _ => return sql
       }

@@ -992,4 +992,157 @@ class CompatSpec extends AnyFunSuite {
       .collect().head
     assert(math.abs(same.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("round-13: StatDist tails — erfc/normal/Kolmogorov/inverse " +
+      "anchors against stdlib-independent constants") {
+    import graft.functions.StatDist
+    // python: 0.5*math.erfc(z/sqrt(2)) and statistics.NormalDist
+    assert(math.abs(StatDist.normUpper(1.96) - 0.024997895148220435)
+      < 1e-12)
+    assert(math.abs(StatDist.normUpper(0.5) - 0.3085375387259869)
+      < 1e-12)
+    assert(math.abs(StatDist.normUpper(0.0) - 0.5) < 1e-15)
+    assert(math.abs(StatDist.normUpper(-1.96) -
+      (1.0 - 0.024997895148220435)) < 1e-12)
+    assert(math.abs(StatDist.invNormCdf(0.975) - 1.9599639845400536)
+      < 1e-9)
+    assert(math.abs(StatDist.invNormCdf(0.5)) < 1e-9)
+    assert(math.abs(StatDist.invNormCdf(0.01) + StatDist.invNormCdf(0.99))
+      < 1e-9)
+    // Kolmogorov survival: both branches (the 1.18 split) against the
+    // long alternating series evaluated in python
+    assert(math.abs(StatDist.ksQ(0.5) - 0.9639452436648751) < 1e-9)
+    assert(math.abs(StatDist.ksQ(1.0) - 0.26999967167735456) < 1e-9)
+    assert(math.abs(StatDist.ksQ(2.0) - 0.0006709252557796953) < 1e-12)
+    assert(StatDist.ksQ(0.0) == 1.0 && StatDist.ksQ(-1.0) == 1.0)
+  }
+
+  test("round-13: mannWhitneyUTest — average-rank U with tie " +
+      "correction; alternatives; refusal outside the rewrite shape") {
+    // x0 = (1..6), x1 = (2,4,4,7,9): ranks computed by hand, U1 = 9.5;
+    // p anchors from python's math.erfc replay of the same formula
+    Seq((1L, 1.0, 0L), (1L, 2.0, 0L), (1L, 3.0, 0L), (1L, 4.0, 0L),
+      (1L, 5.0, 0L), (1L, 6.0, 0L), (1L, 2.0, 1L), (1L, 4.0, 1L),
+      (1L, 4.0, 1L), (1L, 7.0, 1L), (1L, 9.0, 1L))
+      .toDF("g", "v", "i").createOrReplaceTempView("cx_mwu")
+    val r = Compat.chSql(spark, """
+      SELECT g, tupleElement(mannWhitneyUTest(v, i), 1) AS u,
+        tupleElement(mannWhitneyUTest(v, i), 2) AS p,
+        tupleElement(mannWhitneyUTest('greater')(v, i), 2) AS pg,
+        tupleElement(mannWhitneyUTest('less')(v, i), 2) AS pl
+      FROM cx_mwu GROUP BY g ORDER BY g""").collect().head
+    assert(math.abs(r.getDouble(1) - 9.5) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.3557859242354904) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.8660927661405339) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.1778929621177452) < 1e-9)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT mannWhitneyUTest(v, i) AS u FROM cx_mwu").collect()
+    }
+    assert(bad.getMessage.contains("window formulation"))
+  }
+
+  test("round-13: kolmogorovSmirnovTest — RANGE-frame ECDF D and the " +
+      "asymptotic tail; exact method refuses loudly") {
+    // same samples: D = 0.4, lambda = sqrt(30/11)*0.4, p = 0.77545...
+    val r = Compat.chSql(spark, """
+      SELECT g, tupleElement(kolmogorovSmirnovTest(v, i), 1) AS d,
+        tupleElement(kolmogorovSmirnovTest(v, i), 2) AS p
+      FROM cx_mwu GROUP BY g ORDER BY g""").collect().head
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.7754489529545198) < 1e-9)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, """
+        SELECT g, kolmogorovSmirnovTest('two-sided', 'exact')(v, i) AS t
+        FROM cx_mwu GROUP BY g""").collect()
+    }
+    assert(bad.getMessage.contains("exact"))
+  }
+
+  test("round-13: meanZTest — known-variance z, p, and confidence " +
+      "bounds; literal-parameter contract") {
+    // x0 = (10,12,14,16) m=13; x1 = (11,13,15,17,19) m=15; vx=vy=4:
+    // z = -2/sqrt(1.8), p and CI from python erfc/NormalDist
+    Seq((10.0, 0L), (12.0, 0L), (14.0, 0L), (16.0, 0L),
+      (11.0, 1L), (13.0, 1L), (15.0, 1L), (17.0, 1L), (19.0, 1L))
+      .toDF("v", "i").createOrReplaceTempView("cx_mz")
+    val r = Compat.chSql(spark, """
+      SELECT tupleElement(meanZTest(4.0, 4.0, 0.95)(v, i), 1) AS z,
+        tupleElement(meanZTest(4.0, 4.0, 0.95)(v, i), 2) AS p,
+        tupleElement(meanZTest(4.0, 4.0, 0.95)(v, i), 3) AS lo,
+        tupleElement(meanZTest(4.0, 4.0, 0.95)(v, i), 4) AS hi
+      FROM cx_mz""").collect().head
+    assert(math.abs(r.getDouble(0) + 1.4907119849998598) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.13603712811414367) < 1e-9)
+    assert(math.abs(r.getDouble(2) + 4.629567621729744) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.6295676217297439) < 1e-9)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT meanZTest(4.0, 4.0, v, v, i) AS z FROM cx_mz").collect()
+    }
+    assert(bad.getMessage.contains("literal"))
+  }
+
+  test("round-13: theilsU — asymmetric uncertainty coefficient on the " +
+      "cross-tab state; perfect and zero dependence anchors") {
+    // hand-built 10-pair table; U(a|b)/U(b|a) replayed in python
+    Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L),
+      (1L, 1L), (2L, 1L), (2L, 1L), (2L, 0L), (0L, 0L))
+      .toDF("a", "b").createOrReplaceTempView("cx_tu")
+    val r = Compat.chSql(spark, """
+      SELECT theilsU(a, b) AS ab, theilsU(b, a) AS ba FROM cx_tu""")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 0.0792585395257929) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.12451124978365322) < 1e-12)
+    // y = f(x) exactly: knowing x removes all uncertainty about y
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (1L, 10L))
+      .toDF("x", "y").createOrReplaceTempView("cx_tu2")
+    assert(Compat.chSql(spark,
+      "SELECT theilsU(y, x) AS u FROM cx_tu2")
+      .collect().head.getDouble(0) == 1.0)
+    // independence (balanced product design): U = 0
+    Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("x", "y").createOrReplaceTempView("cx_tu3")
+    assert(math.abs(Compat.chSql(spark,
+      "SELECT theilsU(x, y) AS u FROM cx_tu3")
+      .collect().head.getDouble(0)) < 1e-12)
+  }
+
+  test("round-13: groupBitmap/sumKahan/quantileDeterministic/uniqHLL12 " +
+      "— cardinality and precision spellings") {
+    (1L to 500L).map(i => (i % 7, i % 37, i)).toDF("g", "x", "id")
+      .createOrReplaceTempView("cx_card")
+    val r = Compat.chSql(spark, """
+      SELECT CAST(groupBitmap(x) AS BIGINT) AS gb,
+        sumKahan(CAST(x AS DOUBLE) / 7.0) AS sk,
+        quantileDeterministic(0.5)(x, id) AS qd,
+        CAST(uniqHLL12(x) AS BIGINT) AS hll,
+        CAST(uniqCombined64(x) AS BIGINT) AS hll64
+      FROM cx_card""").collect().head
+    assert(r.getLong(0) == 37L)
+    assert(math.abs(r.getDouble(1) -
+      (1L to 500L).map(i => (i % 37) / 7.0).sum) < 1e-9)
+    // exact median of the residues: 500 = 13·37 + 19, so residues
+    // 1..19 occur 14×, the rest 13×; sorted indices 249/250 both
+    // land on 17
+    assert(math.abs(r.getDouble(2) - 17.0) < 1e-12)
+    // HLL sketches: approximate by contract, within 5% at 37 distinct
+    assert(math.abs(r.getLong(3) - 37L) <= 2)
+    assert(math.abs(r.getLong(4) - 37L) <= 2)
+  }
+
+  test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
+      "anchored at the latest time") {
+    // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
+    // -> (2.5+10+30)/1.75 = 170/7
+    Seq((1L, 10.0, 0.0), (1L, 20.0, 60.0), (1L, 30.0, 120.0),
+      (2L, 5.0, 0.0))
+      .toDF("g", "v", "t").createOrReplaceTempView("cx_ema")
+    val r = Compat.chSql(spark, """
+      SELECT g, exponentialMovingAverage(60)(v, t) AS e
+      FROM cx_ema GROUP BY g ORDER BY g""").collect()
+    assert(math.abs(r(0).getDouble(1) - 170.0 / 7.0) < 1e-12)
+    // single observation: the EMA is the value itself
+    assert(math.abs(r(1).getDouble(1) - 5.0) < 1e-12)
+  }
 }
