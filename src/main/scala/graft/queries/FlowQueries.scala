@@ -1006,6 +1006,54 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // A/B sizing scalars over per-user aggregates: the normal
+    // quantiles for literal power/alpha are CONSTANTS, so DuckDB
+    // replays the whole closed form with the z-sum hard-coded —
+    // the same constant the Scala side derives through invNormCdf.
+    "q_compat_sizing" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sz")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(tupleElement(
+            minSampleSizeContinous(b, sg, 0.05, 0.8, 0.05), 1), 4)
+            AS mss,
+          round(tupleElement(
+            minSampleSizeContinous(b, sg, 0.05, 0.8, 0.05), 2), 4)
+            AS lo,
+          round(tupleElement(
+            minSampleSizeConversion(0.02, 0.005, 0.8, 0.05), 1), 4)
+            AS mcv,
+          n
+        FROM (SELECT user_id, avg(v) AS b, stddevSamp(v) AS sg,
+            count() AS n
+          FROM (SELECT user_id,
+              CAST(50 + event_id % 97 AS DOUBLE) AS v
+            FROM ch_events_sz) t
+          GROUP BY user_id) g
+        ORDER BY user_id""")
+    }),
+
+    // largestTriangleThreeBuckets — Steinarsson's downsampler per
+    // user series, stringified for the harness (the selection is
+    // order-global, so no SQL oracle exists: rows-only driver check;
+    // the algorithm itself is pinned to hand-computed and
+    // python-replayed goldens in CompatSpec).
+    "q_compat_lttb" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_lt")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          concat_ws(',', transform(
+            largestTriangleThreeBuckets(8)(t, v),
+            p -> concat(CAST(CAST(p.x AS BIGINT) AS STRING), ':',
+                        CAST(CAST(p.y AS BIGINT) AS STRING)))) AS pts,
+          count() AS n
+        FROM (SELECT user_id,
+            CAST(event_id % 601 AS DOUBLE) AS t,
+            CAST(event_id % 89 AS DOUBLE) AS v
+          FROM ch_events_lt) tt
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1720,6 +1768,24 @@ object FlowQueries {
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // z-quantile constants for (power 0.8, alpha 0.05): z_{0.975} =
+    // 1.9599639845400536, z_{0.8} = 0.8416212335729143 (python
+    // statistics.NormalDist, the same anchors CompatSpec pins)
+    "q_compat_sizing" ->
+      """WITH g AS (SELECT user_id,
+        |    AVG(CAST(50 + event_id % 97 AS DOUBLE)) AS b,
+        |    STDDEV_SAMP(CAST(50 + event_id % 97 AS DOUBLE)) AS sg,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  round(2 * pow(1.9599639845400536 + 0.8416212335729143, 2)
+        |    * sg * sg / pow(0.05 * b, 2), 4) AS mss,
+        |  round(b * 0.95, 4) AS lo,
+        |  round(pow(1.9599639845400536 * sqrt(2 * 0.0225 * 0.9775)
+        |      + 0.8416212335729143 * sqrt(0.02 * 0.98 + 0.025 * 0.975),
+        |      2) / 0.000025, 4) AS mcv,
+        |  n
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_compat_arrayreduce" ->
       """WITH t AS (SELECT user_id,
         |    range(1, CAST(2 + event_id % 7 AS BIGINT)) AS arr

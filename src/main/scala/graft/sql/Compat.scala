@@ -234,6 +234,28 @@ object Compat {
     // itself order-dependent at the merge boundaries)
     f("sumKahan")(e => Sum(Cast(e.head, DoubleType))
       .toAggregateExpression())
+    // largestTriangleThreeBuckets(n)(x, y) / lttb — Steinarsson's
+    // shape-preserving downsampler; n must be a literal (it sizes the
+    // result, CH's contract too)
+    Seq("largestTriangleThreeBuckets", "lttb").foreach(name =>
+      f(name) { e =>
+        val n = e.head match {
+          case Literal(v, _) if v != null => v.toString.toDouble.toInt
+          case other => throw new IllegalArgumentException(
+            s"$name bucket count must be an integer literal, got $other")
+        }
+        graft.functions.LttbAgg(n, e(1), e(2)).toAggregateExpression()
+      })
+    // minSampleSizeContinous/Continuous(baseline, sigma, mde, power,
+    // alpha) and minSampleSizeConversion(p1, mde, power, alpha) —
+    // the standard two-sample power-analysis closed forms (documented
+    // on the expression); CH spells the first without the second 'u'
+    // and aliases both
+    Seq("minSampleSizeContinous", "minSampleSizeContinuous").foreach(
+      name => f(name)(e => graft.functions.MinSampleSize(
+        continuous = true, e.map(Cast(_, DoubleType)))))
+    f("minSampleSizeConversion")(e => graft.functions.MinSampleSize(
+      continuous = false, e.map(Cast(_, DoubleType))))
     // dispersion spellings
     f("stddevPop")(e => StddevPop(e.head))
     f("stddevSamp")(e => StddevSamp(e.head))
@@ -1250,7 +1272,8 @@ object Compat {
     "windowfunnel", "sequencematch", "sequencecount", "retention",
     "grouparraymovingsum", "grouparraymovingavg",
     "mannwhitneyutest", "kolmogorovsmirnovtest", "meanztest",
-    "exponentialmovingaverage", "quantiledeterministic")
+    "exponentialmovingaverage", "quantiledeterministic",
+    "largesttrianglethreebuckets", "lttb")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

@@ -1131,6 +1131,61 @@ class CompatSpec extends AnyFunSuite {
     assert(math.abs(r.getLong(4) - 37L) <= 2)
   }
 
+  test("round-13: largestTriangleThreeBuckets — LTTB goldens, " +
+      "pass-through, and the literal-n contract") {
+    // n=3 hand case: middle bucket (1,10),(2,0),(3,5) vs a=(0,0),
+    // c=(4,0): area = 2|by| -> picks (1,10)
+    Seq((0.0, 0.0), (1.0, 10.0), (2.0, 0.0), (3.0, 5.0), (4.0, 0.0))
+      .toDF("x", "y").createOrReplaceTempView("cx_lttb")
+    def pts(df: org.apache.spark.sql.DataFrame): Seq[(Double, Double)] =
+      df.collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+    val r3 = pts(Compat.chSql(spark,
+      "SELECT largestTriangleThreeBuckets(3)(x, y) AS p FROM cx_lttb"))
+    assert(r3 == Seq((0.0, 0.0), (1.0, 10.0), (4.0, 0.0)))
+    // n >= points: pass through, x-sorted; lttb alias works
+    val rAll = pts(Compat.chSql(spark,
+      "SELECT lttb(9)(x, y) AS p FROM cx_lttb"))
+    assert(rAll.size == 5 && rAll == rAll.sortBy(_._1))
+    // 12-point series, n=5: python replay of Steinarsson's reference
+    // bucketing
+    Seq((0, 3), (1, 7), (2, 2), (3, 9), (4, 1), (5, 6), (6, 0), (7, 8),
+      (8, 4), (9, 10), (10, 2), (11, 5))
+      .map { case (a, b) => (a.toDouble, b.toDouble) }
+      .toDF("x", "y").createOrReplaceTempView("cx_lttb2")
+    val r5 = pts(Compat.chSql(spark,
+      "SELECT largestTriangleThreeBuckets(5)(x, y) AS p FROM cx_lttb2"))
+    assert(r5 == Seq((0.0, 3.0), (3.0, 9.0), (4.0, 1.0), (9.0, 10.0),
+      (11.0, 5.0)))
+    // n = 2 keeps the endpoints; n must be a literal
+    assert(pts(Compat.chSql(spark,
+      "SELECT lttb(2)(x, y) AS p FROM cx_lttb2")) ==
+      Seq((0.0, 3.0), (11.0, 5.0)))
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT largestTriangleThreeBuckets(x)(x, y) AS p FROM cx_lttb")
+        .collect()
+    }
+    assert(bad.getMessage.contains("literal"))
+  }
+
+  test("round-13: minSampleSizeContinous/Conversion — textbook power " +
+      "closed forms against NormalDist-replayed anchors") {
+    val r = Compat.chSql(spark, """
+      SELECT minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05)
+          AS c,
+        minSampleSizeConversion(0.025, 0.017, 0.80, 0.05) AS v
+      FROM (SELECT 1 AS one)""").collect().head
+    val c = r.getStruct(0)
+    assert(math.abs(c.getDouble(0) - 616.2931945826207) < 1e-6)
+    assert(math.abs(c.getDouble(1) - 108.8825) < 1e-12)
+    assert(math.abs(c.getDouble(2) - 115.6175) < 1e-12)
+    val v = r.getStruct(1)
+    assert(math.abs(v.getDouble(0) - 1757.4992587533586) < 1e-6)
+    assert(math.abs(v.getDouble(1) - 0.008) < 1e-12)
+    assert(math.abs(v.getDouble(2) - 0.042) < 1e-12)
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
