@@ -746,6 +746,33 @@ object ScaleBench {
         org.apache.commons.io.FileUtils.deleteDirectory(dir)
       }
 
+      if (enabled("nptest")) {
+        // The nonparametric-test rewrite's scale claim: CH buffers
+        // every sample value per group and ranks at finalization (a
+        // single-node sort per group); the window formulation keeps
+        // ranking distributed — ONE shuffle on the group keys serves
+        // the rank windows, the ECDF windows, and the final
+        // aggregates. Under measurement: shuffle bytes linear in
+        // rows, per-row cost ~flat across factors.
+        graft.sql.Compat.registerClickHouseFunctions(spark)
+        val ev = scaledEvents(factor)
+        val n = ev.count()
+        ev.createOrReplaceTempView("scale_np_src")
+        val (_, sec) = timed(noop(graft.sql.Compat.chSql(spark, """
+          SELECT user_id,
+            tupleElement(mannWhitneyUTest(v, i), 1) AS u,
+            tupleElement(mannWhitneyUTest(v, i), 2) AS pu,
+            tupleElement(kolmogorovSmirnovTest(v, i), 1) AS d,
+            tupleElement(kolmogorovSmirnovTest(v, i), 2) AS pd
+          FROM (SELECT user_id,
+              CAST(event_id % 97 AS DOUBLE)
+                + CAST(event_id % 2 AS DOUBLE) * 3.5 AS v,
+              event_id % 2 AS i
+            FROM scale_np_src) t
+          GROUP BY user_id""")))
+        record(factor, "nptest_mwu_ks", sec, n)
+      }
+
       if (enabled("bucketjoin")) {
         // Bucketed vs plain tx tables under the SAME fact-fact
         // equi-join (1:1 on event_id). Claims under measurement: the
