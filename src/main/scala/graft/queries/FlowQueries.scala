@@ -1054,6 +1054,29 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // sequenceNextNode — the what-came-next clickstream aggregate in
+    // three of its four (direction, base) modes; DuckDB replays with
+    // list indexing over the identically tie-broken (ts, event_type)
+    // order. NULL results (chain off the end / anchor missing)
+    // coalesce to '' on both sides so every row stays hashable.
+    "q_compat_nextnode" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_nn")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          coalesce(sequenceNextNode('forward', 'first_match')(
+            ts, event_type, true, event_type = 'signup'), '')
+            AS after_signup,
+          coalesce(sequenceNextNode('backward', 'last_match')(
+            ts, event_type, true, event_type = 'error'), '')
+            AS before_last_error,
+          coalesce(sequenceNextNode('forward', 'head')(
+            ts, event_type, true, event_type = 'view',
+            event_type = 'click'), '') AS vc_next,
+          count() AS n
+        FROM ch_events_nn
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1768,6 +1791,19 @@ object FlowQueries {
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_nextnode" ->
+      """WITH l AS (SELECT user_id,
+        |    list(event_type ORDER BY ts, event_type) AS es
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  coalesce(es[list_position(es, 'signup') + 1], '')
+        |    AS after_signup,
+        |  coalesce(es[len(es) - list_position(list_reverse(es), 'error')],
+        |    '') AS before_last_error,
+        |  coalesce(CASE WHEN es[1] = 'view' AND es[2] = 'click'
+        |    THEN es[3] END, '') AS vc_next,
+        |  CAST(len(es) AS BIGINT) AS n
+        |FROM l ORDER BY user_id""".stripMargin,
     // z-quantile constants for (power 0.8, alpha 0.05): z_{0.975} =
     // 1.9599639845400536, z_{0.8} = 0.8416212335729143 (python
     // statistics.NormalDist, the same anchors CompatSpec pins)

@@ -476,6 +476,31 @@ object Compat {
       graft.functions.SequenceMatchChain(atoms, e(1), e.drop(2))
         .toAggregateExpression()
     }
+    // sequenceNextNode(direction, base)(ts, event_col, base_cond,
+    // event1, ...) — the what-came-next clickstream aggregate; only
+    // the four canonical (direction, base) pairs exist (CH's doc
+    // combos), anything else refuses here
+    f("sequenceNextNode") { e =>
+      def litStr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): String = x match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceNextNode $what must be a string literal, got $other")
+      }
+      val dir = litStr(e(0), "direction")
+      val base = litStr(e(1), "base")
+      val ok = Set(("forward", "head"), ("backward", "tail"),
+        ("forward", "first_match"), ("backward", "last_match"))
+      if (!ok((dir, base))) throw new IllegalArgumentException(
+        s"sequenceNextNode supports (forward,head), (backward,tail), " +
+          s"(forward,first_match), (backward,last_match); " +
+          s"got ($dir, $base)")
+      if (e.size < 6) throw new IllegalArgumentException(
+        "sequenceNextNode needs (ts, event_column, base_condition, " +
+          "event1, ...)")
+      graft.functions.SequenceNextNode(dir == "forward", base,
+        e(2), e(3), e(4), e.drop(5)).toAggregateExpression()
+    }
     // topK(k)(x): space-saving heavy hitters — exact below the buffer
     // capacity, deterministic (count desc, value asc) tie order
     f("topK") { e =>
@@ -1270,6 +1295,7 @@ object Compat {
     "quantileexact", "quantileexactweighted", "quantiletiming",
     "topk", "topkweighted", "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention",
+    "sequencenextnode",
     "grouparraymovingsum", "grouparraymovingavg",
     "mannwhitneyutest", "kolmogorovsmirnovtest", "meanztest",
     "exponentialmovingaverage", "quantiledeterministic",

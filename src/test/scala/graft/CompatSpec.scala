@@ -1186,6 +1186,41 @@ class CompatSpec extends AnyFunSuite {
     assert(math.abs(v.getDouble(2) - 0.042) < 1e-12)
   }
 
+  test("round-13: sequenceNextNode — four anchor modes, chain-off-end " +
+      "NULLs, base-condition gating, combo refusal") {
+    // one session: A(1) B(2) C(3) D(4) E(5), ts as epoch-micros longs
+    Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"), (5L, "E"))
+      .toDF("t", "page").createOrReplaceTempView("cx_nn")
+    def one(sql: String): String = {
+      val r = Compat.chSql(spark, sql).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(one("SELECT sequenceNextNode('forward', 'head')(t, page, " +
+      "true, page = 'A', page = 'B') AS v FROM cx_nn") == "C")
+    assert(one("SELECT sequenceNextNode('forward', 'head')(t, page, " +
+      "true, page = 'B') AS v FROM cx_nn") == null)
+    assert(one("SELECT sequenceNextNode('backward', 'tail')(t, page, " +
+      "true, page = 'E') AS v FROM cx_nn") == "D")
+    assert(one("SELECT sequenceNextNode('forward', 'first_match')(t, " +
+      "page, true, page = 'C') AS v FROM cx_nn") == "D")
+    assert(one("SELECT sequenceNextNode('backward', 'last_match')(t, " +
+      "page, true, page = 'C') AS v FROM cx_nn") == "B")
+    // chain runs off the group end / anchor fails the base condition
+    assert(one("SELECT sequenceNextNode('forward', 'first_match')(t, " +
+      "page, true, page = 'E') AS v FROM cx_nn") == null)
+    assert(one("SELECT sequenceNextNode('forward', 'head')(t, page, " +
+      "page = 'X', page = 'A') AS v FROM cx_nn") == null)
+    // multi-step chain from last_match scanning backward:
+    // D at 4, C at 3 -> returns B
+    assert(one("SELECT sequenceNextNode('backward', 'last_match')(t, " +
+      "page, true, page = 'D', page = 'C') AS v FROM cx_nn") == "B")
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, "SELECT sequenceNextNode('forward', 'tail')" +
+        "(t, page, true, page = 'A') AS v FROM cx_nn").collect()
+    }
+    assert(bad.getMessage.contains("forward,head"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
