@@ -1077,6 +1077,28 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // array-aggregate batch: groupArraySorted (bounded bottom-N),
+    // groupArrayIntersect (prefix sequences, so the oracle is the
+    // range of the min), singleValueOrNull, corrMatrix (flattened
+    // row-major, rounded). All four replay exactly in DuckDB.
+    "q_compat_arrays2" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_a2")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          concat_ws(',', groupArraySorted(5)(event_id % 37)) AS bot5,
+          concat_ws(',', groupArrayIntersect(
+            sequence(1, CAST(1 + event_id % 5 AS INT)))) AS inter,
+          coalesce(CAST(singleValueOrNull(
+            CASE WHEN user_id % 2 = 0 THEN 7 ELSE event_id % 2 END)
+            AS STRING), '') AS sv,
+          concat_ws(',', transform(flatten(corrMatrix(
+            event_id % 97, (event_id % 97) * 3 + event_id % 11)),
+            c -> CAST(round(c, 4) AS STRING))) AS cm,
+          count() AS n
+        FROM ch_events_a2
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1791,6 +1813,24 @@ object FlowQueries {
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_arrays2" ->
+      """WITH g AS (SELECT user_id,
+        |    array_to_string(list_sort(list(event_id % 37))[1:5], ',')
+        |      AS bot5,
+        |    array_to_string(range(1, 2 + MIN(event_id % 5)), ',')
+        |      AS inter,
+        |    CASE WHEN COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN 7
+        |        ELSE event_id % 2 END) = 1
+        |      THEN CAST(MIN(CASE WHEN user_id % 2 = 0 THEN 7
+        |        ELSE event_id % 2 END) AS VARCHAR) ELSE '' END AS sv,
+        |    CAST(round(corr(event_id % 97,
+        |      (event_id % 97) * 3 + event_id % 11), 4) AS VARCHAR)
+        |      AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, bot5, inter, sv,
+        |  concat('1.0', ',', r, ',', r, ',', '1.0') AS cm, n
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_compat_nextnode" ->
       """WITH l AS (SELECT user_id,
         |    list(event_type ORDER BY ts, event_type) AS es

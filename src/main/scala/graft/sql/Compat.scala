@@ -124,8 +124,9 @@ object Compat {
 
     // ---- round 6 widening: the rest of the everyday CH vocabulary ----
     import org.apache.spark.sql.catalyst.expressions.{ArrayContains,
-      ArrayJoin, BitwiseAnd, DateFormatClass, Explode, IntegralDivide,
-      StringLocate, TimestampDiff, TruncDate, WeekDay}
+      ArrayJoin, BitwiseAnd, CreateArray, DateFormatClass, EqualTo,
+      Explode, IntegralDivide, Slice, StringLocate, TimestampDiff,
+      TruncDate, WeekDay}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
       ApproximatePercentile, Average, CollectList, CollectSet, Max, Min,
       Percentile, StddevPop, StddevSamp, VariancePop, VarianceSamp}
@@ -142,6 +143,84 @@ object Compat {
     // wrap in array_sort for stable results), groupUniqArray dedups
     f("groupArray")(e => CollectList(e.head))
     f("groupUniqArray")(e => CollectSet(e.head))
+    // groupArraySorted(N)(x): the N smallest ascending — bounded
+    // max-heap state, O(N) per partition however large the group
+    f("groupArraySorted") { e =>
+      val n = e.head match {
+        case Literal(v, _) if v != null => v.toString.toDouble.toInt
+        case other => throw new IllegalArgumentException(
+          s"groupArraySorted N must be an integer literal, got $other")
+      }
+      graft.functions.GroupArraySorted(n, e(1)).toAggregateExpression()
+    }
+    // groupArrayIntersect(arr): elements present in EVERY row's array;
+    // result sorted ascending (deterministic where CH leaves the
+    // order unspecified)
+    f("groupArrayIntersect")(e =>
+      graft.functions.GroupArrayIntersect(e.head).toAggregateExpression())
+    // groupConcat[(sep[, limit])](x): string concatenation in arrival
+    // order — the groupArray contract (CH's own order is unspecified
+    // across threads; sort upstream for stable results). limit keeps
+    // the first `limit` collected values.
+    f("groupConcat") { e =>
+      def litOf(x: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[Any] = x match {
+        case Literal(v, _) => Some(v)
+        case _             => None
+      }
+      val (sep, limit, x) = e.size match {
+        case 1 => ("", Int.MaxValue, e(0))
+        case 2 => (litOf(e(0)).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "groupConcat separator must be a string literal")),
+          Int.MaxValue, e(1))
+        case _ => (litOf(e(0)).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "groupConcat separator must be a string literal")),
+          litOf(e(1)).map(_.toString.toDouble.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              "groupConcat limit must be an integer literal")), e(2))
+      }
+      val collected = CollectList(Cast(x, StringType))
+        .toAggregateExpression()
+      val limited = if (limit == Int.MaxValue) collected
+        else Slice(collected, Literal(1), Literal(limit))
+      ArrayJoin(limited, Literal(sep), None)
+    }
+    // singleValueOrNull(x): the value when the group has exactly ONE
+    // distinct non-null value, else NULL (CH's any-or-ambiguous probe)
+    f("singleValueOrNull") { e =>
+      If(EqualTo(Count(e).toAggregateExpression(isDistinct = true),
+        Literal(1L)),
+        Min(e.head).toAggregateExpression(), Literal(null, NullType))
+    }
+    // corrMatrix / covarSampMatrix / covarPopMatrix(x1..xn): the full
+    // symmetric n x n matrix as array-of-arrays — n^2 plain Spark
+    // aggregates (dashboard-sized n; each cell partial-aggregates
+    // map-side like any corr)
+    f("corrMatrix")(e => CreateArray(e.map(a => CreateArray(e.map(b =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Corr(
+        Cast(a, DoubleType), Cast(b, DoubleType))
+        .toAggregateExpression())))))
+    f("covarSampMatrix")(e => CreateArray(e.map(a => CreateArray(e.map(
+      b => org.apache.spark.sql.catalyst.expressions.aggregate
+        .CovSample(Cast(a, DoubleType), Cast(b, DoubleType))
+        .toAggregateExpression())))))
+    f("covarPopMatrix")(e => CreateArray(e.map(a => CreateArray(e.map(
+      b => org.apache.spark.sql.catalyst.expressions.aggregate
+        .CovPopulation(Cast(a, DoubleType), Cast(b, DoubleType))
+        .toAggregateExpression())))))
+    // order/randomness-dependent spellings with no deterministic
+    // distributed reading — refuse with the contract, never a
+    // silently different answer
+    f("groupArrayLast")(_ => throw new IllegalArgumentException(
+      "groupArrayLast keeps the LAST values in block order, which a " +
+        "distributed engine cannot reproduce deterministically; use " +
+        "groupArraySorted, or max_by over an explicit order column"))
+    f("groupArraySample")(_ => throw new IllegalArgumentException(
+      "groupArraySample draws a reservoir sample with engine-internal " +
+        "randomness; sample deterministically upstream (e.g. " +
+        "ORDER BY hash(x) LIMIT n) instead"))
     // groupArrayMovingSum/Avg: CH's per-group running-sum/avg arrays,
     // optionally windowed via the parametric form name(W)(x) (the
     // parametric pass flattens to name(W, x)). Arrival order follows
@@ -1299,7 +1378,8 @@ object Compat {
     "grouparraymovingsum", "grouparraymovingavg",
     "mannwhitneyutest", "kolmogorovsmirnovtest", "meanztest",
     "exponentialmovingaverage", "quantiledeterministic",
-    "largesttrianglethreebuckets", "lttb")
+    "largesttrianglethreebuckets", "lttb", "grouparraysorted",
+    "groupconcat", "grouparraylast", "grouparraysample")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

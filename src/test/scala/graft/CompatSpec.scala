@@ -1221,6 +1221,50 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("forward,head"))
   }
 
+  test("round-13: groupArraySorted/Intersect, groupConcat, " +
+      "singleValueOrNull, corrMatrix, and the order-dependent refusals") {
+    Seq(5L, 1L, 4L, 1L, 3L, 2L).toDF("x")
+      .createOrReplaceTempView("cx_gas")
+    assert(Compat.chSql(spark,
+      "SELECT groupArraySorted(3)(x) AS a FROM cx_gas")
+      .collect().head.getSeq[Long](0) == Seq(1L, 1L, 2L))
+    // intersection of [1..4], [2..4], [3..5] -> [3, 4] sorted
+    Seq(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L), Seq(3L, 4L, 5L))
+      .toDF("arr").createOrReplaceTempView("cx_gai")
+    assert(Compat.chSql(spark,
+      "SELECT groupArrayIntersect(arr) AS a FROM cx_gai")
+      .collect().head.getSeq[Long](0) == Seq(3L, 4L))
+    // groupConcat: arrival-order contract — assert content, not order
+    val gc = Compat.chSql(spark,
+      "SELECT groupConcat('-')(x) AS s FROM cx_gas")
+      .collect().head.getString(0)
+    assert(gc.split("-").map(_.toLong).sorted.toSeq ==
+      Seq(1L, 1L, 2L, 3L, 4L, 5L))
+    val gcLim = Compat.chSql(spark,
+      "SELECT groupConcat(',', 2)(x) AS s FROM cx_gas")
+      .collect().head.getString(0)
+    assert(gcLim.split(",").length == 2)
+    // singleValueOrNull: one distinct -> the value; two -> NULL
+    Seq((1L, 7L), (1L, 7L), (2L, 1L), (2L, 2L)).toDF("g", "v")
+      .createOrReplaceTempView("cx_svn")
+    val svn = Compat.chSql(spark, """
+      SELECT g, singleValueOrNull(v) AS s FROM cx_svn
+      GROUP BY g ORDER BY g""").collect()
+    assert(svn(0).getLong(1) == 7L && svn(1).isNullAt(1))
+    // corrMatrix of (x, 2x): every cell 1.0
+    val cm = Compat.chSql(spark,
+      "SELECT corrMatrix(x, 2 * x) AS m FROM cx_gas")
+      .collect().head.getSeq[scala.collection.Seq[Double]](0)
+    assert(cm.flatten.forall(c => math.abs(c - 1.0) < 1e-12))
+    // block-order / randomness refusals
+    Seq("groupArrayLast(2)(x)", "groupArraySample(2)(x)").foreach { c =>
+      val bad = intercept[Exception] {
+        Compat.chSql(spark, s"SELECT $c AS a FROM cx_gas").collect()
+      }
+      assert(bad.getMessage.contains("deterministic"))
+    }
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
