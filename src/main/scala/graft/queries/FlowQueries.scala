@@ -1099,6 +1099,34 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // stochasticLinearRegression answered with the EXACT ridge/OLS
+    // solution — per-user 2-feature fits (y deliberately NOT exactly
+    // linear so the weights are true least-squares answers) plus an
+    // evalMLMethod prediction. DuckDB replays the full 3x3 normal
+    // equations via Cramer's rule.
+    "q_compat_mlreg" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_ml")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          round(element_at(w, 1), 4) AS w1,
+          round(element_at(w, 2), 4) AS w2,
+          round(element_at(w, 3), 4) AS w0,
+          round(evalMLMethod(w, 10, 20), 4) AS pred,
+          n
+        FROM (SELECT user_id,
+            stochasticLinearRegression(0.1, 0.0, 32, 'SGD')(y, a, b)
+              AS w,
+            count() AS n
+          FROM (SELECT user_id,
+              CAST(event_id % 97 AS DOUBLE) AS a,
+              CAST(event_id % 11 AS DOUBLE) AS b,
+              CAST(3 * (event_id % 97) + 2 * (event_id % 11)
+                + event_id % 7 AS DOUBLE) AS y
+            FROM ch_events_ml) t
+          GROUP BY user_id) g
+        ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1813,6 +1841,34 @@ object FlowQueries {
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compat_mlreg" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 97 AS DOUBLE) AS a,
+        |    CAST(event_id % 11 AS DOUBLE) AS b,
+        |    CAST(3 * (event_id % 97) + 2 * (event_id % 11)
+        |      + event_id % 7 AS DOUBLE) AS y FROM events),
+        |s AS (SELECT user_id, SUM(a*a) AS saa, SUM(a*b) AS sab,
+        |    SUM(a) AS sa, SUM(b*b) AS sbb, SUM(b) AS sb,
+        |    CAST(COUNT(*) AS DOUBLE) AS n, SUM(a*y) AS say,
+        |    SUM(b*y) AS sby, SUM(y) AS sy,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY user_id),
+        |d AS (SELECT *,
+        |    saa*(sbb*n - sb*sb) - sab*(sab*n - sb*sa)
+        |      + sa*(sab*sb - sbb*sa) AS det,
+        |    say*(sbb*n - sb*sb) - sab*(sby*n - sb*sy)
+        |      + sa*(sby*sb - sbb*sy) AS det1,
+        |    saa*(sby*n - sb*sy) - say*(sab*n - sb*sa)
+        |      + sa*(sab*sy - sby*sa) AS det2,
+        |    saa*(sbb*sy - sby*sb) - sab*(sab*sy - sby*sa)
+        |      + say*(sab*sb - sbb*sa) AS det3
+        |  FROM s)
+        |SELECT user_id,
+        |  round(det1/det, 4) AS w1, round(det2/det, 4) AS w2,
+        |  round(det3/det, 4) AS w0,
+        |  round(det1/det*10 + det2/det*20 + det3/det, 4) AS pred,
+        |  cnt AS n
+        |FROM d ORDER BY user_id""".stripMargin,
     "q_compat_arrays2" ->
       """WITH g AS (SELECT user_id,
         |    array_to_string(list_sort(list(event_id % 37))[1:5], ',')

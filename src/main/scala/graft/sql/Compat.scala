@@ -210,6 +210,45 @@ object Compat {
       b => org.apache.spark.sql.catalyst.expressions.aggregate
         .CovPopulation(Cast(a, DoubleType), Cast(b, DoubleType))
         .toAggregateExpression())))))
+    // stochasticLinearRegression[State](lr, l2, batch, 'method')
+    // (y, x1..xn) — answered with the EXACT least-squares / ridge
+    // solution (documented deviation: CH's merge-averaged SGD is row-
+    // and merge-order dependent; the exact answer is O(d^2) state and
+    // strictly deterministic, so the SGD knobs are accepted and
+    // ignored while l2 becomes the ridge lambda). Returns
+    // [w1..wn, intercept]; evalMLMethod applies it.
+    locally {
+      def build(e: Seq[org.apache.spark.sql.catalyst.expressions
+          .Expression]): org.apache.spark.sql.catalyst.expressions
+          .Expression = {
+        val parametrized = e.size >= 6 && (e(3) match {
+          case Literal(_: UTF8String, StringType) => true
+          case _                                  => false
+        })
+        val (lambda, y, xs) =
+          if (parametrized) {
+            val l2 = e(1) match {
+              case Literal(v, _) if v != null => v.toString.toDouble
+              case other => throw new IllegalArgumentException(
+                "stochasticLinearRegression l2 coefficient must be a " +
+                  s"numeric literal, got $other")
+            }
+            (l2, e(4), e.drop(5))
+          } else (0.0, e.head, e.tail)
+        graft.functions.LinearFitAgg(lambda, y, xs)
+          .toAggregateExpression()
+      }
+      f("stochasticLinearRegression")(build)
+      f("stochasticLinearRegressionState")(build)
+      f("evalMLMethod")(e => graft.functions.EvalMLMethod(e))
+      f("stochasticLogisticRegression")(_ =>
+        throw new IllegalArgumentException(
+          "stochasticLogisticRegression has no exact closed form and " +
+            "CH's SGD answer is merge-order dependent; fit logistic " +
+            "models outside the engine, or use " +
+            "stochasticLinearRegression (exact least squares) where a " +
+            "linear fit suffices"))
+    }
     // order/randomness-dependent spellings with no deterministic
     // distributed reading — refuse with the contract, never a
     // silently different answer
@@ -1379,7 +1418,9 @@ object Compat {
     "mannwhitneyutest", "kolmogorovsmirnovtest", "meanztest",
     "exponentialmovingaverage", "quantiledeterministic",
     "largesttrianglethreebuckets", "lttb", "grouparraysorted",
-    "groupconcat", "grouparraylast", "grouparraysample")
+    "groupconcat", "grouparraylast", "grouparraysample",
+    "stochasticlinearregression", "stochasticlinearregressionstate",
+    "stochasticlogisticregression")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

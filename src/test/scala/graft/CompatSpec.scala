@@ -1265,6 +1265,51 @@ class CompatSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13: stochasticLinearRegression — exact least squares / " +
+      "ridge, evalMLMethod, singular NULL, logistic refusal") {
+    // noise-free plane y = 2a + 3b + 5: the exact fit recovers it
+    val rows = for (a <- 0 to 4; b <- 0 to 3)
+      yield (a.toDouble, b.toDouble, 2.0 * a + 3.0 * b + 5.0)
+    rows.toDF("a", "b", "y").createOrReplaceTempView("cx_lr")
+    val w = Compat.chSql(spark, """
+      SELECT stochasticLinearRegression(0.1, 0.0, 16, 'SGD')(y, a, b)
+        AS w FROM cx_lr""").collect().head.getSeq[Double](0)
+    assert(w.size == 3)
+    assert(math.abs(w(0) - 2.0) < 1e-9 && math.abs(w(1) - 3.0) < 1e-9 &&
+      math.abs(w(2) - 5.0) < 1e-9)
+    // evalMLMethod applies weights + intercept
+    val pred = Compat.chSql(spark, """
+      SELECT evalMLMethod(
+        stochasticLinearRegressionState(0.1, 0.0, 16, 'SGD')(y, a, b),
+        10, 100) AS p FROM cx_lr""").collect().head.getDouble(0)
+    assert(math.abs(pred - (2.0 * 10 + 3.0 * 100 + 5.0)) < 1e-9)
+    // ridge shrinkage on one centered feature: w = Sxy / (Sxx + λ);
+    // x in {-1, 1}, y = x -> Sxx = 4, Sxy = 4, λ = 4 -> w = 0.5
+    Seq((-1.0, -1.0), (1.0, 1.0), (-1.0, -1.0), (1.0, 1.0))
+      .toDF("x", "y").createOrReplaceTempView("cx_lr2")
+    val wr = Compat.chSql(spark, """
+      SELECT stochasticLinearRegression(0.1, 4.0, 16, 'SGD')(y, x)
+        AS w FROM cx_lr2""").collect().head.getSeq[Double](0)
+    assert(math.abs(wr(0) - 0.5) < 1e-9 && math.abs(wr(1)) < 1e-9)
+    // bare (unparametrized) spelling = λ 0
+    val wb = Compat.chSql(spark,
+      "SELECT stochasticLinearRegression(y, a, b) AS w FROM cx_lr")
+      .collect().head.getSeq[Double](0)
+    assert(math.abs(wb(0) - 2.0) < 1e-9)
+    // constant feature -> singular -> NULL, never a garbage fit
+    Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+      .createOrReplaceTempView("cx_lr3")
+    assert(Compat.chSql(spark,
+      "SELECT stochasticLinearRegression(y, x) AS w FROM cx_lr3")
+      .collect().head.isNullAt(0))
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, """
+        SELECT stochasticLogisticRegression(0.1, 0.0, 16, 'SGD')(y, a)
+          AS w FROM cx_lr""").collect()
+    }
+    assert(bad.getMessage.contains("closed form"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
