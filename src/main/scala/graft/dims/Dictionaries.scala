@@ -36,7 +36,8 @@ object Dictionaries {
   private final case class Dict(attrs: Map[String,
       (java.util.HashMap[Any, Any], DataType)],
       hasMap: java.util.HashMap[Any, Any],
-      trie: Option[graft.flow.Ipv4Trie] = None)
+      trie: Option[graft.flow.Ipv4Trie] = None,
+      ranged: Boolean = false)
 
   private val regs = TrieMap.empty[String, Dict]
 
@@ -132,6 +133,67 @@ object Dictionaries {
     regs.put(name, Dict(attrs, hasMap, Some(trie)))
   }
 
+  /** ClickHouse's `range_hashed` dictionary LAYOUT: attributes carry a
+    * VALIDITY RANGE per key — pricing windows, assignment periods —
+    * and the lookup takes the point to locate:
+    * `dictGet('prices', 'price', sku, order_date)`. Per key the
+    * ranges are held start-ascending; a probe answers the FIRST
+    * containing range (CH's default 'min' overlap strategy), bounds
+    * INCLUSIVE on both ends (CH's closed-interval default). Range
+    * bound and probe types must agree (integral, date, or timestamp —
+    * normalized internally to epoch days / micros / the long itself);
+    * a probe outside every range is NULL, the dictGetOrNull contract.
+    */
+  def registerRangeHashed(spark: SparkSession, name: String,
+      df: DataFrame, keyCol: String, startCol: String, endCol: String,
+      maxRows: Int = DefaultMaxRows): Unit = {
+    val schema = df.schema
+    Seq(keyCol, startCol, endCol).foreach(c => require(
+      schema.fieldNames.contains(c), s"no column $c"))
+    val ki = schema.fieldIndex(keyCol)
+    val si = schema.fieldIndex(startCol)
+    val ei = schema.fieldIndex(endCol)
+    val keyConv = CatalystTypeConverters
+      .createToCatalystConverter(schema(ki).dataType)
+    def toL(v: Any): Long = v match {
+      case d: java.sql.Date      => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case t: java.sql.Timestamp => t.getTime * 1000L
+      case t: java.time.Instant  =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      case l: Long               => l
+      case i: Int                => i.toLong
+      case s: Short              => s.toLong
+      case b: Byte               => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"range bound must be integral/date/timestamp, got $other")
+    }
+    val rows = bounded(df, name, maxRows)
+      .filter(r => !r.isNullAt(ki) && !r.isNullAt(si) && !r.isNullAt(ei))
+    val byKey = rows.groupBy(r => keyConv(r.get(ki)))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(r => toL(r.get(si)))
+      }
+    val attrCols = schema.fields.zipWithIndex.filter { case (f, _) =>
+      f.name != keyCol && f.name != startCol && f.name != endCol
+    }
+    val attrs = attrCols.map { case (f, i) =>
+      val conv = CatalystTypeConverters.createToCatalystConverter(f.dataType)
+      val m = new java.util.HashMap[Any, Any]()
+      byKey.foreach { case (k, rs) =>
+        m.put(k, new RangeEntries(
+          rs.map(r => toL(r.get(si))),
+          rs.map(r => toL(r.get(ei))),
+          rs.map(r => if (r.isNullAt(i)) null
+            else conv(r.get(i)).asInstanceOf[AnyRef])))
+      }
+      f.name -> (m, f.dataType)
+    }.toMap
+    val hasMap = new java.util.HashMap[Any, Any]()
+    byKey.keys.foreach(k => hasMap.put(k, java.lang.Boolean.TRUE))
+    regs.put(name, Dict(attrs, hasMap, ranged = true))
+  }
+
   def deregister(name: String): Unit = regs.remove(name)
 
   private def resolve(dict: String, attr: String):
@@ -158,6 +220,14 @@ object Dictionaries {
     column(DictGet(dict, attr, probe(dict, expression(key)), m, dt))
   }
 
+  /** Column-API range lookup (range_hashed layout). */
+  def dict_get(dict: String, attr: String, key: Column,
+      at: Column): Column = {
+    val (m, dt) = resolve(dict, attr)
+    column(DictGetRange(dict, attr, expression(key), expression(at),
+      m, dt))
+  }
+
   /** SQL spelling: `dictGet('dict', 'attr', key)` — dict and attr must
     * be string literals (they select the map at PLAN time, which is
     * the whole point).
@@ -168,21 +238,25 @@ object Dictionaries {
       case other => throw new IllegalArgumentException(
         s"dictGet $what must be a string literal, got $other")
     }
+    def get(e: Seq[Expression]): Expression = {
+      val d = lit(e(0), "dictionary name")
+      val a = lit(e(1), "attribute name")
+      val (m, dt) = resolve(d, a)
+      val ranged = regs.get(d).exists(_.ranged)
+      if (ranged) {
+        require(e.size >= 4, s"dictionary '$d' is range_hashed: " +
+          "dictGet needs (dict, attr, key, point)")
+        DictGetRange(d, a, e(2), e(3), m, dt)
+      } else DictGet(d, a, probe(d, e(2)), m, dt)
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dictGet", { e =>
-        val d = lit(e(0), "dictionary name")
-        val (m, dt) = resolve(d, lit(e(1), "attribute name"))
-        DictGet(d, lit(e(1), "attribute name"), probe(d, e(2)), m, dt)
-      }, "scala_udf")
+      "dictGet", get(_), "scala_udf")
     // dictGetOrDefault = the NULL-on-miss lookup coalesced with the
     // caller's default; dictHas probes ANY attribute map's key set
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dictGetOrDefault", { e =>
-        val d = lit(e(0), "dictionary name")
-        val (m, dt) = resolve(d, lit(e(1), "attribute name"))
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-          DictGet(d, lit(e(1), "attribute name"), probe(d, e(2)), m, dt),
-          e(3)))
+          get(e.dropRight(1)), e.last))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dictHas", { e =>
@@ -221,4 +295,78 @@ case class DictGet(dict: String, attr: String, child: Expression,
     copy(child = c)
   override def prettyName: String = s"dictGet"
   override def toString: String = s"dictGet($dict, $attr, $child)"
+}
+
+/** One key's validity ranges, start-ascending. Public and final so the
+  * whole-stage-generated probe can call [[find]] directly — the same
+  * reference-object pattern as the trie and the hash maps. */
+final class RangeEntries(val starts: Array[Long], val ends: Array[Long],
+    val vals: Array[AnyRef]) extends Serializable {
+  /** Index of the FIRST range containing x (closed bounds, CH's 'min'
+    * overlap strategy), -1 when none does. Ranges per key are
+    * validity-window-few, so the scan is a handful of compares. */
+  def find(x: Long): Int = {
+    var i = 0
+    while (i < starts.length) {
+      if (starts(i) <= x && x <= ends(i)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
+/** The generated range probe: HashMap.get for the key, then the
+  * first-containing-range scan, inside whole-stage codegen. */
+case class DictGetRange(dict: String, attr: String, key: Expression,
+    at: Expression, lookup: java.util.HashMap[Any, Any],
+    resultType: DataType)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = key
+  override def right: Expression = at
+  override def dataType: DataType = resultType
+  override def nullable: Boolean = true
+
+  private def toL(x: Any): Long = x match {
+    case l: Long  => l
+    case i: Int   => i.toLong
+    case s: Short => s.toLong
+    case b: Byte  => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"dictGet range point must be integral/date/timestamp, got $other")
+  }
+
+  override protected def nullSafeEval(k: Any, x: Any): Any = {
+    val re = lookup.get(k)
+    if (re == null) null
+    else {
+      val r = re.asInstanceOf[RangeEntries]
+      val i = r.find(toL(x))
+      if (i < 0) null else r.vals(i)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, x) => {
+      val m = ctx.addReferenceObj("graftRangeDict", lookup,
+        "java.util.HashMap")
+      s"""
+         |Object re0 = $m.get($k);
+         |${ev.isNull} = true;
+         |if (re0 != null) {
+         |  graft.dims.RangeEntries re = (graft.dims.RangeEntries) re0;
+         |  int ri = re.find((long) $x);
+         |  if (ri >= 0 && re.vals()[ri] != null) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = (${CodeGenerator.boxedType(dataType)})
+         |      re.vals()[ri];
+         |  }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(key = newLeft, at = newRight)
+  override def prettyName: String = "dictGet"
+  override def toString: String = s"dictGetRange($dict, $attr, $key, $at)"
 }

@@ -371,6 +371,31 @@ object FlowQueries {
         FROM dict_probes ORDER BY ip""")
     }),
 
+    // range_hashed DICTIONARY LAYOUT as a gate: a validity-window
+    // price table keyed by sku with non-overlapping long ranges; the
+    // codegen'd probe (HashMap.get + first-containing-range scan)
+    // must agree with DuckDB's range LEFT JOIN, including every
+    // outside-all-ranges probe coming back NULL (-1 after coalesce).
+    "qf_dictget_range" -> ((s, d) => {
+      graft.dims.Dictionaries.registerRangeHashed(s, "prices",
+        graft.Tables.nation(s, d).selectExpr(
+          "CAST(n_nationkey % 5 AS BIGINT) AS k",
+          "CAST(n_nationkey * 10 AS BIGINT) AS s",
+          "CAST(n_nationkey * 10 + 9 AS BIGINT) AS e",
+          "CAST(n_nationkey * 100 AS BIGINT) AS price"),
+        "k", "s", "e")
+      graft.dims.Dictionaries.registerSql(s)
+      graft.Tables.customer(s, d).selectExpr("c_custkey",
+        "CAST(c_custkey % 5 AS BIGINT) AS k",
+        "CAST(c_custkey % 260 AS BIGINT) AS x")
+        .createOrReplaceTempView("range_probes")
+      s.sql("""
+        SELECT c_custkey,
+          coalesce(CAST(dictGet('prices', 'price', k, x) AS BIGINT),
+            -1) AS price
+        FROM range_probes ORDER BY c_custkey""")
+    }),
+
     // ip_trie DICTIONARY LAYOUT as a gate: the cloud-range table
     // registered as an ip_trie dictionary; dictGet on an ADDRESS
     // resolves longest-prefix-match + attribute fetch in one codegen'd
@@ -1841,6 +1866,17 @@ object FlowQueries {
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "qf_dictget_range" ->
+      """WITH dict AS (SELECT n_nationkey % 5 AS k,
+        |    n_nationkey * 10 AS s, n_nationkey * 10 + 9 AS e,
+        |    n_nationkey * 100 AS price FROM nation),
+        |p AS (SELECT c_custkey, c_custkey % 5 AS k,
+        |    c_custkey % 260 AS x FROM customer)
+        |SELECT c_custkey,
+        |  coalesce(CAST(d.price AS BIGINT), -1) AS price
+        |FROM p LEFT JOIN dict d
+        |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
+        |ORDER BY c_custkey""".stripMargin,
     "q_compat_mlreg" ->
       """WITH t AS (SELECT user_id,
         |    CAST(event_id % 97 AS DOUBLE) AS a,

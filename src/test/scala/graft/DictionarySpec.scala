@@ -116,4 +116,55 @@ class DictionarySpec extends AnyFunSuite {
     assert(got == 6L)
     Dictionaries.deregister("spec_big")
   }
+
+  test("range_hashed layout: closed bounds, min-start overlap " +
+      "strategy, outside-all-ranges NULL, date ranges, SQL spellings") {
+    import spark.implicits._
+    // sku 1: [0,9]->100, [10,19]->200, overlapping [5,12]->999
+    // (min-start wins: inside [5,9] the 0-start range, inside
+    // [10,12] the 5-start one)
+    val prices = Seq(
+      (1L, 0L, 9L, 100L), (1L, 10L, 19L, 200L), (1L, 5L, 12L, 999L),
+      (2L, 100L, 199L, 700L))
+      .toDF("k", "s", "e", "price")
+    Dictionaries.registerRangeHashed(spark, "spec_prices", prices,
+      "k", "s", "e")
+    Dictionaries.registerSql(spark)
+    def price(k: Long, x: Long): Option[Long] = {
+      val r = spark.sql(
+        s"SELECT dictGet('spec_prices', 'price', ${k}L, ${x}L) AS p")
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(price(1L, 0L).contains(100L))   // closed lower bound
+    assert(price(1L, 9L).contains(100L))   // closed upper bound
+    assert(price(1L, 7L).contains(100L))   // overlap: 0-start wins
+    assert(price(1L, 11L).contains(999L))  // overlap: 5-start wins
+    assert(price(1L, 15L).contains(200L))  // only [10,19] contains 15
+    assert(price(1L, 31L).isEmpty)         // outside all ranges
+    assert(price(3L, 0L).isEmpty)          // unknown key
+    assert(price(2L, 150L).contains(700L))
+    // dictGetOrDefault coalesces the miss; dictHas probes the key set
+    val d = spark.sql(
+      "SELECT dictGetOrDefault('spec_prices', 'price', 9L, 0L, -1L) " +
+        "AS p, dictHas('spec_prices', 1L) AS h1, " +
+        "dictHas('spec_prices', 9L) AS h9").collect().head
+    assert(d.getLong(0) == -1L && d.getBoolean(1) && !d.getBoolean(2))
+    // date-typed ranges: probe with a date inside the window
+    val windows = Seq(
+      (7L, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-06-30"), 11L),
+      (7L, java.sql.Date.valueOf("2024-07-01"),
+        java.sql.Date.valueOf("2024-12-31"), 22L))
+      .toDF("k", "s", "e", "v")
+    Dictionaries.registerRangeHashed(spark, "spec_windows", windows,
+      "k", "s", "e")
+    val w = spark.sql("""
+      SELECT dictGet('spec_windows', 'v', 7L, DATE'2024-08-15') AS v,
+        dictGet('spec_windows', 'v', 7L, DATE'2025-01-01') AS miss""")
+      .collect().head
+    assert(w.getLong(0) == 22L && w.isNullAt(1))
+    Dictionaries.deregister("spec_prices")
+    Dictionaries.deregister("spec_windows")
+  }
 }
