@@ -1152,6 +1152,26 @@ object FlowQueries {
         ORDER BY user_id""")
     }),
 
+    // seriesOutliersDetectTukey — Tukey-fence anomaly scores over a
+    // deterministic per-user series (a repeating 0..6 ramp with one
+    // user-dependent spike at position 13); DuckDB replays quantiles
+    // and fences exactly (both sides linear-interpolate, the
+    // quantile_cont convention).
+    "q_compat_series" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_so")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          concat_ws(',', transform(
+            seriesOutliersDetectTukey(transform(sequence(1, 20),
+              i -> CAST(CASE WHEN i = 13 THEN 40 + user_id % 90
+                ELSE i % 7 END AS DOUBLE))),
+            x -> CAST(round(x, 4) AS STRING))) AS scores,
+          n
+        FROM (SELECT user_id, count() AS n FROM ch_events_so
+          GROUP BY user_id) g
+        ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1877,6 +1897,25 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_series" ->
+      """WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, n, list_transform(range(1, 21),
+        |    i -> CAST(CASE WHEN i = 13 THEN 40 + user_id % 90
+        |      ELSE i % 7 END AS DOUBLE)) AS ser FROM g),
+        |q AS (SELECT *,
+        |    list_aggregate(ser, 'quantile_cont', 0.25) AS q1,
+        |    list_aggregate(ser, 'quantile_cont', 0.75) AS q3
+        |  FROM s)
+        |SELECT user_id,
+        |  array_to_string(list_transform(ser, x -> CAST(round(
+        |    CASE WHEN x < q1 - 1.5 * (q3 - q1)
+        |        THEN x - (q1 - 1.5 * (q3 - q1))
+        |      WHEN x > q3 + 1.5 * (q3 - q1)
+        |        THEN x - (q3 + 1.5 * (q3 - q1))
+        |      ELSE 0.0 END, 4) AS VARCHAR)), ',') AS scores,
+        |  n
+        |FROM q ORDER BY user_id""".stripMargin,
     "q_compat_mlreg" ->
       """WITH t AS (SELECT user_id,
         |    CAST(event_id % 97 AS DOUBLE) AS a,

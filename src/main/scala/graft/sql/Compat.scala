@@ -249,6 +249,27 @@ object Compat {
             "stochasticLinearRegression (exact least squares) where a " +
             "linear fit suffices"))
     }
+    // seriesOutliersDetectTukey(arr[, min_pct, max_pct, k]) — Tukey
+    // fences over a series array; optional bounds/k must be literals
+    f("seriesOutliersDetectTukey") { e =>
+      def litD(x: org.apache.spark.sql.catalyst.expressions.Expression,
+          dflt: Double): Double = x match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          "seriesOutliersDetectTukey bounds must be numeric literals, " +
+            s"got $other")
+      }
+      if (e.size == 1)
+        graft.functions.SeriesOutliersTukey(e.head, 0.25, 0.75, 1.5)
+      else if (e.size == 4)
+        graft.functions.SeriesOutliersTukey(e.head,
+          litD(e(1), 0.25) / (if (litD(e(1), 0) > 1) 100.0 else 1.0),
+          litD(e(2), 0.75) / (if (litD(e(2), 0) > 1) 100.0 else 1.0),
+          litD(e(3), 1.5))
+      else throw new IllegalArgumentException(
+        "seriesOutliersDetectTukey takes (series) or " +
+          "(series, min_percentile, max_percentile, k)")
+    }
     // order/randomness-dependent spellings with no deterministic
     // distributed reading — refuse with the contract, never a
     // silently different answer

@@ -1310,6 +1310,30 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("closed form"))
   }
 
+  test("round-13: seriesOutliersDetectTukey — fences, directions, " +
+      "degenerate IQR, short-series NULL") {
+    def scores(arr: String): Seq[Double] =
+      Compat.chSql(spark,
+        s"SELECT seriesOutliersDetectTukey($arr) AS s")
+        .collect().head.getSeq[Double](0)
+    // [1..8, 50]: q1=3, q3=7, fences [-3, 13] -> only 50 flags (+37)
+    assert(scores("array(1D,2D,3D,4D,5D,6D,7D,8D,50D)") ==
+      Seq(0, 0, 0, 0, 0, 0, 0, 0, 37.0))
+    // low outlier carries a NEGATIVE score: [-20,1..8] fences [-4,12]
+    assert(scores("array(-20D,1D,2D,3D,4D,5D,6D,7D,8D)").head == -16.0)
+    // degenerate IQR 0: every off-median value flags by its distance
+    assert(scores("array(10D,10D,10D,10D,100D)") ==
+      Seq(0, 0, 0, 0, 90.0))
+    // custom percentiles/k pass through; CH's 0-100 percentile scale
+    // k=20 pushes the upper fence to 7 + 80 = 87, swallowing the 50
+    assert(scores("array(1D,2D,3D,4D,5D,6D,7D,8D,50D), 25, 75, 20.0")
+      .forall(_ == 0.0))
+    // fewer than 4 samples: no quartiles, NULL
+    assert(Compat.chSql(spark,
+      "SELECT seriesOutliersDetectTukey(array(1D,2D,3D)) AS s")
+      .collect().head.isNullAt(0))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
