@@ -1172,6 +1172,21 @@ object FlowQueries {
         ORDER BY user_id""")
     }),
 
+    // sparkbar — the inline unicode bar chart; the rendering contract
+    // is precisely documented (bin = floor(x·B/range) clamped, level
+    // = clamp(ceil(sum·8/max), 1, 8), non-positive bins are spaces),
+    // so DuckDB reproduces the exact string from the same arithmetic.
+    "q_compat_sparkbar" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sb")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          sparkbar(10, 0, 600)(CAST(event_id % 601 AS DOUBLE),
+            CAST(event_id % 89 AS DOUBLE)) AS bar,
+          count() AS n
+        FROM ch_events_sb
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1897,6 +1912,29 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_sparkbar" ->
+      """WITH t AS (SELECT user_id,
+        |    CAST(event_id % 601 AS DOUBLE) AS x,
+        |    CAST(event_id % 89 AS DOUBLE) AS y FROM events),
+        |b AS (SELECT user_id,
+        |    LEAST(9, CAST(floor(x * 10 / 600.0) AS INT)) AS bin,
+        |    SUM(y) AS s
+        |  FROM t GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX(s) AS ms FROM b GROUP BY 1),
+        |c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1),
+        |g AS (SELECT m.user_id, r.range AS bin,
+        |    COALESCE(b.s, 0) AS s, m.ms
+        |  FROM m CROSS JOIN range(10) r
+        |  LEFT JOIN b ON b.user_id = m.user_id AND b.bin = r.range)
+        |SELECT g.user_id,
+        |  string_agg(CASE WHEN s <= 0 OR ms <= 0 THEN ' '
+        |    ELSE chr(CAST(9600 + GREATEST(1, LEAST(8,
+        |      CAST(ceil(s * 8 / ms) AS INT))) AS INT)) END,
+        |    '' ORDER BY bin) AS bar,
+        |  MAX(c.n) AS n
+        |FROM g JOIN c ON g.user_id = c.user_id
+        |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin,
     "q_compat_series" ->
       """WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY user_id),

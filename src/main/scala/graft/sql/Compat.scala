@@ -249,6 +249,26 @@ object Compat {
             "stochasticLinearRegression (exact least squares) where a " +
             "linear fit suffices"))
     }
+    // sparkbar(buckets[, min_x, max_x])(x, y) — the inline unicode
+    // bar chart; bucket count and bounds must be literals
+    f("sparkbar") { e =>
+      def litD(x: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Double = x match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"sparkbar parameters must be numeric literals, got $other")
+      }
+      e.size match {
+        case 3 => graft.functions.SparkbarAgg(litD(e(0)).toInt, None,
+          e(1), e(2)).toAggregateExpression()
+        case 5 => graft.functions.SparkbarAgg(litD(e(0)).toInt,
+          Some((litD(e(1)), litD(e(2)))), e(3), e(4))
+          .toAggregateExpression()
+        case n => throw new IllegalArgumentException(
+          s"sparkbar takes (buckets)(x, y) or " +
+            s"(buckets, min_x, max_x)(x, y), got $n arguments")
+      }
+    }
     // seriesOutliersDetectTukey(arr[, min_pct, max_pct, k]) — Tukey
     // fences over a series array; optional bounds/k must be literals
     f("seriesOutliersDetectTukey") { e =>
@@ -1441,7 +1461,7 @@ object Compat {
     "largesttrianglethreebuckets", "lttb", "grouparraysorted",
     "groupconcat", "grouparraylast", "grouparraysample",
     "stochasticlinearregression", "stochasticlinearregressionstate",
-    "stochasticlogisticregression")
+    "stochasticlogisticregression", "sparkbar")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

@@ -1334,6 +1334,37 @@ class CompatSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("round-13: sparkbar — bin/level arithmetic, empty-bin spaces, " +
+      "data-derived bounds, out-of-range drop") {
+    // B=5 over [0,9]: bins pair x's; sums (2, 8, 16, 4, 0) ->
+    // levels ceil(s*8/16) = (1, 4, 8, 2, space)
+    Seq((0, 1), (1, 1), (2, 4), (3, 4), (4, 8), (5, 8), (6, 2),
+      (7, 2), (8, 0), (9, 0))
+      .map { case (a, b) => (a.toDouble, b.toDouble) }
+      .toDF("x", "y").createOrReplaceTempView("cx_sb")
+    val bar = Compat.chSql(spark,
+      "SELECT sparkbar(5, 0, 9)(x, y) AS b FROM cx_sb")
+      .collect().head.getString(0)
+    assert(bar == "▁▄█▂ ")
+    // bounds derived from the data give the same axis here
+    assert(Compat.chSql(spark,
+      "SELECT sparkbar(5)(x, y) AS b FROM cx_sb")
+      .collect().head.getString(0) == bar)
+    // explicit bounds DROP out-of-range x: clamping [0,4] keeps only
+    // the first two bins' rows
+    val nar = Compat.chSql(spark,
+      "SELECT sparkbar(2, 0, 4)(x, y) AS b FROM cx_sb")
+      .collect().head.getString(0)
+    // x 0,1 -> bin0 sum 2; x 2,3 -> bin0? floor(2*2/4)=1 -> bin1...
+    // bins: x<2 -> 0 (sum 2), x in [2,4] -> 1 (sum 16) -> levels 1, 8
+    assert(nar == "▁█")
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT sparkbar(x)(x, y) AS b FROM cx_sb").collect()
+    }
+    assert(bad.getMessage.contains("literal"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
