@@ -301,6 +301,19 @@ object Compat {
       "groupArraySample draws a reservoir sample with engine-internal " +
         "randomness; sample deterministically upstream (e.g. " +
         "ORDER BY hash(x) LIMIT n) instead"))
+    // the exponentialTimeDecayed window family needs a per-ROW decay
+    // anchor; a two-factor window rewrite (sum(v·e^(t/τ)) · e^(−t/τ))
+    // overflows double at epoch scale, so the honest translation is
+    // the aggregate EMA — refuse with the pointer instead of shipping
+    // a NaN factory
+    Seq("exponentialTimeDecayedSum", "exponentialTimeDecayedMax",
+      "exponentialTimeDecayedCount", "exponentialTimeDecayedAvg")
+      .foreach(n => f(n)(_ => throw new IllegalArgumentException(
+        s"$n is a per-row-anchored decayed window whose only " +
+          "window-function rewrite overflows double at epoch time " +
+          "scales; use exponentialMovingAverage(half_life)(v, t) for " +
+          "the group-level decayed mean, or window over pre-bucketed " +
+          "time")))
     // groupArrayMovingSum/Avg: CH's per-group running-sum/avg arrays,
     // optionally windowed via the parametric form name(W)(x) (the
     // parametric pass flattens to name(W, x)). Arrival order follows
@@ -1461,7 +1474,9 @@ object Compat {
     "largesttrianglethreebuckets", "lttb", "grouparraysorted",
     "groupconcat", "grouparraylast", "grouparraysample",
     "stochasticlinearregression", "stochasticlinearregressionstate",
-    "stochasticlogisticregression", "sparkbar")
+    "stochasticlogisticregression", "sparkbar",
+    "exponentialtimedecayedsum", "exponentialtimedecayedmax",
+    "exponentialtimedecayedcount", "exponentialtimedecayedavg")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

@@ -773,6 +773,31 @@ object ScaleBench {
         record(factor, "nptest_mwu_ks", sec, n)
       }
 
+      if (enabled("mlreg")) {
+        // The Gram-state regression's scale claim: the fit state is
+        // O(d^2) doubles independent of row count — d(d+3)/2 numbers
+        // per partition cross the exchange however many rows feed the
+        // fit. Under measurement: shuffle bytes ~FLAT across factors
+        // (only per-partition states move), wall linear in the scan.
+        graft.sql.Compat.registerClickHouseFunctions(spark)
+        val ev = scaledEvents(factor)
+        val n = ev.count()
+        ev.createOrReplaceTempView("scale_ml_src")
+        val (_, sec) = timed(noop(graft.sql.Compat.chSql(spark, """
+          SELECT user_id,
+            evalMLMethod(
+              stochasticLinearRegression(0.1, 0.0, 32, 'SGD')(y, a, b),
+              10, 20) AS pred
+          FROM (SELECT user_id,
+              CAST(event_id % 97 AS DOUBLE) AS a,
+              CAST(event_id % 11 AS DOUBLE) AS b,
+              CAST(3 * (event_id % 97) + 2 * (event_id % 11)
+                + event_id % 7 AS DOUBLE) AS y
+            FROM scale_ml_src) t
+          GROUP BY user_id""")))
+        record(factor, "mlreg_fit", sec, n)
+      }
+
       if (enabled("bucketjoin")) {
         // Bucketed vs plain tx tables under the SAME fact-fact
         // equi-join (1:1 on event_id). Claims under measurement: the

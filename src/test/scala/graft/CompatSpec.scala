@@ -1263,6 +1263,13 @@ class CompatSpec extends AnyFunSuite {
       }
       assert(bad.getMessage.contains("deterministic"))
     }
+    // the decayed-window family refuses with the EMA pointer
+    val badDecay = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT exponentialTimeDecayedSum(10)(x, x) AS a FROM cx_gas")
+        .collect()
+    }
+    assert(badDecay.getMessage.contains("exponentialMovingAverage"))
   }
 
   test("round-13: stochasticLinearRegression — exact least squares / " +
