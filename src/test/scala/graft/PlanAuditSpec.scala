@@ -400,4 +400,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "collect_list must aggregate only semi-join survivors " +
         "(plan prints top-down: the join belongs under the agg)\n" + p.take(3000))
   }
+
+  test("q_compat_nptest: MWU + KS rewrite runs on ONE hash exchange — " +
+    "rank windows, ECDF windows, and the final aggregate all reuse the " +
+    "user_id partitioning") {
+    val p = plan("q_compat_nptest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      p.take(2000))
+  }
+
+  test("q_compat_ema: the EMA rewrite's max-anchor window adds no " +
+    "second exchange") {
+    val p = plan("q_compat_ema")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      p.take(3000))
+  }
+
+  test("q_compat_mlreg: the Gram-state fit partial-aggregates below " +
+    "the exchange (states cross the wire, not rows)") {
+    val p = plan("q_compat_mlreg")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("partial")
+    assert(exchangeIdx > 0 && partialIdx > exchangeIdx,
+      "partial aggregation must sit below the exchange " +
+        "(plan prints top-down)\n" + p.take(3000))
+  }
+
+  test("qf_dictget_range: the range probe is joinless, inside " +
+    "whole-stage codegen") {
+    val p = plan("qf_dictget_range")
+    assert(!p.contains("Join"), p.take(2000))
+    // the *(N) stage marker on the projection holding the probe IS
+    // the whole-stage-codegen proof under AQE rendering
+    assert("""\*\(\d+\) Project \[.*dictGetRange""".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
 }
