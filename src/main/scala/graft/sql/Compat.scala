@@ -383,7 +383,6 @@ object Compat {
     // golden here — the two agree.
     f("quantileExactWeighted")(e => new Percentile(e(1), e(0), e(2)))
     f("median")(e => new Percentile(e.head, Literal(0.5)))
-    f("uniqCombined")(e => HyperLogLogPlusPlus(e.head))
     // remaining cardinality/quantile spellings, mapped with the same
     // documented contracts as their siblings: uniqHLL12/uniqCombined64
     // are approximate BY CONTRACT in CH too (different sketch, same
@@ -395,11 +394,46 @@ object Compat {
     // at the same spelling (deviation: exact vs sampled, documented).
     f("uniqHLL12")(e => HyperLogLogPlusPlus(e.head))
     f("uniqCombined64")(e => HyperLogLogPlusPlus(e.head))
+    // parametric uniqCombined(HLL_precision)(x): precision p drives
+    // rsd = 1.04/sqrt(2^p), the HLL error law
+    f("uniqCombined")(e =>
+      if (e.size == 1) HyperLogLogPlusPlus(e.head)
+      else {
+        val p = e.head match {
+          case Literal(v, _) if v != null => v.toString.toDouble.toInt
+          case other => throw new IllegalArgumentException(
+            s"uniqCombined precision must be an integer literal, " +
+              s"got $other")
+        }
+        require(p >= 4 && p <= 20,
+          s"uniqCombined precision must be in [4, 20], got $p")
+        HyperLogLogPlusPlus(e(1), 1.04 / math.sqrt(math.pow(2.0, p)))
+      })
     f("groupBitmap")(e =>
       Count(e).toAggregateExpression(isDistinct = true))
     f("quantileDeterministic")(e =>
       if (e.size >= 3) new Percentile(e(1), e(0))
       else new Percentile(e(0), Literal(0.5)))
+    // quantileGK(accuracy, level)(x): the Greenwald–Khanna sketch —
+    // Spark's ApproximatePercentile IS GK, accuracy maps directly
+    f("quantileGK")(e =>
+      if (e.size >= 3) new ApproximatePercentile(e(2), e(1), e(0))
+      else new ApproximatePercentile(e(1), Literal(0.5), e(0)))
+    // quantileExactInclusive = the R-7 linear interpolation over the
+    // sorted set — EXACTLY Spark's Percentile contract (parity, not a
+    // documented deviation); the Exclusive (R-6) variant has no Spark
+    // native and refuses rather than shipping R-7 under an R-6 name
+    f("quantileExactInclusive")(e => new Percentile(e(1), e(0)))
+    f("quantilesExactInclusive")(e =>
+      new Percentile(e.last,
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          e.dropRight(1))))
+    Seq("quantileExactExclusive", "quantilesExactExclusive").foreach(n =>
+      f(n)(_ => throw new IllegalArgumentException(
+        s"$n uses the R-6 exclusive convention, which Spark's exact " +
+          "percentile does not implement; use quantileExactInclusive " +
+          "(R-7) — shipping R-7 under an R-6 name would be a silently " +
+          "different answer")))
     // sumKahan: compensated summation — Spark's double sum is plain
     // IEEE accumulation; the spelling maps to it with the precision
     // deviation documented rather than refused (CH's own result is
@@ -1476,7 +1510,9 @@ object Compat {
     "stochasticlinearregression", "stochasticlinearregressionstate",
     "stochasticlogisticregression", "sparkbar",
     "exponentialtimedecayedsum", "exponentialtimedecayedmax",
-    "exponentialtimedecayedcount", "exponentialtimedecayedavg")
+    "exponentialtimedecayedcount", "exponentialtimedecayedavg",
+    "quantilegk", "quantileexactinclusive", "quantilesexactinclusive",
+    "quantileexactexclusive", "quantilesexactexclusive", "uniqcombined")
 
   /** Fold a single depth-0 `PREWHERE` clause into `WHERE` — in
     * ClickHouse PREWHERE is the same predicate with an execution hint

@@ -1372,6 +1372,31 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("literal"))
   }
 
+  test("round-13: quantileGK/ExactInclusive, parametric uniqCombined, " +
+      "Exclusive refusal") {
+    (1L to 100L).map(i => Tuple1(i)).toDF("x")
+      .createOrReplaceTempView("cx_qk")
+    val r = Compat.chSql(spark, """
+      SELECT quantileExactInclusive(0.25)(x) AS qi,
+        quantilesExactInclusive(0.25, 0.75)(x) AS qs,
+        quantileGK(100, 0.5)(x) AS gk,
+        CAST(uniqCombined(14)(x) AS BIGINT) AS uc
+      FROM cx_qk""").collect().head
+    // R-7 over 1..100: p25 at pos 0.25*99 = 24.75 -> 25.75
+    assert(math.abs(r.getDouble(0) - 25.75) < 1e-12)
+    assert(r.getSeq[Double](1).map(v => math.floor(v * 100) / 100) ==
+      Seq(25.75, 75.25))
+    // GK at accuracy 100 over 100 distinct values: within 2 of 50
+    assert(math.abs(r.getLong(2) - 50L) <= 2)
+    assert(math.abs(r.getLong(3) - 100L) <= 5)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT quantileExactExclusive(0.25)(x) AS q FROM cx_qk")
+        .collect()
+    }
+    assert(bad.getMessage.contains("R-6"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
