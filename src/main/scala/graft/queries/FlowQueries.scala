@@ -1026,6 +1026,7 @@ object FlowQueries {
           round(sumKahan(CAST(event_id % 97 AS DOUBLE) / 7.0), 4) AS sk,
           round(quantileDeterministic(0.25)(event_id % 97, event_id), 4)
             AS qd,
+          round(quantileExactInclusive(0.75)(event_id % 97), 4) AS qei,
           count() AS n
         FROM ch_events_cd
         GROUP BY user_id ORDER BY user_id""")
@@ -1899,6 +1900,7 @@ object FlowQueries {
         |  CAST(COUNT(DISTINCT event_id % 37) AS BIGINT) AS gb,
         |  round(SUM((event_id % 97) / 7.0), 4) AS sk,
         |  round(quantile_cont(event_id % 97, 0.25), 4) AS qd,
+        |  round(quantile_cont(event_id % 97, 0.75), 4) AS qei,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "qf_dictget_range" ->
