@@ -1188,6 +1188,31 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // scalar round-out gate: bar (eighth-block render with the
+    // documented rounding), gcd/lcm, haversine distance, and the
+    // case-insensitive locate — every formula replayed arithmetic-
+    // for-arithmetic in DuckDB. roundBankers/geohash are spec-pinned
+    // (DuckDB rounds half-away and has no geohash).
+    "q_compat_scalar2" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_sc")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          bar(av, 0, 96, 10) AS b,
+          CAST(gcd(user_id + 6, 21) AS BIGINT) AS g,
+          CAST(lcm(user_id % 7 + 1, 6) AS BIGINT) AS l,
+          round(greatCircleDistance(
+            CAST(user_id % 60 AS DOUBLE) - 30.0, 40.0,
+            2.35, 48.85), 2) AS dist,
+          su, n
+        FROM (SELECT user_id,
+            avg(CAST(event_id % 97 AS DOUBLE)) AS av,
+            CAST(sum(positionCaseInsensitive(event_type, 'U'))
+              AS BIGINT) AS su,
+            count() AS n
+          FROM ch_events_sc GROUP BY user_id) g
+        ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1914,6 +1939,27 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_scalar2" ->
+      """WITH g AS (SELECT user_id,
+        |    AVG(CAST(event_id % 97 AS DOUBLE)) AS av,
+        |    CAST(SUM(strpos(lower(event_type), 'u')) AS BIGINT) AS su,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |u AS (SELECT *, CAST(floor(LEAST(1.0, GREATEST(0.0,
+        |    av / 96.0)) * 80 + 0.5) AS BIGINT) AS units FROM g)
+        |SELECT user_id,
+        |  repeat('█', CAST(units // 8 AS INT)) ||
+        |    CASE WHEN units % 8 > 0
+        |      THEN chr(CAST(9616 - units % 8 AS INT)) ELSE '' END AS b,
+        |  CAST(gcd(user_id + 6, 21) AS BIGINT) AS g,
+        |  CAST(lcm(user_id % 7 + 1, 6) AS BIGINT) AS l,
+        |  round(2 * 6371000.0 * asin(sqrt(
+        |    pow(sin((48.85 - 40.0) * pi() / 360.0), 2)
+        |    + cos(40.0 * pi() / 180.0) * cos(48.85 * pi() / 180.0)
+        |      * pow(sin((2.35 - (CAST(user_id % 60 AS DOUBLE) - 30.0))
+        |        * pi() / 360.0), 2))), 2) AS dist,
+        |  su, n
+        |FROM u ORDER BY user_id""".stripMargin,
     "q_compat_sparkbar" ->
       """WITH t AS (SELECT user_id,
         |    CAST(event_id % 601 AS DOUBLE) AS x,

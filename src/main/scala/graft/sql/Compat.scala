@@ -249,6 +249,75 @@ object Compat {
             "stochasticLinearRegression (exact least squares) where a " +
             "linear fit suffices"))
     }
+    // scalar round-out (round 13): display, math, geo
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Asin, Atan2,
+        BRound, Coalesce, Cos, IsNaN, Multiply => SMul, Pow, Sin, Sqrt,
+        StringLPad, StringRPad, StringLocate, Subtract => SSub,
+        Add => SAdd, Divide => SDiv, Lower, Abs}
+      f("roundBankers")(e =>
+        if (e.size >= 2) BRound(e(0), e(1))
+        else BRound(e(0), Literal(0)))
+      f("gcd")(e => graft.functions.GcdLcm(Cast(e(0), LongType),
+        Cast(e(1), LongType), isGcd = true))
+      f("lcm")(e => graft.functions.GcdLcm(Cast(e(0), LongType),
+        Cast(e(1), LongType), isGcd = false))
+      f("isNaN")(e => IsNaN(Cast(e.head, DoubleType)))
+      // ifNotFinite(x, y): y when x is NaN or ±Inf, else x
+      f("ifNotFinite") { e =>
+        val x = Cast(e(0), DoubleType)
+        If(org.apache.spark.sql.catalyst.expressions.Or(IsNaN(x),
+          EqualTo(Abs(x), Literal(Double.PositiveInfinity))),
+          Cast(e(1), DoubleType), x)
+      }
+      // Nullable-shims: Spark types carry nullability structurally
+      f("assumeNotNull")(e => e.head)
+      f("toNullable")(e => e.head)
+      f("positionCaseInsensitive")(e =>
+        StringLocate(Lower(e(1)), Lower(e(0)), Literal(1)))
+      f("leftPad")(e => StringLPad(e(0), e(1),
+        if (e.size >= 3) e(2) else Literal(" ")))
+      f("rightPad")(e => StringRPad(e(0), e(1),
+        if (e.size >= 3) e(2) else Literal(" ")))
+      f("bar")(e => graft.functions.BarDraw(Seq(
+        Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+        Cast(e(2), DoubleType), Cast(e(3), LongType))))
+      f("formatReadableQuantity")(e => graft.functions
+        .FormatReadableMisc(Cast(e.head, DoubleType), quantity = true))
+      f("formatReadableTimeDelta")(e => graft.functions
+        .FormatReadableMisc(Cast(e.head, DoubleType), quantity = false))
+      // greatCircleDistance(lon1, lat1, lon2, lat2) — CH's argument
+      // order (LONGITUDE first); haversine on the mean sphere
+      // R = 6371000 m. Documented deviation: CH's geoDistance applies
+      // an ellipsoid correction and its greatCircleDistance uses a
+      // slightly different radius constant — this is the textbook
+      // sphere, stated, not hidden; both spellings map to it.
+      def haversine(e: Seq[org.apache.spark.sql.catalyst.expressions
+          .Expression]): org.apache.spark.sql.catalyst.expressions
+          .Expression = {
+        val rad = Literal(math.Pi / 180.0)
+        def d(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+          SMul(Cast(x, DoubleType), rad)
+        val (lon1, lat1, lon2, lat2) = (d(e(0)), d(e(1)), d(e(2)), d(e(3)))
+        val half = Literal(0.5)
+        val sdlat = Sin(SMul(SSub(lat2, lat1), half))
+        val sdlon = Sin(SMul(SSub(lon2, lon1), half))
+        val a = SAdd(SMul(sdlat, sdlat),
+          SMul(SMul(Cos(lat1), Cos(lat2)), SMul(sdlon, sdlon)))
+        SMul(Literal(2.0 * 6371000.0), Asin(Sqrt(a)))
+      }
+      f("greatCircleDistance")(haversine)
+      f("geoDistance")(haversine)
+      f("geohashEncode")(e => graft.functions.GeohashEncode(Seq(
+        Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+        if (e.size >= 3) Cast(e(2), LongType) else Literal(12L))))
+      f("geohashDecode")(e =>
+        org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+          Literal("longitude"),
+          graft.functions.GeohashDecodeCoord(e.head, 0),
+          Literal("latitude"),
+          graft.functions.GeohashDecodeCoord(e.head, 1))))
+    }
     // sparkbar(buckets[, min_x, max_x])(x, y) — the inline unicode
     // bar chart; bucket count and bounds must be literals
     f("sparkbar") { e =>

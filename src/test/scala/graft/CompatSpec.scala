@@ -1397,6 +1397,49 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("R-6"))
   }
 
+  test("round-13: scalar round-out — bar, gcd/lcm, roundBankers, " +
+      "ifNotFinite, pads, haversine, geohash, formatReadable siblings") {
+    val r = Compat.chSql(spark, """
+      SELECT bar(5, 0, 10, 4) AS b1, bar(3, 0, 10, 4) AS b2,
+        bar(10, 0, 10, 4) AS b3, bar(-1, 0, 10, 4) AS b4,
+        gcd(12, 18) AS g1, lcm(4, 6) AS l1, gcd(0, 5) AS g2,
+        CAST(roundBankers(2.5) AS DOUBLE) AS rb1,
+        CAST(roundBankers(3.5) AS DOUBLE) AS rb2,
+        ifNotFinite(CAST('NaN' AS DOUBLE), 7.0) AS inf1,
+        ifNotFinite(CAST('Infinity' AS DOUBLE), 7.0) AS inf2,
+        ifNotFinite(3.0, 7.0) AS inf3,
+        positionCaseInsensitive('Hello', 'LL') AS pci,
+        leftPad('abc', 5) AS lp, rightPad('abc', 5, '*') AS rp,
+        round(greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566), 1)
+          AS dist,
+        geohashEncode(-5.6030, 42.6050, 5) AS gh,
+        round(tupleElement(geohashDecode('ezs42'), 1), 8) AS glon,
+        round(tupleElement(geohashDecode('ezs42'), 2), 8) AS glat,
+        formatReadableQuantity(1234567.0) AS q1,
+        formatReadableQuantity(999.0) AS q2,
+        formatReadableTimeDelta(90061.0) AS t1,
+        formatReadableTimeDelta(0.0) AS t2
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getString(0) == "██" && r.getString(1) == "█▎" &&
+      r.getString(2) == "████" && r.getString(3) == "")
+    assert(r.getLong(4) == 6L && r.getLong(5) == 12L && r.getLong(6) == 5L)
+    assert(r.getDouble(7) == 2.0 && r.getDouble(8) == 4.0)
+    assert(r.getDouble(9) == 7.0 && r.getDouble(10) == 7.0 &&
+      r.getDouble(11) == 3.0)
+    assert(r.getInt(12) == 3)
+    assert(r.getString(13) == "  abc" && r.getString(14) == "abc**")
+    // python replay of the same haversine: 343556.06034104154
+    assert(math.abs(r.getDouble(15) - 343556.1) < 0.11)
+    // the classic geohash test vector
+    assert(r.getString(16) == "ezs42")
+    assert(math.abs(r.getDouble(17) + 5.60302734375) < 1e-8)
+    assert(math.abs(r.getDouble(18) - 42.60498046875) < 1e-8)
+    assert(r.getString(19) == "1.23 million" &&
+      r.getString(20) == "999.00")
+    assert(r.getString(21) == "1 day, 1 hour, 1 minute, 1 second" &&
+      r.getString(22) == "0 seconds")
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
