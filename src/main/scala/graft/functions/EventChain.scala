@@ -216,15 +216,25 @@ object EventChainPattern {
 }
 
 case class WindowFunnel(windowSeconds: Long, ts: Expression,
-    conds: Seq[Expression],
+    conds: Seq[Expression], modes: Set[String] = Set.empty,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends EventChainAgg {
+
+  require(modes.subsetOf(WindowFunnel.Modes),
+    s"windowFunnel modes must be among ${WindowFunnel.Modes}, " +
+      s"got $modes")
 
   override def prettyName: String = "windowFunnel"
   override def dataType: DataType = IntegerType
 
   override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
     val window = windowSeconds * 1000000L // micros; CH DateTime = seconds
+    if (modes.isEmpty) evalDefault(buf, window)
+    else evalModes(buf, window)
+  }
+
+  private def evalDefault(buf: ArrayBuffer[(Long, Int)],
+      window: Long): Int = {
     // chainStart(k) = start timestamp of a live chain whose last step
     // is level k (0-based); level-0 events always (re)open a chain
     val chainStart = Array.fill[Long](conds.length)(Long.MinValue)
@@ -242,6 +252,67 @@ case class WindowFunnel(windowSeconds: Long, ts: Expression,
     best
   }
 
+  /** The mode-extended walk, per-EVENT (modes need the full condition
+    * mask). Documented contracts (ts order, ties by mask):
+    *  - strict_increase: step k+1 must be strictly LATER than the
+    *    chain's step k (same-timestamp events cannot chain);
+    *  - strict_dedup: an event re-matching a live chain's CURRENT
+    *    last-step condition closes that chain, and may not itself
+    *    extend into or reopen that level;
+    *  - strict_order: an event matching ANY funnel condition closes
+    *    every live chain it did not itself open or extend.
+    */
+  private def evalModes(buf: ArrayBuffer[(Long, Int)],
+      window: Long): Int = {
+    val inc = modes("strict_increase")
+    val dedup = modes("strict_dedup")
+    val order = modes("strict_order")
+    val n = conds.length
+    val chainStart = Array.fill[Long](n)(Long.MinValue)
+    val lastT = Array.fill[Long](n)(Long.MinValue)
+    val live = Array.fill[Boolean](n)(false)
+    var best = 0
+    sortedEvents(buf).foreach { case (t, mask) =>
+      def bit(k: Int): Boolean = ((mask >> k) & 1) != 0
+      // strict_dedup FIRST: an event re-matching a live chain's
+      // current last step closes that chain and may not itself
+      // extend into (or reopen) that level
+      var dupMask = 0
+      if (dedup) {
+        var j = 0
+        while (j < n) {
+          if (bit(j) && live(j)) { live(j) = false; dupMask |= 1 << j }
+          j += 1
+        }
+      }
+      // extend top-down so one event cannot chain through itself
+      var k = n - 2
+      while (k >= 0) {
+        if (live(k) && bit(k + 1) && ((dupMask >> (k + 1)) & 1) == 0 &&
+          t <= chainStart(k) + window &&
+          (!inc || t > lastT(k))) {
+          chainStart(k + 1) = chainStart(k)
+          lastT(k + 1) = t
+          live(k + 1) = true
+          if (best < k + 2) best = k + 2
+        }
+        k -= 1
+      }
+      if (bit(0) && (dupMask & 1) == 0) {
+        chainStart(0) = t; lastT(0) = t; live(0) = true
+        if (best < 1) best = 1
+      }
+      if (order && mask != 0) {
+        var j = 0
+        while (j < n) {
+          if (live(j) && lastT(j) != t) live(j) = false
+          j += 1
+        }
+      }
+    }
+    best
+  }
+
   override def withNewMutableAggBufferOffset(o: Int): WindowFunnel =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): WindowFunnel =
@@ -249,6 +320,11 @@ case class WindowFunnel(windowSeconds: Long, ts: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): WindowFunnel =
     copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
+object WindowFunnel {
+  val Modes: Set[String] =
+    Set("strict_order", "strict_dedup", "strict_increase")
 }
 
 /** `sequenceCount('pattern')`: how many NON-OVERLAPPING time-ordered

@@ -737,7 +737,18 @@ object Compat {
           s"windowFunnel window must be an integer literal of seconds, " +
             s"got $other")
       }
-      graft.functions.WindowFunnel(window, e(1), e.drop(2))
+      // optional mode strings follow the window:
+      // windowFunnel(w, 'strict_order', ...)(ts, c1, ...)
+      val modes = e.drop(1).iterator.takeWhile {
+        case Literal(_: UTF8String, StringType) => true
+        case _                                  => false
+      }.map { case Literal(u: UTF8String, _) => u.toString }.toSet
+      if (!modes.subsetOf(graft.functions.WindowFunnel.Modes))
+        throw new IllegalArgumentException(
+          "windowFunnel modes must be among " +
+            s"${graft.functions.WindowFunnel.Modes}, got $modes")
+      val rest = e.drop(1 + modes.size)
+      graft.functions.WindowFunnel(window, rest.head, rest.tail, modes)
         .toAggregateExpression()
     }
     f("sequenceMatch") { e =>

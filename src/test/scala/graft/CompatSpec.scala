@@ -1440,6 +1440,40 @@ class CompatSpec extends AnyFunSuite {
       r.getString(22) == "0 seconds")
   }
 
+  test("round-13: windowFunnel modes — strict_order, strict_dedup, " +
+      "strict_increase; bad mode refuses") {
+    def funnel(rows: Seq[(Long, String)], modes: String): Int = {
+      rows.toDF("t", "e").createOrReplaceTempView("cx_wf")
+      Compat.chSql(spark, s"""
+        SELECT windowFunnel(100$modes)(t, e = 'A', e = 'B', e = 'C')
+          AS f FROM cx_wf""").collect().head.getInt(0)
+    }
+    // interleaving C between A and B: default chains A->B anyway;
+    // strict_order kills the chain at the interloper
+    val inter = Seq((1L, "A"), (2L, "C"), (3L, "B"))
+    assert(funnel(inter, "") == 2)
+    assert(funnel(inter, ", 'strict_order'") == 1)
+    // repeated middle step: default reaches C; strict_dedup closes
+    // the chain at the duplicate B
+    val dup = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+    assert(funnel(dup, "") == 3)
+    assert(funnel(dup, ", 'strict_dedup'") == 2)
+    // same-timestamp steps: default chains; strict_increase demands
+    // strictly later timestamps
+    val same = Seq((1L, "A"), (1L, "B"), (2L, "C"))
+    assert(funnel(same, "") == 3)
+    assert(funnel(same, ", 'strict_increase'") == 1)
+    // the full in-window chain is unaffected by any mode
+    val ok = Seq((1L, "A"), (2L, "B"), (3L, "C"))
+    Seq("", ", 'strict_order'", ", 'strict_dedup'",
+      ", 'strict_increase'", ", 'strict_order', 'strict_increase'")
+      .foreach(m => assert(funnel(ok, m) == 3, m))
+    val bad = intercept[Exception] {
+      funnel(ok, ", 'strict_nonsense'")
+    }
+    assert(bad.getMessage.contains("modes must be among"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
