@@ -2541,12 +2541,29 @@ object Compat {
     val p = java.util.regex.Pattern.compile(
       "(?is)^(.*\\bORDER\\s+BY\\s+)([A-Za-z_]\\w*)\\s+WITH\\s+FILL" +
         "(?:\\s+FROM\\s+(\\S+))?(?:\\s+TO\\s+(\\S+))?" +
-        "(?:\\s+STEP\\s+(\\d+))?\\s*;?\\s*$")
+        "(?:\\s+STEP\\s+(\\d+))?" +
+        "(?:\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*;?\\s*$")
     val m = p.matcher(sql)
     if (!m.matches()) return spark.sql(sql)
     val (head, c) = (m.group(1), m.group(2))
     val (from, to) = (Option(m.group(3)), Option(m.group(4)))
     val step = Option(m.group(5)).map(_.toLong).getOrElse(1L)
+    // INTERPOLATE (col [AS col], ...): carry the previous row's value
+    // through synthesized rows. Only the identity form is supported —
+    // CH applies `AS expr` REPEATEDLY over consecutive gaps, which no
+    // window formulation expresses; a non-identity expression refuses
+    // loudly rather than filling wrongly.
+    val interp: Seq[String] = Option(m.group(6)).toSeq.flatMap(
+      _.split(",").map(_.trim).filter(_.nonEmpty).map { item =>
+        val parts = item.split("(?i)\\s+AS\\s+").map(_.trim)
+        if (parts.length == 1) parts(0)
+        else if (parts.length == 2 && parts(0) == parts(1)) parts(0)
+        else throw new IllegalArgumentException(
+          s"INTERPOLATE '$item': only the carry-forward identity form " +
+            "(col, or col AS col) is supported — ClickHouse applies " +
+            "an AS-expression repeatedly across consecutive gap rows, " +
+            "which has no deterministic window formulation here")
+      })
     val inner = spark.sql(
       head.replaceAll("(?is)\\bORDER\\s+BY\\s+$", ""))
     import org.apache.spark.sql.functions._
@@ -2570,7 +2587,20 @@ object Compat {
       else spark.range(1).select(explode(sequence(
         lit(b.getLong(0)), lit(b.getLong(1)), lit(step))).as(c))
         .select(col(c).cast(dt).as(c))
-    axis.join(inner, Seq(c), "left").orderBy(col(c))
+    val joined = axis.join(inner, Seq(c), "left")
+    val filled =
+      if (interp.isEmpty) joined
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        interp.foldLeft(joined) { (df, ic) =>
+          require(df.columns.contains(ic),
+            s"INTERPOLATE column $ic is not in the result")
+          df.withColumn(ic, last(col(ic), ignoreNulls = true).over(w))
+        }
+      }
+    filled.orderBy(col(c))
   }
 
   def chSql(spark: SparkSession, sql: String): DataFrame = {

@@ -1474,6 +1474,26 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("modes must be among"))
   }
 
+  test("round-13: WITH FILL INTERPOLATE — carry-forward through " +
+      "synthesized rows; non-identity expression refuses") {
+    Seq((1L, 10L, "a"), (4L, 40L, "d"), (6L, 60L, "f"))
+      .toDF("k", "v", "s").createOrReplaceTempView("cx_fill")
+    val r = Compat.chSql(spark, """
+      SELECT k, v, s FROM cx_fill
+      ORDER BY k WITH FILL INTERPOLATE (v, s AS s)""").collect()
+    assert(r.length == 6)
+    // synthesized k=2,3 carry v=10/s=a; k=5 carries v=40/s=d
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      .toSeq == Seq((1L, 10L, "a"), (2L, 10L, "a"), (3L, 10L, "a"),
+      (4L, 40L, "d"), (5L, 40L, "d"), (6L, 60L, "f")))
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, """
+        SELECT k, v FROM cx_fill
+        ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)""").collect()
+    }
+    assert(bad.getMessage.contains("carry-forward"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
