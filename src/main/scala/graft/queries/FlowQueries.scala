@@ -1213,6 +1213,30 @@ object FlowQueries {
         ORDER BY user_id""")
     }),
 
+    // arrayFold/Rotate/Compact/Jaccard over prefix sequences — the
+    // inputs are arithmetic prefixes, so every reduction has a CLOSED
+    // FORM the oracle replays without list lambdas: Σx² = k(k+1)(2k+1)/6,
+    // rotate-head = 2 unless k = 1, compact size = ⌊k/2⌋+1,
+    // Jaccard(1..k, 2..6) = (k−1)/6.
+    "q_compat_arrays3" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_a3")
+      graft.sql.Compat.chSql(s, """
+        SELECT user_id,
+          CAST(sum(arrayFold((acc, x) -> acc + x * x, arr, 0))
+            AS BIGINT) AS ssq,
+          CAST(sum(element_at(arrayRotateLeft(arr, 1), 1)) AS BIGINT)
+            AS rot1,
+          CAST(sum(size(arrayCompact(
+            transform(arr, x -> CAST(x / 2 AS INT))))) AS BIGINT)
+            AS cpt,
+          round(sum(arrayJaccardIndex(arr, sequence(2, 6))), 4) AS jac,
+          count() AS n
+        FROM (SELECT user_id,
+            sequence(1, CAST(1 + event_id % 5 AS INT)) AS arr
+          FROM ch_events_a3) t
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1939,6 +1963,16 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_arrays3" ->
+      """WITH t AS (SELECT user_id, 1 + event_id % 5 AS k FROM events)
+        |SELECT user_id,
+        |  CAST(SUM((k * (k + 1) * (2 * k + 1)) // 6) AS BIGINT) AS ssq,
+        |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 2 END) AS BIGINT)
+        |    AS rot1,
+        |  CAST(SUM(k // 2 + 1) AS BIGINT) AS cpt,
+        |  round(SUM(GREATEST(k - 1, 0) / 6.0), 4) AS jac,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_compat_scalar2" ->
       """WITH g AS (SELECT user_id,
         |    AVG(CAST(event_id % 97 AS DOUBLE)) AS av,

@@ -1189,6 +1189,132 @@ object Compat {
         ArrayExists(one(e, "arrayExists"), lam(e.head, "arrayExists")))
       f("arrayAll")(e =>
         ArrayForAll(one(e, "arrayAll"), lam(e.head, "arrayAll")))
+      // arrayFold(λ(acc, x), arr, init) — CH's typed fold maps onto
+      // ArrayAggregate directly (the init literal types the
+      // accumulator, dissolving the untyped-zero refusal that scoped
+      // arraySum/arrayFirst)
+      f("arrayFold") { e =>
+        require(e.length == 3,
+          "arrayFold(lambda, array, init): multi-array forms are not " +
+            "supported")
+        ArrayAggregate(e(1), e(2), lam(e.head, "arrayFold"),
+          LambdaFunction(UnresolvedNamedLambdaVariable(Seq("facc")),
+            Seq(UnresolvedNamedLambdaVariable(Seq("facc")))))
+      }
+      // plain sorts; the keyed λ-form refuses with the struct recipe
+      // (sort_array on array<struct> orders by fields) rather than
+      // silently sorting by value
+      f("arraySort")(e =>
+        if (e.length == 1)
+          org.apache.spark.sql.catalyst.expressions.SortArray(e.head,
+            Literal(true))
+        else throw new IllegalArgumentException(
+          "arraySort(lambda, arr) sorts by a KEY function; express it " +
+            "as arrayMap(s -> s.x, sort_array(arrayMap(x -> " +
+            "struct(key(x) AS k, x AS x), arr))) — the plain " +
+            "arraySort(arr) form is supported directly"))
+      f("arrayReverseSort")(e =>
+        if (e.length == 1)
+          org.apache.spark.sql.catalyst.expressions.SortArray(e.head,
+            Literal(false))
+        else throw new IllegalArgumentException(
+          "arrayReverseSort(lambda, arr): see arraySort — use the " +
+            "struct-sort recipe for keyed sorts"))
+      // arrayPartialSort(n, arr): CH's contract is 'first n sorted,
+      // rest unspecified' — a FULL sort is a legal refinement of
+      // unspecified, and deterministic where CH is not
+      f("arrayPartialSort")(e =>
+        org.apache.spark.sql.catalyst.expressions.SortArray(e(1),
+          Literal(true)))
+      f("arrayPartialReverseSort")(e =>
+        org.apache.spark.sql.catalyst.expressions.SortArray(e(1),
+          Literal(false)))
+      f("arrayShuffle")(_ => throw new IllegalArgumentException(
+        "arrayShuffle draws engine-internal randomness with no " +
+          "deterministic distributed reading; shuffle with an explicit " +
+          "key instead (sort_array over (hash(x), x) structs)"))
+      // arrayRotateLeft/Right(arr, n): slice-and-concat with n
+      // normalized into [0, size); empty arrays pass through (the
+      // pmod-by-zero branch never evaluates under If)
+      def rotate(arr: Expression, n: Expression): Expression = {
+        val size = Size(arr)
+        val nn = org.apache.spark.sql.catalyst.expressions.Pmod(
+          Cast(n, LongType), Cast(size, LongType))
+        If(EqualTo(size, Literal(0)), arr,
+          org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+            org.apache.spark.sql.catalyst.expressions.Slice(arr,
+              Cast(Add(nn, Literal(1L)), org.apache.spark.sql.types
+                .IntegerType),
+              Cast(org.apache.spark.sql.catalyst.expressions
+                .Subtract(Cast(size, LongType), nn),
+                org.apache.spark.sql.types.IntegerType)),
+            org.apache.spark.sql.catalyst.expressions.Slice(arr,
+              Literal(1), Cast(nn,
+                org.apache.spark.sql.types.IntegerType)))))
+      }
+      f("arrayRotateLeft")(e => rotate(e(0), e(1)))
+      f("arrayRotateRight")(e => rotate(e(0),
+        org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+          Cast(e(1), LongType))))
+      // arrayCompact: drop CONSECUTIVE duplicates (null-safe compare)
+      f("arrayCompact") { e =>
+        val arr = e.head
+        val x = UnresolvedNamedLambdaVariable(Seq("cx"))
+        val i = UnresolvedNamedLambdaVariable(Seq("ci"))
+        ArrayFilter(arr, LambdaFunction(
+          org.apache.spark.sql.catalyst.expressions.Or(
+            EqualTo(i, Literal(0)),
+            org.apache.spark.sql.catalyst.expressions.Not(
+              org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+                org.apache.spark.sql.catalyst.expressions.ElementAt(
+                  arr, Add(i, Literal(1))),
+                org.apache.spark.sql.catalyst.expressions.ElementAt(
+                  arr, i)))),
+          Seq(x, i)))
+      }
+      // arrayJaccardIndex: set semantics (CH's), |∩| / |∪| as double
+      f("arrayJaccardIndex")(e => org.apache.spark.sql.catalyst
+        .expressions.Divide(
+          Cast(Size(ArrayIntersect(e(0), e(1))), DoubleType),
+          Cast(Size(org.apache.spark.sql.catalyst.expressions
+            .ArrayUnion(e(0), e(1))), DoubleType)))
+      f("mapContains")(e => org.apache.spark.sql.catalyst.expressions
+        .ArrayContains(org.apache.spark.sql.catalyst.expressions
+          .MapKeys(e(0)), e(1)))
+      // mapAdd/mapSubtract over MAP arguments — null-armed CASE so no
+      // typed zero is ever needed; the tuple-of-arrays CH form refuses
+      // with the map() pointer
+      def mapCombine(a: Expression, b: Expression,
+          sub: Boolean): Expression = {
+        (a.dataType, b.dataType) match {
+          case (_: org.apache.spark.sql.types.MapType,
+            _: org.apache.spark.sql.types.MapType) =>
+          case _ => throw new IllegalArgumentException(
+            (if (sub) "mapSubtract" else "mapAdd") + " here takes MAP " +
+              "arguments (the CH tuple-of-arrays form predates the Map " +
+              "type; build maps with map_from_arrays first)")
+        }
+        val k = UnresolvedNamedLambdaVariable(Seq("mk"))
+        val v1 = UnresolvedNamedLambdaVariable(Seq("mv1"))
+        val v2 = UnresolvedNamedLambdaVariable(Seq("mv2"))
+        val rhs = if (sub)
+          org.apache.spark.sql.catalyst.expressions.UnaryMinus(v2)
+          else v2
+        val merged = org.apache.spark.sql.catalyst.expressions
+          .CaseWhen(Seq(
+            (org.apache.spark.sql.catalyst.expressions.IsNull(v1), rhs),
+            (org.apache.spark.sql.catalyst.expressions.IsNull(v2), v1)),
+            Some(if (sub)
+              org.apache.spark.sql.catalyst.expressions.Subtract(v1, v2)
+            else Add(v1, v2)))
+        org.apache.spark.sql.catalyst.expressions.MapZipWith(a, b,
+          LambdaFunction(merged, Seq(k, v1, v2)))
+      }
+      f("mapAdd")(e => e.reduce((a, b) => mapCombine(a, b, sub = false)))
+      f("mapSubtract") { e =>
+        require(e.length == 2, "mapSubtract takes two maps")
+        mapCombine(e(0), e(1), sub = true)
+      }
       // the analyzer requires a registry-built expression with lambda
       // arguments to BE a HigherOrderFunction at its root — so count
       // and first are folds, not Size/element_at compositions

@@ -1494,6 +1494,54 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("carry-forward"))
   }
 
+  test("round-13: arrayFold/Sort/Rotate/Compact/Jaccard, mapAdd/" +
+      "Subtract/Contains — composition batch with refusal contracts") {
+    val r = Compat.chSql(spark, """
+      SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0)
+          AS fold,
+        arraySort(array(3, 1, 2)) AS srt,
+        arrayReverseSort(array(3, 1, 2)) AS rsrt,
+        arrayPartialSort(2, array(5, 1, 4, 2)) AS psrt,
+        arrayRotateLeft(array(1, 2, 3, 4, 5), 2) AS rotl,
+        arrayRotateRight(array(1, 2, 3, 4, 5), 1) AS rotr,
+        arrayRotateLeft(array(1, 2, 3), 7) AS rotw,
+        arrayCompact(array(1, 1, 2, 2, 2, 1, 3)) AS cpt,
+        round(arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)), 4)
+          AS jac,
+        mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS madd,
+        mapSubtract(map('a', 5), map('a', 2, 'z', 7)) AS msub,
+        mapContains(map('a', 1), 'a') AS mc1,
+        mapContains(map('a', 1), 'q') AS mc2
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getInt(0) == 123)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 4, 5))
+    assert(r.getSeq[Int](4) == Seq(3, 4, 5, 1, 2))
+    assert(r.getSeq[Int](5) == Seq(5, 1, 2, 3, 4))
+    assert(r.getSeq[Int](6) == Seq(2, 3, 1)) // 7 mod 3 = 1
+    assert(r.getSeq[Int](7) == Seq(1, 2, 1, 3))
+    assert(math.abs(r.getDouble(8) - 0.5) < 1e-12)
+    assert(r.getMap[String, Int](9).toMap ==
+      Map("a" -> 1, "b" -> 12, "c" -> 3))
+    assert(r.getMap[String, Int](10).toMap ==
+      Map("a" -> 3, "z" -> -7))
+    assert(r.getBoolean(11) && !r.getBoolean(12))
+    // refusals carry their recipes
+    val s1 = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT arraySort(x -> -x, array(1, 2)) AS a FROM (SELECT 1)")
+        .collect()
+    }
+    assert(s1.getMessage.contains("struct"))
+    val s2 = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT arrayShuffle(array(1, 2)) AS a FROM (SELECT 1)")
+        .collect()
+    }
+    assert(s2.getMessage.contains("deterministic"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
