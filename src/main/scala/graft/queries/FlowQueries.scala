@@ -1237,6 +1237,28 @@ object FlowQueries {
         GROUP BY user_id ORDER BY user_id""")
     }),
 
+    // CH vector-distance spellings over the REAL embeddings corpus —
+    // each row's vector against the vec_id=0 anchor; DuckDB replays
+    // with its native list_dot_product / list_distance /
+    // list_cosine_similarity plus elementary folds for L1/Linf.
+    // Float32 embeddings are cast to double on BOTH sides before any
+    // arithmetic so the engines accumulate identically.
+    "q_compat_vecdist" -> ((s, d) => {
+      graft.Tables.embeddings(s, d)
+        .createOrReplaceTempView("ch_emb_vd")
+      graft.sql.Compat.chSql(s, """
+        SELECT e.vec_id,
+          round(dotProduct(e.embedding, a.embedding), 4) AS dp,
+          round(L2Distance(e.embedding, a.embedding), 4) AS l2,
+          round(L1Distance(e.embedding, a.embedding), 4) AS l1,
+          round(LinfDistance(e.embedding, a.embedding), 4) AS linf,
+          round(cosineDistance(e.embedding, a.embedding), 4) AS cd,
+          round(L2Norm(e.embedding), 4) AS nrm
+        FROM ch_emb_vd e
+        CROSS JOIN (SELECT embedding FROM ch_emb_vd WHERE vec_id = 0) a
+        ORDER BY e.vec_id""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1963,6 +1985,20 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_vecdist" ->
+      """WITH b AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT v AS av FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id,
+        |  round(list_dot_product(v, av), 4) AS dp,
+        |  round(list_distance(v, av), 4) AS l2,
+        |  round(list_sum(list_transform(list_zip(v, av),
+        |    p -> abs(p[1] - p[2]))), 4) AS l1,
+        |  round(list_max(list_transform(list_zip(v, av),
+        |    p -> abs(p[1] - p[2]))), 4) AS linf,
+        |  round(1.0 - list_cosine_similarity(v, av), 4) AS cd,
+        |  round(sqrt(list_dot_product(v, v)), 4) AS nrm
+        |FROM b CROSS JOIN a ORDER BY b.vec_id""".stripMargin,
     "q_compat_arrays3" ->
       """WITH t AS (SELECT user_id, 1 + event_id % 5 AS k FROM events)
         |SELECT user_id,

@@ -837,6 +837,56 @@ object Compat {
       f("arraySum")(e => ArrayAggregate(e.head, Literal(0L),
         LambdaFunction(Add(lv("acc"), lv("x")), Seq(lv("acc"), lv("x"))),
         LambdaFunction(lv("acc"), Seq(lv("acc")))))
+      // CH vector-distance family — the exact zip_with/aggregate
+      // codegen composition the ANN queries run on internally
+      // (VectorQueries.scala), exposed under the CH spellings; all
+      // math in double
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{Abs,
+          ArrayTransform, Sqrt, Subtract => VSub, ZipWith}
+        def dbl(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+          ArrayTransform(x, LambdaFunction(
+            Cast(lv("vc"), DoubleType), Seq(lv("vc"))))
+        def fold(arr: org.apache.spark.sql.catalyst.expressions
+            .Expression) = ArrayAggregate(arr, Literal(0.0),
+          LambdaFunction(Add(lv("vacc"), lv("vx")),
+            Seq(lv("vacc"), lv("vx"))),
+          LambdaFunction(lv("vacc"), Seq(lv("vacc"))))
+        def zip(a: org.apache.spark.sql.catalyst.expressions.Expression,
+            b: org.apache.spark.sql.catalyst.expressions.Expression,
+            body: (org.apache.spark.sql.catalyst.expressions.Expression,
+              org.apache.spark.sql.catalyst.expressions.Expression) =>
+              org.apache.spark.sql.catalyst.expressions.Expression) =
+          ZipWith(dbl(a), dbl(b), LambdaFunction(
+            body(lv("vza"), lv("vzb")), Seq(lv("vza"), lv("vzb"))))
+        def dot(a: org.apache.spark.sql.catalyst.expressions.Expression,
+            b: org.apache.spark.sql.catalyst.expressions.Expression) =
+          fold(zip(a, b, (x, y) => Multiply(x, y)))
+        def l2sq(a: org.apache.spark.sql.catalyst.expressions
+            .Expression) = fold(ArrayTransform(dbl(a), LambdaFunction(
+          Multiply(lv("vq"), lv("vq")), Seq(lv("vq")))))
+        f("dotProduct")(e => dot(e(0), e(1)))
+        f("L2Norm")(e => Sqrt(l2sq(e.head)))
+        f("L2SquaredNorm")(e => l2sq(e.head))
+        f("L1Norm")(e => fold(ArrayTransform(dbl(e.head),
+          LambdaFunction(Abs(lv("vq")), Seq(lv("vq"))))))
+        f("L2SquaredDistance")(e =>
+          fold(zip(e(0), e(1), (x, y) =>
+            Multiply(VSub(x, y), VSub(x, y)))))
+        f("L2Distance")(e => Sqrt(
+          fold(zip(e(0), e(1), (x, y) =>
+            Multiply(VSub(x, y), VSub(x, y))))))
+        f("L1Distance")(e =>
+          fold(zip(e(0), e(1), (x, y) => Abs(VSub(x, y)))))
+        f("LinfDistance")(e => ArrayMax(
+          zip(e(0), e(1), (x, y) => Abs(VSub(x, y)))))
+        f("cosineDistance")(e => VSub(Literal(1.0),
+          Divide(dot(e(0), e(1)),
+            Multiply(Sqrt(l2sq(e(0))), Sqrt(l2sq(e(1)))))))
+        f("normalizeL2")(e => ArrayTransform(dbl(e.head),
+          LambdaFunction(Divide(lv("vn"), Sqrt(l2sq(e.head))),
+            Seq(lv("vn")))))
+      }
       f("arrayMin")(e => ArrayMin(e.head))
       f("arrayMax")(e => ArrayMax(e.head))
       f("countEqual")(e => Cast(Size(ArrayFilter(e(0),
