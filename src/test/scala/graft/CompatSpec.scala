@@ -1542,6 +1542,31 @@ class CompatSpec extends AnyFunSuite {
     assert(s2.getMessage.contains("deterministic"))
   }
 
+  test("round-13: vector-distance spellings — 3-4-5 goldens and the " +
+      "normalized-vector identity") {
+    val r = Compat.chSql(spark, """
+      SELECT dotProduct(array(1, 2, 3), array(4, 5, 6)) AS dp,
+        L2Distance(array(0, 0), array(3, 4)) AS l2,
+        L2SquaredDistance(array(0, 0), array(3, 4)) AS l2s,
+        L1Distance(array(1, 1), array(4, 5)) AS l1,
+        LinfDistance(array(1, 1), array(4, 5)) AS linf,
+        L2Norm(array(3, 4)) AS nrm,
+        L2SquaredNorm(array(3, 4)) AS nrms,
+        L1Norm(array(-3, 4)) AS n1,
+        cosineDistance(array(1, 0), array(0, 1)) AS cd90,
+        cosineDistance(array(2, 0), array(5, 0)) AS cd0,
+        normalizeL2(array(3, 4)) AS unit
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 5.0 &&
+      r.getDouble(2) == 25.0)
+    assert(r.getDouble(3) == 7.0 && r.getDouble(4) == 4.0)
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 25.0 &&
+      r.getDouble(7) == 7.0)
+    assert(math.abs(r.getDouble(8) - 1.0) < 1e-12 &&
+      math.abs(r.getDouble(9)) < 1e-12)
+    assert(r.getSeq[Double](10) == Seq(0.6, 0.8))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
