@@ -573,6 +573,78 @@ object Compat {
     f("toYYYYMM")(e => Cast(
       DateFormatClass(Cast(e.head, TimestampType), Literal("yyyyMM")),
       IntegerType))
+    f("toYYYYMMDD")(e => Cast(
+      DateFormatClass(Cast(e.head, TimestampType), Literal("yyyyMMdd")),
+      IntegerType))
+    // toISOWeek IS Spark's weekofyear (both ISO-8601); toWeek's other
+    // nine CH modes have no Spark native and refuse by name
+    f("toISOWeek")(e =>
+      org.apache.spark.sql.catalyst.expressions.WeekOfYear(
+        Cast(e.head, DateType)))
+    f("toWeek") { e =>
+      val mode = if (e.size >= 2) e(1) match {
+        case Literal(v, _) if v != null => v.toString.toDouble.toInt
+        case other => throw new IllegalArgumentException(
+          s"toWeek mode must be an integer literal, got $other")
+      } else 0
+      if (mode == 3)
+        org.apache.spark.sql.catalyst.expressions.WeekOfYear(
+          Cast(e.head, DateType))
+      else throw new IllegalArgumentException(
+        s"toWeek mode $mode has no Spark-native week numbering; mode 3 " +
+          "(ISO-8601, = toISOWeek) is the supported one")
+    }
+    f("toDayOfYear")(e =>
+      org.apache.spark.sql.catalyst.expressions.DayOfYear(
+        Cast(e.head, DateType)))
+    f("toQuarter")(e =>
+      org.apache.spark.sql.catalyst.expressions.Quarter(
+        Cast(e.head, DateType)))
+    f("monthName")(e =>
+      DateFormatClass(Cast(e.head, TimestampType), Literal("MMMM")))
+    // dateName('unit', d): the unit literal dispatches to the exact
+    // date_format pattern / extractor
+    f("dateName") { e =>
+      val unit = e.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          u.toString.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new IllegalArgumentException(
+          s"dateName unit must be a string literal, got $other")
+      }
+      val ts = Cast(e(1), TimestampType)
+      def fmt(p: String) = DateFormatClass(ts, Literal(p))
+      unit match {
+        case "year"      => fmt("yyyy")
+        case "quarter"   => Cast(org.apache.spark.sql.catalyst
+          .expressions.Quarter(Cast(e(1), DateType)),
+          org.apache.spark.sql.types.StringType)
+        case "month"     => fmt("MMMM")
+        case "week"      => Cast(org.apache.spark.sql.catalyst
+          .expressions.WeekOfYear(Cast(e(1), DateType)),
+          org.apache.spark.sql.types.StringType)
+        case "dayofyear" => fmt("D")
+        case "day"       => fmt("d")
+        case "weekday"   => fmt("EEEE")
+        case "hour"      => fmt("H")
+        case "minute"    => fmt("m")
+        case "second"    => fmt("s")
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported unit '$other'")
+      }
+    }
+    // arrayResize(arr, n): truncate or NULL-pad to length n (the
+    // documented NULL-fill family — CH pads with the type default; a
+    // third explicit-default argument pads with it instead)
+    f("arrayResize") { e =>
+      import org.apache.spark.sql.catalyst.expressions.{Concat,
+        GreaterThanOrEqual, Size, Slice, Subtract => RSub}
+      val (arr, n) = (e(0), Cast(e(1), IntegerType))
+      val pad = if (e.size >= 3) e(2) else Literal(null, NullType)
+      If(GreaterThanOrEqual(Size(arr), n),
+        Slice(arr, Literal(1), n),
+        Concat(Seq(arr, org.apache.spark.sql.catalyst.expressions
+          .ArrayRepeat(pad, RSub(n, Size(arr))))))
+    }
     f("toUnixTimestamp")(e => Cast(Cast(e.head, TimestampType), LongType))
     // NOT registered: dateDiff — Spark's parser special-cases the name
     // before the function registry is consulted (3-arg calls parse as

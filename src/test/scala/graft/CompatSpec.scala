@@ -1567,6 +1567,38 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getSeq[Double](10) == Seq(0.6, 0.8))
   }
 
+  test("round-13: date-name batch — toISOWeek/toWeek(3), toYYYYMMDD, " +
+      "toDayOfYear, toQuarter, monthName, dateName, arrayResize") {
+    val r = Compat.chSql(spark, """
+      SELECT toISOWeek(DATE'2024-01-04') AS iw,
+        toWeek(DATE'2024-01-04', 3) AS tw3,
+        toYYYYMMDD(DATE'2024-03-05') AS ymd,
+        toDayOfYear(DATE'2024-02-01') AS doy,
+        toQuarter(DATE'2024-08-15') AS q,
+        monthName(DATE'2024-03-05') AS mn,
+        dateName('weekday', DATE'2024-01-04') AS wd,
+        dateName('month', DATE'2024-03-05') AS dm,
+        dateName('year', DATE'2024-03-05') AS dy,
+        arrayResize(array(1, 2, 3), 2) AS sh,
+        arrayResize(array(1, 2), 4, 0) AS pad
+      FROM (SELECT 1 AS one)""").collect().head
+    // 2024-01-04 is a Thursday in ISO week 1
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
+    assert(r.getInt(2) == 20240305)
+    assert(r.getInt(3) == 32 && r.getInt(4) == 3)
+    assert(r.getString(5) == "March" && r.getString(6) == "Thursday")
+    assert(r.getString(7) == "March" && r.getString(8) == "2024")
+    assert(r.getSeq[Int](9) == Seq(1, 2))
+    assert(r.getSeq[Int](10) == Seq(1, 2, 0, 0))
+    // non-ISO toWeek modes refuse by name
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT toWeek(DATE'2024-01-04') AS w FROM (SELECT 1)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("mode 3"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
