@@ -1796,6 +1796,43 @@ object Compat {
               Seq(v))),
           Literal.create(Seq.empty[String], ArrayType(StringType))))
       }
+      // keys of the addressed object; wrong type -> empty array.
+      // Documented deviation: keys arrive in VARIANT-normalized
+      // (sorted) order, not CH's source order — the raw text is a
+      // parse-and-reserialize through the VARIANT engine
+      f("JSONExtractKeys")(e => Coalesce(Seq(
+        JsonObjectKeys(rawOf(e, "JSONExtractKeys")),
+        Literal.create(Seq.empty[String], ArrayType(StringType)))))
+      // JSONExtractKeysAndValues(json, path..., 'String') — array of
+      // (key, value) string tuples. Only the String value type is
+      // supported (it is the one CH dashboards use; other types
+      // refuse). Keys are addressed back through a $['key'] path, so
+      // keys containing quotes/brackets are out of contract
+      // (documented; label-map payloads keep identifier-like keys).
+      f("JSONExtractKeysAndValues") { e =>
+        e.last match {
+          case Literal(u: UTF8String, StringType)
+            if u.toString == "String" =>
+          case other => throw new IllegalArgumentException(
+            "JSONExtractKeysAndValues: only the 'String' value type " +
+              s"is supported, got $other")
+        }
+        val base = e.dropRight(1)
+        val parentRaw = rawOf(base, "JSONExtractKeysAndValues")
+        val k = UnresolvedNamedLambdaVariable(Seq("jk"))
+        val path = org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+          Literal("$['"), k, Literal("']")))
+        // transform over a null-coalesced key array: wrong type or
+        // missing object -> empty keys -> empty tuple array
+        ArrayTransform(
+          Coalesce(Seq(JsonObjectKeys(parentRaw),
+            Literal.create(Seq.empty[String], ArrayType(StringType)))),
+          LambdaFunction(
+            org.apache.spark.sql.catalyst.expressions.CreateStruct(Seq(
+              k, Coalesce(Seq(GetJsonObject(parentRaw, path),
+                Literal(""))))),
+            Seq(k)))
+      }
       for (fast <- Seq("visitParam", "simpleJSON")) {
         f(s"${fast}Has")(hasE(_, s"${fast}Has"))
         f(s"${fast}ExtractString")(strE(_, s"${fast}ExtractString"))

@@ -91,4 +91,30 @@ class JsonCompatSpec extends AnyFunSuite {
     assert(one("visitParamHas(j, 'missing')") == false)
     assert(one("simpleJSONExtractRaw(j, 'f')") == "2.5")
   }
+
+  test("round-13: JSONExtractKeys / JSONExtractKeysAndValues(String) " +
+      "— keys, tuples, wrong-type empties, non-String refusal") {
+    assert(one("JSONExtractKeys(j, 'o')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("in", "k"))
+    // whole-document keys come back in VARIANT-normalized (sorted)
+    // order — the documented deviation from CH's source order
+    assert(one("JSONExtractKeys(j)")
+      .asInstanceOf[scala.collection.Seq[String]].take(3) ==
+      Seq("a", "b", "bf"))
+    // wrong type (array) and missing -> empty
+    assert(one("JSONExtractKeys(j, 'a')")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(one("JSONExtractKeys(j, 'missing')")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    val kv = one("JSONExtractKeysAndValues(j, 'o', 'String')")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(kv == Seq(("in", "deep"), ("k", "3")))
+    assert(one("JSONExtractKeysAndValues(j, 'a', 'String')")
+      .asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    val bad = intercept[Exception] {
+      one("JSONExtractKeysAndValues(j, 'o', 'Int64')")
+    }
+    assert(bad.getMessage.contains("String"))
+  }
 }
