@@ -964,6 +964,30 @@ object Compat {
       f("countEqual")(e => Cast(Size(ArrayFilter(e(0),
         LambdaFunction(EqualNullSafe(lv("v"), e(1)), Seq(lv("v"))))),
         LongType))
+      // -ForEach combinator (element-wise vector aggregation) and
+      // -Array combinator (aggregate over the flattened elements)
+      graft.functions.ForEachAgg.Kinds.foreach(k =>
+        f(s"${k}ForEach")(e =>
+          graft.functions.ForEachAgg(k, e.head).toAggregateExpression()))
+      f("sumArray")(e => Sum(Cast(ArrayAggregate(e.head, Literal(0.0),
+        LambdaFunction(Add(lv("saa"), Cast(lv("sax"), DoubleType)),
+          Seq(lv("saa"), lv("sax"))),
+        LambdaFunction(lv("saa"), Seq(lv("saa")))), DoubleType))
+        .toAggregateExpression())
+      f("minArray")(e => org.apache.spark.sql.catalyst.expressions
+        .aggregate.Min(ArrayMin(e.head)).toAggregateExpression())
+      f("maxArray")(e => org.apache.spark.sql.catalyst.expressions
+        .aggregate.Max(ArrayMax(e.head)).toAggregateExpression())
+      // avgArray: mean over ALL elements (element-count weighted, the
+      // CH contract) — Σ per-row sums / Σ per-row lengths
+      f("avgArray")(e => Divide(
+        Cast(Sum(ArrayAggregate(e.head, Literal(0.0),
+          LambdaFunction(Add(lv("ava"), Cast(lv("avx"), DoubleType)),
+            Seq(lv("ava"), lv("avx"))),
+          LambdaFunction(lv("ava"), Seq(lv("ava")))))
+          .toAggregateExpression(), DoubleType),
+        Cast(Sum(Cast(Size(e.head), LongType)).toAggregateExpression(),
+          DoubleType)))
       f("groupBitAnd")(e => BitAndAgg(e.head))
       f("groupBitOr")(e => BitOrAgg(e.head))
       f("groupBitXor")(e => BitXorAgg(e.head))

@@ -1599,6 +1599,28 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("mode 3"))
   }
 
+  test("round-13: -ForEach and -Array combinators — element-wise and " +
+      "flattened aggregation, ragged arrays, avg weighting") {
+    Seq((1L, Seq(1.0, 10.0, 100.0)), (1L, Seq(2.0, 20.0)),
+      (1L, Seq(3.0, 30.0, 300.0, 3000.0)))
+      .toDF("g", "arr").createOrReplaceTempView("cx_fe")
+    val r = Compat.chSql(spark, """
+      SELECT sumForEach(arr) AS s, minForEach(arr) AS mn,
+        maxForEach(arr) AS mx, avgForEach(arr) AS av,
+        sumArray(arr) AS sa, minArray(arr) AS mna,
+        maxArray(arr) AS mxa, round(avgArray(arr), 4) AS ava
+      FROM cx_fe""").collect().head
+    assert(r.getSeq[Double](0) == Seq(6.0, 60.0, 400.0, 3000.0))
+    assert(r.getSeq[Double](1) == Seq(1.0, 10.0, 100.0, 3000.0))
+    assert(r.getSeq[Double](2) == Seq(3.0, 30.0, 300.0, 3000.0))
+    // ragged avg: position 3 has ONE contributor, position 1 three
+    assert(r.getSeq[Double](3) == Seq(2.0, 20.0, 200.0, 3000.0))
+    assert(r.getDouble(4) == 3466.0)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 3000.0)
+    // element-count-weighted mean: 3466 / 9 = 385.1111 at 4dp
+    assert(r.getDouble(7) == 385.1111)
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
