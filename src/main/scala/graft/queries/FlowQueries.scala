@@ -1259,6 +1259,25 @@ object FlowQueries {
         ORDER BY e.vec_id""")
     }),
 
+    // -ForEach combinators over the real embedding corpus: per-label
+    // element-wise sums and means across all 64 dimensions, the
+    // vector-accumulation workload. DuckDB replays through
+    // unnest + generate_subscripts; both sides aggregate doubles and
+    // round to 3dp, well above float-order noise.
+    "q_compat_foreach" -> ((s, d) => {
+      graft.Tables.embeddings(s, d)
+        .createOrReplaceTempView("ch_emb_fe")
+      graft.sql.Compat.chSql(s, """
+        SELECT label,
+          concat_ws(',', transform(sumForEach(embedding),
+            v -> CAST(round(v, 3) + 0.0 AS STRING))) AS sfe,
+          concat_ws(',', transform(avgForEach(embedding),
+            v -> CAST(round(v, 3) + 0.0 AS STRING))) AS afe,
+          count() AS n
+        FROM ch_emb_fe
+        GROUP BY label ORDER BY label""")
+    }),
+
     // arrayReduce('agg', arr) — the CH apply-aggregate-to-array
     // spelling, dispatched to the gated array builders; per-row
     // reduces summed per user so every element flows into the hash.
@@ -1985,6 +2004,21 @@ object FlowQueries {
         |FROM p LEFT JOIN dict d
         |  ON p.k = d.k AND p.x BETWEEN d.s AND d.e
         |ORDER BY c_custkey""".stripMargin,
+    "q_compat_foreach" ->
+      """WITH e AS (SELECT label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, UNNEST(v) AS x,
+        |    generate_subscripts(v, 1) AS idx FROM e),
+        |g AS (SELECT label, idx, SUM(x) AS s, AVG(x) AS a,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM u GROUP BY 1, 2)
+        |SELECT label,
+        |  string_agg(CAST(round(s, 3) + 0.0 AS VARCHAR), ','
+        |    ORDER BY idx) AS sfe,
+        |  string_agg(CAST(round(a, 3) + 0.0 AS VARCHAR), ','
+        |    ORDER BY idx) AS afe,
+        |  MAX(cnt) AS n
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
     "q_compat_vecdist" ->
       """WITH b AS (SELECT vec_id,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
