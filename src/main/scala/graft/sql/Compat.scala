@@ -249,6 +249,64 @@ object Compat {
             "stochasticLinearRegression (exact least squares) where a " +
             "linear fit suffices"))
     }
+    // string round-out (round 13): similarity, tokenization, aliases
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayExcept,
+        ArrayIntersect, ArrayUnion, ArrayFilter, ArrayTransform, Concat,
+        ConcatWs, Divide, GreaterThan, LambdaFunction, Length,
+        Levenshtein, Literal => SLit, Sequence, Size, StringRPad,
+        StringSplit, Substring, UnresolvedNamedLambdaVariable, Uuid}
+      import org.apache.spark.sql.types.IntegerType
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      Seq("editDistance", "levenshteinDistance").foreach(n =>
+        f(n)(e => Levenshtein(e(0), e(1))))
+      // character n-grams (the similarity primitive):
+      // substrings at every start position
+      f("ngrams") { e =>
+        val n = Cast(e(1), IntegerType)
+        ArrayTransform(
+          Sequence(SLit(1),
+            org.apache.spark.sql.catalyst.expressions.Add(
+              org.apache.spark.sql.catalyst.expressions.Subtract(
+                Length(e(0)), n), SLit(1)), None),
+          LambdaFunction(Substring(e(0), lv("ni"), n), Seq(lv("ni"))))
+      }
+      // tokens(s): maximal alphanumeric runs, empties dropped
+      f("tokens")(e => ArrayFilter(
+        StringSplit(e(0), SLit("[^\\p{L}\\p{N}]+"), SLit(-1)),
+        LambdaFunction(GreaterThan(Length(lv("tk")), SLit(0)),
+          Seq(lv("tk")))))
+      // stringJaccardIndex: Jaccard over the CHARACTER sets (CH
+      // computes over byte sets; identical for ASCII, documented for
+      // multi-byte)
+      f("stringJaccardIndex") { e =>
+        def chars(x: org.apache.spark.sql.catalyst.expressions
+            .Expression) = ArrayFilter(
+          StringSplit(x, SLit(""), SLit(-1)),
+          LambdaFunction(GreaterThan(Length(lv("jc")), SLit(0)),
+            Seq(lv("jc"))))
+        Divide(
+          Cast(Size(ArrayIntersect(chars(e(0)), chars(e(1)))),
+            DoubleType),
+          Cast(Size(ArrayUnion(chars(e(0)), chars(e(1)))), DoubleType))
+      }
+      f("concatWithSeparator")(e => ConcatWs(e))
+      f("generateUUIDv4")(_ => Uuid())
+      // toFixedString(s, n): exactly n bytes, NUL-padded; longer
+      // input fails loudly (CH throws too)
+      f("toFixedString") { e =>
+        val n = Cast(e(1), IntegerType)
+        If(GreaterThan(Length(e(0)), n),
+          org.apache.spark.sql.catalyst.expressions.RaiseError(
+            SLit("USER_RAISED_EXCEPTION"),
+            org.apache.spark.sql.catalyst.expressions
+              .CreateMap(Seq(SLit("errorMessage"), Concat(Seq(
+                SLit("toFixedString: value longer than "),
+                Cast(n, StringType))))),
+            org.apache.spark.sql.types.NullType),
+          StringRPad(e(0), n, SLit("\u0000")))
+      }
+    }
     // scalar round-out (round 13): display, math, geo
     locally {
       import org.apache.spark.sql.catalyst.expressions.{Asin, Atan2,

@@ -1621,6 +1621,36 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 385.1111)
   }
 
+  test("round-13: string round-out — editDistance, ngrams, tokens, " +
+      "stringJaccardIndex, concatWithSeparator, toFixedString") {
+    val r = Compat.chSql(spark, """
+      SELECT editDistance('kitten', 'sitting') AS ed,
+        levenshteinDistance('abc', 'abc') AS ed0,
+        ngrams('abcd', 2) AS ng,
+        tokens('Hello, wor4ld! 42') AS tk,
+        round(stringJaccardIndex('abc', 'bcd'), 4) AS ji,
+        concatWithSeparator('-', 'a', 'b', 'c') AS cws,
+        toFixedString('ab', 4) AS fx,
+        length(generateUUIDv4()) AS ul
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 0)
+    assert(r.getSeq[String](2) == Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](3) == Seq("Hello", "wor4ld", "42"))
+    // chars {a,b,c} vs {b,c,d}: 2/4
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assert(r.getString(5) == "a-b-c")
+    // NUL-padded to exactly n — the CH FixedString contract
+    assert(r.getString(6) == "ab\u0000\u0000" &&
+      r.getString(6).length == 4)
+    assert(r.getInt(7) == 36)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT toFixedString('abcdef', 3) AS f FROM (SELECT 1)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("longer"))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
