@@ -1650,6 +1650,46 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // CollapsingMergeTree as a gate (round 13): the CH delete-by-
+    // cancel engine. Every event inserts a +1 state; every third gets
+    // the UPDATE pattern (cancel v1, insert doubled v2); every fifth
+    // gets the DELETE pattern (cancel its current state). After
+    // compactCollapsing the table holds exactly the survivors with
+    // their final values — a closed form DuckDB replays from the raw
+    // events.
+    "qtx_collapsing" -> ((s, d) => {
+      val run = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_collapsing_${math.abs(d.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(run)
+      val table = s"$run/t"
+      val base = graft.Tables.events(s, d).select(
+        to_date(col("ts")).as("date"), col("event_id"),
+        col("event_type"), (col("event_id") % 97).as("v"),
+        lit(1).as("sign"), lit(1L).as("ver"))
+      val upd = base.filter(col("event_id") % 3 === 0)
+      val cancelsV1 = upd.withColumn("sign", lit(-1))
+      val insertsV2 = upd
+        .withColumn("v", col("v") * 2).withColumn("ver", lit(2L))
+      val cur = base.filter(col("event_id") % 5 === 0)
+        .withColumn("v", when(col("event_id") % 3 === 0,
+          (col("event_id") % 97) * 2).otherwise(col("event_id") % 97))
+        .withColumn("ver", when(col("event_id") % 3 === 0, 2L)
+          .otherwise(1L))
+        .withColumn("sign", lit(-1))
+      TxTable.append(s, base, table)
+      TxTable.append(s, cancelsV1.unionByName(insertsV2), table)
+      TxTable.append(s, cur, table)
+      require(TxTable.compactCollapsing(s, table,
+        Seq("event_id", "event_type"), "sign", "ver") >= 0)
+      TxFileIndex.readV2(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("v").cast("long").as("sv"),
+          sum("sign").cast("long").as("ssign"),
+          sum("ver").cast("long").as("sver"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING AGGREGATING PIPELINE as a gate (round 11): the classic
     // ClickHouse "Kafka -> MV with -State -> AggregatingMergeTree"
     // story end-to-end on this engine — each micro-batch pre-aggregates
@@ -2498,6 +2538,19 @@ object MiscQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents,
         |  CAST(SUM(user_id) AS BIGINT) AS u_sum, MIN(date) AS first_date
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // survivors: every key not divisible by 5; value doubled (and
+    // version 2) where divisible by 3; every surviving row is a +1
+    "qtx_collapsing" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN (event_id % 97) * 2
+        |      ELSE event_id % 97 END AS v,
+        |    CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS ver
+        |  FROM events WHERE event_id % 5 <> 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sv,
+        |  CAST(COUNT(*) AS BIGINT) AS ssign,
+        |  CAST(SUM(ver) AS BIGINT) AS sver
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streamed, re-merged, coarser-grouped states equal the plain
     // aggregate over every raw event

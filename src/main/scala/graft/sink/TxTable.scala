@@ -2035,6 +2035,46 @@ object TxTable {
       schemaUpdate(fs, root, restored), op = Some("replacing"))
   }
 
+  /** CollapsingMergeTree background-merge analog: rows carry a
+    * `signCol` of +1 (state) or −1 (cancel), and the merge collapses
+    * each key to its NET state — ClickHouse's delete-by-cancel
+    * engine. Semantics, made deterministic for a distributed engine
+    * (CH's own collapse is insertion-order-dependent and its docs
+    * call the mid-merge states out as approximate):
+    *  - per (date, key): net = Σ sign; net > 0 keeps ONE +1 row
+    *    (the version-maximal one — pass the version column CH's
+    *    VersionedCollapsingMergeTree uses; ties break by the
+    *    lexicographic rule shared with [[compactReplacing]]);
+    *    net <= 0 keeps NOTHING (the cancelled-out or over-cancelled
+    *    key disappears, CH's steady-state outcome);
+    *  - partition-scoped like every CH merge (date joins the key).
+    * One hash exchange on (date, keys): the net sign is a map-side
+    * partial SUM and the surviving row a version-led struct MAX, so
+    * the shuffle carries one candidate + one counter per key.
+    */
+  def compactCollapsing(spark: SparkSession, table: String,
+      keys: Seq[String], signCol: String, versionCol: String,
+      dates: Option[Seq[String]] = None): Long = {
+    require(keys.nonEmpty, "collapsing compact needs a key")
+    val (fs, root) = fsFor(spark, table)
+    val targetDates = snapshotFiles(fs, root).values.map(_.date).toSet.toSeq
+      .sorted.filter(d => dates.forall(_.contains(d)))
+    val df = read(spark, table, Some(targetDates))
+    val fullKeys = ("date" +: keys).distinct
+    val net = df.groupBy(fullKeys.map(col): _*)
+      .agg(sum(col(signCol)).as("__net"))
+      .filter(col("__net") > 0)
+      .drop("__net")
+    val winners = latestPerKey(
+      df.filter(col(signCol) > 0), keys, versionCol)
+    val restored = winners.join(net, fullKeys, "left_semi")
+    val adds = stage(prep(restored), fs, root)
+    val removes = snapshotFiles(fs, root)
+      .collect { case (rel, m) if targetDates.contains(m.date) => rel }.toSeq
+    commitRetry(fs, root, adds, removes, None,
+      schemaUpdate(fs, root, restored), op = Some("collapsing"))
+  }
+
   /** AggregatingMergeTree background-merge analog: rows carry
     * MERGEABLE partial-aggregate STATES (what the CH `-State`
     * combinators produce — see the `sumState`/`avgState`/

@@ -1503,4 +1503,36 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, path, asOfVersion = Some(vBefore))
       .columns.toSet == Set("date", "k", "v"))
   }
+
+  test("round-13: compactCollapsing — net-sign survival, version-max " +
+      "winner, over-cancel disappearance, partition scoping") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_collapsing").toString + "/t"
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    // k=1: insert, cancel, re-insert v2 -> survives with value 20
+    // k=2: insert then cancel -> gone
+    // k=3: over-cancelled (net -1) -> gone, never a negative row
+    // k=4: plain insert -> survives as-is
+    // k=5 on d2: same key value as k=4-on-d1 pattern but cancelled --
+    //   partition scoping means d1's k=5 (inserted only) SURVIVES
+    val rows = Seq(
+      (d1, 1L, 10L, 1, 1L), (d1, 1L, 10L, -1, 1L), (d1, 1L, 20L, 1, 2L),
+      (d1, 2L, 30L, 1, 1L), (d1, 2L, 30L, -1, 1L),
+      (d1, 3L, 40L, -1, 1L),
+      (d1, 4L, 50L, 1, 1L),
+      (d1, 5L, 60L, 1, 1L),
+      (d2, 5L, 70L, 1, 1L), (d2, 5L, 70L, -1, 1L))
+      .toDF("date", "k", "v", "sign", "ver")
+    TxTable.append(spark, rows, path)
+    assert(TxTable.compactCollapsing(spark, path, Seq("k"),
+      "sign", "ver") >= 0)
+    val got = TxTable.read(spark, path)
+      .select("date", "k", "v").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq(("2024-01-01", 1L, 20L), ("2024-01-01", 4L, 50L),
+      ("2024-01-01", 5L, 60L)))
+  }
 }
