@@ -509,6 +509,31 @@ object Compat {
     // input set (the lower neighbor); at exact-element ranks — every
     // golden here — the two agree.
     f("quantileExactWeighted")(e => new Percentile(e(1), e(0), e(2)))
+    // quantileInterpolatedWeighted: the weighted INTERPOLATING
+    // variant — exactly Percentile's frequency-weighted linear
+    // interpolation (parity, where quantileExactWeighted above
+    // documents the interpolation deviation)
+    f("quantileInterpolatedWeighted")(e =>
+      new Percentile(e(1), e(0), e(2)))
+    // sumMapFiltered(keep_keys)(keys, vals): sumMap over the key
+    // whitelist — the arrays filter in lockstep through a zip-filter
+    // before the same map-combining aggregate
+    f("sumMapFiltered") { e =>
+      import org.apache.spark.sql.catalyst.expressions.{ArrayContains,
+        ArrayFilter, ArrayTransform, GetStructField, LambdaFunction,
+        UnresolvedNamedLambdaVariable, ZipWith}
+      def zlv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val zipped = ZipWith(e(1), e(2), LambdaFunction(
+        org.apache.spark.sql.catalyst.expressions.CreateStruct(Seq(
+          zlv("smk"), zlv("smv"))), Seq(zlv("smk"), zlv("smv"))))
+      val kept = ArrayFilter(zipped, LambdaFunction(
+        ArrayContains(e(0), GetStructField(zlv("smp"), 0)),
+        Seq(zlv("smp"))))
+      def part(i: Int) = ArrayTransform(kept, LambdaFunction(
+        GetStructField(zlv("smq"), i), Seq(zlv("smq"))))
+      graft.functions.MapCombineAgg("sum", part(0), part(1))
+        .toAggregateExpression()
+    }
     f("median")(e => new Percentile(e.head, Literal(0.5)))
     // remaining cardinality/quantile spellings, mapped with the same
     // documented contracts as their siblings: uniqHLL12/uniqCombined64
@@ -1137,6 +1162,15 @@ object Compat {
       f("covarSamp")(e =>
         CovSample(dbl(e(0)), dbl(e(1))).toAggregateExpression())
       f("corr")(e => Corr(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      // the -Stable variants name CH's numerically-stable algorithm;
+      // Spark's natives ARE the stable single-pass central-moment
+      // updates, so the aliases are exact
+      f("corrStable")(e =>
+        Corr(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      f("covarPopStable")(e =>
+        CovPopulation(dbl(e(0)), dbl(e(1))).toAggregateExpression())
+      f("covarSampStable")(e =>
+        CovSample(dbl(e(0)), dbl(e(1))).toAggregateExpression())
       // simpleLinearRegression(x, y) -> (k, b) for y = k·x + b; Spark's
       // regr_slope/regr_intercept take (y, x) — note the swap
       f("simpleLinearRegression")(e => CreateNamedStruct(Seq(
@@ -1946,6 +1980,7 @@ object Compat {
     */
   private val parametricNames = Set("quantile", "quantiles",
     "quantileexact", "quantileexactweighted", "quantiletiming",
+    "quantileinterpolatedweighted", "summapfiltered",
     "topk", "topkweighted", "histogram", "uniqupto",
     "windowfunnel", "sequencematch", "sequencecount", "retention",
     "sequencenextnode",

@@ -1651,6 +1651,31 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("longer"))
   }
 
+  test("round-13: Stable aliases, quantileInterpolatedWeighted, " +
+      "sumMapFiltered") {
+    Seq((1.0, 2.0, 10L), (2.0, 4.0, 1L), (3.0, 6.0, 1L))
+      .toDF("x", "y", "w").createOrReplaceTempView("cx_st")
+    val r = Compat.chSql(spark, """
+      SELECT round(corrStable(x, y), 6) AS c,
+        round(covarPopStable(x, y), 6) AS cp,
+        round(covarSampStable(x, y), 6) AS cs,
+        quantileInterpolatedWeighted(0.5)(x, w) AS qw
+      FROM cx_st""").collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 2.0 * r.getDouble(1) / 2.0) < 1e-9)
+    // weighted median: weights (10,1,1) -> the mass sits at x = 1
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    // sumMapFiltered keeps only the whitelisted keys
+    Seq((Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)),
+      (Seq(2L, 4L), Seq(200L, 400L)))
+      .toDF("k", "v").createOrReplaceTempView("cx_smf")
+    val m = Compat.chSql(spark, """
+      SELECT sumMapFiltered(array(2L, 3L))(k, v) AS m FROM cx_smf""")
+      .collect().head.getStruct(0)
+    assert(m.getSeq[Long](0) == Seq(2L, 3L))
+    assert(m.getSeq[Long](1) == Seq(220L, 30L))
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
