@@ -1042,8 +1042,101 @@ object Compat {
           LambdaFunction(Divide(lv("vn"), Sqrt(l2sq(e.head))),
             Seq(lv("vn")))))
       }
-      f("arrayMin")(e => ArrayMin(e.head))
-      f("arrayMax")(e => ArrayMax(e.head))
+      // keyed 2-arg forms (CH's arrayMin(λ, arr)): the analyzer
+      // requires a lambda call's ROOT to be a HigherOrderFunction, so
+      // the reduction is an ArrayAggregate fold over the transformed
+      // array with a slice(t,1,0) element-typed empty accumulator —
+      // the arrayFirst pattern
+      def keyedReduce(lf: LambdaFunction,
+          arr: org.apache.spark.sql.catalyst.expressions.Expression,
+          takeLess: Boolean): org.apache.spark.sql.catalyst
+          .expressions.Expression = {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray,
+          ElementAt, GreaterThan, LessThan, Or, Slice}
+        val t = org.apache.spark.sql.catalyst.expressions
+          .ArrayTransform(arr, lf)
+        val acc = lv("kracc")
+        val x = lv("krx")
+        val better =
+          if (takeLess) LessThan(x, ElementAt(acc, Literal(1)))
+          else GreaterThan(x, ElementAt(acc, Literal(1)))
+        ArrayAggregate(t, Slice(t, Literal(1), Literal(0)),
+          LambdaFunction(If(Or(EqualNullSafe(Size(acc), Literal(0)),
+            better), CreateArray(Seq(x)), acc), Seq(acc, x)),
+          LambdaFunction(ElementAt(acc, Literal(1)), Seq(acc)))
+      }
+      def maybeKeyed(e: Seq[org.apache.spark.sql.catalyst.expressions
+          .Expression], takeLess: Boolean): org.apache.spark.sql
+          .catalyst.expressions.Expression = e match {
+        case Seq(arr) => if (takeLess) ArrayMin(arr) else ArrayMax(arr)
+        case Seq(lf: LambdaFunction, arr) =>
+          keyedReduce(lf, arr, takeLess)
+        case other => throw new IllegalArgumentException(
+          s"expected (array) or (lambda, array), got $other")
+      }
+      f("arrayMin")(maybeKeyed(_, takeLess = true))
+      f("arrayMax")(maybeKeyed(_, takeLess = false))
+      // hasSubstr(a, b): b appears as a CONTIGUOUS run inside a —
+      // exists over every start offset, window compared null-safely
+      f("hasSubstr") { e =>
+        val i = lv("hsi")
+        // a needle longer than the haystack can never match — and the
+        // guard also keeps Sequence from descending through start 0
+        If(org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          Size(e(1)), Size(e(0))), Literal(false),
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            org.apache.spark.sql.catalyst.expressions.ArrayExists(
+              org.apache.spark.sql.catalyst.expressions.Sequence(
+                Literal(1),
+                Add(org.apache.spark.sql.catalyst.expressions.Subtract(
+                  Size(e(0)), Size(e(1))), Literal(1)), None),
+              LambdaFunction(EqualNullSafe(
+                org.apache.spark.sql.catalyst.expressions.Slice(
+                  e(0), i, Size(e(1))), e(1)), Seq(i))),
+            Literal(false))))
+      }
+      f("arrayWithConstant")(e =>
+        org.apache.spark.sql.catalyst.expressions.ArrayRepeat(
+          e(1), Cast(e(0), org.apache.spark.sql.types.IntegerType)))
+      // CH range(): END-EXCLUSIVE (Spark's sequence is inclusive);
+      // positive literal steps only — the unambiguous core
+      f("range") { e =>
+        def stepOf: Long = e(2) match {
+          case Literal(v, _) if v != null =>
+            val s = v.toString.toDouble.toLong
+            require(s > 0, s"range step must be positive, got $s")
+            s
+          case other => throw new IllegalArgumentException(
+            s"range step must be a positive integer literal, got $other")
+        }
+        e.size match {
+          case 1 => org.apache.spark.sql.catalyst.expressions.Sequence(
+            Literal(0L), org.apache.spark.sql.catalyst.expressions
+              .Subtract(Cast(e(0), LongType), Literal(1L)),
+            None)
+          case 2 => org.apache.spark.sql.catalyst.expressions.Sequence(
+            Cast(e(0), LongType),
+            org.apache.spark.sql.catalyst.expressions.Subtract(
+              Cast(e(1), LongType), Literal(1L)), None)
+          case _ =>
+            val st = stepOf
+            org.apache.spark.sql.catalyst.expressions.Sequence(
+              Cast(e(0), LongType),
+              org.apache.spark.sql.catalyst.expressions.Subtract(
+                Cast(e(1), LongType), Literal(1L)),
+              Some(Literal(st)))
+        }
+      }
+      // typed empty-array constructors
+      Seq("emptyArrayInt64" -> LongType.asInstanceOf[org.apache.spark
+          .sql.types.DataType],
+        "emptyArrayInt32" -> org.apache.spark.sql.types.IntegerType,
+        "emptyArrayFloat64" -> DoubleType,
+        "emptyArrayString" -> StringType,
+        "emptyArrayDate" -> DateType).foreach { case (n, dt) =>
+        f(n)(_ => Literal.create(Seq.empty[Any],
+          org.apache.spark.sql.types.ArrayType(dt)))
+      }
       f("countEqual")(e => Cast(Size(ArrayFilter(e(0),
         LambdaFunction(EqualNullSafe(lv("v"), e(1)), Seq(lv("v"))))),
         LongType))

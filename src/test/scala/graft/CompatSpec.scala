@@ -1676,6 +1676,29 @@ class CompatSpec extends AnyFunSuite {
     assert(m.getSeq[Long](1) == Seq(220L, 30L))
   }
 
+  test("round-13: hasSubstr, keyed arrayMin/Max, range (end-exclusive)" +
+      ", arrayWithConstant, emptyArray constructors") {
+    val r = Compat.chSql(spark, """
+      SELECT hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS h1,
+        hasSubstr(array(1, 2, 3, 4), array(2, 4)) AS h2,
+        hasSubstr(array(1, 2), array(1, 2, 3)) AS h3,
+        arrayMin(x -> -x, array(1, 5, 3)) AS km,
+        arrayMax(x -> x % 3, array(4, 5, 6)) AS kx,
+        range(4) AS r1, range(2, 5) AS r2, range(0, 10, 3) AS r3,
+        arrayWithConstant(3, 'ab') AS awc,
+        size(emptyArrayInt64()) AS ez,
+        emptyArrayString() AS es
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getInt(3) == -5) // min of negated values
+    assert(r.getInt(4) == 2)  // max of mod-3 residues
+    assert(r.getSeq[Long](5) == Seq(0L, 1L, 2L, 3L))
+    assert(r.getSeq[Long](6) == Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](7) == Seq(0L, 3L, 6L, 9L))
+    assert(r.getSeq[String](8) == Seq("ab", "ab", "ab"))
+    assert(r.getInt(9) == 0 && r.getSeq[String](10).isEmpty)
+  }
+
   test("round-13: exponentialMovingAverage — 2^(-dt/hl)-weighted mean " +
       "anchored at the latest time") {
     // values (10,20,30) at t (0,60,120), hl=60: weights (1/4,1/2,1)
