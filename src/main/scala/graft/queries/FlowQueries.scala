@@ -1060,10 +1060,12 @@ object FlowQueries {
     }),
 
     // largestTriangleThreeBuckets — Steinarsson's downsampler per
-    // user series, stringified for the harness (the selection is
-    // order-global, so no SQL oracle exists: rows-only driver check;
-    // the algorithm itself is pinned to hand-computed and
-    // python-replayed goldens in CompatSpec).
+    // user series, stringified for the harness. The selection is
+    // sequential (each bucket's pick depends on the previous pick),
+    // so the DuckDB oracle replays it with a recursive CTE carrying
+    // the previous pick and a correlated LATERAL argmax per bucket;
+    // the algorithm is additionally pinned to hand-computed goldens
+    // in CompatSpec.
     "q_compat_lttb" -> ((s, d) => {
       graft.Tables.events(s, d).createOrReplaceTempView("ch_events_lt")
       graft.sql.Compat.chSql(s, """
@@ -1078,6 +1080,34 @@ object FlowQueries {
             CAST(event_id % 89 AS DOUBLE) AS v
           FROM ch_events_lt) tt
         GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    // exponentialTimeDecayed{Sum,Count,Max,Avg} in their windowed
+    // spelling, applied the house way: decay the per-(user, t) rollup
+    // series, not raw rows (pre-aggregation is the 100 TB shape — the
+    // window frame is bounded by distinct timestamps, not row count).
+    // RANGE frame so timestamp ties share a frame deterministically.
+    "q_compat_decayed" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_dk")
+      graft.sql.Compat.chSql(s, """
+        WITH srs AS (
+          SELECT user_id, CAST(event_id % 601 AS DOUBLE) AS t,
+            SUM(CAST(event_id % 89 AS DOUBLE)) AS sv,
+            MAX(CAST(event_id % 89 AS DOUBLE)) AS mv
+          FROM ch_events_dk GROUP BY user_id, event_id % 601)
+        SELECT user_id, t,
+          round(exponentialTimeDecayedSum(60.0)(sv, t) OVER w, 6)
+            AS dsum,
+          round(exponentialTimeDecayedCount(60.0)(t) OVER w, 6)
+            AS dcnt,
+          round(exponentialTimeDecayedMax(60.0)(mv, t) OVER w, 6)
+            AS dmax,
+          round(exponentialTimeDecayedAvg(60.0)(sv, t) OVER w, 6)
+            AS davg
+        FROM srs
+        WINDOW w AS (PARTITION BY user_id ORDER BY t
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, t""")
     }),
 
     // sequenceNextNode — the what-came-next clickstream aggregate in
@@ -2064,6 +2094,90 @@ object FlowQueries {
         |        * pi() / 360.0), 2))), 2) AS dist,
         |  su, n
         |FROM u ORDER BY user_id""".stripMargin,
+    // decayed-window replay: DuckDB can't reference the current row
+    // inside a window aggregate, so the frame fold replays as a
+    // self-join on the rollup series (i.t <= r.t = the RANGE frame)
+    "q_compat_decayed" ->
+      """WITH srs AS (
+        |  SELECT user_id, CAST(event_id % 601 AS DOUBLE) AS t,
+        |    SUM(CAST(event_id % 89 AS DOUBLE)) AS sv,
+        |    MAX(CAST(event_id % 89 AS DOUBLE)) AS mv
+        |  FROM events GROUP BY user_id, event_id % 601)
+        |SELECT r.user_id, r.t,
+        |  round(sum(i.sv * exp((i.t - r.t) / 60.0)), 6) AS dsum,
+        |  round(sum(exp((i.t - r.t) / 60.0)), 6) AS dcnt,
+        |  round(max(i.mv * exp((i.t - r.t) / 60.0)), 6) AS dmax,
+        |  round(sum(i.sv * exp((i.t - r.t) / 60.0))
+        |    / sum(exp((i.t - r.t) / 60.0)), 6) AS davg
+        |FROM srs r JOIN srs i
+        |  ON i.user_id = r.user_id AND i.t <= r.t
+        |GROUP BY r.user_id, r.t
+        |ORDER BY r.user_id, r.t""".stripMargin,
+    // LTTB replay: sort each user's series by (t, v), keep the first
+    // and last points, split the middle into 6 fractional buckets
+    // (every = (n-2)/6), then walk the buckets with a recursive CTE —
+    // each step picks the in-bucket point maximizing the triangle area
+    // with the PREVIOUS pick and the NEXT bucket's centroid, ties to
+    // the lowest index (area DESC, idx0 ASC), exactly mirroring the
+    // Scala eval loop in functions/LttbAgg.scala.
+    "q_compat_lttb" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id,
+        |    CAST(event_id % 601 AS DOUBLE) AS t,
+        |    CAST(event_id % 89 AS DOUBLE) AS v
+        |  FROM events),
+        |ord AS (
+        |  SELECT user_id, t, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, v) - 1
+        |      AS idx0,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM pts),
+        |big AS (SELECT * FROM ord WHERE n > 8),
+        |bkt AS (
+        |  SELECT g.user_id, g.n, r.i,
+        |    CAST(FLOOR(r.i * ((g.n - 2) / 6.0)) AS BIGINT) + 1 AS bs,
+        |    LEAST(CAST(FLOOR((r.i + 1) * ((g.n - 2) / 6.0)) AS BIGINT)
+        |      + 1, g.n - 1) AS be,
+        |    LEAST(CAST(FLOOR((r.i + 2) * ((g.n - 2) / 6.0)) AS BIGINT)
+        |      + 1, g.n) AS ne
+        |  FROM (SELECT DISTINCT user_id, n FROM big) g, range(0, 6) r(i)),
+        |cent AS (
+        |  SELECT b.user_id, b.i, b.bs, b.be,
+        |    sum(o.t) / GREATEST(b.ne - b.be, 1) AS cx,
+        |    sum(o.v) / GREATEST(b.ne - b.be, 1) AS cy
+        |  FROM bkt b JOIN big o
+        |    ON o.user_id = b.user_id AND o.idx0 >= b.be AND o.idx0 < b.ne
+        |  GROUP BY b.user_id, b.i, b.bs, b.be, b.ne),
+        |sel AS (
+        |  SELECT user_id, 0 AS step, idx0, t AS ax, v AS ay
+        |  FROM big WHERE idx0 = 0
+        |  UNION ALL
+        |  SELECT s.user_id, s.step + 1, c.pick_idx, c.px, c.py
+        |  FROM sel s, LATERAL (
+        |    SELECT o.idx0 AS pick_idx, o.t AS px, o.v AS py
+        |    FROM cent b JOIN big o
+        |      ON o.user_id = b.user_id
+        |      AND o.idx0 >= b.bs AND o.idx0 < b.be
+        |    WHERE b.user_id = s.user_id AND b.i = s.step
+        |    ORDER BY abs((s.ax - b.cx) * (o.v - s.ay)
+        |      - (s.ax - o.t) * (b.cy - s.ay)) DESC, o.idx0 ASC
+        |    LIMIT 1) c
+        |  WHERE s.step < 6),
+        |picked AS (
+        |  SELECT user_id, idx0, ax AS t, ay AS v FROM sel
+        |  UNION ALL
+        |  SELECT user_id, idx0, t, v FROM big WHERE idx0 = n - 1
+        |  UNION ALL
+        |  SELECT user_id, idx0, t, v FROM ord WHERE n <= 8)
+        |SELECT p.user_id,
+        |  string_agg(CAST(CAST(p.t AS BIGINT) AS VARCHAR) || ':' ||
+        |    CAST(CAST(p.v AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY p.idx0) AS pts,
+        |  any_value(o.n) AS n
+        |FROM picked p
+        |JOIN (SELECT DISTINCT user_id, n FROM ord) o USING (user_id)
+        |GROUP BY p.user_id
+        |ORDER BY p.user_id""".stripMargin,
     "q_compat_sparkbar" ->
       """WITH t AS (SELECT user_id,
         |    CAST(event_id % 601 AS DOUBLE) AS x,

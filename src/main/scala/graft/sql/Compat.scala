@@ -428,19 +428,21 @@ object Compat {
       "groupArraySample draws a reservoir sample with engine-internal " +
         "randomness; sample deterministically upstream (e.g. " +
         "ORDER BY hash(x) LIMIT n) instead"))
-    // the exponentialTimeDecayed window family needs a per-ROW decay
-    // anchor; a two-factor window rewrite (sum(v·e^(t/τ)) · e^(−t/τ))
-    // overflows double at epoch scale, so the honest translation is
-    // the aggregate EMA — refuse with the pointer instead of shipping
-    // a NaN factory
+    // the exponentialTimeDecayed family: the WINDOWED spelling
+    // `fn(τ)(v, t) OVER (w)` — the form CH dashboards actually use —
+    // is rewritten upstream (rewriteDecayed) to a per-row frame fold
+    // whose decay anchor stays inside the exponent, so it never
+    // reaches this registry. The BARE aggregate spelling depends on a
+    // block-order anchor a distributed engine cannot reproduce —
+    // refuse with the pointer instead of shipping a NaN factory.
     Seq("exponentialTimeDecayedSum", "exponentialTimeDecayedMax",
       "exponentialTimeDecayedCount", "exponentialTimeDecayedAvg")
       .foreach(n => f(n)(_ => throw new IllegalArgumentException(
-        s"$n is a per-row-anchored decayed window whose only " +
-          "window-function rewrite overflows double at epoch time " +
-          "scales; use exponentialMovingAverage(half_life)(v, t) for " +
-          "the group-level decayed mean, or window over pre-bucketed " +
-          "time")))
+        s"$n without OVER anchors the decay to block order, which a " +
+          "distributed engine cannot reproduce deterministically; " +
+          s"use the windowed spelling $n(tau)(...) OVER (PARTITION " +
+          "BY ... ORDER BY t), or exponentialMovingAverage" +
+          "(half_life)(v, t) for the group-level decayed mean")))
     // groupArrayMovingSum/Avg: CH's per-group running-sum/avg arrays,
     // optionally windowed via the parametric form name(W)(x) (the
     // parametric pass flattens to name(W, x)). Arrival order follows
@@ -2511,7 +2513,7 @@ object Compat {
 
   def translateCh(sql: String): String = {
     val base = rewriteMannWhitney(rewriteKolmogorov(rewriteEma(
-      translateCh0(sql))))
+      translateCh0(rewriteDecayed(sql)))))
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
       rewriteSample(rewriteArrayJoin(rewriteNumbers(rewriteAge(
         rewriteDateDiff(rewriteRunning(rewriteRankCorr(rewriteDeltaSum(
@@ -2832,6 +2834,101 @@ object Compat {
     * Bare spellings without OVER pass through and fail loudly in
     * Spark's parser (the house honest-refusal contract).
     */
+  /** CH's exponentialTimeDecayed window family in its windowed
+    * spelling `fn(τ)(args) OVER (w)` — Sum/Count/Max/Avg of
+    * e^(−(t_r−t_i)/τ)-weighted values over an explicit window, t_r
+    * the CURRENT row's time. The classic two-factor window rewrite
+    * (sum(v·e^(t/τ))·e^(−t_r/τ)) overflows double at epoch scale, so
+    * the translation collects the frame's (v, t) pairs per row
+    * (`collect_list(...) OVER w`) and folds them with the anchor kept
+    * INSIDE the exponent: every past-row term is e^((t_i−t_r)/τ) ≤ 1 —
+    * stable at any epoch, underflow (not overflow) in the far tail,
+    * which is the correct limit. Cost is O(frame) state per row, the
+    * same contract as CH's own windowed implementation; scope it to
+    * series-shaped partitions (the LTTB posture: decay the 60 s-grain
+    * rollup, never raw rows). The bare aggregate spelling without
+    * OVER keeps the honest block-order refusal in the registry.
+    * Ref: reference has no equivalent; CH docs
+    * exponentialTimeDecayedSum/Count/Max/Avg.
+    */
+  private def rewriteDecayed(sql: String): String = {
+    val head = java.util.regex.Pattern.compile(
+      "(?i)\\bexponentialTimeDecayed(Sum|Count|Max|Avg)\\s*\\(")
+    val m = head.matcher(sql)
+    if (!m.find()) return sql
+    val kind = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    def pass(at: Int) =
+      sql.substring(0, at) + rewriteDecayed(sql.substring(at))
+    splitTopLevelArgs(sql, m.end) match {
+      case Some((params, pClose)) if params.length == 1 =>
+        val argM = java.util.regex.Pattern.compile("^\\s*\\(")
+          .matcher(sql.substring(pClose + 1))
+        if (!argM.find()) return pass(pClose + 1)
+        splitTopLevelArgs(sql, pClose + 1 + argM.end) match {
+          case Some((args, aClose)) =>
+            // OVER (...) inline spec, or OVER w naming a WINDOW-clause
+            // definition — both Spark spellings survive the rewrite
+            val tailS = sql.substring(aClose + 1)
+            val overP = java.util.regex.Pattern
+              .compile("(?is)^\\s*OVER\\s*\\(").matcher(tailS)
+            val overN = java.util.regex.Pattern
+              .compile("(?is)^\\s*OVER\\s+([A-Za-z_][A-Za-z0-9_]*)")
+              .matcher(tailS)
+            val winAndClose: Option[(String, Int)] =
+              if (overP.find())
+                splitTopLevelArgs(sql, aClose + 1 + overP.end).map {
+                  case (winParts, wc) => (s"(${winParts.mkString(", ")})", wc)
+                }
+              else if (overN.find())
+                Some((overN.group(1), aClose + overN.end))
+              else None
+            if (winAndClose.isEmpty) return pass(aClose + 1)
+            winAndClose match {
+              case Some((win, wClose)) =>
+                val tau = s"CAST((${params.head}) AS DOUBLE)"
+                def d(e: String) = s"CAST(($e) AS DOUBLE)"
+                val repl: Option[String] = (kind, args) match {
+                  case ("count", Seq(t)) =>
+                    val anchor = d(t)
+                    Some(s"aggregate(collect_list(${d(t)}) OVER $win" +
+                      s", CAST(0.0 AS DOUBLE), (__dacc, __dt) -> " +
+                      s"__dacc + exp((__dt - $anchor) / $tau))")
+                  case (_, Seq(v, t)) =>
+                    val anchor = d(t)
+                    val lst = s"collect_list(named_struct(" +
+                      s"'v', ${d(v)}, 't', ${d(t)})) OVER $win"
+                    val w = s"exp((__dp.t - $anchor) / $tau)"
+                    kind match {
+                      case "sum" => Some(s"aggregate($lst, " +
+                        s"CAST(0.0 AS DOUBLE), (__dacc, __dp) -> " +
+                        s"__dacc + __dp.v * $w)")
+                      case "max" => Some(s"array_max(transform(" +
+                        s"$lst, __dp -> __dp.v * $w))")
+                      case "avg" => Some(s"aggregate($lst, " +
+                        s"named_struct('s', CAST(0.0 AS DOUBLE), " +
+                        s"'c', CAST(0.0 AS DOUBLE)), " +
+                        s"(__dacc, __dp) -> named_struct(" +
+                        s"'s', __dacc.s + __dp.v * $w, " +
+                        s"'c', __dacc.c + $w), " +
+                        s"__dacc -> __dacc.s / __dacc.c)")
+                      case _ => None
+                    }
+                  case _ => None
+                }
+                repl match {
+                  case Some(r) => sql.substring(0, m.start) + r +
+                    rewriteDecayed(sql.substring(wClose + 1))
+                  case None => pass(wClose + 1)
+                }
+              case None => sql
+            }
+          case None => sql
+        }
+      case Some((_, pClose)) => pass(pClose + 1)
+      case None => sql
+    }
+  }
+
   private def rewriteRunning(sql: String): String = {
     val renamed = sql
       .replaceAll("(?i)\\blagInFrame\\s*\\(", "lag(")

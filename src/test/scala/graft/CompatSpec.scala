@@ -1713,4 +1713,103 @@ class CompatSpec extends AnyFunSuite {
     // single observation: the EMA is the value itself
     assert(math.abs(r(1).getDouble(1) - 5.0) < 1e-12)
   }
+
+  test("round-14: exponentialTimeDecayed{Sum,Count,Max,Avg} OVER — " +
+      "hand-computed series, half-life identity, epoch stability, " +
+      "named windows, bare-spelling refusal") {
+    // τ=2, one series: (t,v) = (0,4),(1,2),(3,6); frame = RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW so row r sees all t_i <= t_r
+    // with weight e^((t_i-t_r)/2)
+    Seq((1L, 0.0, 4.0), (1L, 1.0, 2.0), (1L, 3.0, 6.0))
+      .toDF("g", "t", "v").createOrReplaceTempView("cx_dk")
+    val rows = Compat.chSql(spark, """
+      SELECT t,
+        exponentialTimeDecayedSum(2.0)(v, t) OVER w AS dsum,
+        exponentialTimeDecayedCount(2.0)(t) OVER w AS dcnt,
+        exponentialTimeDecayedMax(2.0)(v, t) OVER w AS dmax,
+        exponentialTimeDecayedAvg(2.0)(v, t) OVER w AS davg
+      FROM cx_dk
+      WINDOW w AS (PARTITION BY g ORDER BY t
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY t""").collect()
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // first row: frame = itself
+    assert(near(rows(0).getDouble(1), 4.0))
+    assert(near(rows(0).getDouble(2), 1.0))
+    assert(near(rows(0).getDouble(3), 4.0))
+    assert(near(rows(0).getDouble(4), 4.0))
+    // t=1: weights (e^-1/2, 1)
+    val w0 = math.exp(-0.5)
+    assert(near(rows(1).getDouble(1), 4 * w0 + 2))
+    assert(near(rows(1).getDouble(2), w0 + 1))
+    assert(near(rows(1).getDouble(3), 4 * w0)) // 4·e^-.5 ≈ 2.43 > 2
+    assert(near(rows(1).getDouble(4), (4 * w0 + 2) / (w0 + 1)))
+    // t=3: weights (e^-3/2, e^-1, 1)
+    val (wa, wb) = (math.exp(-1.5), math.exp(-1.0))
+    assert(near(rows(2).getDouble(1), 4 * wa + 2 * wb + 6))
+    assert(near(rows(2).getDouble(2), wa + wb + 1))
+    assert(near(rows(2).getDouble(3), 6.0))
+    assert(near(rows(2).getDouble(4),
+      (4 * wa + 2 * wb + 6) / (wa + wb + 1)))
+    // half-life identity: a point aged exactly τ·ln2 weighs 1/2
+    Seq((0.0, 1.0), (math.log(2.0), 0.0))
+      .toDF("t", "v").createOrReplaceTempView("cx_dk_hl")
+    val hl = Compat.chSql(spark, """
+      SELECT exponentialTimeDecayedSum(1.0)(v, t)
+        OVER (ORDER BY t) AS s
+      FROM cx_dk_hl ORDER BY t""").collect()
+    assert(near(hl(1).getDouble(0), 0.5))
+    // EPOCH STABILITY — the reason the two-factor rewrite was
+    // refused: e^(t/τ) at epoch seconds overflows double; the frame
+    // fold keeps the anchor inside the exponent so this is finite
+    Seq((1.7e9, 5.0), (1.7e9 + 60.0, 7.0))
+      .toDF("t", "v").createOrReplaceTempView("cx_dk_ep")
+    val ep = Compat.chSql(spark, """
+      SELECT exponentialTimeDecayedSum(60.0)(v, t)
+        OVER (ORDER BY t) AS s
+      FROM cx_dk_ep ORDER BY t""").collect()
+    assert(!ep(1).getDouble(0).isNaN && !ep(1).getDouble(0).isInfinite)
+    assert(near(ep(1).getDouble(0), 5 * math.exp(-1.0) + 7))
+    // timestamp ties share a RANGE frame: both t=0 rows see both
+    Seq((0.0, 1.0), (0.0, 2.0), (1.0, 3.0))
+      .toDF("t", "v").createOrReplaceTempView("cx_dk_tie")
+    val tie = Compat.chSql(spark, """
+      SELECT exponentialTimeDecayedSum(1.0)(v, t)
+        OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW) AS s
+      FROM cx_dk_tie ORDER BY t, v""").collect()
+    assert(near(tie(0).getDouble(0), 3.0))
+    assert(near(tie(1).getDouble(0), 3.0))
+    assert(near(tie(2).getDouble(0), 3 * math.exp(-1.0) + 3))
+    // bare spelling (no OVER): block-order refusal stands
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT exponentialTimeDecayedSum(2.0)(v, t) FROM cx_dk")
+        .collect()
+    }
+    assert(bad.getMessage.contains("OVER"))
+  }
+
+  test("round-14: coalescing gates are not vacuously green — " +
+      "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
+    // both gates coalesce NULL results to '' so every row stays
+    // hashable in the driver compare; if the interesting output were
+    // ever ALL empty the hash would still match a broken oracle, so
+    // pin that real data exercises the non-empty paths. sf0.01 — the
+    // driver's gate scale — because the strict view→click head match
+    // (vc_next) legitimately never fires in the sf0.001 series.
+    val sf = "/root/testdata/sf0.01"
+    val nn = graft.queries.FlowQueries.queries("q_compat_nextnode")(
+      spark, sf).cache()
+    try {
+      Seq("after_signup", "before_last_error", "vc_next").foreach { c =>
+        assert(nn.filter(col(c) =!= "").count() > 0,
+          s"q_compat_nextnode.$c is vacuously empty")
+      }
+    } finally nn.unpersist()
+    val a2 = graft.queries.FlowQueries.queries("q_compat_arrays2")(
+      spark, sf)
+    assert(a2.filter(col("sv") =!= "").count() > 0,
+      "q_compat_arrays2.sv is vacuously empty")
+  }
 }
