@@ -449,49 +449,177 @@ object ScaleBench {
         .withColumn("nrm",
           expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      quant.count()
+      val corpusN = quant.count()
       val k = 16 * factor
-      val seeds = quant.filter(col("vec_id") % 100000000L < 16)
-        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
-          col("nrm").as("snrm"))
-      val cent = quant.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("code"), explode(expr(
-          "transform(sequence(0, 3), m -> named_struct(" +
-            "'m', m, 'csub', slice(q, m * 16 + 1, 16)))")).as("e"))
-        .select(col("e.m").as("m"), col("code"), col("e.csub").as("csub"))
+      // PQ geometry: 16 subspaces × 4 dims × 256 codes = 128-bit
+      // codes (16 B/vector vs 256 B raw — 16× compression, the
+      // scan-from-codes economics hold at 100 TB). Round-14
+      // measurement on this corpus: 4×16 (16-bit) quantizes away 77%
+      // of vector energy — ADC recall@3 caps at ~7% however the
+      // codebook is trained; 8×256 reaches rerank-128 recall 0.97 at
+      // 1× but only 0.47 at 30×; 16×256 holds ≥0.90 at 30× with the
+      // k/4-probe rerank serve shape (driver replay, n=60k). This
+      // corpus is ADVERSARIAL for IVF — rotated/sign-flipped copies
+      // are near-isotropic, so coarse cells correlate weakly with
+      // cosine neighborhoods and the probe fraction must be generous;
+      // clustered real-world embeddings need far fewer probes.
+      val mSub = 16
+      val subDim = 64 / mSub
+      val nCodes = 256
+      def subExpr(src: String, field: String) =
+        s"transform(sequence(0, ${mSub - 1}), m -> named_struct(" +
+          s"'m', m, '$field', slice($src, m * $subDim + 1, $subDim)))"
       def dotAgg(a: String, b: String) =
         expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-      // 9a. index build: brute coarse assign at this k (the routed
-      //     O(N·B) variant is the semdedup section's measurement) +
-      //     per-subspace code argmin — what qv_ivfpq_incr does
-      //     per-batch, here over the whole corpus
-      val coarse = quant.crossJoin(broadcast(seeds))
-        .withColumn("dot_s", dotAgg("q", "sq"))
-        .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+      // 9-pre. TRAIN the index the way the SHIPPED index is built
+      //    (round-14: the previous arm seeded coarse cells from
+      //    16·factor sampled raw rows and took the first 16 rows'
+      //    subvectors as the PQ codebook — an UNTRAINED codebook whose
+      //    quantization noise swamped the ADC ranking and produced
+      //    recall@3 of 13–27% with nprobe-INVERTED curves: a quality
+      //    number for an index nobody ships — and, worse, the queries
+      //    were rows 0–9 of the same first-16 block, so what recall it
+      //    DID show was the codebook containing the queries). Here:
+      //    FAISS's train-then-add contract — Lloyd k-means on
+      //    deterministic hash samples (coarse: 1/8 of the corpus,
+      //    ~64 rows per cell; PQ: ~16 rows per code), centers FROZEN,
+      //    then the whole corpus encoded against them. Every Lloyd
+      //    update is distributed (sample × broadcast centers); only
+      //    the centroid arrays come to the driver per iteration —
+      //    metadata-scale by construction, annotated.
+      val sample = quant
+        .filter(pmod(xxhash64(col("vec_id")), lit(8)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSample = sample.count()
+      def centersDf(cs: Seq[(Int, Array[Long])]) =
+        spark.createDataFrame(cs.map { case (cid, a) =>
+          (cid, a.toSeq, a.map(v => v * v).sum) })
+          .toDF("cell_id", "sq", "snrm")
+      def pqDf(cs: Seq[((Int, Int), Array[Long])]) =
+        spark.createDataFrame(cs.map { case ((m, code), a) =>
+          (m, code, a.toSeq) }).toDF("m", "code", "csub")
+      var coarseC: Seq[(Int, Array[Long])] = null
+      var pqC: Seq[((Int, Int), Array[Long])] = null
+      val (_, trainSec) = timed {
+        // coarse init: k hash-spread sample rows (deterministic)
+        coarseC = sample
+          .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+          .select("q").collect().toSeq.zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Long](0).toArray }
+        (1 to 3).foreach { _ =>
+          val upd = sample.crossJoin(broadcast(centersDf(coarseC)))
+            .withColumn("dot_s", dotAgg("q", "sq"))
+            .withColumn("cd2",
+              col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
+              first(col("q")).as("q"))
+            .select(col("a.cell_id").as("cell_id"), col("q"))
+            .select(col("cell_id"),
+              posexplode(col("q")).as(Seq("pos", "c")))
+            .groupBy("cell_id", "pos")
+            .agg(expr("sum(c) div count(1)").as("cv"))
+            .collect()
+          val updated = upd.groupBy(_.getInt(0)).map { case (cid, rs) =>
+            val arr = new Array[Long](64)
+            rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            cid -> arr
+          }
+          // a cell that lost every member keeps its old center
+          coarseC = coarseC.map { case (cid, old) =>
+            cid -> updated.getOrElse(cid, old) }
+        }
+        // PQ codebook: per subspace m, nCodes codes over the training
+        // sample's subDim-dim subvectors — init hash-spread, Lloyd ×3.
+        // The PQ sample is sized to ~16 rows per code (independent of
+        // the coarse 1/8 sample: 256 codes need more rows per code
+        // than 16·factor cells do)
+        val pqP = math.max(1L, corpusN / (16L * nCodes))
+        val pqSample =
+          if (pqP <= 1) quant
+          else quant.filter(pmod(xxhash64(col("vec_id")), lit(pqP)) === 0)
+        val subsS = pqSample.select(col("vec_id"),
+            explode(expr(subExpr("q", "sub"))).as("e"))
+          .select(col("vec_id"), col("e.m").as("m"),
+            col("e.sub").as("sub"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pqC = subsS.withColumn("rn", row_number().over(
+            Window.partitionBy("m")
+              .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+          .filter(col("rn") <= nCodes)
+          .select("m", "rn", "sub").collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1) - 1) ->
+            r.getSeq[Long](2).toArray)
+        (1 to 3).foreach { _ =>
+          val upd = subsS.join(broadcast(pqDf(pqC)), "m")
+            .withColumn("d2", expr(
+              "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * " +
+                "(x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+            .groupBy("vec_id", "m")
+            .agg(min(struct(col("d2"), col("code"))).as("a"),
+              first(col("sub")).as("sub"))
+            .select(col("m"), col("a.code").as("code"),
+              posexplode(col("sub")).as(Seq("pos", "c")))
+            .groupBy("m", "code", "pos")
+            .agg(expr("sum(c) div count(1)").as("cv"))
+            .collect()
+          val updated = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (key, rs) =>
+              val arr = new Array[Long](subDim)
+              rs.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+              key -> arr
+            }
+          pqC = pqC.map { case (key, old) =>
+            key -> updated.getOrElse(key, old) }
+        }
+        subsS.unpersist(blocking = false)
+      }
+      sample.unpersist(blocking = false)
+      record(factor, "ivfpq_train", trainSec, nSample,
+        "cells" -> k.toString, "pq" -> s""""${mSub}x$nCodes"""")
+      val seeds = centersDf(coarseC)
+      val cent = pqDf(pqC)
+      // 9a. index build: coarse argmin + per-subspace code argmin —
+      //     what qv_ivfpq_incr does per-batch, here over the whole
+      //     corpus. BOTH argmins are per-row folds over BROADCAST
+      //     center arrays (array_min over transform), not joins: the
+      //     r13 join formulation blew each corpus row up k× (coarse)
+      //     and nCodes× (PQ) through a shuffle — 123M intermediate
+      //     rows and 14 GB of spill at 30× — where the fold is the
+      //     map-only O(N·k) pass a 1000-executor cluster wants.
+      val seedsArr = broadcast(seeds.agg(collect_list(
+        struct(col("cell_id"), col("sq"), col("snrm"))).as("cents")))
+      val centByM = broadcast(cent.groupBy("m").agg(
+        collect_list(struct(col("code"), col("csub"))).as("cbs")))
+      val coarseDists =
+        "transform(cents, c -> named_struct(" +
+          "'cd2', nrm + c.snrm - 2 * aggregate(" +
+          "zip_with(q, c.sq, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+          "(a2, v) -> a2 + v), 'cell_id', c.cell_id))"
+      val coarseMin = s"array_min($coarseDists)"
       var codes: DataFrame = null
-      val (nCodes, buildSec) = timed {
-        val assigned = coarse.groupBy("vec_id")
-          .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
-            first(col("q")).as("q"))
-          .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
+      val (nCodeRows, buildSec) = timed {
+        val assigned = quant.crossJoin(seedsArr)
+          .withColumn("a", expr(coarseMin))
+          .select(col("vec_id"), col("a.cell_id").as("cell_id"),
+            col("q"))
         val sub = assigned.select(col("vec_id"), col("cell_id"),
-          explode(expr("transform(sequence(0, 3), m -> named_struct(" +
-            "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
+          explode(expr(subExpr("q", "sub"))).as("e"))
           .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
             col("e.sub").as("sub"))
-        codes = sub.join(broadcast(cent), "m")
-          .withColumn("d2", expr(
-            "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
-              " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .groupBy("vec_id", "cell_id", "m")
-          .agg(min(struct(col("d2"), col("code"))).as("a"))
+        codes = sub.join(centByM, "m")
+          .withColumn("a", expr(
+            "array_min(transform(cbs, cc -> named_struct(" +
+              "'d2', aggregate(zip_with(sub, cc.csub, " +
+              "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), " +
+              "(a2, v) -> a2 + v), 'code', cc.code)))"))
           .select(col("vec_id"), col("cell_id"), col("m"),
             col("a.code").as("code"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
       }
-      record(factor, "ivfpq_index_build", buildSec, nCodes,
+      record(factor, "ivfpq_index_build", buildSec, nCodeRows,
         "cells" -> k.toString)
       // 9b. exact brute top-3 per query — the ground truth arm
       val qs = quant.filter(col("vec_id") < 10)
@@ -514,17 +642,22 @@ object ScaleBench {
         "queries" -> "10")
       // 9c. serve from CODES alone (coarse probe + broadcast LUT +
       //     ADC), recall@3 vs brute — at two nprobe points
-      val qcoarse = coarse.filter(col("vec_id") < 10)
+      val qcoarse = quant.filter(col("vec_id") < 10)
+        .crossJoin(seedsArr)
+        .select(col("vec_id"), explode(expr(coarseDists)).as("ce"))
+        .select(col("vec_id"), col("ce.cell_id").as("cell_id"),
+          col("ce.cd2").as("cd2"))
       val lutAll = quant.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), explode(expr(
-          "transform(sequence(0, 3), m -> named_struct(" +
-            "'m', m, 'qsub', slice(q, m * 16 + 1, 16)))")).as("e"))
+        .select(col("vec_id").as("q_id"),
+          explode(expr(subExpr("q", "qsub"))).as("e"))
         .select(col("q_id"), col("e.m").as("m"), col("e.qsub").as("qsub"))
         .join(broadcast(cent), "m")
         .withColumn("d2", expr(
           "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y))," +
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .select(col("q_id"), col("m"), col("code"), col("d2"))
+      val recallByProbe =
+        scala.collection.mutable.LinkedHashMap.empty[Int, Long]
       Seq(4, 32).foreach { nprobe =>
         val wp = Window.partitionBy("vec_id")
           .orderBy(asc("cd2"), asc("cell_id"))
@@ -550,18 +683,31 @@ object ScaleBench {
             .collect().head.getLong(0)
           r
         }
+        recallByProbe(nprobe) = recallBp
         record(factor, s"ivfpq_serve_np$nprobe", serveSec, 10L,
           "cells" -> k.toString, "nprobe" -> nprobe.toString,
           "recall_bp" -> recallBp.toString)
       }
-      // 9d. the production serve shape: ADC SHORTLIST (top-32) +
-      //     exact re-rank of the shortlist only — per query this
-      //     reads 32 raw vectors, not the corpus, and recovers the
-      //     recall a 4x16 codebook alone cannot (FAISS's
-      //     refine/rerank stage; the ADC-only arms above are the
-      //     honest lower bound)
-      Seq(32, 128).foreach { shortlist =>
-        val nprobe = 32
+      // quality invariant: more probes must not LOSE recall — an
+      // inverted curve means quantization noise is outranking true
+      // neighbors (the untrained-codebook failure mode this arm used
+      // to measure); surface it in the artifact, loudly
+      val mono = recallByProbe(32) >= recallByProbe(4)
+      if (!mono) System.err.println(
+        s"[scale] WARN ivfpq recall INVERTED in nprobe at ${factor}x: " +
+          s"np4=${recallByProbe(4)}bp np32=${recallByProbe(32)}bp")
+      record(factor, "ivfpq_recall_monotonic", 0.0,
+        if (mono) 1L else 0L,
+        "np4_bp" -> recallByProbe(4).toString,
+        "np32_bp" -> recallByProbe(32).toString)
+      // 9d. the production serve shape: probe k/4 cells (generous by
+      //     design — see the adversarial-corpus note above), take the
+      //     ADC shortlist, exact-rerank ONLY the shortlist (reads
+      //     ≤shortlist raw vectors per query, never the corpus —
+      //     FAISS's refine stage; the ADC-only arms above are the
+      //     honest lower bound). Documented default: shortlist 128.
+      Seq(32, 128, 256).foreach { shortlist =>
+        val nprobe = math.max(32, k / 4)
         val wp = Window.partitionBy("vec_id")
           .orderBy(asc("cd2"), asc("cell_id"))
         val probes = qcoarse
@@ -1015,10 +1161,13 @@ object ScaleBench {
     // curves. Entries for the (step, factor) pairs this run measured
     // replace their previous records; everything else is preserved.
     val path = java.nio.file.Paths.get("SCALE_RESULTS.json")
+    // whitespace-tolerant: artifact rows hand-repaired with pretty
+    // JSON ("step": "x") must key identically to tool-written rows
+    // ("step":"x") or a scoped merge silently duplicates them
     def keyOf(j: String): String = {
       def field(k: String): String =
-        ("\"" + k + "\":(\"[^\"]*\"|[^,}]*)").r
-          .findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+        ("\"" + k + "\"\\s*:\\s*(\"[^\"]*\"|[^,}]*)").r
+          .findFirstMatchIn(j).map(_.group(1).trim).getOrElse("")
       field("step") + "@" + field("factor")
     }
     val measured = out.map(keyOf).toSet
