@@ -1110,6 +1110,81 @@ object FlowQueries {
         ORDER BY user_id, t""")
     }),
 
+    // round-14 map HOF tier — the CH lambda-first map vocabulary over
+    // per-user scalar-built maps; output stringified through SORTED
+    // entries (Spark MapType iteration order is engine-internal, the
+    // sorted projection is the deterministic reading)
+    "q_compat_maps" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_mp")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_mp)
+        SELECT user_id,
+          concat_ws(',', transform(array_sort(map_entries(
+            mapFilter((k, v) -> v % 2 = 0,
+              map('a', user_id % 5, 'b', user_id % 3,
+                  'c', user_id % 7)))),
+            e -> concat(e.key, ':', CAST(e.value AS STRING)))) AS mf,
+          mapExists((k, v) -> v = 2,
+            map('a', user_id % 5, 'b', user_id % 3)) AS me,
+          mapAll((k, v) -> v < 3,
+            map('a', user_id % 5, 'b', user_id % 3)) AS ma,
+          concat_ws(',', transform(array_sort(map_entries(
+            mapApply((k, v) -> (k, v * 10 + 1),
+              map('a', user_id % 5, 'b', user_id % 3)))),
+            e -> concat(e.key, ':', CAST(e.value AS STRING)))) AS ap,
+          concat_ws(',', transform(array_sort(map_entries(
+            mapConcat(map('a', user_id % 5, 'b', user_id % 3),
+              map('b', 99, 'c', user_id % 7)))),
+            e -> concat(e.key, ':', CAST(e.value AS STRING)))) AS mc,
+          concat_ws(',', transform(array_sort(map_entries(
+            mapUpdate(map('a', user_id % 5, 'b', user_id % 3),
+              map('b', 99, 'c', user_id % 7)))),
+            e -> concat(e.key, ':', CAST(e.value AS STRING)))) AS mu
+        FROM u ORDER BY user_id""")
+    }),
+
+    // round-14 misc tier — date utilities, multiSearch, Lp norms,
+    // array enumerators, all on user_id-derived scalars so DuckDB
+    // replays every value in closed form
+    "q_compat_r14misc" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r14),
+        b AS (SELECT user_id,
+            concat('ev_', CAST(user_id % 7 AS STRING), '_tail') AS s,
+            array('_', CAST(user_id % 3 AS STRING), 'tail', 'zz')
+              AS needles,
+            CAST(timestamp_seconds(1709251200 + user_id * 37)
+              AS TIMESTAMP) AS ts,
+            array(CAST(user_id % 5 + 1 AS DOUBLE),
+              CAST(user_id % 7 + 1 AS DOUBLE),
+              -CAST(user_id % 3 + 1 AS DOUBLE)) AS v,
+            array(user_id % 3, user_id % 5, user_id % 3,
+              user_id % 7, user_id % 5) AS a
+          FROM u)
+        SELECT user_id,
+          concat_ws(',', multiSearchAllPositions(s, needles)) AS msa,
+          multiSearchFirstPosition(s, needles) AS msp,
+          multiSearchFirstIndex(s, needles) AS msi,
+          CAST(dateTrunc('month', ts) AS STRING) AS dtm,
+          CAST(dateTrunc('hour', ts) AS BIGINT) AS dth,
+          CAST(timeSlot(ts) AS BIGINT) AS slot,
+          concat_ws(',', transform(timeSlots(ts, 3700, 1800),
+            x -> CAST(CAST(x AS BIGINT) AS STRING))) AS slots,
+          CAST(toRelativeDayNum(ts) AS INT) AS rd,
+          toRelativeHourNum(ts) AS rh,
+          round(LpNorm(v, 3), 6) AS n3,
+          round(LpDistance(v, array(CAST(1.0 AS DOUBLE),
+            CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)), 2), 6) AS d2,
+          round(LinfNorm(v), 6) AS ninf,
+          round(normalizeL1(v)[0], 6) AS nl11,
+          round(normalizeL1(v)[1], 6) AS nl12,
+          round(normalizeL1(v)[2], 6) AS nl13,
+          concat_ws(',', arrayEnumerateDense(a)) AS ed,
+          concat_ws(',', arrayEnumerateUniq(a)) AS eu
+        FROM b ORDER BY user_id""")
+    }),
+
     // sequenceNextNode — the what-came-next clickstream aggregate in
     // three of its four (direction, base) modes; DuckDB replays with
     // list indexing over the identically tie-broken (ts, event_type)
@@ -2094,6 +2169,93 @@ object FlowQueries {
         |        * pi() / 360.0), 2))), 2) AS dist,
         |  su, n
         |FROM u ORDER BY user_id""".stripMargin,
+    // map-tier replay: the per-key closed forms in sorted key order
+    // (concat_ws skips the NULL CASE arms, matching the filtered map)
+    "q_compat_maps" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT user_id,
+        |  concat_ws(',',
+        |    CASE WHEN (user_id % 5) % 2 = 0
+        |      THEN 'a:' || CAST(user_id % 5 AS VARCHAR) END,
+        |    CASE WHEN (user_id % 3) % 2 = 0
+        |      THEN 'b:' || CAST(user_id % 3 AS VARCHAR) END,
+        |    CASE WHEN (user_id % 7) % 2 = 0
+        |      THEN 'c:' || CAST(user_id % 7 AS VARCHAR) END) AS mf,
+        |  (user_id % 5 = 2 OR user_id % 3 = 2) AS me,
+        |  (user_id % 5 < 3 AND user_id % 3 < 3) AS ma,
+        |  'a:' || CAST(user_id % 5 * 10 + 1 AS VARCHAR) ||
+        |    ',b:' || CAST(user_id % 3 * 10 + 1 AS VARCHAR) AS ap,
+        |  'a:' || CAST(user_id % 5 AS VARCHAR) ||
+        |    ',b:' || CAST(user_id % 3 AS VARCHAR) ||
+        |    ',c:' || CAST(user_id % 7 AS VARCHAR) AS mc,
+        |  'a:' || CAST(user_id % 5 AS VARCHAR) || ',b:99,c:' ||
+        |    CAST(user_id % 7 AS VARCHAR) AS mu
+        |FROM u ORDER BY user_id""".stripMargin,
+    // r14 misc replay: strpos gives the multiSearch positions, epoch
+    // arithmetic the date utilities, closed-form algebra the Lp and
+    // enumerator columns (a = [x,y,x,z,y] with x=u%3, y=u%5, z=u%7)
+    "q_compat_r14misc" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    'ev_' || CAST(user_id % 7 AS VARCHAR) || '_tail' AS s,
+        |    1709251200 + user_id * 37 AS t,
+        |    CAST(user_id % 5 + 1 AS DOUBLE) AS v1,
+        |    CAST(user_id % 7 + 1 AS DOUBLE) AS v2,
+        |    CAST(user_id % 3 + 1 AS DOUBLE) AS v3m,
+        |    user_id % 3 AS x, user_id % 5 AS y, user_id % 7 AS z
+        |  FROM u),
+        |p AS (SELECT *,
+        |    strpos(s, '_') AS p1,
+        |    strpos(s, CAST(user_id % 3 AS VARCHAR)) AS p2,
+        |    strpos(s, 'tail') AS p3,
+        |    strpos(s, 'zz') AS p4,
+        |    v1 + v2 + v3m AS l1
+        |  FROM b),
+        |q AS (SELECT *,
+        |    coalesce(least(nullif(p1, 0), nullif(p2, 0),
+        |      nullif(p3, 0), nullif(p4, 0)), 0) AS m
+        |  FROM p)
+        |SELECT user_id,
+        |  CAST(p1 AS VARCHAR) || ',' || CAST(p2 AS VARCHAR) || ',' ||
+        |    CAST(p3 AS VARCHAR) || ',' || CAST(p4 AS VARCHAR) AS msa,
+        |  CAST(m AS BIGINT) AS msp,
+        |  CAST(CASE WHEN m = 0 THEN 0 WHEN p1 = m THEN 1
+        |    WHEN p2 = m THEN 2 WHEN p3 = m THEN 3 ELSE 4 END
+        |    AS BIGINT) AS msi,
+        |  CAST(CAST(date_trunc('month', epoch_ms(t * 1000)) AS DATE)
+        |    AS VARCHAR) AS dtm,
+        |  epoch(date_trunc('hour', epoch_ms(t * 1000))) AS dth,
+        |  (t // 1800) * 1800 AS slot,
+        |  array_to_string(list_transform(
+        |    generate_series(t // 1800, (t + 3700) // 1800),
+        |    s2 -> CAST(s2 * 1800 AS VARCHAR)), ',') AS slots,
+        |  CAST(t // 86400 AS INT) AS rd,
+        |  t // 3600 AS rh,
+        |  round(pow(pow(v1, 3) + pow(v2, 3) + pow(v3m, 3),
+        |    1.0 / 3), 6) AS n3,
+        |  round(sqrt(pow(v1 - 1, 2) + pow(v2 - 2, 2)
+        |    + pow(-v3m - 3, 2)), 6) AS d2,
+        |  round(greatest(v1, v2, v3m), 6) AS ninf,
+        |  round(v1 / l1, 6) AS nl11,
+        |  round(v2 / l1, 6) AS nl12,
+        |  round(-v3m / l1, 6) AS nl13,
+        |  '1,' ||
+        |    CAST(CASE WHEN y = x THEN 1 ELSE 2 END AS VARCHAR) ||
+        |    ',1,' ||
+        |    CAST(CASE WHEN z = x THEN 1 WHEN z = y THEN 2
+        |      WHEN y = x THEN 2 ELSE 3 END AS VARCHAR) || ',' ||
+        |    CAST(CASE WHEN y = x THEN 1 ELSE 2 END AS VARCHAR) AS ed,
+        |  '1,' ||
+        |    CAST(CASE WHEN y = x THEN 2 ELSE 1 END AS VARCHAR) ||
+        |    ',' ||
+        |    CAST(CASE WHEN y = x THEN 3 ELSE 2 END AS VARCHAR) ||
+        |    ',' ||
+        |    CAST(1 + 2 * CASE WHEN x = z THEN 1 ELSE 0 END
+        |      + CASE WHEN y = z THEN 1 ELSE 0 END AS VARCHAR) ||
+        |    ',' ||
+        |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
+        |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
+        |FROM q ORDER BY user_id""".stripMargin,
     // decayed-window replay: DuckDB can't reference the current row
     // inside a window aggregate, so the frame fold replays as a
     // self-join on the rollup series (i.t <= r.t = the RANGE frame)

@@ -2054,6 +2054,224 @@ object Compat {
         f(s"${fast}ExtractRaw")(rawE(_, s"${fast}ExtractRaw"))
       }
     }
+
+    // ---- round 14 widening: dates, maps, multiSearch, Lp, enumerate ----
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Expression, IntegralDivide, LambdaFunction, MapFilter,
+        MapFromEntries, MapKeys, MapValues, Multiply, Size, ZipWith}
+      // parse-and-substitute: compositions too verbose to build by
+      // hand are written as Spark SQL text with __-prefixed
+      // placeholders replaced by the caller's parsed argument trees.
+      // Lambda variables inside the text bind during analysis, so
+      // they can never collide with the placeholders.
+      def fromSql(text: String, subs: (String, Expression)*): Expression = {
+        val m = subs.toMap
+        // the parser rewrites every identifier INSIDE a lambda body to
+        // UnresolvedNamedLambdaVariable — placeholders there need the
+        // second case (real lambda variables never carry the __ prefix
+        // with a substitution entry, so they pass through untouched)
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(text).transformUp {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute if a.nameParts.size == 1 &&
+                m.contains(a.nameParts.head) => m(a.nameParts.head)
+            case v: org.apache.spark.sql.catalyst.expressions
+              .UnresolvedNamedLambdaVariable if v.nameParts.size == 1 &&
+                m.contains(v.nameParts.head) => m(v.nameParts.head)
+          }
+      }
+
+      // dateTrunc — literal unit; CH returns Date for day-or-coarser
+      // units and DateTime below that
+      f("dateTrunc") { e =>
+        val unit = e.head match {
+          case Literal(u: UTF8String, StringType) =>
+            u.toString.toLowerCase(java.util.Locale.ROOT)
+          case other => throw new IllegalArgumentException(
+            s"dateTrunc unit must be a literal string, got $other")
+        }
+        val coarse = Seq("year", "quarter", "month", "week", "day")
+        val fine = Seq("hour", "minute", "second")
+        require(coarse.contains(unit) || fine.contains(unit),
+          s"dateTrunc: unsupported unit '$unit'")
+        val tr = TruncTimestamp(Literal(unit), Cast(e(1), TimestampType))
+        if (coarse.contains(unit)) Cast(tr, DateType) else tr
+      }
+      // timeSlot / timeSlots — CH's 1800 s rounding and the covering
+      // slot array [floor(t/sz)·sz .. floor((t+dur)/sz)·sz]
+      def epochFloor(ts: Expression, seconds: Expression): Expression =
+        Cast(Multiply(IntegralDivide(
+          Cast(Cast(ts, TimestampType), LongType), seconds), seconds),
+          TimestampType)
+      f("timeSlot")(e => epochFloor(e.head, Literal(1800L)))
+      f("timeSlots") { e =>
+        val size = if (e.length >= 3) Cast(e(2), LongType)
+          else Literal(1800L)
+        fromSql(
+          "transform(sequence(CAST(__ts AS BIGINT) div __sz, " +
+            "(CAST(__ts AS BIGINT) + CAST(__dur AS BIGINT)) div __sz), " +
+            "__slot -> CAST(__slot * __sz AS TIMESTAMP))",
+          "__ts" -> Cast(e.head, TimestampType),
+          "__dur" -> e(1), "__sz" -> size)
+      }
+      // toRelative*Num — whole units since the 1970 epoch
+      f("toRelativeDayNum")(e =>
+        fromSql("datediff(__d, DATE'1970-01-01')",
+          "__d" -> Cast(e.head, DateType)))
+      f("toRelativeHourNum")(e => IntegralDivide(
+        Cast(Cast(e.head, TimestampType), LongType), Literal(3600L)))
+      f("toRelativeMinuteNum")(e => IntegralDivide(
+        Cast(Cast(e.head, TimestampType), LongType), Literal(60L)))
+      f("toRelativeSecondNum")(e =>
+        Cast(Cast(e.head, TimestampType), LongType))
+
+      // map HOFs — CH spells the lambda FIRST; Spark maps are
+      // unordered so the sort spellings refuse instead of shipping an
+      // order nothing downstream can observe
+      def lambdaFirst(name: String, e: Seq[Expression])
+          : (LambdaFunction, Expression) = e match {
+        case Seq(lf: LambdaFunction, m) => (lf, m)
+        case _ => throw new IllegalArgumentException(
+          s"$name takes ((k, v) -> ..., map)")
+      }
+      // the analyzer demands a HigherOrderFunction at the ROOT of any
+      // registry function that received a lambda argument — non-HOF
+      // compositions ride inside a passthrough aggregate over an
+      // empty array (zero = the whole expression, merge never runs)
+      def hofRoot(x: Expression): Expression = {
+        import org.apache.spark.sql.catalyst.expressions.{
+          ArrayAggregate, UnresolvedNamedLambdaVariable}
+        val acc = UnresolvedNamedLambdaVariable(Seq("__hr_acc"))
+        val it = UnresolvedNamedLambdaVariable(Seq("__hr_it"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__hr_fin"))
+        ArrayAggregate(
+          Literal.create(Array.empty[Int],
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)),
+          x, LambdaFunction(acc, Seq(acc, it)),
+          LambdaFunction(fin, Seq(fin)))
+      }
+      f("mapFilter") { e =>
+        val (lf, m) = lambdaFirst("mapFilter", e)
+        MapFilter(m, lf)
+      }
+      f("mapExists") { e =>
+        val (lf, m) = lambdaFirst("mapExists", e)
+        hofRoot(org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          Size(MapFilter(m, lf)), Literal(0)))
+      }
+      f("mapAll") { e =>
+        val (lf, m) = lambdaFirst("mapAll", e)
+        hofRoot(EqualTo(Size(MapFilter(m,
+          LambdaFunction(org.apache.spark.sql.catalyst.expressions
+            .Not(lf.function), lf.arguments))), Literal(0)))
+      }
+      // mapApply((k, v) -> (k2, v2), m): the tuple body becomes the
+      // (key, value) struct of a zip_with over keys/values — the
+      // user's own lambda variables bind unchanged
+      f("mapApply") { e =>
+        val (lf, m) = lambdaFirst("mapApply", e)
+        val body = lf.function match {
+          case ns: org.apache.spark.sql.catalyst.expressions
+            .CreateNamedStruct if ns.valExprs.size == 2 => ns.valExprs
+          case other => throw new IllegalArgumentException(
+            "mapApply lambda must return a (key, value) tuple, got " +
+              other.getClass.getSimpleName)
+        }
+        hofRoot(MapFromEntries(ZipWith(MapKeys(m), MapValues(m),
+          LambdaFunction(org.apache.spark.sql.catalyst.expressions
+            .CreateStruct(body), lf.arguments))))
+      }
+      // mapConcat: FIRST key wins (CH's contract); mapUpdate: the
+      // SECOND map's entries override the first's
+      def mapPairFirstWins(a: Expression, b: Expression): Expression =
+        fromSql(
+          "map_from_entries(concat(map_entries(__a), " +
+            "filter(map_entries(__b), " +
+            "__e -> NOT array_contains(map_keys(__a), __e.key))))",
+          "__a" -> a, "__b" -> b)
+      f("mapConcat")(e => e.reduceLeft(mapPairFirstWins))
+      f("mapUpdate") { e =>
+        require(e.length == 2, "mapUpdate takes (map, map)")
+        mapPairFirstWins(e(1), e(0))
+      }
+      Seq("mapSort", "mapPartialSort").foreach(n =>
+        f(n)(_ => throw new IllegalArgumentException(
+          s"$n orders a map's entries, but Spark's MapType is " +
+            "unordered — no downstream operator could observe the " +
+            "order; sort map_entries(m) as an array instead")))
+
+      // multiSearch family — leftmost match position across needles;
+      // FirstIndex ties (equal position) break to the lowest needle
+      // index via the struct min
+      f("multiSearchAllPositions")(e => fromSql(
+        "transform(__n, __x -> CAST(locate(__x, __h) AS BIGINT))",
+        "__h" -> e.head, "__n" -> e(1)))
+      f("multiSearchFirstPosition")(e => fromSql(
+        "CAST(coalesce(array_min(filter(transform(__n, " +
+          "__x -> locate(__x, __h)), __p -> __p > 0)), 0) AS BIGINT)",
+        "__h" -> e.head, "__n" -> e(1)))
+      f("multiSearchFirstIndex")(e => fromSql(
+        "CAST(coalesce(array_min(filter(zip_with(transform(__n, " +
+          "__x -> locate(__x, __h)), sequence(1, size(__n)), " +
+          "(__p, __i) -> named_struct('p', __p, 'i', __i)), " +
+          "__s -> __s.p > 0)).i, 0) AS BIGINT)",
+        "__h" -> e.head, "__n" -> e(1)))
+
+      // Lp norm/distance family (p a literal >= 1) + the normalize-by
+      // spellings, composed exactly like the L1/L2 natives
+      def litP(x: Expression): Double = x match {
+        case Literal(d: Double, DoubleType) => d
+        case Literal(i: Int, IntegerType) => i.toDouble
+        case Literal(l: Long, LongType) => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"p must be a literal number, got $other")
+      }
+      def lpNorm(v: Expression, p: Double): Expression = {
+        require(p >= 1, "LpNorm requires p >= 1")
+        fromSql(
+          s"pow(aggregate(__v, CAST(0.0 AS DOUBLE), (__acc, __x) -> " +
+            s"__acc + pow(abs(CAST(__x AS DOUBLE)), $p)), ${1.0 / p})",
+          "__v" -> v)
+      }
+      f("LpNorm")(e => lpNorm(e.head, litP(e(1))))
+      f("LpDistance")(e => lpNorm(fromSql(
+        "zip_with(__a, __b, (__x, __y) -> CAST(__x AS DOUBLE) - " +
+          "CAST(__y AS DOUBLE))", "__a" -> e.head, "__b" -> e(1)),
+        litP(e(2))))
+      f("LinfNorm")(e => fromSql(
+        "array_max(transform(__v, __x -> abs(CAST(__x AS DOUBLE))))",
+        "__v" -> e.head))
+      f("LinfDistance")(e => fromSql(
+        "array_max(transform(zip_with(__a, __b, (__x, __y) -> " +
+          "abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), __d -> __d))",
+        "__a" -> e.head, "__b" -> e(1)))
+      def normalizeBy(v: Expression, norm: Expression): Expression =
+        fromSql("transform(__v, __x -> CAST(__x AS DOUBLE) / __nm)",
+          "__v" -> v, "__nm" -> norm)
+      f("normalizeL1")(e => normalizeBy(e.head, fromSql(
+        "aggregate(__v, CAST(0.0 AS DOUBLE), (__acc, __x) -> " +
+          "__acc + abs(CAST(__x AS DOUBLE)))", "__v" -> e.head)))
+      f("normalizeLinf")(e => normalizeBy(e.head, fromSql(
+        "array_max(transform(__v, __x -> abs(CAST(__x AS DOUBLE))))",
+        "__v" -> e.head)))
+      f("normalizeLp") { e =>
+        normalizeBy(e.head, lpNorm(e.head, litP(e(1))))
+      }
+
+      // array enumerators — dense = 1-based id by first appearance
+      // (array_distinct preserves first-occurrence order), uniq = the
+      // running per-value occurrence counter
+      f("arrayEnumerateDense")(e => fromSql(
+        "transform(__a, __v -> CAST(array_position(array_distinct(__a)," +
+          " __v) AS INT))", "__a" -> e.head))
+      f("arrayEnumerateUniq")(e => fromSql(
+        "CASE WHEN size(__a) = 0 THEN array_repeat(CAST(0 AS INT), 0) " +
+          "ELSE zip_with(__a, sequence(1, size(__a)), (__v, __i) -> " +
+          "CAST(size(filter(slice(__a, 1, __i), __u -> __u <=> __v)) " +
+          "AS INT)) END", "__a" -> e.head))
+    }
   }
 
   /** ClickHouse SYNTAX shim: the dialect differences that are not a

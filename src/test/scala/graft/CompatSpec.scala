@@ -1790,6 +1790,128 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("OVER"))
   }
 
+  test("round-14: date utility batch — dateTrunc, timeSlot(s), " +
+      "toRelative*Num") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        dateTrunc('month', TIMESTAMP'2024-03-17 10:17:42') AS dm,
+        dateTrunc('hour', TIMESTAMP'2024-03-17 10:17:42') AS dh,
+        timeSlot(TIMESTAMP'2024-03-17 10:17:42') AS slot,
+        timeSlots(TIMESTAMP'2024-03-17 10:17:00', 1200) AS slots,
+        timeSlots(TIMESTAMP'2024-03-17 10:17:00', 600, 600) AS slots6,
+        toRelativeDayNum(DATE'1970-01-02') AS rd,
+        toRelativeHourNum(TIMESTAMP'1970-01-01 02:30:00') AS rh,
+        toRelativeMinuteNum(TIMESTAMP'1970-01-01 00:02:30') AS rm,
+        toRelativeSecondNum(TIMESTAMP'1970-01-01 00:00:42') AS rs
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getDate(0).toString == "2024-03-01")
+    assert(r.getTimestamp(1).toString == "2024-03-17 10:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-03-17 10:00:00.0")
+    assert(r.getSeq[java.sql.Timestamp](3).map(_.toString) ==
+      Seq("2024-03-17 10:00:00.0", "2024-03-17 10:30:00.0"))
+    assert(r.getSeq[java.sql.Timestamp](4).map(_.toString) ==
+      Seq("2024-03-17 10:10:00.0", "2024-03-17 10:20:00.0"))
+    assert(r.getInt(5) == 1)
+    assert(r.getLong(6) == 2L)
+    assert(r.getLong(7) == 2L)
+    assert(r.getLong(8) == 42L)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT dateTrunc('fortnight', now()) AS x").collect()
+    }
+    assert(bad.getMessage.contains("unsupported unit"))
+  }
+
+  test("round-14: map HOF batch — filter/exists/all/apply/concat/" +
+      "update + the unordered-map sort refusal") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2, 'c', 3)) AS mf,
+        mapExists((k, v) -> v = 3, map('a', 1, 'c', 3)) AS me,
+        mapExists((k, v) -> v = 9, map('a', 1, 'c', 3)) AS me0,
+        mapAll((k, v) -> v > 0, map('a', 1, 'c', 3)) AS ma,
+        mapAll((k, v) -> v > 1, map('a', 1, 'c', 3)) AS ma0,
+        mapApply((k, v) -> (k, v * 2), map('a', 1, 'b', 2)) AS map2,
+        mapConcat(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mc,
+        mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getMap[String, Int](0).toMap == Map("b" -> 2, "c" -> 3))
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getMap[String, Int](5).toMap == Map("a" -> 2, "b" -> 4))
+    // mapConcat: FIRST occurrence of 'b' wins (CH contract)
+    assert(r.getMap[String, Int](6).toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 3))
+    // mapUpdate: the SECOND map overrides
+    assert(r.getMap[String, Int](7).toMap ==
+      Map("a" -> 1, "b" -> 9, "c" -> 3))
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT mapSort(map('a', 1)) AS x").collect()
+    }
+    assert(bad.getMessage.contains("unordered"))
+  }
+
+  test("round-14: multiSearch family — leftmost position, needle " +
+      "index ties, absent-needle zeros") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        multiSearchAllPositions('hello world', array('lo', 'xx', 'wor'))
+          AS ap,
+        multiSearchFirstPosition('hello world', array('lo', 'wor')) AS fp,
+        multiSearchFirstPosition('hello', array('xx', 'yy')) AS fp0,
+        multiSearchFirstIndex('hello world', array('lo', 'wor')) AS fi,
+        multiSearchFirstIndex('hello', array('l', 'he')) AS fitie,
+        multiSearchFirstIndex('hello', array('xx')) AS fi0
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[Long](0) == Seq(4L, 0L, 7L))
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 1L)
+    // 'he' matches at position 1, 'l' at 3 -> the LEFTMOST match wins
+    // even though 'l' comes first in the needle list
+    assert(r.getLong(4) == 2L)
+    assert(r.getLong(5) == 0L)
+  }
+
+  test("round-14: Lp norm/distance + normalize family — textbook " +
+      "3-4-5 anchors") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        LpNorm(array(3.0, 4.0), 2) AS n2,
+        LpNorm(array(1.0, -1.0, 1.0), 1) AS n1,
+        LpDistance(array(0.0, 0.0), array(3.0, 4.0), 2) AS d2,
+        LinfNorm(array(-7.0, 5.0)) AS ninf,
+        LinfDistance(array(1.0, 2.0), array(4.0, -2.0)) AS dinf,
+        normalizeL1(array(2.0, -2.0)) AS nl1,
+        normalizeLinf(array(2.0, -4.0)) AS nli,
+        normalizeLp(array(3.0, 4.0), 2) AS nlp
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-12)
+    assert(r.getSeq[Double](5) == Seq(0.5, -0.5))
+    assert(r.getSeq[Double](6) == Seq(0.5, -1.0))
+    assert(r.getSeq[Double](7).zip(Seq(0.6, 0.8))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("round-14: arrayEnumerateDense/Uniq — first-appearance ids " +
+      "and running occurrence counters") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        arrayEnumerateDense(array(10, 20, 10, 30)) AS d,
+        arrayEnumerateUniq(array(10, 20, 10, 10)) AS u,
+        arrayEnumerateDense(array_repeat(1, 0)) AS de,
+        arrayEnumerateUniq(array_repeat(1, 0)) AS ue
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 1, 3))
+    assert(r.getSeq[Int](1) == Seq(1, 1, 2, 3))
+    assert(r.getSeq[Int](2).isEmpty && r.getSeq[Int](3).isEmpty)
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
