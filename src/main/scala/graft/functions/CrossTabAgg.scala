@@ -102,6 +102,39 @@ case class CrossTabAgg(x: Expression, y: Expression, kind: String,
     val c = colCnt.size.toDouble
     if (n < 2 || r < 2 || c < 2) return 0.0
     val nd = n.toDouble
+    if (kind == "infoValue") {
+      // categoricalInformationValue(category, tag) — weight-of-
+      // evidence information value of the FIRST column against the
+      // binary tag in the second: IV = Σ_cat (g/G − b/B)·ln((g/G)/
+      // (b/B)) with g = tag≠0 count, b = tag=0 count in the category.
+      // Zero cells contribute nothing (the ±∞ WoE convention is
+      // capped out, documented deviation from CH's raw ln).
+      def isZero(v: Any): Boolean = v match {
+        case l: Long   => l == 0L
+        case s: String => s == "0" || s.isEmpty
+        case other     => other == null
+      }
+      val goods = colCnt.filterNot { case (k, _) => isZero(k) }
+        .values.sum.toDouble
+      val bads = colCnt.filter { case (k, _) => isZero(k) }
+        .values.sum.toDouble
+      if (goods == 0.0 || bads == 0.0) return 0.0
+      var iv = 0.0
+      rowCnt.keys.foreach { cat =>
+        var g = 0L
+        var b = 0L
+        buf.foreach { case ((a, t), cnt) if a == cat =>
+          if (isZero(t)) b += cnt else g += cnt
+        case _ => ()
+        }
+        if (g > 0 && b > 0) {
+          val pg = g / goods
+          val pb = b / bads
+          iv += (pg - pb) * math.log(pg / pb)
+        }
+      }
+      return iv
+    }
     if (kind == "theilsU") {
       // Theil's uncertainty coefficient U(x|y) — how much knowing y
       // reduces the entropy of x, normalized: (H(x) − H(x|y)) / H(x),
@@ -188,5 +221,6 @@ case class CrossTabAgg(x: Expression, y: Expression, kind: String,
 
 object CrossTabAgg {
   val Kinds: Set[String] =
-    Set("cramersV", "cramersVBiasCorrected", "contingency", "theilsU")
+    Set("cramersV", "cramersVBiasCorrected", "contingency", "theilsU",
+      "infoValue")
 }

@@ -135,6 +135,62 @@ object StatDist {
       }
     math.min(1.0, math.max(0.0, q))
   }
+
+  /** Regularized incomplete beta I_x(a, b) — Lentz continued fraction
+    * with the symmetry switch at x = (a+1)/(a+b+2), the same
+    * numerical-recipes-style construction as gammaQ above. Backs the
+    * F-distribution tail of `analysisOfVariance`:
+    * P(F > f; d1, d2) = I_{d2/(d2 + d1 f)}(d2/2, d1/2). */
+  def betaI(a: Double, b: Double, x: Double): Double = {
+    if (a.isNaN || b.isNaN || x.isNaN || x < 0 || x > 1) return Double.NaN
+    if (x == 0.0) return 0.0
+    if (x == 1.0) return 1.0
+    val lbeta = StudentTPValue.lnGamma(a + b) -
+      StudentTPValue.lnGamma(a) - StudentTPValue.lnGamma(b)
+    val front = math.exp(lbeta + a * math.log(x) +
+      b * math.log(1.0 - x))
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+    else 1.0 - math.exp(lbeta + b * math.log(1.0 - x) +
+      a * math.log(x)) * betacf(b, a, 1.0 - x) / b
+  }
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val tiny = 1e-300
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < tiny) d = tiny
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < 1e-15) m = 301 else m += 1
+    }
+    h
+  }
+
+  /** F-distribution survival P(F > f) for (d1, d2) degrees of freedom. */
+  def fUpper(f: Double, d1: Double, d2: Double): Double =
+    if (f.isNaN || f < 0 || d1 <= 0 || d2 <= 0) Double.NaN
+    else betaI(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
 }
 
 /** P(Z > z) — emitted by the Mann–Whitney rewriter and the `meanZTest`

@@ -1185,6 +1185,46 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-14 stats/strings tier: one-way ANOVA F per user (p-value
+    // is incomplete-beta territory — pinned in CompatSpec, not
+    // replayable in SQL), WoE information value, 4-gram similarity,
+    // splitters, and ROC AUC, every gated column in DuckDB-closed form
+    "q_compat_r14stats" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14s")
+      graft.sql.Compat.chSql(s, """
+        WITH agg AS (
+          SELECT user_id,
+            analysisOfVariance(CAST(event_id % 89 AS DOUBLE),
+              event_type) AS an,
+            categoricalInformationValue(event_type,
+              CAST(event_id % 2 AS INT)) AS iv
+          FROM ch_events_r14s GROUP BY user_id),
+        scal AS (
+          SELECT user_id,
+            concat('event_', CAST(user_id % 7 AS STRING), '_str')
+              AS s1,
+            concat('event_', CAST(user_id % 5 AS STRING), '_txt')
+              AS s2,
+            array(CAST(user_id % 10 AS DOUBLE),
+              CAST(user_id % 6 AS DOUBLE),
+              CAST(user_id % 4 + 2 AS DOUBLE),
+              CAST(user_id % 8 AS DOUBLE)) AS sc,
+            array(0, 1, 0, 1) AS lb
+          FROM (SELECT DISTINCT user_id FROM ch_events_r14s))
+        SELECT a.user_id,
+          round(a.an.f_statistic, 6) AS f_stat,
+          round(a.iv[0], 6) AS iv,
+          round(ngramDistance(c.s1, c.s2), 6) AS nd,
+          round(ngramSearch(c.s1, c.s2), 6) AS ns,
+          concat_ws('|', splitByWhitespace(
+            concat('w', CAST(a.user_id % 3 AS STRING), '  x  y')))
+            AS sw,
+          concat_ws('|', alphaTokens(c.s1)) AS at,
+          round(arrayAUC(c.sc, c.lb), 6) AS auc
+        FROM agg a JOIN scal c ON a.user_id = c.user_id
+        ORDER BY a.user_id""")
+    }),
+
     // sequenceNextNode — the what-came-next clickstream aggregate in
     // three of its four (direction, base) modes; DuckDB replays with
     // list indexing over the identically tie-broken (ts, event_type)
@@ -2256,6 +2296,70 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r14 stats replay: ANOVA F from group moments (SSB = Σs²/n −
+    // (Σs)²/N, SSW = Σs2 − Σs²/n), IV from per-category tag counts,
+    // 4-gram multisets via substr lists, AUC via the mid-rank fold
+    "q_compat_r14stats" ->
+      """WITH v AS (SELECT user_id, event_type,
+        |    CAST(event_id % 89 AS DOUBLE) AS x,
+        |    CAST(event_id % 2 AS INT) AS t
+        |  FROM events),
+        |g AS (SELECT user_id, event_type, count(*) AS n,
+        |    sum(x) AS s, sum(x * x) AS s2,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS bb,
+        |    sum(CASE WHEN t <> 0 THEN 1 ELSE 0 END) AS gg
+        |  FROM v GROUP BY 1, 2),
+        |ua AS (SELECT user_id, count(*) AS k, sum(n) AS nt,
+        |    sum(s) AS st,
+        |    sum(s * s / n) - sum(s) * sum(s) / sum(n) AS ssb,
+        |    sum(s2) - sum(s * s / n) AS ssw,
+        |    sum(bb) AS btot, sum(gg) AS gtot
+        |  FROM g GROUP BY 1),
+        |iv AS (SELECT g.user_id,
+        |    sum(CASE WHEN g.gg > 0 AND g.bb > 0 THEN
+        |      (g.gg * 1.0 / u.gtot - g.bb * 1.0 / u.btot) *
+        |      ln((g.gg * 1.0 / u.gtot) / (g.bb * 1.0 / u.btot))
+        |      ELSE 0 END) AS iv
+        |  FROM g JOIN ua u ON g.user_id = u.user_id
+        |  GROUP BY g.user_id),
+        |sc AS (SELECT user_id,
+        |    'event_' || CAST(user_id % 7 AS VARCHAR) || '_str' AS s1,
+        |    'event_' || CAST(user_id % 5 AS VARCHAR) || '_txt' AS s2,
+        |    [CAST(user_id % 10 AS DOUBLE), CAST(user_id % 6 AS DOUBLE),
+        |     CAST(user_id % 4 + 2 AS DOUBLE),
+        |     CAST(user_id % 8 AS DOUBLE)] AS scr
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |ng AS (SELECT user_id, scr,
+        |    list_transform(generate_series(1,
+        |      greatest(length(s1) - 3, 0)), i -> substr(s1, i, 4)) AS g1,
+        |    list_transform(generate_series(1,
+        |      greatest(length(s2) - 3, 0)), i -> substr(s2, i, 4)) AS g2
+        |  FROM sc),
+        |nc AS (SELECT user_id, scr, g1, g2,
+        |    coalesce(list_sum(list_transform(list_distinct(g1),
+        |      gg -> least(len(list_filter(g1, x -> x = gg)),
+        |        len(list_filter(g2, x -> x = gg))))), 0) AS com
+        |  FROM ng)
+        |SELECT u.user_id,
+        |  round((u.ssb / (u.k - 1)) / (u.ssw / (u.nt - u.k)), 6)
+        |    AS f_stat,
+        |  round(i.iv, 6) AS iv,
+        |  round(1.0 - 2.0 * n.com / (len(n.g1) + len(n.g2)), 6) AS nd,
+        |  round(coalesce(list_sum(list_transform(list_distinct(n.g2),
+        |    gg -> least(len(list_filter(n.g2, x -> x = gg)),
+        |      len(list_filter(n.g1, x -> x = gg))))), 0) * 1.0
+        |    / len(n.g2), 6) AS ns,
+        |  'w' || CAST(u.user_id % 3 AS VARCHAR) || '|x|y' AS sw,
+        |  'event|str' AS at,
+        |  round((list_sum(list_transform(
+        |    [n.scr[2], n.scr[4]],
+        |    p -> len(list_filter(n.scr, t2 -> t2 < p)) +
+        |      (len(list_filter(n.scr, t3 -> t3 = p)) + 1) / 2.0))
+        |    - 3.0) / 4.0, 6) AS auc
+        |FROM ua u
+        |JOIN iv i ON u.user_id = i.user_id
+        |JOIN nc n ON u.user_id = n.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // decayed-window replay: DuckDB can't reference the current row
     // inside a window aggregate, so the frame fold replays as a
     // self-join on the rollup series (i.t <= r.t = the RANGE frame)

@@ -1287,8 +1287,25 @@ object Compat {
       // categorical association over a shared cross-tab map state;
       // chi² is the FULL textbook statistic (unobserved cells folded
       // in via Σo²/e − n), documented on the aggregate
-      graft.functions.CrossTabAgg.Kinds.foreach(k =>
-        f(k)(e => graft.functions.CrossTabAgg(e(0), e(1), k)
+      graft.functions.CrossTabAgg.Kinds.filterNot(_ == "infoValue")
+        .foreach(k =>
+          f(k)(e => graft.functions.CrossTabAgg(e(0), e(1), k)
+            .toAggregateExpression()))
+      // categoricalInformationValue(cat1, ..., catN, tag) → array of
+      // one weight-of-evidence IV per category column, each an
+      // independent cross-tab aggregate against the binary tag
+      f("categoricalInformationValue") { e =>
+        require(e.length >= 2, "categoricalInformationValue takes " +
+          "(category1, ..., tag)")
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          e.init.map(c => graft.functions
+            .CrossTabAgg(c, e.last, "infoValue").toAggregateExpression()))
+      }
+      // analysisOfVariance(value, group) / anova → one-way ANOVA
+      // (f_statistic, p_value); O(groups) moment state, F-tail via
+      // the regularized incomplete beta
+      Seq("analysisOfVariance", "anova").foreach(n =>
+        f(n)(e => graft.functions.AnovaAgg(e(0), e(1))
           .toAggregateExpression()))
       // A/B-test aggregates: studentTTest/welchTTest(data, index) →
       // (t_statistic, p_value). The statistics compose from
@@ -2271,6 +2288,73 @@ object Compat {
           "ELSE zip_with(__a, sequence(1, size(__a)), (__v, __i) -> " +
           "CAST(size(filter(slice(__a, 1, __i), __u -> __u <=> __v)) " +
           "AS INT)) END", "__a" -> e.head))
+
+      // splitter round-out: regexp split (literal pattern, CH's
+      // empty-pattern = per-character contract matches Spark's),
+      // whitespace tokens, alphabetic runs
+      f("splitByRegexp") { e =>
+        val re = e.head match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"splitByRegexp needs a literal pattern, got $other")
+        }
+        StringSplit(e(1), Literal(re), Literal(-1))
+      }
+      f("splitByWhitespace")(e => fromSql(
+        "filter(split(__s, '\\\\s+'), __t -> __t != '')",
+        "__s" -> e.head))
+      f("alphaTokens")(e => fromSql(
+        "regexp_extract_all(__s, '[A-Za-z]+', 0)", "__s" -> e.head))
+
+      // ngramDistance / ngramSearch — the textbook 4-gram MULTISET
+      // forms (documented contract; CH's implementation hashes grams
+      // but computes the same symmetric-difference ratio):
+      //   distance(a, b) = 1 − 2·|A ∩ B| / (|A| + |B|)
+      //   search(h, n)   = |N ∩ H| / |N|   (asymmetric, 1 = contained)
+      // with ∩ the multiset min. Empty gram sets: distance 0 when
+      // both empty / 1 when one is; search 0 on an empty needle.
+      def grams(s: String) =
+        s"transform(sequence(1, greatest(length($s) - 3, 0)), " +
+          s"__gi -> substring($s, __gi, 4))"
+      def common(a: String, b: String) =
+        s"aggregate(array_distinct($a), CAST(0 AS BIGINT), " +
+          s"(__cacc, __g) -> __cacc + least(" +
+          s"size(filter($a, __t1 -> __t1 = __g)), " +
+          s"size(filter($b, __t2 -> __t2 = __g))))"
+      f("ngramDistance")(e => fromSql(
+        s"CASE WHEN length(__a) < 4 AND length(__b) < 4 THEN " +
+          s"CASE WHEN length(__a) = length(__b) AND __a = __b " +
+          s"THEN CAST(0.0 AS DOUBLE) WHEN length(__a) < 4 AND " +
+          s"length(__b) < 4 AND length(__a) + length(__b) > 0 " +
+          s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END " +
+          s"ELSE 1.0 - 2.0 * ${common(grams("__a"), grams("__b"))} / " +
+          s"(size(${grams("__a")}) + size(${grams("__b")})) END",
+        "__a" -> e.head, "__b" -> e(1)))
+      f("ngramSearch")(e => fromSql(
+        s"CASE WHEN length(__n) < 4 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          s"CAST(${common(grams("__n"), grams("__h"))} AS DOUBLE) / " +
+          s"size(${grams("__n")}) END",
+        "__h" -> e.head, "__n" -> e(1)))
+
+      // arrayAUC(scores, labels) — ROC AUC via the average-rank
+      // closed form (ties share the mid-rank, labels > 0 positive;
+      // degenerate single-class arrays → NaN, CH's reading)
+      f("arrayAUC")(e => fromSql(
+        "CASE WHEN size(filter(__l, __x -> __x > 0)) = 0 OR " +
+          "size(filter(__l, __x2 -> NOT (__x2 > 0))) = 0 " +
+          "THEN CAST('NaN' AS DOUBLE) ELSE " +
+          "(aggregate(zip_with(__s, __l, (__sc, __lb) -> " +
+          "named_struct('sc', CAST(__sc AS DOUBLE), 'lb', __lb)), " +
+          "CAST(0.0 AS DOUBLE), (__acc, __p) -> __acc + " +
+          "CASE WHEN __p.lb > 0 THEN " +
+          "size(filter(__s, __t -> CAST(__t AS DOUBLE) < __p.sc)) + " +
+          "(size(filter(__s, __t2 -> CAST(__t2 AS DOUBLE) = __p.sc))" +
+          " + 1) / 2.0 ELSE 0.0 END) - " +
+          "size(filter(__l, __x3 -> __x3 > 0)) * " +
+          "(size(filter(__l, __x4 -> __x4 > 0)) + 1) / 2.0) / " +
+          "(size(filter(__l, __x5 -> __x5 > 0)) * " +
+          "size(filter(__l, __x6 -> NOT (__x6 > 0)))) END",
+        "__s" -> e.head, "__l" -> e(1)))
     }
   }
 

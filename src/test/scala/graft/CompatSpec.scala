@@ -1912,6 +1912,71 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getSeq[Int](2).isEmpty && r.getSeq[Int](3).isEmpty)
   }
 
+  test("round-14: analysisOfVariance / categoricalInformationValue — " +
+      "hand-computed F, incomplete-beta p, WoE information value") {
+    // groups (1,2,3) (2,4,6) (5,5,8): SSB/2 = 9, SSW/6 = 2 -> F = 4.5
+    // exactly; p = I_{6/(6+2·4.5)}(3, 1) = (2/5)^3 = 0.064 exactly
+    Seq((1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b"),
+      (6.0, "b"), (5.0, "c"), (5.0, "c"), (8.0, "c"))
+      .toDF("v", "g").createOrReplaceTempView("cx_anova")
+    val r = Compat.chSql(spark, """
+      SELECT analysisOfVariance(v, g) AS a, anova(v, g) AS a2
+      FROM cx_anova""").collect().head
+    val a = r.getStruct(0)
+    assert(math.abs(a.getDouble(0) - 4.5) < 1e-12)
+    assert(math.abs(a.getDouble(1) - 0.064) < 1e-10)
+    assert(r.getStruct(1).getDouble(0) == a.getDouble(0))
+    // degenerate: one group -> (NaN, NaN)
+    val d = Compat.chSql(spark,
+      "SELECT analysisOfVariance(v, 'x') AS a FROM cx_anova")
+      .collect().head.getStruct(0)
+    assert(d.getDouble(0).isNaN && d.getDouble(1).isNaN)
+    // IV: category a -> (2 good, 1 bad), b -> (1 good, 2 bad),
+    // G = B = 3: IV = (2/3)·ln 2 = 0.46209812037329684
+    Seq(("a", 1), ("a", 1), ("a", 0), ("b", 1), ("b", 0), ("b", 0))
+      .toDF("c", "t").createOrReplaceTempView("cx_iv")
+    val iv = Compat.chSql(spark,
+      "SELECT categoricalInformationValue(c, t) AS iv FROM cx_iv")
+      .collect().head.getSeq[Double](0)
+    assert(iv.size == 1 &&
+      math.abs(iv.head - 0.46209812037329684) < 1e-12)
+  }
+
+  test("round-14: splitters, ngram similarity, arrayAUC — goldens") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        splitByRegexp('\\d+', 'a1b22c') AS sr,
+        splitByRegexp('', 'abc') AS sc,
+        splitByWhitespace('  one  two ') AS sw,
+        alphaTokens('ab12cd,ef') AS at,
+        ngramDistance('abcde', 'abcdf') AS nd,
+        ngramDistance('abcde', 'abcde') AS nd0,
+        ngramDistance('abc', 'xyz1234') AS nd1,
+        ngramDistance('ab', 'cd') AS ndshort,
+        ngramDistance('', '') AS ndempty,
+        ngramSearch('abcdef', 'bcde') AS ns,
+        ngramSearch('abcdef', 'wxyz') AS ns0,
+        arrayAUC(array(0.1, 0.4, 0.35, 0.8),
+          array(0, 0, 1, 1)) AS auc,
+        arrayAUC(array(1.0, 1.0), array(0, 1)) AS auctie,
+        arrayAUC(array(1.0, 2.0), array(1, 1)) AS aucdeg
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](2) == Seq("one", "two"))
+    assert(r.getSeq[String](3) == Seq("ab", "cd", "ef"))
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assert(r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 1.0)
+    assert(r.getDouble(7) == 1.0)
+    assert(r.getDouble(8) == 0.0)
+    assert(r.getDouble(9) == 1.0)
+    assert(r.getDouble(10) == 0.0)
+    assert(math.abs(r.getDouble(11) - 0.75) < 1e-12)
+    assert(math.abs(r.getDouble(12) - 0.5) < 1e-12)
+    assert(r.getDouble(13).isNaN)
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
