@@ -1225,6 +1225,48 @@ object FlowQueries {
         ORDER BY a.user_id""")
     }),
 
+    // round-14 array/bitmap tier: regex group extraction, ranged
+    // array reduce, and the groupBitmap set folds per user over every
+    // event row (And = in every row-set, Or = distinct, Xor = odd
+    // row-presence — all replayed from unnested counts in DuckDB)
+    "q_compat_r14arr" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14a")
+      graft.sql.Compat.chSql(s, """
+        WITH e AS (SELECT user_id,
+            array(CAST(event_id % 7 AS BIGINT),
+              CAST(event_id % 11 AS BIGINT),
+              CAST(user_id % 5 AS BIGINT)) AS b
+          FROM ch_events_r14a),
+        agg AS (SELECT user_id,
+            groupBitmapAnd(b) AS band,
+            groupBitmapOr(b) AS bor,
+            groupBitmapXor(b) AS bxor
+          FROM e GROUP BY user_id),
+        sc AS (SELECT user_id,
+            concat('a=', CAST(user_id % 5 AS STRING), ';b=',
+              CAST(user_id % 7 AS STRING), ';c=',
+              CAST(user_id % 3 AS STRING)) AS s,
+            array(CAST(user_id % 5 AS BIGINT),
+              CAST(user_id % 7 AS BIGINT),
+              CAST(user_id % 3 AS BIGINT),
+              CAST(user_id % 11 AS BIGINT),
+              CAST(user_id % 13 AS BIGINT)) AS arr
+          FROM (SELECT DISTINCT user_id FROM ch_events_r14a))
+        SELECT a.user_id, a.band, a.bor, a.bxor,
+          concat_ws('|', transform(
+            extractAllGroupsHorizontal(c.s, '(\\w)=(\\d)'),
+            g -> concat_ws(',', g))) AS egh,
+          concat_ws('|', transform(
+            extractAllGroupsVertical(c.s, '(\\w)=(\\d)'),
+            g -> concat_ws(':', g))) AS egv,
+          concat_ws(',', arrayReduceInRanges('sum',
+            array((1, 2), (2, 3)), c.arr)) AS rr,
+          concat_ws(',', arrayReduceInRanges('max',
+            array((1, 5)), c.arr)) AS rm
+        FROM agg a JOIN sc c ON a.user_id = c.user_id
+        ORDER BY a.user_id""")
+    }),
+
     // sequenceNextNode — the what-came-next clickstream aggregate in
     // three of its four (direction, base) modes; DuckDB replays with
     // list indexing over the identically tie-broken (ts, event_type)
@@ -2296,6 +2338,50 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r14 array/bitmap replay: bitmap folds from unnested per-row
+    // distinct counts (And = present in every row, Xor = odd
+    // row-presence), regex groups via regexp_extract_all(re, g),
+    // ranged reduces in closed form from the u-mod components
+    "q_compat_r14arr" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    [event_id % 7, event_id % 11, user_id % 5] AS b
+        |  FROM events),
+        |x AS (SELECT user_id, event_id,
+        |    unnest(list_distinct(b)) AS v FROM e),
+        |c AS (SELECT user_id, v, count(*) AS rw
+        |  FROM x GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS nr FROM e GROUP BY 1),
+        |agg AS (SELECT c.user_id,
+        |    CAST(sum(CASE WHEN c.rw = n.nr THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS band,
+        |    CAST(count(*) AS BIGINT) AS bor,
+        |    CAST(sum(CASE WHEN c.rw % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bxor
+        |  FROM c JOIN n ON c.user_id = n.user_id
+        |  GROUP BY c.user_id),
+        |sc AS (SELECT user_id,
+        |    'a=' || CAST(user_id % 5 AS VARCHAR) || ';b=' ||
+        |      CAST(user_id % 7 AS VARCHAR) || ';c=' ||
+        |      CAST(user_id % 3 AS VARCHAR) AS s,
+        |    user_id % 5 AS a1, user_id % 7 AS a2, user_id % 3 AS a3,
+        |    user_id % 11 AS a4, user_id % 13 AS a5
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT a.user_id, a.band, a.bor, a.bxor,
+        |  array_to_string(regexp_extract_all(c.s, '(\w)=(\d)', 1), ',')
+        |    || '|' ||
+        |    array_to_string(regexp_extract_all(c.s, '(\w)=(\d)', 2),
+        |      ',') AS egh,
+        |  array_to_string(list_transform(
+        |    generate_series(1, len(regexp_extract_all(c.s,
+        |      '(\w)=(\d)', 1))),
+        |    i -> regexp_extract_all(c.s, '(\w)=(\d)', 1)[i] || ':' ||
+        |      regexp_extract_all(c.s, '(\w)=(\d)', 2)[i]), '|') AS egv,
+        |  CAST(c.a1 + c.a2 AS VARCHAR) || ',' ||
+        |    CAST(c.a2 + c.a3 + c.a4 AS VARCHAR) AS rr,
+        |  CAST(greatest(c.a1, c.a2, c.a3, c.a4, c.a5) AS VARCHAR)
+        |    AS rm
+        |FROM agg a JOIN sc c ON a.user_id = c.user_id
+        |ORDER BY a.user_id""".stripMargin,
     // r14 stats replay: ANOVA F from group moments (SSB = Σs²/n −
     // (Σs)²/N, SSW = Σs2 − Σs²/n), IV from per-category tag counts,
     // 4-gram multisets via substr lists, AUC via the mid-rank fold

@@ -2336,6 +2336,85 @@ object Compat {
           s"size(${grams("__n")}) END",
         "__h" -> e.head, "__n" -> e(1)))
 
+      // extractAllGroups{Horizontal,Vertical} — literal pattern (the
+      // group count comes from Pattern.groupCount); Horizontal = one
+      // array per GROUP across matches, Vertical = one array per
+      // MATCH across groups
+      def groupArrays(s: Expression, reLit: Expression)
+          : (Int, Seq[Expression]) = {
+        val re = reLit match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            "extractAllGroups* needs a literal pattern, got " + other)
+        }
+        val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+        require(n >= 1, "extractAllGroups*: the pattern has no groups")
+        (n, (1 to n).map(g =>
+          org.apache.spark.sql.catalyst.expressions
+            .RegExpExtractAll(s, Literal(re), Literal(g))))
+      }
+      f("extractAllGroupsHorizontal") { e =>
+        val (_, arrays) = groupArrays(e.head, e(1))
+        org.apache.spark.sql.catalyst.expressions.CreateArray(arrays)
+      }
+      f("extractAllGroupsVertical") { e =>
+        val (_, arrays) = groupArrays(e.head, e(1))
+        fromSql(
+          "CASE WHEN size(__g1) = 0 " +
+            "THEN array_repeat(array_repeat('', 0), 0) " +
+            "ELSE transform(sequence(1, size(__g1)), " +
+            "__i -> transform(__all, __ga -> __ga[__i - 1])) END",
+          "__g1" -> arrays.head,
+          "__all" -> org.apache.spark.sql.catalyst.expressions
+            .CreateArray(arrays))
+      }
+
+      // arrayReduceInRanges('agg', ranges, arr) — the per-(index, len)
+      // tuple windowed variant of arrayReduce, delegated to the same
+      // registered array builders by NAME inside the transform lambda
+      f("arrayReduceInRanges") { e =>
+        val fname = e.head match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"arrayReduceInRanges needs a literal aggregate name, " +
+              s"got $other")
+        }
+        val inner = fname match {
+          case "sum"     => "arraySum(__sl)"
+          case "min"     => "arrayMin(__sl)"
+          case "max"     => "arrayMax(__sl)"
+          case "avg"     => "arrayAvg(__sl)"
+          case "product" => "arrayProduct(__sl)"
+          case "uniq" | "uniqExact" => "arrayUniq(__sl)"
+          case "count"   => "CAST(size(__sl) AS BIGINT)"
+          case "any"     => "element_at(__sl, 1)"
+          case "anyLast" => "element_at(__sl, -1)"
+          case other => throw new IllegalArgumentException(
+            s"arrayReduceInRanges('$other') is not supported; " +
+              "supported: any, anyLast, avg, count, max, min, " +
+              "product, sum, uniq, uniqExact")
+        }
+        fromSql(
+          ("transform(__r, __rr -> " + inner + ")")
+            .replace("__sl", "slice(__arr, __rr.col1, __rr.col2)"),
+          "__r" -> e(1), "__arr" -> e(2))
+      }
+
+      // groupBitmapAnd/Or/Xor — set folds over per-row integral
+      // arrays (the portable analog of CH's bitmap-state columns),
+      // result = fold cardinality; see BitmapFoldAgg
+      graft.functions.BitmapFoldAgg.Kinds.foreach(k =>
+        f(s"groupBitmap$k")(e => graft.functions.BitmapFoldAgg(
+          e.head, k).toAggregateExpression()))
+
+      // sumWithOverflow asks for MODULAR wraparound on overflow — a
+      // silently different answer from sum's widened/checked result;
+      // refuse with the pointer instead of shipping either surprise
+      f("sumWithOverflow")(_ => throw new IllegalArgumentException(
+        "sumWithOverflow wraps modulo the input width on overflow; " +
+          "use sum (widened, exact) or sum(CAST(x AS BIGINT)) and " +
+          "handle overflow policy explicitly"))
+
       // arrayAUC(scores, labels) — ROC AUC via the average-rank
       // closed form (ties share the mid-rank, labels > 0 positive;
       // degenerate single-class arrays → NaN, CH's reading)

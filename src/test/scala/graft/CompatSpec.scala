@@ -1977,6 +1977,39 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getDouble(13).isNaN)
   }
 
+  test("round-14: regex groups, ranged reduce, bitmap folds — " +
+      "goldens + refusals") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        extractAllGroupsHorizontal('k=1, m=2', '(\\w)=(\\d)') AS h,
+        extractAllGroupsVertical('k=1, m=2', '(\\w)=(\\d)') AS v,
+        extractAllGroupsVertical('nope', '(\\w)=(\\d)') AS v0,
+        arrayReduceInRanges('sum', array((1, 3), (2, 2)),
+          array(10, 20, 30, 40)) AS rr,
+        arrayReduceInRanges('count', array((1, 2)),
+          array(10, 20, 30)) AS rc
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[Seq[String]](0) == Seq(Seq("k", "m"), Seq("1", "2")))
+    assert(r.getSeq[Seq[String]](1) == Seq(Seq("k", "1"), Seq("m", "2")))
+    assert(r.getSeq[Seq[String]](2).isEmpty)
+    assert(r.getSeq[Long](3) == Seq(60L, 50L))
+    assert(r.getSeq[Long](4) == Seq(2L))
+    // bitmap folds over per-row element sets
+    Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(3L, 4L, 5L))
+      .toDF("b").createOrReplaceTempView("cx_bm")
+    val b = Compat.chSql(spark, """
+      SELECT groupBitmapAnd(b) AS a, groupBitmapOr(b) AS o,
+        groupBitmapXor(b) AS x FROM cx_bm""").collect().head
+    assert(b.getLong(0) == 1L) // {3}
+    assert(b.getLong(1) == 5L) // {1..5}
+    assert(b.getLong(2) == 3L) // {1,3,5}
+    val bad = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT sumWithOverflow(b[0]) AS s FROM cx_bm").collect()
+    }
+    assert(bad.getMessage.contains("overflow"))
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
