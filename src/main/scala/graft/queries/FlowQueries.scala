@@ -1267,6 +1267,38 @@ object FlowQueries {
         ORDER BY a.user_id""")
     }),
 
+    // round-14 time/codec tier: 64-bit epoch codecs (round-trips
+    // hashed as integers), year-zero day arithmetic, regex-valued
+    // multiMatch, tuple hamming, UTF8 position aliases
+    "q_compat_r14time" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14t")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r14t),
+        b AS (SELECT user_id,
+            timestamp_seconds(1700000000 + user_id * 13) AS ts,
+            concat('ev_', CAST(user_id % 7 AS STRING)) AS s,
+            738000 + CAST(user_id % 1000 AS INT) AS nd
+          FROM u)
+        SELECT user_id,
+          toUnixTimestamp64Milli(ts) AS ms,
+          toUnixTimestamp64Micro(ts) AS us,
+          toUnixTimestamp64Nano(ts) AS ns,
+          toUnixTimestamp64Micro(
+            fromUnixTimestamp64Milli(1700000000123 + user_id)) AS rt,
+          CAST(fromDaysSinceYearZero(nd) AS STRING) AS fdz,
+          toDaysSinceYearZero(fromDaysSinceYearZero(nd)) AS tdz,
+          multiMatchAny(s, array(
+            concat('^ev_', CAST(user_id % 2 AS STRING)), '_9$')) AS mm,
+          multiMatchAnyIndex(s, array(
+            concat('^ev_', CAST(user_id % 2 AS STRING)), '_9$')) AS mi,
+          CAST(tupleHammingDistance(
+            (user_id % 3, user_id % 5, 1),
+            (user_id % 3, user_id % 7, 2)) AS INT) AS thd,
+          CAST(positionUTF8(s, CAST(user_id % 3 AS STRING)) AS BIGINT)
+            AS pu
+        FROM b ORDER BY user_id""")
+    }),
+
     // sequenceNextNode — the what-came-next clickstream aggregate in
     // three of its four (direction, base) modes; DuckDB replays with
     // list indexing over the identically tie-broken (ts, event_type)
@@ -2338,6 +2370,32 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r14 time/codec replay: pure epoch arithmetic, date addition
+    // anchored at 0001-01-01 (both engines proleptic Gregorian), and
+    // the closed-form match/hamming cases
+    "q_compat_r14time" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    1700000000 + user_id * 13 AS t,
+        |    'ev_' || CAST(user_id % 7 AS VARCHAR) AS s,
+        |    738000 + user_id % 1000 AS nd
+        |  FROM u)
+        |SELECT user_id,
+        |  t * 1000 AS ms,
+        |  t * 1000000 AS us,
+        |  t * 1000000000 AS ns,
+        |  (1700000000123 + user_id) * 1000 AS rt,
+        |  CAST(DATE '0001-01-01' + CAST(nd - 366 AS INTEGER)
+        |    AS VARCHAR) AS fdz,
+        |  CAST(nd AS INT) AS tdz,
+        |  (user_id % 7 = user_id % 2) AS mm,
+        |  CAST(CASE WHEN user_id % 7 = user_id % 2 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS mi,
+        |  CAST(CASE WHEN user_id % 5 = user_id % 7 THEN 1 ELSE 2 END
+        |    AS INT) AS thd,
+        |  CAST(strpos(s, CAST(user_id % 3 AS VARCHAR)) AS BIGINT)
+        |    AS pu
+        |FROM b ORDER BY user_id""".stripMargin,
     // r14 array/bitmap replay: bitmap folds from unnested per-row
     // distinct counts (And = present in every row, Xor = odd
     // row-presence), regex groups via regexp_extract_all(re, g),

@@ -2289,6 +2289,71 @@ object Compat {
           "CAST(size(filter(slice(__a, 1, __i), __u -> __u <=> __v)) " +
           "AS INT)) END", "__a" -> e.head))
 
+      // UTF8-suffixed position spellings: Spark strings are already
+      // character-addressed, so these are exact aliases
+      f("positionUTF8")(e => new StringLocate(e(1), e(0)))
+      f("positionCaseInsensitiveUTF8")(e => new StringLocate(
+        org.apache.spark.sql.catalyst.expressions.Lower(e(1)),
+        org.apache.spark.sql.catalyst.expressions.Lower(e(0))))
+
+      // 64-bit epoch codecs (DateTime64 interop): to/from milli,
+      // micro, nano — nano carries micro precision (Spark timestamps
+      // are micros; the *1000 scaling keeps the CH wire contract)
+      f("toUnixTimestamp64Milli")(e => fromSql(
+        "unix_millis(CAST(__t AS TIMESTAMP))", "__t" -> e.head))
+      f("toUnixTimestamp64Micro")(e => fromSql(
+        "unix_micros(CAST(__t AS TIMESTAMP))", "__t" -> e.head))
+      f("toUnixTimestamp64Nano")(e => fromSql(
+        "unix_micros(CAST(__t AS TIMESTAMP)) * CAST(1000 AS BIGINT)",
+        "__t" -> e.head))
+      f("fromUnixTimestamp64Milli")(e => fromSql(
+        "timestamp_millis(CAST(__v AS BIGINT))", "__v" -> e.head))
+      f("fromUnixTimestamp64Micro")(e => fromSql(
+        "timestamp_micros(CAST(__v AS BIGINT))", "__v" -> e.head))
+      f("fromUnixTimestamp64Nano")(e => fromSql(
+        "timestamp_micros(CAST(__v AS BIGINT) div 1000)",
+        "__v" -> e.head))
+      // days since 0000-01-01 (proleptic Gregorian; year 0 is a leap
+      // year, 366 days, so day N = 0001-01-01 + (N - 366))
+      f("fromDaysSinceYearZero")(e => fromSql(
+        "date_add(DATE'0001-01-01', CAST(__n AS INT) - 366)",
+        "__n" -> e.head))
+      f("toDaysSinceYearZero")(e => fromSql(
+        "datediff(CAST(__d AS DATE), DATE'0001-01-01') + 366",
+        "__d" -> e.head))
+
+      // multiMatchAny / multiMatchAnyIndex — regex-valued multiSearch
+      // (CH returns an unspecified matching index; the LOWEST index
+      // is this engine's deterministic reading)
+      f("multiMatchAny")(e => fromSql(
+        "exists(__p, __re -> __h rlike __re)",
+        "__h" -> e.head, "__p" -> e(1)))
+      f("multiMatchAnyIndex")(e => fromSql(
+        "CAST(coalesce(array_min(filter(zip_with(__p, " +
+          "sequence(1, size(__p)), (__re, __i) -> " +
+          "CASE WHEN __h rlike __re THEN __i ELSE NULL END), " +
+          "__x -> __x IS NOT NULL)), 0) AS BIGINT)",
+        "__h" -> e.head, "__p" -> e(1)))
+
+      // tupleHammingDistance — positionwise inequality count; needs
+      // the field lists, so the supported spelling is two tuple
+      // literals (the ngramSimHash comparison idiom CH documents)
+      f("tupleHammingDistance") { e =>
+        import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+        (e(0), e(1)) match {
+          case (a: CreateNamedStruct, b: CreateNamedStruct)
+              if a.valExprs.size == b.valExprs.size =>
+            a.valExprs.zip(b.valExprs).map { case (x, y) =>
+              If(EqualTo(x, y), Literal(0), Literal(1))
+                : Expression
+            }.reduce((x, y) => org.apache.spark.sql.catalyst
+              .expressions.Add(x, y))
+          case _ => throw new IllegalArgumentException(
+            "tupleHammingDistance takes two tuple literals of equal " +
+              "arity, e.g. tupleHammingDistance((a, b), (c, d))")
+        }
+      }
+
       // splitter round-out: regexp split (literal pattern, CH's
       // empty-pattern = per-character contract matches Spark's),
       // whitespace tokens, alphabetic runs

@@ -2010,6 +2010,39 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("overflow"))
   }
 
+  test("round-14: epoch codecs, year-zero days, multiMatch, tuple " +
+      "hamming, positionUTF8 — goldens") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        toUnixTimestamp64Milli(TIMESTAMP'1970-01-01 00:00:01.5') AS ms,
+        toUnixTimestamp64Micro(TIMESTAMP'1970-01-01 00:00:01.5') AS us,
+        toUnixTimestamp64Nano(TIMESTAMP'1970-01-01 00:00:01.5') AS ns,
+        CAST(fromUnixTimestamp64Milli(1500) AS STRING) AS fms,
+        CAST(fromUnixTimestamp64Nano(1500000000) AS STRING) AS fns,
+        CAST(fromDaysSinceYearZero(739136) AS STRING) AS fdz,
+        toDaysSinceYearZero(DATE'2023-09-08') AS tdz,
+        multiMatchAny('hello', array('^x', 'l+o$')) AS mm,
+        multiMatchAny('hello', array('^x', 'zz')) AS mm0,
+        multiMatchAnyIndex('hello', array('^x', 'l+o$', 'h')) AS mi,
+        tupleHammingDistance((1, 2, 3), (1, 9, 3)) AS thd,
+        positionUTF8('héllo', 'llo') AS pu,
+        positionCaseInsensitiveUTF8('HÉLLO', 'llo') AS pci
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getLong(0) == 1500L)
+    assert(r.getLong(1) == 1500000L)
+    assert(r.getLong(2) == 1500000000L)
+    assert(r.getString(3) == "1970-01-01 00:00:01.5")
+    assert(r.getString(4) == "1970-01-01 00:00:01.5")
+    // CH docs anchor: fromDaysSinceYearZero(739136) = 2023-09-08
+    assert(r.getString(5) == "2023-09-08")
+    assert(r.getInt(6) == 739136)
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+    assert(r.getLong(9) == 2L)
+    assert(r.getInt(10) == 1)
+    assert(r.getInt(11) == 3)
+    assert(r.getInt(12) == 3)
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
