@@ -1299,6 +1299,25 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // jaro / jaro-winkler vs DuckDB's NATIVE implementations — the
+    // strongest oracle shape available (independent codebases, same
+    // textbook algorithm) over real event_type pairs plus shifted
+    // variants
+    "q_compat_jaro" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_jr")
+      graft.sql.Compat.chSql(s, """
+        WITH p AS (SELECT DISTINCT user_id,
+            concat('user_', CAST(user_id % 97 AS STRING), '_session')
+              AS s1,
+            concat('user_', CAST(user_id % 89 AS STRING), '_sesion')
+              AS s2
+          FROM ch_events_jr)
+        SELECT user_id,
+          round(jaroSimilarity(s1, s2), 6) AS j,
+          round(jaroWinklerSimilarity(s1, s2), 6) AS jw
+        FROM p ORDER BY user_id""")
+    }),
+
     // sequenceNextNode — the what-came-next clickstream aggregate in
     // three of its four (direction, base) modes; DuckDB replays with
     // list indexing over the identically tie-broken (ts, event_type)
@@ -2370,6 +2389,20 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // jaro replay: DuckDB's native jaro_similarity /
+    // jaro_winkler_similarity (independent implementation of the same
+    // textbook algorithm)
+    "q_compat_jaro" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    'user_' || CAST(user_id % 97 AS VARCHAR) || '_session'
+        |      AS s1,
+        |    'user_' || CAST(user_id % 89 AS VARCHAR) || '_sesion'
+        |      AS s2
+        |  FROM events)
+        |SELECT user_id,
+        |  round(jaro_similarity(s1, s2), 6) AS j,
+        |  round(jaro_winkler_similarity(s1, s2), 6) AS jw
+        |FROM p ORDER BY user_id""".stripMargin,
     // r14 time/codec replay: pure epoch arithmetic, date addition
     // anchored at 0001-01-01 (both engines proleptic Gregorian), and
     // the closed-form match/hamming cases

@@ -2354,6 +2354,13 @@ object Compat {
         }
       }
 
+      // fuzzy-match similarity pair (entity-dedup staples); textbook
+      // Jaro / Jaro-Winkler, see functions/JaroSimilarity.scala
+      f("jaroSimilarity")(e =>
+        graft.functions.JaroSimilarity(e(0), e(1), winkler = false))
+      f("jaroWinklerSimilarity")(e =>
+        graft.functions.JaroSimilarity(e(0), e(1), winkler = true))
+
       // splitter round-out: regexp split (literal pattern, CH's
       // empty-pattern = per-character contract matches Spark's),
       // whitespace tokens, alphabetic runs

@@ -2043,6 +2043,31 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getInt(12) == 3)
   }
 
+  test("round-14: jaroSimilarity / jaroWinklerSimilarity — classic " +
+      "anchors and empties") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        jaroSimilarity('MARTHA', 'MARHTA') AS j1,
+        jaroWinklerSimilarity('MARTHA', 'MARHTA') AS jw1,
+        jaroSimilarity('DWAYNE', 'DUANE') AS j2,
+        jaroSimilarity('CRATE', 'TRACE') AS j3,
+        jaroSimilarity('abc', 'abc') AS jid,
+        jaroSimilarity('', '') AS jee,
+        jaroSimilarity('a', '') AS je1,
+        jaroSimilarity('abc', 'xyz') AS j0
+      FROM (SELECT 1 AS one)""").collect().head
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(near(r.getDouble(0), 17.0 / 18.0))          // 0.944444…
+    assert(near(r.getDouble(1), 17.0 / 18.0 +
+      3 * 0.1 * (1.0 - 17.0 / 18.0)))                  // 0.961111…
+    assert(near(r.getDouble(2), 0.8222222222222223))
+    assert(near(r.getDouble(3), 0.7333333333333334))
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == 0.0)
+    assert(r.getDouble(7) == 0.0)
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
