@@ -428,6 +428,37 @@ class PlanAuditSpec extends AnyFunSuite {
         "(plan prints top-down)\n" + p.take(3000))
   }
 
+  test("q_compat_decayed: the decayed-window rewrite costs exactly the " +
+    "two shuffles its shape implies (rollup agg on (user, t), window " +
+    "repartition on user) — no join, no extra exchange") {
+    val p = plan("q_compat_decayed")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      p.take(3000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q_compat_maps / q_compat_r14misc: the scalar tiers are pure " +
+    "per-row projections over one DISTINCT exchange — no join on the " +
+    "map/misc side") {
+    Seq("q_compat_maps", "q_compat_r14misc").foreach { g =>
+      val p = plan(g)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$g\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), s"$g\n" + p.take(2000))
+    }
+  }
+
+  test("q_compat_r14arr: the bitmap folds partial-aggregate below the " +
+    "exchange (set states cross the wire, not event rows)") {
+    val p = plan("q_compat_r14arr")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("partial_groupBitmap")
+    assert(exchangeIdx > 0 && partialIdx > exchangeIdx,
+      "partial bitmap fold must sit below the exchange " +
+        "(plan prints top-down)\n" + p.take(3000))
+  }
+
   test("qf_dictget_range: the range probe is joinless, inside " +
     "whole-stage codegen") {
     val p = plan("qf_dictget_range")
