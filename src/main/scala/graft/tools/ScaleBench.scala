@@ -850,6 +850,36 @@ object ScaleBench {
             new java.io.File(t).getParentFile))
       }
 
+      if (enabled("decayed")) {
+        // The windowed exponentialTimeDecayed* scale claim: the frame
+        // fold's per-row cost tracks DISTINCT TIMESTAMPS in the
+        // partition (the pre-aggregated rollup series, ≤ 601 here),
+        // never raw rows — so wall time should grow with the linear
+        // rollup aggregation while the window stage stays flat as the
+        // raw side scales.
+        graft.sql.Compat.registerClickHouseFunctions(spark)
+        val ev = scaledEvents(factor)
+        val n = ev.count()
+        ev.createOrReplaceTempView("sb_decayed_ev")
+        val df = graft.sql.Compat.chSql(spark, """
+          WITH srs AS (
+            SELECT user_id, CAST(event_id % 601 AS DOUBLE) AS t,
+              SUM(CAST(event_id % 89 AS DOUBLE)) AS sv
+            FROM sb_decayed_ev GROUP BY user_id, event_id % 601)
+          SELECT user_id, t,
+            exponentialTimeDecayedSum(60.0)(sv, t) OVER w AS dsum,
+            exponentialTimeDecayedAvg(60.0)(sv, t) OVER w AS davg
+          FROM srs
+          WINDOW w AS (PARTITION BY user_id ORDER BY t
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+        val (outRows, decSec) = timed {
+          noop(df)
+          df.count()
+        }
+        record(factor, "decayed_window", decSec, n,
+          "out_rows" -> outRows.toString)
+      }
+
       if (enabled("aggpayoff")) {
         // The AggregatingMergeTree payoff: answering the dashboard
         // aggregate from MERGED STATE ROWS vs re-scanning the raw
