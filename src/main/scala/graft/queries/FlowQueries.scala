@@ -1299,6 +1299,51 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-14 URL/IP tier over synthetic per-user URLs — every
+    // column replays in DuckDB either in closed form (the fixture is
+    // constructed from user_id mods on both sides) or via the same
+    // generic cut-position list computation
+    "q_compat_r14url" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14u")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r14u),
+        b AS (SELECT user_id,
+            concat('https://www.ex', CAST(user_id % 5 AS STRING),
+              '.com:', CAST(8000 + user_id % 7 AS STRING),
+              '/a', CAST(user_id % 3 AS STRING),
+              '/b?q=', CAST(user_id % 11 AS STRING),
+              '#s', CAST(user_id % 2 AS STRING)) AS url,
+            concat(CAST(user_id % 256 AS STRING), '.',
+              CAST(user_id * 3 % 256 AS STRING), '.',
+              CAST(user_id * 7 % 256 AS STRING), '.',
+              CAST(user_id * 11 % 256 AS STRING)) AS ip,
+            concat(CAST(user_id % 300 AS STRING), '.0.0.1') AS ipq
+          FROM u)
+        SELECT user_id,
+          pathFull(url) AS pf,
+          queryStringAndFragment(url) AS qf,
+          cutQueryString(url) AS cq,
+          cutWWW(url) AS cw,
+          netloc(url) AS nl,
+          port(url) AS po,
+          firstSignificantSubdomain(url) AS fs,
+          concat_ws('|', URLHierarchy(url)) AS uh,
+          concat_ws('|', URLPathHierarchy(url)) AS uph,
+          encodeURLComponent(concat('q ',
+            CAST(user_id % 10 AS STRING), '+v')) AS enc,
+          decodeURLComponent(concat('a%20',
+            CAST(user_id % 10 AS STRING), '+c')) AS dec,
+          tryBase64Decode(base64Encode(concat('u',
+            CAST(user_id AS STRING)))) AS b64,
+          bin(user_id % 300) AS bn,
+          isIPv4String(ip) AS v4,
+          isIPv4String(ipq) AS v4q,
+          IPv4CIDRToRange(ip, 16).lo AS clo,
+          IPv4CIDRToRange(ip, 16).hi AS chi,
+          isIPAddressInRange(ip, '10.32.0.0/11') AS inr
+        FROM b ORDER BY user_id""")
+    }),
+
     // jaro / jaro-winkler vs DuckDB's NATIVE implementations — the
     // strongest oracle shape available (independent codebases, same
     // textbook algorithm) over real event_type pairs plus shifted
@@ -2389,6 +2434,68 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r14 URL/IP replay: the synthetic URL decomposes in closed form
+    // from the same user_id mods; the hierarchies replay the generic
+    // cut-position computation (after each '/', before '?', full) on
+    // the same rest string; CIDR math from the dotted-quad integer
+    "q_compat_r14url" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    CAST(user_id % 5 AS VARCHAR) AS x5,
+        |    CAST(8000 + user_id % 7 AS VARCHAR) AS prt,
+        |    CAST(user_id % 3 AS VARCHAR) AS x3,
+        |    CAST(user_id % 11 AS VARCHAR) AS x11,
+        |    CAST(user_id % 2 AS VARCHAR) AS x2,
+        |    CAST(user_id % 10 AS VARCHAR) AS x10,
+        |    user_id % 256 AS o1, user_id * 3 % 256 AS o2,
+        |    user_id * 7 % 256 AS o3, user_id * 11 % 256 AS o4,
+        |    user_id % 300 AS q1
+        |  FROM u),
+        |c AS (SELECT *,
+        |    '/a' || x3 || '/b?q=' || x11 || '#s' || x2 AS rest,
+        |    'https://www.ex' || x5 || '.com:' || prt AS base,
+        |    o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ipn,
+        |    o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip
+        |  FROM b),
+        |h AS (SELECT *,
+        |    list_sort(list_distinct(
+        |      list_concat(list_concat(
+        |        list_filter(generate_series(1, length(rest)),
+        |          i -> substr(rest, i, 1) = '/'),
+        |        list_transform(list_filter(
+        |          generate_series(1, length(rest)),
+        |          i -> substr(rest, i, 1) = '?'), p -> p - 1)),
+        |        [length(rest)]))) AS cuts
+        |  FROM c)
+        |SELECT user_id,
+        |  rest AS pf,
+        |  'q=' || x11 || '#s' || x2 AS qf,
+        |  'https://www.ex' || x5 || '.com:' || prt || '/a' || x3 ||
+        |    '/b#s' || x2 AS cq,
+        |  'https://ex' || x5 || '.com:' || prt || '/a' || x3 ||
+        |    '/b?q=' || x11 || '#s' || x2 AS cw,
+        |  'www.ex' || x5 || '.com:' || prt AS nl,
+        |  CAST(8000 + user_id % 7 AS INT) AS po,
+        |  'ex' || x5 AS fs,
+        |  array_to_string(list_transform(cuts,
+        |    p -> base || substr(rest, 1, p)), '|') AS uh,
+        |  array_to_string(list_filter(list_transform(cuts,
+        |    p -> substr(rest, 1, p)), s2 -> s2 != '/'), '|') AS uph,
+        |  'q%20' || x10 || '%2Bv' AS enc,
+        |  'a ' || x10 || '+c' AS dec,
+        |  'u' || CAST(user_id AS VARCHAR) AS b64,
+        |  lpad(bin(user_id % 300),
+        |    CAST(ceil(length(bin(user_id % 300)) / 8.0) * 8 AS INT),
+        |    '0') AS bn,
+        |  TRUE AS v4,
+        |  (q1 <= 255) AS v4q,
+        |  CAST(ipn // 65536 // 256 AS VARCHAR) || '.' ||
+        |    CAST(ipn // 65536 % 256 AS VARCHAR) || '.0.0' AS clo,
+        |  CAST(ipn // 65536 // 256 AS VARCHAR) || '.' ||
+        |    CAST(ipn // 65536 % 256 AS VARCHAR) || '.255.255' AS chi,
+        |  (ipn // 2097152 = (10 * 16777216 + 32 * 65536) // 2097152)
+        |    AS inr
+        |FROM h ORDER BY user_id""".stripMargin,
     // jaro replay: DuckDB's native jaro_similarity /
     // jaro_winkler_similarity (independent implementation of the same
     // textbook algorithm)

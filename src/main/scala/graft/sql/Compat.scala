@@ -2354,6 +2354,155 @@ object Compat {
         }
       }
 
+      // URL family round-out — all on the native-ParseUrl + string
+      // composition the round-6 family established (empty on miss)
+      def urlP(u: Expression, part: String): Expression =
+        org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(org.apache.spark.sql.catalyst.expressions.ParseUrl(
+          Seq(u, Literal(UTF8String.fromString(part), StringType)),
+          failOnError = false), Literal("")))
+      f("pathFull")(e => fromSql(
+        "concat(__f, CASE WHEN __r != '' THEN concat('#', __r) " +
+          "ELSE '' END)",
+        "__f" -> urlP(e.head, "FILE"), "__r" -> urlP(e.head, "REF")))
+      f("queryStringAndFragment")(e => fromSql(
+        "concat(__q, CASE WHEN __r != '' THEN concat('#', __r) " +
+          "ELSE '' END)",
+        "__q" -> urlP(e.head, "QUERY"), "__r" -> urlP(e.head, "REF")))
+      f("cutQueryString")(e => fromSql(
+        "regexp_replace(__u, '\\\\?[^#]*', '')", "__u" -> e.head))
+      f("cutWWW")(e => fromSql(
+        "regexp_replace(__u, '^((?:[A-Za-z]+://)?)(www\\\\.)', '$1')",
+        "__u" -> e.head))
+      f("netloc")(e => urlP(e.head, "AUTHORITY"))
+      f("port") { e =>
+        val dflt: Expression =
+          if (e.length >= 2) Cast(e(1), IntegerType) else Literal(0)
+        fromSql(
+          "CAST(coalesce(nullif(regexp_extract(__a, ':(\\\\d+)$', 1)," +
+            " ''), CAST(__d AS STRING)) AS INT)",
+          "__a" -> urlP(e.head, "AUTHORITY"), "__d" -> dflt)
+      }
+      // firstSignificantSubdomain — the label left of the effective
+      // TLD; effective TLD = the last label, or the last TWO when the
+      // second-to-last is a common registry label (CH consults the
+      // public-suffix list; this is the documented small-list
+      // approximation covering the overwhelmingly common cases)
+      f("firstSignificantSubdomain")(e => fromSql(
+        "CASE WHEN size(__p) < 2 THEN '' " +
+          "WHEN size(__p) >= 3 AND __p[size(__p) - 2] IN ('com', " +
+          "'net', 'org', 'co', 'biz', 'gov', 'edu', 'mil', 'info', " +
+          "'ac') THEN __p[size(__p) - 3] " +
+          "ELSE __p[size(__p) - 2] END",
+        "__p" -> fromSql("split(__h, '\\\\.')",
+          "__h" -> urlP(e.head, "HOST"))))
+      // URL/path hierarchies — the funnel-path staples: increasing
+      // prefixes cut after each '/' (inclusive), before '?', plus the
+      // full URL when it does not end at a cut
+      f("URLHierarchy")(e => fromSql(
+        "CASE WHEN __rest = '' THEN array_repeat('', 0) ELSE " +
+          "transform(array_sort(array_distinct(concat(" +
+          "transform(filter(sequence(1, length(__rest)), " +
+          "__i -> substring(__rest, __i, 1) = '/'), __p2 -> __p2), " +
+          "transform(filter(sequence(1, length(__rest)), " +
+          "__i2 -> substring(__rest, __i2, 1) = '?'), " +
+          "__p3 -> __p3 - 1), array(length(__rest))))), " +
+          "__c -> concat(__base, substring(__rest, 1, __c))) END",
+        "__base" -> fromSql(
+          "concat(__pr, CASE WHEN __pr != '' THEN '://' ELSE '' END," +
+            " __au)",
+          "__pr" -> urlP(e.head, "PROTOCOL"),
+          "__au" -> urlP(e.head, "AUTHORITY")),
+        "__rest" -> fromSql(
+          "concat(__f, CASE WHEN __r != '' THEN concat('#', __r) " +
+            "ELSE '' END)",
+          "__f" -> urlP(e.head, "FILE"),
+          "__r" -> urlP(e.head, "REF"))))
+      // CH's path variant EXCLUDES the bare root '/'
+      f("URLPathHierarchy")(e => fromSql(
+        "CASE WHEN __rest = '' THEN array_repeat('', 0) ELSE " +
+          "filter(transform(array_sort(array_distinct(concat(" +
+          "transform(filter(sequence(1, length(__rest)), " +
+          "__i -> substring(__rest, __i, 1) = '/'), __p2 -> __p2), " +
+          "transform(filter(sequence(1, length(__rest)), " +
+          "__i2 -> substring(__rest, __i2, 1) = '?'), " +
+          "__p3 -> __p3 - 1), array(length(__rest))))), " +
+          "__c -> substring(__rest, 1, __c)), __h2 -> __h2 != '/') END",
+        "__rest" -> fromSql(
+          "concat(__f, CASE WHEN __r != '' THEN concat('#', __r) " +
+            "ELSE '' END)",
+          "__f" -> urlP(e.head, "FILE"),
+          "__r" -> urlP(e.head, "REF"))))
+      // percent-encoding (RFC-3986, CH's contract): url_encode is
+      // form-encoding, so '+' round-trips through the explicit %
+      // spellings; decode leaves literal '+' alone like CH
+      f("encodeURLComponent")(e => fromSql(
+        "replace(url_encode(__s), '+', '%20')", "__s" -> e.head))
+      f("decodeURLComponent")(e => fromSql(
+        "url_decode(replace(__s, '+', '%2B'))", "__s" -> e.head))
+      f("tryBase64Decode")(e => fromSql(
+        "CASE WHEN __s rlike '^[A-Za-z0-9+/\\\\r\\\\n]*={0,2}$' " +
+          "AND length(replace(replace(__s, chr(13), ''), chr(10), " +
+          "'')) % 4 = 0 THEN CAST(unbase64(__s) AS STRING) " +
+          "ELSE '' END", "__s" -> e.head))
+      // hex/unhex/bin — CH's byte-padded spellings: hex is uppercase
+      // in both engines (hex itself is Spark-native and needs no
+      // override); unhex returns the BYTES as a string per CH; bin
+      // pads to the minimal byte width. The inner expressions are
+      // built as Catalyst classes, NOT parsed text — a registered
+      // name inside its own fromSql body resolves back to this
+      // builder and loops the analyzer forever (found the hard way).
+      f("unhex")(e => Cast(
+        org.apache.spark.sql.catalyst.expressions.Unhex(e.head),
+        StringType))
+      f("bin")(e => fromSql(
+        "lpad(__b, CAST(ceil(length(__b) / 8.0) * 8 AS INT), '0')",
+        "__b" -> org.apache.spark.sql.catalyst.expressions.Bin(e.head)))
+      // IPv4 validation / CIDR arithmetic on the existing
+      // LongToIp/IpToLong codecs; IPv6 range math refuses honestly
+      f("isIPv4String")(e => fromSql(
+        "__s rlike '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+          "\\\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+        "__s" -> e.head))
+      f("isIPv6String")(e => fromSql(
+        "__s rlike '^([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}" +
+          "(%[0-9A-Za-z]+)?$' AND __s rlike ':'",
+        "__s" -> e.head))
+      f("IPv4CIDRToRange") { e =>
+        val n = IpToLong(e.head)
+        fromSql(
+          "named_struct('lo', __lo, 'hi', __hi)",
+          "__lo" -> LongToIp(fromSql(
+            "CAST(__n div CAST(pow(2, 32 - __b) AS BIGINT) * " +
+              "CAST(pow(2, 32 - __b) AS BIGINT) AS BIGINT)",
+            "__n" -> n, "__b" -> Cast(e(1), IntegerType))),
+          "__hi" -> LongToIp(fromSql(
+            "CAST(__n div CAST(pow(2, 32 - __b) AS BIGINT) * " +
+              "CAST(pow(2, 32 - __b) AS BIGINT) + " +
+              "CAST(pow(2, 32 - __b) AS BIGINT) - 1 AS BIGINT)",
+            "__n" -> n, "__b" -> Cast(e(1), IntegerType))))
+      }
+      f("isIPAddressInRange") { e =>
+        e(1) match {
+          case Literal(u: UTF8String, StringType)
+              if !u.toString.contains(":") =>
+            val Array(base, bits) = u.toString.split("/")
+            val width = 32 - bits.toInt
+            fromSql(
+              s"__a div CAST(pow(2, $width) AS BIGINT) = " +
+                s"__b div CAST(pow(2, $width) AS BIGINT)",
+              "__a" -> IpToLong(e.head),
+              "__b" -> IpToLong(Literal(base)))
+          case Literal(_, StringType) =>
+            throw new IllegalArgumentException(
+              "isIPAddressInRange: IPv6 CIDRs are not supported — " +
+                "use the IPv6 prefix trie (qf_lpm machinery) for v6 " +
+                "classification")
+          case other => throw new IllegalArgumentException(
+            s"isIPAddressInRange needs a literal CIDR, got $other")
+        }
+      }
+
       // fuzzy-match similarity pair (entity-dedup staples); textbook
       // Jaro / Jaro-Winkler, see functions/JaroSimilarity.scala
       f("jaroSimilarity")(e =>

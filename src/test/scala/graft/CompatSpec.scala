@@ -2068,6 +2068,72 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 0.0)
   }
 
+  test("round-14: URL family round-out — pathFull/netloc/port/" +
+      "hierarchies/subdomain/encode + IP validation/CIDR") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        pathFull('http://x.com/a/b?c=1#f') AS pf,
+        queryStringAndFragment('http://x.com/a/b?c=1#f') AS qf,
+        cutQueryString('http://x.com/a?b=1#f') AS cq,
+        cutWWW('https://www.x.com/a') AS cw,
+        netloc('http://u:p@x.com:8080/a') AS nl,
+        port('http://x.com:8080/a') AS po,
+        port('http://x.com/a') AS po0,
+        port('http://x.com/a', 443) AS pod,
+        firstSignificantSubdomain('http://news.clickhouse.com.tr/')
+          AS fs1,
+        firstSignificantSubdomain('http://www.example.com/') AS fs2,
+        URLHierarchy('https://example.com/browse/CONV-6788?view=1')
+          AS uh,
+        URLPathHierarchy('https://example.com/browse/CONV-6788') AS uph,
+        encodeURLComponent('a b+c') AS enc,
+        decodeURLComponent('a%20b+c') AS dec,
+        tryBase64Decode('aGk=') AS b64,
+        tryBase64Decode('!!!') AS b640,
+
+        unhex('4142') AS uhx,
+        bin(5) AS b5,
+        bin(300) AS b300,
+        isIPv4String('1.2.3.4') AS v4,
+        isIPv4String('256.1.1.1') AS v4bad,
+        isIPv6String('fe80::1') AS v6,
+        isIPv6String('1.2.3.4') AS v6bad,
+        IPv4CIDRToRange('192.168.5.2', 16) AS cidr,
+        isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS inr,
+        isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS inr0
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getString(0) == "/a/b?c=1#f")
+    assert(r.getString(1) == "c=1#f")
+    assert(r.getString(2) == "http://x.com/a#f")
+    assert(r.getString(3) == "https://x.com/a")
+    assert(r.getString(4) == "u:p@x.com:8080")
+    assert(r.getInt(5) == 8080 && r.getInt(6) == 0 && r.getInt(7) == 443)
+    assert(r.getString(8) == "clickhouse")
+    assert(r.getString(9) == "example")
+    assert(r.getSeq[String](10) == Seq(
+      "https://example.com/",
+      "https://example.com/browse/",
+      "https://example.com/browse/CONV-6788",
+      "https://example.com/browse/CONV-6788?view=1"))
+    assert(r.getSeq[String](11) == Seq("/browse/", "/browse/CONV-6788"))
+    assert(r.getString(12) == "a%20b%2Bc")
+    assert(r.getString(13) == "a b+c")
+    assert(r.getString(14) == "hi" && r.getString(15) == "")
+    assert(r.getString(16) == "AB")
+    assert(r.getString(17) == "00000101")
+    assert(r.getString(18) == "0000000100101100")
+    assert(r.getBoolean(19) && !r.getBoolean(20))
+    assert(r.getBoolean(21) && !r.getBoolean(22))
+    val cidr = r.getStruct(23)
+    assert(cidr.getString(0) == "192.168.0.0" &&
+      cidr.getString(1) == "192.168.255.255")
+    assert(r.getBoolean(24) && !r.getBoolean(25))
+    // hex is Spark-native and untouched: uppercase like CH
+    assert(Compat.chSql(spark,
+      "SELECT hex('AB') AS h FROM (SELECT 1 AS one)")
+      .collect().head.getString(0) == "4142")
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
