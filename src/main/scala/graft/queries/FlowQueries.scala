@@ -1344,6 +1344,30 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // formatDateTime / parseDateTime round-trips vs DuckDB's NATIVE
+    // strftime — independent %-code implementations of the same
+    // MySQL-style table
+    "q_compat_r14fmt" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r14f")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r14f),
+        b AS (SELECT user_id,
+            timestamp_seconds(1709251200 + user_id * 9973) AS ts,
+            1709251200 + user_id * 9973 AS t
+          FROM u)
+        SELECT user_id,
+          formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS f1,
+          formatDateTime(ts, '%F') AS f2,
+          formatDateTime(ts, '%M') AS f3,
+          formatDateTime(ts, '%j|%Q|%p') AS f4,
+          CAST(parseDateTime(formatDateTime(ts,
+            '%Y-%m-%d %H:%i:%S'), '%Y-%m-%d %H:%i:%S') AS BIGINT)
+            AS rt,
+          CAST(parseDateTimeBestEffort(formatDateTime(ts, '%F'))
+            AS BIGINT) AS be
+        FROM b ORDER BY user_id""")
+    }),
+
     // jaro / jaro-winkler vs DuckDB's NATIVE implementations — the
     // strongest oracle shape available (independent codebases, same
     // textbook algorithm) over real event_type pairs plus shifted
@@ -2434,6 +2458,25 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r14 fmt replay: DuckDB's native strftime (its %M is minute and
+    // %B the month name — the translation differences ARE the test),
+    // round-trips as epoch arithmetic
+    "q_compat_r14fmt" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    epoch_ms((1709251200 + user_id * 9973) * 1000) AS ts,
+        |    1709251200 + user_id * 9973 AS t
+        |  FROM u)
+        |SELECT user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS f1,
+        |  strftime(ts, '%Y-%m-%d') AS f2,
+        |  strftime(ts, '%B') AS f3,
+        |  strftime(ts, '%j') || '|' ||
+        |    CAST(quarter(ts) AS VARCHAR) || '|' ||
+        |    strftime(ts, '%p') AS f4,
+        |  t AS rt,
+        |  (t // 86400) * 86400 AS be
+        |FROM b ORDER BY user_id""".stripMargin,
     // r14 URL/IP replay: the synthetic URL decomposes in closed form
     // from the same user_id mods; the hierarchies replay the generic
     // cut-position computation (after each '/', before '?', full) on

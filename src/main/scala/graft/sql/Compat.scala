@@ -2289,6 +2289,107 @@ object Compat {
           "CAST(size(filter(slice(__a, 1, __i), __u -> __u <=> __v)) " +
           "AS INT)) END", "__a" -> e.head))
 
+      // formatDateTime / parseDateTime — the MySQL-style %-code table
+      // of MODERN ClickHouse (≥ 23: %M is the month NAME, %i the
+      // minute; the pre-23 %M-as-minute reading is the documented
+      // deviation — use %i). Literal runs are single-quoted for
+      // Spark's DateTimeFormatter; unmappable codes refuse loudly.
+      // (Supersedes the round-6 blanket non-registration: the
+      // ambiguity is now pinned to the modern default instead of
+      // refusing the whole staple.)
+      val chFmt: Map[Char, String] = Map(
+        'a' -> "EEE", 'b' -> "MMM", 'c' -> "MM", 'd' -> "dd",
+        'D' -> "MM/dd/yy", 'f' -> "SSSSSS", 'F' -> "yyyy-MM-dd",
+        'h' -> "hh", 'H' -> "HH", 'i' -> "mm", 'I' -> "hh",
+        'j' -> "DDD", 'k' -> "H", 'l' -> "h", 'm' -> "MM",
+        'M' -> "MMMM", 'p' -> "a", 'Q' -> "Q", 'r' -> "hh:mm:ss a",
+        'R' -> "HH:mm", 's' -> "ss", 'S' -> "ss", 'T' -> "HH:mm:ss",
+        'y' -> "yy", 'Y' -> "yyyy", 'e' -> "d")
+      def translateFmt(fname: String, fmt: String): String = {
+        val out = new StringBuilder
+        val lit = new StringBuilder
+        def flushLit(): Unit = if (lit.nonEmpty) {
+          out.append("'").append(lit.toString.replace("'", "''"))
+            .append("'")
+          lit.clear()
+        }
+        var i = 0
+        while (i < fmt.length) {
+          val ch = fmt.charAt(i)
+          if (ch == '%' && i + 1 < fmt.length) {
+            val c = fmt.charAt(i + 1)
+            c match {
+              case '%' => lit.append('%')
+              case 'n' => lit.append('\n')
+              case 't' => lit.append('\t')
+              case k if chFmt.contains(k) =>
+                flushLit(); out.append(chFmt(k))
+              case other => throw new IllegalArgumentException(
+                s"$fname: %$other has no deterministic Spark " +
+                  "DateTimeFormatter mapping; supported codes: %" +
+                  chFmt.keys.toSeq.sorted.mkString(" %") +
+                  " %n %t %%")
+            }
+            i += 2
+          } else { lit.append(ch); i += 1 }
+        }
+        flushLit()
+        out.toString
+      }
+      def litFmt(fname: String, x: Expression): String = x match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"$fname needs a literal format string, got $other")
+      }
+      f("formatDateTime")(e =>
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          Cast(e.head, TimestampType),
+          Literal(translateFmt("formatDateTime", litFmt(
+            "formatDateTime", e(1))))))
+      Seq("parseDateTime", "parseDateTimeOrNull").foreach { n =>
+        f(n) { e =>
+          val fmt = translateFmt(n, litFmt(n, e(1)))
+            .replace("'", "''")
+          val parsed = fromSql(s"try_to_timestamp(__s, '$fmt')",
+            "__s" -> e.head)
+          if (n.endsWith("OrNull")) parsed
+          else fromSql(
+            "CASE WHEN __p IS NULL AND __s IS NOT NULL THEN " +
+              "raise_error(concat('parseDateTime: cannot parse ', " +
+              "__s)) ELSE __p END",
+            "__p" -> parsed, "__s" -> e.head)
+        }
+      }
+      // best-effort parsing against the pinned shape list (the
+      // documented contract; CH's own best-effort is version-fluid):
+      // ISO with space or T separator, with/without fractional
+      // seconds, date-only, slash dates, and bare unix seconds
+      Seq("parseDateTimeBestEffort", "parseDateTimeBestEffortOrNull")
+        .foreach { n =>
+          f(n) { e =>
+            val parsed = fromSql(
+              "coalesce(" +
+                "try_to_timestamp(__s, 'yyyy-MM-dd HH:mm:ss')," +
+                "try_to_timestamp(__s, \"yyyy-MM-dd'T'HH:mm:ss\")," +
+                "try_to_timestamp(__s, 'yyyy-MM-dd HH:mm:ss.SSS')," +
+                "try_to_timestamp(__s, " +
+                "\"yyyy-MM-dd'T'HH:mm:ss.SSS\")," +
+                "try_to_timestamp(__s, 'yyyy-MM-dd')," +
+                "try_to_timestamp(__s, 'yyyy/MM/dd HH:mm:ss')," +
+                "try_to_timestamp(__s, 'yyyy/MM/dd')," +
+                "try_to_timestamp(__s, 'dd/MM/yyyy HH:mm:ss')," +
+                "CASE WHEN __s rlike '^[0-9]{9,10}$' THEN " +
+                "timestamp_seconds(CAST(__s AS BIGINT)) END)",
+              "__s" -> e.head)
+            if (n.endsWith("OrNull")) parsed
+            else fromSql(
+              "CASE WHEN __p IS NULL AND __s IS NOT NULL THEN " +
+                "raise_error(concat('parseDateTimeBestEffort: " +
+                "cannot parse ', __s)) ELSE __p END",
+              "__p" -> parsed, "__s" -> e.head)
+          }
+        }
+
       // UTF8-suffixed position spellings: Spark strings are already
       // character-addressed, so these are exact aliases
       f("positionUTF8")(e => new StringLocate(e(1), e(0)))

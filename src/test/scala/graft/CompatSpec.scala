@@ -2134,6 +2134,51 @@ class CompatSpec extends AnyFunSuite {
       .collect().head.getString(0) == "4142")
   }
 
+  test("round-14: formatDateTime / parseDateTime / BestEffort — " +
+      "modern %-code table, literal quoting, refusals") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        formatDateTime(TIMESTAMP'2024-03-07 09:05:06', '%Y-%m-%d') AS a,
+        formatDateTime(TIMESTAMP'2024-03-07 09:05:06',
+          '%F %H:%i:%S') AS b,
+        formatDateTime(TIMESTAMP'2024-03-07 09:05:06',
+          'at %H o''clock') AS c,
+        formatDateTime(TIMESTAMP'2024-03-07 09:05:06', '%M %e, %Y')
+          AS d,
+        formatDateTime(TIMESTAMP'2024-03-07 09:05:06', '100%%') AS e,
+        CAST(parseDateTime('2024-03-07 09:05:06',
+          '%Y-%m-%d %H:%i:%S') AS STRING) AS p1,
+        parseDateTimeOrNull('nope', '%Y-%m-%d') AS p2,
+        CAST(parseDateTimeBestEffort('2024-03-07T09:05:06') AS STRING)
+          AS p3,
+        CAST(parseDateTimeBestEffort('2024/03/07') AS STRING) AS p4,
+        CAST(parseDateTimeBestEffort('1700000000') AS STRING) AS p5,
+        parseDateTimeBestEffortOrNull('garbage') AS p6
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getString(0) == "2024-03-07")
+    assert(r.getString(1) == "2024-03-07 09:05:06")
+    assert(r.getString(2) == "at 09 o'clock")
+    assert(r.getString(3) == "March 7, 2024")
+    assert(r.getString(4) == "100%")
+    assert(r.getString(5) == "2024-03-07 09:05:06")
+    assert(r.isNullAt(6))
+    assert(r.getString(7) == "2024-03-07 09:05:06")
+    assert(r.getString(8) == "2024-03-07 00:00:00")
+    assert(r.getString(9) == "2023-11-14 22:13:20")
+    assert(r.isNullAt(10))
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, "SELECT formatDateTime(now(), '%V') AS x")
+        .collect()
+    }
+    assert(bad.getMessage.contains("no deterministic"))
+    val bad2 = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT parseDateTimeBestEffort('zzz') AS x " +
+          "FROM (SELECT 1 AS one)").collect()
+    }
+    assert(bad2.getMessage.contains("cannot parse"))
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
