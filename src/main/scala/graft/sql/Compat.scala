@@ -2604,6 +2604,23 @@ object Compat {
         }
       }
 
+      // CH's fingerprint spellings hash with CH-PRIVATE bit recipes
+      // (cityhash-seeded shingle mixing) — a same-name different-bits
+      // implementation would silently break any cross-system
+      // comparison, so they refuse with the pointer to this engine's
+      // own fingerprint operators (the cityHash64 precedent)
+      Seq("ngramSimHash", "ngramSimHashCaseInsensitive",
+        "wordShingleSimHash", "ngramMinHash", "wordShingleMinHash")
+        .foreach(n => f(n)(_ => throw new IllegalArgumentException(
+          s"$n produces ClickHouse-private fingerprint bits that no " +
+            "other engine can reproduce; use this engine's simhash/" +
+            "minhash document operators (qt_simhash / qt_minhash_lsh " +
+            "machinery) whose recipes are documented and stable")))
+      f("arrayRandomSample")(_ => throw new IllegalArgumentException(
+        "arrayRandomSample draws with engine-internal randomness; " +
+          "sample deterministically (e.g. filter on xxhash64(x) % k) " +
+          "instead"))
+
       // fuzzy-match similarity pair (entity-dedup staples); textbook
       // Jaro / Jaro-Winkler, see functions/JaroSimilarity.scala
       f("jaroSimilarity")(e =>

@@ -2179,6 +2179,19 @@ class CompatSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("cannot parse"))
   }
 
+  test("round-14: fingerprint spellings refuse with the pointer to " +
+      "the engine's own simhash/minhash operators") {
+    Seq("ngramSimHash('x')", "wordShingleSimHash('x')",
+      "ngramMinHash('x')", "arrayRandomSample(array(1), 1)")
+      .foreach { call =>
+        val bad = intercept[Exception] {
+          Compat.chSql(spark, s"SELECT $call AS v").collect()
+        }
+        assert(bad.getMessage.contains("private") ||
+          bad.getMessage.contains("randomness"), call)
+      }
+  }
+
   test("round-14: coalescing gates are not vacuously green — " +
       "q_compat_nextnode / q_compat_arrays2 produce non-empty values") {
     // both gates coalesce NULL results to '' so every row stays
