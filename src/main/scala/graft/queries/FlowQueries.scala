@@ -1262,7 +1262,9 @@ object FlowQueries {
           concat_ws(',', arrayReduceInRanges('sum',
             array((1, 2), (2, 3)), c.arr)) AS rr,
           concat_ws(',', arrayReduceInRanges('max',
-            array((1, 5)), c.arr)) AS rm
+            array((1, 5)), c.arr)) AS rm,
+          concat_ws('|', transform(arrayShingles(c.arr, 3),
+            w -> concat_ws(',', w))) AS sh
         FROM agg a JOIN sc c ON a.user_id = c.user_id
         ORDER BY a.user_id""")
     }),
@@ -2620,7 +2622,10 @@ object FlowQueries {
         |  CAST(c.a1 + c.a2 AS VARCHAR) || ',' ||
         |    CAST(c.a2 + c.a3 + c.a4 AS VARCHAR) AS rr,
         |  CAST(greatest(c.a1, c.a2, c.a3, c.a4, c.a5) AS VARCHAR)
-        |    AS rm
+        |    AS rm,
+        |  array_to_string(list_transform(generate_series(1, 3),
+        |    i -> array_to_string(
+        |      [c.a1, c.a2, c.a3, c.a4, c.a5][i:i+2], ',')), '|') AS sh
         |FROM agg a JOIN sc c ON a.user_id = c.user_id
         |ORDER BY a.user_id""".stripMargin,
     // r14 stats replay: ANOVA F from group moments (SSB = Σs²/n −

@@ -2628,6 +2628,15 @@ object Compat {
       f("jaroWinklerSimilarity")(e =>
         graft.functions.JaroSimilarity(e(0), e(1), winkler = true))
 
+      // arrayShingles(arr, l) — consecutive windows of length l (the
+      // array-side n-gram primitive); shorter arrays → empty
+      f("arrayShingles")(e => fromSql(
+        "CASE WHEN size(__a) < __l OR __l < 1 " +
+          "THEN slice(array(slice(__a, 1, 0)), 1, 0) " +
+          "ELSE transform(sequence(1, size(__a) - __l + 1), " +
+          "__i -> slice(__a, __i, __l)) END",
+        "__a" -> e.head, "__l" -> Cast(e(1), IntegerType)))
+
       // splitter round-out: regexp split (literal pattern, CH's
       // empty-pattern = per-character contract matches Spark's),
       // whitespace tokens, alphabetic runs

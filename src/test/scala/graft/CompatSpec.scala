@@ -2179,6 +2179,19 @@ class CompatSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("cannot parse"))
   }
 
+  test("round-14: arrayShingles — consecutive windows, short-array " +
+      "empty, bad length") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        arrayShingles(array(1, 2, 3, 4), 3) AS a,
+        arrayShingles(array(1, 2), 3) AS b,
+        arrayShingles(array(1, 2), 0) AS c
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[Seq[Int]](0) == Seq(Seq(1, 2, 3), Seq(2, 3, 4)))
+    assert(r.getSeq[Seq[Int]](1).isEmpty)
+    assert(r.getSeq[Seq[Int]](2).isEmpty)
+  }
+
   test("round-14: fingerprint spellings refuse with the pointer to " +
       "the engine's own simhash/minhash operators") {
     Seq("ngramSimHash('x')", "wordShingleSimHash('x')",
