@@ -14,7 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   J = (m/|a| + m/|b| + (m−t)/m) / 3; both empty → 1, one empty → 0.
   *
   *   Jaro-Winkler: JW = J + ℓ·p·(1−J) with ℓ = common prefix capped
-  *   at 4 and the standard scaling p = 0.1.
+  *   at 4 and the standard scaling p = 0.1, applied only when J
+  *   exceeds the standard boost threshold 0.7 (both ClickHouse and
+  *   DuckDB gate the prefix bonus this way; below the threshold
+  *   JW = J).
   *
   * Character-level (code-unit) comparison over Spark's UTF-16 string
   * representation — identical to DuckDB's jaro_similarity /
@@ -43,7 +46,7 @@ case class JaroSimilarity(left: Expression, right: Expression,
     val a = l.asInstanceOf[UTF8String].toString
     val b = r.asInstanceOf[UTF8String].toString
     val j = jaro(a, b)
-    if (!winkler) j
+    if (!winkler || j <= 0.7) j
     else {
       var prefix = 0
       val maxPrefix = math.min(4, math.min(a.length, b.length))

@@ -1185,6 +1185,40 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-15 splitter/bucket tier: splitByNonAlpha, the CH
+    // max_substrings truncation on every splitBy* spelling (default
+    // setting: remainder DISCARDED, not folded into the last element),
+    // origin-anchored toStartOfInterval, and the pre-1970 floor of the
+    // fixed-width toStartOf* buckets (pmod floor, not trunc-toward-0)
+    "q_compat_r15split" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r15")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r15),
+        b AS (SELECT user_id,
+            concat('w', CAST(user_id % 5 AS STRING), ' x-',
+              CAST(user_id % 3 AS STRING), '_y!z-',
+              CAST(user_id % 7 AS STRING)) AS s,
+            CAST(timestamp_seconds(1709251200 + user_id * 37)
+              AS TIMESTAMP) AS ts,
+            CAST(timestamp_seconds(user_id * 37 - 172800)
+              AS TIMESTAMP) AS tsneg
+          FROM u)
+        SELECT user_id,
+          concat_ws('|', splitByNonAlpha(s)) AS sna,
+          concat_ws('|', splitByNonAlpha(s, 2)) AS sna2,
+          concat_ws('|', splitByChar('-', s, 2)) AS sbc2,
+          concat_ws('|', splitByString('_', s, 1)) AS sbs1,
+          concat_ws('|', splitByWhitespace(s, 1)) AS sbw1,
+          concat_ws('|', splitByRegexp('[!x]', s, 3)) AS sbr3,
+          concat_ws('|', alphaTokens(s, 2)) AS at2,
+          CAST(toStartOfInterval(ts, INTERVAL 90 SECOND) AS BIGINT)
+            AS tsi,
+          CAST(toStartOfInterval(ts, INTERVAL 90 SECOND,
+            TIMESTAMP'2024-03-01 00:00:17') AS BIGINT) AS tsio,
+          CAST(toStartOfFifteenMinutes(tsneg) AS BIGINT) AS t15n
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2428,7 +2462,7 @@ object FlowQueries {
         |    AS BIGINT) AS msi,
         |  CAST(CAST(date_trunc('month', epoch_ms(t * 1000)) AS DATE)
         |    AS VARCHAR) AS dtm,
-        |  epoch(date_trunc('hour', epoch_ms(t * 1000))) AS dth,
+        |  CAST(epoch(date_trunc('hour', epoch_ms(t * 1000))) AS BIGINT) AS dth,
         |  (t // 1800) * 1800 AS slot,
         |  array_to_string(list_transform(
         |    generate_series(t // 1800, (t + 3700) // 1800),
@@ -2460,6 +2494,42 @@ object FlowQueries {
         |    CAST(2 + 2 * CASE WHEN x = y THEN 1 ELSE 0 END
         |      + CASE WHEN z = y THEN 1 ELSE 0 END AS VARCHAR) AS eu
         |FROM q ORDER BY user_id""".stripMargin,
+    // r15 splitter/bucket replay: DuckDB regexp_split + list slicing
+    // mirrors the CH max_substrings TRUNCATION (remainder discarded);
+    // the bucket columns replay the pmod floor arithmetic explicitly —
+    // ((t % sz) + sz) % sz, NOT `//`, which truncates toward zero in
+    // DuckDB and would disagree on the pre-1970 rows
+    "q_compat_r15split" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    'w' || CAST(user_id % 5 AS VARCHAR) || ' x-' ||
+        |      CAST(user_id % 3 AS VARCHAR) || '_y!z-' ||
+        |      CAST(user_id % 7 AS VARCHAR) AS s,
+        |    1709251200 + user_id * 37 AS t,
+        |    user_id * 37 - 172800 AS tn
+        |  FROM u)
+        |SELECT user_id,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(s, '[^A-Za-z0-9]+'),
+        |    x -> x <> ''), '|') AS sna,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(s, '[^A-Za-z0-9]+'),
+        |    x -> x <> '')[1:2], '|') AS sna2,
+        |  array_to_string(regexp_split_to_array(s, '-')[1:2], '|')
+        |    AS sbc2,
+        |  array_to_string(regexp_split_to_array(s, '_')[1:1], '|')
+        |    AS sbs1,
+        |  array_to_string(list_filter(regexp_split_to_array(s, '\s+'),
+        |    x -> x <> '')[1:1], '|') AS sbw1,
+        |  array_to_string(regexp_split_to_array(s, '[!x]')[1:3], '|')
+        |    AS sbr3,
+        |  array_to_string(regexp_extract_all(s, '[A-Za-z]+')[1:2], '|')
+        |    AS at2,
+        |  CAST(t - ((t % 90) + 90) % 90 AS BIGINT) AS tsi,
+        |  CAST(1709251217 + ((t - 1709251217)
+        |    - (((t - 1709251217) % 90) + 90) % 90) AS BIGINT) AS tsio,
+        |  CAST(tn - ((tn % 900) + 900) % 900 AS BIGINT) AS t15n
+        |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),
     // round-trips as epoch arithmetic

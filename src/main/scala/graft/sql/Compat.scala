@@ -60,14 +60,25 @@ object Compat {
     // Spark agree on)
     locally {
       import org.apache.spark.sql.catalyst.expressions.{Expression,
-        IntegralDivide, Multiply}
+        Pmod, Subtract}
       import org.apache.spark.sql.types.{DayTimeIntervalType, LongType,
         YearMonthIntervalType}
-      def floorTo(ts: Expression, seconds: Long): Expression =
-        Cast(Multiply(
-          IntegralDivide(Cast(Cast(ts, TimestampType), LongType),
-            Literal(seconds)),
-          Literal(seconds)), TimestampType)
+      // pmod-based floor (not IntegralDivide, which truncates toward
+      // zero and would round pre-1970 epochs UP a bucket)
+      def floorTo(ts: Expression, seconds: Long): Expression = {
+        val t = Cast(Cast(ts, TimestampType), LongType)
+        Cast(Subtract(t, Pmod(t, Literal(seconds))), TimestampType)
+      }
+      // origin-anchored variant: o + floor((t − o)/sz)·sz — CH's
+      // 3-arg toStartOfInterval for second-granularity intervals
+      def floorToFrom(ts: Expression, seconds: Long,
+          origin: Expression): Expression = {
+        val t = Cast(Cast(ts, TimestampType), LongType)
+        val o = Cast(Cast(origin, TimestampType), LongType)
+        val d = Subtract(t, o)
+        Cast(org.apache.spark.sql.catalyst.expressions.Add(o,
+          Subtract(d, Pmod(d, Literal(seconds)))), TimestampType)
+      }
       f("toStartOfFifteenMinutes")(e => floorTo(e.head, 900L))
       f("toStartOfFiveMinutes")(e => floorTo(e.head, 300L))
       f("toStartOfTenMinutes")(e => floorTo(e.head, 600L))
@@ -76,8 +87,17 @@ object Compat {
           case Literal(micros: Long, _: DayTimeIntervalType) =>
             require(micros > 0 && micros % 1000000L == 0,
               "toStartOfInterval needs a positive whole-second interval")
-            floorTo(e.head, micros / 1000000L)
+            if (e.length >= 3)
+              floorToFrom(e.head, micros / 1000000L, e(2))
+            else floorTo(e.head, micros / 1000000L)
           case Literal(months: Int, _: YearMonthIntervalType) =>
+            if (e.length >= 3) throw new IllegalArgumentException(
+              "toStartOfInterval: origin-anchored MONTH buckets are " +
+                "not supported — CH counts whole calendar months from " +
+                "the origin with engine-specific partial-month " +
+                "rounding; anchor at a calendar boundary (1/3/12 " +
+                "months, 2-arg form) or use a second-granularity " +
+                "interval with origin")
             val unit = months match {
               case 1  => "month"
               case 3  => "quarter"
@@ -825,14 +845,32 @@ object Compat {
     f("trimBoth")(e => StringTrim(e.head))
     f("trimLeft")(e => StringTrimLeft(e.head))
     f("trimRight")(e => StringTrimRight(e.head))
+    // optional CH max_substrings (trailing arg on every splitBy*):
+    // the engine-default splitby_max_substrings_includes_remaining_
+    // string=0 semantics — TRUNCATE the array to n entries, the
+    // remainder is DISCARDED (Spark's split(s, re, limit) folds the
+    // remainder into the last element instead, which is CH's
+    // non-default setting=1 reading). 0 or absent = unlimited.
+    def capSubstrings(arr: org.apache.spark.sql.catalyst.expressions
+        .Expression, e: Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression], idx: Int)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      if (e.length <= idx) arr
+      else e(idx) match {
+        case Literal(n: Int, _) =>
+          if (n <= 0) arr else Slice(arr, Literal(1), Literal(n))
+        case other => throw new IllegalArgumentException(
+          s"max_substrings must be an integer literal, got $other")
+      }
     f("splitByChar") { e =>
       val sep = e.head match {
         case Literal(u: UTF8String, StringType) => u.toString
         case other => throw new IllegalArgumentException(
           s"splitByChar separator must be a string literal, got $other")
       }
-      StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)),
-        Literal(-1))
+      capSubstrings(
+        StringSplit(e(1), Literal(java.util.regex.Pattern.quote(sep)),
+          Literal(-1)), e, 2)
     }
     // -State / -Merge combinators (the AggregatingMergeTree surface):
     // a -State aggregate produces a MERGEABLE partial state a table can
@@ -1581,8 +1619,11 @@ object Compat {
           Literal(false)))
       f("arrayShuffle")(_ => throw new IllegalArgumentException(
         "arrayShuffle draws engine-internal randomness with no " +
-          "deterministic distributed reading; shuffle with an explicit " +
-          "key instead (sort_array over (hash(x), x) structs)"))
+          "deterministic distributed reading — and arrayShuffle(arr, " +
+          "seed) is no better: the seeded permutation is CH's private " +
+          "PRNG sequence, so a same-name different-permutation " +
+          "implementation would be a silent fake; shuffle with an " +
+          "explicit key instead (sort_array over (hash(x), x) structs)"))
       // arrayRotateLeft/Right(arr, n): slice-and-concat with n
       // normalized into [0, size); empty arrays pass through (the
       // pmod-by-zero branch never evaluates under If)
@@ -1912,7 +1953,8 @@ object Compat {
           case other => throw new IllegalArgumentException(
             s"splitByString needs a literal separator, got $other")
         }
-        StringSplit(e(1), Literal(sep), Literal(-1))
+        capSubstrings(StringSplit(e(1), Literal(sep), Literal(-1)),
+          e, 2)
       }
       f("extractAll") { e =>
         val grp = e(1) match {
@@ -2116,18 +2158,31 @@ object Compat {
         if (coarse.contains(unit)) Cast(tr, DateType) else tr
       }
       // timeSlot / timeSlots — CH's 1800 s rounding and the covering
-      // slot array [floor(t/sz)·sz .. floor((t+dur)/sz)·sz]
-      def epochFloor(ts: Expression, seconds: Expression): Expression =
-        Cast(Multiply(IntegralDivide(
-          Cast(Cast(ts, TimestampType), LongType), seconds), seconds),
-          TimestampType)
+      // slot array [floor(t/sz)·sz .. floor((t+dur)/sz)·sz].
+      // IntegralDivide truncates toward zero, which would round
+      // pre-1970 epochs UP; pmod-based floor division matches CH for
+      // negative epochs too (pmod is non-negative for a positive
+      // divisor, so ts - pmod(ts, sz) is the floored multiple)
+      import org.apache.spark.sql.catalyst.expressions.{
+        Pmod => FPmod, Subtract => FSub}
+      def floorDiv(a: Expression, b: Expression): Expression =
+        IntegralDivide(FSub(a, FPmod(a, b)), b)
+      def epochFloor(ts: Expression, seconds: Expression): Expression = {
+        val t = Cast(Cast(ts, TimestampType), LongType)
+        Cast(FSub(t, FPmod(t, seconds)), TimestampType)
+      }
       f("timeSlot")(e => epochFloor(e.head, Literal(1800L)))
       f("timeSlots") { e =>
         val size = if (e.length >= 3) Cast(e(2), LongType)
           else Literal(1800L)
         fromSql(
-          "transform(sequence(CAST(__ts AS BIGINT) div __sz, " +
-            "(CAST(__ts AS BIGINT) + CAST(__dur AS BIGINT)) div __sz), " +
+          // floor division via pmod so pre-1970 slots round down
+          "transform(sequence(" +
+            "(CAST(__ts AS BIGINT) - pmod(CAST(__ts AS BIGINT), __sz)) " +
+            "div __sz, " +
+            "(CAST(__ts AS BIGINT) + CAST(__dur AS BIGINT) - " +
+            "pmod(CAST(__ts AS BIGINT) + CAST(__dur AS BIGINT), __sz)) " +
+            "div __sz), " +
             "__slot -> CAST(__slot * __sz AS TIMESTAMP))",
           "__ts" -> Cast(e.head, TimestampType),
           "__dur" -> e(1), "__sz" -> size)
@@ -2136,9 +2191,9 @@ object Compat {
       f("toRelativeDayNum")(e =>
         fromSql("datediff(__d, DATE'1970-01-01')",
           "__d" -> Cast(e.head, DateType)))
-      f("toRelativeHourNum")(e => IntegralDivide(
+      f("toRelativeHourNum")(e => floorDiv(
         Cast(Cast(e.head, TimestampType), LongType), Literal(3600L)))
-      f("toRelativeMinuteNum")(e => IntegralDivide(
+      f("toRelativeMinuteNum")(e => floorDiv(
         Cast(Cast(e.head, TimestampType), LongType), Literal(60L)))
       f("toRelativeSecondNum")(e =>
         Cast(Cast(e.head, TimestampType), LongType))
@@ -2280,9 +2335,15 @@ object Compat {
       // array enumerators — dense = 1-based id by first appearance
       // (array_distinct preserves first-occurrence order), uniq = the
       // running per-value occurrence counter
+      // dense id = #distinct values in the prefix ending at v's FIRST
+      // occurrence; first occurrence located with a null-safe <=> scan
+      // (array_position cannot match NULL — CH enumerates NULL as a
+      // value, and so does this, consistently with the Uniq variant)
       f("arrayEnumerateDense")(e => fromSql(
-        "transform(__a, __v -> CAST(array_position(array_distinct(__a)," +
-          " __v) AS INT))", "__a" -> e.head))
+        "transform(__a, __v -> CAST(size(array_distinct(slice(__a, 1, " +
+          "filter(sequence(1, size(__a)), " +
+          "__i -> element_at(__a, __i) <=> __v)[0]))) AS INT))",
+        "__a" -> e.head))
       f("arrayEnumerateUniq")(e => fromSql(
         "CASE WHEN size(__a) = 0 THEN array_repeat(CAST(0 AS INT), 0) " +
           "ELSE zip_with(__a, sequence(1, size(__a)), (__v, __i) -> " +
@@ -2565,10 +2626,10 @@ object Compat {
         "__s rlike '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
           "\\\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
         "__s" -> e.head))
-      f("isIPv6String")(e => fromSql(
-        "__s rlike '^([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}" +
-          "(%[0-9A-Za-z]+)?$' AND __s rlike ':'",
-        "__s" -> e.head))
+      // real grammar walk (RFC 4291) — the old regex accepted
+      // 'fe80:::1' and rejected '::ffff:1.2.3.4'
+      f("isIPv6String")(e =>
+        graft.functions.IsIpv6String(Cast(e.head, StringType)))
       f("IPv4CIDRToRange") { e =>
         val n = IpToLong(e.head)
         fromSql(
@@ -2646,13 +2707,21 @@ object Compat {
           case other => throw new IllegalArgumentException(
             s"splitByRegexp needs a literal pattern, got $other")
         }
-        StringSplit(e(1), Literal(re), Literal(-1))
+        capSubstrings(StringSplit(e(1), Literal(re), Literal(-1)),
+          e, 2)
       }
-      f("splitByWhitespace")(e => fromSql(
+      f("splitByWhitespace")(e => capSubstrings(fromSql(
         "filter(split(__s, '\\\\s+'), __t -> __t != '')",
-        "__s" -> e.head))
-      f("alphaTokens")(e => fromSql(
-        "regexp_extract_all(__s, '[A-Za-z]+', 0)", "__s" -> e.head))
+        "__s" -> e.head), e, 1))
+      // splitByNonAlpha: CH splits on runs of non-alphanumeric ASCII
+      // (whitespace + punctuation); ASCII scope documented — CH's
+      // byte-wise isAlphaNumericASCII is exactly [A-Za-z0-9]
+      f("splitByNonAlpha")(e => capSubstrings(fromSql(
+        "filter(split(__s, '[^A-Za-z0-9]+'), __t -> __t != '')",
+        "__s" -> e.head), e, 1))
+      f("alphaTokens")(e => capSubstrings(fromSql(
+        "regexp_extract_all(__s, '[A-Za-z]+', 0)", "__s" -> e.head),
+        e, 1))
 
       // ngramDistance / ngramSearch — the textbook 4-gram MULTISET
       // forms (documented contract; CH's implementation hashes grams

@@ -463,7 +463,13 @@ object ScaleBench {
       // are near-isotropic, so coarse cells correlate weakly with
       // cosine neighborhoods and the probe fraction must be generous;
       // clustered real-world embeddings need far fewer probes.
-      val mSub = 16
+      // SPARK_GRAFT_PQ_M widens the code: m=16 (16 B/vec, the shipped
+      // default) vs m=32 (32 B/vec, 8x compression) — the round-15
+      // codes-only-recall experiment. Non-default geometries suffix
+      // every step name so the curves stay separable in the artifact.
+      val mSub = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "16").toInt
+      require(64 % mSub == 0, s"PQ_M must divide 64, got $mSub")
+      val pqTag = if (mSub == 16) "" else s"_m$mSub"
       val subDim = 64 / mSub
       val nCodes = 256
       def subExpr(src: String, field: String) =
@@ -576,7 +582,7 @@ object ScaleBench {
         subsS.unpersist(blocking = false)
       }
       sample.unpersist(blocking = false)
-      record(factor, "ivfpq_train", trainSec, nSample,
+      record(factor, s"ivfpq_train$pqTag", trainSec, nSample,
         "cells" -> k.toString, "pq" -> s""""${mSub}x$nCodes"""")
       val seeds = centersDf(coarseC)
       val cent = pqDf(pqC)
@@ -619,7 +625,7 @@ object ScaleBench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
       }
-      record(factor, "ivfpq_index_build", buildSec, nCodeRows,
+      record(factor, s"ivfpq_index_build$pqTag", buildSec, nCodeRows,
         "cells" -> k.toString)
       // 9b. exact brute top-3 per query — the ground truth arm
       val qs = quant.filter(col("vec_id") < 10)
@@ -638,7 +644,7 @@ object ScaleBench {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         brute.count()
       }
-      record(factor, "ivfpq_brute_topk", bruteSec, nBrute,
+      record(factor, s"ivfpq_brute_topk$pqTag", bruteSec, nBrute,
         "queries" -> "10")
       // 9c. serve from CODES alone (coarse probe + broadcast LUT +
       //     ADC), recall@3 vs brute — at two nprobe points
@@ -684,7 +690,7 @@ object ScaleBench {
           r
         }
         recallByProbe(nprobe) = recallBp
-        record(factor, s"ivfpq_serve_np$nprobe", serveSec, 10L,
+        record(factor, s"ivfpq_serve_np$nprobe$pqTag", serveSec, 10L,
           "cells" -> k.toString, "nprobe" -> nprobe.toString,
           "recall_bp" -> recallBp.toString)
       }
@@ -696,7 +702,7 @@ object ScaleBench {
       if (!mono) System.err.println(
         s"[scale] WARN ivfpq recall INVERTED in nprobe at ${factor}x: " +
           s"np4=${recallByProbe(4)}bp np32=${recallByProbe(32)}bp")
-      record(factor, "ivfpq_recall_monotonic", 0.0,
+      record(factor, s"ivfpq_recall_monotonic$pqTag", 0.0,
         if (mono) 1L else 0L,
         "np4_bp" -> recallByProbe(4).toString,
         "np32_bp" -> recallByProbe(32).toString)
@@ -740,7 +746,7 @@ object ScaleBench {
               count(lit(1))).cast("long").as("bp"))
             .collect().head.getLong(0)
         }
-        record(factor, s"ivfpq_serve_rerank$shortlist", serveSec, 10L,
+        record(factor, s"ivfpq_serve_rerank$shortlist$pqTag", serveSec, 10L,
           "cells" -> k.toString, "nprobe" -> nprobe.toString,
           "shortlist" -> shortlist.toString,
           "recall_bp" -> recallBp.toString)

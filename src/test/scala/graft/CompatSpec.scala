@@ -1802,7 +1802,11 @@ class CompatSpec extends AnyFunSuite {
         toRelativeDayNum(DATE'1970-01-02') AS rd,
         toRelativeHourNum(TIMESTAMP'1970-01-01 02:30:00') AS rh,
         toRelativeMinuteNum(TIMESTAMP'1970-01-01 00:02:30') AS rm,
-        toRelativeSecondNum(TIMESTAMP'1970-01-01 00:00:42') AS rs
+        toRelativeSecondNum(TIMESTAMP'1970-01-01 00:00:42') AS rs,
+        timeSlot(TIMESTAMP'1969-12-31 23:59:00') AS slotneg,
+        timeSlots(TIMESTAMP'1969-12-31 23:59:00', 120, 60) AS slotsneg,
+        toRelativeHourNum(TIMESTAMP'1969-12-31 23:59:59') AS rhneg,
+        toRelativeMinuteNum(TIMESTAMP'1969-12-31 23:59:59') AS rmneg
       FROM (SELECT 1 AS one)""").collect().head
     assert(r.getDate(0).toString == "2024-03-01")
     assert(r.getTimestamp(1).toString == "2024-03-17 10:00:00.0")
@@ -1815,6 +1819,14 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getLong(6) == 2L)
     assert(r.getLong(7) == 2L)
     assert(r.getLong(8) == 42L)
+    // pre-1970: epoch -60 floors DOWN to -1800 (23:30), not up to 0 —
+    // IntegralDivide would truncate toward zero and bucket these wrong
+    assert(r.getTimestamp(9).toString == "1969-12-31 23:30:00.0")
+    assert(r.getSeq[java.sql.Timestamp](10).map(_.toString) ==
+      Seq("1969-12-31 23:59:00.0", "1970-01-01 00:00:00.0",
+        "1970-01-01 00:01:00.0"))
+    assert(r.getLong(11) == -1L)
+    assert(r.getLong(12) == -1L)
     val bad = intercept[Exception] {
       Compat.chSql(spark,
         "SELECT dateTrunc('fortnight', now()) AS x").collect()
@@ -1905,11 +1917,17 @@ class CompatSpec extends AnyFunSuite {
         arrayEnumerateDense(array(10, 20, 10, 30)) AS d,
         arrayEnumerateUniq(array(10, 20, 10, 10)) AS u,
         arrayEnumerateDense(array_repeat(1, 0)) AS de,
-        arrayEnumerateUniq(array_repeat(1, 0)) AS ue
+        arrayEnumerateUniq(array_repeat(1, 0)) AS ue,
+        arrayEnumerateDense(array(10, NULL, 10, NULL, 20)) AS dn,
+        arrayEnumerateUniq(array(10, NULL, 10, NULL, 20)) AS un
       FROM (SELECT 1 AS one)""").collect().head
     assert(r.getSeq[Int](0) == Seq(1, 2, 1, 3))
     assert(r.getSeq[Int](1) == Seq(1, 1, 2, 3))
     assert(r.getSeq[Int](2).isEmpty && r.getSeq[Int](3).isEmpty)
+    // NULL is enumerated as a value (CH semantics), consistently in
+    // both variants — the old array_position scan left NULL ids NULL
+    assert(r.getSeq[Int](4) == Seq(1, 2, 1, 2, 3))
+    assert(r.getSeq[Int](5) == Seq(1, 1, 2, 2, 1))
   }
 
   test("round-14: analysisOfVariance / categoricalInformationValue — " +
@@ -2054,7 +2072,10 @@ class CompatSpec extends AnyFunSuite {
         jaroSimilarity('abc', 'abc') AS jid,
         jaroSimilarity('', '') AS jee,
         jaroSimilarity('a', '') AS je1,
-        jaroSimilarity('abc', 'xyz') AS j0
+        jaroSimilarity('abc', 'xyz') AS j0,
+        jaroSimilarity('abcdxxxx', 'abcyyyyzzzz') AS jlo,
+        jaroWinklerSimilarity('abcdxxxx', 'abcyyyyzzzz') AS jwlo,
+        jaroWinklerSimilarity('ab', 'abcdefghij') AS jwmid
       FROM (SELECT 1 AS one)""").collect().head
     def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
     assert(near(r.getDouble(0), 17.0 / 18.0))          // 0.944444…
@@ -2066,6 +2087,12 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 1.0)
     assert(r.getDouble(6) == 0.0)
     assert(r.getDouble(7) == 0.0)
+    // below the 0.7 boost threshold the 3-char common prefix must NOT
+    // add the Winkler bonus (DuckDB golden: both 0.5492424242424242)
+    assert(near(r.getDouble(8), 0.5492424242424242))
+    assert(near(r.getDouble(9), 0.5492424242424242))
+    // just above the threshold the bonus applies (DuckDB golden)
+    assert(near(r.getDouble(10), 0.7866666666666667))
   }
 
   test("round-14: URL family round-out — pathFull/netloc/port/" +
@@ -2132,6 +2159,90 @@ class CompatSpec extends AnyFunSuite {
     assert(Compat.chSql(spark,
       "SELECT hex('AB') AS h FROM (SELECT 1 AS one)")
       .collect().head.getString(0) == "4142")
+  }
+
+  test("round-15: splitByNonAlpha / max_substrings truncation / " +
+      "toStartOfInterval origin") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        splitByNonAlpha('ab1!-cd 2x') AS sna,
+        splitByNonAlpha('!ab!') AS snae,
+        splitByNonAlpha('a.b,c d', 2) AS sna2,
+        splitByChar(',', 'a,b,c', 2) AS sbc2,
+        splitByChar(',', 'a,b,c', 0) AS sbc0,
+        splitByString('__', 'x__y__z', 1) AS sbs1,
+        splitByRegexp('[,;]', 'a,b;c,d', 3) AS sbr3,
+        splitByWhitespace('  a  b  c ', 2) AS sbw2,
+        alphaTokens('ab12cd34ef', 2) AS at2,
+        CAST(toStartOfInterval(TIMESTAMP'2024-03-01 00:02:59',
+          INTERVAL 90 SECOND) AS BIGINT) AS tsi,
+        CAST(toStartOfInterval(TIMESTAMP'2024-03-01 00:02:59',
+          INTERVAL 90 SECOND, TIMESTAMP'2024-03-01 00:00:17')
+          AS BIGINT) AS tsio,
+        CAST(toStartOfFifteenMinutes(TIMESTAMP'1969-12-31 23:59:00')
+          AS BIGINT) AS t15n
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getSeq[String](0) == Seq("ab1", "cd", "2x"))
+    assert(r.getSeq[String](1) == Seq("ab"))
+    assert(r.getSeq[String](2) == Seq("a", "b"))
+    // max_substrings TRUNCATES (CH default setting) — the remainder is
+    // dropped, never folded into the last element
+    assert(r.getSeq[String](3) == Seq("a", "b"))
+    assert(r.getSeq[String](4) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](5) == Seq("x"))
+    assert(r.getSeq[String](6) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](7) == Seq("a", "b"))
+    assert(r.getSeq[String](8) == Seq("ab", "cd"))
+    // 2024-03-01 00:02:59 = epoch 1709251379; floor to 90 s → 1709251290
+    assert(r.getLong(9) == 1709251290L)
+    // origin 1709251217: diff 162 → floor 90 → origin + 90 = 1709251307
+    assert(r.getLong(10) == 1709251307L)
+    // pre-1970 15-min bucket floors DOWN to 23:45 (epoch -900)
+    assert(r.getLong(11) == -900L)
+    // origin-anchored MONTH buckets refuse (engine-specific rounding)
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, "SELECT toStartOfInterval(now(), " +
+        "INTERVAL 1 MONTH, now()) AS x").collect()
+    }
+    assert(bad.getMessage.contains("origin-anchored MONTH"))
+  }
+
+  test("round-15: isIPv6String — grammar walk: compression, " +
+      "IPv4-mapped tails, malformed rejections") {
+    import graft.functions.IsIpv6String.valid
+    // accepts
+    assert(valid("fe80::1"))
+    assert(valid("::"))
+    assert(valid("::1"))
+    assert(valid("1::"))
+    assert(valid("::ffff:1.2.3.4"))          // IPv4-mapped
+    assert(valid("::ffff:255.255.255.255"))
+    assert(valid("2001:db8:85a3:0:0:8a2e:370:7334")) // full 8 groups
+    assert(valid("2001:db8:85a3::8a2e:370:7334"))
+    assert(valid("0:0:0:0:0:0:13.1.68.3"))   // 6 groups + v4 tail
+    // rejects
+    assert(!valid("fe80:::1"))               // triple colon
+    assert(!valid("1200::AB00:1234::2552:7777:1313")) // two '::'
+    assert(!valid("1.2.3.4"))                // bare v4
+    assert(!valid("2001:db8:85a3:0:0:8a2e:370:7334:aaaa")) // 9 groups
+    assert(!valid("2001:db8:85a3:0:0:8a2e:370"))           // 7 groups
+    assert(!valid("::ffff:1.2.3.256"))       // octet > 255
+    assert(!valid("::ffff:1.2.3"))           // 3-octet tail
+    assert(!valid("::ffff:01.2.3.4"))        // leading-zero octet
+    assert(!valid("fe80::1%eth0"))           // zone index
+    assert(!valid("12345::1"))               // 5-digit group
+    assert(!valid(":"))
+    assert(!valid(""))
+    assert(!valid("fe80::1:"))               // trailing single ':'
+    assert(!valid(":fe80::1"))               // leading single ':'
+    assert(!valid("g::1"))                   // non-hex
+    assert(!valid("1:2:3:4:5:6:7:1.2.3.4"))  // tail after 7 groups = 9
+    // and through the SQL surface
+    val r = Compat.chSql(spark, """
+      SELECT isIPv6String('::ffff:1.2.3.4') AS a,
+             isIPv6String('fe80:::1') AS b
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
   test("round-14: formatDateTime / parseDateTime / BestEffort — " +

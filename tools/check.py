@@ -14,6 +14,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def type_kind(t):
+    """Collapse a DuckDB logical type to a comparison class.
+
+    The driver's hash compare is value-typed, so an INT column on one
+    side and a DOUBLE on the other hash-mismatches even when every
+    value is numerically identical (the q_compat_r14misc epoch() bug).
+    Compare type KINDS on both sides so that class of bug dies locally.
+    HUGEINT deliberately maps to the same kind as BIGINT: the driver
+    normalizes integer widths, and the house rule already requires
+    casting sum(BIGINT) oracles explicitly.
+    """
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return type_kind(s[:-2]) + "[]"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    return s
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -38,14 +70,19 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_types = {c: type_kind(t)
+                       for c, t in zip(grel.columns, grel.types)}
+            got = grel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             n_bad += 1
             continue
         try:
-            exp = con.execute(sql).fetchdf()
+            erel = con.sql(sql)
+            e_types = {c: type_kind(t)
+                       for c, t in zip(erel.columns, erel.types)}
+            exp = erel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
@@ -53,6 +90,13 @@ def main(sf_dir, out_dir):
         g_cols, e_cols = sorted(got.columns), sorted(exp.columns)
         if g_cols != e_cols:
             print(f"FAIL {name}: columns differ spark={g_cols} oracle={e_cols}")
+            n_bad += 1
+            continue
+        t_mism = [(c, g_types[c], e_types[c]) for c in g_cols
+                  if g_types[c] != e_types[c]]
+        if t_mism:
+            print(f"FAIL {name}: column TYPE kinds differ "
+                  f"(spark vs oracle): {t_mism}")
             n_bad += 1
             continue
         got = got[g_cols]
