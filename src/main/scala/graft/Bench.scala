@@ -414,18 +414,25 @@ object Bench {
               out.linesIterator.take(3).mkString(" | "))
           rc
         }
-        if (new java.io.File(".git").exists() && existing.nonEmpty) {
-          git(("add" +: existing): _*)
+        // drop gitignored artifacts (COPYCHECK.json is driver-local by
+        // design) — with a pathspec commit an ignored file is a hard
+        // error, not a skip
+        val commitable = existing.filter { f =>
+          new ProcessBuilder("git", "check-ignore", "-q", f)
+            .start().waitFor() != 0
+        }
+        if (new java.io.File(".git").exists() && commitable.nonEmpty) {
+          git(("add" +: commitable): _*)
           // commit only when an ARTIFACT changed, and commit only the
           // artifact pathspec (`--only`) so anything the user already
           // had staged is not swept into this commit
           val st = new ProcessBuilder(
             ("git" +: "diff" +: "--cached" +: "--quiet" +: "--" +:
-              existing): _*).start()
+              commitable): _*).start()
           if (st.waitFor() != 0)
             git(("commit" +: "-m" +:
               "bench: round measurement artifacts" +: "--only" +: "--" +:
-              existing): _*)
+              commitable): _*)
         }
       } catch { case e: Exception =>
         System.err.println(s"[bench] artifact self-commit skipped: $e") }
