@@ -1219,6 +1219,35 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-15 fill/segment tier: the predicate-driven arrayFill /
+    // arrayReverseFill forward/backward fills and the arraySplit /
+    // arrayReverseSplit run segmentation, replayed index-for-index in
+    // DuckDB from the same closed forms
+    "q_compat_r15arr" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r15a")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r15a),
+        b AS (SELECT user_id,
+            array(CAST(user_id % 3 + 1 AS INT),
+              CAST(-(user_id % 5) - 1 AS INT),
+              CAST(user_id % 7 + 1 AS INT),
+              CAST(-(user_id % 3) - 1 AS INT),
+              CAST(user_id % 5 + 1 AS INT)) AS a
+          FROM u)
+        SELECT user_id,
+          concat_ws(',', transform(arrayFill(x -> x > 0, a),
+            v -> CAST(v AS STRING))) AS ff,
+          concat_ws(',', transform(arrayReverseFill(x -> x > 0, a),
+            v -> CAST(v AS STRING))) AS rf,
+          concat_ws('|', transform(arraySplit(x -> x < 0, a),
+            g -> concat_ws(',', transform(g,
+              v -> CAST(v AS STRING))))) AS sp,
+          concat_ws('|', transform(arrayReverseSplit(x -> x < 0, a),
+            g -> concat_ws(',', transform(g,
+              v -> CAST(v AS STRING))))) AS rsp
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2530,6 +2559,40 @@ object FlowQueries {
         |    - (((t - 1709251217) % 90) + 90) % 90) AS BIGINT) AS tsio,
         |  CAST(tn - ((tn % 900) + 900) % 900 AS BIGINT) AS t15n
         |FROM b ORDER BY user_id""".stripMargin,
+    // r15 fill/segment replay: identical closed forms over DuckDB
+    // lists — nearest-qualifying-index fills (max ≤ i / min ≥ i with
+    // the boundary fallback) and cut-index slicing; out-of-range
+    // cuts[k+1] is NULL in DuckDB, coalesced to n+1
+    "q_compat_r15arr" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id, [
+        |    CAST(user_id % 3 + 1 AS INT),
+        |    CAST(-(user_id % 5) - 1 AS INT),
+        |    CAST(user_id % 7 + 1 AS INT),
+        |    CAST(-(user_id % 3) - 1 AS INT),
+        |    CAST(user_id % 5 + 1 AS INT)] AS a
+        |  FROM u),
+        |c AS (SELECT user_id, a,
+        |    list_concat([1], list_filter(generate_series(2, 5),
+        |      i -> a[i] < 0)) AS cuts,
+        |    list_concat([1], list_transform(
+        |      list_filter(generate_series(1, 4), j -> a[j] < 0),
+        |      j -> j + 1)) AS rcuts
+        |  FROM b)
+        |SELECT user_id,
+        |  array_to_string(list_transform(generate_series(1, 5),
+        |    i -> a[coalesce(list_max(list_filter(
+        |      generate_series(1, i), j -> a[j] > 0)), 1)]), ',') AS ff,
+        |  array_to_string(list_transform(generate_series(1, 5),
+        |    i -> a[coalesce(list_min(list_filter(
+        |      generate_series(i, 5), j -> a[j] > 0)), 5)]), ',') AS rf,
+        |  array_to_string(list_transform(generate_series(1, len(cuts)),
+        |    k -> array_to_string(
+        |      a[cuts[k]:coalesce(cuts[k+1], 6) - 1], ',')), '|') AS sp,
+        |  array_to_string(list_transform(generate_series(1, len(rcuts)),
+        |    k -> array_to_string(
+        |      a[rcuts[k]:coalesce(rcuts[k+1], 6) - 1], ',')), '|') AS rsp
+        |FROM c ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),
     // round-trips as epoch arithmetic

@@ -2274,6 +2274,100 @@ object Compat {
             "unordered — no downstream operator could observe the " +
             "order; sort map_entries(m) as an array instead")))
 
+      // arrayFill / arrayReverseFill / arraySplit / arrayReverseSplit —
+      // CH's predicate-driven fill and run-segmentation primitives.
+      // All four are closed-form INDEX compositions (O(n²) per array,
+      // same class as the enumerators): the user lambda is APPLIED by
+      // substituting its variable with the probed element, and the
+      // result binds inside the index lambdas by name at analysis.
+      // Roots are CASE (the empty-array guard also dodges Spark's
+      // descending-sequence trap for sequence(1,0)/sequence(2,1)), so
+      // each rides in hofRoot like the map predicates above.
+      def applyLam1(lf0: Expression, fname: String,
+          arg: Expression): Expression = {
+        import org.apache.spark.sql.catalyst.expressions
+          .UnresolvedNamedLambdaVariable
+        val lf = lf0 match {
+          case l: LambdaFunction => l
+          case other => throw new IllegalArgumentException(
+            s"$fname takes a lambda (x -> ...) as its FIRST argument " +
+              s"(the ClickHouse order), got $other")
+        }
+        require(lf.arguments.length == 1,
+          s"$fname: multi-array forms are not supported")
+        val argName = lf.arguments.head match {
+          case v: UnresolvedNamedLambdaVariable => v.nameParts
+          case v => Seq(v.name)
+        }
+        lf.function.transformUp {
+          case v: UnresolvedNamedLambdaVariable
+            if v.nameParts == argName => arg
+        }
+      }
+      def probedCond(lf: Expression, fname: String, a: Expression,
+          idxVar: String): Expression =
+        Cast(applyLam1(lf, fname,
+          org.apache.spark.sql.catalyst.expressions.ElementAt(a,
+            org.apache.spark.sql.catalyst.expressions
+              .UnresolvedNamedLambdaVariable(Seq(idxVar)))),
+          org.apache.spark.sql.types.BooleanType)
+      def fillExpr(e: Seq[Expression], reverse: Boolean,
+          fname: String): Expression = {
+        require(e.length == 2,
+          s"$fname(lambda, array): multi-array forms are not supported")
+        val a = e(1)
+        val cnd = probedCond(e.head, fname, a, "__fj")
+        // fill value = the element at the NEAREST index (≤ i forward,
+        // ≥ i backward) where the predicate holds; no such index →
+        // the boundary element, which is never replaced (CH contract)
+        val pick =
+          if (!reverse)
+            "CAST(coalesce(array_max(filter(sequence(1, __fi), " +
+              "__fj -> __cnd)), 1) AS INT)"
+          else
+            "CAST(coalesce(array_min(filter(sequence(__fi, " +
+              "size(__a)), __fj -> __cnd)), size(__a)) AS INT)"
+        hofRoot(fromSql(
+          "CASE WHEN size(__a) = 0 THEN __a ELSE " +
+            s"transform(sequence(1, size(__a)), __fi -> " +
+            s"element_at(__a, $pick)) END",
+          "__a" -> a, "__cnd" -> cnd))
+      }
+      f("arrayFill")(e => fillExpr(e, reverse = false, "arrayFill"))
+      f("arrayReverseFill")(e =>
+        fillExpr(e, reverse = true, "arrayReverseFill"))
+      def splitExpr(e: Seq[Expression], after: Boolean,
+          fname: String): Expression = {
+        require(e.length == 2,
+          s"$fname(lambda, array): multi-array forms are not supported")
+        val a = e(1)
+        val cnd = probedCond(e.head, fname, a, "__sj")
+        // group-start indices: 1 plus (split-BEFORE) every i ≥ 2 with
+        // cond(a[i]), or (split-AFTER) every j+1 for j ≤ n−1 with
+        // cond(a[j]); groups are the slices between consecutive starts
+        val rest =
+          if (!after)
+            "filter(sequence(2, size(__a)), __sj -> __cnd)"
+          else
+            "transform(filter(sequence(1, size(__a) - 1), " +
+              "__sj -> __cnd), __sk -> __sk + 1)"
+        val cuts = fromSql(
+          "concat(array(1), CASE WHEN size(__a) < 2 THEN " +
+            s"slice(array(1), 1, 0) ELSE $rest END)",
+          "__a" -> a, "__cnd" -> cnd)
+        hofRoot(fromSql(
+          "CASE WHEN size(__a) = 0 THEN slice(array(__a), 1, 0) ELSE " +
+            "transform(sequence(1, size(__cuts)), __k -> " +
+            "slice(__a, element_at(__cuts, __k), " +
+            "(CASE WHEN __k = size(__cuts) THEN size(__a) + 1 " +
+            "ELSE element_at(__cuts, __k + 1) END) " +
+            "- element_at(__cuts, __k))) END",
+          "__a" -> a, "__cuts" -> cuts))
+      }
+      f("arraySplit")(e => splitExpr(e, after = false, "arraySplit"))
+      f("arrayReverseSplit")(e =>
+        splitExpr(e, after = true, "arrayReverseSplit"))
+
       // multiSearch family — leftmost match position across needles;
       // FirstIndex ties (equal position) break to the lowest needle
       // index via the struct min

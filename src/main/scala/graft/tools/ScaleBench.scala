@@ -664,7 +664,10 @@ object ScaleBench {
         .select(col("q_id"), col("m"), col("code"), col("d2"))
       val recallByProbe =
         scala.collection.mutable.LinkedHashMap.empty[Int, Long]
-      Seq(4, 32).foreach { nprobe =>
+      // np4/np32 = the cheap-probe points; k/4 = the SAME probe budget
+      // the rerank serve shape pays, so codes-only vs rerank reads as
+      // a pure ADC-quality delta at equal probe cost
+      Seq(4, 32, math.max(32, k / 4)).distinct.foreach { nprobe =>
         val wp = Window.partitionBy("vec_id")
           .orderBy(asc("cd2"), asc("cell_id"))
         val probes = qcoarse

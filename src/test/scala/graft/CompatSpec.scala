@@ -2207,6 +2207,43 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("origin-anchored MONTH"))
   }
 
+  test("round-15: arrayFill / arrayReverseFill / arraySplit / " +
+      "arrayReverseSplit — predicate fill and run segmentation") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        arrayFill(x -> NOT isNull(x),
+          array(1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL))
+          AS ff,
+        arrayReverseFill(x -> NOT isNull(x),
+          array(1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL))
+          AS rf,
+        arrayFill(x -> x > 0, array(-1, -2, 3, -4)) AS ff2,
+        arraySplit(x -> x = 1,
+          array(10, 20, 30, 1, 40, 1, 50)) AS sp,
+        arrayReverseSplit(x -> x = 1,
+          array(10, 1, 20, 30, 1, 40)) AS rsp,
+        arraySplit(x -> x > 0, array(5)) AS sp1,
+        arraySplit(x -> x > 0, array_repeat(1, 0)) AS spe,
+        arrayFill(x -> x > 0, array_repeat(1, 0)) AS ffe
+      FROM (SELECT 1 AS one)""").collect().head
+    // CH docs example: forward fill carries the last non-null LEFT
+    // value; the leading element is never replaced
+    assert(r.getSeq[Integer](0) == Seq[Integer](1, 1, 3, 11, 12, 12,
+      12, 5, 6, 14, 14, 14))
+    assert(r.getSeq[Integer](1) == Seq[Integer](1, 3, 3, 11, 12, 5, 5,
+      5, 6, 14, null, null))
+    assert(r.getSeq[Int](2) == Seq(-1, -1, 3, 3))
+    // split BEFORE matching elements; first group starts at 1
+    assert(r.getSeq[Seq[Int]](3) ==
+      Seq(Seq(10, 20, 30), Seq(1, 40), Seq(1, 50)))
+    // reverse variant splits AFTER matching elements
+    assert(r.getSeq[Seq[Int]](4) ==
+      Seq(Seq(10, 1), Seq(20, 30, 1), Seq(40)))
+    assert(r.getSeq[Seq[Int]](5) == Seq(Seq(5)))
+    assert(r.getSeq[Seq[Int]](6).isEmpty)
+    assert(r.getSeq[Int](7).isEmpty)
+  }
+
   test("round-15: isIPv6String — grammar walk: compression, " +
       "IPv4-mapped tails, malformed rejections") {
     import graft.functions.IsIpv6String.valid
