@@ -1248,6 +1248,41 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-15 time/misc tier: per-unit date arithmetic, complete-unit
+    // age, numeric datetime codecs, Snowflake-ID codecs (public
+    // Twitter epoch), camel-cased string utilities, fmt-style format —
+    // every column DuckDB-closed
+    "q_compat_r15time" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r15t")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r15t),
+        b AS (SELECT user_id,
+            CAST(user_id % 5 + 1 AS INT) AS n,
+            1709251200 + user_id * 37 AS t,
+            CAST(timestamp_seconds(1709251200 + user_id * 37)
+              AS TIMESTAMP) AS ts,
+            concat('ev_', CAST(user_id % 7 AS STRING), '_tail') AS s
+          FROM u)
+        SELECT user_id,
+          CAST(addDays(DATE'2024-01-31', n) AS STRING) AS ad,
+          CAST(addHours(ts, n) AS STRING) AS ah,
+          CAST(subtractDays(ts, n) AS STRING) AS sd,
+          age('day', TIMESTAMP'2024-01-01 00:00:00', ts) AS aged,
+          age('hour', TIMESTAMP'2024-02-29 23:30:30', ts) AS ageh,
+          toYYYYMMDDhhmmss(ts) AS ynum,
+          toISOYear(CAST(ts AS DATE)) AS iy,
+          CAST(fromUnixTimestamp(t) AS STRING) AS fu,
+          fromUnixTimestamp(t, '%Y-%m-%d %H:%i:%S') AS fuf,
+          CAST(snowflakeToDateTime(t * 4194304) AS STRING) AS sfs,
+          dateTimeToSnowflake(ts) AS snow,
+          substringIndex(s, '_', 2) AS si,
+          countSubstringsCaseInsensitive(upper(s), 'ta') AS ce,
+          hasSubsequence(s, 'val') AS hs1,
+          hasSubsequence(s, 'zz') AS hs0,
+          format('{}-{}', user_id % 3, s) AS fmt
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2593,6 +2628,44 @@ object FlowQueries {
         |    k -> array_to_string(
         |      a[rcuts[k]:coalesce(rcuts[k+1], 6) - 1], ',')), '|') AS rsp
         |FROM c ORDER BY user_id""".stripMargin,
+    // r15 time/misc replay: interval arithmetic, datesub (DuckDB's
+    // complete-units diff = CH age), strftime codecs, Snowflake epoch
+    // math (1288834974657 ms, id >> 22), list-fold subsequence scan
+    "q_compat_r15time" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    CAST(user_id % 5 + 1 AS INT) AS n,
+        |    1709251200 + user_id * 37 AS t,
+        |    epoch_ms((1709251200 + user_id * 37) * 1000) AS ts,
+        |    'ev_' || CAST(user_id % 7 AS VARCHAR) || '_tail' AS s
+        |  FROM u)
+        |SELECT user_id,
+        |  CAST(DATE'2024-01-31' + INTERVAL (n) DAY AS VARCHAR) AS ad,
+        |  CAST(ts + INTERVAL (n) HOUR AS VARCHAR) AS ah,
+        |  CAST(ts - INTERVAL (n) DAY AS VARCHAR) AS sd,
+        |  datesub('day', TIMESTAMP'2024-01-01 00:00:00', ts) AS aged,
+        |  datesub('hour', TIMESTAMP'2024-02-29 23:30:30', ts) AS ageh,
+        |  CAST(strftime(ts, '%Y%m%d%H%M%S') AS BIGINT) AS ynum,
+        |  CAST(isoyear(CAST(ts AS DATE)) AS INT) AS iy,
+        |  CAST(ts AS VARCHAR) AS fu,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS fuf,
+        |  CAST(epoch_ms(((t + 1288834974657) // 1000) * 1000)
+        |    AS VARCHAR) AS sfs,
+        |  (t * 1000 - 1288834974657) * 4194304 AS snow,
+        |  array_to_string(regexp_split_to_array(s, '_')[1:2], '_')
+        |    AS si,
+        |  CAST((length(lower(s)) - length(replace(lower(s), 'ta', '')))
+        |    // 2 AS BIGINT) AS ce,
+        |  list_reduce(list_concat([0], generate_series(1, length(s))),
+        |    (acc, i) -> CASE WHEN acc < length('val')
+        |      AND s[i:i] = 'val'[acc+1:acc+1]
+        |      THEN acc + 1 ELSE acc END) = length('val') AS hs1,
+        |  list_reduce(list_concat([0], generate_series(1, length(s))),
+        |    (acc, i) -> CASE WHEN acc < length('zz')
+        |      AND s[i:i] = 'zz'[acc+1:acc+1]
+        |      THEN acc + 1 ELSE acc END) = length('zz') AS hs0,
+        |  CAST(user_id % 3 AS VARCHAR) || '-' || s AS fmt
+        |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),
     // round-trips as epoch arithmetic

@@ -2545,6 +2545,171 @@ object Compat {
           }
         }
 
+      // add*/subtract* — CH's per-unit date arithmetic, mapped to
+      // Spark's timestampadd (java.time calendar semantics on both
+      // sides: month-end clamping matches). Result is TIMESTAMP even
+      // for Date inputs (CH keeps Date for day-or-coarser units —
+      // wrap in toDate where the narrower type matters; documented)
+      Seq("Years" -> "YEAR", "Quarters" -> "QUARTER",
+        "Months" -> "MONTH", "Weeks" -> "WEEK", "Days" -> "DAY",
+        "Hours" -> "HOUR", "Minutes" -> "MINUTE",
+        "Seconds" -> "SECOND").foreach { case (suf, unit) =>
+        f(s"add$suf")(e => fromSql(
+          s"timestampadd($unit, __n, __t)",
+          "__t" -> Cast(e.head, TimestampType),
+          "__n" -> Cast(e(1), org.apache.spark.sql.types.IntegerType)))
+        f(s"subtract$suf")(e => fromSql(
+          s"timestampadd($unit, -__n, __t)",
+          "__t" -> Cast(e.head, TimestampType),
+          "__n" -> Cast(e(1), org.apache.spark.sql.types.IntegerType)))
+      }
+      // age(unit, start, end) — COMPLETE elapsed units (CH contract;
+      // distinct from dateDiff, which counts boundary crossings).
+      // Spark's timestampdiff is the same complete-units reading.
+      // Documented edge: engines disagree on whether a month-end
+      // CLAMP counts as a complete month (Jan-31 → Feb-28: Spark 0,
+      // DuckDB 1) — avoid month ages anchored on the 29th-31st when
+      // cross-engine parity matters
+      f("age") { e =>
+        val unit = e.head match {
+          case Literal(u: UTF8String, StringType) =>
+            u.toString.toLowerCase(java.util.Locale.ROOT) match {
+              case "second" => "SECOND"
+              case "minute" => "MINUTE"
+              case "hour"   => "HOUR"
+              case "day"    => "DAY"
+              case "week"   => "WEEK"
+              case "month"  => "MONTH"
+              case "quarter" => "QUARTER"
+              case "year"   => "YEAR"
+              case o => throw new IllegalArgumentException(
+                s"age: unsupported unit '$o'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"age needs a literal unit string, got $other")
+        }
+        fromSql(s"timestampdiff($unit, __a, __b)",
+          "__a" -> Cast(e(1), TimestampType),
+          "__b" -> Cast(e(2), TimestampType))
+      }
+      f("toYYYYMMDDhhmmss")(e => fromSql(
+        "CAST(date_format(__t, 'yyyyMMddHHmmss') AS BIGINT)",
+        "__t" -> Cast(e.head, TimestampType)))
+      // date_part, not extract(... FROM ...): the dialect's own
+      // extract (CH's regex extractor) shadows Spark's spelling
+      f("toISOYear")(e => fromSql(
+        "CAST(date_part('YEAROFWEEK', __t) AS INT)",
+        "__t" -> Cast(e.head, DateType)))
+      // fromUnixTimestamp(sec[, fmt]) — 1-arg = the timestamp; 2-arg
+      // formats through the same modern %-code table
+      f("fromUnixTimestamp") { e =>
+        val ts = fromSql("timestamp_seconds(CAST(__s AS BIGINT))",
+          "__s" -> e.head)
+        if (e.length == 1) ts
+        else org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          ts, Literal(translateFmt("fromUnixTimestamp",
+            litFmt("fromUnixTimestamp", e(1)))))
+      }
+      // Snowflake-ID time codecs — the PUBLIC Twitter epoch
+      // 1288834974657 ms and the id >> 22 layout (documented wire
+      // format, deterministic both ways). snowflakeToDateTime is
+      // second-precision like CH; the 64 variant keeps millis
+      // note the parens: '+' binds TIGHTER than '>>' in Spark SQL
+      f("snowflakeToDateTime")(e => fromSql(
+        "CAST(timestamp_seconds(((CAST(__i AS BIGINT) >> 22) " +
+          "+ 1288834974657) div 1000) AS TIMESTAMP)", "__i" -> e.head))
+      f("snowflakeToDateTime64")(e => fromSql(
+        "timestamp_millis((CAST(__i AS BIGINT) >> 22) + 1288834974657)",
+        "__i" -> e.head))
+      f("dateTimeToSnowflake")(e => fromSql(
+        "(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657) << 22",
+        "__t" -> e.head))
+      f("dateTime64ToSnowflake")(e => fromSql(
+        "(unix_millis(CAST(__t AS TIMESTAMP)) - 1288834974657) << 22",
+        "__t" -> e.head))
+      // substringIndex — CH spells MySQL's camel-cased; Spark has the
+      // underscored native
+      f("substringIndex")(e =>
+        org.apache.spark.sql.catalyst.expressions.SubstringIndex(
+          e(0), e(1), e(2)))
+      f("countSubstringsCaseInsensitive")(e => fromSql(
+        "CAST(CASE WHEN length(__n) = 0 THEN 0 ELSE " +
+          "(length(lower(__h)) - length(replace(lower(__h), " +
+          "lower(__n), ''))) div length(__n) END AS BIGINT)",
+        "__h" -> e.head, "__n" -> e(1)))
+      // hasSubsequence — needle chars appear in order (not
+      // necessarily contiguous): a single left fold over the haystack
+      // advancing a matched-prefix counter
+      def subseq(h: Expression, n: Expression): Expression = fromSql(
+        "aggregate(split(__h, ''), 0, (__acc, __c) -> " +
+          "CASE WHEN __acc < length(__n) AND __c = " +
+          "substring(__n, __acc + 1, 1) THEN __acc + 1 " +
+          "ELSE __acc END) = length(__n)",
+        "__h" -> h, "__n" -> n)
+      f("hasSubsequence")(e => subseq(e(0), e(1)))
+      f("hasSubsequenceCaseInsensitive")(e => subseq(
+        org.apache.spark.sql.catalyst.expressions.Lower(e(0)),
+        org.apache.spark.sql.catalyst.expressions.Lower(e(1))))
+      // randomness spellings refuse like arrayShuffle: CH's rand()
+      // is a uniform UInt32 from engine-internal state — mapping it
+      // to Spark's rand() (a [0,1) double) would silently change both
+      // type and distribution; none is oracle-checkable
+      Seq("rand", "rand32", "rand64", "randCanonical", "randomString",
+        "randomPrintableASCII", "generateUUIDv4").foreach(n =>
+        f(n)(_ => throw new IllegalArgumentException(
+          s"$n draws engine-internal randomness (CH returns " +
+            "engine-typed uniform values) with no deterministic " +
+            "distributed reading; use Spark's native random()/uuid() " +
+            "EXPLICITLY where nondeterminism is acceptable (random " +
+            "stays resolvable — only the CH spelling is shadowed), " +
+            "or a keyed hash (xxhash64) where it is not")))
+      f("byteSize")(_ => throw new IllegalArgumentException(
+        "byteSize reports CH's internal storage representation size " +
+          "— no Spark value has that representation; use " +
+          "octet_length for string byte lengths"))
+      // format('{} {}', a, b) — CH's fmt-style assembly: auto-indexed
+      // {} and positional {n} placeholders, {{ }} brace escapes; the
+      // literal pattern compiles to a flat Concat at registration
+      f("format") { e =>
+        val pat = e.head match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"format needs a literal pattern, got $other")
+        }
+        val args = e.tail
+        val parts =
+          scala.collection.mutable.ArrayBuffer.empty[Expression]
+        val lit = new StringBuilder
+        var i = 0
+        var next = 0
+        def flush(): Unit = if (lit.nonEmpty) {
+          parts += Literal(lit.toString)
+          lit.clear()
+        }
+        while (i < pat.length) {
+          val c = pat.charAt(i)
+          if (c == '{' && i + 1 < pat.length &&
+              pat.charAt(i + 1) == '{') { lit += '{'; i += 2 }
+          else if (c == '}' && i + 1 < pat.length &&
+              pat.charAt(i + 1) == '}') { lit += '}'; i += 2 }
+          else if (c == '{') {
+            val end = pat.indexOf('}', i)
+            require(end >= 0, "format: unbalanced '{' in pattern")
+            val body = pat.substring(i + 1, end)
+            val idx = if (body.isEmpty) { val k = next; next += 1; k }
+              else body.toInt
+            require(idx >= 0 && idx < args.length,
+              s"format: argument index $idx out of range for " +
+                s"${args.length} arguments")
+            flush()
+            parts += Cast(args(idx), StringType)
+            i = end + 1
+          } else { lit += c; i += 1 }
+        }
+        flush()
+        org.apache.spark.sql.catalyst.expressions.Concat(parts.toSeq)
+      }
+
       // UTF8-suffixed position spellings: Spark strings are already
       // character-addressed, so these are exact aliases
       f("positionUTF8")(e => new StringLocate(e(1), e(0)))

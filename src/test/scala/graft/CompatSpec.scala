@@ -2207,6 +2207,72 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("origin-anchored MONTH"))
   }
 
+  test("round-15: add*/subtract*/age/fromUnixTimestamp/snowflake " +
+      "codecs/substringIndex/hasSubsequence/format") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        CAST(addDays(DATE'2024-01-31', 1) AS STRING) AS ad,
+        CAST(addMonths(TIMESTAMP'2024-01-31 10:00:00', 1) AS STRING)
+          AS am,
+        CAST(subtractHours(TIMESTAMP'2024-03-01 01:30:00', 3)
+          AS STRING) AS sh,
+        age('hour', TIMESTAMP'2018-01-01 22:30:00',
+          TIMESTAMP'2018-01-02 23:00:00') AS ageh,
+        age('day', TIMESTAMP'2018-01-01 22:30:00',
+          TIMESTAMP'2018-01-02 23:00:00') AS aged,
+        age('month', TIMESTAMP'2021-01-15 00:00:00',
+          TIMESTAMP'2021-03-20 00:00:00') AS agem,
+        toYYYYMMDDhhmmss(TIMESTAMP'2024-03-07 09:05:06') AS ynum,
+        toISOYear(DATE'2021-01-01') AS iy1,
+        toISOYear(DATE'2021-01-04') AS iy2,
+        CAST(fromUnixTimestamp(1709251200) AS STRING) AS fu,
+        fromUnixTimestamp(1709251200, '%Y-%m-%d') AS fuf,
+        CAST(snowflakeToDateTime(1426860702823350272) AS STRING)
+          AS sfs,
+        CAST(snowflakeToDateTime64(1426860702823350272) AS STRING)
+          AS sfm,
+        dateTimeToSnowflake(snowflakeToDateTime64(1426860702823350272))
+          AS sfr,
+        substringIndex('www.spark.apache.org', '.', 2) AS si,
+        countSubstringsCaseInsensitive('AbcABC', 'abc') AS csi,
+        hasSubsequence('garbage', 'arg') AS hs1,
+        hasSubsequence('abc', 'acb') AS hs0,
+        hasSubsequenceCaseInsensitive('GARBAGE', 'arg') AS hsi,
+        format('{} {}', 'Hello', 'World') AS f1,
+        format('{1} {0}', 'a', 'b') AS f2,
+        format('{{}} {}', 5) AS f3
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getString(0) == "2024-02-01 00:00:00")
+    assert(r.getString(1) == "2024-02-29 10:00:00") // month-end clamp
+    assert(r.getString(2) == "2024-02-29 22:30:00")
+    // age = COMPLETE elapsed units (24.5h -> 24; 1 full day; two
+    // whole months Jan-15 -> Mar-20; month-end-clamp edges are
+    // engine-fluid and documented, not pinned)
+    assert(r.getLong(3) == 24L)
+    assert(r.getLong(4) == 1L)
+    assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == 20240307090506L)
+    assert(r.getInt(7) == 2020 && r.getInt(8) == 2021)
+    assert(r.getString(9) == "2024-03-01 00:00:00")
+    assert(r.getString(10) == "2024-03-01")
+    // CH docs example: 1426860702823350272 -> 2021-08-15 10:57:56
+    assert(r.getString(11) == "2021-08-15 10:57:56")
+    assert(r.getString(12) == "2021-08-15 10:57:56") // ms happen = 0
+    // codec round trip recovers the id's timestamp bits exactly
+    assert(r.getLong(13) == (1426860702823350272L >> 22) << 22)
+    assert(r.getString(14) == "www.spark")
+    assert(r.getLong(15) == 2L)
+    assert(r.getBoolean(16) && !r.getBoolean(17) && r.getBoolean(18))
+    assert(r.getString(19) == "Hello World")
+    assert(r.getString(20) == "b a")
+    assert(r.getString(21) == "{} 5")
+    // randomness spellings refuse with the native pointer
+    val bad = intercept[Exception] {
+      Compat.chSql(spark, "SELECT rand() AS x").collect()
+    }
+    assert(bad.getMessage.contains("engine-internal randomness"))
+  }
+
   test("round-15: arrayFill / arrayReverseFill / arraySplit / " +
       "arrayReverseSplit — predicate fill and run segmentation") {
     val r = Compat.chSql(spark, """
