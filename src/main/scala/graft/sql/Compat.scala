@@ -2653,9 +2653,13 @@ object Compat {
       // randomness spellings refuse like arrayShuffle: CH's rand()
       // is a uniform UInt32 from engine-internal state — mapping it
       // to Spark's rand() (a [0,1) double) would silently change both
-      // type and distribution; none is oracle-checkable
+      // type and distribution; none is oracle-checkable.
+      // generateUUIDv4 stays MAPPED (round 13, Compat.scala:314):
+      // Spark's Uuid() draws the same RFC-4122 v4 format, so name,
+      // type, and distribution all agree — only the bits differ,
+      // which is the point of a UUID
       Seq("rand", "rand32", "rand64", "randCanonical", "randomString",
-        "randomPrintableASCII", "generateUUIDv4").foreach(n =>
+        "randomPrintableASCII").foreach(n =>
         f(n)(_ => throw new IllegalArgumentException(
           s"$n draws engine-internal randomness (CH returns " +
             "engine-typed uniform values) with no deterministic " +
