@@ -202,20 +202,49 @@ object Bench {
       case (fam, s) if fam != "start" && fam != "end" &&
         s > sentFloor * 1.2 => fam
     }.toSeq
+    // round-16: the r15 official record stayed contaminated because
+    // the SINGLE retry window opened while the same load burst was
+    // still draining. Retry up to SPARK_GRAFT_BENCH_MAX_RETRIES times
+    // (default 3), each attempt preceded by a bounded idle-wait for
+    // the load to decay — a family stays flagged only when every
+    // attempt's window was dirty. Dirty windows (base or retry) are
+    // tracked so the clean-spread stamp excludes them.
+    val dirtyWindows = scala.collection.mutable.Set[String](dirty: _*)
+    val maxRetries = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_RETRIES", "3").toInt.max(1)
+    val retryIdleS = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RETRY_IDLE_S", "120").toLong
     val stillDirty = dirty.filter { fam =>
-      graft.ops.CacheRegistry.releaseAll()
-      // materialize before mutating values — no iteration over a map
-      // being updated
-      results.keys.toList.filter(_.startsWith(fam + "_")).foreach { name =>
-        val (b2, s2) = sampleQuery(name, fnByName(name))
-        val (b1, s1) = results(name)
-        if (b2 >= 0 && (b1 < 0 || b2 < b1)) results(name) = (b2, s1 ++ s2)
-        else results(name) = (b1, s1 ++ s2.filter(_ >= 0))
+      var cleanWin = false
+      var attempt = 0
+      while (!cleanWin && attempt < maxRetries) {
+        attempt += 1
+        val w0 = System.nanoTime()
+        while (loadAvg() > maxLoad &&
+            (System.nanoTime() - w0) / 1e9 < retryIdleS) {
+          System.err.println(f"[bench] $fam retry $attempt waiting " +
+            f"for idle host: load_avg ${loadAvg()}%.2f > $maxLoad%.2f")
+          Thread.sleep(10000)
+        }
+        graft.ops.CacheRegistry.releaseAll()
+        // materialize before mutating values — no iteration over a
+        // map being updated
+        results.keys.toList.filter(_.startsWith(fam + "_"))
+          .foreach { name =>
+            val (b2, s2) = sampleQuery(name, fnByName(name))
+            val (b1, s1) = results(name)
+            if (b2 >= 0 && (b1 < 0 || b2 < b1))
+              results(name) = (b2, s1 ++ s2)
+            else results(name) = (b1, s1 ++ s2.filter(_ >= 0))
+          }
+        val s = sentinel()
+        val key = fam + "_retry" + attempt
+        sentinels(key) = s
+        famLoads(key) = loadAvg()
+        cleanWin = s <= sentFloor * 1.2
+        if (!cleanWin) dirtyWindows += key
       }
-      val s = sentinel()
-      sentinels(fam + "_retry") = s
-      famLoads(fam + "_retry") = loadAvg()
-      s > sentFloor * 1.2
+      !cleanWin
     }
     // HISTORY-MEDIAN BACKSTOP (round-15: the r13/r14 OFFICIAL records
     // both shipped loaded — families read 2-7x over their own history
@@ -235,7 +264,22 @@ object Bench {
       val perQ = scala.collection.mutable.Map.empty[String, List[Double]]
       lines.filter(_.contains("\"sf\":\"" + sfDir + "\"")).foreach { l =>
         val qi = l.indexOf("\"queries\":{")
-        val end = if (qi >= 0) l.indexOf('}', qi) else -1
+        // scan to the MATCHING brace, not the first '}' — the stamped
+        // writer keeps "queries" flat today, but a nested value would
+        // otherwise silently truncate the object and disable the
+        // whole backstop
+        val end = if (qi < 0) -1 else {
+          var depth = 0; var j = qi + 10; var stop = -1
+          while (stop < 0 && j < l.length) {
+            l.charAt(j) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) stop = j
+              case _ =>
+            }
+            j += 1
+          }
+          stop
+        }
         if (end > qi) pair.findAllMatchIn(l.substring(qi + 11, end))
           .foreach { m =>
             val v = m.group(2).toDouble
@@ -298,7 +342,7 @@ object Bench {
     // within the house 0.35 bar. A future judge reads this field
     // instead of reverse-engineering contamination from the spread.
     val cleanSentVals = sentinels.collect {
-      case (k, v) if !dirty.contains(k) => v }.toSeq
+      case (k, v) if !dirtyWindows.contains(k) => v }.toSeq
     val cleanSpread =
       if (cleanSentVals.nonEmpty && cleanSentVals.min > 0)
         (cleanSentVals.max - cleanSentVals.min) / cleanSentVals.min

@@ -2549,7 +2549,17 @@ object Compat {
       // Spark's timestampadd (java.time calendar semantics on both
       // sides: month-end clamping matches). Result is TIMESTAMP even
       // for Date inputs (CH keeps Date for day-or-coarser units —
-      // wrap in toDate where the narrower type matters; documented)
+      // wrap in toDate where the narrower type matters; documented).
+      // Deltas outside Int32 fail loudly (a bare Cast would wrap
+      // silently under non-ANSI semantics), and subtract negates in
+      // the BIGINT domain so -Int.MinValue can't self-negate.
+      def int32Delta(fname: String, d: Expression): Expression =
+        fromSql(
+          "CASE WHEN __d BETWEEN -2147483648L AND 2147483647L " +
+            "THEN CAST(__d AS INT) ELSE CAST(raise_error(concat('" +
+            fname + ": delta ', CAST(__d AS STRING), " +
+            "' outside Int32 range')) AS INT) END",
+          "__d" -> d)
       Seq("Years" -> "YEAR", "Quarters" -> "QUARTER",
         "Months" -> "MONTH", "Weeks" -> "WEEK", "Days" -> "DAY",
         "Hours" -> "HOUR", "Minutes" -> "MINUTE",
@@ -2557,11 +2567,13 @@ object Compat {
         f(s"add$suf")(e => fromSql(
           s"timestampadd($unit, __n, __t)",
           "__t" -> Cast(e.head, TimestampType),
-          "__n" -> Cast(e(1), org.apache.spark.sql.types.IntegerType)))
+          "__n" -> int32Delta(s"add$suf",
+            fromSql("CAST(__x AS BIGINT)", "__x" -> e(1)))))
         f(s"subtract$suf")(e => fromSql(
-          s"timestampadd($unit, -__n, __t)",
+          s"timestampadd($unit, __n, __t)",
           "__t" -> Cast(e.head, TimestampType),
-          "__n" -> Cast(e(1), org.apache.spark.sql.types.IntegerType)))
+          "__n" -> int32Delta(s"subtract$suf",
+            fromSql("-CAST(__x AS BIGINT)", "__x" -> e(1)))))
       }
       // age(unit, start, end) — COMPLETE elapsed units (CH contract;
       // distinct from dateDiff, which counts boundary crossings).
@@ -2632,11 +2644,18 @@ object Compat {
       f("substringIndex")(e =>
         org.apache.spark.sql.catalyst.expressions.SubstringIndex(
           e(0), e(1), e(2)))
+      // both sides lowered ONCE and all lengths taken in the lowered
+      // domain — lowercasing can change length ('İ' → "i̇"), so
+      // dividing a lowered-haystack delta by the original needle's
+      // length would miscount
       f("countSubstringsCaseInsensitive")(e => fromSql(
         "CAST(CASE WHEN length(__n) = 0 THEN 0 ELSE " +
-          "(length(lower(__h)) - length(replace(lower(__h), " +
-          "lower(__n), ''))) div length(__n) END AS BIGINT)",
-        "__h" -> e.head, "__n" -> e(1)))
+          "(length(__h) - length(replace(__h, __n, ''))) " +
+          "div length(__n) END AS BIGINT)",
+        "__h" -> org.apache.spark.sql.catalyst.expressions.Lower(
+          e.head),
+        "__n" -> org.apache.spark.sql.catalyst.expressions.Lower(
+          e(1))))
       // hasSubsequence — needle chars appear in order (not
       // necessarily contiguous): a single left fold over the haystack
       // advancing a matched-prefix counter
@@ -2686,6 +2705,10 @@ object Compat {
         val lit = new StringBuilder
         var i = 0
         var next = 0
+        // CH rejects mixing automatic '{}' with positional '{n}'
+        // indexing in one pattern — track which mode the pattern
+        // committed to and refuse the other
+        var autoMode: Option[Boolean] = None
         def flush(): Unit = if (lit.nonEmpty) {
           parts += Literal(lit.toString)
           lit.clear()
@@ -2700,8 +2723,18 @@ object Compat {
             val end = pat.indexOf('}', i)
             require(end >= 0, "format: unbalanced '{' in pattern")
             val body = pat.substring(i + 1, end)
-            val idx = if (body.isEmpty) { val k = next; next += 1; k }
-              else body.toInt
+            val auto = body.isEmpty
+            require(autoMode.forall(_ == auto),
+              "format: cannot mix automatic '{}' and positional " +
+                "'{n}' placeholders in one pattern")
+            autoMode = Some(auto)
+            val idx = if (auto) { val k = next; next += 1; k }
+              else try body.toInt catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"format: bad placeholder '{$body}' — only '{}' " +
+                      "or a nonnegative integer index is supported")
+              }
             require(idx >= 0 && idx < args.length,
               s"format: argument index $idx out of range for " +
                 s"${args.length} arguments")
@@ -2976,11 +3009,15 @@ object Compat {
       f("splitByWhitespace")(e => capSubstrings(fromSql(
         "filter(split(__s, '\\\\s+'), __t -> __t != '')",
         "__s" -> e.head), e, 1))
-      // splitByNonAlpha: CH splits on runs of non-alphanumeric ASCII
-      // (whitespace + punctuation); ASCII scope documented — CH's
-      // byte-wise isAlphaNumericASCII is exactly [A-Za-z0-9]
+      // splitByNonAlpha: CH separates on runs of ASCII whitespace and
+      // ASCII punctuation ONLY (byte-wise isWhitespace/isPunctuation)
+      // — non-ASCII bytes and ASCII control characters stay INSIDE
+      // tokens ('héllo' is one token, not two). The class below is
+      // exactly \s plus the four printable-punctuation ranges
+      // 0x21-2F, 0x3A-40, 0x5B-60, 0x7B-7E
       f("splitByNonAlpha")(e => capSubstrings(fromSql(
-        "filter(split(__s, '[^A-Za-z0-9]+'), __t -> __t != '')",
+        "filter(split(__s, '[\\\\s!-/:-@\\\\[-`{-~]+'), " +
+          "__t -> __t != '')",
         "__s" -> e.head), e, 1))
       f("alphaTokens")(e => capSubstrings(fromSql(
         "regexp_extract_all(__s, '[A-Za-z]+', 0)", "__s" -> e.head),

@@ -2441,4 +2441,48 @@ class CompatSpec extends AnyFunSuite {
     assert(a2.filter(col("sv") =!= "").count() > 0,
       "q_compat_arrays2.sv is vacuously empty")
   }
+
+  test("round-16 advice fixes: splitByNonAlpha keeps non-ASCII " +
+      "inside tokens; format rejects mixed/bad placeholders; " +
+      "add*/subtract* refuse Int32 overflow") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        splitByNonAlpha('héllo wörld') AS sna,
+        splitByNonAlpha('a\tb!c') AS snat,
+        countSubstringsCaseInsensitive('AbcABCab', 'aB') AS csi,
+        CAST(addSeconds(TIMESTAMP'2024-01-31 00:00:00', 2147483647L)
+          AS STRING) AS edge
+      FROM (SELECT 1 AS one)""").collect().head
+    // CH separates on ASCII whitespace+punctuation ONLY — the é and ö
+    // bytes stay inside their tokens (the pre-fix [^A-Za-z0-9]+ class
+    // split them out)
+    assert(r.getSeq[String](0) == Seq("héllo", "wörld"))
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"))
+    assert(r.getLong(2) == 3L)
+    // Int32 max as a BIGINT delta still works (2^31-1 s ≈ 68 years)
+    assert(r.getString(3) == "2092-02-18 03:14:07")
+    // a delta OUTSIDE Int32 fails loudly instead of wrapping — and
+    // subtract negates in the BIGINT domain, so subtract of Int32 MIN
+    // (whose negation overflows Int32) is refused, not self-negated
+    val over = intercept[Exception] {
+      Compat.chSql(spark, "SELECT addDays(DATE'2024-01-31', " +
+        "2147483648L) AS x").collect()
+    }
+    assert(over.getMessage.contains("outside Int32 range"))
+    val negEdge = intercept[Exception] {
+      Compat.chSql(spark, "SELECT subtractDays(DATE'2024-01-31', " +
+        "-2147483648L) AS x").collect()
+    }
+    assert(negEdge.getMessage.contains("outside Int32 range"))
+    val mixed = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT format('{} {0}', 'a', 'b') AS x").collect()
+    }
+    assert(mixed.getMessage.contains("cannot mix"))
+    val named = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT format('{x}', 'a') AS x").collect()
+    }
+    assert(named.getMessage.contains("bad placeholder"))
+  }
 }
