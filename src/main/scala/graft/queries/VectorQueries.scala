@@ -297,6 +297,168 @@ object VectorQueries {
        |)""".stripMargin
   }
 
+  /** Read a PQ index's persisted geometry from its commit-log
+    * properties and validate it against what the caller intends to
+    * decode with. An index WITHOUT geometry metadata refuses to serve
+    * (a reader decoding codes with a guessed m would be silently
+    * wrong), and a mismatch names both sides. Returns (m, ksub, dim).
+    */
+  private[graft] def requirePqGeometry(s: SparkSession, idx: String,
+      expectM: Int, expectKsub: Int = 16, expectDim: Int = 64)
+      : (Int, Int, Int) = {
+    val props = graft.sink.TxTable.tableProperties(s, idx)
+    def geom(k: String): Int = props.getOrElse("graft.pq." + k,
+      throw new IllegalStateException(
+        s"PQ index at $idx carries no graft.pq.$k property — " +
+          "refusing to decode codes with a guessed geometry; " +
+          "rebuild the index with ivfpqIncrBuild (which persists " +
+          "m/ksub/dim in the commit log)")).toInt
+    val (m, ksub, dim) = (geom("m"), geom("ksub"), geom("dim"))
+    require(m == expectM && ksub == expectKsub && dim == expectDim,
+      s"PQ geometry mismatch: index at $idx was built with " +
+        s"m=$m ksub=$ksub dim=$dim but the caller expects " +
+        s"m=$expectM ksub=$expectKsub dim=$expectDim — codes are " +
+        "not decodable across geometries; rebuild or serve with " +
+        "the persisted geometry")
+    (m, ksub, dim)
+  }
+
+  /** PERSISTED + INCREMENTALLY MAINTAINED IVF-PQ index, geometry-
+    * parameterized (round 16; the round-12 gate body generalized).
+    * `m` = PQ subspace count (must divide dim=64; dsub = 64/m, so
+    * m=4 → 16-dim subcodes, m=16 → 4-dim, m=32 → 2-dim — the
+    * code-width ladder SCALE.md measured). ksub is pinned at 16
+    * (codes come from the deterministic vec_id<16 seed sample, the
+    * same frozen train-then-add codebook as qv_ivfpq). The build
+    * persists (m, ksub, dim) in the index table's COMMIT-LOG
+    * properties and the serve path re-reads and validates them via
+    * [[requirePqGeometry]] — the geometry travels with the index, so
+    * a reader can never mis-decode codes built at another width.
+    * Everything else keeps the round-12 contract: streaming ingest
+    * through the engine's own source, per-batch codebook-only
+    * encoding, idempotent (appId, batchId) txns with a proven replay
+    * no-op, ZORDER maintenance, and serving from codes alone.
+    */
+  private[graft] def ivfpqIncrBuild(m: Int)(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.sink.{TxFileIndex, TxTable}
+    require(64 % m == 0 && m >= 1 && m <= 64,
+      s"PQ subspace count m=$m must divide dim=64")
+    val dsub = 64 / m
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_qvincr_m${m}_${math.abs(d.hashCode)}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    val day = java.sql.Date.valueOf("2024-01-01")
+    val emb = Tables.embeddings(s, d)
+    (0 until 3).foreach { i =>
+      TxTable.append(s, emb.filter(col("vec_id") % 3 === i)
+        .withColumn("date", lit(day)), src)
+    }
+    // frozen codebook: coarse seeds + the per-subspace PQ centroids
+    val quantOf = (df: DataFrame) => df.select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+          " * 10000) AS BIGINT))").as("q"))
+      .withColumn("nrm",
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+    val seeds = quantOf(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("q").as("sq"),
+        col("nrm").as("snrm"))
+    def subspacesOf(arr: String, mm: Int, field: String): String =
+      s"transform(sequence(0, ${mm - 1}), mi -> named_struct(" +
+        s"'m', mi, '$field', slice($arr, mi * ${64 / mm} + 1, " +
+        s"${64 / mm})))"
+    val cent = seeds.select(col("cell_id").as("code"),
+        explode(expr(subspacesOf("sq", m, "csub"))).as("e"))
+      .select(col("e.m").as("m"), col("code"), col("e.csub").as("csub"))
+    // batch -> (vec_id, cell_id, m, code) index rows, codebook-only math
+    def encode(batch: DataFrame): DataFrame = {
+      val q = quantOf(batch)
+      val assigned = q.crossJoin(broadcast(seeds))
+        .withColumn("dot_s", expr(
+          "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cd2",
+          col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
+      val sub = assigned.select(col("vec_id"), col("cell_id"),
+          explode(expr(subspacesOf("q", m, "sub"))).as("e"))
+        .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
+          col("e.sub").as("sub"))
+      sub.join(broadcast(cent), "m")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy("vec_id", "cell_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).as("a"))
+        .select(col("vec_id"), col("cell_id"), col("m"),
+          col("a.code").as("code"), lit(day).as("date"))
+    }
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        TxTable.appendTxn(s, encode(df), idx, "qv_ivfpq_incr", batchId)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the geometry travels WITH the index: one data-less commit on
+    // the same log the codes live in (checkpoint-preserved, replayed
+    // like schema), so a reader at any later version sees it
+    TxTable.setTableProperties(s, idx, Seq(
+      "graft.pq.m" -> m.toString, "graft.pq.ksub" -> "16",
+      "graft.pq.dim" -> "64"))
+    def idxRows: Long =
+      new TxFileIndex(s, idx).exactRowCount.getOrElse(-1L)
+    val before = idxRows
+    // redeliver the last batch under its original txn id — the
+    // exactly-once contract must refuse it BEFORE staging
+    val replayRes = TxTable.appendTxn(s,
+      encode(emb.filter(col("vec_id") % 3 === 2)), idx,
+      "qv_ivfpq_incr", 2L)
+    val replayNoop = replayRes == -1L && idxRows == before
+    // standing-table maintenance: cluster codes by cell
+    TxTable.zorder(s, idx, Seq("cell_id", "vec_id"))
+    // serve from the standing index alone — with the geometry taken
+    // from the PERSISTED properties, not the build-time argument
+    val (mP, _, _) = requirePqGeometry(s, idx, expectM = m)
+    val idxCodes = TxTable.read(s, idx)
+      .select("vec_id", "cell_id", "m", "code")
+    val qv = quantOf(emb).filter(col("vec_id") < 10)
+    val qCoarse = qv.crossJoin(broadcast(seeds))
+      .withColumn("dot_s", expr(
+        "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
+    val wp = Window.partitionBy("vec_id").orderBy(asc("cd2"), asc("cell_id"))
+    val probes = qCoarse.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
+    val lut = qv.select(col("vec_id").as("q_id"), explode(expr(
+        subspacesOf("q", mP, "sub"))).as("e"))
+      .select(col("q_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      .join(broadcast(cent), "m")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .select("q_id", "m", "code", "d2")
+    val adc = idxCodes.join(broadcast(probes), col("cell_id") === col("pcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(min("cell_id").as("cell"), sum("d2").as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
+        col("rank"), col("adc"),
+        lit(before).as("index_rows"), lit(replayNoop).as("replay_noop"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-5 per query vector
     "qv_cosine_topk" -> ((s, d) => {
@@ -699,112 +861,15 @@ object VectorQueries {
     // top-5 exactly (the index is order-independent state), plus the
     // proof columns: index_rows (from the commit log's #rows stats —
     // zero data I/O) and replay_noop.
-    "qv_ivfpq_incr" -> ((s, d) => {
-      import graft.sink.{TxFileIndex, TxTable}
-      val base = sys.props("java.io.tmpdir") +
-        s"/graft_qvincr_${math.abs(d.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-      val (src, idx) = (s"$base/src", s"$base/idx")
-      val day = java.sql.Date.valueOf("2024-01-01")
-      val emb = Tables.embeddings(s, d)
-      (0 until 3).foreach { i =>
-        TxTable.append(s, emb.filter(col("vec_id") % 3 === i)
-          .withColumn("date", lit(day)), src)
-      }
-      // frozen codebook: coarse seeds + the per-subspace PQ centroids
-      val quantOf = (df: DataFrame) => df.select(
-          col("vec_id"),
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
-            " * 10000) AS BIGINT))").as("q"))
-        .withColumn("nrm",
-          expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
-      val seeds = quantOf(emb).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell_id"), col("q").as("sq"),
-          col("nrm").as("snrm"))
-      val cent = seeds.select(col("cell_id").as("code"), explode(expr(
-          "transform(sequence(0, 3), m -> named_struct(" +
-            "'m', m, 'csub', slice(sq, m * 16 + 1, 16)))")).as("e"))
-        .select(col("e.m").as("m"), col("code"), col("e.csub").as("csub"))
-      // batch -> (vec_id, cell_id, m, code) index rows, codebook-only math
-      def encode(batch: DataFrame): DataFrame = {
-        val q = quantOf(batch)
-        val assigned = q.crossJoin(broadcast(seeds))
-          .withColumn("dot_s", expr(
-            "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
-              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .withColumn("cd2",
-            col("nrm") + col("snrm") - lit(2) * col("dot_s"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("cd2"), col("cell_id"))).as("a"),
-            first(col("q")).as("q"))
-          .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("q"))
-        val sub = assigned.select(col("vec_id"), col("cell_id"),
-            explode(expr("transform(sequence(0, 3), m -> named_struct(" +
-              "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
-          .select(col("vec_id"), col("cell_id"), col("e.m").as("m"),
-            col("e.sub").as("sub"))
-        sub.join(broadcast(cent), "m")
-          .withColumn("d2", expr(
-            "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
-              " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-          .groupBy("vec_id", "cell_id", "m")
-          .agg(min(struct(col("d2"), col("code"))).as("a"))
-          .select(col("vec_id"), col("cell_id"), col("m"),
-            col("a.code").as("code"), lit(day).as("date"))
-      }
-      val q = s.readStream.format("graft")
-        .option("maxVersionsPerTrigger", "1").load(src)
-        .writeStream.option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (df: DataFrame, batchId: Long) =>
-          TxTable.appendTxn(s, encode(df), idx, "qv_ivfpq_incr", batchId)
-          ()
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      def idxRows: Long =
-        new TxFileIndex(s, idx).exactRowCount.getOrElse(-1L)
-      val before = idxRows
-      // redeliver the last batch under its original txn id — the
-      // exactly-once contract must refuse it BEFORE staging
-      val replayRes = TxTable.appendTxn(s,
-        encode(emb.filter(col("vec_id") % 3 === 2)), idx,
-        "qv_ivfpq_incr", 2L)
-      val replayNoop = replayRes == -1L && idxRows == before
-      // standing-table maintenance: cluster codes by cell
-      TxTable.zorder(s, idx, Seq("cell_id", "vec_id"))
-      // serve from the standing index alone
-      val idxCodes = TxTable.read(s, idx)
-        .select("vec_id", "cell_id", "m", "code")
-      val qv = quantOf(emb).filter(col("vec_id") < 10)
-      val qCoarse = qv.crossJoin(broadcast(seeds))
-        .withColumn("dot_s", expr(
-          "aggregate(zip_with(q, sq, (x, y) -> x * y), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("cd2", col("nrm") + col("snrm") - lit(2) * col("dot_s"))
-      val wp = Window.partitionBy("vec_id").orderBy(asc("cd2"), asc("cell_id"))
-      val probes = qCoarse.withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= 2)
-        .select(col("vec_id").as("q_id"), col("cell_id").as("pcell"))
-      val lut = qv.select(col("vec_id").as("q_id"), explode(expr(
-          "transform(sequence(0, 3), m -> named_struct(" +
-            "'m', m, 'sub', slice(q, m * 16 + 1, 16)))")).as("e"))
-        .select(col("q_id"), col("e.m").as("m"), col("e.sub").as("sub"))
-        .join(broadcast(cent), "m")
-        .withColumn("d2", expr(
-          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y))," +
-            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select("q_id", "m", "code", "d2")
-      val adc = idxCodes.join(broadcast(probes), col("cell_id") === col("pcell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(broadcast(lut), Seq("q_id", "m", "code"))
-        .groupBy("q_id", "vec_id")
-        .agg(min("cell_id").as("cell"), sum("d2").as("adc"))
-      val w = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
-      adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
-          col("rank"), col("adc"),
-          lit(before).as("index_rows"), lit(replayNoop).as("replay_noop"))
-        .orderBy("q_id", "rank")
-    }),
+    "qv_ivfpq_incr" -> ((s, d) => ivfpqIncrBuild(4)(s, d)),
+
+    // the round-15 code-width ladder's winner (m=32 → 32 B/vec) was a
+    // ScaleBench-only knob; the PRODUCT index can now be built at any
+    // m dividing 64, stores its geometry in the commit log, and
+    // serves FROM the persisted geometry — this gate proves the m=16
+    // build end-to-end against a DuckDB replay of the same geometry
+    "qv_ivfpq_incr_m16" -> ((s, d) => ivfpqIncrBuild(16)(s, d)),
+
 
     // one Lloyd iteration of k-means: per-cell centroid update from the
     // IVF assignment, emitted as exact integer component sums + counts
@@ -950,6 +1015,68 @@ object VectorQueries {
        |  WHERE rn = 1
        |)""".stripMargin
 
+  /** DuckDB replay of the persisted IVF-PQ index at subspace count
+    * `m` (dsub = 64/m, ksub = 16) — the geometry-generalized form of
+    * the round-12 oracle: a batch rebuild of the order-independent
+    * index state plus the closed-form proof columns (m code rows per
+    * corpus vector; replay no-op true).
+    */
+  private def ivfpqIncrOracle(m: Int): String = {
+    val dsub = 64 / m
+    s"""WITH $quantizedSql, seeds AS (
+       |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
+       |  FROM qn WHERE vec_id < 16
+       |), coarse AS (
+       |  SELECT v.vec_id, s.cell_id, v.q,
+       |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
+       |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS cd2
+       |  FROM qn v CROSS JOIN seeds s
+       |), assigned AS (
+       |  SELECT vec_id, cell_id, q FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cd2, cell_id) AS rn FROM coarse) t
+       |  WHERE rn = 1
+       |), sub AS (
+       |  SELECT vec_id, cell_id, mm.m AS m,
+       |    q[mm.m * $dsub + 1 : mm.m * $dsub + $dsub] AS sub
+       |  FROM assigned, (SELECT unnest(range(0, $m)) AS m) mm
+       |), cent AS (
+       |  SELECT m, vec_id AS code, sub AS csub FROM sub WHERE vec_id < 16
+       |), cd AS (
+       |  SELECT s.vec_id, s.cell_id, s.m, c.code,
+       |    (SELECT SUM((s.sub[i.i] - c.csub[i.i]) * (s.sub[i.i] - c.csub[i.i]))
+       |     FROM (SELECT unnest(range(1, ${dsub + 1})) AS i) i) AS d2
+       |  FROM sub s JOIN cent c ON s.m = c.m
+       |), codes AS (
+       |  SELECT vec_id, cell_id, m, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d2, code) AS rn FROM cd) t
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell_id AS pcell FROM (
+       |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
+       |    FROM coarse WHERE vec_id < 10) t
+       |  WHERE rn <= 2
+       |), lut AS (
+       |  SELECT vec_id AS q_id, m, code, d2 FROM cd WHERE vec_id < 10
+       |), adc AS (
+       |  SELECT p.q_id, k.vec_id, MIN(k.cell_id) AS cell,
+       |    SUM(l.d2) AS adc
+       |  FROM codes k JOIN probes p
+       |    ON k.cell_id = p.pcell AND k.vec_id <> p.q_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
+       |  GROUP BY 1, 2
+       |), rankedp AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
+       |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc,
+       |  CAST($m * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+       |    AS index_rows,
+       |  TRUE AS replay_noop
+       |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "qv_pq" ->
       s"""WITH $quantizedSql, sub AS (
@@ -1032,60 +1159,10 @@ object VectorQueries {
          |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // the standing index is order-independent state, so the oracle is
     // the batch rebuild (same replay as qv_ivfpq) + the closed-form
-    // proof columns: 4 code rows per corpus vector, replay no-op true
-    "qv_ivfpq_incr" ->
-      s"""WITH $quantizedSql, seeds AS (
-         |  SELECT vec_id AS cell_id, q AS sq, nrm AS snrm
-         |  FROM qn WHERE vec_id < 16
-         |), coarse AS (
-         |  SELECT v.vec_id, s.cell_id, v.q,
-         |    v.nrm + s.snrm - 2 * (SELECT SUM(v.q[i.i] * s.sq[i.i])
-         |      FROM (SELECT unnest(range(1, 65)) AS i) i) AS cd2
-         |  FROM qn v CROSS JOIN seeds s
-         |), assigned AS (
-         |  SELECT vec_id, cell_id, q FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY cd2, cell_id) AS rn FROM coarse) t
-         |  WHERE rn = 1
-         |), sub AS (
-         |  SELECT vec_id, cell_id, mm.m AS m,
-         |    q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sub
-         |  FROM assigned, (SELECT unnest(range(0, 4)) AS m) mm
-         |), cent AS (
-         |  SELECT m, vec_id AS code, sub AS csub FROM sub WHERE vec_id < 16
-         |), cd AS (
-         |  SELECT s.vec_id, s.cell_id, s.m, c.code,
-         |    (SELECT SUM((s.sub[i.i] - c.csub[i.i]) * (s.sub[i.i] - c.csub[i.i]))
-         |     FROM (SELECT unnest(range(1, 17)) AS i) i) AS d2
-         |  FROM sub s JOIN cent c ON s.m = c.m
-         |), codes AS (
-         |  SELECT vec_id, cell_id, m, code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |      ORDER BY d2, code) AS rn FROM cd) t
-         |  WHERE rn = 1
-         |), probes AS (
-         |  SELECT vec_id AS q_id, cell_id AS pcell FROM (
-         |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (
-         |      PARTITION BY vec_id ORDER BY cd2, cell_id) AS rn
-         |    FROM coarse WHERE vec_id < 10) t
-         |  WHERE rn <= 2
-         |), lut AS (
-         |  SELECT vec_id AS q_id, m, code, d2 FROM cd WHERE vec_id < 10
-         |), adc AS (
-         |  SELECT p.q_id, k.vec_id, MIN(k.cell_id) AS cell,
-         |    SUM(l.d2) AS adc
-         |  FROM codes k JOIN probes p
-         |    ON k.cell_id = p.pcell AND k.vec_id <> p.q_id
-         |  JOIN lut l ON l.q_id = p.q_id AND l.m = k.m AND l.code = k.code
-         |  GROUP BY 1, 2
-         |), rankedp AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |    ORDER BY adc, vec_id) AS INTEGER) AS rank FROM adc)
-         |SELECT q_id, vec_id AS n_id, cell, rank, CAST(adc AS BIGINT) AS adc,
-         |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
-         |    AS index_rows,
-         |  TRUE AS replay_noop
-         |FROM rankedp WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // proof columns: m code rows per corpus vector, replay no-op true
+    // — generated at each persisted geometry by ivfpqIncrOracle
+    "qv_ivfpq_incr" -> ivfpqIncrOracle(4),
+    "qv_ivfpq_incr_m16" -> ivfpqIncrOracle(16),
     // full fit replay: farthest-point init (c0 = min vec_id, then two
     // argmax-of-min-distance rounds), two Lloyd iterations with
     // truncated-division integer centroids, final assignment stats
