@@ -338,6 +338,8 @@ object VectorQueries {
     * through the engine's own source, per-batch codebook-only
     * encoding, idempotent (appId, batchId) txns with a proven replay
     * no-op, ZORDER maintenance, and serving from codes alone.
+    * Which m to build and how to serve it (codes-only vs rerank, and
+    * the measured read-amplification at each width): SERVING.md.
     */
   private[graft] def ivfpqIncrBuild(m: Int)(s: SparkSession, d: String)
       : DataFrame = {
