@@ -38,6 +38,26 @@ object ScalarOps {
     UTF8String.fromString(sb.toString)
   }
 
+  private val decUnits =
+    Array("B", "KB", "MB", "GB", "TB", "PB", "EB")
+
+  /** CH `formatReadableDecimalSize`: the 1000-based sibling of
+    * [[IpOps.formatReadableSize]] (KB/MB/..., not KiB/MiB), same
+    * two-decimal HALF_EVEN rendering so the DuckDB printf('%.2f')
+    * oracle reproduces it digit-for-digit. */
+  def formatReadableDecimalSize(bytes: Double): UTF8String = {
+    var v = bytes
+    var u = 0
+    while (math.abs(v) >= 1000.0 && u < decUnits.length - 1) {
+      v = v / 1000.0
+      u += 1
+    }
+    val s = new java.math.BigDecimal(v)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN)
+      .toPlainString
+    UTF8String.fromString(s + " " + decUnits(u))
+  }
+
   private val qtyUnits = Array("", " thousand", " million", " billion",
     " trillion", " quadrillion")
 
@@ -250,6 +270,30 @@ case class GeohashDecodeCoord(child: Expression, idx: Int)
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ScalarOps.geohashDecode($c, $idx)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** formatReadableDecimalSize — the 1000-based [[FormatReadableSize]]
+  * sibling, same codegen shape. */
+case class FormatReadableDecimalSize(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "formatReadableDecimalSize"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName takes a double")
+  override protected def nullSafeEval(v: Any): Any =
+    ScalarOps.formatReadableDecimalSize(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ScalarOps.formatReadableDecimalSize($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -1283,6 +1283,45 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-16 misc tier: 1000-based readable sizes, sub-second
+    // toStartOf* buckets, ISO-year start, the edit-distance family
+    // (Levenshtein aliases + unrestricted Damerau-Levenshtein),
+    // byte hamming with the unequal-length contract, integer/float
+    // power helpers and bitCount — every column DuckDB-closed
+    "q_compat_r16misc" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r16m")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r16m),
+        b AS (SELECT user_id,
+            CAST(user_id % 987 + 13 AS DOUBLE) *
+              power(1000.0D, CAST(user_id % 6 AS DOUBLE)) AS bytes,
+            timestamp_micros(1709251200000000 + user_id * 1234567)
+              AS ts,
+            CAST(date_add(DATE'2020-12-28', CAST(user_id % 740 AS INT))
+              AS DATE) AS dd,
+            concat('grafter_', CAST(user_id % 9 AS STRING)) AS sa,
+            concat('graphite_', CAST(user_id % 7 AS STRING)) AS sb,
+            CAST(user_id % 11 AS INT) AS n
+          FROM u)
+        SELECT user_id,
+          formatReadableDecimalSize(bytes) AS frd,
+          CAST(toStartOfSecond(ts) AS BIGINT) AS tss,
+          unix_micros(toStartOfMillisecond(ts)) AS tsm,
+          unix_micros(toStartOfMicrosecond(ts)) AS tsu,
+          CAST(toStartOfISOYear(dd) AS STRING) AS isoy,
+          levenshteinDistance(sa, sb) AS lev,
+          editDistance(sa, sb) AS ed,
+          damerauLevenshteinDistance(concat(sa, 'CA'),
+            concat(sb, 'ABC')) AS dl,
+          byteHammingDistance(sa, sb) AS bh,
+          round(exp2(CAST(n AS DOUBLE) / 2), 6) AS e2,
+          round(exp10(CAST(n AS DOUBLE) / 4), 6) AS e10,
+          intExp2(n) AS ie2,
+          intExp10(n % 10) AS ie10,
+          bitCount(user_id * 2654435761) AS bc
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2665,6 +2704,55 @@ object FlowQueries {
         |      AND s[i:i] = 'zz'[acc+1:acc+1]
         |      THEN acc + 1 ELSE acc END) = length('zz') AS hs0,
         |  CAST(user_id % 3 AS VARCHAR) || '-' || s AS fmt
+        |FROM b ORDER BY user_id""".stripMargin,
+    // r16 misc replay: the decimal-size ladder is replayed with the
+    // SAME stepwise /1000 divisions (CASE on the original integer
+    // magnitude) so the IEEE arithmetic matches digit-for-digit
+    // before printf('%.2f'); edit distances are DuckDB natives;
+    // byteHamming is the positional-mismatch closed form
+    "q_compat_r16misc" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    CAST(user_id % 987 + 13 AS DOUBLE) *
+        |      power(1000, CAST(user_id % 6 AS DOUBLE)) AS bytes,
+        |    make_timestamp(1709251200000000 + user_id * 1234567)
+        |      AS ts,
+        |    DATE'2020-12-28' + CAST(user_id % 740 AS INT) AS dd,
+        |    'grafter_' || CAST(user_id % 9 AS VARCHAR) AS sa,
+        |    'graphite_' || CAST(user_id % 7 AS VARCHAR) AS sb,
+        |    CAST(user_id % 11 AS INT) AS n
+        |  FROM u)
+        |SELECT user_id,
+        |  printf('%.2f', CASE (user_id % 6)
+        |      WHEN 0 THEN bytes
+        |      WHEN 1 THEN bytes / 1000
+        |      WHEN 2 THEN bytes / 1000 / 1000
+        |      WHEN 3 THEN bytes / 1000 / 1000 / 1000
+        |      WHEN 4 THEN bytes / 1000 / 1000 / 1000 / 1000
+        |      ELSE bytes / 1000 / 1000 / 1000 / 1000 / 1000 END)
+        |    || CASE (user_id % 6)
+        |      WHEN 0 THEN ' B' WHEN 1 THEN ' KB' WHEN 2 THEN ' MB'
+        |      WHEN 3 THEN ' GB' WHEN 4 THEN ' TB'
+        |      ELSE ' PB' END AS frd,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tss,
+        |  epoch_us(date_trunc('milliseconds', ts)) AS tsm,
+        |  epoch_us(ts) AS tsu,
+        |  CAST(date_trunc('week', make_date(
+        |    CAST(isoyear(dd) AS INT), 1, 4)) AS VARCHAR) AS isoy,
+        |  CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
+        |  CAST(levenshtein(sa, sb) AS BIGINT) AS ed,
+        |  CAST(damerau_levenshtein(sa || 'CA', sb || 'ABC')
+        |    AS BIGINT) AS dl,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, greatest(length(sa), length(sb))),
+        |    i -> CASE WHEN sa[i:i] IS DISTINCT FROM sb[i:i]
+        |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS bh,
+        |  round(power(2, CAST(n AS DOUBLE) / 2), 6) AS e2,
+        |  round(power(10, CAST(n AS DOUBLE) / 4), 6) AS e10,
+        |  (CAST(1 AS BIGINT) << n) AS ie2,
+        |  CAST(round(power(10, n % 10)) AS BIGINT) AS ie10,
+        |  CAST(bit_count(CAST(user_id * 2654435761 AS BIGINT))
+        |    AS INT) AS bc
         |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),

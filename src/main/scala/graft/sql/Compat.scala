@@ -2747,6 +2747,64 @@ object Compat {
         org.apache.spark.sql.catalyst.expressions.Concat(parts.toSeq)
       }
 
+      // ---- round-16 misc tier: readable decimal sizes, sub-second
+      // toStartOf*, ISO-year start, edit distances, byte hamming,
+      // power/bit helpers — each DuckDB-closed ----
+      f("formatReadableDecimalSize")(e => graft.functions
+        .FormatReadableDecimalSize(Cast(e.head, DoubleType)))
+      f("toStartOfSecond")(e => fromSql(
+        "date_trunc('SECOND', __t)",
+        "__t" -> Cast(e.head, TimestampType)))
+      // floor (pmod), not truncate-toward-zero: pre-1970 sub-ms
+      // values round DOWN like DuckDB's date_trunc('milliseconds')
+      f("toStartOfMillisecond")(e => fromSql(
+        "timestamp_micros(unix_micros(CAST(__t AS TIMESTAMP)) - " +
+          "pmod(unix_micros(CAST(__t AS TIMESTAMP)), 1000))",
+        "__t" -> e.head))
+      // Spark timestamps are micro-precision, so micro/nano starts
+      // are the identity at this engine's resolution (documented —
+      // CH DateTime64(9) carries nanos this engine never stores)
+      f("toStartOfMicrosecond")(e => Cast(e.head, TimestampType))
+      f("toStartOfNanosecond")(e => Cast(e.head, TimestampType))
+      // first day of the ISO-8601 year: the Monday of the week
+      // containing Jan 4 of the ISO year (the textbook closed form)
+      f("toStartOfISOYear")(e => fromSql(
+        "CAST(date_trunc('WEEK', make_date(" +
+          "CAST(date_part('YEAROFWEEK', __d) AS INT), 1, 4)) AS DATE)",
+        "__d" -> Cast(e.head, DateType)))
+      // editDistance/levenshteinDistance are CH aliases of the same
+      // function; Spark's native Levenshtein is codegen'd
+      Seq("levenshteinDistance", "editDistance", "editDistanceUTF8")
+        .foreach(n => f(n)(e => Cast(
+          new org.apache.spark.sql.catalyst.expressions.Levenshtein(
+            e(0), e(1)), LongType)))
+      f("damerauLevenshteinDistance")(e =>
+        graft.functions.DamerauLevenshtein(e(0), e(1)))
+      // byteHammingDistance: mismatches over the shared prefix plus
+      // the length difference (CH's unequal-length contract); split
+      // on '' is per-character — identical to per-byte for the ASCII
+      // scope the gates hash (documented)
+      f("byteHammingDistance")(e => fromSql(
+        "CAST(size(filter(zip_with(split(__a, ''), split(__b, ''), " +
+          "(x, y) -> NOT (x <=> y)), v -> v)) AS BIGINT)",
+        "__a" -> e.head, "__b" -> e(1)))
+      f("exp2")(e => fromSql("power(2.0D, CAST(__x AS DOUBLE))",
+        "__x" -> e.head))
+      f("exp10")(e => fromSql("power(10.0D, CAST(__x AS DOUBLE))",
+        "__x" -> e.head))
+      // integer powers: shift for 2^n (exact to 2^62), round(pow)
+      // for 10^n (doubles represent 10^k exactly for k <= 22, and
+      // Long caps at 9.2e18 anyway)
+      f("intExp2")(e => fromSql(
+        "shiftleft(CAST(1 AS BIGINT), CAST(__n AS INT))",
+        "__n" -> e.head))
+      f("intExp10")(e => fromSql(
+        "CAST(round(power(10.0D, CAST(__n AS INT))) AS BIGINT)",
+        "__n" -> e.head))
+      f("bitCount")(e => fromSql(
+        "CAST(bit_count(CAST(__x AS BIGINT)) AS INT)",
+        "__x" -> e.head))
+
       // UTF8-suffixed position spellings: Spark strings are already
       // character-addressed, so these are exact aliases
       f("positionUTF8")(e => new StringLocate(e(1), e(0)))

@@ -2485,4 +2485,53 @@ class CompatSpec extends AnyFunSuite {
     }
     assert(named.getMessage.contains("bad placeholder"))
   }
+
+  test("round-16 misc tier: decimal sizes, sub-second starts, ISO " +
+      "year, edit distances, byte hamming, power/bit helpers") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        formatReadableDecimalSize(CAST(1023 AS DOUBLE)) AS d1,
+        formatReadableDecimalSize(CAST(1048576 AS DOUBLE)) AS d2,
+        formatReadableDecimalSize(CAST(192851925 AS DOUBLE)) AS d3,
+        CAST(toStartOfSecond(
+          timestamp_micros(1709251323456789)) AS BIGINT) AS tss,
+        unix_micros(toStartOfMillisecond(
+          timestamp_micros(1709251323456789))) AS tsm,
+        CAST(toStartOfISOYear(DATE'2021-01-01') AS STRING) AS iso1,
+        CAST(toStartOfISOYear(DATE'2021-01-04') AS STRING) AS iso2,
+        levenshteinDistance('clickhouse', 'mouse') AS lev,
+        editDistance('clickhouse', 'mouse') AS ed,
+        damerauLevenshteinDistance('clickhouse', 'mouse') AS dl1,
+        damerauLevenshteinDistance('CA', 'ABC') AS dl2,
+        byteHammingDistance('abc', 'ab') AS bh1,
+        byteHammingDistance('karolin', 'kathrin') AS bh2,
+        exp2(CAST(3 AS DOUBLE)) AS e2,
+        exp10(CAST(2 AS DOUBLE)) AS e10,
+        intExp2(10) AS ie2,
+        intExp10(15) AS ie10,
+        bitCount(255) AS bc1,
+        bitCount(-1) AS bc2
+      FROM (SELECT 1 AS one)""").collect().head
+    // CH docs examples: 1023 B -> 1.02 KB, 1 MiB -> 1.05 MB
+    assert(r.getString(0) == "1.02 KB")
+    assert(r.getString(1) == "1.05 MB")
+    assert(r.getString(2) == "192.85 MB")
+    assert(r.getLong(3) == 1709251323L)
+    assert(r.getLong(4) == 1709251323456000L)
+    // ISO year of 2021-01-01 is 2020, which began Mon 2019-12-30;
+    // 2021-01-04 is in ISO 2021, which began Mon 2021-01-04 itself
+    assert(r.getString(5) == "2019-12-30")
+    assert(r.getString(6) == "2021-01-04")
+    assert(r.getLong(7) == 6L && r.getLong(8) == 6L)
+    assert(r.getLong(9) == 6L)
+    // UNRESTRICTED Damerau-Levenshtein: CA -> ABC is 2 (OSA says 3)
+    assert(r.getLong(10) == 2L)
+    // unequal lengths: shared-prefix mismatches + length difference
+    assert(r.getLong(11) == 1L)
+    assert(r.getLong(12) == 3L)
+    assert(r.getDouble(13) == 8.0 && r.getDouble(14) == 100.0)
+    assert(r.getLong(15) == 1024L)
+    assert(r.getLong(16) == 1000000000000000L)
+    assert(r.getInt(17) == 8 && r.getInt(18) == 64)
+  }
 }
