@@ -1322,6 +1322,40 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-16 hash/array tier: binary digests composed through the
+    // dialect's uppercasing hex (MD5/SHA256 DuckDB-closed; SHA1/224/
+    // 512 + CRC32 pinned in CompatSpec against published vectors),
+    // the Java/Hive polynomial hashes replayed as the same BIGINT
+    // mod-2^32 fold, dot product, and the Lindley-form clamped
+    // cumulative sum
+    "q_compat_r16hash" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r16h")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r16h),
+        b AS (SELECT user_id,
+            concat('doc_', CAST(user_id % 23 AS STRING), '/seg-',
+              CAST(user_id % 7 AS STRING)) AS s,
+            array(CAST(user_id % 5 + 1 AS BIGINT),
+              CAST(-(user_id % 7) - 1 AS BIGINT),
+              CAST(user_id % 3 + 2 AS BIGINT),
+              CAST(-(user_id % 4) - 2 AS BIGINT),
+              CAST(user_id % 6 AS BIGINT)) AS a,
+            array(CAST(user_id % 4 AS BIGINT),
+              CAST(user_id % 9 - 4 AS BIGINT),
+              CAST(user_id % 2 + 1 AS BIGINT),
+              CAST(user_id % 5 - 2 AS BIGINT),
+              CAST(user_id % 8 AS BIGINT)) AS a2
+          FROM u)
+        SELECT user_id,
+          hex(MD5(s)) AS h_md5,
+          hex(SHA256(s)) AS h_sha256,
+          javaHash(s) AS jh,
+          hiveHash(s) AS hh,
+          round(arrayDotProduct(a, a2), 6) AS adp,
+          concat_ws(',', arrayCumSumNonNegative(a)) AS acsn
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2754,6 +2788,49 @@ object FlowQueries {
         |  CAST(bit_count(CAST(user_id * 2654435761 AS BIGINT))
         |    AS INT) AS bc
         |FROM b ORDER BY user_id""".stripMargin,
+    // r16 hash replay: digests via DuckDB's md5/sha256 uppercased;
+    // java/hive hashes as the identical 31-polynomial list_reduce in
+    // BIGINT mod 2^32; dot product and Lindley clamped cumsum in
+    // closed list form
+    "q_compat_r16hash" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    'doc_' || CAST(user_id % 23 AS VARCHAR) || '/seg-' ||
+        |      CAST(user_id % 7 AS VARCHAR) AS s,
+        |    [CAST(user_id % 5 + 1 AS BIGINT),
+        |     CAST(-(user_id % 7) - 1 AS BIGINT),
+        |     CAST(user_id % 3 + 2 AS BIGINT),
+        |     CAST(-(user_id % 4) - 2 AS BIGINT),
+        |     CAST(user_id % 6 AS BIGINT)] AS a,
+        |    [CAST(user_id % 4 AS BIGINT),
+        |     CAST(user_id % 9 - 4 AS BIGINT),
+        |     CAST(user_id % 2 + 1 AS BIGINT),
+        |     CAST(user_id % 5 - 2 AS BIGINT),
+        |     CAST(user_id % 8 AS BIGINT)] AS a2
+        |  FROM u),
+        |jf AS (SELECT user_id, s, a, a2,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(s)),
+        |        i -> CAST(ascii(s[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 4294967296) AS h
+        |  FROM b)
+        |SELECT user_id,
+        |  upper(md5(s)) AS h_md5,
+        |  upper(sha256(s)) AS h_sha256,
+        |  CAST((h + 2147483648) % 4294967296 - 2147483648 AS INT)
+        |    AS jh,
+        |  CAST(h % 2147483648 AS INT) AS hh,
+        |  round(CAST(list_sum(list_transform(
+        |    generate_series(1, len(a)),
+        |    i -> CAST(a[i] AS DOUBLE) * CAST(a2[i] AS DOUBLE)))
+        |    AS DOUBLE), 6) AS adp,
+        |  array_to_string(list_transform(generate_series(1, len(a)),
+        |    i -> CAST(CAST(list_sum(a[1:i]) AS BIGINT) -
+        |      least(CAST(0 AS BIGINT), CAST(list_min(list_transform(
+        |        generate_series(1, i),
+        |        j -> list_sum(a[1:j]))) AS BIGINT)) AS BIGINT)), ',')
+        |    AS acsn
+        |FROM jf ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),
     // round-trips as epoch arithmetic

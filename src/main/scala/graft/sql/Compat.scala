@@ -2804,6 +2804,72 @@ object Compat {
       f("bitCount")(e => fromSql(
         "CAST(bit_count(CAST(__x AS BIGINT)) AS INT)",
         "__x" -> e.head))
+      // cryptographic digests: CH returns the BINARY digest
+      // (FixedString) and users wrap in hex() for display — mapping
+      // to unhex(<spark hex digest>) keeps that composition exact
+      // (hex() then uppercases, matching CH). Registered under ch*
+      // INTERNAL names that translateCh0 renames the case-sensitive
+      // CH spellings to: the session registry is case-INsensitive,
+      // so registering "MD5" directly would shadow Spark's native
+      // md5()/sha1()/crc32() for every plain-session query (the
+      // sampling rewrite and the qm_ gates use them), and a fromSql
+      // body calling md5() would even recurse into itself (analyzer
+      // max-iterations loop — found the hard way)
+      def unhexOf(x: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.Unhex(x)
+      def binOf(x: Expression): Expression =
+        Cast(x, org.apache.spark.sql.types.BinaryType)
+      f("chMD5")(e => unhexOf(
+        org.apache.spark.sql.catalyst.expressions.Md5(binOf(e.head))))
+      f("chSHA1")(e => unhexOf(
+        org.apache.spark.sql.catalyst.expressions.Sha1(binOf(e.head))))
+      Seq(224, 256, 512).foreach(bits =>
+        f(s"chSHA$bits")(e => unhexOf(
+          org.apache.spark.sql.catalyst.expressions.Sha2(binOf(e.head),
+            Literal(bits)))))
+      // CRC32: the standard zlib polynomial on both sides
+      f("chCRC32")(e =>
+        org.apache.spark.sql.catalyst.expressions.Crc32(binOf(e.head)))
+      // javaHash: Java String.hashCode — the 31-polynomial fold with
+      // Int32 wraparound, done in BIGINT mod 2^32 then sign-mapped
+      // (ANSI-safe: no 32-bit overflow ever evaluated). Character
+      // codes via ascii(): exact for the ASCII/BMP scope the gates
+      // hash. hiveHash is the same fold with the sign bit zeroed
+      // (CH's documented definition).
+      def javaFold(s: Expression): Expression = fromSql(
+        "aggregate(split(__s, ''), CAST(0 AS BIGINT), " +
+          "(acc, c) -> pmod(acc * 31 + ascii(c), 4294967296L))",
+        "__s" -> s)
+      f("javaHash")(e => fromSql(
+        "CAST(pmod(__h + 2147483648L, 4294967296L) - 2147483648L " +
+          "AS INT)", "__h" -> javaFold(e.head)))
+      f("hiveHash")(e => fromSql(
+        "CAST(pmod(__h, 2147483648L) AS INT)",
+        "__h" -> javaFold(e.head)))
+      // arrayDotProduct in DOUBLE (CH type-promotes per input; the
+      // double reading is this engine's documented contract)
+      f("arrayDotProduct")(e => fromSql(
+        "aggregate(zip_with(__a, __b, (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        "__a" -> e.head, "__b" -> e(1)))
+      // arrayCumSumNonNegative: out[i] = max(0, out[i-1] + a[i]) —
+      // the Lindley recursion, emitted in its CLOSED form
+      // out[i] = S_i - min(0, min_{j<=i} S_j) over prefix sums S
+      // (the queueing-theory identity; a struct-accumulator fold
+      // would be O(n) but churns the analyzer's nullability casts).
+      // BIGINT domain; empty arrays guard the descending-sequence
+      // trap (Spark's sequence(1, 0) = [1, 0], not [])
+      f("arrayCumSumNonNegative")(e => fromSql(
+        "CASE WHEN size(__a) = 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(1, size(__a)), i -> " +
+          "aggregate(slice(__a, 1, i), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v) - " +
+          "least(CAST(0 AS BIGINT), array_min(" +
+          "transform(sequence(1, i), j -> " +
+          "aggregate(slice(__a, 1, j), CAST(0 AS BIGINT), " +
+          "(acc2, v2) -> acc2 + v2)))) ) END",
+        "__a" -> e.head))
 
       // UTF8-suffixed position spellings: Spark strings are already
       // character-addressed, so these are exact aliases
@@ -4217,6 +4283,11 @@ object Compat {
     sql.substring(0, m.start) + repl + rewriteDateDiff(sql.substring(close + 1))
   }
 
+  private val digestRenames: Map[String, String] = Map(
+    "MD5" -> "chMD5", "SHA1" -> "chSHA1", "SHA224" -> "chSHA224",
+    "SHA256" -> "chSHA256", "SHA512" -> "chSHA512",
+    "CRC32" -> "chCRC32")
+
   private def translateCh0(sql: String): String = {
     val noFormat = sql.replaceAll("(?is)\\s+FORMAT\\s+[A-Za-z]\\w*\\s*;?\\s*$", "")
     val n = noFormat.length
@@ -4242,7 +4313,13 @@ object Compat {
         val s0 = i
         while (i < n && isIdent(noFormat.charAt(i))) i += 1
         val ident = noFormat.substring(s0, i)
-        if (ident.equalsIgnoreCase("count") && i < n &&
+        if (digestRenames.contains(ident) && i < n &&
+            noFormat.charAt(i) == '(') {
+          // CASE-SENSITIVE CH digest spellings → internal ch* names
+          // (the case-insensitive registry must not shadow Spark's
+          // own md5/sha1/crc32; see the registration comment)
+          sb.append(digestRenames(ident))
+        } else if (ident.equalsIgnoreCase("count") && i < n &&
             noFormat.substring(i).matches("(?s)\\s*\\(\\s*\\).*")) {
           sb.append(ident)
           while (noFormat.charAt(i) != ')') { i += 1 }

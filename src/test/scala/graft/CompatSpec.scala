@@ -2534,4 +2534,44 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getLong(16) == 1000000000000000L)
     assert(r.getInt(17) == 8 && r.getInt(18) == 64)
   }
+
+  test("round-16 hash tier: digests against published vectors, " +
+      "java/hive hashes, dot product, clamped cumsum") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        hex(MD5('abc')) AS md5v,
+        hex(SHA1('abc')) AS sha1v,
+        hex(SHA224('abc')) AS sha224v,
+        hex(SHA256('abc')) AS sha256v,
+        hex(SHA512('abc')) AS sha512v,
+        CRC32('123456789') AS crc,
+        javaHash('Hello') AS jh,
+        javaHash('') AS jhe,
+        hiveHash('Hello') AS hh,
+        arrayDotProduct(array(1L, 2L), array(3L, 4L)) AS adp,
+        concat_ws(',', arrayCumSumNonNegative(
+          array(1L, 1L, -4L, 1L))) AS acsn,
+        concat_ws(',', arrayCumSumNonNegative(
+          CAST(array() AS ARRAY<BIGINT>))) AS acsne
+      FROM (SELECT 1 AS one)""").collect().head
+    // RFC 1321 / FIPS 180 test vectors for "abc"
+    assert(r.getString(0) == "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getString(1) == "A9993E364706816ABA3E25717850C26C9CD0D89D")
+    assert(r.getString(2) ==
+      "23097D223405D8228642A477BDA255B32AADBCE4BDA0B3F7E36C9DA7")
+    assert(r.getString(3) ==
+      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+    assert(r.getString(4) ==
+      "DDAF35A193617ABACC417349AE20413112E6FA4E89A97EA20A9EEEE64B55D39A" +
+        "2192992A274FC1A836BA3C23A3FEEBBD454D4423643CE80E2A9AC94FA54CA49F")
+    // the canonical CRC-32 check value 0xCBF43926
+    assert(r.getLong(5) == 3421780262L)
+    // Java's own "Hello".hashCode(), and "" -> 0
+    assert(r.getInt(6) == 69609650 && r.getInt(7) == 0)
+    assert(r.getInt(8) == (69609650 & 0x7FFFFFFF))
+    assert(r.getDouble(9) == 11.0)
+    // CH docs example: [1,1,-4,1] -> [1,2,0,1]; empty stays empty
+    assert(r.getString(10) == "1,2,0,1")
+    assert(r.getString(11) == "")
+  }
 }
