@@ -274,6 +274,72 @@ case class GeohashDecodeCoord(child: Expression, idx: Int)
     copy(child = c)
 }
 
+/** The gamma/error-function scalars behind CH's lgamma / tgamma /
+  * erf / erfc spellings — dispatching to the house numerics
+  * ([[StudentTPValue.lnGamma]], Lanczos ~1e-14; [[StatDist.erfc]],
+  * incomplete-gamma split ~1e-14), well inside the driver's 6-decimal
+  * float compare against DuckDB's libm. tgamma extends to negative
+  * non-integers by Euler reflection; poles and lgamma's x <= 0 read
+  * NULL (SQL's NaN-free contract).
+  */
+case class MathSpecial(child: Expression, fn: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+  override def prettyName: String = fn
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName takes a double")
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    val r = fn match {
+      case "lgamma" =>
+        if (x > 0) StudentTPValue.lnGamma(x) else Double.NaN
+      case "tgamma" =>
+        if (x > 0) math.exp(StudentTPValue.lnGamma(x))
+        else if (x == math.floor(x)) Double.NaN
+        else math.Pi / (math.sin(math.Pi * x) *
+          math.exp(StudentTPValue.lnGamma(1.0 - x)))
+      case "erf" => 1.0 - StatDist.erfc(x)
+      case _ => StatDist.erfc(x)
+    }
+    if (r.isNaN) null else java.lang.Double.valueOf(r)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** CH `byteSwap` read at this engine's one integer width: reverse the
+  * byte order of the 64-bit two's-complement value (CH swaps at the
+  * input's own width; Int64 is the documented contract here — swap a
+  * narrower value by masking first). */
+case class ByteSwap64(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "byteSwap"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName takes a bigint")
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.reverseBytes(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Long.reverseBytes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** formatReadableDecimalSize — the 1000-based [[FormatReadableSize]]
   * sibling, same codegen shape. */
 case class FormatReadableDecimalSize(child: Expression)

@@ -1356,6 +1356,35 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-16 math tier: gamma/error specials (house Lanczos /
+    // incomplete-gamma numerics vs DuckDB's libm under the 6dp
+    // compare), sigmoid, factorial pass-through, 64-bit byteSwap,
+    // string reverse, and the sorted symmetric difference
+    "q_compat_r16math" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r16x")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r16x),
+        b AS (SELECT user_id,
+            CAST(user_id % 40 AS DOUBLE) / 4 + 0.25 AS x,
+            CAST(user_id % 13 AS INT) AS n,
+            user_id * 2654435761 + 11 AS big,
+            concat('rev_', CAST(user_id % 17 AS STRING)) AS s,
+            array(CAST(user_id % 5 AS INT), CAST(user_id % 7 AS INT),
+              CAST(user_id % 3 AS INT)) AS a,
+            array(CAST(user_id % 7 AS INT), CAST(user_id % 4 AS INT),
+              CAST(user_id % 6 AS INT)) AS a2
+          FROM u)
+        SELECT user_id,
+          round(lgamma(x), 6) AS lg,
+          round(tgamma(x), 6) AS tg,
+          round(sigmoid(x - 5), 6) AS sg,
+          factorial(n) AS fact,
+          byteSwap(big) AS bs,
+          reverseUTF8(s) AS rev,
+          concat_ws(',', arraySymmetricDifference(a, a2)) AS asd
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2831,6 +2860,40 @@ object FlowQueries {
         |        j -> list_sum(a[1:j]))) AS BIGINT)) AS BIGINT)), ',')
         |    AS acsn
         |FROM jf ORDER BY user_id""".stripMargin,
+    // r16 math replay: DuckDB's libm lgamma/gamma/factorial; sigmoid
+    // by its elementary closed form; byteSwap as the HUGEINT
+    // byte-shuffle wrapped back to signed. erf/erfc have NO DuckDB
+    // spelling — they are pinned in CompatSpec against published
+    // table values instead of riding this gate
+    "q_compat_r16math" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    CAST(user_id % 40 AS DOUBLE) / 4 + 0.25 AS x,
+        |    CAST(user_id % 13 AS INT) AS n,
+        |    user_id * 2654435761 + 11 AS big,
+        |    'rev_' || CAST(user_id % 17 AS VARCHAR) AS s,
+        |    [CAST(user_id % 5 AS INT), CAST(user_id % 7 AS INT),
+        |     CAST(user_id % 3 AS INT)] AS a,
+        |    [CAST(user_id % 7 AS INT), CAST(user_id % 4 AS INT),
+        |     CAST(user_id % 6 AS INT)] AS a2
+        |  FROM u)
+        |SELECT user_id,
+        |  round(lgamma(x), 6) AS lg,
+        |  round(gamma(x), 6) AS tg,
+        |  round(1 / (1 + exp(-(x - 5))), 6) AS sg,
+        |  CAST(factorial(n) AS BIGINT) AS fact,
+        |  CAST((list_sum(list_transform(generate_series(0, 7),
+        |    i -> ((CAST(big AS HUGEINT) >> (8 * i)) & 255)
+        |      << (8 * (7 - i)))) + 9223372036854775808)
+        |    % 18446744073709551616 - 9223372036854775808 AS BIGINT)
+        |    AS bs,
+        |  reverse(s) AS rev,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_concat(
+        |      list_filter(a, v -> NOT list_contains(a2, v)),
+        |      list_filter(a2, v -> NOT list_contains(a, v))))), ','),
+        |    '') AS asd
+        |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),
     // round-trips as epoch arithmetic

@@ -2830,6 +2830,25 @@ object Compat {
       // CRC32: the standard zlib polynomial on both sides
       f("chCRC32")(e =>
         org.apache.spark.sql.catalyst.expressions.Crc32(binOf(e.head)))
+      // special functions: house numerics (Lanczos lnGamma,
+      // incomplete-gamma erfc) — ~1e-14, far inside the 6dp oracle
+      // compare against DuckDB's libm
+      Seq("lgamma", "tgamma", "erf", "erfc").foreach(n =>
+        f(n)(e => graft.functions.MathSpecial(
+          Cast(e.head, DoubleType), n)))
+      f("sigmoid")(e => fromSql(
+        "1.0D / (1.0D + exp(-CAST(__x AS DOUBLE)))", "__x" -> e.head))
+      f("byteSwap")(e => graft.functions.ByteSwap64(
+        Cast(e.head, LongType)))
+      f("reverseUTF8")(e =>
+        org.apache.spark.sql.catalyst.expressions.Reverse(e.head))
+      // arraySymmetricDifference: distinct elements NOT present in
+      // every source array; CH leaves the order unspecified, this
+      // engine pins ascending sort (a legal refinement, deterministic)
+      f("arraySymmetricDifference")(e => fromSql(
+        "sort_array(array_distinct(concat(" +
+          "array_except(__a, __b), array_except(__b, __a))))",
+        "__a" -> e.head, "__b" -> e(1)))
       // javaHash: Java String.hashCode — the 31-polynomial fold with
       // Int32 wraparound, done in BIGINT mod 2^32 then sign-mapped
       // (ANSI-safe: no 32-bit overflow ever evaluated). Character

@@ -2574,4 +2574,44 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getString(10) == "1,2,0,1")
     assert(r.getString(11) == "")
   }
+
+  test("round-16 math tier: gamma/error specials, sigmoid, byteSwap, " +
+      "symmetric difference") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        round(lgamma(CAST(4.5 AS DOUBLE)), 6) AS lg,
+        round(tgamma(CAST(4.5 AS DOUBLE)), 6) AS tg,
+        round(tgamma(CAST(-0.5 AS DOUBLE)), 6) AS tgn,
+        tgamma(CAST(-2 AS DOUBLE)) AS tgpole,
+        round(erf(CAST(1 AS DOUBLE)), 6) AS e1,
+        round(erf(CAST(0.5 AS DOUBLE)), 6) AS e05,
+        round(erfc(CAST(1 AS DOUBLE)), 6) AS ec1,
+        round(sigmoid(CAST(0 AS DOUBLE)), 6) AS sg0,
+        byteSwap(CAST(1 AS BIGINT)) AS bs1,
+        byteSwap(CAST(3351772109 AS BIGINT)) AS bs2,
+        reverseUTF8('spark') AS rev,
+        concat_ws(',', arraySymmetricDifference(
+          array(1, 2, 3), array(2, 3, 4))) AS asd,
+        concat_ws(',', arraySymmetricDifference(
+          array(1, 2), array(2, 1))) AS asde
+      FROM (SELECT 1 AS one)""").collect().head
+    // libm reference values (DuckDB's lgamma(4.5)/gamma(4.5))
+    assert(math.abs(r.getDouble(0) - 2.453737) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 11.631728) < 1e-6)
+    // Euler reflection: Γ(-1/2) = -2√π; poles are NULL
+    assert(math.abs(r.getDouble(2) - (-3.544908)) < 1e-6)
+    assert(r.isNullAt(3))
+    // published erf table values: erf(1)=0.8427008, erf(0.5)=0.5204999
+    assert(math.abs(r.getDouble(4) - 0.842701) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 0.520500) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 0.157299) < 1e-6)
+    assert(r.getDouble(7) == 0.5)
+    // 64-bit byte reversal; CH's UInt32 doc example reads at Int64
+    // width here (documented): 3351772109 = 0x00000000C7C62B8D
+    assert(r.getLong(8) == 72057594037927936L) // 1 -> 2^56
+    assert(r.getLong(9) == java.lang.Long.reverseBytes(3351772109L))
+    assert(r.getString(10) == "kraps")
+    assert(r.getString(11) == "1,4")
+    assert(r.getString(12) == "")
+  }
 }
