@@ -1381,7 +1381,17 @@ object FlowQueries {
           factorial(n) AS fact,
           byteSwap(big) AS bs,
           reverseUTF8(s) AS rev,
-          concat_ws(',', arraySymmetricDifference(a, a2)) AS asd
+          concat_ws(',', arraySymmetricDifference(a, a2)) AS asd,
+          pointInPolygon(
+            CAST(user_id % 10 AS DOUBLE) - 0.5,
+            CAST(user_id % 9 AS DOUBLE) - 0.5,
+            array(0.0D, 8.7D, 8.7D, 0.0D),
+            array(0.0D, 0.0D, 6.5D, 6.5D)) AS pip,
+          pointInPolygon(
+            CAST(user_id % 10 AS DOUBLE) - 0.5,
+            CAST(user_id % 9 AS DOUBLE) - 0.5,
+            array(6.0D, 8.0D, 5.0D, 0.0D),
+            array(0.0D, 4.0D, 8.0D, 2.0D)) AS pip2
         FROM b ORDER BY user_id""")
     }),
 
@@ -2892,7 +2902,29 @@ object FlowQueries {
         |    list_concat(
         |      list_filter(a, v -> NOT list_contains(a2, v)),
         |      list_filter(a2, v -> NOT list_contains(a, v))))), ','),
-        |    '') AS asd
+        |    '') AS asd,
+        |  CAST(len(list_filter(generate_series(1, 4), i ->
+        |    ((([0.0,0.0,6.5,6.5])[i] > CAST(user_id % 9 AS DOUBLE) - 0.5)
+        |      != (([0.0,0.0,6.5,6.5])[i % 4 + 1]
+        |        > CAST(user_id % 9 AS DOUBLE) - 0.5)) AND
+        |    CAST(user_id % 10 AS DOUBLE) - 0.5 <
+        |      (([0.0,8.7,8.7,0.0])[i % 4 + 1] - ([0.0,8.7,8.7,0.0])[i])
+        |      * (CAST(user_id % 9 AS DOUBLE) - 0.5
+        |        - ([0.0,0.0,6.5,6.5])[i])
+        |      / (([0.0,0.0,6.5,6.5])[i % 4 + 1]
+        |        - ([0.0,0.0,6.5,6.5])[i])
+        |      + ([0.0,8.7,8.7,0.0])[i])) % 2 AS INT) AS pip,
+        |  CAST(len(list_filter(generate_series(1, 4), i ->
+        |    ((([0.0,4.0,8.0,2.0])[i] > CAST(user_id % 9 AS DOUBLE) - 0.5)
+        |      != (([0.0,4.0,8.0,2.0])[i % 4 + 1]
+        |        > CAST(user_id % 9 AS DOUBLE) - 0.5)) AND
+        |    CAST(user_id % 10 AS DOUBLE) - 0.5 <
+        |      (([6.0,8.0,5.0,0.0])[i % 4 + 1] - ([6.0,8.0,5.0,0.0])[i])
+        |      * (CAST(user_id % 9 AS DOUBLE) - 0.5
+        |        - ([0.0,4.0,8.0,2.0])[i])
+        |      / (([0.0,4.0,8.0,2.0])[i % 4 + 1]
+        |        - ([0.0,4.0,8.0,2.0])[i])
+        |      + ([6.0,8.0,5.0,0.0])[i])) % 2 AS INT) AS pip2
         |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),

@@ -2849,6 +2849,29 @@ object Compat {
         "sort_array(array_distinct(concat(" +
           "array_except(__a, __b), array_except(__b, __a))))",
         "__a" -> e.head, "__b" -> e(1)))
+      // pointInPolygon — textbook even-odd ray casting, taken in the
+      // 4-arg coordinate-array spelling (px, py, xs, ys): CH's
+      // tuple-literal signature has no Spark-SQL parse, so the
+      // decomposed form is this engine's documented adaptation.
+      // Boundary points are UNPINNED (even-odd, like CH's default
+      // non-strict mode, decides them by crossing parity — keep test
+      // points off edges). The divide-by-zero branch for horizontal
+      // edges is masked by the crossing precondition on BOTH engines
+      // (false AND x = false whatever x/0 yields), so Spark's and
+      // DuckDB's differing div0 conventions never surface.
+      f("pointInPolygon")(e => fromSql(
+        "CAST(CASE WHEN pmod(size(filter(" +
+          "sequence(1, size(__xs)), i -> " +
+          "((element_at(__ys, i) > __py) != " +
+          "(element_at(__ys, i % size(__xs) + 1) > __py)) AND " +
+          "__px < (element_at(__xs, i % size(__xs) + 1) - " +
+          "element_at(__xs, i)) * (__py - element_at(__ys, i)) / " +
+          "(element_at(__ys, i % size(__xs) + 1) - " +
+          "element_at(__ys, i)) + element_at(__xs, i))), 2) = 1 " +
+          "THEN 1 ELSE 0 END AS INT)",
+        "__px" -> Cast(e.head, DoubleType),
+        "__py" -> Cast(e(1), DoubleType),
+        "__xs" -> e(2), "__ys" -> e(3)))
       // javaHash: Java String.hashCode — the 31-polynomial fold with
       // Int32 wraparound, done in BIGINT mod 2^32 then sign-mapped
       // (ANSI-safe: no 32-bit overflow ever evaluated). Character

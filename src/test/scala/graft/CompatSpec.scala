@@ -2613,5 +2613,15 @@ class CompatSpec extends AnyFunSuite {
     assert(r.getString(10) == "kraps")
     assert(r.getString(11) == "1,4")
     assert(r.getString(12) == "")
+    // CH docs polygon (6,0),(8,4),(5,8),(0,2): (3,3) inside -> 1;
+    // (10,3) outside -> 0 (4-arg coordinate-array adaptation)
+    val p = Compat.chSql(spark, """
+      SELECT
+        pointInPolygon(3.0D, 3.0D, array(6.0D, 8.0D, 5.0D, 0.0D),
+          array(0.0D, 4.0D, 8.0D, 2.0D)) AS inside,
+        pointInPolygon(10.0D, 3.0D, array(6.0D, 8.0D, 5.0D, 0.0D),
+          array(0.0D, 4.0D, 8.0D, 2.0D)) AS outside
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(p.getInt(0) == 1 && p.getInt(1) == 0)
   }
 }
