@@ -1442,6 +1442,13 @@ object Compat {
       Seq("quantileTiming", "quantileTDigest", "quantileBFloat16")
         .foreach(n =>
           f(n)(e => new ApproximatePercentile(e(1), e(0))))
+      // median<Suffix> = quantile<Suffix> at level 0.5 (CH defines
+      // the whole median* family as exactly this alias)
+      f("medianExact")(e => new Percentile(e.head, Literal(0.5)))
+      f("medianExactWeighted")(e =>
+        new Percentile(e.head, Literal(0.5), e(1)))
+      Seq("medianTiming", "medianTDigest", "medianBFloat16").foreach(n =>
+        f(n)(e => new ApproximatePercentile(e.head, Literal(0.5))))
     }
     // arrayReduce('agg', arr): CH's apply-an-aggregate-to-an-array
     // spelling, dispatched at ANALYSIS time to the already-registered

@@ -431,18 +431,46 @@ object ScaleBench {
       //    copy (the train-then-add contract). Two nprobe arms make
       //    the recall/probe-cost trade a curve, not a point.
       val embBase = graft.Tables.embeddings(spark, sfDir)
-      val emb = (0 until factor).map { i =>
-        val r = i % 64
-        val rotSql = if (r == 0) "embedding"
-          else s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
-            s"slice(embedding, 1, $r))"
-        val v = if (i < 64) expr(rotSql)
-          else expr(s"zip_with($rotSql, sequence(1, 64), " +
-            s"(x, c) -> x * CASE WHEN (c * 2654435761 + $i) % 97 < 48 " +
-            s"THEN 1 ELSE -1 END)")
-        embBase.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
-          v.as("embedding"))
-      }.reduce(_ unionByName _)
+      // SPARK_GRAFT_SCALE_CORPUS selects the corpus geometry:
+      //  isotropic (default) — the rotation/sign-flip recipe below:
+      //    norm-preserving, cross-copy cosine ~random, the WORST case
+      //    for IVF (cells correlate weakly with neighborhoods);
+      //  clustered — a 64-center mixture (the textbook
+      //    mixture-of-Gaussians construction, deterministic from
+      //    vec_id alone): center components uniform in [-1,1] from a
+      //    per-(cluster,dim) hash, plus 0.35-amplitude per-vector
+      //    noise, giving intra-cluster cosine ~0.89 and inter-cluster
+      //    ~0 — the shape real embedding corpora have, where coarse
+      //    cells DO align with cosine neighborhoods. The round-15
+      //    caveat ("clustered real-world embeddings need far fewer
+      //    probes" — stated, unmeasured) is measured on this arm.
+      val corpusKind =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_CORPUS", "isotropic")
+      val corpusTag =
+        if (corpusKind == "isotropic") "" else s"_$corpusKind"
+      val emb = corpusKind match {
+        case "clustered" =>
+          val nBase = embBase.count()
+          spark.range(nBase * factor)
+            .select(col("id").as("vec_id"), expr(
+              "transform(sequence(1, 64), j -> CAST(" +
+                "(pmod(xxhash64(pmod(xxhash64(vec_id), 64), j), 2001)" +
+                " - 1000) / 1000.0 + 0.35 * " +
+                "(pmod(xxhash64(vec_id, j, 42), 2001) - 1000) / 1000.0" +
+                " AS FLOAT))").as("embedding"))
+        case _ => (0 until factor).map { i =>
+          val r = i % 64
+          val rotSql = if (r == 0) "embedding"
+            else s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
+              s"slice(embedding, 1, $r))"
+          val v = if (i < 64) expr(rotSql)
+            else expr(s"zip_with($rotSql, sequence(1, 64), " +
+              s"(x, c) -> x * CASE WHEN (c * 2654435761 + $i) % 97 < 48 " +
+              s"THEN 1 ELSE -1 END)")
+          embBase.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+            v.as("embedding"))
+        }.reduce(_ unionByName _)
+      }
       val quant = emb.select(col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
             " * 10000) AS BIGINT))").as("q"))
@@ -469,7 +497,8 @@ object ScaleBench {
       // every step name so the curves stay separable in the artifact.
       val mSub = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "16").toInt
       require(64 % mSub == 0, s"PQ_M must divide 64, got $mSub")
-      val pqTag = if (mSub == 16) "" else s"_m$mSub"
+      val pqTag =
+        (if (mSub == 16) "" else s"_m$mSub") + corpusTag
       val subDim = 64 / mSub
       val nCodes = 256
       def subExpr(src: String, field: String) =

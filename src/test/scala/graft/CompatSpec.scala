@@ -2623,5 +2623,15 @@ class CompatSpec extends AnyFunSuite {
           array(0.0D, 4.0D, 8.0D, 2.0D)) AS outside
       FROM (SELECT 1 AS one)""").collect().head
     assert(p.getInt(0) == 1 && p.getInt(1) == 0)
+    // median* family = quantile* at 0.5 (alias contract; the
+    // quantileExact machinery itself is hash-gated elsewhere)
+    val m = Compat.chSql(spark, """
+      SELECT medianExact(v) AS me, medianTDigest(v) AS mt,
+        medianExactWeighted(v, w) AS mw
+      FROM (SELECT CAST(v0 AS DOUBLE) AS v, w FROM VALUES
+        (1.0, 1), (3.0, 1), (5.0, 3) AS t(v0, w))""").collect().head
+    assert(m.getDouble(0) == 3.0)
+    assert(m.getDouble(1) == 3.0)
+    assert(m.getDouble(2) == 5.0)
   }
 }
