@@ -1395,6 +1395,48 @@ object FlowQueries {
         FROM b ORDER BY user_id""")
     }),
 
+    // round-16 window/regex/uuid tier: frame-offset spellings,
+    // case-insensitive match counting, MySQL-style regexpExtract +
+    // extractGroups, UUID <-> 16-byte codecs (variant-1 big-endian;
+    // variant 2 refused), null-padded zip, assume-sorted indexOf
+    "q_compat_r16win" -> ((s, d) => {
+      graft.Tables.events(s, d).createOrReplaceTempView("ch_events_r16w")
+      graft.sql.Compat.chSql(s, """
+        WITH u AS (SELECT DISTINCT user_id FROM ch_events_r16w),
+        b AS (SELECT user_id,
+            CAST(user_id % 37 AS BIGINT) AS v,
+            concat('id-', CAST(user_id % 97 AS STRING), '-v',
+              CAST(user_id % 13 AS STRING), ' AbbA ab') AS s,
+            concat(substring(md5(CAST(user_id AS STRING)), 1, 8), '-',
+              substring(md5(CAST(user_id AS STRING)), 9, 4), '-',
+              substring(md5(CAST(user_id AS STRING)), 13, 4), '-',
+              substring(md5(CAST(user_id AS STRING)), 17, 4), '-',
+              substring(md5(CAST(user_id AS STRING)), 21, 12)) AS uu,
+            array(CAST(user_id % 5 AS INT),
+              CAST(user_id % 5 + 3 AS INT),
+              CAST(user_id % 5 + 7 AS INT)) AS sorted_a
+          FROM u)
+        SELECT user_id,
+          lagInFrame(v, 2, CAST(-1 AS BIGINT)) OVER (
+            PARTITION BY user_id % 5 ORDER BY user_id) AS lg,
+          leadInFrame(v) OVER (
+            PARTITION BY user_id % 5 ORDER BY user_id) AS ld,
+          countMatchesCaseInsensitive(s, 'ab') AS cmi,
+          regexpExtract(s, 'id-([0-9]+)') AS rx1,
+          regexpExtract(s, 'id-([0-9]+)-v([0-9]+)', 2) AS rx2,
+          concat_ws('|', extractGroups(s,
+            'id-([0-9]+)-v([0-9]+)')) AS eg,
+          UUIDNumToString(UUIDStringToNum(uu)) AS uurt,
+          hex(UUIDStringToNum(uu)) AS uhex,
+          concat_ws(',', transform(
+            arrayZipUnaligned(sorted_a, array(CAST(user_id % 3 AS INT))),
+            p -> concat(coalesce(CAST(p.zx AS STRING), 'n'), ':',
+              coalesce(CAST(p.zy AS STRING), 'n')))) AS zu,
+          indexOfAssumeSorted(sorted_a,
+            CAST(user_id % 5 + 3 AS INT)) AS ias
+        FROM b ORDER BY user_id""")
+    }),
+
     // round-14 stats/strings tier: one-way ANOVA F per user (p-value
     // is incomplete-beta territory — pinned in CompatSpec, not
     // replayable in SQL), WoE information value, 4-gram similarity,
@@ -2925,6 +2967,43 @@ object FlowQueries {
         |      / (([0.0,4.0,8.0,2.0])[i % 4 + 1]
         |        - ([0.0,4.0,8.0,2.0])[i])
         |      + ([6.0,8.0,5.0,0.0])[i])) % 2 AS INT) AS pip2
+        |FROM b ORDER BY user_id""".stripMargin,
+    // r16 window/regex/uuid replay: DuckDB lag/lead (plain-partition
+    // reading, same as the engine's documented frame simplification),
+    // (?i) regex counting, regexp_extract groups, the identical
+    // dash-strip/reinsert UUID codec, null-padded manual zip
+    "q_compat_r16win" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |b AS (SELECT user_id,
+        |    CAST(user_id % 37 AS BIGINT) AS v,
+        |    'id-' || CAST(user_id % 97 AS VARCHAR) || '-v' ||
+        |      CAST(user_id % 13 AS VARCHAR) || ' AbbA ab' AS s,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 8) || '-' ||
+        |      substring(md5(CAST(user_id AS VARCHAR)), 9, 4) || '-' ||
+        |      substring(md5(CAST(user_id AS VARCHAR)), 13, 4) || '-' ||
+        |      substring(md5(CAST(user_id AS VARCHAR)), 17, 4) || '-' ||
+        |      substring(md5(CAST(user_id AS VARCHAR)), 21, 12) AS uu,
+        |    [CAST(user_id % 5 AS INT), CAST(user_id % 5 + 3 AS INT),
+        |     CAST(user_id % 5 + 7 AS INT)] AS sorted_a
+        |  FROM u)
+        |SELECT user_id,
+        |  lag(v, 2, CAST(-1 AS BIGINT)) OVER (
+        |    PARTITION BY user_id % 5 ORDER BY user_id) AS lg,
+        |  lead(v) OVER (
+        |    PARTITION BY user_id % 5 ORDER BY user_id) AS ld,
+        |  CAST(len(regexp_extract_all(s, '(?i)ab')) AS BIGINT) AS cmi,
+        |  regexp_extract(s, 'id-([0-9]+)', 1) AS rx1,
+        |  regexp_extract(s, 'id-([0-9]+)-v([0-9]+)', 2) AS rx2,
+        |  regexp_extract(s, 'id-([0-9]+)-v([0-9]+)', 1) || '|' ||
+        |    regexp_extract(s, 'id-([0-9]+)-v([0-9]+)', 2) AS eg,
+        |  uu AS uurt,
+        |  upper(replace(uu, '-', '')) AS uhex,
+        |  array_to_string(list_transform(generate_series(1, 3), i ->
+        |    CAST(sorted_a[i] AS VARCHAR) || ':' ||
+        |    CASE WHEN i = 1 THEN CAST(user_id % 3 AS VARCHAR)
+        |      ELSE 'n' END), ',') AS zu,
+        |  CAST(list_position(sorted_a,
+        |    CAST(user_id % 5 + 3 AS INT)) AS BIGINT) AS ias
         |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),

@@ -2856,6 +2856,86 @@ object Compat {
         "sort_array(array_distinct(concat(" +
           "array_except(__a, __b), array_except(__b, __a))))",
         "__a" -> e.head, "__b" -> e(1)))
+      // lagInFrame/leadInFrame — CH's frame-respecting offsets; under
+      // the default cumulative frame they coincide with plain
+      // lag/lead, which is this engine's mapping (whole-partition
+      // offsets — the frame-clipped reading of a bespoke frame is
+      // not reproduced; documented)
+      def offsetArgs(e: Seq[Expression]): (Expression, Expression) = (
+        if (e.length >= 2) e(1) else Literal(1),
+        if (e.length >= 3) e(2) else Literal(null, NullType))
+      f("lagInFrame") { e =>
+        val (off, dflt) = offsetArgs(e)
+        org.apache.spark.sql.catalyst.expressions.Lag(
+          e.head, off, dflt, ignoreNulls = false)
+      }
+      f("leadInFrame") { e =>
+        val (off, dflt) = offsetArgs(e)
+        org.apache.spark.sql.catalyst.expressions.Lead(
+          e.head, off, dflt, ignoreNulls = false)
+      }
+      f("countMatchesCaseInsensitive")(e =>
+        org.apache.spark.sql.catalyst.expressions.RegExpCount(e.head,
+          org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+            Literal("(?i)"), e(1)))))
+      // assume-sorted is an execution HINT in CH; same contract
+      f("indexOfAssumeSorted")(e => ArrayPosition(e(0), e(1)))
+      // regexpExtract(h, re[, idx]) — CH's MySQL-compatible spelling;
+      // index defaults to 1 (first group) like CH's REGEXP_EXTRACT
+      f("regexpExtract")(e =>
+        org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+          e.head, e(1), if (e.length >= 3) e(2) else Literal(1)))
+      // extractGroups(h, 're'): one array of the FIRST match's
+      // capture groups — the group count comes from compiling the
+      // literal pattern at registration
+      f("extractGroups") { e =>
+        val pat = e(1) match {
+          case Literal(u: UTF8String, StringType) => u.toString
+          case other => throw new IllegalArgumentException(
+            s"extractGroups needs a literal pattern, got $other")
+        }
+        val n = java.util.regex.Pattern.compile(pat)
+          .matcher("").groupCount()
+        require(n >= 1, "extractGroups needs at least one group")
+        org.apache.spark.sql.catalyst.expressions.CreateArray(
+          (1 to n).map(i =>
+            org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+              e.head, e(1), Literal(i))))
+      }
+      // UUID <-> 16-byte binary codecs (the straight big-endian
+      // layout; CH's variant=2 byte-shuffle is refused, not faked)
+      f("UUIDStringToNum") { e =>
+        require(e.length == 1 || (e(1) match {
+          case Literal(1, _) => true
+          case _ => false
+        }), "UUIDStringToNum: only variant 1 (big-endian) is " +
+          "supported; variant 2's halfword shuffle is CH-internal")
+        fromSql("unhex(replace(__s, '-', ''))", "__s" -> e.head)
+      }
+      f("UUIDNumToString") { e =>
+        require(e.length == 1 || (e(1) match {
+          case Literal(1, _) => true
+          case _ => false
+        }), "UUIDNumToString: only variant 1 (big-endian) is " +
+          "supported; variant 2's halfword shuffle is CH-internal")
+        fromSql(
+          "lower(concat(substring(hex(__b), 1, 8), '-', " +
+            "substring(hex(__b), 9, 4), '-', " +
+            "substring(hex(__b), 13, 4), '-', " +
+            "substring(hex(__b), 17, 4), '-', " +
+            "substring(hex(__b), 21, 12)))", "__b" -> e.head)
+      }
+      // same zx/zy field names as arrayZip, but ZipWith's null
+      // padding to the LONGER length (CH's arrayZip errors on
+      // unequal; Unaligned pads — ZipWith natively does the latter)
+      f("arrayZipUnaligned") { e =>
+        def zv(n: String) = org.apache.spark.sql.catalyst.expressions
+          .UnresolvedNamedLambdaVariable(Seq(n))
+        org.apache.spark.sql.catalyst.expressions.ZipWith(e(0), e(1),
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            org.apache.spark.sql.catalyst.expressions.CreateStruct(
+              Seq(zv("zx"), zv("zy"))), Seq(zv("zx"), zv("zy"))))
+      }
       // pointInPolygon — textbook even-odd ray casting, taken in the
       // 4-arg coordinate-array spelling (px, py, xs, ys): CH's
       // tuple-literal signature has no Spark-SQL parse, so the

@@ -2634,4 +2634,34 @@ class CompatSpec extends AnyFunSuite {
     assert(m.getDouble(1) == 3.0)
     assert(m.getDouble(2) == 5.0)
   }
+
+  test("round-16 window/regex/uuid tier: codecs, zip padding, " +
+      "refusals") {
+    val r = Compat.chSql(spark, """
+      SELECT
+        hex(UUIDStringToNum('612f3c40-5d3b-217e-707b-6a546a3d7b29'))
+          AS uh,
+        UUIDNumToString(UUIDStringToNum(
+          '612f3c40-5d3b-217e-707b-6a546a3d7b29')) AS rt,
+        concat_ws(',', transform(
+          arrayZipUnaligned(array(1, 2, 3), array(9)),
+          p -> concat(coalesce(CAST(p.zx AS STRING), 'n'), ':',
+            coalesce(CAST(p.zy AS STRING), 'n')))) AS zu,
+        regexpExtract('abc=123', '([a-z]+)=([0-9]+)') AS rx,
+        concat_ws('|', extractGroups('abc=123',
+          '([a-z]+)=([0-9]+)')) AS eg
+      FROM (SELECT 1 AS one)""").collect().head
+    assert(r.getString(0) == "612F3C405D3B217E707B6A546A3D7B29")
+    assert(r.getString(1) == "612f3c40-5d3b-217e-707b-6a546a3d7b29")
+    assert(r.getString(2) == "1:9,2:n,3:n")
+    assert(r.getString(3) == "abc")
+    assert(r.getString(4) == "abc|123")
+    // variant 2's halfword shuffle is CH-internal: refused, not faked
+    val v2 = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT UUIDStringToNum('612f3c40-5d3b-217e-707b-6a546a3d7b29'," +
+          " 2) AS x").collect()
+    }
+    assert(v2.getMessage.contains("variant"))
+  }
 }
