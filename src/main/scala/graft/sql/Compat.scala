@@ -2856,24 +2856,10 @@ object Compat {
         "sort_array(array_distinct(concat(" +
           "array_except(__a, __b), array_except(__b, __a))))",
         "__a" -> e.head, "__b" -> e(1)))
-      // lagInFrame/leadInFrame — CH's frame-respecting offsets; under
-      // the default cumulative frame they coincide with plain
-      // lag/lead, which is this engine's mapping (whole-partition
-      // offsets — the frame-clipped reading of a bespoke frame is
-      // not reproduced; documented)
-      def offsetArgs(e: Seq[Expression]): (Expression, Expression) = (
-        if (e.length >= 2) e(1) else Literal(1),
-        if (e.length >= 3) e(2) else Literal(null, NullType))
-      f("lagInFrame") { e =>
-        val (off, dflt) = offsetArgs(e)
-        org.apache.spark.sql.catalyst.expressions.Lag(
-          e.head, off, dflt, ignoreNulls = false)
-      }
-      f("leadInFrame") { e =>
-        val (off, dflt) = offsetArgs(e)
-        org.apache.spark.sql.catalyst.expressions.Lead(
-          e.head, off, dflt, ignoreNulls = false)
-      }
+      // lagInFrame/leadInFrame need NO registry entry: the
+      // rewriteRunning pre-pass renames them to lag/lead textually
+      // (they never reach this registry) — the q_compat_r16win gate
+      // exercises that path
       f("countMatchesCaseInsensitive")(e =>
         org.apache.spark.sql.catalyst.expressions.RegExpCount(e.head,
           org.apache.spark.sql.catalyst.expressions.Concat(Seq(
