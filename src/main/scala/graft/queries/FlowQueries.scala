@@ -1433,7 +1433,13 @@ object FlowQueries {
             p -> concat(coalesce(CAST(p.zx AS STRING), 'n'), ':',
               coalesce(CAST(p.zy AS STRING), 'n')))) AS zu,
           indexOfAssumeSorted(sorted_a,
-            CAST(user_id % 5 + 3 AS INT)) AS ias
+            CAST(user_id % 5 + 3 AS INT)) AS ias,
+          round(nonNegativeDerivative(v,
+            timestamp_seconds(user_id * 7)) OVER (
+            PARTITION BY user_id % 5 ORDER BY user_id), 6) AS nnd,
+          round(nonNegativeDerivative(v,
+            timestamp_seconds(user_id * 7), INTERVAL 1 MINUTE) OVER (
+            PARTITION BY user_id % 5 ORDER BY user_id), 6) AS nndm
         FROM b ORDER BY user_id""")
     }),
 
@@ -3003,7 +3009,21 @@ object FlowQueries {
         |    CASE WHEN i = 1 THEN CAST(user_id % 3 AS VARCHAR)
         |      ELSE 'n' END), ',') AS zu,
         |  CAST(list_position(sorted_a,
-        |    CAST(user_id % 5 + 3 AS INT)) AS BIGINT) AS ias
+        |    CAST(user_id % 5 + 3 AS INT)) AS BIGINT) AS ias,
+        |  round(greatest(0.0, coalesce(
+        |    (CAST(v AS DOUBLE) - lag(CAST(v AS DOUBLE), 1) OVER (
+        |      PARTITION BY user_id % 5 ORDER BY user_id))
+        |    / nullif(CAST(user_id * 7 AS DOUBLE) -
+        |      lag(CAST(user_id * 7 AS DOUBLE), 1) OVER (
+        |      PARTITION BY user_id % 5 ORDER BY user_id), 0.0),
+        |    0.0)), 6) AS nnd,
+        |  round(greatest(0.0, coalesce(
+        |    (CAST(v AS DOUBLE) - lag(CAST(v AS DOUBLE), 1) OVER (
+        |      PARTITION BY user_id % 5 ORDER BY user_id))
+        |    / nullif(CAST(user_id * 7 AS DOUBLE) -
+        |      lag(CAST(user_id * 7 AS DOUBLE), 1) OVER (
+        |      PARTITION BY user_id % 5 ORDER BY user_id), 0.0)
+        |    * 60, 0.0)), 6) AS nndm
         |FROM b ORDER BY user_id""".stripMargin,
     // r14 fmt replay: DuckDB's native strftime (its %M is minute and
     // %B the month name — the translation differences ARE the test),

@@ -4274,7 +4274,8 @@ object Compat {
   }
   private def rewriteRunning0(sql: String): String = {
     val head = java.util.regex.Pattern.compile(
-      "(?i)\\b(runningDifference|neighbor)\\s*\\(")
+      "(?i)\\b(runningDifference|neighbor|nonNegativeDerivative)" +
+        "\\s*\\(")
     val m = head.matcher(sql)
     if (!m.find()) return sql
     val fn = m.group(1).toLowerCase
@@ -4301,6 +4302,39 @@ object Compat {
                 val d = if (args.length == 3) s", ${args(2)}" else ""
                 val (dir, off) = if (k >= 0) ("lead", k) else ("lag", -k)
                 Some(s"${dir}(${args.head}, $off$d) OVER ($win)")
+              // nonNegativeDerivative(m, t[, INTERVAL n unit]) OVER w
+              // -> max(0, Δm/Δt·scale), 0 on the first row (the
+              // runningDifference first-row contract) and 0 on a
+              // zero Δt (CH's inf reading has no SQL home). t casts
+              // to DOUBLE = epoch seconds; scale = the interval in
+              // seconds (default 1 s), literal second-convertible
+              // units only — calendar units refuse by non-match
+              case "nonnegativederivative"
+                  if args.length == 2 || args.length == 3 =>
+                val scaleSec: Option[Long] =
+                  if (args.length == 2) Some(1L)
+                  else {
+                    val im = java.util.regex.Pattern.compile(
+                      "(?i)^\\s*INTERVAL\\s+(\\d+)\\s+" +
+                        "(SECOND|MINUTE|HOUR|DAY)S?\\s*$")
+                      .matcher(args(2))
+                    if (!im.matches()) None
+                    else Some(im.group(1).toLong * (im.group(2)
+                      .toUpperCase(java.util.Locale.ROOT) match {
+                        case "SECOND" => 1L
+                        case "MINUTE" => 60L
+                        case "HOUR" => 3600L
+                        case _ => 86400L
+                      }))
+                  }
+                scaleSec.map { sc =>
+                  val mm = s"CAST((${args.head}) AS DOUBLE)"
+                  val tt = s"CAST((${args(1)}) AS DOUBLE)"
+                  s"greatest(CAST(0.0 AS DOUBLE), coalesce(" +
+                    s"($mm - lag($mm, 1) OVER ($win)) / " +
+                    s"nullif($tt - lag($tt, 1) OVER ($win), 0.0D) " +
+                    s"* $sc, CAST(0.0 AS DOUBLE)))"
+                }
               case _ => None
             }
             repl match {
