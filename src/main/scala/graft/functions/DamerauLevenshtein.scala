@@ -45,11 +45,22 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     java.lang.Long.valueOf(distance(a, b).toLong)
   }
 
+  // the unrestricted algorithm needs the FULL matrix (the
+  // transposition lookback reaches arbitrarily far up), so memory is
+  // O(|a|·|b|) — cap the operand lengths the way CH caps its string
+  // functions rather than letting a pair of document bodies OOM an
+  // executor
+  private val MaxLen = 8192
+
   private def distance(a: String, b: String): Int = {
     val la = a.length
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
+    require(la <= MaxLen && lb <= MaxLen,
+      s"damerauLevenshteinDistance: operand lengths $la/$lb exceed " +
+        s"the $MaxLen-char cap (the unrestricted algorithm keeps an " +
+        "O(|a|*|b|) matrix); truncate or use levenshteinDistance")
     val inf = la + lb
     // (la+2) x (lb+2) matrix with the textbook sentinel border
     val d = Array.ofDim[Int](la + 2, lb + 2)

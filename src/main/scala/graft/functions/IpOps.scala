@@ -80,6 +80,11 @@ object IpOps {
     * reimplements this with printf('%.2f')).
     */
   def formatReadableSize(bytes: Double): UTF8String = {
+    // non-finite inputs render printf-style instead of crashing the
+    // BigDecimal constructor (same guard as the decimal sibling)
+    if (bytes.isNaN) return UTF8String.fromString("nan")
+    if (bytes.isInfinite) return UTF8String.fromString(
+      if (bytes > 0) "inf" else "-inf")
     var v = bytes
     var u = 0
     while (math.abs(v) >= 1024.0 && u < units.length - 1) {

@@ -46,6 +46,11 @@ object ScalarOps {
     * two-decimal HALF_EVEN rendering so the DuckDB printf('%.2f')
     * oracle reproduces it digit-for-digit. */
   def formatReadableDecimalSize(bytes: Double): UTF8String = {
+    // non-finite inputs render printf-style instead of crashing the
+    // BigDecimal constructor (NumberFormatException on NaN/Inf)
+    if (bytes.isNaN) return UTF8String.fromString("nan")
+    if (bytes.isInfinite) return UTF8String.fromString(
+      if (bytes > 0) "inf" else "-inf")
     var v = bytes
     var u = 0
     while (math.abs(v) >= 1000.0 && u < decUnits.length - 1) {
@@ -64,6 +69,9 @@ object ScalarOps {
   /** CH `formatReadableQuantity`: 1000-based unit words, two decimals
     * banker's-rounded like [[IpOps.formatReadableSize]]. */
   def formatReadableQuantity(v0: Double): UTF8String = {
+    if (v0.isNaN) return UTF8String.fromString("nan")
+    if (v0.isInfinite) return UTF8String.fromString(
+      if (v0 > 0) "inf" else "-inf")
     var v = v0
     var u = 0
     while (math.abs(v) >= 1000.0 && u < qtyUnits.length - 1) {

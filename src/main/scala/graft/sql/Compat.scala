@@ -2562,7 +2562,8 @@ object Compat {
       // the BIGINT domain so -Int.MinValue can't self-negate.
       def int32Delta(fname: String, d: Expression): Expression =
         fromSql(
-          "CASE WHEN __d BETWEEN -2147483648L AND 2147483647L " +
+          "CASE WHEN __d IS NULL THEN CAST(NULL AS INT) " +
+            "WHEN __d BETWEEN -2147483648L AND 2147483647L " +
             "THEN CAST(__d AS INT) ELSE CAST(raise_error(concat('" +
             fname + ": delta ', CAST(__d AS STRING), " +
             "' outside Int32 range')) AS INT) END",
@@ -2802,8 +2803,16 @@ object Compat {
       // integer powers: shift for 2^n (exact to 2^62), round(pow)
       // for 10^n (doubles represent 10^k exactly for k <= 22, and
       // Long caps at 9.2e18 anyway)
+      // shiftleft masks its count mod 64 (intExp2(64) would silently
+      // read 1, intExp2(63) negative) — out-of-range exponents
+      // refuse loudly like the add*/subtract* overflow guard
       f("intExp2")(e => fromSql(
-        "shiftleft(CAST(1 AS BIGINT), CAST(__n AS INT))",
+        "CASE WHEN __n IS NULL THEN CAST(NULL AS BIGINT) " +
+          "WHEN CAST(__n AS BIGINT) BETWEEN 0 AND 62 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(__n AS INT)) " +
+          "ELSE CAST(raise_error(concat('intExp2: exponent ', " +
+          "CAST(__n AS STRING), ' outside the signed-Int64 range " +
+          "0..62')) AS BIGINT) END",
         "__n" -> e.head))
       f("intExp10")(e => fromSql(
         "CAST(round(power(10.0D, CAST(__n AS INT))) AS BIGINT)",
@@ -2896,7 +2905,15 @@ object Compat {
           case _ => false
         }), "UUIDStringToNum: only variant 1 (big-endian) is " +
           "supported; variant 2's halfword shuffle is CH-internal")
-        fromSql("unhex(replace(__s, '-', ''))", "__s" -> e.head)
+        // malformed input errors LOUDLY like CH, never a silent NULL
+        // (unhex under non-ANSI would swallow bad hex)
+        fromSql(
+          "CASE WHEN __s IS NULL THEN CAST(NULL AS BINARY) " +
+            "WHEN __s rlike '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-" +
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' " +
+            "THEN unhex(replace(__s, '-', '')) " +
+            "ELSE CAST(raise_error(concat('UUIDStringToNum: not a " +
+            "UUID: ', __s)) AS BINARY) END", "__s" -> e.head)
       }
       f("UUIDNumToString") { e =>
         require(e.length == 1 || (e(1) match {
@@ -2904,12 +2921,19 @@ object Compat {
           case _ => false
         }), "UUIDNumToString: only variant 1 (big-endian) is " +
           "supported; variant 2's halfword shuffle is CH-internal")
+        // a non-16-byte input would silently produce a malformed
+        // UUID from the fixed-position substrings — refuse instead
         fromSql(
-          "lower(concat(substring(hex(__b), 1, 8), '-', " +
+          "CASE WHEN __b IS NULL THEN CAST(NULL AS STRING) " +
+            "WHEN length(__b) = 16 THEN " +
+            "lower(concat(substring(hex(__b), 1, 8), '-', " +
             "substring(hex(__b), 9, 4), '-', " +
             "substring(hex(__b), 13, 4), '-', " +
             "substring(hex(__b), 17, 4), '-', " +
-            "substring(hex(__b), 21, 12)))", "__b" -> e.head)
+            "substring(hex(__b), 21, 12))) " +
+            "ELSE raise_error(concat('UUIDNumToString: need 16 " +
+            "bytes, got ', CAST(length(__b) AS STRING))) END",
+          "__b" -> e.head)
       }
       // same zx/zy field names as arrayZip, but ZipWith's null
       // padding to the LONGER length (CH's arrayZip errors on
@@ -2973,18 +2997,24 @@ object Compat {
       // out[i] = S_i - min(0, min_{j<=i} S_j) over prefix sums S
       // (the queueing-theory identity; a struct-accumulator fold
       // would be O(n) but churns the analyzer's nullability casts).
-      // BIGINT domain; empty arrays guard the descending-sequence
-      // trap (Spark's sequence(1, 0) = [1, 0], not [])
-      f("arrayCumSumNonNegative")(e => fromSql(
-        "CASE WHEN size(__a) = 0 THEN CAST(array() AS ARRAY<BIGINT>) " +
-          "ELSE transform(sequence(1, size(__a)), i -> " +
-          "aggregate(slice(__a, 1, i), CAST(0 AS BIGINT), " +
-          "(acc, v) -> acc + v) - " +
-          "least(CAST(0 AS BIGINT), array_min(" +
-          "transform(sequence(1, i), j -> " +
-          "aggregate(slice(__a, 1, j), CAST(0 AS BIGINT), " +
-          "(acc2, v2) -> acc2 + v2)))) ) END",
-        "__a" -> e.head))
+      // The prefix-sum ARRAY is materialized once (__ps below) and
+      // indexed from both sites — O(n²) total, not the O(n³) a
+      // per-i recomputation of every S_j would cost. BIGINT domain;
+      // empty arrays guard the descending-sequence trap (Spark's
+      // sequence(1, 0) = [1, 0], not [])
+      f("arrayCumSumNonNegative") { e =>
+        val prefix = fromSql(
+          "transform(sequence(1, size(__a)), k -> " +
+            "aggregate(slice(__a, 1, k), CAST(0 AS BIGINT), " +
+            "(acc, v) -> acc + v))", "__a" -> e.head)
+        fromSql(
+          "CASE WHEN size(__a) = 0 " +
+            "THEN CAST(array() AS ARRAY<BIGINT>) " +
+            "ELSE transform(sequence(1, size(__a)), i -> " +
+            "element_at(__ps, i) - least(CAST(0 AS BIGINT), " +
+            "array_min(slice(__ps, 1, i)))) END",
+          "__a" -> e.head, "__ps" -> prefix)
+      }
 
       // UTF8-suffixed position spellings: Spark strings are already
       // character-addressed, so these are exact aliases
@@ -4463,10 +4493,12 @@ object Compat {
         while (i < n && isIdent(noFormat.charAt(i))) i += 1
         val ident = noFormat.substring(s0, i)
         if (digestRenames.contains(ident) && i < n &&
-            noFormat.charAt(i) == '(') {
+            noFormat.substring(i).matches("(?s)\\s*\\(.*")) {
           // CASE-SENSITIVE CH digest spellings → internal ch* names
           // (the case-insensitive registry must not shadow Spark's
-          // own md5/sha1/crc32; see the registration comment)
+          // own md5/sha1/crc32; see the registration comment).
+          // Whitespace before '(' is valid SQL — same tolerance as
+          // the count() branch below
           sb.append(digestRenames(ident))
         } else if (ident.equalsIgnoreCase("count") && i < n &&
             noFormat.substring(i).matches("(?s)\\s*\\(\\s*\\).*")) {
