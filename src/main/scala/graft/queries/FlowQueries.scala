@@ -2860,8 +2860,8 @@ object FlowQueries {
         |  epoch_us(ts) AS tsu,
         |  CAST(date_trunc('week', make_date(
         |    CAST(isoyear(dd) AS INT), 1, 4)) AS VARCHAR) AS isoy,
-        |  CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
-        |  CAST(levenshtein(sa, sb) AS BIGINT) AS ed,
+        |  CAST(levenshtein(sa, sb) AS INTEGER) AS lev,
+        |  CAST(levenshtein(sa, sb) AS INTEGER) AS ed,
         |  CAST(damerau_levenshtein(sa || 'CA', sb || 'ABC')
         |    AS BIGINT) AS dl,
         |  CAST(coalesce(list_sum(list_transform(

@@ -2780,12 +2780,13 @@ object Compat {
         "CAST(date_trunc('WEEK', make_date(" +
           "CAST(date_part('YEAROFWEEK', __d) AS INT), 1, 4)) AS DATE)",
         "__d" -> Cast(e.head, DateType)))
-      // editDistance/levenshteinDistance are CH aliases of the same
-      // function; Spark's native Levenshtein is codegen'd
-      Seq("levenshteinDistance", "editDistance", "editDistanceUTF8")
-        .foreach(n => f(n)(e => Cast(
-          new org.apache.spark.sql.catalyst.expressions.Levenshtein(
-            e(0), e(1)), LongType)))
+      // editDistance/levenshteinDistance registered since round 13
+      // (INT-typed, Compat.scala:281) — only the UTF8-suffixed alias
+      // is new; re-registering the base names here with a different
+      // type broke the round-13 golden (found by the suite)
+      f("editDistanceUTF8")(e =>
+        new org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          e(0), e(1)))
       f("damerauLevenshteinDistance")(e =>
         graft.functions.DamerauLevenshtein(e(0), e(1)))
       // byteHammingDistance: mismatches over the shared prefix plus

@@ -444,20 +444,43 @@ object ScaleBench {
       //    cells DO align with cosine neighborhoods. The round-15
       //    caveat ("clustered real-world embeddings need far fewer
       //    probes" — stated, unmeasured) is measured on this arm.
+      //  planted — the clustered corpus PLUS 3 planted near-dups per
+      //    query vector (0.03-amplitude perturbations ≈ 10× closer
+      //    than the noise floor): the DEDUP workload's ground truth,
+      //    which stays MEANINGFUL at any density. The flat clustered
+      //    corpus at 300× has ~9,400 near-ties per cluster, so exact
+      //    top-3 is a needle-in-noise no code width can rank (the
+      //    round-16 measurement: recall collapses and inverts) —
+      //    whereas production ANN/dedup asks for things MUCH closer
+      //    than background, which is what this arm scores.
       val corpusKind =
         sys.env.getOrElse("SPARK_GRAFT_SCALE_CORPUS", "isotropic")
       val corpusTag =
         if (corpusKind == "isotropic") "" else s"_$corpusKind"
+      def clusteredRows(n: Long): DataFrame =
+        spark.range(n)
+          .select(col("id").as("vec_id"), expr(
+            "transform(sequence(1, 64), j -> CAST(" +
+              "(pmod(xxhash64(pmod(xxhash64(vec_id), 64), j), 2001)" +
+              " - 1000) / 1000.0 + 0.35 * " +
+              "(pmod(xxhash64(vec_id, j, 42), 2001) - 1000) / 1000.0" +
+              " AS FLOAT))").as("embedding"))
       val emb = corpusKind match {
         case "clustered" =>
           val nBase = embBase.count()
-          spark.range(nBase * factor)
-            .select(col("id").as("vec_id"), expr(
+          clusteredRows(nBase * factor)
+        case "planted" =>
+          val nBase = embBase.count()
+          val planted = spark.range(30).select(
+            (col("id") + lit(nBase * factor)).as("vec_id"), expr(
               "transform(sequence(1, 64), j -> CAST(" +
-                "(pmod(xxhash64(pmod(xxhash64(vec_id), 64), j), 2001)" +
-                " - 1000) / 1000.0 + 0.35 * " +
-                "(pmod(xxhash64(vec_id, j, 42), 2001) - 1000) / 1000.0" +
-                " AS FLOAT))").as("embedding"))
+                "(pmod(xxhash64(pmod(xxhash64(id div 3), 64), j), " +
+                "2001) - 1000) / 1000.0 + 0.35 * " +
+                "(pmod(xxhash64(id div 3, j, 42), 2001) - 1000) " +
+                "/ 1000.0 + 0.03 * " +
+                "(pmod(xxhash64(id + 777, j, 43), 2001) - 1000) " +
+                "/ 1000.0 AS FLOAT))").as("embedding"))
+          clusteredRows(nBase * factor).unionByName(planted)
         case _ => (0 until factor).map { i =>
           val r = i % 64
           val rotSql = if (r == 0) "embedding"

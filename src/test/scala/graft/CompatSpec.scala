@@ -2522,7 +2522,7 @@ class CompatSpec extends AnyFunSuite {
     // 2021-01-04 is in ISO 2021, which began Mon 2021-01-04 itself
     assert(r.getString(5) == "2019-12-30")
     assert(r.getString(6) == "2021-01-04")
-    assert(r.getLong(7) == 6L && r.getLong(8) == 6L)
+    assert(r.getInt(7) == 6 && r.getInt(8) == 6)
     assert(r.getLong(9) == 6L)
     // UNRESTRICTED Damerau-Levenshtein: CA -> ABC is 2 (OSA says 3)
     assert(r.getLong(10) == 2L)
