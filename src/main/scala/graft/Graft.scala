@@ -18,6 +18,8 @@ object Graft {
       appName: String = "graft",
       shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ops.FastLocalFileSystem") // no per-file chmod fork
       .master(master)
       .appName(appName)
       .withExtensions(new functions.GraftExtensions)

@@ -463,6 +463,13 @@ object Compat {
           s"use the windowed spelling $n(tau)(...) OVER (PARTITION " +
           "BY ... ORDER BY t), or exponentialMovingAverage" +
           "(half_life)(v, t) for the group-level decayed mean")))
+    // the O(1)-state running form rewriteDecayed emits when the frame
+    // provably ends at the current row (see DecayedWindowAgg) —
+    // internal names, reached only through the rewriter's output
+    Seq("sum", "count", "max", "avg").foreach { k =>
+      f(s"__graft_decayed_$k")(e =>
+        graft.functions.DecayedWindowAgg(k, e(0), e(1), e(2)))
+    }
     // groupArrayMovingSum/Avg: CH's per-group running-sum/avg arrays,
     // optionally windowed via the parametric form name(W)(x) (the
     // parametric pass flattens to name(W, x)). Arrival order follows
@@ -4255,6 +4262,34 @@ object Compat {
               case Some((win, wClose)) =>
                 val tau = s"CAST((${params.head}) AS DOUBLE)"
                 def d(e: String) = s"CAST(($e) AS DOUBLE)"
+                // O(1)-state running form (DecayedWindowAgg) whenever
+                // the frame PROVABLY ends at the current row and is
+                // ordered by the decay-time argument — then the
+                // running re-anchored state evaluated at the frame end
+                // equals the fold's per-row anchor exactly (same
+                // math, one rescale per row instead of an O(frame)
+                // collect+fold per row). Any other / unprovable
+                // spelling keeps the fold below.
+                val specText: Option[String] =
+                  if (win.startsWith("("))
+                    Some(win.substring(1, win.length - 1))
+                  else namedWindowSpec(sql, win)
+                val tArg = args.last
+                val running: Option[String] =
+                  if (specText.exists(sp => frameEndsAtCurrentRow(sp) &&
+                      windowOrderedBy(sp, tArg))) {
+                    val vArg = kind match {
+                      case "count" => "CAST(1.0 AS DOUBLE)"
+                      case _       => d(args.head)
+                    }
+                    if (args.length == (if (kind == "count") 1 else 2))
+                      Some(s"__graft_decayed_$kind($vArg, ${d(tArg)}, " +
+                        s"$tau) OVER $win")
+                    else None
+                  } else None
+                if (running.isDefined)
+                  return sql.substring(0, m.start) + running.get +
+                    rewriteDecayed(sql.substring(wClose + 1))
                 val repl: Option[String] = (kind, args) match {
                   case ("count", Seq(t)) =>
                     val anchor = d(t)
@@ -4295,6 +4330,56 @@ object Compat {
       case Some((_, pClose)) => pass(pClose + 1)
       case None => sql
     }
+  }
+
+  /** The definition text of `WINDOW <name> AS (...)` in `sql`, if
+    * present — lets [[rewriteDecayed]] prove frame properties of a
+    * named window before choosing the running form.
+    */
+  private def namedWindowSpec(sql: String, name: String): Option[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)\\bWINDOW\\s+" + java.util.regex.Pattern.quote(name) +
+        "\\s+AS\\s*\\(")
+    val m = p.matcher(sql)
+    if (!m.find()) None
+    else splitTopLevelArgs(sql, m.end).map(_._1.mkString(", "))
+  }
+
+  /** Whether a window spec's frame ends at the CURRENT ROW — true for
+    * an explicit `... AND CURRENT ROW` / `RANGE|ROWS <x> PRECEDING`
+    * frame and for the no-frame default WITH an ORDER BY (which is
+    * RANGE UNBOUNDED PRECEDING AND CURRENT ROW). Any `FOLLOWING`
+    * bound, or a frameless+orderless spec (= whole partition), fails
+    * the proof and keeps the fold.
+    */
+  private def frameEndsAtCurrentRow(spec: String): Boolean = {
+    val hasFrame =
+      java.util.regex.Pattern.compile("(?i)\\b(ROWS|RANGE)\\b")
+        .matcher(spec).find()
+    val hasFollowing =
+      java.util.regex.Pattern.compile("(?i)\\bFOLLOWING\\b")
+        .matcher(spec).find()
+    val hasOrder =
+      java.util.regex.Pattern.compile("(?i)\\bORDER\\s+BY\\b")
+        .matcher(spec).find()
+    !hasFollowing && (hasFrame || hasOrder)
+  }
+
+  /** Whether the spec's ORDER BY is exactly the decay-time expression
+    * (single key, ascending) — the precondition for the running form's
+    * last-row anchor to equal the fold's current-row anchor.
+    */
+  private def windowOrderedBy(spec: String, tExpr: String): Boolean = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)\\bORDER\\s+BY\\s+(.*?)(\\bROWS\\b|\\bRANGE\\b|$)")
+      .matcher(spec)
+    if (!m.find()) return false
+    val key = m.group(1).trim.stripSuffix(")").trim
+    val norm = key.replaceAll("(?i)\\s+ASC$", "").replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
+    val want = tExpr.trim.replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
+    norm == want && !norm.contains(",")
   }
 
   private def rewriteRunning(sql: String): String = {

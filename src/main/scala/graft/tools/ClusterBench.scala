@@ -73,6 +73,8 @@ object ClusterBench {
     require(sys.env.contains("SPARK_HOME") || !master.startsWith("local-cluster"),
       "local-cluster needs SPARK_HOME so workers can fork executor JVMs")
     val spark = SparkSession.builder()
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ops.FastLocalFileSystem") // no per-file chmod fork
       .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

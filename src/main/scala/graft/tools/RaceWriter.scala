@@ -32,6 +32,8 @@ object RaceWriter {
       .flatMap(graft.sink.ObjectStoreLogStore.parse)
       .foreach(TxTable.registerLogStore("file", _))
     val spark = SparkSession.builder()
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ops.FastLocalFileSystem") // no per-file chmod fork
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

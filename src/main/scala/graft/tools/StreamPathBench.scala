@@ -34,6 +34,8 @@ object StreamPathBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ops.FastLocalFileSystem") // no per-file chmod fork
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
