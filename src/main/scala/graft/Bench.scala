@@ -56,8 +56,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .config("spark.hadoop.fs.file.impl",
-        "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.file.impl", sys.env.getOrElse(
+        "SPARK_GRAFT_LOCAL_FS", // A/B seam; default = no chmod fork
+        "graft.ops.FastLocalFileSystem"))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

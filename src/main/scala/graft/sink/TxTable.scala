@@ -1797,7 +1797,14 @@ object TxTable {
         }
         Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
       }
-      val allAggs = dateAgg.toSeq ++ boundAggs
+      // the bloom-prune gate's approx-NDV probes ride the SAME
+      // aggregation job as the bounds (one source pass, not two):
+      // every agg here is partial-aggregating, so the combined job's
+      // shuffle is still one row
+      val bloomKeys0 = keys.filter(bloomColumns.contains)
+      val adcAggs = bloomKeys0.map(k =>
+        approx_count_distinct(col(k)).as(s"adc_$k"))
+      val allAggs = dateAgg.toSeq ++ boundAggs ++ adcAggs
       val row = if (allAggs.isEmpty) None
         else Some(tdbg("prune agg") {
           src.agg(allAggs.head, allAggs.tail: _*).collect().head })
@@ -1819,18 +1826,13 @@ object TxTable {
       // hold no matching key. This is what shrinks the discovery scan
       // for targeted corrections ("re-state pod X's day") from
       // all-dates-overlapping to the handful of files that pod touches.
-      val bloomKeys = keys.filter(bloomColumns.contains)
+      val bloomKeys = bloomKeys0
       val bloomHashes: Map[String, Seq[Long]] =
         if (bloomKeys.isEmpty || srcEmpty) Map.empty
         else tdbg("bloom prune") {
-          val adcs = src.agg(
-            bloomKeys.map(k =>
-              approx_count_distinct(col(k)).as(k)).head,
-            bloomKeys.map(k =>
-              approx_count_distinct(col(k)).as(k)).tail: _*)
-            .collect().head
+          val adcs = row.get
           bloomKeys.filter(k =>
-            adcs.getAs[Long](k) <= BloomPruneMaxValues).flatMap { k =>
+            adcs.getAs[Long](s"adc_$k") <= BloomPruneMaxValues).flatMap { k =>
             val hs = src.select(xxhash64(col(k)).as("h"))
               .filter(col(k).isNotNull).distinct()
               .limit(BloomPruneMaxValues + 1)
