@@ -17,6 +17,13 @@ Test / testOptions += Tests.Setup { () =>
   IO.delete(file("target/test-reports"))
 }
 run / fork := true
+// The bench driver keeps only a stdout tail and parses the LAST line
+// as JSON: drop sbt's trailing "[success] Total time ..." line and the
+// "[info] " prefix on forked run/runMain output so the compact bench
+// record is the literal final stdout line. Test output keeps the
+// default logger (its reporters are parsed with prefixes intact).
+Global / showSuccess := false
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,24 +73,32 @@ case class DecayedWindowAgg(kind: String, v: Expression, t: Expression,
   private def factor = Exp(Divide(Subtract(tl, dt), dtau))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    // a NULL v or t contributes nothing (and must not rescale state) —
-    // same rows the old fold's collect_list saw are the rows that count
-    val valid = And(IsNotNull(dt), IsNotNull(dv))
+    // a NULL t contributes nothing and cannot re-anchor (no time);
+    // a NULL v with a valid t contributes nothing but DOES re-anchor
+    // the decayed state at its t — the same answer as folding the
+    // frame's non-NULL values with the decay anchored at the current
+    // row's t (the fold spelling filters NULL entries and anchors at
+    // d(t) of the current row)
+    val tValid = IsNotNull(dt)
+    val vValid = IsNotNull(dv)
     def keep(updated: Expression, prev: AttributeReference) =
-      If(valid, updated, prev)
+      If(tValid, updated, prev)
     val contrib = kind match {
       case "count" => Literal(1.0)
       case _       => dv
     }
-    val sUp = kind match {
-      case "max" =>
-        If(IsNull(s), contrib, Greatest(Seq(Multiply(s, factor), contrib)))
-      case _ =>
-        If(IsNull(s), contrib, Add(Multiply(s, factor), contrib))
-    }
+    val sRe = Multiply(s, factor) // old state re-anchored at this t
+    val sUp = If(vValid,
+      kind match {
+        case "max" => If(IsNull(s), contrib, Greatest(Seq(sRe, contrib)))
+        case _     => If(IsNull(s), contrib, Add(sRe, contrib))
+      },
+      sRe) // NULL v: re-anchor only (a NULL s stays NULL)
     if (kind == "avg") {
-      val cUp = If(IsNull(c), Literal(1.0),
-        Add(Multiply(c, factor), Literal(1.0)))
+      val cUp = If(vValid,
+        If(IsNull(c), Literal(1.0),
+          Add(Multiply(c, factor), Literal(1.0))),
+        Multiply(c, factor))
       Seq(keep(sUp, s), keep(cUp, c), keep(dt, tl))
     } else Seq(keep(sUp, s), keep(dt, tl))
   }
@@ -105,7 +113,11 @@ case class DecayedWindowAgg(kind: String, v: Expression, t: Expression,
       val both =
         if (max) Greatest(Seq(rescaledL, a.right))
         else Add(rescaledL, a.right)
-      If(IsNull(a.right), a.left, If(IsNull(a.left), a.right, both))
+      // NULL-v rows can set tl while the value stays NULL: a right
+      // buffer with tl set but no value still re-anchors the left
+      If(IsNull(a.right),
+        If(IsNull(tl.right), a.left, rescaledL),
+        If(IsNull(a.left), a.right, both))
     }
     val tlUp = Coalesce(Seq(tl.right, tl.left))
     if (kind == "avg")

@@ -30,6 +30,13 @@ import org.apache.hadoop.fs.permission.FsPermission
 class FastRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null) return
+    // non-POSIX default stores (e.g. a Windows local run) would throw
+    // UnsupportedOperationException from setPosixFilePermissions where
+    // stock Hadoop fell back to chmod/native — keep that fallback
+    if (!FastRawLocalFileSystem.posixSupported) {
+      super.setPermission(p, permission)
+      return
+    }
     val bits = permission.toShort.toInt
     val set = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
     def add(mask: Int, perm: PosixFilePermission): Unit =
@@ -40,6 +47,12 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
     java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, set)
     ()
   }
+}
+
+object FastRawLocalFileSystem {
+  private val posixSupported: Boolean =
+    java.nio.file.FileSystems.getDefault
+      .supportedFileAttributeViews().contains("posix")
 }
 
 /** The checksummed local FS (what `file://` resolves to by default)

@@ -3887,6 +3887,16 @@ object Compat {
     }
 
   def translateCh(sql: String): String = {
+    // __graft_decayed_* are rewriter-internal (emitted by
+    // rewriteDecayed for provably time-ordered windows); a bare
+    // GROUP BY use would hit DecayedWindowAgg's time-ordered merge
+    // with engine-internal block order — refuse like the public
+    // spelling instead of shipping a silently wrong answer
+    if (java.util.regex.Pattern.compile("(?i)__graft_decayed_")
+        .matcher(sql).find())
+      throw new IllegalArgumentException(
+        "__graft_decayed_* are internal; use exponentialTimeDecayed" +
+          "{Sum,Count,Max,Avg}(tau)(...) OVER (... ORDER BY t)")
     val base = rewriteMannWhitney(rewriteKolmogorov(rewriteEma(
       translateCh0(rewriteDecayed(sql)))))
     mergePrewhere(stripGlobal(rewriteTotals(rewriteLimitBy(
@@ -4290,28 +4300,43 @@ object Compat {
                 if (running.isDefined)
                   return sql.substring(0, m.start) + running.get +
                     rewriteDecayed(sql.substring(wClose + 1))
+                // NULL parity with the running form (DecayedWindowAgg):
+                // rows with a NULL value or time contribute nothing —
+                // the list is filtered before folding, and an
+                // all-invalid frame yields NULL (NULL-seeded
+                // accumulator), not 0/NaN. One documented residual
+                // divergence: a CURRENT row whose own t is NULL
+                // anchors the fold at NULL (result NULL) while the
+                // running form reports the state at the last valid
+                // row; no declared gate carries NULL decay times.
                 val repl: Option[String] = (kind, args) match {
                   case ("count", Seq(t)) =>
                     val anchor = d(t)
+                    // collect_list(t) already skips NULL t entries
                     Some(s"aggregate(collect_list(${d(t)}) OVER $win" +
-                      s", CAST(0.0 AS DOUBLE), (__dacc, __dt) -> " +
-                      s"__dacc + exp((__dt - $anchor) / $tau))")
+                      s", CAST(NULL AS DOUBLE), (__dacc, __dt) -> " +
+                      s"coalesce(__dacc, CAST(0.0 AS DOUBLE)) + " +
+                      s"exp((__dt - $anchor) / $tau))")
                   case (_, Seq(v, t)) =>
                     val anchor = d(t)
-                    val lst = s"collect_list(named_struct(" +
-                      s"'v', ${d(v)}, 't', ${d(t)})) OVER $win"
+                    val lst = s"filter(collect_list(named_struct(" +
+                      s"'v', ${d(v)}, 't', ${d(t)})) OVER $win, " +
+                      s"__dp -> __dp.v IS NOT NULL AND " +
+                      s"__dp.t IS NOT NULL)"
                     val w = s"exp((__dp.t - $anchor) / $tau)"
                     kind match {
                       case "sum" => Some(s"aggregate($lst, " +
-                        s"CAST(0.0 AS DOUBLE), (__dacc, __dp) -> " +
-                        s"__dacc + __dp.v * $w)")
+                        s"CAST(NULL AS DOUBLE), (__dacc, __dp) -> " +
+                        s"coalesce(__dacc, CAST(0.0 AS DOUBLE)) + " +
+                        s"__dp.v * $w)")
                       case "max" => Some(s"array_max(transform(" +
                         s"$lst, __dp -> __dp.v * $w))")
                       case "avg" => Some(s"aggregate($lst, " +
-                        s"named_struct('s', CAST(0.0 AS DOUBLE), " +
+                        s"named_struct('s', CAST(NULL AS DOUBLE), " +
                         s"'c', CAST(0.0 AS DOUBLE)), " +
                         s"(__dacc, __dp) -> named_struct(" +
-                        s"'s', __dacc.s + __dp.v * $w, " +
+                        s"'s', coalesce(__dacc.s, CAST(0.0 AS DOUBLE))" +
+                        s" + __dp.v * $w, " +
                         s"'c', __dacc.c + $w), " +
                         s"__dacc -> __dacc.s / __dacc.c)")
                       case _ => None
@@ -4346,23 +4371,33 @@ object Compat {
   }
 
   /** Whether a window spec's frame ends at the CURRENT ROW — true for
-    * an explicit `... AND CURRENT ROW` / `RANGE|ROWS <x> PRECEDING`
-    * frame and for the no-frame default WITH an ORDER BY (which is
-    * RANGE UNBOUNDED PRECEDING AND CURRENT ROW). Any `FOLLOWING`
-    * bound, or a frameless+orderless spec (= whole partition), fails
-    * the proof and keeps the fold.
+    * an explicit `BETWEEN ... AND CURRENT ROW` frame, the shorthand
+    * `RANGE|ROWS <x> PRECEDING` (which implies `AND CURRENT ROW`),
+    * and the no-frame default WITH an ORDER BY (= RANGE UNBOUNDED
+    * PRECEDING AND CURRENT ROW). A `BETWEEN` whose end bound is
+    * anything else (`AND n PRECEDING`, any `FOLLOWING`), or a
+    * frameless+orderless spec (= whole partition), fails the proof
+    * and keeps the fold — for `AND n PRECEDING` the running form's
+    * last-frame-row anchor and the fold's current-row anchor differ
+    * by e^((t_end−t_cur)/τ), so admitting it would be wrong.
     */
   private def frameEndsAtCurrentRow(spec: String): Boolean = {
-    val hasFrame =
+    val frameM =
       java.util.regex.Pattern.compile("(?i)\\b(ROWS|RANGE)\\b")
-        .matcher(spec).find()
-    val hasFollowing =
-      java.util.regex.Pattern.compile("(?i)\\bFOLLOWING\\b")
-        .matcher(spec).find()
+        .matcher(spec)
     val hasOrder =
       java.util.regex.Pattern.compile("(?i)\\bORDER\\s+BY\\b")
         .matcher(spec).find()
-    !hasFollowing && (hasFrame || hasOrder)
+    if (!frameM.find()) return hasOrder
+    val frame = spec.substring(frameM.start).trim
+    if (java.util.regex.Pattern.compile("(?i)\\bFOLLOWING\\b")
+        .matcher(frame).find()) return false
+    val hasBetween =
+      java.util.regex.Pattern.compile("(?i)\\bBETWEEN\\b")
+        .matcher(frame).find()
+    if (!hasBetween) return true // `<x> PRECEDING` shorthand
+    java.util.regex.Pattern.compile("(?is)\\bAND\\s+CURRENT\\s+ROW\\s*$")
+      .matcher(frame).find()
   }
 
   /** Whether the spec's ORDER BY is exactly the decay-time expression
@@ -4374,7 +4409,14 @@ object Compat {
       "(?is)\\bORDER\\s+BY\\s+(.*?)(\\bROWS\\b|\\bRANGE\\b|$)")
       .matcher(spec)
     if (!m.find()) return false
-    val key = m.group(1).trim.stripSuffix(")").trim
+    // strip only UNBALANCED trailing parens (a stray close from an
+    // enclosing context); an order key that legitimately ends in ')'
+    // — e.g. `ORDER BY unix_timestamp(ts)` — must survive intact
+    var key = m.group(1).trim
+    while (key.endsWith(")") &&
+        key.count(_ == ')') > key.count(_ == '(')) {
+      key = key.dropRight(1).trim
+    }
     val norm = key.replaceAll("(?i)\\s+ASC$", "").replaceAll("\\s+", " ")
       .toLowerCase(java.util.Locale.ROOT)
     val want = tExpr.trim.replaceAll("\\s+", " ")

@@ -1790,6 +1790,96 @@ class CompatSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("OVER"))
   }
 
+  test("round-17: decayed frame gate — `AND n PRECEDING` keeps the " +
+      "fold (current-row anchor), `AND CURRENT ROW` and shorthand " +
+      "take the running form, internal names refused") {
+    // τ=2, (t,v) = (0,4),(1,2),(3,6) — same series as the round-14
+    // golden. Frame ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+    // does NOT end at the current row: the decay anchor must stay the
+    // CURRENT row's t (the fold), not the last frame row's t (the
+    // running form) — they differ by e^((t_end−t_cur)/τ).
+    Seq((1L, 0.0, 4.0), (1L, 1.0, 2.0), (1L, 3.0, 6.0))
+      .toDF("g", "t", "v").createOrReplaceTempView("cx_dk17")
+    val q = """
+      SELECT t,
+        exponentialTimeDecayedSum(2.0)(v, t) OVER
+          (PARTITION BY g ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS s
+      FROM cx_dk17 ORDER BY t"""
+    assert(!Compat.translateCh(q).contains("__graft_decayed"),
+      "a frame not ending at CURRENT ROW must keep the fold")
+    val rows = Compat.chSql(spark, q).collect()
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // rows 0 and 1: empty frame -> NULL (parity with the running
+    // form's empty state, and with SQL window aggregates)
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    // row t=3 sees only (t=0, v=4), anchored at the CURRENT t=3:
+    // 4·e^((0−3)/2) — the running form would wrongly read 4·e^0 = 4
+    assert(near(rows(2).getDouble(1), 4.0 * math.exp(-1.5)))
+    // explicit `AND CURRENT ROW` and the `<x> PRECEDING` shorthand
+    // stay admitted (running form)...
+    val okBetween = """
+      SELECT exponentialTimeDecayedSum(2.0)(v, t) OVER
+        (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+      FROM cx_dk17 ORDER BY t"""
+    assert(Compat.translateCh(okBetween).contains("__graft_decayed_sum"))
+    val slid = Compat.chSql(spark, okBetween).collect()
+    assert(near(slid(0).getDouble(0), 4.0))
+    assert(near(slid(1).getDouble(0), 4.0 * math.exp(-0.5) + 2.0))
+    assert(near(slid(2).getDouble(0), 2.0 * math.exp(-1.0) + 6.0))
+    val okShort = """
+      SELECT exponentialTimeDecayedSum(2.0)(v, t) OVER
+        (ORDER BY t ROWS 1 PRECEDING) AS s
+      FROM cx_dk17 ORDER BY t"""
+    assert(Compat.translateCh(okShort).contains("__graft_decayed_sum"))
+    // ...and an ORDER BY key that ends in ')' survives the textual
+    // match (round-16 stripSuffix defeated it -> silent fold)
+    val okParen = """
+      SELECT exponentialTimeDecayedSum(2.0)(v, abs(t)) OVER
+        (ORDER BY abs(t)) AS s
+      FROM cx_dk17 ORDER BY t"""
+    assert(Compat.translateCh(okParen).contains("__graft_decayed_sum"))
+    // internal names are not a user surface
+    val internal = intercept[Exception] {
+      Compat.chSql(spark,
+        "SELECT __graft_decayed_sum(v, t, 2.0) FROM cx_dk17").collect()
+    }
+    assert(internal.getMessage.contains("internal"))
+  }
+
+  test("round-17: decayed NULL parity — rows with NULL v contribute " +
+      "nothing on both the running and the fold paths") {
+    // one NULL v mid-series; distinct t so `ORDER BY t` (running) and
+    // `ORDER BY t, g` (fold: two keys fail the order proof) build the
+    // exact same frames
+    Seq((1L, 0.0, Some(4.0)), (1L, 1.0, None), (1L, 3.0, Some(6.0)))
+      .toDF("g", "t", "v").createOrReplaceTempView("cx_dknull")
+    def q(order: String) = s"""
+      SELECT t,
+        exponentialTimeDecayedSum(2.0)(v, t) OVER
+          (PARTITION BY g ORDER BY $order
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        exponentialTimeDecayedAvg(2.0)(v, t) OVER
+          (PARTITION BY g ORDER BY $order
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      FROM cx_dknull ORDER BY t"""
+    assert(Compat.translateCh(q("t")).contains("__graft_decayed"))
+    assert(!Compat.translateCh(q("t, g")).contains("__graft_decayed"))
+    val run = Compat.chSql(spark, q("t")).collect()
+    val fold = Compat.chSql(spark, q("t, g")).collect()
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    (0 until 3).foreach { i =>
+      assert(near(run(i).getDouble(1), fold(i).getDouble(1)),
+        s"sum row $i: running ${run(i)} vs fold ${fold(i)}")
+      assert(near(run(i).getDouble(2), fold(i).getDouble(2)),
+        s"avg row $i")
+    }
+    // hand-check: the NULL-v row contributes nothing but the decay
+    // anchor still moves to its (valid) t
+    assert(near(run(1).getDouble(1), 4.0 * math.exp(-0.5)))
+    assert(near(run(2).getDouble(1), 4.0 * math.exp(-1.5) + 6.0))
+  }
+
   test("round-14: date utility batch — dateTrunc, timeSlot(s), " +
       "toRelative*Num") {
     val r = Compat.chSql(spark, """
