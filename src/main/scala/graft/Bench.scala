@@ -59,6 +59,10 @@ object Bench {
       .config("spark.hadoop.fs.file.impl", sys.env.getOrElse(
         "SPARK_GRAFT_LOCAL_FS", // A/B seam; default = no chmod fork
         "graft.ops.FastLocalFileSystem"))
+      // the FileContext twin: streaming checkpoints/WAL/state stores
+      // resolve fs.AbstractFileSystem.*, not fs.* (same A/B seam)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS", "graft.ops.FastLocalFs"))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,6 +20,8 @@ object Graft {
     val spark = SparkSession.builder()
       .config("spark.hadoop.fs.file.impl",
         "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.ops.FastLocalFs") // FileContext twin (checkpoints/WAL)
       .master(master)
       .appName(appName)
       .withExtensions(new functions.GraftExtensions)

@@ -38,6 +38,9 @@ object RewriteIpPredicates extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIpPredicates)
+    // aggregate(zip_with(...)) integer vector folds → native codegen'd
+    // dot/L2/self-norm expressions (see graft.functions.VectorMath)
+    e.injectOptimizerRule(_ => RewriteVectorFolds)
     // ClickHouse-PROJECTION routing: aggregates over a registered tx
     // base table are served from its materialized view when covered
     // and current (see graft.plans.Projections)

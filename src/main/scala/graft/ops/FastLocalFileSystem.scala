@@ -61,11 +61,37 @@ object FastRawLocalFileSystem {
   */
 class FastLocalFileSystem extends LocalFileSystem(new FastRawLocalFileSystem)
 
+/** The `file://` [[org.apache.hadoop.fs.AbstractFileSystem]] (the
+  * FileContext API's resolution root) over the fork-free raw layer.
+  * Structured Streaming's checkpoint/WAL/state-store writes go through
+  * `CheckpointFileManager` → `FileContext`, which resolves
+  * `fs.AbstractFileSystem.file.impl` — NOT `fs.file.impl` — so the
+  * round-16 fork fix never reached them: every offsets/commits log
+  * entry and every state-store delta file still paid a chmod
+  * fork+exec on create (profiled on the stream execution thread as
+  * `Shell.runCommand → ProcessImpl.forkAndExec`, serialized between
+  * micro-batches). Mirrors stock Hadoop's `LocalFs` = ChecksumFs over
+  * RawLocalFs exactly, swapping only the raw layer — same checksums,
+  * same rename atomicity, no forks.
+  */
+class FastRawLocalFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new FastRawLocalFileSystem, conf, "file", false)
+
+class FastLocalFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.ChecksumFs(
+      new FastRawLocalFs(uri, conf))
+
 object LocalFsTuning {
   /** Session confs every local-mode entry point (Bench / Verify /
     * tools / specs) applies. Keyed as `spark.hadoop.*` so the conf
-    * reaches executors and every `Path.getFileSystem` call.
+    * reaches executors and every `Path.getFileSystem` /
+    * `FileContext.getFileContext` call.
     */
   val confs: Map[String, String] = Map(
-    "spark.hadoop.fs.file.impl" -> classOf[FastLocalFileSystem].getName)
+    "spark.hadoop.fs.file.impl" -> classOf[FastLocalFileSystem].getName,
+    "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
+      classOf[FastLocalFs].getName)
 }

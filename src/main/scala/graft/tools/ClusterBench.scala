@@ -75,6 +75,8 @@ object ClusterBench {
     val spark = SparkSession.builder()
       .config("spark.hadoop.fs.file.impl",
         "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.ops.FastLocalFs") // FileContext twin (checkpoints/WAL)
       .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -21,6 +21,8 @@ object JobProfile {
     val spark = SparkSession.builder()
       .config("spark.hadoop.fs.file.impl",
         "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.ops.FastLocalFs") // FileContext twin (checkpoints/WAL)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -94,10 +96,31 @@ object JobProfile {
               .map(f => s"${short(f)}  [$inner]").getOrElse(inner)
           }
           samples.merge(frame, 1, (a, b) => a + b)
+          import scala.jdk.CollectionConverters._
+          // micro-batch attribution: the stream execution thread does
+          // the per-batch planning/codegen/commit work the main-thread
+          // histogram can't see (runStream just parks on it)
+          Thread.getAllStackTraces.asScala.foreach { case (t, est) =>
+            if (t.getName.contains("stream execution thread") &&
+                est.nonEmpty) {
+              val g = est.find(f => f.getClassName.startsWith("graft."))
+              val sp = est.find { f =>
+                val c = f.getClassName
+                (c.startsWith("org.apache.spark") &&
+                  !c.contains("MicroBatchExecution") &&
+                  !c.contains("StreamExecution") &&
+                  !c.contains("ProgressReporter")) ||
+                  c.startsWith("org.apache.hadoop")
+              }
+              val frame = g.orElse(sp).map(short)
+                .getOrElse(short(est.head))
+              samples.merge(s"STREAM: $frame  [${short(est.head)}]",
+                1, (a, b) => a + b)
+            }
+          }
           // executor-side view: all task-launch worker threads, keyed by
           // the innermost "interesting" frame pair (the disabled UI's
           // executor thread dump, histogrammed)
-          import scala.jdk.CollectionConverters._
           Thread.getAllStackTraces.asScala.foreach { case (t, est) =>
             if (t.getName.startsWith("Executor task launch") &&
                 t.getState == Thread.State.RUNNABLE && est.nonEmpty) {

@@ -34,6 +34,8 @@ object RaceWriter {
     val spark = SparkSession.builder()
       .config("spark.hadoop.fs.file.impl",
         "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.ops.FastLocalFs") // FileContext twin (checkpoints/WAL)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

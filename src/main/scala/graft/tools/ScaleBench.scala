@@ -67,6 +67,8 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .config("spark.hadoop.fs.file.impl",
         "graft.ops.FastLocalFileSystem") // no per-file chmod fork
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.ops.FastLocalFs") // FileContext twin (checkpoints/WAL)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
