@@ -67,6 +67,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // SIZE-adaptive shuffle coalescing (guide §2): with the default
+      // parallelismFirst=true AQE keeps ~defaultParallelism partitions
+      // however small the data, so every tiny stage pays per-task
+      // plan-deserialization × cores (measured ~130ms/task on the
+      // write gates). false = the advisory target governs — few tasks
+      // for small shuffles, thousands for 100 TB ones (Spark's own
+      // cluster recommendation). Advisory is parameterized: local
+      // default keeps mid-size shuffles parallel at bench SFs; raise
+      // to 64-256m on real clusters.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "4") + "m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

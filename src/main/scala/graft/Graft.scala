@@ -28,6 +28,14 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-adaptive shuffle coalescing: let the advisory target
+      // govern partition counts instead of pinning ~defaultParallelism
+      // tasks on small shuffles (Spark's own cluster recommendation);
+      // tiny maintenance commits stop paying per-task plan
+      // deserialization × cores. 64m suits cluster deployments; the
+      // local bench/verify entry points parameterize it lower.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       // scan task input ~256 MiB: large enough to amortize task setup at
       // 100 TB (≈400k tasks), small enough to fit executor memory with
       // zstd-decompressed batches; AQE handles shuffle-side sizing/skew

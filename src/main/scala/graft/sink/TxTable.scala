@@ -1797,13 +1797,19 @@ object TxTable {
         }
         Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
       }
-      // the bloom-prune gate's approx-NDV probes ride the SAME
-      // aggregation job as the bounds (one source pass, not two):
-      // every agg here is partial-aggregating, so the combined job's
-      // shuffle is still one row
+      // the bloom-prune probe rides the SAME aggregation job as the
+      // bounds (one source pass, not three): the capped EXACT-distinct
+      // hash set both GATES (overflow == too many values to probe) and
+      // DELIVERS the probe values, replacing the r16 approx-NDV
+      // estimate plus its second distinct-collect pass over the
+      // source. Memory stays bounded at (cap+1) longs per partial
+      // buffer however large the source; every agg here is
+      // partial-aggregating, so the combined job's shuffle is still
+      // one row
       val bloomKeys0 = keys.filter(bloomColumns.contains)
       val adcAggs = bloomKeys0.map(k =>
-        approx_count_distinct(col(k)).as(s"adc_$k"))
+        Bloom.cappedDistinctAgg(col(k), BloomPruneMaxValues)
+          .as(s"cds_$k"))
       val allAggs = dateAgg.toSeq ++ boundAggs ++ adcAggs
       val row = if (allAggs.isEmpty) None
         else Some(tdbg("prune agg") {
@@ -1830,15 +1836,13 @@ object TxTable {
       val bloomHashes: Map[String, Seq[Long]] =
         if (bloomKeys.isEmpty || srcEmpty) Map.empty
         else tdbg("bloom prune") {
-          val adcs = row.get
-          bloomKeys.filter(k =>
-            adcs.getAs[Long](s"adc_$k") <= BloomPruneMaxValues).flatMap { k =>
-            val hs = src.select(xxhash64(col(k)).as("h"))
-              .filter(col(k).isNotNull).distinct()
-              .limit(BloomPruneMaxValues + 1)
-              .collect().map(_.getLong(0)).toSeq
-            // the approx estimate lied low → stay conservative
-            if (hs.size > BloomPruneMaxValues) None else Some(k -> hs)
+          val r = row.get
+          bloomKeys.flatMap { k =>
+            // the capped set collected with the bounds IS the probe
+            // list; length cap+1 is the exact overflow proof
+            val hs = r.getAs[scala.collection.Seq[Long]](s"cds_$k")
+            if (hs == null || hs.size > BloomPruneMaxValues) None
+            else Some(k -> hs.toSeq)
           }.toMap
         }
       val candidates =
@@ -1874,12 +1878,24 @@ object TxTable {
           .select("__file").distinct().collect()
           .map(r => logKeyOf(qroot, new Path(r.getString(0)))).toSeq }
 
-      // 3. copy-on-write rewrite of the touched files only
+      // 3. copy-on-write rewrite of the touched files only. The exact
+      //    anti-join leads with the key-tuple hash as its FIRST equi
+      //    key: a sort-merge join sorts by join keys in order, so
+      //    almost every row comparison resolves on one 8-byte long
+      //    instead of walking a ~30-column tuple of strings (profiled:
+      //    the wide-key SMJ sort/compare was the hot path of the
+      //    rewrite phase). The full tuple still follows the hash in
+      //    the key list, so a hash collision changes nothing — only
+      //    exactly-equal tuples match, NULL keys never match (kept),
+      //    exactly as before.
       val adds = tdbg("rewrite+stage") {
         if (touched.isEmpty) stage(prep(src), fs, root)
         else {
-          val kept = scanFiles(touched).join(srcKeys, keys, "left_anti")
-            .drop("__file")
+          val kh = xxhash64(keys.map(col): _*)
+          val kept = scanFiles(touched).withColumn("__akh", kh)
+            .join(srcKeys.withColumn("__akh", kh),
+              "__akh" +: keys, "left_anti")
+            .drop("__file", "__akh")
           stage(prep(kept.unionByName(src.select(kept.columns.map(col): _*))),
             fs, root)
         }
