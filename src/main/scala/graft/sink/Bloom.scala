@@ -173,54 +173,4 @@ object Bloom {
   def agg(c: Column, m: Int = M, k: Int = K): Column =
     udaf(new BloomAgg(m, k)).apply(xxhash64(c))
 
-  /** Bounded EXACT-distinct set of pre-hashed values: collects up to
-    * cap+1 distinct longs, then stops growing — reaching cap+1 is the
-    * proof that the true distinct count exceeds the cap, without ever
-    * holding more than (cap+1) entries per partial buffer however
-    * large the source. Lets merge's bloom-prune probe ride the SAME
-    * partial-aggregating job as the bounds aggregation (one source
-    * pass) instead of an approx-NDV gate plus a second
-    * distinct-collect pass. NULL column values contribute nothing
-    * (parity with the filtered distinct it replaces).
-    */
-  class CappedDistinctAgg(cap: Int) extends Aggregator[
-      java.lang.Long, java.util.HashSet[java.lang.Long], Array[Long]] {
-    override def zero: java.util.HashSet[java.lang.Long] =
-      new java.util.HashSet[java.lang.Long]()
-    override def reduce(b: java.util.HashSet[java.lang.Long],
-        h: java.lang.Long): java.util.HashSet[java.lang.Long] = {
-      if (h != null && b.size() <= cap) b.add(h)
-      b
-    }
-    override def merge(a: java.util.HashSet[java.lang.Long],
-        b: java.util.HashSet[java.lang.Long])
-        : java.util.HashSet[java.lang.Long] = {
-      // stop once the overflow proof (size cap+1) is in hand — the
-      // union's exact content only matters below the cap
-      val it = b.iterator()
-      while (it.hasNext && a.size() <= cap) a.add(it.next())
-      a
-    }
-    override def finish(b: java.util.HashSet[java.lang.Long])
-        : Array[Long] = {
-      val out = new Array[Long](b.size())
-      val it = b.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      java.util.Arrays.sort(out) // deterministic under-cap content
-      out
-    }
-    override def bufferEncoder
-        : Encoder[java.util.HashSet[java.lang.Long]] =
-      Encoders.kryo[java.util.HashSet[java.lang.Long]]
-    override def outputEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  }
-
-  /** Capped distinct `xxhash64(col)` set as an untyped aggregate
-    * column; NULLs excluded. Result longer than `cap` == overflow.
-    */
-  def cappedDistinctAgg(c: Column, cap: Int): Column =
-    udaf(new CappedDistinctAgg(cap)).apply(
-      org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c)))
 }

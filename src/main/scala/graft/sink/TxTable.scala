@@ -1797,19 +1797,22 @@ object TxTable {
         }
         Seq(min(c).as(s"mn_$k"), max(c).as(s"mx_$k"))
       }
-      // the bloom-prune probe rides the SAME aggregation job as the
-      // bounds (one source pass, not three): the capped EXACT-distinct
-      // hash set both GATES (overflow == too many values to probe) and
-      // DELIVERS the probe values, replacing the r16 approx-NDV
-      // estimate plus its second distinct-collect pass over the
-      // source. Memory stays bounded at (cap+1) longs per partial
-      // buffer however large the source; every agg here is
-      // partial-aggregating, so the combined job's shuffle is still
-      // one row
+      // the bloom-prune gate's approx-NDV probes ride the SAME
+      // aggregation job as the bounds (one source pass, not two):
+      // every agg here is partial-aggregating, so the combined job's
+      // shuffle is still one row. (Round 17 measured the obvious next
+      // step — a capped exact-distinct-hash aggregate delivering the
+      // probe values in this same job, deleting the conditional
+      // second pass below — and REVERTED it: a TypedImperativeAggregate
+      // in the agg list forces the whole job from codegen'd
+      // HashAggregate into interpreted ObjectHashAggregate, +1.6 s on
+      // this job at sf0.1 and strictly worse at 100 TB, where the
+      // HLL gate already skips the second pass exactly when the
+      // source is huge. One interpreted pass loses to one codegen'd
+      // pass plus a conditional small-source pass.)
       val bloomKeys0 = keys.filter(bloomColumns.contains)
       val adcAggs = bloomKeys0.map(k =>
-        Bloom.cappedDistinctAgg(col(k), BloomPruneMaxValues)
-          .as(s"cds_$k"))
+        approx_count_distinct(col(k)).as(s"adc_$k"))
       val allAggs = dateAgg.toSeq ++ boundAggs ++ adcAggs
       val row = if (allAggs.isEmpty) None
         else Some(tdbg("prune agg") {
@@ -1836,13 +1839,15 @@ object TxTable {
       val bloomHashes: Map[String, Seq[Long]] =
         if (bloomKeys.isEmpty || srcEmpty) Map.empty
         else tdbg("bloom prune") {
-          val r = row.get
-          bloomKeys.flatMap { k =>
-            // the capped set collected with the bounds IS the probe
-            // list; length cap+1 is the exact overflow proof
-            val hs = r.getAs[scala.collection.Seq[Long]](s"cds_$k")
-            if (hs == null || hs.size > BloomPruneMaxValues) None
-            else Some(k -> hs.toSeq)
+          val adcs = row.get
+          bloomKeys.filter(k =>
+            adcs.getAs[Long](s"adc_$k") <= BloomPruneMaxValues).flatMap { k =>
+            val hs = src.select(xxhash64(col(k)).as("h"))
+              .filter(col(k).isNotNull).distinct()
+              .limit(BloomPruneMaxValues + 1)
+              .collect().map(_.getLong(0)).toSeq
+            // the approx estimate lied low → stay conservative
+            if (hs.size > BloomPruneMaxValues) None else Some(k -> hs)
           }.toMap
         }
       val candidates =

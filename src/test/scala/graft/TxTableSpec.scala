@@ -711,32 +711,6 @@ class TxTableSpec extends AnyFunSuite {
       Map("local_pod" -> Seq(77L))), "missing filter keeps the file")
   }
 
-  test("capped distinct-hash aggregate: exact under the cap, NULLs " +
-    "excluded, cap+1 is the sticky overflow proof") {
-    import graft.sink.Bloom
-    import spark.implicits._
-    // 6 distinct values + nulls + duplicates across partitions
-    val df = spark.range(0, 1000, 1, 8)
-      .select(when(col("id") % 7 =!= 0, (col("id") % 6).cast("string"))
-        .as("k"))
-    val under = df.agg(Bloom.cappedDistinctAgg(col("k"), 10).as("s"))
-      .head.getAs[scala.collection.Seq[Long]]("s")
-    val want = (0 until 6).map(i =>
-      df.filter(col("k") === i.toString).select(xxhash64(col("k")))
-        .head.getLong(0)).sorted
-    assert(under.toSeq == want, "exact sorted distinct-hash set")
-    // cap below the true NDV: length cap+1, never more (bounded
-    // memory is the whole point — the overflow must not grow)
-    val over = df.agg(Bloom.cappedDistinctAgg(col("k"), 3).as("s"))
-      .head.getAs[scala.collection.Seq[Long]]("s")
-    assert(over.size == 4, s"cap+1 overflow proof, got ${over.size}")
-    // all-NULL input: empty set (no null hash smuggled in)
-    val empty = spark.range(5).select(lit(null).cast("string").as("k"))
-      .agg(Bloom.cappedDistinctAgg(col("k"), 3).as("s"))
-      .head.getAs[scala.collection.Seq[Long]]("s")
-    assert(empty.isEmpty)
-  }
-
   test("a failed sidecar read is NOT cached: the next resolve retries " +
     "and finds the filter once the sidecar is readable") {
     import graft.sink.Bloom
